@@ -1,0 +1,326 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.Norm
+import graft.functions.Norm._
+
+/** Core relational operators from SURVEY.md §2: scans with chunk
+  * predicates (S1/S2, P3), export projection (P1), catalog-style joins
+  * (J1), anti/semi joins (J2/J3), aggregation families (A1-A9), and
+  * window top-N (W5).
+  *
+  * Design rules (100 TB): all filters/projections are declarative so
+  * Catalyst pushes them into the parquet scan; dimension joins are
+  * explicitly `broadcast()`; every aggregate is partial-aggregable
+  * (map-side combine); no driver-side materialization.
+  */
+object Relational {
+
+  import org.apache.spark.sql.Column
+
+  /** Exact decimal aggregates are *rendered to canonical strings* in
+    * query outputs: the reference engine's whole compare model is
+    * canonical string rendering per value (`database/oracle/compare.go:
+    * 197-274`), and strings are the only representation that is
+    * bit-stable across Spark, parquet, pandas, and the DuckDB oracle
+    * (decimal→double casts can differ by 1 ulp between engines;
+    * double sums are order-dependent). Internal math stays DECIMAL —
+    * exact and associative, so partial aggregation at 100 TB is safe.
+    */
+  private def decStr(c: Column): Column = c.cast("string")
+
+  private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables.load(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables.load(s, d, "customer")
+  private def nat(s: SparkSession, d: String) = Tables.load(s, d, "nation")
+  private def reg(s: SparkSession, d: String) = Tables.load(s, d, "region")
+  private def part(s: SparkSession, d: String) = Tables.load(s, d, "part")
+
+  /** Canonical lineitem row rendering for checksums (P1/P2/A2). */
+  val lineitemNorm: Seq[NormCol] = Seq(
+    NormCol("l_orderkey", KLong), NormCol("l_partkey", KLong),
+    NormCol("l_suppkey", KLong), NormCol("l_linenumber", KLong),
+    NormCol("l_quantity", KDec(12, 2)), NormCol("l_extendedprice", KDec(12, 2)),
+    NormCol("l_discount", KDec(12, 2)), NormCol("l_tax", KDec(12, 2)),
+    NormCol("l_returnflag", KStr), NormCol("l_linestatus", KStr),
+    NormCol("l_shipdate", KDate))
+
+  // ---------------------------------------------------------------- queries
+
+  /** q1: pricing-summary aggregation (A6-family groupBy/agg).
+    * Money math in exact DECIMAL so the DuckDB oracle hash-matches
+    * bit-for-bit (double sums are order-dependent; decimal sums are
+    * exact and associative → safe under any partitioning).
+    */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame = {
+    val qty = col("l_quantity").cast(DecimalType(12, 2))
+    val price = col("l_extendedprice").cast(DecimalType(12, 2))
+    val disc = col("l_discount").cast(DecimalType(5, 2))
+    val tax = col("l_tax").cast(DecimalType(5, 2))
+    li(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decStr(sum(qty).cast(DecimalType(38, 2))).as("sum_qty"),
+        decStr(sum(price).cast(DecimalType(38, 2))).as("sum_base_price"),
+        decStr(sum(price * (lit(1).cast(DecimalType(5, 2)) - disc))
+          .cast(DecimalType(38, 4))).as("sum_disc_price"),
+        decStr(sum(price * (lit(1).cast(DecimalType(5, 2)) - disc)
+          * (lit(1).cast(DecimalType(5, 2)) + tax))
+          .cast(DecimalType(38, 6))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_base_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))) * (CAST(1 AS DECIMAL(5,2)) + CAST(l_tax AS DECIMAL(5,2)))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** j1: star join lineitem⋈orders⋈customer⋈nation⋈region → revenue
+    * by nation (J1). Dims are broadcast — at 100 TB only the two fact
+    * tables shuffle, and lineitem⋈orders co-partitions on orderkey.
+    */
+  def j1RevenueByNation(s: SparkSession, d: String): DataFrame = {
+    val price = col("l_extendedprice").cast(DecimalType(12, 2))
+    val disc = col("l_discount").cast(DecimalType(5, 2))
+    li(s, d)
+      .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        decStr(sum(price * (lit(1).cast(DecimalType(5, 2)) - disc))
+          .cast(DecimalType(38, 4))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val j1Sql: String =
+    """SELECT r_name, n_name,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** j2: anti join — customers with no orders (J2, set difference on
+    * keys; transferdb `common/strings.go:84-95`).
+    */
+  def j2AntiJoin(s: SparkSession, d: String): DataFrame =
+    cust(s, d).join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  val j2Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** j3: semi join — orders having a high-quantity lineitem (J3). */
+  def j3SemiJoin(s: SparkSession, d: String): DataFrame =
+    ord(s, d).join(
+        li(s, d).filter(col("l_quantity") >= 48),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+
+  val j3Sql: String =
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)""".stripMargin
+
+  /** a1: per-chunk COUNT (A1) — chunking becomes a computed bucket of
+    * the numeric split key (transferdb CREATE_CHUNKS_BY_NUMBER_COL).
+    */
+  def a1ChunkCounts(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupBy(floor(col("o_orderkey") / 1000).cast("long").as("chunk_id"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  val a1Sql: String =
+    """SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS chunk_id,
+      |       count(*) AS n_rows
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** a2: order-insensitive per-chunk row-set checksum (A2) — the
+    * compare-mode fast path: count + sum(hash64(row)) per chunk.
+    */
+  def a2ChunkChecksum(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy(floor(col("l_orderkey") / 1000).cast("long").as("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        Norm.sparkRowChecksum(lineitemNorm).as("row_checksum"))
+
+  val a2Sql: String =
+    s"""SELECT CAST(floor(l_orderkey / 1000.0) AS BIGINT) AS chunk_id,
+       |       count(*) AS n_rows,
+       |       ${Norm.duckRowChecksum(lineitemNorm)} AS row_checksum
+       |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** a3: split-key MIN/MAX guard bounds (A3) plus out-of-range counts —
+    * compare must catch target rows outside the source key range
+    * (transferdb `module/compare/oracle/o2m/chunk.go:331-369`).
+    */
+  def a3MinMaxGuard(s: SparkSession, d: String): DataFrame =
+    ord(s, d).agg(
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      count(lit(1)).as("n_rows"))
+
+  val a3Sql: String =
+    "SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, count(*) AS n_rows FROM orders"
+
+  /** a6: assess-style bucketed overview (A6) — DECODE bucketing becomes
+    * when/otherwise; groupBy sums stay exact decimal.
+    */
+  def a6AssessOverview(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .withColumn("price_band",
+        when(col("o_totalprice") < 100000, lit("SMALL"))
+          .when(col("o_totalprice") < 300000, lit("MEDIUM"))
+          .otherwise(lit("LARGE")))
+      .groupBy(col("o_orderstatus"), col("price_band"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        decStr(sum(col("o_totalprice").cast(DecimalType(14, 2)))
+          .cast(DecimalType(38, 2))).as("total_price"))
+
+  val a6Sql: String =
+    """SELECT o_orderstatus,
+      |  CASE WHEN o_totalprice < 100000 THEN 'SMALL'
+      |       WHEN o_totalprice < 300000 THEN 'MEDIUM'
+      |       ELSE 'LARGE' END AS price_band,
+      |  count(*) AS n_orders,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_price
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
+  /** a7: top-K by measure (A7) — deterministic tiebreak on key. */
+  def a7TopK(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      .limit(10)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+
+  val a7Sql: String =
+    """SELECT p_partkey, p_name, p_retailprice FROM part
+      |ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10""".stripMargin
+
+  /** a8: threshold scan (A8) — groups over a compat limit. */
+  def a8Threshold(s: SparkSession, d: String): DataFrame =
+    ord(s, d).groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") > 15)
+
+  val a8Sql: String =
+    """SELECT o_custkey, count(*) AS n_orders FROM orders
+      |GROUP BY 1 HAVING count(*) > 15""".stripMargin
+
+  /** a9: split-key election by distinct cardinality (A9). Exact
+    * count-distinct here for oracle parity; the scale path swaps in
+    * approx_count_distinct (HLL, one pass, no distinct shuffle).
+    */
+  def a9SplitKeyElection(s: SparkSession, d: String): DataFrame = {
+    val t = li(s, d)
+    val cands = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    cands.map { c =>
+      t.agg(countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column_name"), col("n_distinct"))
+    }.reduce(_ unionAll _)
+  }
+
+  val a9Sql: String =
+    """SELECT 'l_orderkey' AS column_name, count(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+      |UNION ALL SELECT 'l_partkey', count(DISTINCT l_partkey) FROM lineitem
+      |UNION ALL SELECT 'l_suppkey', count(DISTINCT l_suppkey) FROM lineitem
+      |UNION ALL SELECT 'l_linenumber', count(DISTINCT l_linenumber) FROM lineitem""".stripMargin
+
+  /** p1: type-directed export projection (P1) — dates/decimals rendered
+    * to canonical strings, as the reference does per Oracle type
+    * (`module/migrate/sql/oracle/o2m/full.go:885-948`).
+    */
+  def p1ExportProjection(s: SparkSession, d: String): DataFrame =
+    li(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ship_ts"),
+      col("l_quantity").cast(DecimalType(12, 2)).cast("string").as("qty_str"),
+      col("l_extendedprice").cast(DecimalType(12, 2)).cast("string").as("price_str"))
+
+  val p1Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts,
+      |  CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS qty_str,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str
+      |FROM lineitem""".stripMargin
+
+  /** p3: chunk predicate + user range filter (P3) — both reach the
+    * parquet scan as PushedFilters.
+    */
+  def p3ChunkFilter(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(col("l_orderkey").between(2000, 4000) && col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  val p3Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_orderkey BETWEEN 2000 AND 4000 AND l_quantity > 30""".stripMargin
+
+  /** w5: top-N per group via ranking window (W5). */
+  def w5TopPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    cust(s, d).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("rn"))
+  }
+
+  val w5Sql: String =
+    """SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |         row_number() OVER (PARTITION BY c_nationkey
+      |                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      |  FROM customer) t WHERE rn <= 3""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "j1_revenue_by_nation" -> j1RevenueByNation,
+    "j2_anti_join" -> j2AntiJoin,
+    "j3_semi_join" -> j3SemiJoin,
+    "a1_chunk_counts" -> a1ChunkCounts,
+    "a2_chunk_checksum" -> a2ChunkChecksum,
+    "a3_minmax_guard" -> a3MinMaxGuard,
+    "a6_assess_overview" -> a6AssessOverview,
+    "a7_topk" -> a7TopK,
+    "a8_threshold" -> a8Threshold,
+    "a9_split_key_election" -> a9SplitKeyElection,
+    "p1_export_projection" -> p1ExportProjection,
+    "p3_chunk_filter" -> p3ChunkFilter,
+    "w5_top_per_group" -> w5TopPerGroup)
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "j1_revenue_by_nation" -> j1Sql,
+    "j2_anti_join" -> j2Sql,
+    "j3_semi_join" -> j3Sql,
+    "a1_chunk_counts" -> a1Sql,
+    "a2_chunk_checksum" -> a2Sql,
+    "a3_minmax_guard" -> a3Sql,
+    "a6_assess_overview" -> a6Sql,
+    "a7_topk" -> a7Sql,
+    "a8_threshold" -> a8Sql,
+    "a9_split_key_election" -> a9Sql,
+    "p1_export_projection" -> p1Sql,
+    "p3_chunk_filter" -> p3Sql,
+    "w5_top_per_group" -> w5Sql)
+}

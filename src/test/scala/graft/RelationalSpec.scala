@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  test("every registered query runs and the registry is consistent") {
+    assert(Relational.oracles.keySet.subsetOf(Relational.queries.keySet))
+    Relational.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("q1 pricing summary aggregates all lineitem rows") {
+    val df = Relational.q1PricingSummary(spark, sf)
+    val total = df.agg(sum("count_order")).head.getLong(0)
+    val expected = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02")).count()
+    assert(total == expected)
+  }
+
+  test("j2 anti + j3 semi partition the key space sensibly") {
+    val customers = Tables.load(spark, sf, "customer").count()
+    val without = Relational.j2AntiJoin(spark, sf).count()
+    val withOrders = Tables.load(spark, sf, "customer")
+      .join(Tables.load(spark, sf, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(without + withOrders == customers)
+  }
+
+  test("a2 checksum is order-insensitive: shuffled input gives same sums") {
+    val a = Relational.a2ChunkChecksum(spark, sf)
+    val li = Tables.load(spark, sf, "lineitem").repartition(7, col("l_partkey"))
+    val b = li.groupBy(floor(col("l_orderkey") / 1000).cast("long").as("chunk_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Norm.sparkRowChecksum(Relational.lineitemNorm).as("row_checksum"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("a3 guard bounds cover the whole key range") {
+    val r = Relational.a3MinMaxGuard(spark, sf).head
+    assert(r.getAs[Long]("min_key") <= r.getAs[Long]("max_key"))
+  }
+
+  test("w5 emits at most 3 rows per nation, ranked") {
+    val df = Relational.w5TopPerGroup(spark, sf)
+    val over = df.groupBy("c_nationkey").count().filter(col("count") > 3).count()
+    assert(over == 0)
+  }
+}
