@@ -1,0 +1,307 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.Norm
+import graft.functions.Norm._
+
+/** Data-verification engine — the reference's `compare` mode
+  * (`module/compare/oracle/o2m/compare.go:65-460`), Spark-first.
+  *
+  * The reference splits each table into numeric-range chunks, compares
+  * an order-insensitive CRC32 sum per chunk (fast path), and on
+  * mismatch materializes both row sets in RAM and takes hash-set
+  * differences (`report.go:236-303`) — which caps chunk size at what
+  * fits in memory. Here:
+  *
+  *  - fast path  = `groupBy(chunk).agg(count, sum(hash64(row)))` —
+  *    partial-aggregable, one shuffle row per (chunk × partition);
+  *  - slow path  = `exceptAll` both directions — Spark plans it as a
+  *    hash/sort aggregate that spills, so chunks never have to fit in
+  *    RAM (fixes the reference's J4 scale limit);
+  *  - guard semantics (`chunk.go:331-369`): rows outside the source
+  *    key range are caught because the diff runs over the WHOLE keyed
+  *    row set, not per-chunk slices — out-of-range target rows appear
+  *    as TGT_ONLY rows with no extra predicates.
+  *
+  * NULL semantics follow the reference: '' ≡ NULL on both sides
+  * (`database/oracle/full.go:418-424`), enforced by [[Norm]].
+  */
+object Compare {
+
+  /** Per-chunk summary: fast-path compare unit (A1+A2).
+    * `chunkExpr` buckets the split key (reference: range chunks from
+    * CREATE_CHUNKS_BY_NUMBER_COL; here a computed bucket, which at
+    * 100 TB distributes without a planning pass over the data).
+    */
+  def chunkSummary(df: DataFrame, chunkExpr: Column,
+      normCols: Seq[NormCol]): DataFrame =
+    df.groupBy(chunkExpr.as("chunk_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        Norm.sparkRowChecksum(normCols).as("row_checksum"))
+
+  /** Slow path: symmetric difference of canonical row strings, tagged
+    * with the side that owns the surplus row. Multiset semantics
+    * (`exceptAll`) so duplicate rows diff correctly.
+    */
+  def symmetricDiff(src: DataFrame, tgt: DataFrame,
+      normCols: Seq[NormCol], keyCol: String): DataFrame = {
+    def proj(df: DataFrame) =
+      df.select(col(keyCol).cast("long").as("row_key"),
+        Norm.sparkRow(normCols).as("row_str"))
+    val srcOnly = proj(src).exceptAll(proj(tgt))
+      .withColumn("diff_side", lit("SRC_ONLY"))
+    val tgtOnly = proj(tgt).exceptAll(proj(src))
+      .withColumn("diff_side", lit("TGT_ONLY"))
+    srcOnly.unionAll(tgtOnly).select("diff_side", "row_key", "row_str")
+  }
+
+  /** Fix-action synthesis from a diff: SRC_ONLY → INSERT (row missing
+    * or stale on target), TGT_ONLY → DELETE — the reference appends
+    * exactly these to `compare_<schema>.sql` (`compare.go:386-444`).
+    * Stays a DataFrame; rendering to SQL text is a bounded driver-side
+    * collect by the caller.
+    */
+  def fixActions(diff: DataFrame, table: String, keyCol: String): DataFrame =
+    diff.select(
+      when(col("diff_side") === "SRC_ONLY", lit("INSERT"))
+        .otherwise(lit("DELETE")).as("action"),
+      lit(table).as("table_name"),
+      col("row_key"),
+      when(col("diff_side") === "SRC_ONLY",
+        concat(lit(s"REPLACE INTO $table VALUES /*"), col("row_str"), lit("*/")))
+        .otherwise(concat(lit(s"DELETE FROM $table WHERE $keyCol = "),
+          col("row_key").cast("string"))).as("fix_sql"))
+
+  // ------------------------------------------------------------ fixtures
+
+  /** Canonical orders row rendering (keyed compare fixture). */
+  val ordersNorm: Seq[NormCol] = Seq(
+    NormCol("o_orderkey", KLong), NormCol("o_custkey", KLong),
+    NormCol("o_orderstatus", KStr), NormCol("o_totalprice", KDec(14, 2)),
+    NormCol("o_orderdate", KDate), NormCol("o_orderpriority", KStr))
+
+  /** Deterministic "drifted target" for compare fixtures, derivable
+    * identically in DuckDB SQL: delete keys ≡0 (mod 97), perturb the
+    * price on keys ≡0 (mod 101), insert near-duplicates of keys ≡0
+    * (mod 89) shifted by +1,000,000.
+    */
+  def driftedOrders(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.load(s, d, "orders")
+    val kept = o.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 101 === 0, col("o_totalprice") + lit(10.0))
+          .otherwise(col("o_totalprice")))
+    val inserted = o.filter(col("o_orderkey") % 89 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L))
+    kept.unionAll(inserted)
+  }
+
+  val driftedOrdersSql: String =
+    """(SELECT o_orderkey, o_custkey, o_orderstatus,
+      |        CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 10.0
+      |             ELSE o_totalprice END AS o_totalprice,
+      |        o_orderdate, o_orderpriority
+      | FROM orders WHERE o_orderkey % 97 <> 0
+      | UNION ALL
+      | SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, o_totalprice,
+      |        o_orderdate, o_orderpriority
+      | FROM orders WHERE o_orderkey % 89 = 0)""".stripMargin
+
+  private def duckProj(rel: String): String = {
+    val row = Norm.duckRow(ordersNorm)
+    s"SELECT CAST(o_orderkey AS BIGINT) AS row_key, $row AS row_str FROM $rel"
+  }
+
+  // ------------------------------------------------------------- queries
+
+  /** j4: full keyed symmetric diff, source vs drifted target. */
+  def j4SymmetricDiff(s: SparkSession, d: String): DataFrame =
+    symmetricDiff(Tables.load(s, d, "orders"), driftedOrders(s, d),
+      ordersNorm, "o_orderkey")
+
+  val j4Sql: String = {
+    val src = duckProj("orders")
+    val tgt = duckProj(driftedOrdersSql)
+    s"""SELECT 'SRC_ONLY' AS diff_side, row_key, row_str FROM
+       |  (($src) EXCEPT ALL ($tgt))
+       |UNION ALL
+       |SELECT 'TGT_ONLY', row_key, row_str FROM
+       |  (($tgt) EXCEPT ALL ($src))""".stripMargin
+  }
+
+  /** c2: compare fix-action synthesis over the same diff. */
+  def c2FixActions(s: SparkSession, d: String): DataFrame =
+    fixActions(j4SymmetricDiff(s, d), "orders", "o_orderkey")
+
+  val c2Sql: String =
+    s"""SELECT CASE WHEN diff_side = 'SRC_ONLY' THEN 'INSERT' ELSE 'DELETE' END AS action,
+       |  'orders' AS table_name, row_key,
+       |  CASE WHEN diff_side = 'SRC_ONLY'
+       |       THEN 'REPLACE INTO orders VALUES /*' || row_str || '*/'
+       |       ELSE 'DELETE FROM orders WHERE o_orderkey = ' || CAST(row_key AS VARCHAR)
+       |  END AS fix_sql
+       |FROM ($j4Sql)""".stripMargin
+
+  /** a2b: fast-path chunk compare of source vs drifted target —
+    * emits only chunks whose (count, checksum) disagree, i.e. the
+    * chunks the slow path would rescan.
+    */
+  def a2bChunkCompare(s: SparkSession, d: String): DataFrame = {
+    val bucket = floor(col("o_orderkey") / 1000).cast("long")
+    val src = chunkSummary(Tables.load(s, d, "orders"), bucket, ordersNorm)
+      .withColumnRenamed("n_rows", "src_rows")
+      .withColumnRenamed("row_checksum", "src_sum")
+    val tgt = chunkSummary(driftedOrders(s, d), bucket, ordersNorm)
+      .withColumnRenamed("n_rows", "tgt_rows")
+      .withColumnRenamed("row_checksum", "tgt_sum")
+    src.join(tgt, Seq("chunk_id"), "full_outer")
+      .filter(!(col("src_rows") <=> col("tgt_rows")) ||
+        !(col("src_sum") <=> col("tgt_sum")))
+      .select(col("chunk_id"),
+        coalesce(col("src_rows"), lit(0L)).as("src_rows"),
+        coalesce(col("tgt_rows"), lit(0L)).as("tgt_rows"))
+  }
+
+  val a2bSql: String = {
+    val row = Norm.duckRow(ordersNorm)
+    val sum = Norm.duckRowChecksum(ordersNorm)
+    s"""WITH src AS (
+       |  SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS chunk_id,
+       |         count(*) AS src_rows, $sum AS src_sum
+       |  FROM orders GROUP BY 1),
+       |tgt AS (
+       |  SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS chunk_id,
+       |         count(*) AS tgt_rows, $sum AS tgt_sum
+       |  FROM $driftedOrdersSql AS orders GROUP BY 1)
+       |SELECT chunk_id,
+       |       coalesce(src_rows, 0) AS src_rows,
+       |       coalesce(tgt_rows, 0) AS tgt_rows
+       |FROM src FULL OUTER JOIN tgt USING (chunk_id)
+       |WHERE src_rows IS DISTINCT FROM tgt_rows
+       |   OR src_sum IS DISTINCT FROM tgt_sum""".stripMargin
+  }
+
+  /** p2: compare normalization (P2/F5/F6): '' ≡ NULL, leading-dot
+    * decimal rendering (.5 → 0.5), date canonicalization — the
+    * dual-dialect SELECT pair of `task.go:134-187` collapsed into one
+    * normalization applied to synthesized edge values.
+    */
+  def p2CompareNorm(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.load(s, d, "orders")
+    val raw = o.select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 5 === 0, lit(null: String))
+        .when(col("o_orderkey") % 5 === 1, lit(""))
+        .when(col("o_orderkey") % 5 === 2, lit(" "))
+        .otherwise(col("o_orderstatus")).as("edge_str"),
+      (when(col("o_orderkey") % 3 === 0, lit(0.5))
+        .when(col("o_orderkey") % 3 === 1, lit(-0.5))
+        .otherwise(col("o_totalprice"))).as("edge_num"))
+    raw.select(
+      col("o_orderkey"),
+      when(col("edge_str").isNull || col("edge_str") === "", lit("NULL"))
+        .otherwise(col("edge_str")).as("norm_str"),
+      col("edge_num").cast(DecimalType(14, 2)).cast("string").as("norm_num"))
+  }
+
+  val p2Sql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN edge_str IS NULL OR edge_str = '' THEN 'NULL'
+      |       ELSE edge_str END AS norm_str,
+      |  CAST(CAST(edge_num AS DECIMAL(14,2)) AS VARCHAR) AS norm_num
+      |FROM (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+      |         WHEN o_orderkey % 5 = 1 THEN ''
+      |         WHEN o_orderkey % 5 = 2 THEN ' '
+      |         ELSE o_orderstatus END AS edge_str,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 0.5
+      |         WHEN o_orderkey % 3 = 1 THEN -0.5
+      |         ELSE o_totalprice END AS edge_num
+      |  FROM orders) t""".stripMargin
+
+  /** set1/set2/set3: distinct set algebra on key sets (J2/J3 driver
+    * utilities `common/strings.go:84-108` as engine ops).
+    */
+  def setExcept(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "orders").select(col("o_custkey").as("custkey")).distinct()
+      .except(Tables.load(s, d, "customer")
+        .filter(col("c_acctbal") > 0).select(col("c_custkey").as("custkey")))
+
+  val setExceptSql: String =
+    """SELECT DISTINCT o_custkey AS custkey FROM orders
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 0""".stripMargin
+
+  def setIntersect(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "orders").select(col("o_custkey").as("custkey"))
+      .intersect(Tables.load(s, d, "customer")
+        .filter(col("c_acctbal") > 5000).select(col("c_custkey").as("custkey")))
+
+  val setIntersectSql: String =
+    """SELECT DISTINCT o_custkey AS custkey FROM orders
+      |INTERSECT
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 5000""".stripMargin
+
+  def setUnion(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "customer").filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("custkey"))
+      .union(Tables.load(s, d, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("custkey")))
+      .distinct()
+
+  val setUnionSql: String =
+    """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+      |UNION
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 9000""".stripMargin
+
+  /** j5: keyed full-outer struct-style diff (J5) — classify keys as
+    * ADD (source-only), DROP (target-only), BOTH — the check-mode
+    * column diff (`module/check/oracle/o2m/diff.go:563-620`) applied
+    * to key sets.
+    */
+  def j5FullOuterDiff(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.load(s, d, "customer").select(col("c_custkey").as("k")).distinct()
+    val tgt = Tables.load(s, d, "orders").select(col("o_custkey").as("k")).distinct()
+    src.withColumn("in_src", lit(1))
+      .join(tgt.withColumn("in_tgt", lit(1)), Seq("k"), "full_outer")
+      .select(col("k").as("key"),
+        when(col("in_src").isNotNull && col("in_tgt").isNotNull, lit("BOTH"))
+          .when(col("in_src").isNotNull, lit("ADD"))
+          .otherwise(lit("DROP")).as("action"))
+  }
+
+  val j5Sql: String =
+    """SELECT coalesce(s.k, t.k) AS key,
+      |  CASE WHEN s.k IS NOT NULL AND t.k IS NOT NULL THEN 'BOTH'
+      |       WHEN s.k IS NOT NULL THEN 'ADD' ELSE 'DROP' END AS action
+      |FROM (SELECT DISTINCT c_custkey AS k FROM customer) s
+      |FULL OUTER JOIN (SELECT DISTINCT o_custkey AS k FROM orders) t
+      |ON s.k = t.k""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j4_symmetric_diff" -> j4SymmetricDiff,
+    "c2_fix_actions" -> c2FixActions,
+    "a2b_chunk_compare" -> a2bChunkCompare,
+    "p2_compare_norm" -> p2CompareNorm,
+    "set_except" -> setExcept,
+    "set_intersect" -> setIntersect,
+    "set_union" -> setUnion,
+    "j5_fullouter_diff" -> j5FullOuterDiff)
+
+  val oracles: Map[String, String] = Map(
+    "j4_symmetric_diff" -> j4Sql,
+    "c2_fix_actions" -> c2Sql,
+    "a2b_chunk_compare" -> a2bSql,
+    "p2_compare_norm" -> p2Sql,
+    "set_except" -> setExceptSql,
+    "set_intersect" -> setIntersectSql,
+    "set_union" -> setUnionSql,
+    "j5_fullouter_diff" -> j5Sql)
+}

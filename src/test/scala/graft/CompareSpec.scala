@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Compare
+
+class CompareSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  test("symmetric diff finds exactly the injected drift") {
+    val diff = Compare.j4SymmetricDiff(spark, sf).cache()
+    val orders = Tables.load(spark, sf, "orders")
+    val deleted = orders.filter(col("o_orderkey") % 97 === 0).count()
+    val updated = orders.filter(col("o_orderkey") % 101 === 0 &&
+      col("o_orderkey") % 97 =!= 0).count()
+    val inserted = orders.filter(col("o_orderkey") % 89 === 0).count()
+    // deletes+updates are SRC_ONLY; updates also appear TGT_ONLY (new value)
+    val srcOnly = diff.filter(col("diff_side") === "SRC_ONLY").count()
+    val tgtOnly = diff.filter(col("diff_side") === "TGT_ONLY").count()
+    assert(srcOnly == deleted + updated, s"srcOnly=$srcOnly")
+    assert(tgtOnly == updated + inserted, s"tgtOnly=$tgtOnly")
+    diff.unpersist()
+  }
+
+  test("identical inputs produce an empty diff and no mismatched chunks") {
+    val o = Tables.load(spark, sf, "orders")
+    assert(Compare.symmetricDiff(o, o, Compare.ordersNorm, "o_orderkey").isEmpty)
+  }
+
+  test("chunk compare flags only chunks containing drift") {
+    val flagged = Compare.a2bChunkCompare(spark, sf)
+      .select("chunk_id").as[Long](spark.implicits.newLongEncoder).collect().toSet
+    val expected = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderkey") % 97 === 0 || col("o_orderkey") % 101 === 0)
+      .select(floor(col("o_orderkey") / 1000).cast("long"))
+      .as[Long](spark.implicits.newLongEncoder).collect().toSet ++
+      Tables.load(spark, sf, "orders")
+        .filter(col("o_orderkey") % 89 === 0)
+        .select(floor((col("o_orderkey") + 1000000L) / 1000).cast("long"))
+        .as[Long](spark.implicits.newLongEncoder).collect().toSet
+    assert(flagged == expected)
+  }
+
+  test("fix actions: every SRC_ONLY row becomes an INSERT, TGT_ONLY a DELETE") {
+    val fix = Compare.c2FixActions(spark, sf)
+    assert(fix.filter(col("action") === "INSERT" &&
+      !col("fix_sql").startsWith("REPLACE INTO")).count() == 0)
+    assert(fix.filter(col("action") === "DELETE" &&
+      !col("fix_sql").startsWith("DELETE FROM")).count() == 0)
+  }
+
+  test("normalization maps '' and NULL to the same canonical value") {
+    val n = Compare.p2CompareNorm(spark, sf)
+    val nulls = n.filter(col("o_orderkey") % 5 === 0).select("norm_str").distinct()
+    val empties = n.filter(col("o_orderkey") % 5 === 1).select("norm_str").distinct()
+    assert(nulls.collect().map(_.getString(0)).toSeq == Seq("NULL"))
+    assert(empties.collect().map(_.getString(0)).toSeq == Seq("NULL"))
+    // leading-dot decimals are zero-padded
+    val halves = n.filter(col("o_orderkey") % 3 === 0).select("norm_num").distinct()
+    assert(halves.collect().map(_.getString(0)).toSeq == Seq("0.50"))
+  }
+}
