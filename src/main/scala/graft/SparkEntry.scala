@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Compare, Relational}
+import graft.operators.{Compare, Migrate, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -17,8 +17,8 @@ object SparkEntry {
     Relational.j1RevenueByNation(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Compare.queries
+    Relational.queries ++ Compare.queries ++ Migrate.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Compare.oracles
+    Relational.oracles ++ Compare.oracles ++ Migrate.oracles
 }

@@ -1,0 +1,244 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Norm
+import graft.functions.Norm._
+
+/** Snapshot ETL engine — the reference's `full` and `csv` modes
+  * (`module/migrate/sql/oracle/o2m/full.go`, `csv/oracle/o2m/csv.go`),
+  * Spark-first.
+  *
+  * The reference plans ROWID/numeric chunks into a MySQL meta table
+  * and runs a 3-stage channel pipeline per chunk. In Spark the "plan"
+  * is just partitioning: file sources split by row-group; JDBC sources
+  * take `partitionColumn/lowerBound/upperBound/numPartitions` — the
+  * exact analogue of CREATE_CHUNKS_BY_NUMBER_COL. [[planChunks]] keeps
+  * chunk planning as an explicit, testable step for sources that need
+  * predicate-ranged reads; execution is one declarative
+  * read→project→write with no driver-side row handling.
+  *
+  * Snapshot consistency (S3, AS OF SCN): a Spark job reads one
+  * immutable file-set listing — within a job all partitions see one
+  * snapshot; cross-run pinning is the caller handing in a versioned
+  * path (Delta/Iceberg time travel when available).
+  */
+object Migrate {
+
+  /** Numeric-range chunk: `col BETWEEN lower AND upper` (inclusive),
+    * mirroring DBMS_PARALLEL_EXECUTE chunk WHERE-strings
+    * (`database/oracle/full.go:86`).
+    */
+  final case class ChunkSpec(id: Int, lower: Long, upper: Long) {
+    def predicate(colName: String): String =
+      s"$colName BETWEEN $lower AND $upper"
+  }
+
+  /** Split [min,max] into ranges of ~chunkRows by key density
+    * (assumes roughly uniform keys, like the reference's
+    * CREATE_CHUNKS_BY_NUMBER_COL; skew is handled at execution time by
+    * AQE, not at planning time). Pure — property-tested.
+    */
+  def planChunks(minKey: Long, maxKey: Long, totalRows: Long,
+      chunkRows: Long): Seq[ChunkSpec] = {
+    require(chunkRows > 0, "chunkRows must be positive")
+    if (totalRows <= 0 || maxKey < minKey) return Seq.empty
+    val nChunks = math.max(1L, (totalRows + chunkRows - 1) / chunkRows)
+    val span = maxKey - minKey + 1
+    val n = math.min(nChunks, span).toInt
+    (0 until n).map { i =>
+      val lo = minKey + span * i / n
+      val hi = minKey + span * (i + 1) / n - 1
+      ChunkSpec(i, lo, hi)
+    }
+  }
+
+  /** Type-directed export projection (P1): every column is rendered to
+    * its canonical migration form, per the reference's per-Oracle-type
+    * SELECT list (`full.go:885-948`): timestamps → formatted strings,
+    * floating money → exact decimals, integrals widened to long.
+    * Binary would pass through untouched (BinaryType).
+    */
+  def exportProjection(schema: StructType): Seq[Column] =
+    schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case TimestampType | TimestampNTZType =>
+          date_format(col(f.name), "yyyy-MM-dd HH:mm:ss").as(f.name)
+        case DoubleType | FloatType =>
+          col(f.name).cast(DecimalType(18, 2)).cast("string").as(f.name)
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(f.name).cast("long").as(f.name)
+        case _ => col(f.name)
+      }
+    }
+
+  /** CSV sink options mirroring the reference's configurable separator/
+    * terminator/delimiter/null/escape (`config/config.go:159-176`,
+    * escaping `common/strings.go:540-560`).
+    */
+  val csvOptions: Map[String, String] = Map(
+    "header" -> "true", "sep" -> ",", "quote" -> "\"",
+    "escape" -> "\\", "nullValue" -> "\\N",
+    // keep values byte-exact: Spark's CSV writer trims by default
+    "ignoreLeadingWhiteSpace" -> "false",
+    "ignoreTrailingWhiteSpace" -> "false")
+
+  /** Full-table migrate: read → project → sink. `overwrite` is the
+    * reference's truncate-before-load (S10).
+    */
+  def run(df: DataFrame, sink: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty): Unit =
+    df.write.mode(SaveMode.Overwrite).format(format)
+      .options(options).save(sink)
+
+  // ------------------------------------------------------------- queries
+
+  private def tempDir(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString
+
+  /** s7: parquet migrate roundtrip — lineitem → export projection →
+    * parquet sink → read back → per-chunk summary. The oracle computes
+    * the same summary straight from the source table: sink fidelity is
+    * part of what is being hash-checked.
+    */
+  def s7ParquetRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.load(s, d, "lineitem")
+    val projected = src.select(exportProjection(src.schema): _*)
+    val out = tempDir("s7")
+    run(projected, out)
+    val back = s.read.parquet(out)
+    val normCols = Seq(
+      NormCol("l_orderkey", KLong), NormCol("l_linenumber", KLong),
+      NormCol("l_quantity", KStr), NormCol("l_extendedprice", KStr),
+      NormCol("l_shipdate", KStr))
+    back.groupBy((floor(col("l_orderkey") / 1000)).cast("long").as("chunk_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        Norm.sparkRowChecksum(normCols).as("row_checksum"))
+  }
+
+  val s7Sql: String = {
+    val normCols = Seq(
+      NormCol("l_orderkey", KLong), NormCol("l_linenumber", KLong),
+      NormCol("l_quantity", KStr), NormCol("l_extendedprice", KStr),
+      NormCol("l_shipdate", KStr))
+    s"""SELECT CAST(floor(l_orderkey / 1000.0) AS BIGINT) AS chunk_id,
+       |  count(*) AS n_rows,
+       |  ${Norm.duckRowChecksum(normCols)} AS row_checksum
+       |FROM (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS l_quantity,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS l_extendedprice,
+       |    strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate
+       |  FROM lineitem) t
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** Synthesized string-edge rows: separators, quotes, backslashes,
+    * NULL and '' — the CSV escaping fixture (F3,
+    * `common/strings.go:540-560`).
+    */
+  private def edgeRows(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "orders").select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 7 === 0, lit(null: String))
+        .when(col("o_orderkey") % 7 === 1, lit(""))
+        .when(col("o_orderkey") % 7 === 2,
+          concat(lit("a,b\"q\"\\"), col("o_orderstatus")))
+        .when(col("o_orderkey") % 7 === 3, lit("  pad  "))
+        .otherwise(col("o_orderpriority")).as("payload"),
+      col("o_totalprice").cast(DecimalType(14, 2)).cast("string").as("price_str"))
+
+  private val edgeRowsSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |       WHEN o_orderkey % 7 = 1 THEN ''
+      |       WHEN o_orderkey % 7 = 2 THEN 'a,b"q"\' || o_orderstatus
+      |       WHEN o_orderkey % 7 = 3 THEN '  pad  '
+      |       ELSE o_orderpriority END AS payload,
+      |  CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR) AS price_str
+      |FROM orders""".stripMargin
+
+  /** s8: CSV migrate roundtrip with hostile string content. Values
+    * must survive quote/escape/null handling exactly; '' and NULL are
+    * normalized to NULL on read-back per reference semantics (CSV
+    * cannot distinguish them — reference comment
+    * `database/oracle/full.go:198-201`).
+    */
+  def s8CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = tempDir("s8")
+    run(edgeRows(s, d), out, "csv", csvOptions)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("payload", StringType),
+      StructField("price_str", StringType)))
+    s.read.options(csvOptions).schema(schema).csv(out)
+      .select(col("o_orderkey"),
+        when(col("payload").isNull || col("payload") === "", lit("NULL"))
+          .otherwise(col("payload")).as("payload"),
+        col("price_str"))
+  }
+
+  val s8Sql: String =
+    s"""SELECT o_orderkey,
+       |  CASE WHEN payload IS NULL OR payload = '' THEN 'NULL'
+       |       ELSE payload END AS payload,
+       |  price_str
+       |FROM ($edgeRowsSql) t""".stripMargin
+
+  /** s2: explicit chunk-planned scan — planChunks drives ranged reads
+    * whose union must equal the full table (chunk completeness; the
+    * reference trusts DBMS_PARALLEL_EXECUTE for this).
+    */
+  def s2ChunkedScan(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.load(s, d, "orders")
+    val Array(minK, maxK, n) = o
+      .agg(min("o_orderkey"), max("o_orderkey"), count(lit(1)))
+      .collect()(0).toSeq.map(_.toString.toLong).toArray
+    val chunks = planChunks(minK, maxK, n, 2000L)
+    chunks.map { c =>
+      o.filter(expr(c.predicate("o_orderkey")))
+        .groupBy(lit(c.id).as("chunk_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+    }.reduce(_ unionAll _)
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s7_parquet_roundtrip" -> s7ParquetRoundtrip,
+    "s8_csv_roundtrip" -> s8CsvRoundtrip,
+    "s2_chunked_scan" -> s2ChunkedScan)
+
+  val oracles: Map[String, String] = Map(
+    "s7_parquet_roundtrip" -> s7Sql,
+    "s8_csv_roundtrip" -> s8Sql,
+    // orders keys are dense 0..N-1 at every sf: 15000 rows/sf0.01 →
+    // ceil(15000/2000)=8 chunks; recomputed generically below.
+    "s2_chunked_scan" -> s2SqlGeneric)
+
+  /** sf-independent oracle: derive chunk count exactly as planChunks
+    * does — ceil(rows/2000), capped by key span. `//` is DuckDB
+    * integer division, matching Scala Long division.
+    */
+  lazy val s2SqlGeneric: String =
+    """WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+      |                  count(*) AS n FROM orders),
+      |p AS (SELECT mn, mx,
+      |        CAST(least((n + 1999) // 2000, mx - mn + 1) AS BIGINT) AS k
+      |      FROM b),
+      |c AS (SELECT i AS chunk_id,
+      |        mn + (mx - mn + 1) * i // k AS lo_bound,
+      |        mn + (mx - mn + 1) * (i + 1) // k - 1 AS hi_bound
+      |      FROM p, range(100000) r(i) WHERE i < k)
+      |SELECT CAST(c.chunk_id AS INT) AS chunk_id, count(*) AS n_rows,
+      |       min(o_orderkey) AS lo, max(o_orderkey) AS hi
+      |FROM orders JOIN c
+      |  ON o_orderkey BETWEEN c.lo_bound AND c.hi_bound
+      |GROUP BY c.chunk_id""".stripMargin
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Migrate
+import graft.operators.Migrate.ChunkSpec
+
+class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  test("planChunks covers [min,max] exactly, no gaps, no overlaps") {
+    val gen = for {
+      minK <- Gen.choose(-1000L, 1000L)
+      span <- Gen.choose(1L, 100000L)
+      rows <- Gen.choose(1L, 200000L)
+      chunkRows <- Gen.choose(1L, 5000L)
+    } yield (minK, span, rows, chunkRows)
+    val prop = Prop.forAll(gen) { case (minK, span, rows, chunkRows) =>
+      val maxK = minK + span - 1
+      val chunks = Migrate.planChunks(minK, maxK, rows, chunkRows)
+      chunks.nonEmpty &&
+        chunks.head.lower == minK && chunks.last.upper == maxK &&
+        chunks.forall(c => c.lower <= c.upper) &&
+        chunks.sliding(2).forall {
+          case Seq(a: ChunkSpec, b: ChunkSpec) => b.lower == a.upper + 1
+          case _ => true
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("planChunks: empty table and inverted range give no chunks") {
+    assert(Migrate.planChunks(0, 100, 0, 10).isEmpty)
+    assert(Migrate.planChunks(100, 0, 50, 10).isEmpty)
+  }
+
+  test("csv roundtrip preserves hostile values exactly") {
+    val back = Migrate.s8CsvRoundtrip(spark, sf).cache()
+    // quote/backslash payloads survive
+    val hostile = back.filter(col("o_orderkey") % 7 === 2)
+      .select("payload").distinct().collect().map(_.getString(0))
+    assert(hostile.forall(_.startsWith("a,b\"q\"\\")), hostile.mkString(","))
+    // '' and NULL both canonicalize to NULL
+    val empt = back.filter(col("o_orderkey") % 7 === 1 || col("o_orderkey") % 7 === 0)
+      .select("payload").distinct().collect().map(_.getString(0))
+    assert(empt.toSeq == Seq("NULL"))
+    // padding preserved
+    val pad = back.filter(col("o_orderkey") % 7 === 3)
+      .select("payload").distinct().collect().map(_.getString(0))
+    assert(pad.toSeq == Seq("  pad  "))
+    back.unpersist()
+  }
+
+  test("parquet roundtrip preserves row counts per chunk") {
+    val rt = Migrate.s7ParquetRoundtrip(spark, sf)
+    val total = rt.agg(sum("n_rows")).head.getLong(0)
+    assert(total == Tables.load(spark, sf, "lineitem").count())
+  }
+
+  test("overwrite sink replaces prior contents (truncate-before-load)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_s10").toString
+    val o = Tables.load(spark, sf, "orders")
+    Migrate.run(o.limit(10), out)
+    Migrate.run(o, out)
+    assert(spark.read.parquet(out).count() == o.count())
+  }
+}
