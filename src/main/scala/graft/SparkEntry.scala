@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Compare, Migrate, Relational}
+import graft.streaming.Cdc
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -17,8 +18,10 @@ object SparkEntry {
     Relational.j1RevenueByNation(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Compare.queries ++ Migrate.queries
+    Relational.queries ++ Compare.queries ++ Migrate.queries ++
+      Cdc.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Compare.oracles ++ Migrate.oracles
+    Relational.oracles ++ Compare.oracles ++ Migrate.oracles ++
+      Cdc.oracles
 }

@@ -1,0 +1,226 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** CDC apply engine — the reference's `all` mode incremental path
+  * (`module/migrate/sql/oracle/o2m/incr.go`, LogMiner source S6,
+  * translate/apply C5-C7), Spark-first with Structured Streaming.
+  *
+  * The reference polls LogMiner every 300 ms, filters records against
+  * per-table SCN checkpoints with a replay guard (`logminer.go:134-175`),
+  * and applies per-table serially / across-tables in parallel. Here:
+  *
+  *  - source    = `readStream` over a change-record feed (file-fed in
+  *    tests; a DSv2 LogMiner source would slot in behind the same
+  *    schema);
+  *  - ordering  = SCN is a total order per key; apply is
+  *    last-writer-wins by SCN, so per-key ordering needs no global
+  *    sort — one window/agg per micro-batch;
+  *  - replay    = exactly-effective semantics come from idempotency:
+  *    records are deduped on (key, scn) and the merge is a pure
+  *    function of the (state ∪ batch) multiset, so re-delivered
+  *    batches (the reference's `SCN >=` first-pass guard) are no-ops;
+  *  - sink      = append-only change log + merge-on-read compaction
+  *    ([[applyChanges]]); [[compact]] rewrites materialized state.
+  *    On a real lakehouse target this is `MERGE INTO` per micro-batch.
+  *
+  * The change feed for fixtures is the `events` table read as
+  * (scn=event_id, key=user_id, op←event_type, value).
+  */
+object Cdc {
+
+  /** Wire schema of a change record (SURVEY §1.3). */
+  val changeSchema: StructType = StructType(Seq(
+    StructField("scn", LongType), StructField("op", StringType),
+    StructField("table_name", StringType), StructField("key", LongType),
+    StructField("value", DoubleType)))
+
+  /** events → change feed: deterministic op mapping usable in SQL. */
+  def eventsAsChanges(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events").select(
+      col("event_id").as("scn"),
+      when(col("event_type") === "signup", lit("INSERT"))
+        .when(col("event_type") === "error", lit("DELETE"))
+        .otherwise(lit("UPDATE")).as("op"),
+      lit("events").as("table_name"),
+      col("user_id").as("key"),
+      col("value"))
+
+  val eventsAsChangesSql: String =
+    """SELECT event_id AS scn,
+      |  CASE WHEN event_type = 'signup' THEN 'INSERT'
+      |       WHEN event_type = 'error' THEN 'DELETE'
+      |       ELSE 'UPDATE' END AS op,
+      |  'events' AS table_name,
+      |  user_id AS key, value
+      |FROM events""".stripMargin
+
+  /** Last-writer-wins apply: for each key take the highest-SCN record
+    * (after (key,scn) dedup — the replay guard C4); the key survives
+    * iff that record isn't a DELETE. Pure function of the record
+    * multiset → idempotent under batch re-delivery, associative under
+    * log concatenation, and shuffle-partitioned by key (scales by
+    * keyspace, not log length).
+    */
+  def applyChanges(changes: DataFrame): DataFrame =
+    // arg-max as max(struct(scn, ...)): scn leads the lexicographic
+    // order, and replayed records are bit-identical, so the max is
+    // well-defined under re-delivery — no (key,scn) dedup pass needed.
+    // One partial-aggregable aggregate: no sort, no window, map-side
+    // combine at 100 TB. (A row_number window would full-sort each
+    // key's history and also trips SPARK's exceptAll attribute-binding
+    // bug when layered under set ops.)
+    changes
+      .groupBy(col("table_name"), col("key"))
+      .agg(max(struct(col("scn"), col("op"), col("value"))).as("last"))
+      .filter(col("last.op") =!= "DELETE")
+      .select(col("table_name"), col("key"), col("last.scn").as("scn"),
+        col("last.op").as("op"), col("last.value").as("value"))
+
+  /** SQL mirror of [[applyChanges]] over a change-feed relation. */
+  def applyChangesSql(changesRel: String): String =
+    s"""SELECT table_name, key, scn, op, value FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY table_name, key
+       |                               ORDER BY scn DESC) AS rn
+       |  FROM (SELECT DISTINCT ON (table_name, key, scn) *
+       |        FROM ($changesRel) c) d
+       |) t WHERE rn = 1 AND op <> 'DELETE'""".stripMargin
+
+  /** Streaming apply: file-fed change stream → append-only change log
+    * (exactly-once per file via the checkpoint), state = merge-on-read.
+    * Micro-batch trigger mirrors the reference's poll loop (C1).
+    */
+  def streamApply(s: SparkSession, feedDir: String, logDir: String,
+      checkpointDir: String): StreamingQuery =
+    s.readStream.schema(changeSchema).parquet(feedDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(logDir)
+      }
+      .start()
+
+  /** Compact the change log into materialized state (the periodic
+    * REPLACE the reference does per record, amortized).
+    */
+  def compact(s: SparkSession, logDir: String, stateDir: String): Unit = {
+    // localCheckpoint materializes before the overwrite of its own input
+    val state = applyChanges(s.read.parquet(logDir)).localCheckpoint(true)
+    state.write.mode("overwrite").parquet(stateDir)
+  }
+
+  // ------------------------------------------------------------- queries
+
+  /** c6: batch-equivalent CDC apply over the events change feed. */
+  def c6CdcApply(s: SparkSession, d: String): DataFrame =
+    applyChanges(eventsAsChanges(s, d))
+
+  val c6Sql: String = applyChangesSql(eventsAsChangesSql)
+
+  /** p5: CDC record filter (P5) — op whitelist + SCN checkpoint with
+    * replay-guard boundary (`SCN >` after reset; `logminer.go:100-193`).
+    */
+  def p5CdcFilter(s: SparkSession, d: String): DataFrame =
+    eventsAsChanges(s, d)
+      .filter(col("op").isin("INSERT", "UPDATE", "DELETE") && col("scn") > 5000)
+
+  val p5Sql: String =
+    s"""SELECT * FROM ($eventsAsChangesSql) c
+       |WHERE op IN ('INSERT','UPDATE','DELETE') AND scn > 5000""".stripMargin
+
+  /** c8: tumbling-window stream aggregation (C8) — 5-minute windows
+    * per event type. Window start rendered to seconds: the feed has
+    * ns-precision timestamps, which Spark truncates to µs — formatted
+    * strings are the cross-engine-stable form.
+    */
+  def c8WindowAgg(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"))
+
+  val c8Sql: String =
+    """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
+      |                '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       event_type, count(*) AS n_events
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** c9: session windows (10-minute gap) per user — Spark
+    * `session_window`; the oracle rebuilds sessions as gaps-and-islands
+    * (new session when ts >= prev + gap, matching Spark's half-open
+    * [start, last+gap) windows).
+    */
+  def c9SessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+
+  val c9Sql: String =
+    """SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  count(*) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM (
+      |    SELECT user_id, ts,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |             OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                      + INTERVAL '10 minutes'
+      |           THEN 1 ELSE 0 END AS new_session
+      |    FROM events) f
+      |) g GROUP BY user_id, island""".stripMargin
+
+  /** w2: lag/lead stream context (W-family) — previous event type and
+    * whole-second gap per user. Timestamps truncated to seconds before
+    * differencing so ns-vs-µs precision cannot skew the result.
+    */
+  def w2LagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.load(s, d, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("long").as("ts_sec"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_sec",
+        (col("ts_sec") - lag(col("ts_sec"), 1).over(w)).cast("long"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("prev_type"), lit("NONE")).as("prev_type"),
+        coalesce(col("gap_sec"), lit(-1L)).as("gap_sec"))
+  }
+
+  val w2Sql: String =
+    """SELECT event_id, user_id, event_type,
+      |  coalesce(lag(event_type) OVER w, 'NONE') AS prev_type,
+      |  coalesce(epoch(date_trunc('second', ts))::BIGINT
+      |    - lag(epoch(date_trunc('second', ts))::BIGINT) OVER w, -1) AS gap_sec
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c6_cdc_apply" -> c6CdcApply,
+    "p5_cdc_filter" -> p5CdcFilter,
+    "c8_window_agg" -> c8WindowAgg,
+    "c9_session_window" -> c9SessionWindow,
+    "w2_lag_lead" -> w2LagLead)
+
+  val oracles: Map[String, String] = Map(
+    "c6_cdc_apply" -> c6Sql,
+    "p5_cdc_filter" -> p5Sql,
+    "c8_window_agg" -> c8Sql,
+    "c9_session_window" -> c9Sql,
+    "w2_lag_lead" -> w2Sql)
+}

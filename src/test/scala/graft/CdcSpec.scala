@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Cdc
+
+class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  test("apply is idempotent under batch re-delivery (replay guard)") {
+    val changes = Cdc.eventsAsChanges(spark, sf)
+    val once = Cdc.applyChanges(changes)
+    val replayed = Cdc.applyChanges(changes.unionAll(changes.limit(300)))
+    assert(once.exceptAll(replayed).isEmpty && replayed.exceptAll(once).isEmpty)
+  }
+
+  test("deleted keys are absent; surviving keys carry max-SCN value") {
+    val state = Cdc.applyChanges(Cdc.eventsAsChanges(spark, sf)).cache()
+    val lastOps = Cdc.eventsAsChanges(spark, sf)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy(col("scn").desc)))
+      .filter(col("rn") === 1)
+    val deletedKeys = lastOps.filter(col("op") === "DELETE").select("key")
+    assert(state.join(deletedKeys, "key").count() == 0)
+    val liveKeys = lastOps.filter(col("op") =!= "DELETE").count()
+    assert(state.count() == liveKeys)
+    state.unpersist()
+  }
+
+  test("streaming file-fed apply converges to the batch-apply state") {
+    val tmp = Files.createTempDirectory("graft_cdc").toString
+    val feed = s"$tmp/feed"; val log = s"$tmp/log"
+    val ckpt = s"$tmp/ckpt"; val stateDir = s"$tmp/state"
+    // split the change feed into 4 files to force multiple input splits
+    Cdc.eventsAsChanges(spark, sf).repartition(4)
+      .write.parquet(feed)
+    val q = Cdc.streamApply(spark, feed, log, ckpt)
+    q.awaitTermination(120000)
+    Cdc.compact(spark, log, stateDir)
+    val streamed = spark.read.parquet(stateDir)
+    val batch = Cdc.applyChanges(Cdc.eventsAsChanges(spark, sf))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("restarting the stream over the same feed adds nothing (exactly-once)") {
+    val tmp = Files.createTempDirectory("graft_cdc2").toString
+    val feed = s"$tmp/feed"; val log = s"$tmp/log"; val ckpt = s"$tmp/ckpt"
+    Cdc.eventsAsChanges(spark, sf).limit(200).write.parquet(feed)
+    Cdc.streamApply(spark, feed, log, ckpt).awaitTermination(120000)
+    val n1 = spark.read.parquet(log).count()
+    Cdc.streamApply(spark, feed, log, ckpt).awaitTermination(120000)
+    val n2 = spark.read.parquet(log).count()
+    assert(n1 == n2, s"log grew from $n1 to $n2 on replay")
+  }
+
+  test("session windows: per-user event totals are preserved") {
+    val sessions = Cdc.c9SessionWindow(spark, sf)
+    val total = sessions.agg(sum("n_events")).head.getLong(0)
+    assert(total == Tables.load(spark, sf, "events").count())
+  }
+}
