@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Compare, Migrate, Relational}
 import graft.streaming.Cdc
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -19,9 +20,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Compare.queries ++ Migrate.queries ++
-      Cdc.queries
+      Cdc.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries ++ Multimodal.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Compare.oracles ++ Migrate.oracles ++
-      Cdc.oracles
+      Cdc.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,205 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Norm.{xhash64, xhash64Sql}
+
+/** Deduplication operators over the `documents` corpus: exact
+  * (content-hash groupBy), n-gram Jaccard, MinHash+LSH banding, and
+  * SimHash — the standard large-corpus near-dup ladder.
+  *
+  * Scale shape: everything is explode → hash → groupBy/join on hash
+  * buckets. No pairwise O(n²) work except *within* candidate buckets
+  * (LSH's whole point); the only full-corpus pairwise op
+  * (d4b SimHash hamming pairs) is a 64-bit-key self-join kept for
+  * small-table verification and documented as banded at scale.
+  */
+object Dedup {
+
+  /** doc_id + exploded distinct 3-gram shingles. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .withColumn("w", TextAnalysis.words(col("text")))
+      .withColumn("sh", expr(TextAnalysis.shingleExpr))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+
+  private val shinglesSql: String =
+    s"""SELECT doc_id, unnest(${TextAnalysis.shingleSqlDuck}) AS shingle
+       |FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |      FROM documents) base""".stripMargin
+
+  // ------------------------------------------------------------- queries
+
+  /** d1: exact dedup — canonical-content hash, keep lowest doc_id.
+    * One partial-aggregable groupBy on the hash: the 100 TB fast path.
+    */
+  def d1ExactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .withColumn("fingerprint",
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val d1Sql: String =
+    """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** d2: n-gram Jaccard near-dup — shingle inverted index, pair counts
+    * via bucket self-join, Jaccard from |∩| and per-doc set sizes.
+    * Join fan-out is bounded by shingle frequency (stopword-like
+    * shingles would be capped/dropped at scale — df cut).
+    */
+  def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+  }
+
+  val d2Sql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
+       |  CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+       |FROM inter
+       |JOIN counts ca ON ca.doc_id = doc_a
+       |JOIN counts cb ON cb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.5""".stripMargin
+
+  private val K = 8 // minhash functions; bands of 2 rows → 4 bands
+
+  /** d3: MinHash + LSH banding — k salted 60-bit hashes per shingle,
+    * per-doc minima form the signature; 2-row bands bucket-join into
+    * candidate pairs. shingle→signature is explode+groupBy (map-side
+    * combinable); the pair join touches only docs sharing a band
+    * bucket — the LSH scale path.
+    */
+  def d3MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val salted = sh.crossJoin(
+        s.range(K.toLong).select(col("id").cast("int").as("i")))
+      .select(col("doc_id"), col("i"),
+        xhash64(concat(col("i").cast("string"), lit("|"), col("shingle")))
+          .as("h"))
+    val sig = salted.groupBy("doc_id", "i").agg(min("h").as("mh"))
+    val bands = sig.groupBy(col("doc_id"), (col("i") / 2).cast("int").as("band"))
+      .agg(concat_ws(":",
+        max(when(col("i") % 2 === 0, col("mh"))).cast("string"),
+        max(when(col("i") % 2 === 1, col("mh"))).cast("string")).as("sig"))
+    bands.as("x").join(bands.as("y"), Seq("band", "sig"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  val d3Sql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |salted AS (
+       |  SELECT doc_id, CAST(i AS INT) AS i,
+       |    ${xhash64Sql("CAST(i AS VARCHAR) || '|' || shingle")} AS h
+       |  FROM sh, range($K) r(i)),
+       |sig AS (SELECT doc_id, i, min(h) AS mh FROM salted GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, CAST(i // 2 AS INT) AS band,
+       |    CAST(max(CASE WHEN i % 2 = 0 THEN mh END) AS VARCHAR) || ':' ||
+       |    CAST(max(CASE WHEN i % 2 = 1 THEN mh END) AS VARCHAR) AS sig
+       |  FROM sig GROUP BY 1, 2)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+       |WHERE x.doc_id < y.doc_id""".stripMargin
+
+  private val BITS = 16
+
+  /** d4: SimHash — frequency-weighted ±1 vote per hash bit over all
+    * word occurrences; one explode + one groupBy with BITS sum
+    * aggregates (all partial-aggregable).
+    */
+  def d4Simhash(s: SparkSession, d: String): DataFrame = {
+    val wordsH = Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        explode(TextAnalysis.words(col("text"))).as("word"))
+      .select(col("doc_id"), xhash64(col("word")).as("h"))
+    val votes = (0 until BITS).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val sim = (0 until BITS).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    wordsH.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+  }
+
+  val d4Sql: String = {
+    val votes = (0 until BITS).map { j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n    ")
+    val sim = (0 until BITS)
+      .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM (SELECT doc_id, ${xhash64Sql("unnest(string_split(text, ' '))")} AS h
+       |        FROM documents) wh
+       |  GROUP BY doc_id) v""".stripMargin
+  }
+
+  /** d4b: SimHash near-dup pairs (hamming ≤ 3). Full self-join is fine
+    * at verification scale; at 100 TB this becomes band-on-byte
+    * prefiltering (pigeonhole: ≤3 differing bits ⇒ some 4-bit band
+    * equal) — same structure as d3.
+    */
+  def d4bSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sim = d4Simhash(s, d)
+    sim.as("a").join(sim.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= 3)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("hamming"))
+  }
+
+  val d4bSql: String =
+    s"""WITH sim AS ($d4Sql)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> d1ExactDedup,
+    "d2_ngram_jaccard" -> d2NgramJaccard,
+    "d3_minhash_lsh" -> d3MinhashLsh,
+    "d4_simhash" -> d4Simhash,
+    "d4b_simhash_pairs" -> d4bSimhashPairs)
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1Sql,
+    "d2_ngram_jaccard" -> d2Sql,
+    "d3_minhash_lsh" -> d3Sql,
+    "d4_simhash" -> d4Sql,
+    "d4b_simhash_pairs" -> d4bSql)
+}

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary`
+  * columns with typed metadata, and a batched per-partition
+  * decode/feature-extract stage.
+  *
+  * The real decode (image/audio codecs) is STUBBED — the container
+  * ships no media libraries — behind [[decodeStub]], a deterministic
+  * fake keyed on payload bytes. Everything around it is the real
+  * Spark shape: schema, partitioning, batch iteration via
+  * `mapPartitions` (the Scala analogue of `mapInPandas` — one
+  * iterator per partition so a codec/model loads once per task, not
+  * per row), and a typed `Dataset[MediaFeature]` result.
+  */
+object Multimodal {
+
+  /** Typed metadata riding next to the binary payload. */
+  final case class MediaMeta(doc_id: Long, fmt: String, width: Int,
+      height: Int, n_bytes: Long)
+
+  final case class MediaRecord(doc_id: Long, fmt: String, width: Int,
+      height: Int, payload: Array[Byte])
+
+  final case class MediaFeature(doc_id: Long, fmt: String,
+      feat_mean: Double, feat_dim: Int, features: Array[Float])
+
+  /** STUB decode: a real implementation would decode the codec and
+    * run feature extraction; this derives a deterministic float vector
+    * from payload bytes so the pipeline shape is testable end-to-end.
+    */
+  def decodeStub(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Synthesize a media-bearing table from `documents`: payload =
+    * md5-derived bytes (stand-in for an image blob), metadata derived
+    * deterministically from doc_id.
+    */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    graft.Tables.load(s, d, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, lit("png"))
+        .when(col("doc_id") % 3 === 1, lit("jpeg"))
+        .otherwise(lit("wav")).as("fmt"),
+      (lit(64) + col("doc_id") % 192).cast("int").as("width"),
+      (lit(64) + (col("doc_id") * 7) % 192).cast("int").as("height"),
+      unhex(concat(md5(col("text")), md5(concat(col("text"), lit("x")))))
+        .as("payload"))
+
+  /** Batched decode over partitions: the codec state (here: nothing;
+    * in production: a JNI codec / ONNX session) initializes once per
+    * partition, then streams the iterator — constant memory, no
+    * per-row setup, no driver involvement.
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "fmt", "width", "height", "payload")
+      .as[MediaRecord]
+      .mapPartitions { rows =>
+        // per-partition init would go here (codec/model load)
+        rows.map { r =>
+          val f = decodeStub(r.payload)
+          MediaFeature(r.doc_id, r.fmt,
+            f.map(_.toDouble).sum / f.length, f.length, f)
+        }
+      }
+  }
+
+  // ------------------------------------------------------------- queries
+
+  /** m1: media metadata extraction — binary payload length and header
+    * bytes plus typed metadata. (Header bytes compared via the md5 hex
+    * prefix: DuckDB 1.0 can't slice BLOBs, so the hex string is the
+    * cross-engine form of "first 4 payload bytes".)
+    */
+  def m1MediaMeta(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d).select(
+      col("doc_id"), col("fmt"), col("width"), col("height"),
+      length(col("payload")).as("n_bytes"),
+      substring(hex(col("payload")), 1, 8).as("header_hex"))
+
+  val m1Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |       WHEN doc_id % 3 = 1 THEN 'jpeg'
+      |       ELSE 'wav' END AS fmt,
+      |  CAST(64 + doc_id % 192 AS INT) AS width,
+      |  CAST(64 + (doc_id * 7) % 192 AS INT) AS height,
+      |  octet_length(unhex(md5(text) || md5(text || 'x'))) AS n_bytes,
+      |  upper(substr(md5(text), 1, 8)) AS header_hex
+      |FROM documents""".stripMargin
+
+  /** m2: batched feature extraction through [[extractFeatures]] —
+    * the mapPartitions path itself. Features come from the decode
+    * STUB, so no SQL oracle exists (driver records rows-only); the
+    * ScalaTest spec pins determinism and batch behavior instead.
+    */
+  def m2MediaFeatures(s: SparkSession, d: String): DataFrame =
+    extractFeatures(mediaTable(s, d))
+      .toDF()
+      .select(col("doc_id"), col("fmt"), col("feat_dim"),
+        round(col("feat_mean"), 4).as("feat_mean_r"))
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_media_meta" -> m1MediaMeta,
+    "m2_media_features" -> m2MediaFeatures)
+
+  val oracles: Map[String, String] = Map(
+    "m1_media_meta" -> m1Sql)
+}

@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (Array[Float], d=64):
+  * brute-force cosine top-k as the exact baseline, an IVF-style
+  * cell-restricted variant as the scale path, and threshold pair
+  * mining.
+  *
+  * Float elements are cast to double BEFORE any arithmetic so both
+  * engines do identical IEEE double ops elementwise; outputs are ranks
+  * and ids (never raw cosines), making results robust to sub-ulp
+  * accumulation differences.
+  *
+  * Scale shape: queries/centroids are tiny → broadcast; the corpus
+  * side streams once. IVF turns top-k from O(N·Q) into O(N/cells·Q)
+  * after one O(N·cells) assignment pass — the standard
+  * partition-pruned ANN layout (cell id becomes a partition key at
+  * rest, so a query reads one partition).
+  */
+object Similarity {
+
+  /** corpus with double-cast vector and L2 norm. */
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings").select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+
+  private val corpusSql: String =
+    """SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+      |    AS nrm
+      |FROM embeddings""".stripMargin
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
+
+  // ------------------------------------------------------------- queries
+
+  /** ann1: brute-force cosine top-10 per query (queries = vec_id ≡ 0
+    * mod 100, broadcast). Exact baseline every ANN variant is judged
+    * against.
+    */
+  def ann1BruteTopK(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val q = broadcast(c.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qnrm")).filter(col("qid") % 100 === 0))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    c.join(q, col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"))
+  }
+
+  val ann1Sql: String =
+    s"""WITH c AS ($corpusSql),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM c
+       |      WHERE vec_id % 100 = 0),
+       |p AS (SELECT qid, vec_id,
+       |        ${dotSql("qv", "v")} / (qnrm * nrm) AS cos
+       |      FROM q, c WHERE vec_id <> qid)
+       |SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM p) r WHERE rank <= 10""".stripMargin
+
+  /** ann2: IVF-style cell-restricted search — centroids are the
+    * vectors ≡ 0 mod 50 (deterministic stand-in for trained k-means;
+    * the plumbing, not the training, is the operator). Each vector is
+    * assigned to its max-cosine centroid; queries search only their
+    * own cell, top-5.
+    */
+  def ann2IvfTopK(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val cent = broadcast(c.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("nrm").as("cnrm")).filter(col("cid") % 50 === 0))
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = c.crossJoin(cent)
+      .withColumn("ccos", dot(col("cv"), col("v")) / (col("cnrm") * col("nrm")))
+      .withColumn("arank", row_number().over(assignW))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("cid").as("cell"))
+    val q = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    assigned.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"))
+  }
+
+  val ann2Sql: String =
+    s"""WITH c AS ($corpusSql),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM c
+       |         WHERE vec_id % 50 = 0),
+       |assigned AS (
+       |  SELECT vec_id, label, v, nrm, cid AS cell FROM (
+       |    SELECT c.vec_id, c.label, c.v, c.nrm, cent.cid,
+       |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+       |        ${dotSql("cent.cv", "c.v")} / (cent.cnrm * c.nrm) DESC,
+       |        cent.cid ASC) AS arank
+       |    FROM c, cent) a WHERE arank = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cell
+       |      FROM assigned WHERE vec_id % 100 = 0)
+       |SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (
+       |  SELECT q.qid, a.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid ORDER BY
+       |      ${dotSql("q.qv", "a.v")} / (q.qnrm * a.nrm) DESC,
+       |      a.vec_id ASC) AS rank
+       |  FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.qid
+       |) r WHERE rank <= 5""".stripMargin
+
+  /** d5: embedding near-dup pairs — cosine above threshold. The
+    * threshold (0.3) sits in the top tail of this corpus's similarity
+    * distribution; ids only in the output (cosine magnitudes stay
+    * engine-internal).
+    */
+  def d5CosinePairs(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val b = broadcast(c.select(col("vec_id").as("bid"), col("v").as("bv"),
+      col("nrm").as("bnrm")))
+    c.join(b, col("vec_id") < col("bid"))
+      .withColumn("cos", dot(col("v"), col("bv")) / (col("nrm") * col("bnrm")))
+      .filter(col("cos") > 0.3)
+      .select(col("vec_id").as("vec_a"), col("bid").as("vec_b"))
+  }
+
+  val d5Sql: String =
+    s"""WITH c AS ($corpusSql)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |FROM c a JOIN c b ON a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) > 0.3""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann1_brute_topk" -> ann1BruteTopK,
+    "ann2_ivf_topk" -> ann2IvfTopK,
+    "d5_cosine_pairs" -> d5CosinePairs)
+
+  val oracles: Map[String, String] = Map(
+    "ann1_brute_topk" -> ann1Sql,
+    "ann2_ivf_topk" -> ann2Sql,
+    "d5_cosine_pairs" -> d5Sql)
+}

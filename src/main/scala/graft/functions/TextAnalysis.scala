@@ -1,0 +1,184 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Norm.xhash64
+
+/** Text-analysis operators for training-data pipelines over the
+  * `documents` table: token counting, quality scoring, language ID,
+  * and document fingerprinting.
+  *
+  * Everything is per-row, codegen-friendly `functions._` — no UDFs, no
+  * shuffles except the final aggregations; at 100 TB these run as one
+  * scan-project pass over the corpus.
+  */
+object TextAnalysis {
+
+  /** Whitespace word array (the corpus is single-space separated). */
+  def words(c: Column): Column = split(c, " ")
+
+  /** Distinct word 3-gram shingles — the unit for Jaccard/MinHash
+    * dedup. Empty for docs under 3 words.
+    */
+  val shingleExpr: String =
+    """array_distinct(transform(
+      |  sequence(1, greatest(size(w) - 2, 0)),
+      |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+      |                 element_at(w, i + 2))))""".stripMargin
+
+  val shingleSqlDuck: String =
+    """list_distinct(list_transform(
+      |  range(1, greatest(len(w) - 1, 1)),
+      |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))""".stripMargin
+
+  // ------------------------------------------------------------- queries
+
+  /** t3: token counting — whitespace tokens and BPE-ish subword units
+    * (letter runs / single digits / punctuation marks).
+    */
+  def t3TokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents").select(
+      col("doc_id"),
+      size(words(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))).as("bpe_ish_tokens"))
+
+  val t3Sql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+      |    AS bpe_ish_tokens
+      |FROM documents""".stripMargin
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopwordsSql = stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** t2: quality scoring — length, word count, uniq ratio, stopword
+    * ratio, average word length. Ratios are single double divisions of
+    * exact ints (deterministic IEEE, cross-engine stable).
+    */
+  def t2QualityScore(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .withColumn("w", words(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("w")).as("n_words"),
+        size(array_distinct(col("w"))).as("n_uniq"),
+        size(filter(col("w"), x => x.isInCollection(stopwords))).as("n_stop"))
+      .withColumn("uniq_ratio",
+        col("n_uniq").cast("double") / col("n_words"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_words"))
+      .withColumn("quality_band",
+        when(col("n_words") >= 20 && col("uniq_ratio") >= 0.3, lit("HIGH"))
+          .when(col("n_words") >= 10, lit("MEDIUM"))
+          .otherwise(lit("LOW")))
+
+  val t2Sql: String =
+    s"""SELECT doc_id, n_chars, n_words, n_uniq, n_stop,
+       |  CAST(n_uniq AS DOUBLE) / n_words AS uniq_ratio,
+       |  CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+       |  CASE WHEN n_words >= 20 AND CAST(n_uniq AS DOUBLE) / n_words >= 0.3
+       |         THEN 'HIGH'
+       |       WHEN n_words >= 10 THEN 'MEDIUM'
+       |       ELSE 'LOW' END AS quality_band
+       |FROM (
+       |  SELECT doc_id, length(text) AS n_chars,
+       |    len(string_split(text, ' ')) AS n_words,
+       |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
+       |    len(list_filter(string_split(text, ' '),
+       |        x -> x IN $stopwordsSql)) AS n_stop
+       |  FROM documents) t""".stripMargin
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "les", "et", "une"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** t1: language ID — n-gram-free marker-word heuristic: score each
+    * language by marker hits, argmax with fixed precedence, 'und' when
+    * nothing matches. (The corpus vocabulary is English-ish regardless
+    * of its `lang` label; the point is the deterministic scoring
+    * pipeline, not label recovery.)
+    */
+  def t1LangId(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.load(s, d, "documents")
+      .withColumn("w", words(col("text")))
+    val scored = langMarkers.foldLeft(base) { case (df, (lang, marks)) =>
+      df.withColumn(s"score_$lang",
+        size(filter(col("w"), x => x.isInCollection(marks))))
+    }
+    val best = langMarkers.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("score"), lit(lang).as("lang"))
+    }
+    // argmax by (score, reverse precedence): greatest() picks the last
+    // on ties, so order langs reverse-alphabetically for a fixed rule
+    val pick = greatest(best.sortBy(_ => 0).reverse: _*)
+    scored.select(col("doc_id"), col("lang").as("labeled_lang"),
+      when(pick.getField("score") === 0, lit("und"))
+        .otherwise(pick.getField("lang")).as("predicted_lang"),
+      pick.getField("score").as("marker_hits"))
+  }
+
+  val t1Sql: String = {
+    val scores = langMarkers.map { case (lang, marks) =>
+      val set = marks.map(m => s"'$m'").mkString("(", ",", ")")
+      s"len(list_filter(string_split(text, ' '), x -> x IN $set)) AS score_$lang"
+    }.mkString(",\n    ")
+    val mx = langMarkers.map { case (lang, _) => s"score_$lang" }
+      .mkString("greatest(", ", ", ")")
+    // same tiebreak as the Spark struct-greatest: among max-score
+    // langs, the lexicographically largest lang string wins
+    val pick = langMarkers.map(_._1).sorted.reverse
+      .map(lang => s"WHEN score_$lang = mx THEN '$lang'")
+      .mkString("CASE ", " ", " END")
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |  CASE WHEN mx = 0 THEN 'und' ELSE $pick END AS predicted_lang,
+       |  mx AS marker_hits
+       |FROM (
+       |  SELECT *, $mx AS mx FROM (
+       |    SELECT doc_id, lang, text,
+       |      $scores
+       |    FROM documents) s) t""".stripMargin
+  }
+
+  /** t4: document fingerprinting — canonical-text md5 plus a k=1
+    * MinHash (min salted word hash): equal fingerprints ⇒ exact dup,
+    * equal min-hash ⇒ near-dup candidate.
+    */
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .withColumn("canon", lower(regexp_replace(col("text"), "\\s+", " ")))
+      .select(col("doc_id"),
+        md5(col("canon")).as("fingerprint"),
+        aggregate(transform(words(col("canon")), w => xhash64(w)),
+          lit(Long.MaxValue),
+          (acc, h) => least(acc, h)).as("min_word_hash"))
+
+  val t4Sql: String =
+    s"""SELECT doc_id, md5(canon) AS fingerprint,
+       |  list_min(list_transform(string_split(canon, ' '),
+       |    w -> ${Norm.xhash64Sql("w")})) AS min_word_hash
+       |FROM (SELECT doc_id,
+       |        lower(regexp_replace(text, '\\s+', ' ', 'g')) AS canon
+       |      FROM documents) t""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_lang_id" -> t1LangId,
+    "t2_quality_score" -> t2QualityScore,
+    "t3_token_count" -> t3TokenCount,
+    "t4_fingerprint" -> t4Fingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "t1_lang_id" -> t1Sql,
+    "t2_quality_score" -> t2Sql,
+    "t3_token_count" -> t3Sql,
+    "t4_fingerprint" -> t4Sql)
+}
