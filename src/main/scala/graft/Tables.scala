@@ -19,9 +19,19 @@ object Tables {
     if (name == "events") {
       // events.ts is TIMESTAMP(NANOS), which Spark 4 refuses to read as
       // a timestamp; read nanos as long and truncate to µs (floor —
-      // matching DuckDB's second-level truncation downstream).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // matching DuckDB's second-level truncation downstream). The
+      // legacy flag is scoped set/restore: leaking it session-wide
+      // would silently change how any later ns-timestamp parquet in
+      // the same session is read (raw long instead of timestamp).
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try
+        spark.read.parquet(s"$dir/$name.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

@@ -20,11 +20,14 @@ object TextAnalysis {
   def words(c: Column): Column = split(c, " ")
 
   /** Distinct word 3-gram shingles — the unit for Jaccard/MinHash
-    * dedup. Empty for docs under 3 words.
+    * dedup. Empty for docs under 3 words: the `if` guard is required
+    * because Spark's `sequence(1, 0)` yields the DESCENDING array
+    * [1, 0] (not empty), and `element_at(w, 0)` then throws at
+    * runtime on any 1-2 word doc.
     */
   val shingleExpr: String =
     """array_distinct(transform(
-      |  sequence(1, greatest(size(w) - 2, 0)),
+      |  if(size(w) >= 3, sequence(1, size(w) - 2), array()),
       |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
       |                 element_at(w, i + 2))))""".stripMargin
 

@@ -63,14 +63,23 @@ object Migrate {
     * SELECT list (`full.go:885-948`): timestamps → formatted strings,
     * floating money → exact decimals, integrals widened to long.
     * Binary would pass through untouched (BinaryType).
+    *
+    * Floating columns take their DECIMAL(p,s) from `decimalSpec` —
+    * the reference maps per declared Oracle NUMBER precision/scale,
+    * never one blanket scale (a hardcoded (18,2) silently truncates
+    * >2-decimal values and NULLs magnitudes past 16 integer digits).
+    * Columns absent from the spec pass through as raw doubles, with
+    * the caller owning the canonical rendering.
     */
-  def exportProjection(schema: StructType): Seq[Column] =
+  def exportProjection(schema: StructType,
+      decimalSpec: Map[String, (Int, Int)] = Map.empty): Seq[Column] =
     schema.fields.toSeq.map { f =>
       f.dataType match {
         case TimestampType | TimestampNTZType =>
           date_format(col(f.name), "yyyy-MM-dd HH:mm:ss").as(f.name)
-        case DoubleType | FloatType =>
-          col(f.name).cast(DecimalType(18, 2)).cast("string").as(f.name)
+        case DoubleType | FloatType if decimalSpec.contains(f.name) =>
+          val (p, sc) = decimalSpec(f.name)
+          col(f.name).cast(DecimalType(p, sc)).cast("string").as(f.name)
         case ByteType | ShortType | IntegerType | LongType =>
           col(f.name).cast("long").as(f.name)
         case _ => col(f.name)
@@ -108,7 +117,11 @@ object Migrate {
     */
   def s7ParquetRoundtrip(s: SparkSession, d: String): DataFrame = {
     val src = Tables.load(s, d, "lineitem")
-    val projected = src.select(exportProjection(src.schema): _*)
+    // per-column decimal spec, as the reference derives from declared
+    // NUMBER(p,s) — lineitem money/qty columns are (18,2) here
+    val decSpec = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax").map(_ -> (18, 2)).toMap
+    val projected = src.select(exportProjection(src.schema, decSpec): _*)
     val out = tempDir("s7")
     run(projected, out)
     val back = s.read.parquet(out)
@@ -190,9 +203,23 @@ object Migrate {
        |  price_str
        |FROM ($edgeRowsSql) t""".stripMargin
 
-  /** s2: explicit chunk-planned scan — planChunks drives ranged reads
-    * whose union must equal the full table (chunk completeness; the
-    * reference trusts DBMS_PARALLEL_EXECUTE for this).
+  /** Chunk membership as a single projected column: a when-chain over
+    * the planned boundaries. Pure projection — codegen'd, no join, no
+    * extra scan; the chunk *plan* stays on the driver (it is bounded:
+    * one ChunkSpec per ~chunkRows rows) while the data is touched
+    * exactly once.
+    */
+  def chunkIdColumn(chunks: Seq[ChunkSpec], keyCol: Column): Column =
+    chunks.foldLeft(lit(null).cast("int")) { (acc, c) =>
+      when(keyCol.between(c.lower, c.upper), lit(c.id)).otherwise(acc)
+    }
+
+  /** s2: explicit chunk-planned scan — planChunks drives a computed
+    * chunk_id over ONE pass of the table (round 1 unioned N per-chunk
+    * filtered scans = N+1 full passes; at 100 TB that is N+1 reads of
+    * the table). Chunk completeness (union of ranges == full table) is
+    * still checked: rows outside every range would surface as a NULL
+    * chunk_id group.
     */
   def s2ChunkedScan(s: SparkSession, d: String): DataFrame = {
     val o = Tables.load(s, d, "orders")
@@ -200,12 +227,9 @@ object Migrate {
       .agg(min("o_orderkey"), max("o_orderkey"), count(lit(1)))
       .collect()(0).toSeq.map(_.toString.toLong).toArray
     val chunks = planChunks(minK, maxK, n, 2000L)
-    chunks.map { c =>
-      o.filter(expr(c.predicate("o_orderkey")))
-        .groupBy(lit(c.id).as("chunk_id"))
-        .agg(count(lit(1)).as("n_rows"),
-          min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
-    }.reduce(_ unionAll _)
+    o.groupBy(chunkIdColumn(chunks, col("o_orderkey")).as("chunk_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
   }
 
   // ------------------------------------------------------------- registry

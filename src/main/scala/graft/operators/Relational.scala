@@ -225,24 +225,32 @@ object Relational {
     """SELECT o_custkey, count(*) AS n_orders FROM orders
       |GROUP BY 1 HAVING count(*) > 15""".stripMargin
 
-  /** a9: split-key election by distinct cardinality (A9). Exact
-    * count-distinct here for oracle parity; the scale path swaps in
-    * approx_count_distinct (HLL, one pass, no distinct shuffle).
+  /** a9: split-key election by distinct cardinality (A9) — ONE scan
+    * with all candidate count-distincts in a single agg, melted to
+    * rows (the reference reads NUM_DISTINCT per candidate from stats;
+    * 4 separate scans would be 4× wasted I/O at 100 TB). Exact
+    * count-distinct for oracle parity; the scale path swaps each for
+    * approx_count_distinct (HLL — one pass, no expand).
     */
   def a9SplitKeyElection(s: SparkSession, d: String): DataFrame = {
-    val t = li(s, d)
     val cands = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
-    cands.map { c =>
-      t.agg(countDistinct(col(c)).as("n_distinct"))
-        .select(lit(c).as("column_name"), col("n_distinct"))
-    }.reduce(_ unionAll _)
+    val aggs = cands.map(c => countDistinct(col(c)).as(s"nd_$c"))
+    li(s, d).agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cands.map(c =>
+        struct(lit(c).as("column_name"), col(s"nd_$c").as("n_distinct"))): _*))
+        .as("kv"))
+      .select(col("kv.column_name"), col("kv.n_distinct"))
   }
 
   val a9Sql: String =
-    """SELECT 'l_orderkey' AS column_name, count(DISTINCT l_orderkey) AS n_distinct FROM lineitem
-      |UNION ALL SELECT 'l_partkey', count(DISTINCT l_partkey) FROM lineitem
-      |UNION ALL SELECT 'l_suppkey', count(DISTINCT l_suppkey) FROM lineitem
-      |UNION ALL SELECT 'l_linenumber', count(DISTINCT l_linenumber) FROM lineitem""".stripMargin
+    """WITH nd AS (
+      |  SELECT count(DISTINCT l_orderkey) AS c0, count(DISTINCT l_partkey) AS c1,
+      |         count(DISTINCT l_suppkey) AS c2, count(DISTINCT l_linenumber) AS c3
+      |  FROM lineitem)
+      |SELECT 'l_orderkey' AS column_name, c0 AS n_distinct FROM nd
+      |UNION ALL SELECT 'l_partkey', c1 FROM nd
+      |UNION ALL SELECT 'l_suppkey', c2 FROM nd
+      |UNION ALL SELECT 'l_linenumber', c3 FROM nd""".stripMargin
 
   /** p1: type-directed export projection (P1) — dates/decimals rendered
     * to canonical strings, as the reference does per Oracle type

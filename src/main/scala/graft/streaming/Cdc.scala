@@ -35,16 +35,28 @@ import graft.Tables
   */
 object Cdc {
 
-  /** Wire schema of a change record (SURVEY §1.3). */
+  /** Wire schema of a change record (SURVEY §1.3). `seq` is the
+    * intra-SCN log position: real LogMiner feeds emit multiple
+    * operations sharing one SCN within a transaction, and the
+    * reference applies them in log order — without an explicit
+    * sequence the last-writer-wins tiebreak would be nondeterministic
+    * and engine-divergent.
+    */
   val changeSchema: StructType = StructType(Seq(
-    StructField("scn", LongType), StructField("op", StringType),
+    StructField("scn", LongType), StructField("seq", LongType),
+    StructField("op", StringType),
     StructField("table_name", StringType), StructField("key", LongType),
     StructField("value", DoubleType)))
 
-  /** events → change feed: deterministic op mapping usable in SQL. */
+  /** events → change feed: deterministic op mapping usable in SQL.
+    * SCN is coarsened (event_id div 8) so same-SCN groups actually
+    * occur and `seq` (intra-SCN log position) is exercised — the
+    * fixture would otherwise never hit the tiebreak path.
+    */
   def eventsAsChanges(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "events").select(
-      col("event_id").as("scn"),
+      (col("event_id") / 8).cast("long").as("scn"),
+      (col("event_id") % 8).cast("long").as("seq"),
       when(col("event_type") === "signup", lit("INSERT"))
         .when(col("event_type") === "error", lit("DELETE"))
         .otherwise(lit("UPDATE")).as("op"),
@@ -53,7 +65,8 @@ object Cdc {
       col("value"))
 
   val eventsAsChangesSql: String =
-    """SELECT event_id AS scn,
+    """SELECT CAST(event_id // 8 AS BIGINT) AS scn,
+      |  CAST(event_id % 8 AS BIGINT) AS seq,
       |  CASE WHEN event_type = 'signup' THEN 'INSERT'
       |       WHEN event_type = 'error' THEN 'DELETE'
       |       ELSE 'UPDATE' END AS op,
@@ -69,8 +82,8 @@ object Cdc {
     * keyspace, not log length).
     */
   def applyChanges(changes: DataFrame): DataFrame =
-    // arg-max as max(struct(scn, ...)): scn leads the lexicographic
-    // order, and replayed records are bit-identical, so the max is
+    // arg-max as max(struct(scn, seq, ...)): (scn, seq) is the total
+    // log order, and replayed records are bit-identical, so the max is
     // well-defined under re-delivery — no (key,scn) dedup pass needed.
     // One partial-aggregable aggregate: no sort, no window, map-side
     // combine at 100 TB. (A row_number window would full-sort each
@@ -78,18 +91,22 @@ object Cdc {
     // bug when layered under set ops.)
     changes
       .groupBy(col("table_name"), col("key"))
-      .agg(max(struct(col("scn"), col("op"), col("value"))).as("last"))
+      .agg(max(struct(col("scn"), col("seq"), col("op"), col("value")))
+        .as("last"))
       .filter(col("last.op") =!= "DELETE")
       .select(col("table_name"), col("key"), col("last.scn").as("scn"),
+        col("last.seq").as("seq"),
         col("last.op").as("op"), col("last.value").as("value"))
 
-  /** SQL mirror of [[applyChanges]] over a change-feed relation. */
+  /** SQL mirror of [[applyChanges]]: the full ORDER BY (scn, seq, op,
+    * value) DESC replicates the lexicographic struct-max exactly, so
+    * both engines resolve same-(scn,seq) duplicates identically.
+    */
   def applyChangesSql(changesRel: String): String =
-    s"""SELECT table_name, key, scn, op, value FROM (
+    s"""SELECT table_name, key, scn, seq, op, value FROM (
        |  SELECT *, row_number() OVER (PARTITION BY table_name, key
-       |                               ORDER BY scn DESC) AS rn
-       |  FROM (SELECT DISTINCT ON (table_name, key, scn) *
-       |        FROM ($changesRel) c) d
+       |      ORDER BY scn DESC, seq DESC, op DESC, value DESC) AS rn
+       |  FROM ($changesRel) c
        |) t WHERE rn = 1 AND op <> 'DELETE'""".stripMargin
 
   /** Streaming apply: file-fed change stream → append-only change log
@@ -129,11 +146,11 @@ object Cdc {
     */
   def p5CdcFilter(s: SparkSession, d: String): DataFrame =
     eventsAsChanges(s, d)
-      .filter(col("op").isin("INSERT", "UPDATE", "DELETE") && col("scn") > 5000)
+      .filter(col("op").isin("INSERT", "UPDATE", "DELETE") && col("scn") > 625)
 
   val p5Sql: String =
     s"""SELECT * FROM ($eventsAsChangesSql) c
-       |WHERE op IN ('INSERT','UPDATE','DELETE') AND scn > 5000""".stripMargin
+       |WHERE op IN ('INSERT','UPDATE','DELETE') AND scn > 625""".stripMargin
 
   /** c8: tumbling-window stream aggregation (C8) — 5-minute windows
     * per event type. Window start rendered to seconds: the feed has

@@ -21,7 +21,7 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val lastOps = Cdc.eventsAsChanges(spark, sf)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy("key").orderBy(col("scn").desc)))
+          .partitionBy("key").orderBy(col("scn").desc, col("seq").desc)))
       .filter(col("rn") === 1)
     val deletedKeys = lastOps.filter(col("op") === "DELETE").select("key")
     assert(state.join(deletedKeys, "key").count() == 0)
