@@ -47,15 +47,29 @@ object Dedup {
       |  min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** d2: n-gram Jaccard near-dup — shingle inverted index, pair counts
-    * via bucket self-join, Jaccard from |∩| and per-doc set sizes.
-    * Join fan-out is bounded by shingle frequency (stopword-like
-    * shingles would be capped/dropped at scale — df cut).
+  /** Document-frequency cap for the shingle inverted index: a shingle
+    * shared by more than DF_CAP documents is stopword-like and is
+    * dropped BEFORE the pair join. Without the cut a hot shingle
+    * shared by 10⁶ docs fans out to 10¹² join rows — the classic
+    * all-pairs blowup; with it, per-shingle fan-out is bounded by
+    * DF_CAP², independent of corpus size.
+    */
+  private val DF_CAP = 50
+
+  /** d2: n-gram Jaccard near-dup — df-capped shingle inverted index,
+    * pair counts via bucket self-join, Jaccard from |∩| and per-doc
+    * set sizes. All of n_inter/n_a/n_b are computed over the capped
+    * shingle sets, so the Jaccard stays internally consistent (and
+    * near-dup pairs, which share mostly *rare* shingles, are
+    * unaffected by dropping ubiquitous ones).
     */
   def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"), Seq("shingle"))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DF_CAP).select("shingle")
+    val kept = sh.join(rare, "shingle")
+    val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = kept.as("a").join(kept.as("b"), Seq("shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -73,10 +87,14 @@ object Dedup {
 
   val d2Sql: String =
     s"""WITH sh AS ($shinglesSql),
-       |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+       |kept AS (SELECT sh.doc_id, sh.shingle FROM sh
+       |         JOIN dfreq ON sh.shingle = dfreq.shingle
+       |         WHERE dfreq.df <= $DF_CAP),
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle
        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
        |SELECT doc_a, doc_b, n_inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
        |  CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
@@ -89,22 +107,27 @@ object Dedup {
 
   /** d3: MinHash + LSH banding — k salted 60-bit hashes per shingle,
     * per-doc minima form the signature; 2-row bands bucket-join into
-    * candidate pairs. shingle→signature is explode+groupBy (map-side
-    * combinable); the pair join touches only docs sharing a band
-    * bucket — the LSH scale path.
+    * candidate pairs. The k hashes are computed as k COLUMNS on the
+    * shingle rows and reduced with one groupBy carrying k min()
+    * aggregates — no k× row inflation (round 1 crossJoin'd a range(k)
+    * and exploded the shingle table 8×), all partial-aggregable. The
+    * pair join touches only docs sharing a band bucket — the LSH
+    * scale path.
     */
   def d3MinhashLsh(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
-    val salted = sh.crossJoin(
-        s.range(K.toLong).select(col("id").cast("int").as("i")))
-      .select(col("doc_id"), col("i"),
-        xhash64(concat(col("i").cast("string"), lit("|"), col("shingle")))
-          .as("h"))
-    val sig = salted.groupBy("doc_id", "i").agg(min("h").as("mh"))
-    val bands = sig.groupBy(col("doc_id"), (col("i") / 2).cast("int").as("band"))
-      .agg(concat_ws(":",
-        max(when(col("i") % 2 === 0, col("mh"))).cast("string"),
-        max(when(col("i") % 2 === 1, col("mh"))).cast("string")).as("sig"))
+    val mins = (0 until K).map { i =>
+      min(xhash64(concat(lit(i.toString), lit("|"), col("shingle"))))
+        .as(s"mh$i")
+    }
+    val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandArr = array((0 until K / 2).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", col(s"mh${2 * b}").cast("string"),
+          col(s"mh${2 * b + 1}").cast("string")).as("sig"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandArr).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
     bands.as("x").join(bands.as("y"), Seq("band", "sig"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -127,7 +150,13 @@ object Dedup {
        |FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
        |WHERE x.doc_id < y.doc_id""".stripMargin
 
-  private val BITS = 16
+  /** 48 simhash bits: wide enough that the 4 LSH bands below span 12
+    * bits each (4096 bucket values per band — real selectivity at
+    * corpus scale; a 16-bit hash would give bands only 16 distinct
+    * values, i.e. no pruning), while every shifted bit weight
+    * (1L << 47 max) stays a positive int64 in both engines.
+    */
+  private val BITS = 48
 
   /** d4: SimHash — frequency-weighted ±1 vote per hash bit over all
     * word occurrences; one explode + one groupBy with BITS sum
@@ -164,20 +193,33 @@ object Dedup {
        |  GROUP BY doc_id) v""".stripMargin
   }
 
-  /** d4b: SimHash near-dup pairs (hamming ≤ 3). Full self-join is fine
-    * at verification scale; at 100 TB this becomes band-on-byte
-    * prefiltering (pigeonhole: ≤3 differing bits ⇒ some 4-bit band
-    * equal) — same structure as d3.
+  /** d4b: SimHash near-dup pairs (hamming ≤ 3) via pigeonhole banding:
+    * the 48-bit simhash splits into 4 bands of 12 bits; ≤3 differing
+    * bits can touch at most 3 bands, so every qualifying pair shares
+    * at least one band value — candidates come from an EQUI-join on
+    * (band, value) and the hamming filter runs only on them. This is
+    * *lossless* (recall = 1 by pigeonhole), so the oracle stays the
+    * exact all-pairs SQL while the engine plan is the banded one
+    * (round 1 shipped the all-pairs plan itself: a
+    * BroadcastNestedLoopJoin, O(N²) at scale).
     */
   def d4bSimhashPairs(s: SparkSession, d: String): DataFrame = {
     val sim = d4Simhash(s, d)
-    sim.as("a").join(sim.as("b"),
-        col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming",
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
-      .filter(col("hamming") <= 3)
+    val bandArr = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 12 * b).bitwiseAND(lit(4095L)).as("bv"))
+    }: _*)
+    val bands = sim.select(col("doc_id"), col("simhash"),
+        explode(bandArr).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    bands.as("a").join(bands.as("b"), Seq("band", "bv"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
   }
 
   val d4bSql: String =
