@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Compare, Migrate, Relational}
+import graft.reverse.Reverse
 import graft.streaming.Cdc
 import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
 
@@ -21,10 +22,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Compare.queries ++ Migrate.queries ++
       Cdc.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries
+      Similarity.queries ++ Multimodal.queries ++ Reverse.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Compare.oracles ++ Migrate.oracles ++
       Cdc.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Multimodal.oracles
+      Similarity.oracles ++ Multimodal.oracles ++ Reverse.oracles
 }

@@ -1,0 +1,362 @@
+package graft.reverse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reverse-engine queries: type mapping, NUMBER bucket sweep, and DDL
+  * synthesis — oracle-checked against an independent DuckDB CASE-tree
+  * implementation of the same rules.
+  *
+  * The fixture is the reference's own type zoo
+  * (`example/reverse_oracle_test.sql:1-55`, table marvin2 — every
+  * NUMBER precision bucket, all char/nchar variants, LOBs, intervals,
+  * RAW/ROWID/BFILE/XMLTYPE, TIMESTAMP precisions) plus a small
+  * not-null/default table modeled on marvin1. Both engines receive
+  * the same raw catalog attributes; each maps them with its OWN
+  * implementation (Scala ADT vs SQL CASE), so a bucket-boundary bug
+  * on either side breaks the hash match.
+  *
+  * Scale note: schema mapping is bounded catalog work; it runs as a
+  * dataframe here because check/assess pipe catalog Datasets through
+  * the same rules at fleet scale (10⁵ tables × columns), where
+  * per-partition mapping beats a driver loop.
+  */
+object Reverse {
+
+  /** One catalog row of the fixture (dba_tab_columns shape). */
+  final case class ZooCol(table_name: String, ordinal: Int,
+      col_name: String, data_type: String, p: Option[Int], s: Option[Int],
+      len: Int, char_len: Option[Int], char_used: String,
+      nullable: Boolean, dflt: Option[String])
+
+  private def zc(t: String, i: Int, n: String, dt: String,
+      p: Option[Int] = None, s: Option[Int] = None, len: Int = 0,
+      cl: Option[Int] = None, cu: String = "B", nullable: Boolean = true,
+      dflt: Option[String] = None) =
+    ZooCol(t, i, n, dt, p, s, len, cl, cu, nullable, dflt)
+
+  /** marvin2 type zoo (`example/reverse_oracle_test.sql:3-55`) +
+    * BINARY_FLOAT/BINARY_DOUBLE/BLOB/LONG rows (present elsewhere in
+    * the reference's type table `common/buildin.go:130-203` but not in
+    * marvin2) so every built-in branch is exercised.
+    */
+  val zoo: Seq[ZooCol] = {
+    val t = "marvin2"
+    Seq(
+      zc(t, 1, "n1", "NUMBER", nullable = false),
+      zc(t, 2, "n2", "NUMBER", p = Some(2)),
+      zc(t, 3, "n3", "NUMBER", p = Some(4)),
+      zc(t, 4, "n4", "NUMBER", p = Some(8)),
+      zc(t, 5, "n5", "NUMBER", p = Some(12), s = Some(0)),
+      zc(t, 6, "n6", "NUMBER", p = Some(13)),
+      zc(t, 7, "n7", "NUMBER", p = Some(30)),
+      zc(t, 8, "n8", "NUMBER", p = Some(30), s = Some(2)),
+      zc(t, 9, "n9", "NUMERIC", p = Some(10), s = Some(2)),
+      zc(t, 10, "n10", "NUMERIC", p = Some(10)),
+      zc(t, 11, "nbfile", "BFILE"),
+      zc(t, 12, "vchar1", "VARCHAR", len = 10),
+      zc(t, 13, "vchar2", "VARCHAR", len = 3000),
+      zc(t, 14, "vchar3", "VARCHAR2", len = 10),
+      zc(t, 15, "vchar4", "VARCHAR2", len = 3000),
+      zc(t, 16, "char1", "CHAR", len = 23),
+      zc(t, 17, "char2", "CHAR", len = 300),
+      zc(t, 18, "char3", "CHARACTER", len = 23),
+      zc(t, 19, "char4", "CHARACTER", len = 300),
+      // NCHAR family is always char-semantics: len = 2×char_len
+      zc(t, 20, "char5", "NCHAR", len = 46, cl = Some(23), cu = "C"),
+      zc(t, 21, "char6", "NCHAR", len = 600, cl = Some(300), cu = "C"),
+      zc(t, 22, "char7", "NCHAR VARYING", len = 20, cl = Some(10), cu = "C"),
+      zc(t, 23, "char8", "NCHAR VARYING", len = 600, cl = Some(300), cu = "C"),
+      zc(t, 24, "char9", "NVARCHAR2", len = 20, cl = Some(10), cu = "C"),
+      zc(t, 25, "char10", "NVARCHAR2", len = 600, cl = Some(300), cu = "C"),
+      zc(t, 26, "dlob", "CLOB"),
+      zc(t, 27, "cflob", "NCLOB"),
+      zc(t, 28, "ndate", "DATE"),
+      zc(t, 29, "ndecimal1", "DECIMAL"),
+      zc(t, 30, "ndecimal2", "DECIMAL", p = Some(10), s = Some(2)),
+      zc(t, 31, "ndecimal3", "DEC", p = Some(10), s = Some(2)),
+      zc(t, 32, "ndecimal4", "DEC"),
+      zc(t, 33, "dp1", "DOUBLE PRECISION"),
+      zc(t, 34, "fp1", "FLOAT", p = Some(2)),
+      zc(t, 35, "fp2", "FLOAT"),
+      zc(t, 36, "fy2", "INTEGER"),
+      zc(t, 37, "fy4", "INT"),
+      zc(t, 38, "fy5", "SMALLINT"),
+      zc(t, 39, "yt", "INTERVAL YEAR(5) TO MONTH"),
+      zc(t, 40, "yu", "INTERVAL DAY(6) TO SECOND(3)"),
+      zc(t, 41, "hp", "LONG RAW"),
+      zc(t, 42, "rw1", "RAW", len = 10),
+      zc(t, 43, "rw2", "RAW", len = 300),
+      zc(t, 44, "rl", "REAL"),
+      zc(t, 45, "rd1", "ROWID"),
+      zc(t, 46, "rd2", "UROWID", len = 100),
+      zc(t, 47, "tp1", "TIMESTAMP"),
+      zc(t, 48, "tp2", "TIMESTAMP(3)", s = Some(3)),
+      zc(t, 49, "tp3", "TIMESTAMP(5)", s = Some(5)),
+      zc(t, 50, "tp4", "TIMESTAMP(5) WITH TIME ZONE", s = Some(5)),
+      zc(t, 51, "xt", "XMLTYPE"),
+      zc(t, 52, "bf1", "BINARY_FLOAT"),
+      zc(t, 53, "bd1", "BINARY_DOUBLE"),
+      zc(t, 54, "blb1", "BLOB"),
+      zc(t, 55, "lng1", "LONG")) ++ Seq(
+      // not-null / default paths, modeled on marvin1
+      // (`reverse_oracle_test.sql:59-72`) and T6 (`reverse_marvin.sql:36-44`)
+      zc("marvin1lite", 1, "id", "NUMBER", p = Some(8), nullable = false),
+      zc("marvin1lite", 2, "name", "VARCHAR2", len = 10,
+        dflt = Some("'ty'")),
+      zc("marvin1lite", 3, "created", "DATE", dflt = Some("SYSDATE")),
+      zc("marvin1lite", 4, "guid", "VARCHAR2", len = 32,
+        dflt = Some("SYS_GUID()")))
+  }
+
+  private def toOracleColumn(z: ZooCol): OracleColumn =
+    OracleColumn(z.col_name, z.data_type, z.len, z.p, z.s, z.char_len,
+      z.char_used, z.nullable, z.dflt)
+
+  // ---------------------------------------------------------- SQL mirror
+
+  private def vStr(x: String) = "'" + x.replace("'", "''") + "'"
+  private def vInt(o: Option[Int]) = o.map(_.toString).getOrElse("NULL")
+  private def vStrO(o: Option[String]) = o.map(vStr).getOrElse("NULL")
+
+  /** The fixture as a VALUES relation — shared INPUT, not shared
+    * logic: each engine maps the attributes with its own rule tree.
+    */
+  private val zooValues: String = zoo.map { z =>
+    s"(${vStr(z.table_name)}, ${z.ordinal}, ${vStr(z.col_name)}, " +
+      s"${vStr(z.data_type)}, ${vInt(z.p)}, ${vInt(z.s)}, ${z.len}, " +
+      s"${vInt(z.char_len)}, ${vStr(z.char_used)}, " +
+      s"${if (z.nullable) "TRUE" else "FALSE"}, ${vStrO(z.dflt)})"
+  }.mkString(",\n  ")
+
+  private val zooCte: String =
+    s"""zoo(table_name, ordinal, col_name, data_type, p, s, len,
+       |    char_len, char_used, nullable, dflt) AS (VALUES
+       |  $zooValues)""".stripMargin
+
+  /** Derived attributes both CASE trees consume: normalized NUMBER
+    * (np, ns), declared char length (clen), capped timestamp scale
+    * (tss) — mirroring [[TypeMapper.normalizeNumber]] and the char/ts
+    * rules.
+    */
+  private val deriveSql: String =
+    """SELECT *,
+      |  coalesce(p, 38) AS np,
+      |  greatest(CASE WHEN p IS NULL THEN coalesce(s, 127)
+      |                ELSE coalesce(s, 0) END, 0) AS ns,
+      |  CASE WHEN char_used = 'C' THEN coalesce(char_len, len)
+      |       ELSE len END AS clen,
+      |  least(coalesce(s,
+      |    TRY_CAST(regexp_extract(data_type, 'TIMESTAMP\((\d+)\)', 1)
+      |             AS INT), 6), 6) AS tss""".stripMargin
+
+  /** Independent DuckDB implementation of the MySQL mapping
+    * (`mapping_mysql.go:83-560`).
+    */
+  private val mysqlCaseSql: String =
+    """CASE
+      | WHEN data_type = 'NUMBER' AND ns > 0 THEN CASE
+      |   WHEN np = 38 AND ns > 30 THEN 'DECIMAL(65,30)'
+      |   WHEN np = 38 THEN 'DECIMAL(65,' || CAST(ns AS VARCHAR) || ')'
+      |   WHEN ns <= 30 THEN 'DECIMAL(' || CAST(np AS VARCHAR) || ',' || CAST(ns AS VARCHAR) || ')'
+      |   ELSE 'DECIMAL(' || CAST(np AS VARCHAR) || ',30)' END
+      | WHEN data_type = 'NUMBER' THEN CASE
+      |   WHEN np >= 1 AND np < 3 THEN 'TINYINT'
+      |   WHEN np >= 3 AND np < 5 THEN 'SMALLINT'
+      |   WHEN np >= 5 AND np < 9 THEN 'INT'
+      |   WHEN np >= 9 AND np < 19 THEN 'BIGINT'
+      |   WHEN np >= 19 AND np <= 38 THEN 'DECIMAL(' || CAST(np AS VARCHAR) || ')'
+      |   ELSE 'DECIMAL(65,0)' END
+      | WHEN data_type = 'BFILE' THEN 'VARCHAR(255)'
+      | WHEN data_type IN ('CHAR','CHARACTER','NCHAR','NVARCHAR2','VARCHAR','VARCHAR2')
+      |   THEN 'VARCHAR(' || CAST(clen AS VARCHAR) || ')'
+      | WHEN data_type = 'NCHAR VARYING' THEN 'NCHAR VARYING(' || CAST(clen AS VARCHAR) || ')'
+      | WHEN data_type IN ('CLOB','LONG','XMLTYPE') THEN 'LONGTEXT'
+      | WHEN data_type = 'NCLOB' THEN 'TEXT'
+      | WHEN data_type = 'BLOB' THEN 'BLOB'
+      | WHEN data_type = 'LONG RAW' THEN 'LONGBLOB'
+      | WHEN data_type = 'RAW' THEN 'VARBINARY(' || CAST(len AS VARCHAR) || ')'
+      | WHEN data_type = 'DATE' THEN 'DATETIME'
+      | WHEN data_type IN ('DECIMAL','DEC')
+      |   THEN 'DECIMAL(' || CAST(coalesce(p, 38) AS VARCHAR) || ',' || CAST(coalesce(s, 0) AS VARCHAR) || ')'
+      | WHEN data_type = 'NUMERIC'
+      |   THEN 'NUMERIC(' || CAST(coalesce(p, 38) AS VARCHAR) || ',' || CAST(coalesce(s, 0) AS VARCHAR) || ')'
+      | WHEN data_type = 'DOUBLE PRECISION' THEN 'DOUBLE PRECISION'
+      | WHEN data_type IN ('FLOAT','BINARY_FLOAT','BINARY_DOUBLE','REAL') THEN 'DOUBLE'
+      | WHEN data_type IN ('INTEGER','INT') THEN 'INT'
+      | WHEN data_type = 'SMALLINT' THEN 'SMALLINT'
+      | WHEN data_type = 'ROWID' THEN 'VARCHAR(64)'
+      | WHEN data_type = 'UROWID' THEN 'VARCHAR(' || CAST(len AS VARCHAR) || ')'
+      | WHEN data_type LIKE 'INTERVAL YEAR%' THEN 'VARCHAR(30)'
+      | WHEN data_type LIKE 'INTERVAL DAY%' THEN 'VARCHAR(30)'
+      | WHEN data_type LIKE '%TIME ZONE%' THEN 'DATETIME(' || CAST(tss AS VARCHAR) || ')'
+      | WHEN data_type LIKE 'TIMESTAMP%' THEN 'TIMESTAMP(' || CAST(tss AS VARCHAR) || ')'
+      | ELSE 'TEXT'
+      |END""".stripMargin
+
+  /** Independent DuckDB implementation of the Spark ingestion mapping
+    * ([[TypeMapper.sparkType]]).
+    */
+  private val sparkCaseSql: String =
+    """CASE
+      | WHEN data_type = 'NUMBER' AND ns > 0
+      |   THEN 'DECIMAL(' || CAST(least(np, 38) AS VARCHAR) || ',' || CAST(least(ns, least(np, 38)) AS VARCHAR) || ')'
+      | WHEN data_type = 'NUMBER' THEN CASE
+      |   WHEN np >= 1 AND np < 3 THEN 'TINYINT'
+      |   WHEN np >= 3 AND np < 5 THEN 'SMALLINT'
+      |   WHEN np >= 5 AND np < 9 THEN 'INT'
+      |   WHEN np >= 9 AND np < 19 THEN 'BIGINT'
+      |   ELSE 'DECIMAL(' || CAST(least(np, 38) AS VARCHAR) || ',0)' END
+      | WHEN data_type IN ('DECIMAL','DEC','NUMERIC')
+      |   THEN 'DECIMAL(' || CAST(least(coalesce(p, 38), 38) AS VARCHAR) || ',' || CAST(least(coalesce(s, 0), 38) AS VARCHAR) || ')'
+      | WHEN data_type IN ('FLOAT','DOUBLE PRECISION','BINARY_DOUBLE','REAL') THEN 'DOUBLE'
+      | WHEN data_type = 'BINARY_FLOAT' THEN 'FLOAT'
+      | WHEN data_type IN ('INTEGER','INT') THEN 'INT'
+      | WHEN data_type = 'SMALLINT' THEN 'SMALLINT'
+      | WHEN data_type IN ('RAW','LONG RAW','BLOB','BFILE') THEN 'BINARY'
+      | WHEN data_type = 'DATE' OR data_type LIKE '%TIMESTAMP%' THEN 'TIMESTAMP'
+      | ELSE 'STRING'
+      |END""".stripMargin
+
+  // ------------------------------------------------------------- queries
+
+  /** r1: the full type zoo mapped three ways — canonical origin type,
+    * MySQL DDL type, Spark ingestion type. Spark side runs the Scala
+    * rule tree ([[TypeMapper]]); the oracle runs the independent SQL
+    * CASE trees over identical raw attributes.
+    */
+  def r1TypeMapping(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    zoo.map { z =>
+      val c = toOracleColumn(z)
+      (z.col_name, TypeMapper.originType(c), TypeMapper.mysqlType(c),
+        TypeMapper.sparkType(c).sql)
+    }.toDF("col_name", "oracle_type", "mysql_type", "spark_type")
+  }
+
+  val r1Sql: String = {
+    val originCase =
+      """CASE
+        | WHEN data_type = 'NUMBER'
+        |   THEN 'NUMBER(' || CAST(np AS VARCHAR) || ',' || CAST(ns AS VARCHAR) || ')'
+        | WHEN data_type IN ('CHAR','CHARACTER','NCHAR','NCHAR VARYING','NVARCHAR2','VARCHAR','VARCHAR2')
+        |   THEN data_type || '(' || CAST(clen AS VARCHAR) || ')'
+        | WHEN data_type IN ('DECIMAL','DEC','NUMERIC')
+        |   THEN data_type || '(' || CAST(coalesce(p, 38) AS VARCHAR) || ',' || CAST(coalesce(s, 0) AS VARCHAR) || ')'
+        | WHEN data_type IN ('RAW','UROWID') THEN data_type || '(' || CAST(len AS VARCHAR) || ')'
+        | ELSE data_type
+        |END""".stripMargin
+    s"""WITH $zooCte,
+       |n AS ($deriveSql FROM zoo)
+       |SELECT col_name,
+       |  $originCase AS oracle_type,
+       |  $mysqlCaseSql AS mysql_type,
+       |  $sparkCaseSql AS spark_type
+       |FROM n""".stripMargin
+  }
+
+  /** r2: exhaustive NUMBER bucket sweep — every integer precision
+    * 1..38 at scale 0 (all five bucket boundaries), crossed with the
+    * interesting scales {1,2,29,30,31,127} at boundary precisions —
+    * the property-test grid as an oracle-checked query.
+    */
+  val numberGrid: Seq[(Int, Int)] =
+    (1 to 38).map((_, 0)) ++
+      (for {
+        p <- Seq(1, 5, 10, 19, 37, 38)
+        s <- Seq(1, 2, 29, 30, 31, 127)
+      } yield (p, s))
+
+  def r2NumberBuckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    numberGrid.map { case (p, sc) =>
+      val c = OracleColumn("c", "NUMBER", 22, Some(p), Some(sc))
+      (p, sc, TypeMapper.mysqlType(c), TypeMapper.sparkType(c).sql)
+    }.toDF("p", "s", "mysql_type", "spark_type")
+  }
+
+  val r2Sql: String =
+    s"""WITH grid AS (
+       |  SELECT CAST(p AS INT) AS p, 0 AS s FROM range(1, 39) r(p)
+       |  UNION ALL
+       |  SELECT tp.p, ts.s
+       |  FROM (VALUES (1),(5),(10),(19),(37),(38)) tp(p),
+       |       (VALUES (1),(2),(29),(30),(31),(127)) ts(s)),
+       |n AS (SELECT 'NUMBER' AS data_type, p, s, p AS np,
+       |             greatest(s, 0) AS ns,
+       |             NULL AS clen, NULL AS len, NULL AS tss
+       |      FROM grid)
+       |SELECT p, s, $mysqlCaseSql AS mysql_type, $sparkCaseSql AS spark_type
+       |FROM n""".stripMargin
+
+  /** r3: DDL synthesis as an engine op — per-column DDL lines rendered
+    * from catalog attributes (type via the [[TypeMapper]] udf on the
+    * Spark side; the CASE tree on the oracle side), nullability and
+    * rewritten defaults appended, then aggregated in ordinal order
+    * into the CREATE TABLE text (format per
+    * `example/reverse_marvin.sql:36-44`). Each engine assembles
+    * independently: string_agg-with-ORDER-BY vs
+    * array_sort(collect_list).
+    */
+  def r3DdlSynthesis(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mysqlTypeUdf = udf((dt: String, p: java.lang.Integer,
+        sc: java.lang.Integer, len: Int, cl: java.lang.Integer,
+        cu: String) =>
+      TypeMapper.mysqlType(OracleColumn("x", dt, len,
+        Option(p).map(_.toInt), Option(sc).map(_.toInt),
+        Option(cl).map(_.toInt), cu)))
+    val lines = zoo.toDF()
+      .withColumn("mysql_type", mysqlTypeUdf(col("data_type"), col("p"),
+        col("s"), col("len"), col("char_len"), col("char_used")))
+      .withColumn("mapped_dflt",
+        when(upper(col("dflt")) === "SYSDATE", lit("NOW()"))
+          .when(upper(col("dflt")) === "SYS_GUID()", lit("UUID()"))
+          .otherwise(col("dflt")))
+      .withColumn("line", concat(
+        lit("`"), col("col_name"), lit("` "), lower(col("mysql_type")),
+        when(!col("nullable"), lit(" NOT NULL")).otherwise(lit("")),
+        when(col("dflt").isNotNull,
+          concat(lit(" DEFAULT "), col("mapped_dflt"))).otherwise(lit(""))))
+    lines.groupBy(col("table_name"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ordinal"), col("line")))),
+        x => x.getField("line")), ",\n").as("cols"))
+      .select(col("table_name"), concat(
+        lit("CREATE TABLE `steven`.`"), col("table_name"), lit("` (\n"),
+        col("cols"),
+        lit("\n) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_bin;"))
+        .as("ddl"))
+  }
+
+  val r3Sql: String =
+    s"""WITH $zooCte,
+       |n AS ($deriveSql FROM zoo),
+       |lines AS (
+       |  SELECT table_name, ordinal,
+       |    '`' || col_name || '` ' || lower($mysqlCaseSql) ||
+       |    CASE WHEN NOT nullable THEN ' NOT NULL' ELSE '' END ||
+       |    CASE WHEN dflt IS NOT NULL THEN ' DEFAULT ' ||
+       |      CASE WHEN upper(dflt) = 'SYSDATE' THEN 'NOW()'
+       |           WHEN upper(dflt) = 'SYS_GUID()' THEN 'UUID()'
+       |           ELSE dflt END
+       |      ELSE '' END AS line
+       |  FROM n)
+       |SELECT table_name,
+       |  'CREATE TABLE `steven`.`' || table_name || '` (' || chr(10) ||
+       |  string_agg(line, ',' || chr(10) ORDER BY ordinal) || chr(10) ||
+       |  ') ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_bin;' AS ddl
+       |FROM lines GROUP BY table_name""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r1_type_mapping" -> r1TypeMapping,
+    "r2_number_buckets" -> r2NumberBuckets,
+    "r3_ddl_synthesis" -> r3DdlSynthesis)
+
+  val oracles: Map[String, String] = Map(
+    "r1_type_mapping" -> r1Sql,
+    "r2_number_buckets" -> r2Sql,
+    "r3_ddl_synthesis" -> r3Sql)
+}
