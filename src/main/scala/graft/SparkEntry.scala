@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Compare, Migrate, Relational}
+import graft.operators.{Catalog, Check, Compare, Migrate, Relational}
 import graft.reverse.Reverse
 import graft.streaming.Cdc
 import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -22,10 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Compare.queries ++ Migrate.queries ++
       Cdc.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ Reverse.queries
+      Similarity.queries ++ Multimodal.queries ++ Reverse.queries ++
+      Catalog.queries ++ Check.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Compare.oracles ++ Migrate.oracles ++
       Cdc.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Multimodal.oracles ++ Reverse.oracles
+      Similarity.oracles ++ Multimodal.oracles ++ Reverse.oracles ++
+      Catalog.oracles ++ Check.oracles
 }

@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Catalog introspection (S5) + catalog-driven assess reports (A6
+  * family) — the reference's dictionary scans
+  * (`database/oracle/assess.go:23-668`,
+  * `database/oracle/reverse.go:516-656`) recast over parquet footers:
+  * the `CatalogSnapshot` Dataset is our `dba_tab_columns`.
+  *
+  * Schema introspection reads footers only (no data I/O); the
+  * data-profiling reports are single-pass aggregates melted to rows —
+  * at 100 TB each is one scan with partial aggregation, never one
+  * scan per column.
+  */
+object Catalog {
+
+  /** Canonical engine-neutral type names for the snapshot. */
+  def canonicalType(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INT"
+    case ShortType => "SMALLINT"
+    case ByteType => "TINYINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "FLOAT"
+    case StringType => "STRING"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case BinaryType => "BINARY"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case ArrayType(e, _) => s"ARRAY<${canonicalType(e)}>"
+    case other => other.sql
+  }
+
+  /** The catalog snapshot: one row per column across all tables.
+    * Nullability is normalized to TRUE — parquet optional/required is
+    * a writer artifact, not catalog truth (the reference reads
+    * NULLABLE from `dba_tab_columns`; a JDBC-backed snapshot would
+    * carry it through).
+    */
+  def snapshot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.all.flatMap { t =>
+      Tables.load(s, d, t).schema.fields.zipWithIndex.map {
+        case (f, i) => (t, i + 1, f.name, canonicalType(f.dataType), true)
+      }
+    }.toDF("table_name", "ordinal", "column_name", "data_type", "nullable")
+  }
+
+  /** The snapshot the oracle expects — TESTDATA.md's schema pinned as
+    * VALUES. Doubles as the introspection regression check: if a
+    * reader change shifts a type (e.g. events.ts nanos handling), k2
+    * hash-mismatches.
+    */
+  val catalogValuesSql: String = {
+    val rows = Seq(
+      ("region", Seq("r_regionkey" -> "INT", "r_name" -> "STRING")),
+      ("nation", Seq("n_nationkey" -> "INT", "n_name" -> "STRING",
+        "n_regionkey" -> "INT")),
+      ("customer", Seq("c_custkey" -> "BIGINT", "c_name" -> "STRING",
+        "c_nationkey" -> "INT", "c_acctbal" -> "DOUBLE",
+        "c_mktsegment" -> "STRING")),
+      ("supplier", Seq("s_suppkey" -> "BIGINT", "s_name" -> "STRING",
+        "s_nationkey" -> "INT", "s_acctbal" -> "DOUBLE")),
+      ("part", Seq("p_partkey" -> "BIGINT", "p_name" -> "STRING",
+        "p_brand" -> "STRING", "p_type" -> "STRING", "p_size" -> "INT",
+        "p_retailprice" -> "DOUBLE")),
+      ("orders", Seq("o_orderkey" -> "BIGINT", "o_custkey" -> "BIGINT",
+        "o_orderstatus" -> "STRING", "o_totalprice" -> "DOUBLE",
+        "o_orderdate" -> "TIMESTAMP", "o_orderpriority" -> "STRING")),
+      ("lineitem", Seq("l_orderkey" -> "BIGINT", "l_partkey" -> "BIGINT",
+        "l_suppkey" -> "BIGINT", "l_linenumber" -> "INT",
+        "l_quantity" -> "DOUBLE", "l_extendedprice" -> "DOUBLE",
+        "l_discount" -> "DOUBLE", "l_tax" -> "DOUBLE",
+        "l_returnflag" -> "STRING", "l_linestatus" -> "STRING",
+        "l_shipdate" -> "TIMESTAMP")),
+      ("events", Seq("event_id" -> "BIGINT", "ts" -> "TIMESTAMP",
+        "user_id" -> "BIGINT", "event_type" -> "STRING",
+        "value" -> "DOUBLE", "props" -> "STRING")),
+      ("documents", Seq("doc_id" -> "BIGINT", "text" -> "STRING",
+        "lang" -> "STRING", "source" -> "STRING", "n_chars" -> "BIGINT")),
+      ("embeddings", Seq("vec_id" -> "BIGINT",
+        "embedding" -> "ARRAY<FLOAT>", "label" -> "INT")))
+    val values = rows.flatMap { case (t, cols) =>
+      cols.zipWithIndex.map { case ((c, ty), i) =>
+        s"('$t', ${i + 1}, '$c', '$ty', TRUE)"
+      }
+    }.mkString(",\n  ")
+    s"""cat(table_name, ordinal, column_name, data_type, nullable) AS (VALUES
+       |  $values)""".stripMargin
+  }
+
+  // ------------------------------------------------------------- queries
+
+  /** k2: the introspected snapshot itself, hash-checked against the
+    * pinned schema.
+    */
+  def k2CatalogSnapshot(s: SparkSession, d: String): DataFrame =
+    snapshot(s, d)
+
+  val k2Sql: String =
+    s"""WITH $catalogValuesSql
+       |SELECT table_name, ordinal, column_name, data_type, nullable
+       |FROM cat""".stripMargin
+
+  /** a10: column-type distribution across the schema (assess family:
+    * `AssessOracle*ColumnTypeCompatible`, `assess_result.go:634-1402`).
+    */
+  def a10ColumnTypeDist(s: SparkSession, d: String): DataFrame =
+    snapshot(s, d).groupBy("data_type")
+      .agg(count(lit(1)).as("n_columns"),
+        countDistinct(col("table_name")).as("n_tables"))
+
+  val a10Sql: String =
+    s"""WITH $catalogValuesSql
+       |SELECT data_type, count(*) AS n_columns,
+       |       count(DISTINCT table_name) AS n_tables
+       |FROM cat GROUP BY 1""".stripMargin
+
+  /** a11: per-table row counts (assess overview — the reference reads
+    * NVL(NUM_ROWS,0) stats, A4; here exact counts from parquet
+    * metadata, one metadata-only job per table).
+    */
+  def a11RowCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.all.map { t =>
+      (t, Tables.load(s, d, t).count())
+    }.toDF("table_name", "n_rows")
+  }
+
+  val a11Sql: String = Tables.all
+    .map(t => s"SELECT '$t' AS table_name, count(*) AS n_rows FROM $t")
+    .mkString("\nUNION ALL ")
+
+  /** a12: NULL-ratio profile of one table, all columns in ONE pass
+    * (assess data-profiling family) — sum(isnull) per column in a
+    * single agg, melted to rows.
+    */
+  def a12NullProfile(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.load(s, d, "events")
+    val cols = t.schema.fieldNames.toSeq
+    val aggs = count(lit(1)).as("n_total") +:
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"))
+    t.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(s"nn_$c").as("n_null"),
+          col("n_total"))): _*)).as("kv"))
+      .select(col("kv.column_name"), col("kv.n_null"), col("kv.n_total"))
+  }
+
+  val a12Sql: String = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    // CAST: DuckDB integer sum() yields HUGEINT, which pandas floats
+    val sums = cols.map(c =>
+      s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c")
+      .mkString(",\n    ")
+    val melt = cols.map(c =>
+      s"SELECT '$c' AS column_name, nn_$c AS n_null, n_total FROM t")
+      .mkString("\nUNION ALL ")
+    s"""WITH t AS (
+       |  SELECT count(*) AS n_total,
+       |    $sums
+       |  FROM events)
+       |$melt""".stripMargin
+  }
+
+  /** a13: string-width profile (assess avg-row-length family, A7) —
+    * min/max/avg length per string column of `documents`, one pass.
+    */
+  def a13WidthProfile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("text", "lang", "source")
+    val t = Tables.load(s, d, "documents")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+      Seq(min(length(col(c))).as(s"mn_$c"), max(length(col(c))).as(s"mx_$c"),
+        sum(length(col(c)).cast("long")).as(s"sm_$c"))
+    }
+    t.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"), col(s"mn_$c").as("min_len"),
+        col(s"mx_$c").as("max_len"),
+        (col(s"sm_$c").cast("double") / col("n")).as("avg_len"))): _*))
+        .as("kv"))
+      .select(col("kv.column_name"), col("kv.min_len"), col("kv.max_len"),
+        col("kv.avg_len"))
+  }
+
+  val a13Sql: String = {
+    val cols = Seq("text", "lang", "source")
+    val aggs = cols.flatMap(c => Seq(
+      s"min(length($c)) AS mn_$c", s"max(length($c)) AS mx_$c",
+      s"sum(length($c)) AS sm_$c")).mkString(",\n    ")
+    val melt = cols.map(c =>
+      s"SELECT '$c' AS column_name, mn_$c AS min_len, mx_$c AS max_len, " +
+        s"CAST(sm_$c AS DOUBLE) / n AS avg_len FROM t")
+      .mkString("\nUNION ALL ")
+    s"""WITH t AS (SELECT count(*) AS n,
+       |    $aggs
+       |  FROM documents)
+       |$melt""".stripMargin
+  }
+
+  /** a14: numeric profile of lineitem measures — min/max/sum rendered
+    * as exact DECIMAL strings (cross-engine bit-stable), one pass.
+    */
+  def a14NumericProfile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val t = Tables.load(s, d, "lineitem")
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+    val aggs = cols.flatMap { c =>
+      Seq(min(dec(col(c))).cast("string").as(s"mn_$c"),
+        max(dec(col(c))).cast("string").as(s"mx_$c"),
+        sum(dec(col(c))).cast(DecimalType(38, 2)).cast("string")
+          .as(s"sm_$c"))
+    }
+    t.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"), col(s"mn_$c").as("min_v"),
+        col(s"mx_$c").as("max_v"), col(s"sm_$c").as("sum_v"))): _*))
+        .as("kv"))
+      .select(col("kv.column_name"), col("kv.min_v"), col("kv.max_v"),
+        col("kv.sum_v"))
+  }
+
+  val a14Sql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap(c => Seq(
+      s"CAST(min(CAST($c AS DECIMAL(18,2))) AS VARCHAR) AS mn_$c",
+      s"CAST(max(CAST($c AS DECIMAL(18,2))) AS VARCHAR) AS mx_$c",
+      s"CAST(CAST(sum(CAST($c AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sm_$c"))
+      .mkString(",\n    ")
+    val melt = cols.map(c =>
+      s"SELECT '$c' AS column_name, mn_$c AS min_v, mx_$c AS max_v, " +
+        s"sm_$c AS sum_v FROM t").mkString("\nUNION ALL ")
+    s"""WITH t AS (SELECT
+       |    $aggs
+       |  FROM lineitem)
+       |$melt""".stripMargin
+  }
+
+  /** a15: wide-table threshold scan (assess compat checks, A8 family —
+    * the reference flags >512 columns; the testdata threshold is 5).
+    */
+  def a15WideTables(s: SparkSession, d: String): DataFrame =
+    snapshot(s, d).groupBy("table_name")
+      .agg(count(lit(1)).as("n_columns"))
+      .filter(col("n_columns") >= 5)
+
+  val a15Sql: String =
+    s"""WITH $catalogValuesSql
+       |SELECT table_name, count(*) AS n_columns
+       |FROM cat GROUP BY 1 HAVING count(*) >= 5""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k2_catalog_snapshot" -> k2CatalogSnapshot,
+    "a10_column_type_dist" -> a10ColumnTypeDist,
+    "a11_row_counts" -> a11RowCounts,
+    "a12_null_profile" -> a12NullProfile,
+    "a13_width_profile" -> a13WidthProfile,
+    "a14_numeric_profile" -> a14NumericProfile,
+    "a15_wide_tables" -> a15WideTables)
+
+  val oracles: Map[String, String] = Map(
+    "k2_catalog_snapshot" -> k2Sql,
+    "a10_column_type_dist" -> a10Sql,
+    "a11_row_counts" -> a11Sql,
+    "a12_null_profile" -> a12Sql,
+    "a13_width_profile" -> a13Sql,
+    "a14_numeric_profile" -> a14Sql,
+    "a15_wide_tables" -> a15Sql)
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Norm
+
+/** Check engine — structural diff of two catalog snapshots with
+  * per-attribute classification and ALTER fix-SQL synthesis, the
+  * reference's `check` mode (`module/check/oracle/o2m/diff.go:563-620`
+  * column diff, per-attribute rules `rule.go` 1,135 LoC, output format
+  * `example/check_marvin.sql`: `ALTER TABLE steven.T MODIFY COLUMN
+  * STUNAME1 NCHAR(20) NOT NULL;`).
+  *
+  * The diff is one full-outer join of two ColumnSpec Datasets on
+  * (table, column) + a when-chain classification — at fleet scale
+  * (10⁵ tables) this hash-partitions on the join key; nothing is
+  * collected until the bounded fix-SQL artifact is written.
+  */
+object Check {
+
+  /** Classify and synthesize fixes. Inputs are snapshot-shaped
+    * DataFrames: (table_name, ordinal, column_name, data_type,
+    * nullable). Emits only differing columns:
+    *   ADD          — column missing on target → ADD COLUMN
+    *   DROP         — column only on target    → DROP COLUMN
+    *   MODIFY_TYPE  — data type differs        → MODIFY COLUMN type
+    *   MODIFY_NULL  — nullability differs      → MODIFY COLUMN ... [NOT] NULL
+    */
+  def structDiff(src: DataFrame, tgt: DataFrame,
+      targetSchema: String = "steven"): DataFrame = {
+    val s = src.select(col("table_name"), col("column_name"),
+      col("data_type").as("src_type"), col("nullable").as("src_null"))
+    val t = tgt.select(col("table_name"), col("column_name"),
+      col("data_type").as("tgt_type"), col("nullable").as("tgt_null"))
+    val joined = s.join(t, Seq("table_name", "column_name"), "full_outer")
+    val change =
+      when(col("tgt_type").isNull, lit("ADD"))
+        .when(col("src_type").isNull, lit("DROP"))
+        .when(col("src_type") =!= col("tgt_type"), lit("MODIFY_TYPE"))
+        .when(col("src_null") =!= col("tgt_null"), lit("MODIFY_NULL"))
+        .otherwise(lit("SAME"))
+    val qualified: Column =
+      concat(lit(s"$targetSchema."), col("table_name"))
+    val fix =
+      when(change === "ADD", concat(lit("ALTER TABLE "), qualified,
+        lit(" ADD COLUMN "), col("column_name"), lit(" "),
+        col("src_type"), lit(";")))
+        .when(change === "DROP", concat(lit("ALTER TABLE "), qualified,
+          lit(" DROP COLUMN "), col("column_name"), lit(";")))
+        .when(change === "MODIFY_TYPE", concat(lit("ALTER TABLE "),
+          qualified, lit(" MODIFY COLUMN "), col("column_name"), lit(" "),
+          col("src_type"), lit(";")))
+        .when(change === "MODIFY_NULL", concat(lit("ALTER TABLE "),
+          qualified, lit(" MODIFY COLUMN "), col("column_name"), lit(" "),
+          col("src_type"),
+          when(col("src_null"), lit(" NULL;")).otherwise(lit(" NOT NULL;"))))
+    joined.withColumn("change", change)
+      .filter(col("change") =!= "SAME")
+      .select(col("table_name"), col("column_name"), col("change"),
+        fix.as("fix_sql"))
+  }
+
+  /** Deterministic "drifted target" snapshot: per (table, column) the
+    * 60-bit hash mod 7 decides the drift — 0: column dropped on
+    * target; 1: type drifted to STRING; 2: nullability tightened —
+    * plus an `audit_ts` column added per table. Both engines derive
+    * the target from the same rule over the same snapshot, then diff
+    * with their OWN full-outer-join implementations.
+    */
+  def driftedSnapshot(snapshot: DataFrame): DataFrame = {
+    val m = pmod(Norm.xhash64(
+      concat(col("table_name"), lit("."), col("column_name"))), lit(7L))
+    val drifted = snapshot
+      .filter(m =!= 0)
+      .withColumn("data_type",
+        when(m === 1, lit("STRING")).otherwise(col("data_type")))
+      .withColumn("nullable",
+        when(m === 2, lit(false)).otherwise(col("nullable")))
+    val added = snapshot.select("table_name").distinct()
+      .select(col("table_name"), lit(999).as("ordinal"),
+        lit("audit_ts").as("column_name"), lit("TIMESTAMP").as("data_type"),
+        lit(true).as("nullable"))
+    drifted.unionByName(added)
+  }
+
+  /** SQL mirror of [[driftedSnapshot]] over the `cat` CTE. */
+  def driftedSqlCte(h: String => String): String = {
+    val m = h("table_name || '.' || column_name") + " % 7"
+    s"""tgt AS (
+       |  SELECT table_name, ordinal, column_name,
+       |    CASE WHEN $m = 1 THEN 'STRING' ELSE data_type END AS data_type,
+       |    CASE WHEN $m = 2 THEN FALSE ELSE nullable END AS nullable
+       |  FROM cat WHERE $m <> 0
+       |  UNION ALL
+       |  SELECT DISTINCT table_name, 999, 'audit_ts', 'TIMESTAMP', TRUE
+       |  FROM cat)""".stripMargin
+  }
+
+  // ------------------------------------------------------------- queries
+
+  /** k1: struct check of the introspected catalog vs its drifted
+    * target — the full classification + fix-SQL surface.
+    */
+  def k1StructDiff(s: SparkSession, d: String): DataFrame = {
+    val snap = Catalog.snapshot(s, d)
+    structDiff(snap, driftedSnapshot(snap))
+  }
+
+  val k1Sql: String =
+    s"""WITH ${Catalog.catalogValuesSql},
+       |${driftedSqlCte(Norm.xhash64Sql)},
+       |j AS (
+       |  SELECT coalesce(s.table_name, t.table_name) AS table_name,
+       |         coalesce(s.column_name, t.column_name) AS column_name,
+       |         s.data_type AS src_type, s.nullable AS src_null,
+       |         t.data_type AS tgt_type, t.nullable AS tgt_null
+       |  FROM cat s FULL OUTER JOIN tgt t
+       |    ON s.table_name = t.table_name AND s.column_name = t.column_name),
+       |c AS (
+       |  SELECT *,
+       |    CASE WHEN tgt_type IS NULL THEN 'ADD'
+       |         WHEN src_type IS NULL THEN 'DROP'
+       |         WHEN src_type <> tgt_type THEN 'MODIFY_TYPE'
+       |         WHEN src_null <> tgt_null THEN 'MODIFY_NULL'
+       |         ELSE 'SAME' END AS change
+       |  FROM j)
+       |SELECT table_name, column_name, change,
+       |  CASE change
+       |    WHEN 'ADD' THEN 'ALTER TABLE steven.' || table_name ||
+       |      ' ADD COLUMN ' || column_name || ' ' || src_type || ';'
+       |    WHEN 'DROP' THEN 'ALTER TABLE steven.' || table_name ||
+       |      ' DROP COLUMN ' || column_name || ';'
+       |    WHEN 'MODIFY_TYPE' THEN 'ALTER TABLE steven.' || table_name ||
+       |      ' MODIFY COLUMN ' || column_name || ' ' || src_type || ';'
+       |    WHEN 'MODIFY_NULL' THEN 'ALTER TABLE steven.' || table_name ||
+       |      ' MODIFY COLUMN ' || column_name || ' ' || src_type ||
+       |      CASE WHEN src_null THEN ' NULL;' ELSE ' NOT NULL;' END
+       |  END AS fix_sql
+       |FROM c WHERE change <> 'SAME'""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k1_struct_diff" -> k1StructDiff)
+
+  val oracles: Map[String, String] = Map(
+    "k1_struct_diff" -> k1Sql)
+}

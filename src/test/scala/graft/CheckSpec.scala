@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Catalog, Check}
+
+class CheckSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  test("snapshot covers every table with 1-based dense ordinals") {
+    val snap = Catalog.snapshot(spark, sf).cache()
+    assert(snap.select("table_name").distinct().count() == Tables.all.size)
+    val bad = snap.groupBy("table_name")
+      .agg(count(lit(1)).as("n"), min("ordinal").as("mn"), max("ordinal").as("mx"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("n"))
+    assert(bad.isEmpty)
+    snap.unpersist()
+  }
+
+  test("structDiff of a snapshot against itself is empty") {
+    val snap = Catalog.snapshot(spark, sf)
+    assert(Check.structDiff(snap, snap).isEmpty)
+  }
+
+  test("structDiff classifies each drift kind with executable fix SQL") {
+    val diff = Check.k1StructDiff(spark, sf).cache()
+    val kinds = diff.select("change").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(kinds == Set("ADD", "DROP", "MODIFY_TYPE", "MODIFY_NULL"),
+      kinds.toString)
+    // every target-added audit column surfaces as a DROP
+    assert(diff.filter(col("column_name") === "audit_ts").count() ==
+      Tables.all.size)
+    // fix SQL is always present and ALTER-shaped
+    assert(diff.filter(!col("fix_sql").startsWith("ALTER TABLE steven."))
+      .isEmpty)
+    // MODIFY_NULL restores the source's nullability wording
+    val mn = diff.filter(col("change") === "MODIFY_NULL")
+      .select("fix_sql").collect().map(_.getString(0))
+    assert(mn.nonEmpty && mn.forall(_.endsWith(" NULL;")))
+    diff.unpersist()
+  }
+
+  test("diff is symmetric: swapping sides flips ADD and DROP") {
+    val snap = Catalog.snapshot(spark, sf)
+    val drifted = Check.driftedSnapshot(snap)
+    val fwd = Check.structDiff(snap, drifted)
+    val rev = Check.structDiff(drifted, snap)
+    val fwdAdd = fwd.filter(col("change") === "ADD").count()
+    val revDrop = rev.filter(col("change") === "DROP").count()
+    assert(fwdAdd == revDrop)
+  }
+}
