@@ -59,22 +59,50 @@ object Compare {
     srcOnly.unionAll(tgtOnly).select("diff_side", "row_key", "row_str")
   }
 
-  /** Fix-action synthesis from a diff: SRC_ONLY → INSERT (row missing
-    * or stale on target), TGT_ONLY → DELETE — the reference appends
-    * exactly these to `compare_<schema>.sql` (`compare.go:386-444`).
-    * Stays a DataFrame; rendering to SQL text is a bounded driver-side
-    * collect by the caller.
+  /** Keyed symmetric diff carrying each normalized column separately
+    * (not just the joined row string) so fix synthesis can render a
+    * real VALUES list. Same exceptAll shape as [[symmetricDiff]].
     */
-  def fixActions(diff: DataFrame, table: String, keyCol: String): DataFrame =
+  def symmetricDiffCols(src: DataFrame, tgt: DataFrame,
+      normCols: Seq[NormCol], keyCol: String): DataFrame = {
+    def proj(df: DataFrame) =
+      df.select(col(keyCol).cast("long").as("row_key") +:
+        normCols.map(nc => Norm.sparkNorm(nc).as(s"v_${nc.name}")): _*)
+    val srcOnly = proj(src).exceptAll(proj(tgt))
+      .withColumn("diff_side", lit("SRC_ONLY"))
+    val tgtOnly = proj(tgt).exceptAll(proj(src))
+      .withColumn("diff_side", lit("TGT_ONLY"))
+    srcOnly.unionAll(tgtOnly)
+  }
+
+  /** Fix-action synthesis from a columnar diff: SRC_ONLY → an
+    * EXECUTABLE `REPLACE INTO t VALUES ('…', …);` (values escaped via
+    * [[graft.functions.Escape]] — quotes/backslashes in data cannot
+    * break the artifact; round 1 wrapped the row string in a SQL
+    * comment, which a comment-close token in the data corrupted),
+    * TGT_ONLY → DELETE by key — the statements the reference appends
+    * to `compare_<schema>.sql` (`compare.go:386-444`, escaping
+    * `common/strings.go:453-473`). Stays a DataFrame; artifact
+    * rendering is a bounded driver-side collect by the caller.
+    */
+  def fixActions(diff: DataFrame, table: String, keyCol: String,
+      normCols: Seq[NormCol]): DataFrame = {
+    import graft.functions.Escape
+    val valueList = concat_ws(",", normCols.map { nc =>
+      val v = col(s"v_${nc.name}")
+      when(v === "NULL", lit("NULL"))
+        .otherwise(concat(lit("'"), Escape.sqlLiteralCol(v), lit("'")))
+    }: _*)
     diff.select(
       when(col("diff_side") === "SRC_ONLY", lit("INSERT"))
         .otherwise(lit("DELETE")).as("action"),
       lit(table).as("table_name"),
       col("row_key"),
       when(col("diff_side") === "SRC_ONLY",
-        concat(lit(s"REPLACE INTO $table VALUES /*"), col("row_str"), lit("*/")))
+        concat(lit(s"REPLACE INTO $table VALUES ("), valueList, lit(");")))
         .otherwise(concat(lit(s"DELETE FROM $table WHERE $keyCol = "),
-          col("row_key").cast("string"))).as("fix_sql"))
+          col("row_key").cast("string"), lit(";"))).as("fix_sql"))
+  }
 
   // ------------------------------------------------------------ fixtures
 
@@ -116,6 +144,63 @@ object Compare {
     s"SELECT CAST(o_orderkey AS BIGINT) AS row_key, $row AS row_str FROM $rel"
   }
 
+  /** Hostile-string compare fixture: orders + a payload column packed
+    * with quotes, backslashes, and comment tokens — the characters
+    * that corrupt naively rendered fix SQL (F2 fixture; reference
+    * escaping `common/strings.go:453-473`).
+    */
+  private val hostileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority", "payload")
+
+  def ordersHostile(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "orders").withColumn("payload",
+      when(col("o_orderkey") % 6 === 0, lit(null: String))
+        .when(col("o_orderkey") % 6 === 1,
+          concat(lit("it's "), col("o_orderpriority")))
+        .when(col("o_orderkey") % 6 === 2, lit("back\\slash\\"))
+        .when(col("o_orderkey") % 6 === 3, lit("mix\"q'\\end"))
+        .when(col("o_orderkey") % 6 === 4, lit("*/breaker/*"))
+        .otherwise(col("o_orderpriority")))
+
+  private val ordersHostileSql: String =
+    """(SELECT orders.*,
+      |  CASE WHEN o_orderkey % 6 = 0 THEN NULL
+      |       WHEN o_orderkey % 6 = 1 THEN 'it''s ' || o_orderpriority
+      |       WHEN o_orderkey % 6 = 2 THEN 'back\slash\'
+      |       WHEN o_orderkey % 6 = 3 THEN 'mix"q''\end'
+      |       WHEN o_orderkey % 6 = 4 THEN '*/breaker/*'
+      |       ELSE o_orderpriority END AS payload
+      | FROM orders)""".stripMargin
+
+  /** The drift transform applied to any orders-shaped relation
+    * (extra columns pass through) — same rules as [[driftedOrders]].
+    */
+  def drift(o: DataFrame): DataFrame = {
+    val kept = o.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 101 === 0, col("o_totalprice") + lit(10.0))
+          .otherwise(col("o_totalprice")))
+    val inserted = o.filter(col("o_orderkey") % 89 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L))
+    kept.unionAll(inserted)
+  }
+
+  private def driftSql(rel: String, cols: Seq[String]): String = {
+    val keptCols = cols.map {
+      case "o_totalprice" =>
+        "CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 10.0 " +
+          "ELSE o_totalprice END AS o_totalprice"
+      case c => c
+    }.mkString(", ")
+    val insCols = cols.map {
+      case "o_orderkey" => "o_orderkey + 1000000 AS o_orderkey"
+      case c => c
+    }.mkString(", ")
+    s"""(SELECT $keptCols FROM $rel t WHERE o_orderkey % 97 <> 0
+       | UNION ALL
+       | SELECT $insCols FROM $rel t WHERE o_orderkey % 89 = 0)""".stripMargin
+  }
+
   // ------------------------------------------------------------- queries
 
   /** j4: full keyed symmetric diff, source vs drifted target. */
@@ -133,18 +218,49 @@ object Compare {
        |  (($tgt) EXCEPT ALL ($src))""".stripMargin
   }
 
-  /** c2: compare fix-action synthesis over the same diff. */
-  def c2FixActions(s: SparkSession, d: String): DataFrame =
-    fixActions(j4SymmetricDiff(s, d), "orders", "o_orderkey")
+  /** Norm spec for the hostile fixture: orders columns + payload. */
+  val hostileNorm: Seq[NormCol] = ordersNorm :+ NormCol("payload", KStr)
 
-  val c2Sql: String =
-    s"""SELECT CASE WHEN diff_side = 'SRC_ONLY' THEN 'INSERT' ELSE 'DELETE' END AS action,
+  /** c2: fix-action synthesis over the hostile diff — executable
+    * REPLACE INTO VALUES lists with escaped values, DELETE by key.
+    */
+  def c2FixActions(s: SparkSession, d: String): DataFrame = {
+    val src = ordersHostile(s, d)
+    fixActions(
+      symmetricDiffCols(src, drift(src), hostileNorm, "o_orderkey"),
+      "orders", "o_orderkey", hostileNorm)
+  }
+
+  val c2Sql: String = {
+    import graft.functions.Escape
+    val tgtRel = driftSql(ordersHostileSql, hostileCols)
+    def proj(rel: String) = {
+      val vs = hostileNorm
+        .map(nc => s"${Norm.duckNorm(nc)} AS v_${nc.name}").mkString(",\n    ")
+      s"SELECT CAST(o_orderkey AS BIGINT) AS row_key,\n    $vs\n  FROM $rel t"
+    }
+    val vals = hostileNorm.map { nc =>
+      val v = s"v_${nc.name}"
+      s"CASE WHEN $v = 'NULL' THEN 'NULL' " +
+        s"ELSE '''' || ${Escape.sqlLiteralSql(v)} || '''' END"
+    }.mkString(", ")
+    s"""WITH src AS (${proj(ordersHostileSql)}),
+       |tgt AS (${proj(tgtRel)}),
+       |diff AS (
+       |  SELECT *, 'SRC_ONLY' AS diff_side FROM
+       |    (SELECT * FROM src EXCEPT ALL SELECT * FROM tgt)
+       |  UNION ALL
+       |  SELECT *, 'TGT_ONLY' FROM
+       |    (SELECT * FROM tgt EXCEPT ALL SELECT * FROM src))
+       |SELECT
+       |  CASE WHEN diff_side = 'SRC_ONLY' THEN 'INSERT' ELSE 'DELETE' END AS action,
        |  'orders' AS table_name, row_key,
        |  CASE WHEN diff_side = 'SRC_ONLY'
-       |       THEN 'REPLACE INTO orders VALUES /*' || row_str || '*/'
-       |       ELSE 'DELETE FROM orders WHERE o_orderkey = ' || CAST(row_key AS VARCHAR)
+       |       THEN 'REPLACE INTO orders VALUES (' || concat_ws(',', $vals) || ');'
+       |       ELSE 'DELETE FROM orders WHERE o_orderkey = ' || CAST(row_key AS VARCHAR) || ';'
        |  END AS fix_sql
-       |FROM ($j4Sql)""".stripMargin
+       |FROM diff""".stripMargin
+  }
 
   /** a2b: fast-path chunk compare of source vs drifted target —
     * emits only chunks whose (count, checksum) disagree, i.e. the

@@ -49,6 +49,34 @@ class CompareSpec extends AnyFunSuite with SparkSessionTestWrapper {
       !col("fix_sql").startsWith("DELETE FROM")).count() == 0)
   }
 
+  test("fix SQL survives hostile values: escaped quotes, executable shape") {
+    val fix = Compare.c2FixActions(spark, sf)
+      .filter(col("action") === "INSERT").cache()
+    val sqls = fix.select("fix_sql").collect().map(_.getString(0))
+    assert(sqls.nonEmpty)
+    // statement shape: single REPLACE, closes its VALUES list
+    assert(sqls.forall(s => s.startsWith("REPLACE INTO orders VALUES (")
+      && s.endsWith(");")))
+    // an unescaped interior quote would leave an odd count of
+    // unescaped quotes; verify every statement parses as balanced
+    def balanced(s: String): Boolean = {
+      var i = 0; var open = false
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\\' if open => i += 1 // skip escaped char inside literal
+          case '\'' => open = !open
+          case _ =>
+        }
+        i += 1
+      }
+      !open
+    }
+    assert(sqls.forall(balanced), sqls.find(s => !balanced(s)).getOrElse(""))
+    // hostile payloads (keys ≡1 mod 6 carry a quote) actually occur
+    assert(sqls.exists(_.contains("it\\'s ")))
+    fix.unpersist()
+  }
+
   test("normalization maps '' and NULL to the same canonical value") {
     val n = Compare.p2CompareNorm(spark, sf)
     val nulls = n.filter(col("o_orderkey") % 5 === 0).select("norm_str").distinct()
