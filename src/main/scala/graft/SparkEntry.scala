@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Catalog, Check, Compare, Migrate, Relational}
 import graft.reverse.Reverse
 import graft.streaming.Cdc
-import graft.functions.{Dedup, Multimodal, Similarity, TableFilter, TextAnalysis}
+import graft.functions.{CharsetConvert, Dedup, Multimodal, Similarity,
+  TableFilter, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -23,11 +24,13 @@ object SparkEntry {
     Relational.queries ++ Compare.queries ++ Migrate.queries ++
       Cdc.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Reverse.queries ++
-      Catalog.queries ++ Check.queries ++ TableFilter.queries
+      Catalog.queries ++ Check.queries ++ TableFilter.queries ++
+      CharsetConvert.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Compare.oracles ++ Migrate.oracles ++
       Cdc.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Reverse.oracles ++
-      Catalog.oracles ++ Check.oracles ++ TableFilter.oracles
+      Catalog.oracles ++ Check.oracles ++ TableFilter.oracles ++
+      CharsetConvert.oracles
 }

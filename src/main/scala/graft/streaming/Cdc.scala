@@ -133,6 +133,85 @@ object Cdc {
     state.write.mode("overwrite").parquet(stateDir)
   }
 
+  // ----------------------------------------------------- redo-SQL parse
+
+  /** Redo-SQL text feed, LogMiner-shaped: each change rendered as the
+    * SQL_REDO statements Oracle emits (`SQL_REDO` in
+    * `V$LOGMNR_CONTENTS`; reference parses them with a SQL-parser AST
+    * visitor, `module/migrate/sql/oracle/public/sqlparser.go:34-189`).
+    * Values render through exact decimals so both engines build
+    * byte-identical text.
+    */
+  def redoFeed(s: SparkSession, d: String): DataFrame = {
+    val base = eventsAsChanges(s, d).withColumn("v",
+      col("value").cast(org.apache.spark.sql.types.DecimalType(18, 3))
+        .cast("string"))
+    base.select(col("scn"), col("seq"),
+      when(col("op") === "INSERT", concat(
+        lit("insert into \"GRAFT\".\"EVENTS\"(\"KEY\",\"VALUE\") values ('"),
+        col("key"), lit("','"), col("v"), lit("');")))
+        .when(col("op") === "UPDATE", concat(
+          lit("update \"GRAFT\".\"EVENTS\" set \"VALUE\" = '"), col("v"),
+          lit("' where \"KEY\" = '"), col("key"), lit("';")))
+        .otherwise(concat(
+          lit("delete from \"GRAFT\".\"EVENTS\" where \"KEY\" = '"),
+          col("key"), lit("';"))).as("sql_redo"))
+  }
+
+  val redoFeedSql: String =
+    s"""SELECT scn, seq,
+       |  CASE op
+       |    WHEN 'INSERT' THEN 'insert into "GRAFT"."EVENTS"("KEY","VALUE") values (''' ||
+       |      CAST(key AS VARCHAR) || ''',''' || v || ''');'
+       |    WHEN 'UPDATE' THEN 'update "GRAFT"."EVENTS" set "VALUE" = ''' || v ||
+       |      ''' where "KEY" = ''' || CAST(key AS VARCHAR) || ''';'
+       |    ELSE 'delete from "GRAFT"."EVENTS" where "KEY" = ''' ||
+       |      CAST(key AS VARCHAR) || ''';'
+       |  END AS sql_redo
+       |FROM (SELECT c.*, CAST(CAST(value AS DECIMAL(18,3)) AS VARCHAR) AS v
+       |      FROM ($eventsAsChangesSql) c) r""".stripMargin
+
+  /** c5: parse redo SQL back into typed change records (C5) — pure
+    * regexp extraction, codegen'd, no UDF, no driver loop; the
+    * reference's AST walk collapses to three anchored patterns because
+    * LogMiner redo is machine-generated SQL with fixed shape.
+    */
+  def c5RedoParse(s: SparkSession, d: String): DataFrame = {
+    val feed = redoFeed(s, d)
+    val op = upper(regexp_extract(col("sql_redo"),
+      "^(insert|update|delete)", 1))
+    val keyStr =
+      when(op === "INSERT",
+        regexp_extract(col("sql_redo"), "values \\('([^']*)','([^']*)'\\)", 1))
+        .otherwise(regexp_extract(col("sql_redo"), "\"KEY\" = '([^']*)'", 1))
+    val valueStr =
+      when(op === "INSERT",
+        regexp_extract(col("sql_redo"), "values \\('([^']*)','([^']*)'\\)", 2))
+        .when(op === "UPDATE",
+          regexp_extract(col("sql_redo"), "set \"VALUE\" = '([^']*)'", 1))
+        .otherwise(lit("NULL"))
+    feed.select(col("scn"), col("seq"), op.as("op"),
+      regexp_extract(col("sql_redo"), "\"GRAFT\"\\.\"([A-Z_]+)\"", 1)
+        .as("table_name"),
+      keyStr.cast("long").as("key"), valueStr.as("value_str"))
+  }
+
+  val c5Sql: String =
+    s"""SELECT scn, seq,
+       |  upper(regexp_extract(sql_redo, '^(insert|update|delete)', 1)) AS op,
+       |  regexp_extract(sql_redo, '"GRAFT"\\."([A-Z_]+)"', 1) AS table_name,
+       |  CAST(CASE WHEN sql_redo LIKE 'insert%'
+       |    THEN regexp_extract(sql_redo, 'values \\(''([^'']*)'',''([^'']*)''\\)', 1)
+       |    ELSE regexp_extract(sql_redo, '"KEY" = ''([^'']*)''', 1)
+       |  END AS BIGINT) AS key,
+       |  CASE WHEN sql_redo LIKE 'insert%'
+       |    THEN regexp_extract(sql_redo, 'values \\(''([^'']*)'',''([^'']*)''\\)', 2)
+       |    WHEN sql_redo LIKE 'update%'
+       |    THEN regexp_extract(sql_redo, 'set "VALUE" = ''([^'']*)''', 1)
+       |    ELSE 'NULL'
+       |  END AS value_str
+       |FROM ($redoFeedSql) f""".stripMargin
+
   // ------------------------------------------------------------- queries
 
   /** c6: batch-equivalent CDC apply over the events change feed. */
@@ -228,6 +307,7 @@ object Cdc {
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c5_redo_parse" -> c5RedoParse,
     "c6_cdc_apply" -> c6CdcApply,
     "p5_cdc_filter" -> p5CdcFilter,
     "c8_window_agg" -> c8WindowAgg,
@@ -235,6 +315,7 @@ object Cdc {
     "w2_lag_lead" -> w2LagLead)
 
   val oracles: Map[String, String] = Map(
+    "c5_redo_parse" -> c5Sql,
     "c6_cdc_apply" -> c6Sql,
     "p5_cdc_filter" -> p5Sql,
     "c8_window_agg" -> c8Sql,

@@ -56,6 +56,34 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(n1 == n2, s"log grew from $n1 to $n2 on replay")
   }
 
+  test("redo parse inverts redo synthesis: apply(parsed) == apply(direct)") {
+    // round-trip the whole feed through SQL text and back, then apply;
+    // the state must equal applying the structured feed directly
+    val parsed = Cdc.c5RedoParse(spark, sf)
+      .withColumn("table_name", lower(col("table_name")))
+      .withColumn("value",
+        when(col("value_str") === "NULL", lit(null))
+          .otherwise(col("value_str")).cast("double"))
+      .select("scn", "seq", "op", "table_name", "key", "value")
+    val direct = Cdc.eventsAsChanges(spark, sf)
+      .withColumn("value",
+        // the redo text renders DECIMAL(18,3); apply the same quantum
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 3))
+          .cast("double"))
+    val a = Cdc.applyChanges(parsed).select("table_name", "key", "scn", "op")
+    val b = Cdc.applyChanges(direct).select("table_name", "key", "scn", "op")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("charset: decode(encode(x)) round-trips for every mappable fixture") {
+    import graft.functions.CharsetConvert
+    val df = CharsetConvert.f1Charset(spark, sf)
+    // only the documented lossy case (simplified CJK under Big5) fails
+    val notOk = df.filter(!col("roundtrip_ok"))
+      .select("id", "charset").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(notOk.toSeq == Seq((2, "Big5")))
+  }
+
   test("session windows: per-user event totals are preserved") {
     val sessions = Cdc.c9SessionWindow(spark, sf)
     val total = sessions.agg(sum("n_events")).head.getLong(0)
