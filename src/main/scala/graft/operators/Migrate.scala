@@ -105,6 +105,41 @@ object Migrate {
     df.write.mode(SaveMode.Overwrite).format(format)
       .options(options).save(sink)
 
+  // ----------------------------------------------------------- JDBC path
+
+  /** Batched JDBC sink (S7) — the reference's prepared multi-row
+    * `REPLACE INTO` with `insert-batch-size` bind groups
+    * (`module/migrate/sql/oracle/o2m/translate.go:34-145`,
+    * `example/config.toml:22` batch=100) maps to the JDBC writer's
+    * `batchsize`; `Overwrite` is truncate-before-load (S10).
+    * `createTableColumnTypes` carries the reverse-engine type mapping
+    * into the target DDL.
+    */
+  def runJdbc(df: DataFrame, url: String, table: String,
+      batchSize: Int = 100,
+      columnTypes: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("batchsize", batchSize)
+    columnTypes.fold(w)(ct => w.option("createTableColumnTypes", ct)).save()
+  }
+
+  /** Chunked JDBC scan (S1/S2) — `partitionColumn/lowerBound/
+    * upperBound/numPartitions` is the exact Spark analogue of
+    * `DBMS_PARALLEL_EXECUTE.CREATE_CHUNKS_BY_NUMBER_COL`
+    * (`database/oracle/compare.go:105-132`): each partition issues one
+    * ranged query, all partitions read concurrently.
+    */
+  def readJdbcChunked(s: SparkSession, url: String, table: String,
+      partCol: String, lower: Long, upper: Long,
+      numPartitions: Int): DataFrame =
+    s.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("partitionColumn", partCol)
+      .option("lowerBound", lower).option("upperBound", upper)
+      .option("numPartitions", numPartitions)
+      .load()
+
   // ------------------------------------------------------------- queries
 
   private def tempDir(tag: String): String =
@@ -232,15 +267,61 @@ object Migrate {
         min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
   }
 
+  /** s7b: full JDBC migrate roundtrip against embedded Derby — batched
+    * write with explicit target column types, then a chunked
+    * partition-column read back, summarized per chunk. The oracle
+    * computes the same summary straight from the source: database
+    * write/read fidelity (types, batching, chunk completeness) is
+    * what's hash-checked.
+    */
+  def s7bJdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dbDir = tempDir("derby")
+    // keep derby.log out of the working directory
+    System.setProperty("derby.system.home", dbDir)
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val src = Tables.load(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(14, 2)).cast("string")
+        .as("price_str"))
+    runJdbc(src, url, "ORDERS_MIG", batchSize = 100,
+      columnTypes = Some("o_orderstatus VARCHAR(4), price_str VARCHAR(32)"))
+    val Array(minK, maxK) = src.agg(min("o_orderkey"), max("o_orderkey"))
+      .collect()(0).toSeq.map(_.toString.toLong).toArray
+    val back = readJdbcChunked(s, url, "ORDERS_MIG", "o_orderkey",
+      minK, maxK + 1, 8)
+    val normCols = Seq(
+      NormCol("o_orderkey", KLong), NormCol("o_custkey", KLong),
+      NormCol("o_orderstatus", KStr), NormCol("price_str", KStr))
+    back.groupBy(floor(col("o_orderkey") / 1000).cast("long").as("chunk_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        Norm.sparkRowChecksum(normCols).as("row_checksum"))
+  }
+
+  val s7bSql: String = {
+    val normCols = Seq(
+      NormCol("o_orderkey", KLong), NormCol("o_custkey", KLong),
+      NormCol("o_orderstatus", KStr), NormCol("price_str", KStr))
+    s"""SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS chunk_id,
+       |  count(*) AS n_rows,
+       |  ${Norm.duckRowChecksum(normCols)} AS row_checksum
+       |FROM (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus,
+       |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR) AS price_str
+       |  FROM orders) t
+       |GROUP BY 1""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s7_parquet_roundtrip" -> s7ParquetRoundtrip,
+    "s7b_jdbc_roundtrip" -> s7bJdbcRoundtrip,
     "s8_csv_roundtrip" -> s8CsvRoundtrip,
     "s2_chunked_scan" -> s2ChunkedScan)
 
   val oracles: Map[String, String] = Map(
     "s7_parquet_roundtrip" -> s7Sql,
+    "s7b_jdbc_roundtrip" -> s7bSql,
     "s8_csv_roundtrip" -> s8Sql,
     // orders keys are dense 0..N-1 at every sf: 15000 rows/sf0.01 →
     // ceil(15000/2000)=8 chunks; recomputed generically below.

@@ -59,6 +59,20 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(total == Tables.load(spark, sf, "lineitem").count())
   }
 
+  test("jdbc sink: overwrite re-run is idempotent, chunked read complete") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby").toString
+    System.setProperty("derby.system.home", dbDir)
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val src = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).limit(500)
+    Migrate.runJdbc(src, url, "T1", batchSize = 100)
+    Migrate.runJdbc(src, url, "T1", batchSize = 100) // truncate-before-load
+    val back = Migrate.readJdbcChunked(spark, url, "T1", "o_orderkey",
+      0, 1000000, 4)
+    assert(back.count() == src.count())
+    assert(back.rdd.getNumPartitions == 4)
+  }
+
   test("overwrite sink replaces prior contents (truncate-before-load)") {
     val out = java.nio.file.Files.createTempDirectory("graft_s10").toString
     val o = Tables.load(spark, sf, "orders")
