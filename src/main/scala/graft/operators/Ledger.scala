@@ -1,0 +1,92 @@
+package graft.operators
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Migrate.ChunkSpec
+
+/** Cross-run resume ledger — the reference's meta-DB checkpoint triage
+  * (`wait_sync_meta`/`full_sync_meta` models `database/meta/
+  * sync_meta_{wait,full}.go`, triage `module/migrate/sql/oracle/o2m/
+  * full.go:114-331`): the chunk plan is persisted as rows, completed
+  * chunks are marked, and a restarted task resumes exactly the
+  * unfinished remainder — IF the recorded plan still matches
+  * (`full.go:287-331` aborts resume when chunk counts differ).
+  *
+  * Storage is an append-only parquet log; current state is
+  * last-writer-wins by `update_seq` — the same arg-max merge-on-read
+  * shape as the CDC apply, so marking progress never rewrites the
+  * ledger (object stores are append-friendly, and 10⁶ chunk rows is
+  * still driver-trivial to plan over).
+  */
+object Ledger {
+
+  val Waiting = "WAITING"
+  val Success = "SUCCESS"
+  val Failed = "FAILED"
+
+  /** UUID task names (F9, `full.go:724`). */
+  def newTaskName(): String = s"graft-${UUID.randomUUID()}"
+
+  private def log(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** Current chunk state: arg-max over the append log. */
+  def state(s: SparkSession, path: String, task: String,
+      table: String): DataFrame =
+    log(s, path)
+      .filter(col("task") === task && col("table_name") === table)
+      .groupBy(col("chunk_id"))
+      .agg(max(struct(col("update_seq"), col("status"), col("lower"),
+        col("upper"))).as("last"))
+      .select(col("chunk_id"), col("last.status").as("status"),
+        col("last.lower").as("lower"), col("last.upper").as("upper"))
+
+  /** Record the plan: one WAITING row per chunk (update_seq 0). */
+  def init(s: SparkSession, path: String, task: String, table: String,
+      chunks: Seq[ChunkSpec]): Unit = {
+    import s.implicits._
+    chunks.map(c => (task, table, c.id, c.lower, c.upper, Waiting, 0L))
+      .toDF("task", "table_name", "chunk_id", "lower", "upper", "status",
+        "update_seq")
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Mark chunk completion (or failure) — append-only. */
+  def mark(s: SparkSession, path: String, task: String, table: String,
+      chunkIds: Seq[Int], status: String, updateSeq: Long): Unit = {
+    import s.implicits._
+    chunkIds.map(id => (task, table, id, 0L, 0L, status, updateSeq))
+      .toDF("task", "table_name", "chunk_id", "lower", "upper", "status",
+        "update_seq")
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Checkpoint triage on restart (`full.go:287-331`): returns the
+    * chunks still to run. A planned-vs-recorded count mismatch means
+    * the plan changed under the task — resume would silently skip or
+    * double-run ranges, so it is an error, exactly as in the
+    * reference.
+    */
+  def pending(s: SparkSession, path: String, task: String, table: String,
+      planned: Seq[ChunkSpec]): Seq[ChunkSpec] = {
+    val recorded = state(s, path, task, table).collect()
+    if (recorded.isEmpty) return planned
+    require(recorded.length == planned.size,
+      s"resume refused: recorded ${recorded.length} chunks but plan has " +
+        s"${planned.size} — wipe the ledger or re-plan (full.go:287-331)")
+    val done = recorded.filter(_.getAs[String]("status") == Success)
+      .map(_.getAs[Int]("chunk_id")).toSet
+    planned.filterNot(c => done.contains(c.id))
+  }
+
+  /** Failed chunks for operator attention (`chunk_error_detail`
+    * analogue; failures are quarantined, not fatal — `full.go:497-524`).
+    */
+  def failedChunks(s: SparkSession, path: String, task: String,
+      table: String): Seq[Int] =
+    state(s, path, task, table).filter(col("status") === Failed)
+      .select("chunk_id").collect().map(_.getInt(0)).toSeq
+}

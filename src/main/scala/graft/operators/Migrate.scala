@@ -265,6 +265,8 @@ object Migrate {
     o.groupBy(chunkIdColumn(chunks, col("o_orderkey")).as("chunk_id"))
       .agg(count(lit(1)).as("n_rows"),
         min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      // deterministic chunk ordering (W2) — a few rows post-agg, free
+      .orderBy(col("chunk_id"))
   }
 
   /** s7b: full JDBC migrate roundtrip against embedded Derby — batched

@@ -348,15 +348,64 @@ object Reverse {
        |  ') ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_bin;' AS ddl
        |FROM lines GROUP BY table_name""".stripMargin
 
+  // -------------------------------------------------- compat filter (P6)
+
+  /** Table-kind fixture for the compatible-object filter — the
+    * reference partitions the table list into partition/temporary/
+    * clustered/materialized-view buckets and diverts them to the
+    * compatibility report instead of normal reverse
+    * (`module/reverse/oracle/public/filter.go:102-187`; the partition
+    * divert is visible in `example/reverse_marvin.sql`'s
+    * LIST_PARTITION_TABLE/HASH_RANG entries).
+    */
+  val tableKinds: Seq[(String, String, Boolean)] = Seq(
+    // (table_name, kind, temporary)
+    ("marvin2", "HEAP", false),
+    ("marvin1lite", "HEAP", false),
+    ("list_partition_table", "PARTITIONED", false),
+    ("hash_rang", "PARTITIONED", false),
+    ("gtt_stage", "HEAP", true),
+    ("iot_lookup", "CLUSTERED", false),
+    ("mv_summary", "MATERIALIZED VIEW", false))
+
+  /** p6: classify each table into its migration route. */
+  def p6CompatFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    tableKinds.toDF("table_name", "kind", "temporary")
+      .withColumn("route",
+        when(col("temporary"), lit("DIVERT_TEMPORARY"))
+          .when(col("kind") === "PARTITIONED", lit("COMPAT_PARTITION"))
+          .when(col("kind") === "CLUSTERED", lit("DIVERT_CLUSTERED"))
+          .when(col("kind") === "MATERIALIZED VIEW", lit("DIVERT_MVIEW"))
+          .otherwise(lit("REVERSE")))
+      .select("table_name", "kind", "temporary", "route")
+  }
+
+  val p6Sql: String = {
+    val values = tableKinds.map { case (t, k, tmp) =>
+      s"('$t', '$k', ${if (tmp) "TRUE" else "FALSE"})"
+    }.mkString(",\n  ")
+    s"""SELECT table_name, kind, temporary,
+       |  CASE WHEN temporary THEN 'DIVERT_TEMPORARY'
+       |       WHEN kind = 'PARTITIONED' THEN 'COMPAT_PARTITION'
+       |       WHEN kind = 'CLUSTERED' THEN 'DIVERT_CLUSTERED'
+       |       WHEN kind = 'MATERIALIZED VIEW' THEN 'DIVERT_MVIEW'
+       |       ELSE 'REVERSE' END AS route
+       |FROM (VALUES
+       |  $values) t(table_name, kind, temporary)""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_type_mapping" -> r1TypeMapping,
     "r2_number_buckets" -> r2NumberBuckets,
-    "r3_ddl_synthesis" -> r3DdlSynthesis)
+    "r3_ddl_synthesis" -> r3DdlSynthesis,
+    "p6_compat_filter" -> p6CompatFilter)
 
   val oracles: Map[String, String] = Map(
     "r1_type_mapping" -> r1Sql,
     "r2_number_buckets" -> r2Sql,
-    "r3_ddl_synthesis" -> r3Sql)
+    "r3_ddl_synthesis" -> r3Sql,
+    "p6_compat_filter" -> p6Sql)
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ledger, Migrate}
+
+class LedgerSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_ledger").toString + "/l"
+
+  test("fresh ledger returns the full plan; progress shrinks it") {
+    val path = tmp()
+    val task = Ledger.newTaskName()
+    val plan = Migrate.planChunks(0, 7999, 8000, 1000)
+    assert(plan.size == 8)
+    Ledger.init(spark, path, task, "orders", plan)
+    assert(Ledger.pending(spark, path, task, "orders", plan).size == 8)
+    Ledger.mark(spark, path, task, "orders", Seq(0, 1, 2, 3, 4),
+      Ledger.Success, updateSeq = 1)
+    val rest = Ledger.pending(spark, path, task, "orders", plan)
+    assert(rest.map(_.id).sorted == Seq(5, 6, 7))
+  }
+
+  test("later marks win: FAILED then SUCCESS resumes as done") {
+    val path = tmp()
+    val task = Ledger.newTaskName()
+    val plan = Migrate.planChunks(0, 999, 1000, 500)
+    Ledger.init(spark, path, task, "t", plan)
+    Ledger.mark(spark, path, task, "t", Seq(0), Ledger.Failed, 1)
+    assert(Ledger.failedChunks(spark, path, task, "t") == Seq(0))
+    Ledger.mark(spark, path, task, "t", Seq(0), Ledger.Success, 2)
+    assert(Ledger.failedChunks(spark, path, task, "t").isEmpty)
+    assert(Ledger.pending(spark, path, task, "t", plan).map(_.id) == Seq(1))
+  }
+
+  test("plan drift under a task refuses to resume (full.go:287-331)") {
+    val path = tmp()
+    val task = Ledger.newTaskName()
+    val plan = Migrate.planChunks(0, 7999, 8000, 1000)
+    Ledger.init(spark, path, task, "orders", plan)
+    val replanned = Migrate.planChunks(0, 7999, 8000, 500) // 16 chunks
+    intercept[IllegalArgumentException] {
+      Ledger.pending(spark, path, task, "orders", replanned)
+    }
+  }
+
+  test("ledgers are task- and table-scoped") {
+    val path = tmp()
+    val t1 = Ledger.newTaskName(); val t2 = Ledger.newTaskName()
+    val plan = Migrate.planChunks(0, 999, 1000, 500)
+    Ledger.init(spark, path, t1, "a", plan)
+    Ledger.init(spark, path, t2, "a", plan)
+    Ledger.mark(spark, path, t1, "a", Seq(0, 1), Ledger.Success, 1)
+    assert(Ledger.pending(spark, path, t1, "a", plan).isEmpty)
+    assert(Ledger.pending(spark, path, t2, "a", plan).size == 2)
+  }
+}
