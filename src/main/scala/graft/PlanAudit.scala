@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic main: flags BroadcastNestedLoopJoin / CartesianProduct
+  * in every registered query's physical plan. The only acceptable
+  * BNLs are bounded-broadcast-side by design: ann1 (broadcast query
+  * set — the exact recall baseline) and the IVF centroid assignment
+  * inside ann2/d5 (O(N·C) with C centroids broadcast). Anything else
+  * appearing here is a scale regression.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = args.headOption.getOrElse("/root/testdata/sf0.001")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, d).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "BNL" -> plan.contains("BroadcastNestedLoopJoin"),
+          "CARTESIAN" -> plan.contains("CartesianProduct"))
+          .filter(_._2).map(_._1)
+        println(f"$name%-28s ${if (flags.isEmpty) "ok" else flags.mkString(",")}")
+      } catch {
+        case e: Throwable =>
+          println(f"$name%-28s ERR ${e.getMessage.take(60)}")
+      }
+    }
+    spark.stop()
+  }
+}

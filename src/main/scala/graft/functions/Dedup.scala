@@ -64,7 +64,15 @@ object Dedup {
     * unaffected by dropping ubiquitous ones).
     */
   def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+    // Materialize the shingle index once: it feeds the df-count, both
+    // self-join sides, and the per-doc counts — without this the
+    // tokenize+explode pipeline re-runs for every consumer (4 scans of
+    // the corpus). Persisting the inverted index before joining over
+    // it is the standard shape at 100 TB too (storage ≪ recompute).
+    val shDir = java.nio.file.Files
+      .createTempDirectory("graft_d2").toString + "/sh"
+    shingles(s, d).write.parquet(shDir)
+    val sh = s.read.parquet(shDir)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DF_CAP).select("shingle")
     val kept = sh.join(rare, "shingle")
@@ -105,19 +113,31 @@ object Dedup {
 
   private val K = 8 // minhash functions; bands of 2 rows → 4 bands
 
-  /** d3: MinHash + LSH banding — k salted 60-bit hashes per shingle,
+  /** Universal-hash family for MinHash: ONE base md5 per shingle,
+    * then k affine transforms h_i = (a_i·h32 + b_i) mod P — the
+    * standard trick that replaces k independent content hashes with k
+    * multiplications. h32 keeps the product under 2^60 so the int64
+    * arithmetic is overflow-free (and therefore bit-identical) in
+    * both engines. P = 2^61 − 1 (Mersenne prime).
+    */
+  private val HashP = 2305843009213693951L
+  private def hashA(i: Int): Long = 1000003L * i + 17L
+  private def hashB(i: Int): Long = 998244353L * i + 1L
+
+  /** d3: MinHash + LSH banding — k universal hashes per shingle,
     * per-doc minima form the signature; 2-row bands bucket-join into
-    * candidate pairs. The k hashes are computed as k COLUMNS on the
-    * shingle rows and reduced with one groupBy carrying k min()
-    * aggregates — no k× row inflation (round 1 crossJoin'd a range(k)
-    * and exploded the shingle table 8×), all partial-aggregable. The
-    * pair join touches only docs sharing a band bucket — the LSH
-    * scale path.
+    * candidate pairs. The k hashes are k COLUMNS on the shingle rows
+    * reduced with one groupBy of k min() aggregates — no k× row
+    * inflation (round 1 crossJoin'd a range(k) and exploded the
+    * shingle table 8×), one md5 per shingle instead of k, all
+    * partial-aggregable. The pair join touches only docs sharing a
+    * band bucket — the LSH scale path.
     */
   def d3MinhashLsh(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
+      .withColumn("h32", xhash64(col("shingle")) % lit(4294967296L))
     val mins = (0 until K).map { i =>
-      min(xhash64(concat(lit(i.toString), lit("|"), col("shingle"))))
+      min((lit(hashA(i)) * col("h32") + lit(hashB(i))) % lit(HashP))
         .as(s"mh$i")
     }
     val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
@@ -134,21 +154,27 @@ object Dedup {
       .distinct()
   }
 
-  val d3Sql: String =
+  val d3Sql: String = {
+    val mins = (0 until K).map { i =>
+      s"CAST(min((${hashA(i)} * h32 + ${hashB(i)}) % $HashP) AS BIGINT) AS mh$i"
+    }.mkString(",\n    ")
+    val bands = (0 until K / 2).map { b =>
+      s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || ':' || " +
+        s"CAST(mh${2 * b + 1} AS VARCHAR) AS sig FROM sig"
+    }.mkString("\n  UNION ALL ")
     s"""WITH sh AS ($shinglesSql),
-       |salted AS (
-       |  SELECT doc_id, CAST(i AS INT) AS i,
-       |    ${xhash64Sql("CAST(i AS VARCHAR) || '|' || shingle")} AS h
-       |  FROM sh, range($K) r(i)),
-       |sig AS (SELECT doc_id, i, min(h) AS mh FROM salted GROUP BY 1, 2),
+       |hashed AS (
+       |  SELECT doc_id, ${xhash64Sql("shingle")} % 4294967296 AS h32
+       |  FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM hashed GROUP BY doc_id),
        |bands AS (
-       |  SELECT doc_id, CAST(i // 2 AS INT) AS band,
-       |    CAST(max(CASE WHEN i % 2 = 0 THEN mh END) AS VARCHAR) || ':' ||
-       |    CAST(max(CASE WHEN i % 2 = 1 THEN mh END) AS VARCHAR) AS sig
-       |  FROM sig GROUP BY 1, 2)
+       |  $bands)
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
        |WHERE x.doc_id < y.doc_id""".stripMargin
+  }
 
   /** 48 simhash bits: wide enough that the 4 LSH bands below span 12
     * bits each (4096 bucket values per band — real selectivity at
