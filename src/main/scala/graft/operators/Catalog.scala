@@ -120,6 +120,45 @@ object Catalog {
        |       count(DISTINCT table_name) AS n_tables
        |FROM cat GROUP BY 1""".stripMargin
 
+  /** Statistics row counts (A4) — the reference trusts optimizer
+    * stats (`NVL(NUM_ROWS,0) FROM dba_tables`,
+    * `database/oracle/compare.go:84-103`); the parquet analogue is
+    * footer metadata: block row counts summed WITHOUT any Spark job
+    * or data I/O. For parquet the "stats" are exact, so a4's oracle
+    * can be the true counts.
+    */
+  def tableStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = s.sparkContext.hadoopConfiguration
+    Tables.all.map { t =>
+      val p = new Path(s"$d/$t.parquet")
+      val fs = p.getFileSystem(conf)
+      val parts =
+        if (fs.getFileStatus(p).isFile) Seq(fs.getFileStatus(p))
+        else fs.listStatus(p).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+      val rows = parts.map { st =>
+        val rd = ParquetFileReader
+          .open(HadoopInputFile.fromPath(st.getPath, conf))
+        try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally rd.close()
+      }.sum
+      (t, rows, parts.map(_.getLen).sum)
+    }.toDF("table_name", "stat_rows", "total_bytes")
+  }
+
+  /** a4: footer-stats row counts vs true counts. */
+  def a4StatsRowcount(s: SparkSession, d: String): DataFrame =
+    tableStats(s, d).select("table_name", "stat_rows")
+
+  val a4Sql: String = Tables.all
+    .map(t => s"SELECT '$t' AS table_name, count(*) AS stat_rows FROM $t")
+    .mkString("\nUNION ALL ")
+
   /** a11: per-table row counts (assess overview — the reference reads
     * NVL(NUM_ROWS,0) stats, A4; here exact counts from parquet
     * metadata, one metadata-only job per table).
@@ -258,6 +297,7 @@ object Catalog {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k2_catalog_snapshot" -> k2CatalogSnapshot,
+    "a4_stats_rowcount" -> a4StatsRowcount,
     "a10_column_type_dist" -> a10ColumnTypeDist,
     "a11_row_counts" -> a11RowCounts,
     "a12_null_profile" -> a12NullProfile,
@@ -267,6 +307,7 @@ object Catalog {
 
   val oracles: Map[String, String] = Map(
     "k2_catalog_snapshot" -> k2Sql,
+    "a4_stats_rowcount" -> a4Sql,
     "a10_column_type_dist" -> a10Sql,
     "a11_row_counts" -> a11Sql,
     "a12_null_profile" -> a12Sql,

@@ -252,6 +252,32 @@ object Relational {
       |UNION ALL SELECT 'l_suppkey', c2 FROM nd
       |UNION ALL SELECT 'l_linenumber', c3 FROM nd""".stripMargin
 
+  /** a16: skew-safe two-stage salted aggregation — the 100 TB pattern
+    * for hot grouping keys: a salt column spreads each key over N
+    * partial groups (stage 1, map-side combinable), a second agg
+    * removes the salt (stage 2, N rows per key). Decimal sums are
+    * associative, so the result is EXACTLY the direct groupBy — which
+    * is what the oracle computes. l_returnflag (3 values over 600k
+    * rows) is a genuinely skewed key.
+    */
+  def a16SaltedAgg(s: SparkSession, d: String): DataFrame = {
+    val qty = col("l_quantity").cast(DecimalType(12, 2))
+    li(s, d)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(qty).as("part_qty"), count(lit(1)).as("part_n"))
+      .groupBy(col("l_returnflag"))
+      .agg(decStr(sum(col("part_qty")).cast(DecimalType(38, 2)))
+        .as("sum_qty"),
+        sum(col("part_n")).as("n_rows"))
+  }
+
+  val a16Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   /** p1: type-directed export projection (P1) — dates/decimals rendered
     * to canonical strings, as the reference does per Oracle type
     * (`module/migrate/sql/oracle/o2m/full.go:885-948`).
@@ -312,6 +338,7 @@ object Relational {
     "a7_topk" -> a7TopK,
     "a8_threshold" -> a8Threshold,
     "a9_split_key_election" -> a9SplitKeyElection,
+    "a16_salted_agg" -> a16SaltedAgg,
     "p1_export_projection" -> p1ExportProjection,
     "p3_chunk_filter" -> p3ChunkFilter,
     "w5_top_per_group" -> w5TopPerGroup)
@@ -328,6 +355,7 @@ object Relational {
     "a7_topk" -> a7Sql,
     "a8_threshold" -> a8Sql,
     "a9_split_key_election" -> a9Sql,
+    "a16_salted_agg" -> a16Sql,
     "p1_export_projection" -> p1Sql,
     "p3_chunk_filter" -> p3Sql,
     "w5_top_per_group" -> w5Sql)

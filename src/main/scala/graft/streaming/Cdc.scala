@@ -200,6 +200,22 @@ object Cdc {
       }
       .start()
 
+  /** One redo/archive log's coverage: [firstScn, nextScn) — the
+    * FIRST_CHANGE#/NEXT_CHANGE# pair of `v$log`/`v$archived_log`.
+    */
+  final case class LogFile(path: String, firstScn: Long, nextScn: Long)
+
+  /** Log-window selection (C2) — which log files must be mined to
+    * resume from a checkpoint: every file whose SCN range extends past
+    * the checkpoint, in SCN order (the reference's redo-vs-archived
+    * decision from min global SCN, `module/migrate/sql/oracle/o2m/
+    * incr.go:507-548`, `database/oracle/all.go:24-142`). Pure — the
+    * file list is bounded metadata; the chosen files feed the
+    * streaming source.
+    */
+  def selectLogWindow(logs: Seq[LogFile], checkpointScn: Long): Seq[LogFile] =
+    logs.filter(_.nextScn > checkpointScn).sortBy(_.firstScn)
+
   /** Multi-table change feed (table keyed off user_id) — exercises
     * per-table watermarks and fan-out; single-table feeds can't.
     */

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Catalog
+import graft.streaming.Cdc
+import graft.streaming.Cdc.LogFile
+
+/** Scale-pattern demonstrations: the mechanisms a 1000-executor run
+  * leans on, proven at test scale — co-located bucketed joins (no
+  * shuffle), footer-only stats, log-window selection.
+  */
+class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  test("bucketed co-located join runs with NO shuffle exchange") {
+    val o = Tables.load(spark, sf, "orders")
+    val l = Tables.load(spark, sf, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // pre-bucketing both fact tables on the join key is the
+    // co-located-join setup for repeated large joins (SURVEY §2.3)
+    o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    l.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    // disable auto-broadcast so the test exercises the big-big join
+    // path (at 100 TB neither side broadcasts)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") &&
+        !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(joined.count() == l.count())
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("footer stats equal true counts with zero data scan") {
+    val stats = Catalog.tableStats(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Tables.all.foreach { t =>
+      assert(stats(t) == Tables.load(spark, sf, t).count(), t)
+    }
+    assert(stats.values.forall(_ > 0))
+  }
+
+  test("log-window selection covers the checkpoint, in SCN order (C2)") {
+    val logs = Seq(
+      LogFile("arch1", 0, 1000), LogFile("arch2", 1000, 2000),
+      LogFile("redo1", 2000, 3000), LogFile("redo2", 3000, Long.MaxValue))
+    // mid-archive checkpoint: its file plus everything after
+    assert(Cdc.selectLogWindow(logs, 1500).map(_.path) ==
+      Seq("arch2", "redo1", "redo2"))
+    // exactly at a boundary: the earlier file is fully consumed
+    assert(Cdc.selectLogWindow(logs, 2000).map(_.path) ==
+      Seq("redo1", "redo2"))
+    // fresh start mines everything; far-future mines only current redo
+    assert(Cdc.selectLogWindow(logs, 0).size == 4)
+    assert(Cdc.selectLogWindow(logs, 99999999L).map(_.path) == Seq("redo2"))
+  }
+}
