@@ -168,6 +168,21 @@ object Relational {
        |       ${Norm.duckRowChecksum(lineitemNorm)} AS row_checksum
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** a2c: the same chunk summary as a2 in ONE custom aggregate — the
+    * typed [[graft.functions.ChunkSummaryAgg]] carries (count, sum)
+    * in a single buffer (single-pass, map-side combinable, BigInt so
+    * no overflow at any chunk size). Oracle: identical to a2's.
+    */
+  def a2cSummaryOnePass(s: SparkSession, d: String): DataFrame = {
+    val summary = udaf(graft.functions.ChunkSummaryAgg,
+      org.apache.spark.sql.Encoders.scalaLong)
+    li(s, d)
+      .groupBy(floor(col("l_orderkey") / 1000).cast("long").as("chunk_id"))
+      .agg(summary(Norm.xhash64(Norm.sparkRow(lineitemNorm))).as("sm"))
+      .select(col("chunk_id"), col("sm._1").as("n_rows"),
+        col("sm._2").as("row_checksum"))
+  }
+
   /** a3: split-key MIN/MAX guard bounds (A3) plus out-of-range counts —
     * compare must catch target rows outside the source key range
     * (transferdb `module/compare/oracle/o2m/chunk.go:331-369`).
@@ -333,6 +348,7 @@ object Relational {
     "j3_semi_join" -> j3SemiJoin,
     "a1_chunk_counts" -> a1ChunkCounts,
     "a2_chunk_checksum" -> a2ChunkChecksum,
+    "a2c_summary_onepass" -> a2cSummaryOnePass,
     "a3_minmax_guard" -> a3MinMaxGuard,
     "a6_assess_overview" -> a6AssessOverview,
     "a7_topk" -> a7TopK,
@@ -350,6 +366,7 @@ object Relational {
     "j3_semi_join" -> j3Sql,
     "a1_chunk_counts" -> a1Sql,
     "a2_chunk_checksum" -> a2Sql,
+    "a2c_summary_onepass" -> a2Sql,
     "a3_minmax_guard" -> a3Sql,
     "a6_assess_overview" -> a6Sql,
     "a7_topk" -> a7Sql,
