@@ -280,6 +280,19 @@ object Catalog {
        |$melt""".stripMargin
   }
 
+  /** a18: top-K tables by rows (assess A7 family — `ORDER BY NUM_ROWS
+    * DESC` over stats, `database/oracle/assess.go:256-305`) — from
+    * footer stats, deterministic name tiebreak.
+    */
+  def a18TopTables(s: SparkSession, d: String): DataFrame =
+    tableStats(s, d).select("table_name", "stat_rows")
+      .orderBy(col("stat_rows").desc, col("table_name").asc)
+      .limit(5)
+
+  val a18Sql: String =
+    s"""SELECT table_name, stat_rows FROM ($a4Sql) t
+       |ORDER BY stat_rows DESC, table_name ASC LIMIT 5""".stripMargin
+
   /** a15: wide-table threshold scan (assess compat checks, A8 family —
     * the reference flags >512 columns; the testdata threshold is 5).
     */
@@ -303,7 +316,8 @@ object Catalog {
     "a12_null_profile" -> a12NullProfile,
     "a13_width_profile" -> a13WidthProfile,
     "a14_numeric_profile" -> a14NumericProfile,
-    "a15_wide_tables" -> a15WideTables)
+    "a15_wide_tables" -> a15WideTables,
+    "a18_top_tables" -> a18TopTables)
 
   val oracles: Map[String, String] = Map(
     "k2_catalog_snapshot" -> k2Sql,
@@ -313,5 +327,6 @@ object Catalog {
     "a12_null_profile" -> a12Sql,
     "a13_width_profile" -> a13Sql,
     "a14_numeric_profile" -> a14Sql,
-    "a15_wide_tables" -> a15Sql)
+    "a15_wide_tables" -> a15Sql,
+    "a18_top_tables" -> a18Sql)
 }

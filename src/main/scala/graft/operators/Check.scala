@@ -97,6 +97,126 @@ object Check {
        |  FROM cat)""".stripMargin
   }
 
+  // --------------------------------------------------------- index check
+
+  /** Index fixture, modeled on the reference's check examples
+    * (`example/check_marvin.sql` index section: bitmap and
+    * function-based forms need manual handling; normal/unique forms
+    * get runnable CREATE/DROP fixes).
+    */
+  val indexFixture: Seq[(String, String, String, Boolean, String)] = Seq(
+    ("marvin2", "pk_m2", "n1", true, "NORMAL"),
+    ("marvin2", "idx_m2_vchar3", "vchar3", false, "NORMAL"),
+    ("marvin2", "idx_m2_n4_vchar3", "n4,vchar3", false, "NORMAL"),
+    ("marvin1lite", "pk_m1l", "id", true, "NORMAL"),
+    ("marvin1lite", "idx_m1l_name", "name", false, "NORMAL"),
+    ("unique_test", "uq_email", "email", true, "NORMAL"),
+    ("unique_test", "idx_fname", "fname", false, "BITMAP"),
+    ("unique_test", "idx_fn_expr", "SUBSTR(fname,1,3)", false,
+      "FUNCTION-BASED"))
+
+  private def indexDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    indexFixture.toDF("table_name", "index_name", "cols", "uniq", "kind")
+  }
+
+  private val indexValuesSql: String = {
+    val values = indexFixture.map { case (t, i, c, u, k) =>
+      s"('$t', '$i', '$c', ${if (u) "TRUE" else "FALSE"}, '$k')"
+    }.mkString(",\n  ")
+    s"""idx(table_name, index_name, cols, uniq, kind) AS (VALUES
+       |  $values)""".stripMargin
+  }
+
+  /** k3: index diff — source vs hash-drifted target index sets,
+    * classified ADD (missing on target) / DROP (target-only) /
+    * REBUILD (columns or uniqueness drifted), with runnable
+    * CREATE/DROP INDEX fixes; incompatible forms (bitmap,
+    * function-based) get a manual-action comment instead, as the
+    * reference diverts them (`check_marvin.sql`, `rule.go:107-154`).
+    */
+  def k3IndexDiff(s: SparkSession, d: String): DataFrame = {
+    val src = indexDf(s)
+    val m = pmod(Norm.xhash64(
+      concat(col("table_name"), lit("."), col("index_name"))), lit(5L))
+    val tgt = src.filter(m =!= 0)
+      .withColumn("cols",
+        when(m === 1, concat(col("cols"), lit(",extra_col")))
+          .otherwise(col("cols")))
+      .withColumn("uniq", when(m === 2, !col("uniq")).otherwise(col("uniq")))
+      .unionByName(src.select("table_name").distinct()
+        .select(col("table_name"), lit("audit_idx").as("index_name"),
+          lit("audit_ts").as("cols"), lit(false).as("uniq"),
+          lit("NORMAL").as("kind")))
+    val j = src.select(col("table_name"), col("index_name"),
+        col("cols").as("s_cols"), col("uniq").as("s_uniq"),
+        col("kind").as("s_kind"))
+      .join(tgt.select(col("table_name"), col("index_name"),
+        col("cols").as("t_cols"), col("uniq").as("t_uniq")),
+        Seq("table_name", "index_name"), "full_outer")
+    val change =
+      when(col("t_cols").isNull, lit("ADD"))
+        .when(col("s_cols").isNull, lit("DROP"))
+        .when(col("s_cols") =!= col("t_cols") ||
+          col("s_uniq") =!= col("t_uniq"), lit("REBUILD"))
+        .otherwise(lit("SAME"))
+    val createSql = concat(lit("CREATE "),
+      when(col("s_uniq"), lit("UNIQUE ")).otherwise(lit("")),
+      lit("INDEX "), col("index_name"), lit(" ON steven."),
+      col("table_name"), lit("("), col("s_cols"), lit(");"))
+    val dropSql = concat(lit("DROP INDEX "), col("index_name"),
+      lit(" ON steven."), col("table_name"), lit(";"))
+    val fix =
+      when(col("s_kind").isNotNull && col("s_kind") =!= "NORMAL",
+        concat(lit("-- manual ["), col("s_kind"), lit("]: "), createSql))
+        .when(change === "ADD", createSql)
+        .when(change === "DROP", dropSql)
+        .when(change === "REBUILD", concat(dropSql, lit(" "), createSql))
+    j.withColumn("change", change).filter(col("change") =!= "SAME")
+      .select(col("table_name"), col("index_name"), col("change"),
+        fix.as("fix_sql"))
+  }
+
+  val k3Sql: String = {
+    val m = s"${Norm.xhash64Sql("table_name || '.' || index_name")} % 5"
+    s"""WITH $indexValuesSql,
+       |tgt AS (
+       |  SELECT table_name, index_name,
+       |    CASE WHEN $m = 1 THEN cols || ',extra_col' ELSE cols END AS cols,
+       |    CASE WHEN $m = 2 THEN NOT uniq ELSE uniq END AS uniq
+       |  FROM idx WHERE $m <> 0
+       |  UNION ALL
+       |  SELECT DISTINCT table_name, 'audit_idx', 'audit_ts', FALSE
+       |  FROM idx),
+       |j AS (
+       |  SELECT coalesce(s.table_name, t.table_name) AS table_name,
+       |         coalesce(s.index_name, t.index_name) AS index_name,
+       |         s.cols AS s_cols, s.uniq AS s_uniq, s.kind AS s_kind,
+       |         t.cols AS t_cols, t.uniq AS t_uniq
+       |  FROM idx s FULL OUTER JOIN tgt t
+       |    ON s.table_name = t.table_name AND s.index_name = t.index_name),
+       |c AS (
+       |  SELECT *,
+       |    CASE WHEN t_cols IS NULL THEN 'ADD'
+       |         WHEN s_cols IS NULL THEN 'DROP'
+       |         WHEN s_cols <> t_cols OR s_uniq <> t_uniq THEN 'REBUILD'
+       |         ELSE 'SAME' END AS change,
+       |    'CREATE ' || CASE WHEN s_uniq THEN 'UNIQUE ' ELSE '' END ||
+       |      'INDEX ' || index_name || ' ON steven.' || table_name ||
+       |      '(' || s_cols || ');' AS create_sql,
+       |    'DROP INDEX ' || index_name || ' ON steven.' || table_name ||
+       |      ';' AS drop_sql
+       |  FROM j)
+       |SELECT table_name, index_name, change,
+       |  CASE WHEN s_kind IS NOT NULL AND s_kind <> 'NORMAL'
+       |         THEN '-- manual [' || s_kind || ']: ' || create_sql
+       |       WHEN change = 'ADD' THEN create_sql
+       |       WHEN change = 'DROP' THEN drop_sql
+       |       WHEN change = 'REBUILD' THEN drop_sql || ' ' || create_sql
+       |  END AS fix_sql
+       |FROM c WHERE change <> 'SAME'""".stripMargin
+  }
+
   // ------------------------------------------------------------- queries
 
   /** k1: struct check of the introspected catalog vs its drifted
@@ -142,8 +262,10 @@ object Check {
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "k1_struct_diff" -> k1StructDiff)
+    "k1_struct_diff" -> k1StructDiff,
+    "k3_index_diff" -> k3IndexDiff)
 
   val oracles: Map[String, String] = Map(
-    "k1_struct_diff" -> k1Sql)
+    "k1_struct_diff" -> k1Sql,
+    "k3_index_diff" -> k3Sql)
 }

@@ -395,17 +395,31 @@ object Reverse {
        |  $values) t(table_name, kind, temporary)""".stripMargin
   }
 
+  /** a17: migration-route summary (assess compatibility overview —
+    * the reference's per-bucket object counts,
+    * `module/assess/oracle/o2m/assess_result.go` compatible-object
+    * families).
+    */
+  def a17RouteCounts(s: SparkSession, d: String): DataFrame =
+    p6CompatFilter(s, d).groupBy("route")
+      .agg(count(lit(1)).as("n_tables"))
+
+  val a17Sql: String =
+    s"""SELECT route, count(*) AS n_tables FROM ($p6Sql) p GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_type_mapping" -> r1TypeMapping,
     "r2_number_buckets" -> r2NumberBuckets,
     "r3_ddl_synthesis" -> r3DdlSynthesis,
-    "p6_compat_filter" -> p6CompatFilter)
+    "p6_compat_filter" -> p6CompatFilter,
+    "a17_route_counts" -> a17RouteCounts)
 
   val oracles: Map[String, String] = Map(
     "r1_type_mapping" -> r1Sql,
     "r2_number_buckets" -> r2Sql,
     "r3_ddl_synthesis" -> r3Sql,
-    "p6_compat_filter" -> p6Sql)
+    "p6_compat_filter" -> p6Sql,
+    "a17_route_counts" -> a17Sql)
 }
