@@ -70,8 +70,12 @@ object Multimodal {
         // per-partition init would go here (codec/model load)
         rows.map { r =>
           val f = decodeStub(r.payload)
-          MediaFeature(r.doc_id, r.fmt,
-            f.map(_.toDouble).sum / f.length, f.length, f)
+          // feat_mean in DOUBLE over payload bytes in byte order —
+          // deterministic and engine-reproducible (float32 slot
+          // accumulation would diverge from any SQL oracle at ulp
+          // scale); equals the mean of the stub's slot sums
+          val meanD = r.payload.map(b => (b & 0xff) / 255.0).sum / f.length
+          MediaFeature(r.doc_id, r.fmt, meanD, f.length, f)
         }
       }
   }
@@ -101,15 +105,30 @@ object Multimodal {
       |FROM documents""".stripMargin
 
   /** m2: batched feature extraction through [[extractFeatures]] —
-    * the mapPartitions path itself. Features come from the decode
-    * STUB, so no SQL oracle exists (driver records rows-only); the
-    * ScalaTest spec pins determinism and batch behavior instead.
+    * the mapPartitions path itself. The float feature VECTOR stays a
+    * stub artifact (pinned by ScalaTest determinism checks), but
+    * `feat_mean` is double arithmetic over the payload bytes, which
+    * the oracle reproduces byte-for-byte from the hex string (DuckDB
+    * 1.0 cannot slice BLOBs, but `substr` on the hex text yields each
+    * byte).
     */
   def m2MediaFeatures(s: SparkSession, d: String): DataFrame =
     extractFeatures(mediaTable(s, d))
       .toDF()
       .select(col("doc_id"), col("fmt"), col("feat_dim"),
         round(col("feat_mean"), 4).as("feat_mean_r"))
+
+  val m2Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |       WHEN doc_id % 3 = 1 THEN 'jpeg'
+      |       ELSE 'wav' END AS fmt,
+      |  8 AS feat_dim,
+      |  round(list_sum(list_transform(range(1, 33),
+      |    i -> CAST('0x' || substr(hx, CAST(2*i-1 AS INT), 2) AS INT)
+      |         / 255.0)) / 8.0, 4) AS feat_mean_r
+      |FROM (SELECT doc_id, md5(text) || md5(text || 'x') AS hx
+      |      FROM documents) t""".stripMargin
 
   // ------------------------------------------------------------- registry
 
@@ -118,5 +137,6 @@ object Multimodal {
     "m2_media_features" -> m2MediaFeatures)
 
   val oracles: Map[String, String] = Map(
-    "m1_media_meta" -> m1Sql)
+    "m1_media_meta" -> m1Sql,
+    "m2_media_features" -> m2Sql)
 }

@@ -61,18 +61,37 @@ object Compare {
 
   /** Keyed symmetric diff carrying each normalized column separately
     * (not just the joined row string) so fix synthesis can render a
-    * real VALUES list. Same exceptAll shape as [[symmetricDiff]].
+    * real VALUES list.
+    *
+    * Multiset semantics via count-compare: each side aggregates to
+    * (row → multiplicity) once, then ONE full-outer join emits the
+    * surplus side with `sequence`-exploded multiplicity — identical
+    * rows to exceptAll-both-directions, at half the shuffles (two
+    * partial-aggregable groupBys + one join, vs two exceptAll joins
+    * that each reshuffle both inputs). The oracle implements the same
+    * diff WITH `EXCEPT ALL`, so the two formulations check each other.
     */
   def symmetricDiffCols(src: DataFrame, tgt: DataFrame,
       normCols: Seq[NormCol], keyCol: String): DataFrame = {
     def proj(df: DataFrame) =
       df.select(col(keyCol).cast("long").as("row_key") +:
         normCols.map(nc => Norm.sparkNorm(nc).as(s"v_${nc.name}")): _*)
-    val srcOnly = proj(src).exceptAll(proj(tgt))
-      .withColumn("diff_side", lit("SRC_ONLY"))
-    val tgtOnly = proj(tgt).exceptAll(proj(src))
-      .withColumn("diff_side", lit("TGT_ONLY"))
-    srcOnly.unionAll(tgtOnly)
+    val keys = "row_key" +: normCols.map(nc => s"v_${nc.name}")
+    val sc = proj(src).groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_src"))
+    val tc = proj(tgt).groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_tgt"))
+    val j = sc.join(tc, keys, "full_outer")
+      .withColumn("n_src", coalesce(col("n_src"), lit(0L)))
+      .withColumn("n_tgt", coalesce(col("n_tgt"), lit(0L)))
+      .filter(col("n_src") =!= col("n_tgt"))
+    j.select(keys.map(col) :+
+        when(col("n_src") > col("n_tgt"), lit("SRC_ONLY"))
+          .otherwise(lit("TGT_ONLY")).as("diff_side") :+
+        abs(col("n_src") - col("n_tgt")).as("surplus"): _*)
+      .withColumn("mult",
+        explode(sequence(lit(1L), col("surplus"))))
+      .drop("surplus", "mult")
   }
 
   /** Fix-action synthesis from a columnar diff: SRC_ONLY → an
