@@ -125,6 +125,53 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(notOk.toSeq == Seq((2, "Big5")))
   }
 
+  test("streaming tumbling window + watermark drops late data (C8)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_wm").toString
+    val feed = s"$tmp/feed"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(feed))
+
+    def pushAndRun(stamps: Seq[String]): Unit = {
+      stamps.map(java.sql.Timestamp.valueOf).toDF("ts")
+        .write.mode("append").parquet(feed)
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType))))
+        .parquet(feed)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"))
+        .count()
+        .select(date_format(col("window.start"), "HH:mm").as("w"),
+          col("count"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+    }
+
+    // batch 1: 3 on-time rows in the 10:00 window, one at 10:16
+    pushAndRun(Seq("2024-01-01 10:00:30", "2024-01-01 10:01:00",
+      "2024-01-01 10:04:00", "2024-01-01 10:16:00"))
+    // batch 2: watermark is now 10:06 — PAST the 10:00 window's end,
+    // so that window finalizes with its on-time count and the late
+    // 10:01:30 arrival must be discarded, not re-counted
+    pushAndRun(Seq("2024-01-01 10:01:30", "2024-01-01 10:24:00"))
+    // batch 3: advance the clock so nothing is left pending silently
+    pushAndRun(Seq("2024-01-01 10:40:00"))
+
+    val res = spark.read.parquet(out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the finalized 10:00 window counts its 3 on-time rows only —
+    // the late 10:01:30 arrival was discarded by the watermark
+    assert(res.get("10:00").contains(3L), res.toString)
+    // no window is ever emitted twice
+    val dups = spark.read.parquet(out).groupBy("w").count()
+      .filter(col("count") > 1)
+    assert(dups.isEmpty)
+  }
+
   test("session windows: per-user event totals are preserved") {
     val sessions = Cdc.c9SessionWindow(spark, sf)
     val total = sessions.agg(sum("n_events")).head.getLong(0)
