@@ -217,6 +217,29 @@ object Check {
        |FROM c WHERE change <> 'SAME'""".stripMargin
   }
 
+  /** a19: schema-object overview (assess `SchemaOverview` family —
+    * object counts per kind, `database/oracle/assess.go:162-254`).
+    */
+  def a19ObjectOverview(s: SparkSession, d: String): DataFrame = {
+    val snap = Catalog.snapshot(s, d)
+      .agg(countDistinct(col("table_name")).as("n_tables"),
+        count(lit(1)).as("n_columns"))
+    val idx = indexDf(s)
+      .agg(count(lit(1)).as("n_indexes"),
+        sum(when(col("uniq"), 1L).otherwise(0L)).as("n_unique"))
+    snap.crossJoin(idx)
+  }
+
+  val a19Sql: String =
+    s"""WITH ${Catalog.catalogValuesSql},
+       |$indexValuesSql
+       |SELECT
+       |  (SELECT count(DISTINCT table_name) FROM cat) AS n_tables,
+       |  (SELECT count(*) FROM cat) AS n_columns,
+       |  (SELECT count(*) FROM idx) AS n_indexes,
+       |  (SELECT CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT)
+       |   FROM idx) AS n_unique""".stripMargin
+
   // ------------------------------------------------------------- queries
 
   /** k1: struct check of the introspected catalog vs its drifted
@@ -263,9 +286,11 @@ object Check {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_struct_diff" -> k1StructDiff,
-    "k3_index_diff" -> k3IndexDiff)
+    "k3_index_diff" -> k3IndexDiff,
+    "a19_object_overview" -> a19ObjectOverview)
 
   val oracles: Map[String, String] = Map(
     "k1_struct_diff" -> k1Sql,
-    "k3_index_diff" -> k3Sql)
+    "k3_index_diff" -> k3Sql,
+    "a19_object_overview" -> a19Sql)
 }

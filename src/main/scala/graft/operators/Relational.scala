@@ -116,6 +116,44 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name""".stripMargin
 
+  /** q3: shipping-priority — selective filters on three tables
+    * (pushed to the scans), broadcast customer dim, groupBy + top-K.
+    * The classic selective-join shape: at 100 TB the two date filters
+    * prune row groups before the join ever sees a row.
+    */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val price = col("l_extendedprice").cast(DecimalType(12, 2))
+    val disc = col("l_discount").cast(DecimalType(5, 2))
+    li(s, d).filter(col("l_shipdate") > lit("1995-03-15"))
+      .join(ord(s, d).filter(col("o_orderdate") < lit("1995-03-15")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust(s, d).filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .agg(sum(price * (lit(1).cast(DecimalType(5, 2)) - disc))
+        .cast(DecimalType(38, 4)).as("rev_d"))
+      // top-K on the NUMERIC value; string rendering comes after
+      // (ordering the rendered string would sort lexically)
+      .orderBy(col("rev_d").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"), col("o_date"),
+        decStr(col("rev_d")).as("revenue"))
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, o_date, CAST(rev_d AS VARCHAR) AS revenue FROM (
+      |  SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DECIMAL(38,4)) AS rev_d
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |    AND o_orderdate < TIMESTAMP '1995-03-15'
+      |    AND l_shipdate > TIMESTAMP '1995-03-15'
+      |  GROUP BY 1, 2
+      |  ORDER BY rev_d DESC, l_orderkey ASC LIMIT 10) t""".stripMargin
+
   /** j2: anti join — customers with no orders (J2, set difference on
     * keys; transferdb `common/strings.go:84-95`).
     */
@@ -343,6 +381,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
+    "q3_shipping_priority" -> q3ShippingPriority,
     "j1_revenue_by_nation" -> j1RevenueByNation,
     "j2_anti_join" -> j2AntiJoin,
     "j3_semi_join" -> j3SemiJoin,
@@ -361,6 +400,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
     "j1_revenue_by_nation" -> j1Sql,
     "j2_anti_join" -> j2Sql,
     "j3_semi_join" -> j3Sql,
