@@ -176,15 +176,46 @@ object Similarity {
        |  ON x.cell = y.cell AND x.vec_id < y.vec_id
        |WHERE ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) > 0.3""".stripMargin
 
+  /** ann3: recall@5 of the IVF search against the exact baseline —
+    * the evaluation loop every ANN deployment runs: ann1 (exact,
+    * rank ≤ 5) is ground truth, hits are ann2 results present in it.
+    * Both engines recompute both pipelines and the join, so the
+    * recall arithmetic itself is oracle-checked.
+    */
+  def ann3Recall(s: SparkSession, d: String): DataFrame = {
+    val truth = ann1BruteTopK(s, d).filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val got = ann2IvfTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_expected")).crossJoin(
+      hits.agg(count(lit(1)).as("n_hits")))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_expected"))
+  }
+
+  val ann3Sql: String =
+    s"""WITH truth AS (
+       |  SELECT query_id, neighbor_id FROM ($ann1Sql) a WHERE rank <= 5),
+       |got AS (SELECT query_id, neighbor_id FROM ($ann2Sql) b),
+       |hits AS (SELECT * FROM truth WHERE EXISTS (
+       |  SELECT 1 FROM got WHERE got.query_id = truth.query_id
+       |    AND got.neighbor_id = truth.neighbor_id))
+       |SELECT (SELECT count(*) FROM truth) AS n_expected,
+       |       (SELECT count(*) FROM hits) AS n_hits,
+       |       CAST((SELECT count(*) FROM hits) AS DOUBLE) /
+       |         (SELECT count(*) FROM truth) AS recall""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann1_brute_topk" -> ann1BruteTopK,
     "ann2_ivf_topk" -> ann2IvfTopK,
+    "ann3_recall" -> ann3Recall,
     "d5_cosine_pairs_banded" -> d5CosinePairsBanded)
 
   val oracles: Map[String, String] = Map(
     "ann1_brute_topk" -> ann1Sql,
     "ann2_ivf_topk" -> ann2Sql,
+    "ann3_recall" -> ann3Sql,
     "d5_cosine_pairs_banded" -> d5Sql)
 }
