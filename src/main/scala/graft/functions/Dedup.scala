@@ -255,6 +255,63 @@ object Dedup {
        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
+  /** Connected components by iterative min-label propagation: each
+    * node starts labeled with itself; every round, each node takes the
+    * minimum label among itself and its neighbors, until a fixpoint.
+    * Converges in ≤ diameter rounds (near-dup components are tiny —
+    * chains of a few docs — so a handful of rounds; the cap is a
+    * safety net). This is the standard distributed CC shape
+    * (label propagation over an edge list, lineage truncated per
+    * round); the driver only coordinates rounds and checks the
+    * 1-row convergence count — no data is collected.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
+      .unionAll(pairs.select(col("doc_b").as("s"), col("doc_a").as("t")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("s").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "t"), "t")
+        .groupBy(col("s").as("doc_id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"),
+        "doc_id").filter(col("label") < col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** d6: near-dup clustering — connected components over the MinHash
+    * LSH candidate pairs; cluster id = min doc_id in the component
+    * (the survivor a keep-one dedup would retain). The oracle computes
+    * the same components with a recursive transitive-closure CTE —
+    * a completely different algorithm, so agreement pins both.
+    */
+  def d6DupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(d3MinhashLsh(s, d))
+
+  val d6Sql: String =
+    s"""WITH RECURSIVE pairs AS ($d3Sql),
+       |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(s, t) AS (
+       |  SELECT s, t FROM edges
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
+       |SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+       |FROM reach GROUP BY s""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -262,12 +319,14 @@ object Dedup {
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d3_minhash_lsh" -> d3MinhashLsh,
     "d4_simhash" -> d4Simhash,
-    "d4b_simhash_pairs" -> d4bSimhashPairs)
+    "d4b_simhash_pairs" -> d4bSimhashPairs,
+    "d6_dup_clusters" -> d6DupClusters)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
     "d2_ngram_jaccard" -> d2Sql,
     "d3_minhash_lsh" -> d3Sql,
     "d4_simhash" -> d4Sql,
-    "d4b_simhash_pairs" -> d4bSql)
+    "d4b_simhash_pairs" -> d4bSql,
+    "d6_dup_clusters" -> d6Sql)
 }

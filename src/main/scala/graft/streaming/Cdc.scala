@@ -133,6 +133,55 @@ object Cdc {
     state.write.mode("overwrite").parquet(stateDir)
   }
 
+  // ------------------------------------- custom keyed state (C3 typed)
+
+  /** Typed view of a change record for the stateful API. */
+  final case class ChangeRow(scn: Long, seq: Long, op: String,
+      table_name: String, key: Long, value: Option[Double])
+
+  /** Running per-key progress carried in GroupState. */
+  final case class KeyProgress(table_name: String, key: Long,
+      n_changes: Long, last_scn: Long)
+
+  /** Per-key custom state via `mapGroupsWithState` — the
+    * KeyValueGroupedDataset state path for logic windows/watermarks
+    * can't express: an unbounded running (change count, max SCN) per
+    * key, surviving restarts through the streaming checkpoint (the
+    * typed analogue of the reference's per-table `incr_sync_meta`
+    * counters). Emits one updated KeyProgress per touched key per
+    * micro-batch.
+    */
+  def trackKeyProgress(s: SparkSession, feedDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    s.readStream.schema(changeSchema).parquet(feedDir)
+      .as[ChangeRow]
+      .groupByKey(r => (r.table_name, r.key))
+      .mapGroupsWithState[(Long, Long), KeyProgress](
+        GroupStateTimeout.NoTimeout()) {
+        (k: (String, Long), rows: Iterator[ChangeRow],
+            state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+          val (n0, scn0) = state.getOption.getOrElse((0L, -1L))
+          var n = n0
+          var mx = scn0
+          rows.foreach { r => n += 1; if (r.scn > mx) mx = r.scn }
+          state.update((n, mx))
+          KeyProgress(k._1, k._2, n, mx)
+      }
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[KeyProgress], batchId: Long) =>
+          batch.toDF().withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+          ()
+      }
+      .start()
+  }
+
   // ------------------------------------------- per-table watermarks (C3)
 
   /** Current per-table SCN watermark — arg-max over an append-only

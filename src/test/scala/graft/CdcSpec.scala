@@ -125,6 +125,31 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(notOk.toSeq == Seq((2, "Big5")))
   }
 
+  test("mapGroupsWithState: per-key counters accumulate across restarts") {
+    val tmp = Files.createTempDirectory("graft_mgws").toString
+    val feed = s"$tmp/feed"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val all = Cdc.eventsAsChanges(spark, sf).limit(400).cache()
+    val (first, second) = (all.limit(250), all.exceptAll(all.limit(250)))
+
+    first.write.mode("append").parquet(feed)
+    Cdc.trackKeyProgress(spark, feed, out, ckpt).awaitTermination(120000)
+    second.write.mode("append").parquet(feed)
+    Cdc.trackKeyProgress(spark, feed, out, ckpt).awaitTermination(120000)
+
+    // last emitted progress per key == batch truth over the WHOLE feed
+    // (state restored from the checkpoint, not recomputed per run)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("table_name", "key").orderBy(col("batch_id").desc)
+    val finalState = spark.read.parquet(out)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("table_name", "key", "n_changes", "last_scn")
+    val truth = all.groupBy("table_name", "key")
+      .agg(count(lit(1)).as("n_changes"), max("scn").as("last_scn"))
+    assert(finalState.exceptAll(truth).isEmpty &&
+      truth.exceptAll(finalState).isEmpty)
+    all.unpersist()
+  }
+
   test("streaming tumbling window + watermark drops late data (C8)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_wm").toString
