@@ -51,6 +51,26 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(stats.values.forall(_ > 0))
   }
 
+  test("multi-file table dirs produce identical results to single files") {
+    // at scale every table is a directory of many parquet parts;
+    // nothing may assume the single-file testdata layout
+    val multi = java.nio.file.Files.createTempDirectory("graft_multi")
+      .toString + "/lineitem.parquet"
+    Tables.load(spark, sf, "lineitem").repartition(7).write.parquet(multi)
+    val single = graft.operators.Relational.a2ChunkChecksum(spark, sf)
+    val viaMulti = Tables.load(spark,
+      multi.stripSuffix("/lineitem.parquet"), "lineitem")
+    assert(viaMulti.rdd.getNumPartitions >= 1 && viaMulti.count() ==
+      Tables.load(spark, sf, "lineitem").count())
+    val multiSum = viaMulti
+      .groupBy(floor(col("l_orderkey") / 1000).cast("long").as("chunk_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Norm.sparkRowChecksum(
+          graft.operators.Relational.lineitemNorm).as("row_checksum"))
+    assert(multiSum.exceptAll(single).isEmpty &&
+      single.exceptAll(multiSum).isEmpty)
+  }
+
   test("log-window selection covers the checkpoint, in SCN order (C2)") {
     val logs = Seq(
       LogFile("arch1", 0, 1000), LogFile("arch2", 1000, 2000),
