@@ -240,6 +240,32 @@ object Check {
        |  (SELECT CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT)
        |   FROM idx) AS n_unique""".stripMargin
 
+  /** Assess report artifact (S9's report sink — the reference renders
+    * its ~25 report structs to a file, `module/assess/oracle/public/
+    * report.go`): each section is a bounded report query collected
+    * and rendered as aligned text. The heavy aggregation stays
+    * distributed; only final report rows reach the driver.
+    */
+  def renderAssessReport(s: SparkSession, d: String): String = {
+    val sections: Seq[(String, DataFrame)] = Seq(
+      "SCHEMA OBJECT OVERVIEW" -> a19ObjectOverview(s, d),
+      "TABLE ROW COUNTS" -> Catalog.a11RowCounts(s, d),
+      "COLUMN TYPE DISTRIBUTION" -> Catalog.a10ColumnTypeDist(s, d),
+      "WIDE TABLES (>= 5 COLUMNS)" -> Catalog.a15WideTables(s, d),
+      "TOP TABLES BY ROWS" -> Catalog.a18TopTables(s, d))
+    sections.map { case (title, df) =>
+      val cols = df.columns
+      val rows = df.collect().map(r =>
+        cols.indices.map(i => String.valueOf(r.get(i))))
+      val widths = cols.indices.map(i =>
+        (cols(i).length +: rows.map(_(i).length)).max)
+      def line(vals: Seq[String]) = vals.zip(widths)
+        .map { case (v, w) => v.padTo(w, ' ') }.mkString("| ", " | ", " |")
+      (Seq(s"== $title ==", line(cols.toSeq)) ++ rows.map(line))
+        .mkString("\n")
+    }.mkString("\n\n")
+  }
+
   // ------------------------------------------------------------- queries
 
   /** k1: struct check of the introspected catalog vs its drifted

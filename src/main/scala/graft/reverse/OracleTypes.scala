@@ -187,6 +187,54 @@ object TypeMapper {
   }
 }
 
+/** MySQL column descriptor for the reverse M2O direction. */
+final case class MySQLColumn(
+    name: String,
+    dataType: String,
+    length: Int = 0, // char/binary length or display width
+    precision: Option[Int] = None,
+    scale: Option[Int] = None,
+    datePrecision: Int = 0,
+    nullable: Boolean = true) {
+  def upperType: String = dataType.trim.toUpperCase
+}
+
+/** MySQL/TiDB → Oracle mapping (M2O/T2O direction) — transferdb
+  * `module/reverse/mysql/public/mapping_oracle.go:90-330`, name map
+  * `common/buildin.go:246-277`. SET/ENUM have no Oracle analogue and
+  * are flagged UNSUPPORTED (`buildin.go:240-242` — the reference
+  * errors them into the compatibility report).
+  */
+object M2OTypeMapper {
+
+  val Unsupported = "UNSUPPORTED"
+
+  def oracleType(c: MySQLColumn): String = c.upperType match {
+    case "TINYINT" => "NUMBER(3,0)"
+    case "SMALLINT" => "NUMBER(5,0)"
+    case "MEDIUMINT" => "NUMBER(7,0)"
+    case "INT" | "INTEGER" => "NUMBER(10,0)"
+    case "BIGINT" => "NUMBER(19,0)"
+    case "FLOAT" | "REAL" => "BINARY_FLOAT"
+    case "DOUBLE" | "DOUBLE PRECISION" => "BINARY_DOUBLE"
+    // divergence, documented: the reference emits bare DECIMAL/NUMBER
+    // here (`mapping_oracle.go:147-155`), silently dropping declared
+    // precision — we carry (p,s) through, which is what a user needs
+    case "DECIMAL" | "NUMERIC" =>
+      s"NUMBER(${c.precision.getOrElse(10)},${c.scale.getOrElse(0)})"
+    case "YEAR" => "NUMBER"
+    case "TIME" | "DATE" | "DATETIME" => "DATE"
+    case "TIMESTAMP" => s"TIMESTAMP(${c.datePrecision})"
+    case "CHAR" => s"CHAR(${c.length} CHAR)"
+    case "VARCHAR" | "TINYTEXT" => s"VARCHAR2(${c.length} CHAR)"
+    case "TEXT" | "MEDIUMTEXT" | "LONGTEXT" => "CLOB"
+    case "BIT" | "BINARY" | "VARBINARY" => s"RAW(${c.length})"
+    case "TINYBLOB" | "BLOB" | "MEDIUMBLOB" | "LONGBLOB" => "BLOB"
+    case "SET" | "ENUM" => Unsupported
+    case _ => "CLOB"
+  }
+}
+
 /** Custom datatype-rule overrides with the reference's precedence:
   * column > table > schema > built-in
   * (`module/reverse/oracle/public/rule_load.go:98-258`, doc

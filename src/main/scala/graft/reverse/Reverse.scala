@@ -395,6 +395,91 @@ object Reverse {
        |  $values) t(table_name, kind, temporary)""".stripMargin
   }
 
+  /** MySQL type zoo for the M2O direction (every branch of
+    * `mapping_oracle.go:90-330`).
+    */
+  val mysqlZoo: Seq[MySQLColumn] = Seq(
+    MySQLColumn("t1", "TINYINT"), MySQLColumn("s1", "SMALLINT"),
+    MySQLColumn("md1", "MEDIUMINT"), MySQLColumn("i1", "INT"),
+    MySQLColumn("i2", "INTEGER"), MySQLColumn("b1", "BIGINT"),
+    MySQLColumn("f1", "FLOAT"), MySQLColumn("r1", "REAL"),
+    MySQLColumn("d1", "DOUBLE"), MySQLColumn("d2", "DOUBLE PRECISION"),
+    MySQLColumn("dc1", "DECIMAL", precision = Some(12), scale = Some(2)),
+    MySQLColumn("nm1", "NUMERIC", precision = Some(8), scale = Some(0)),
+    MySQLColumn("y1", "YEAR"),
+    MySQLColumn("tm1", "TIME"), MySQLColumn("dt1", "DATE"),
+    MySQLColumn("dt2", "DATETIME"),
+    MySQLColumn("ts1", "TIMESTAMP", datePrecision = 6),
+    MySQLColumn("ts2", "TIMESTAMP", datePrecision = 3),
+    MySQLColumn("c1", "CHAR", length = 20),
+    MySQLColumn("v1", "VARCHAR", length = 100),
+    MySQLColumn("tt1", "TINYTEXT", length = 255),
+    MySQLColumn("tx1", "TEXT"), MySQLColumn("mt1", "MEDIUMTEXT"),
+    MySQLColumn("lt1", "LONGTEXT"),
+    MySQLColumn("bt1", "BIT", length = 8),
+    MySQLColumn("bn1", "BINARY", length = 16),
+    MySQLColumn("vb1", "VARBINARY", length = 64),
+    MySQLColumn("tb1", "TINYBLOB"), MySQLColumn("bl1", "BLOB"),
+    MySQLColumn("mb1", "MEDIUMBLOB"), MySQLColumn("lb1", "LONGBLOB"),
+    MySQLColumn("se1", "SET", length = 20),
+    MySQLColumn("en1", "ENUM", length = 10))
+
+  /** r4: the M2O direction — MySQL zoo mapped to Oracle types by the
+    * Scala rules vs an independent SQL CASE tree; SET/ENUM surface as
+    * UNSUPPORTED rather than silently mapping.
+    */
+  def r4M2oMapping(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mysqlZoo.map { c =>
+      (c.name, c.upperType, M2OTypeMapper.oracleType(c))
+    }.toDF("col_name", "mysql_type", "oracle_type")
+  }
+
+  val r4Sql: String = {
+    val values = mysqlZoo.map { c =>
+      s"(${vStr(c.name)}, ${vStr(c.upperType)}, ${c.length}, " +
+        s"${vInt(c.precision)}, ${vInt(c.scale)}, ${c.datePrecision})"
+    }.mkString(",\n  ")
+    s"""SELECT col_name, mysql_type,
+       |  CASE mysql_type
+       |    WHEN 'TINYINT' THEN 'NUMBER(3,0)'
+       |    WHEN 'SMALLINT' THEN 'NUMBER(5,0)'
+       |    WHEN 'MEDIUMINT' THEN 'NUMBER(7,0)'
+       |    WHEN 'INT' THEN 'NUMBER(10,0)'
+       |    WHEN 'INTEGER' THEN 'NUMBER(10,0)'
+       |    WHEN 'BIGINT' THEN 'NUMBER(19,0)'
+       |    WHEN 'FLOAT' THEN 'BINARY_FLOAT'
+       |    WHEN 'REAL' THEN 'BINARY_FLOAT'
+       |    WHEN 'DOUBLE' THEN 'BINARY_DOUBLE'
+       |    WHEN 'DOUBLE PRECISION' THEN 'BINARY_DOUBLE'
+       |    WHEN 'DECIMAL' THEN 'NUMBER(' || CAST(coalesce(p, 10) AS VARCHAR) || ',' || CAST(coalesce(s, 0) AS VARCHAR) || ')'
+       |    WHEN 'NUMERIC' THEN 'NUMBER(' || CAST(coalesce(p, 10) AS VARCHAR) || ',' || CAST(coalesce(s, 0) AS VARCHAR) || ')'
+       |    WHEN 'YEAR' THEN 'NUMBER'
+       |    WHEN 'TIME' THEN 'DATE'
+       |    WHEN 'DATE' THEN 'DATE'
+       |    WHEN 'DATETIME' THEN 'DATE'
+       |    WHEN 'TIMESTAMP' THEN 'TIMESTAMP(' || CAST(dp AS VARCHAR) || ')'
+       |    WHEN 'CHAR' THEN 'CHAR(' || CAST(len AS VARCHAR) || ' CHAR)'
+       |    WHEN 'VARCHAR' THEN 'VARCHAR2(' || CAST(len AS VARCHAR) || ' CHAR)'
+       |    WHEN 'TINYTEXT' THEN 'VARCHAR2(' || CAST(len AS VARCHAR) || ' CHAR)'
+       |    WHEN 'TEXT' THEN 'CLOB'
+       |    WHEN 'MEDIUMTEXT' THEN 'CLOB'
+       |    WHEN 'LONGTEXT' THEN 'CLOB'
+       |    WHEN 'BIT' THEN 'RAW(' || CAST(len AS VARCHAR) || ')'
+       |    WHEN 'BINARY' THEN 'RAW(' || CAST(len AS VARCHAR) || ')'
+       |    WHEN 'VARBINARY' THEN 'RAW(' || CAST(len AS VARCHAR) || ')'
+       |    WHEN 'TINYBLOB' THEN 'BLOB'
+       |    WHEN 'BLOB' THEN 'BLOB'
+       |    WHEN 'MEDIUMBLOB' THEN 'BLOB'
+       |    WHEN 'LONGBLOB' THEN 'BLOB'
+       |    WHEN 'SET' THEN 'UNSUPPORTED'
+       |    WHEN 'ENUM' THEN 'UNSUPPORTED'
+       |    ELSE 'CLOB'
+       |  END AS oracle_type
+       |FROM (VALUES
+       |  $values) z(col_name, mysql_type, len, p, s, dp)""".stripMargin
+  }
+
   /** a17: migration-route summary (assess compatibility overview —
     * the reference's per-bucket object counts,
     * `module/assess/oracle/o2m/assess_result.go` compatible-object
@@ -413,6 +498,7 @@ object Reverse {
     "r1_type_mapping" -> r1TypeMapping,
     "r2_number_buckets" -> r2NumberBuckets,
     "r3_ddl_synthesis" -> r3DdlSynthesis,
+    "r4_m2o_mapping" -> r4M2oMapping,
     "p6_compat_filter" -> p6CompatFilter,
     "a17_route_counts" -> a17RouteCounts)
 
@@ -420,6 +506,7 @@ object Reverse {
     "r1_type_mapping" -> r1Sql,
     "r2_number_buckets" -> r2Sql,
     "r3_ddl_synthesis" -> r3Sql,
+    "r4_m2o_mapping" -> r4Sql,
     "p6_compat_filter" -> p6Sql,
     "a17_route_counts" -> a17Sql)
 }

@@ -41,6 +41,18 @@ class CheckSpec extends AnyFunSuite with SparkSessionTestWrapper {
     diff.unpersist()
   }
 
+  test("assess report artifact renders every section with data rows") {
+    val report = Check.renderAssessReport(spark, sf)
+    Seq("SCHEMA OBJECT OVERVIEW", "TABLE ROW COUNTS",
+      "COLUMN TYPE DISTRIBUTION", "WIDE TABLES", "TOP TABLES BY ROWS")
+      .foreach(t => assert(report.contains(t), t))
+    assert(report.contains("lineitem"))
+    val path = java.nio.file.Files.createTempDirectory("graft_rep")
+      .toString + "/assess_report.txt"
+    graft.reverse.Ddl.writeArtifact(path, Seq(report))
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(path)) > 500)
+  }
+
   test("diff is symmetric: swapping sides flips ADD and DROP") {
     val snap = Catalog.snapshot(spark, sf)
     val drifted = Check.driftedSnapshot(snap)
