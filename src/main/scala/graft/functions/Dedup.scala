@@ -265,7 +265,7 @@ object Dedup {
     * round); the driver only coordinates rounds and checks the
     * 1-row convergence count — no data is collected.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
       .unionAll(pairs.select(col("doc_b").as("s"), col("doc_a").as("t")))
       .localCheckpoint(true)
@@ -289,6 +289,10 @@ object Dedup {
       labels = next
       i += 1
     }
+    // loud failure beats silently-wrong cluster ids: a component with
+    // diameter > maxIters means the fixpoint wasn't reached
+    require(converged,
+      s"connected components did not converge in $maxIters rounds")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
