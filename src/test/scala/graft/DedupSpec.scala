@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, TextAnalysis}
+
+class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  test("shingles are empty, not crashing, for docs under 3 words") {
+    import spark.implicits._
+    // regression: sequence(1, 0) in Spark yields [1, 0], so an
+    // unguarded shingle transform throws on 1-2 word docs
+    val docs = Seq("one", "two words", "three word doc", "")
+      .toDF("text").withColumn("w", TextAnalysis.words(col("text")))
+      .withColumn("sh", expr(TextAnalysis.shingleExpr))
+    val sizes = docs.select(size(col("sh"))).collect().map(_.getInt(0))
+    assert(sizes.toSeq == Seq(0, 0, 1, 0))
+  }
+
+  test("connected components: chain, triangle, isolated pair") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain -> cluster 1
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle -> cluster 10
+      (20L, 21L)) // pair -> cluster 20
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("exact dedup groups cover all docs exactly once") {
+    val groups = Dedup.d1ExactDedup(spark, sf)
+    val docs = Tables.load(spark, sf, "documents")
+    assert(groups.agg(sum("n_copies")).head.getLong(0) == docs.count())
+  }
+
+  test("d4b banded pairs: every emitted pair really is hamming <= 3") {
+    val bad = Dedup.d4bSimhashPairs(spark, sf).filter(col("hamming") > 3)
+    assert(bad.isEmpty)
+  }
+}
