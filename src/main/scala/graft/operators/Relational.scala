@@ -361,6 +361,28 @@ object Relational {
     """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
       |WHERE l_orderkey BETWEEN 2000 AND 4000 AND l_quantity > 30""".stripMargin
 
+  /** w6: explicit frame spec — per-customer running order total over
+    * a ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW frame (the
+    * analytic-frame surface; absent in the reference, native here).
+    * Exact decimal inside the frame keeps the running values
+    * engine-identical at every row.
+    */
+  def w6RunningFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord(s, d).select(col("o_custkey"), col("o_orderkey"),
+      decStr(sum(col("o_totalprice").cast(DecimalType(14, 2))).over(w)
+        .cast(DecimalType(38, 2))).as("running_total"))
+  }
+
+  val w6Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DECIMAL(38,2)) AS VARCHAR) AS running_total
+      |FROM orders""".stripMargin
+
   /** w5: top-N per group via ranking window (W5). */
   def w5TopPerGroup(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey"))
@@ -396,7 +418,8 @@ object Relational {
     "a16_salted_agg" -> a16SaltedAgg,
     "p1_export_projection" -> p1ExportProjection,
     "p3_chunk_filter" -> p3ChunkFilter,
-    "w5_top_per_group" -> w5TopPerGroup)
+    "w5_top_per_group" -> w5TopPerGroup,
+    "w6_running_frame" -> w6RunningFrame)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -415,5 +438,6 @@ object Relational {
     "a16_salted_agg" -> a16Sql,
     "p1_export_projection" -> p1Sql,
     "p3_chunk_filter" -> p3Sql,
-    "w5_top_per_group" -> w5Sql)
+    "w5_top_per_group" -> w5Sql,
+    "w6_running_frame" -> w6Sql)
 }

@@ -260,17 +260,21 @@ final case class RuleSet(
     } else u
   }
 
-  /** Resolve one column's target type. */
+  /** Resolve one column's target type. Candidate rules are scanned in
+    * sorted-key order so that, should two rules match the same origin
+    * type, the winner is deterministic (a Map's iteration order is
+    * not).
+    */
   def resolve(schema: String, table: String, c: OracleColumn): String = {
     val origin = TypeMapper.originType(c)
     columnRules.get((schema.toUpperCase, table.toUpperCase,
         c.name.toUpperCase))
-      .orElse(tableRules.collectFirst {
+      .orElse(tableRules.toSeq.sortBy(_._1).collectFirst {
         case ((s, t, src), tgt)
             if s.equalsIgnoreCase(schema) && t.equalsIgnoreCase(table) &&
               normalizeRuleSource(src) == origin => tgt
       })
-      .orElse(schemaRules.collectFirst {
+      .orElse(schemaRules.toSeq.sortBy(_._1).collectFirst {
         case ((s, src), tgt)
             if s.equalsIgnoreCase(schema) &&
               normalizeRuleSource(src) == origin => tgt
