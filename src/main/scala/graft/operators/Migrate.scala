@@ -249,6 +249,35 @@ object Migrate {
       when(keyCol.between(c.lower, c.upper), lit(c.id)).otherwise(acc)
     }
 
+  /** s9b: JSON-lines roundtrip — the third file format next to
+    * parquet/CSV (LogMiner exports and data interchange commonly ship
+    * JSON lines). Values pass through an explicit schema on re-read
+    * (schema inference at 100 TB means a full extra pass); '' vs NULL
+    * canonicalization follows the CSV path's reference semantics.
+    */
+  def s9bJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.load(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(14, 2)).cast("string")
+        .as("price_str"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+    val out = tempDir("s9b")
+    src.write.mode(SaveMode.Overwrite).json(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("price_str", StringType),
+      StructField("o_date", StringType)))
+    s.read.schema(schema).json(out)
+  }
+
+  val s9bSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR) AS price_str,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_date
+      |FROM orders""".stripMargin
+
   /** s2: explicit chunk-planned scan — planChunks drives a computed
     * chunk_id over ONE pass of the table (round 1 unioned N per-chunk
     * filtered scans = N+1 full passes; at 100 TB that is N+1 reads of
@@ -319,12 +348,14 @@ object Migrate {
     "s7_parquet_roundtrip" -> s7ParquetRoundtrip,
     "s7b_jdbc_roundtrip" -> s7bJdbcRoundtrip,
     "s8_csv_roundtrip" -> s8CsvRoundtrip,
+    "s9b_json_roundtrip" -> s9bJsonRoundtrip,
     "s2_chunked_scan" -> s2ChunkedScan)
 
   val oracles: Map[String, String] = Map(
     "s7_parquet_roundtrip" -> s7Sql,
     "s7b_jdbc_roundtrip" -> s7bSql,
     "s8_csv_roundtrip" -> s8Sql,
+    "s9b_json_roundtrip" -> s9bSql,
     // orders keys are dense 0..N-1 at every sf: 15000 rows/sf0.01 →
     // ceil(15000/2000)=8 chunks; recomputed generically below.
     "s2_chunked_scan" -> s2SqlGeneric)

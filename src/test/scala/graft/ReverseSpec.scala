@@ -146,6 +146,41 @@ class ReverseSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(compat.size == 1 && compat.head.contains("FUNCTION-BASED"))
   }
 
+  test("marvin1-style table: keys, FK alters, checks, compat bucket together") {
+    // modeled on example/reverse_oracle_test.sql:59-76 (marvin1):
+    // pk + named unique + fk + check + normal and function-based index
+    val t = TableDef("marvin", "MARVIN1",
+      columns = Seq(
+        OracleColumn("n1", "NUMBER", 22, None, None, nullable = false),
+        OracleColumn("n2", "NUMBER", 22, Some(2)),
+        OracleColumn("n4", "NUMBER", 22, Some(8), nullable = false),
+        OracleColumn("vchar1", "VARCHAR", 10, dataDefault = Some("'ty'"))),
+      primaryKey = Seq("n1"),
+      uniques = Seq(IndexDef("unqiue", Seq("n1", "char1"), unique = true)),
+      indexes = Seq(
+        IndexDef("idx_marvin1_ty", Seq("vchar3")),
+        IndexDef("idx_marvin1_tu", Seq("n4", "vchar3")),
+        IndexDef("idx_fn", Seq("UPPER(vchar1)"), kind = "FUNCTION-BASED")),
+      foreignKeys = Seq(Ddl.ForeignKeyDef("fk_nam1e", Seq("n2"),
+        "MARVIN2", Seq("n1"))),
+      checks = Seq("n3 in(1,2,3)"))
+    val (create, alters, compat) = Ddl.genCreateTable(t, "steven",
+      caseMode = "lower")
+    assert(create.startsWith("CREATE TABLE `steven`.`marvin1` ("))
+    assert(create.contains("`n1` decimal(65,30) NOT NULL"))
+    assert(create.contains("`vchar1` varchar(10) DEFAULT 'ty'"))
+    assert(create.contains("PRIMARY KEY (n1)"))
+    assert(create.contains("UNIQUE KEY `unqiue` (n1,char1)"))
+    assert(create.contains("KEY `idx_marvin1_tu` (n4,vchar3)"))
+    assert(create.contains("CHECK (n3 in(1,2,3))"))
+    assert(create.endsWith(
+      ") ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_bin;"))
+    assert(alters.size == 1 &&
+      alters.head.contains("ADD CONSTRAINT `fk_nam1e` FOREIGN KEY (n2)") &&
+      alters.head.contains("REFERENCES `steven`.`MARVIN2` (n1)"))
+    assert(compat.size == 1 && compat.head.contains("FUNCTION-BASED"))
+  }
+
   test("sparkSchema roundtrips through parquet with full fidelity") {
     val cols = Seq(
       OracleColumn("id", "NUMBER", 22, Some(12), Some(0), nullable = false),
