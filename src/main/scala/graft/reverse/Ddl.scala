@@ -65,6 +65,16 @@ object Ddl {
     parts.mkString(" ")
   }
 
+  /** Table-name rename rules (the reference's `name_rule_table`,
+    * `database/meta/name_rule_table.go`, loaded in
+    * `module/reverse/oracle/public/change.go:45-98`): source table →
+    * target table, case-insensitive lookup, identity when absent.
+    */
+  def applyNameRule(table: String, renames: Map[String, String]): String =
+    renames.collectFirst {
+      case (src, tgt) if src.equalsIgnoreCase(table) => tgt
+    }.getOrElse(table)
+
   /** Full CREATE TABLE with PRIMARY KEY / UNIQUE KEY / KEY inline,
     * plus trailing compatible statements (FKs as ALTERs) and a
     * compatibility bucket for index forms MySQL can't express
@@ -73,7 +83,8 @@ object Ddl {
     * Returns (createSql, alterStatements, compatibilityNotes).
     */
   def genCreateTable(t: TableDef, targetSchema: String,
-      rules: RuleSet = RuleSet(), caseMode: String = "origin")
+      rules: RuleSet = RuleSet(), caseMode: String = "origin",
+      nameRules: Map[String, String] = Map.empty)
       : (String, Seq[String], Seq[String]) = {
     val colLines = t.columns.map { c =>
       columnLine(c, rules.resolve(t.schema, t.name, c), caseMode)
@@ -93,14 +104,15 @@ object Ddl {
       .mkString(",\n")
     val comment = t.comment.filter(_.nonEmpty)
       .map(c => s" COMMENT='${Escape.sqlLiteral(c)}'").getOrElse("")
+    val tgtName = applyNameRule(t.name, nameRules)
     val create =
-      s"""CREATE TABLE `${foldCase(targetSchema, caseMode)}`.`${foldCase(t.name, caseMode)}` (
+      s"""CREATE TABLE `${foldCase(targetSchema, caseMode)}`.`${foldCase(tgtName, caseMode)}` (
          |$body
          |) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_bin$comment;""".stripMargin
     val alters = t.foreignKeys.map { fk =>
-      s"ALTER TABLE `${foldCase(targetSchema, caseMode)}`.`${foldCase(t.name, caseMode)}` " +
+      s"ALTER TABLE `${foldCase(targetSchema, caseMode)}`.`${foldCase(tgtName, caseMode)}` " +
         s"ADD CONSTRAINT `${fk.name}` FOREIGN KEY (${fk.columns.mkString(",")}) " +
-        s"REFERENCES `${foldCase(targetSchema, caseMode)}`.`${fk.refTable}` (${fk.refColumns.mkString(",")});"
+        s"REFERENCES `${foldCase(targetSchema, caseMode)}`.`${applyNameRule(fk.refTable, nameRules)}` (${fk.refColumns.mkString(",")});"
     }
     val compat = (badUniques ++ badIndexes).map(ix =>
       s"-- incompatible index [${ix.kind}] ${ix.name} ON ${t.name}(${ix.columns.mkString(",")}): create manually")

@@ -181,6 +181,24 @@ class ReverseSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(compat.size == 1 && compat.head.contains("FUNCTION-BASED"))
   }
 
+  test("name rules rename the target table and FK references") {
+    val t = TableDef("marvin", "T_SRC",
+      columns = Seq(OracleColumn("id", "NUMBER", 22, Some(10),
+        nullable = false)),
+      primaryKey = Seq("id"),
+      foreignKeys = Seq(Ddl.ForeignKeyDef("fk1", Seq("id"), "T_REF",
+        Seq("id"))))
+    val renames = Map("t_src" -> "T_TARGET", "T_REF" -> "T_REF_NEW")
+    val (create, alters, _) = Ddl.genCreateTable(t, "steven",
+      nameRules = renames)
+    assert(create.startsWith("CREATE TABLE `steven`.`T_TARGET` ("))
+    assert(alters.head.contains("ALTER TABLE `steven`.`T_TARGET`"))
+    assert(alters.head.contains("REFERENCES `steven`.`T_REF_NEW`"))
+    // identity when no rule matches
+    val (c2, _, _) = Ddl.genCreateTable(t, "steven")
+    assert(c2.startsWith("CREATE TABLE `steven`.`T_SRC` ("))
+  }
+
   test("sparkSchema roundtrips through parquet with full fidelity") {
     val cols = Seq(
       OracleColumn("id", "NUMBER", 22, Some(12), Some(0), nullable = false),

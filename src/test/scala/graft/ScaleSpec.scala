@@ -71,6 +71,34 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       single.exceptAll(multiSum).isEmpty)
   }
 
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo")
+      .toString + "/t"
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "v1", "v2"))
+    // old-generation rows surface NULL for the added column
+    assert(merged.filter(col("id") === 1).select("v2").head.isNullAt(0))
+  }
+
+  test("partitioned layout: filters prune partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part")
+      .toString + "/docs"
+    Tables.load(spark, sf, "documents")
+      .write.partitionBy("lang").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("lang") === "en")
+    val scan = q.queryExecution.executedPlan.toString
+    // the predicate lands in PartitionFilters — whole directories are
+    // skipped, the per-row filter never runs
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
+    val expected = Tables.load(spark, sf, "documents")
+      .filter(col("lang") === "en").count()
+    assert(q.count() == expected)
+  }
+
   test("log-window selection covers the checkpoint, in SCN order (C2)") {
     val logs = Seq(
       LogFile("arch1", 0, 1000), LogFile("arch2", 1000, 2000),
