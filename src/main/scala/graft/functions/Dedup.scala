@@ -69,9 +69,14 @@ object Dedup {
     // tokenize+explode pipeline re-runs for every consumer (4 scans of
     // the corpus). Persisting the inverted index before joining over
     // it is the standard shape at 100 TB too (storage ≪ recompute).
+    // Shingles are hashed to 60-bit longs AT the index: every
+    // downstream shuffle/join moves 8-byte keys instead of ~20-byte
+    // strings, and the oracle applies the identical hashing so the
+    // (vanishingly rare) collisions are shared, not divergent.
     val shDir = java.nio.file.Files
       .createTempDirectory("graft_d2").toString + "/sh"
-    shingles(s, d).write.parquet(shDir)
+    shingles(s, d).select(col("doc_id"),
+      xhash64(col("shingle")).as("shingle")).write.parquet(shDir)
     val sh = s.read.parquet(shDir)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DF_CAP).select("shingle")
@@ -94,7 +99,8 @@ object Dedup {
   }
 
   val d2Sql: String =
-    s"""WITH sh AS ($shinglesSql),
+    s"""WITH sh0 AS ($shinglesSql),
+       |sh AS (SELECT doc_id, ${xhash64Sql("shingle")} AS shingle FROM sh0),
        |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
        |kept AS (SELECT sh.doc_id, sh.shingle FROM sh
        |         JOIN dfreq ON sh.shingle = dfreq.shingle
