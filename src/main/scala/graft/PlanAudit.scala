@@ -28,7 +28,8 @@ object PlanAudit {
         println(f"$name%-28s ${if (flags.isEmpty) "ok" else flags.mkString(",")}")
       } catch {
         case e: Throwable =>
-          println(f"$name%-28s ERR ${e.getMessage.take(60)}")
+          // String.valueOf: getMessage is null for bare NPEs etc.
+          println(f"$name%-28s ERR ${String.valueOf(e.getMessage).take(60)}")
       }
     }
     spark.stop()

@@ -64,20 +64,20 @@ object Dedup {
     * unaffected by dropping ubiquitous ones).
     */
   def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // Materialize the shingle index once: it feeds the df-count, both
+    // Persist the shingle index once: it feeds the df-count, both
     // self-join sides, and the per-doc counts — without this the
     // tokenize+explode pipeline re-runs for every consumer (4 scans of
-    // the corpus). Persisting the inverted index before joining over
-    // it is the standard shape at 100 TB too (storage ≪ recompute).
-    // Shingles are hashed to 60-bit longs AT the index: every
-    // downstream shuffle/join moves 8-byte keys instead of ~20-byte
-    // strings, and the oracle applies the identical hashing so the
-    // (vanishingly rare) collisions are shared, not divergent.
-    val shDir = java.nio.file.Files
-      .createTempDirectory("graft_d2").toString + "/sh"
-    shingles(s, d).select(col("doc_id"),
-      xhash64(col("shingle")).as("shingle")).write.parquet(shDir)
-    val sh = s.read.parquet(shDir)
+    // the corpus). MEMORY_AND_DISK spills past RAM (the 100 TB story:
+    // materialize the inverted index, storage ≪ recompute); lazy, so
+    // plan-only inspection runs no job, and the ContextCleaner
+    // unpersists when the DataFrame is unreferenced. Shingles are
+    // hashed to 60-bit longs AT the index: every downstream
+    // shuffle/join moves 8-byte keys instead of ~20-byte strings, and
+    // the oracle applies the identical hashing so the (vanishingly
+    // rare) collisions are shared, not divergent.
+    val sh = shingles(s, d)
+      .select(col("doc_id"), xhash64(col("shingle")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DF_CAP).select("shingle")
     val kept = sh.join(rare, "shingle")
@@ -119,32 +119,37 @@ object Dedup {
 
   private val K = 8 // minhash functions; bands of 2 rows → 4 bands
 
-  /** Universal-hash family for MinHash: ONE base md5 per shingle,
-    * then k affine transforms h_i = (a_i·h32 + b_i) mod P — the
-    * standard trick that replaces k independent content hashes with k
-    * multiplications. h32 keeps the product under 2^60 so the int64
-    * arithmetic is overflow-free (and therefore bit-identical) in
-    * both engines. P = 2^61 − 1 (Mersenne prime).
+  /** Double-hashing family for MinHash (Kirsch–Mitzenmacher): TWO
+    * base md5s per shingle, then h_i = h1 + i·h2' — k hash functions
+    * from two content hashes. h2 is reduced below 2^57 so h1 + 7·h2'
+    * stays under int64 (overflow-free ⇒ bit-identical in both
+    * engines).
+    *
+    * A strictly monotone family (h_i = a_i·h + b_i over ONE base
+    * hash) is degenerate here: min over shingles commutes with any
+    * increasing map, so every minhash would be determined by the one
+    * minimum-h shingle and all LSH bands would be perfectly
+    * correlated. Two independent base hashes break the monotonicity —
+    * the argmin shingle genuinely varies with i.
     */
-  private val HashP = 2305843009213693951L
-  private def hashA(i: Int): Long = 1000003L * i + 17L
-  private def hashB(i: Int): Long = 998244353L * i + 1L
+  private def hashPair(shingle: org.apache.spark.sql.Column) = (
+    xhash64(shingle),
+    xhash64(concat(shingle, lit("#"))) % lit(144115188075855872L)) // 2^57
 
-  /** d3: MinHash + LSH banding — k universal hashes per shingle,
-    * per-doc minima form the signature; 2-row bands bucket-join into
-    * candidate pairs. The k hashes are k COLUMNS on the shingle rows
-    * reduced with one groupBy of k min() aggregates — no k× row
-    * inflation (round 1 crossJoin'd a range(k) and exploded the
-    * shingle table 8×), one md5 per shingle instead of k, all
+  /** d3: MinHash + LSH banding — k double-hashing minhashes per
+    * shingle, per-doc minima form the signature; 2-row bands
+    * bucket-join into candidate pairs. The k hashes are k COLUMNS on
+    * the shingle rows reduced with one groupBy of k min() aggregates —
+    * no k× row inflation (round 1 crossJoin'd a range(k) and exploded
+    * the shingle table 8×), two md5s per shingle instead of k, all
     * partial-aggregable. The pair join touches only docs sharing a
     * band bucket — the LSH scale path.
     */
   def d3MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-      .withColumn("h32", xhash64(col("shingle")) % lit(4294967296L))
+    val (h1, h2) = hashPair(col("shingle"))
+    val sh = shingles(s, d).withColumn("h1", h1).withColumn("h2", h2)
     val mins = (0 until K).map { i =>
-      min((lit(hashA(i)) * col("h32") + lit(hashB(i))) % lit(HashP))
-        .as(s"mh$i")
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"mh$i")
     }
     val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val bandArr = array((0 until K / 2).map { b =>
@@ -162,7 +167,7 @@ object Dedup {
 
   val d3Sql: String = {
     val mins = (0 until K).map { i =>
-      s"CAST(min((${hashA(i)} * h32 + ${hashB(i)}) % $HashP) AS BIGINT) AS mh$i"
+      s"CAST(min(h1 + $i * h2) AS BIGINT) AS mh$i"
     }.mkString(",\n    ")
     val bands = (0 until K / 2).map { b =>
       s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || ':' || " +
@@ -170,7 +175,8 @@ object Dedup {
     }.mkString("\n  UNION ALL ")
     s"""WITH sh AS ($shinglesSql),
        |hashed AS (
-       |  SELECT doc_id, ${xhash64Sql("shingle")} % 4294967296 AS h32
+       |  SELECT doc_id, ${xhash64Sql("shingle")} AS h1,
+       |    ${xhash64Sql("shingle || '#'")} % 144115188075855872 AS h2
        |  FROM sh),
        |sig AS (SELECT doc_id,
        |    $mins
@@ -285,14 +291,26 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "t"), "t")
         .groupBy(col("s").as("doc_id"))
         .agg(min(col("label")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+      // carry the old label through the propagation join so the
+      // convergence check needs no second join over the labels
+      val step = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"),
-        "doc_id").filter(col("label") < col("old")).isEmpty
-      labels = next
+      converged = step.filter(col("label") < col("old")).isEmpty
+      val relabeled = step.drop("old")
+      // pointer jumping: follow label→label once per round, so label
+      // distance to the component minimum roughly halves each round —
+      // chains converge in O(log diameter) rounds instead of O(diameter)
+      labels =
+        if (converged) relabeled
+        else relabeled.as("x")
+          .join(relabeled.as("y"),
+            col("x.label") === col("y.doc_id"), "left")
+          .select(col("x.doc_id").as("doc_id"),
+            coalesce(col("y.label"), col("x.label")).as("label"))
+          .localCheckpoint(true)
       i += 1
     }
     // loud failure beats silently-wrong cluster ids: a component with

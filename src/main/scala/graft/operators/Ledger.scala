@@ -65,9 +65,12 @@ object Ledger {
   }
 
   /** Checkpoint triage on restart (`full.go:287-331`): returns the
-    * chunks still to run. A planned-vs-recorded count mismatch means
-    * the plan changed under the task — resume would silently skip or
-    * double-run ranges, so it is an error, exactly as in the
+    * chunks still to run. A planned-vs-recorded mismatch — count OR
+    * any chunk's key boundaries — means the plan changed under the
+    * task; resuming would silently skip or double-run key ranges
+    * (an equal-count replan with shifted ranges is the dangerous
+    * case: SUCCESS ids would be skipped even though their new ranges
+    * cover different keys), so it is an error, exactly as in the
     * reference.
     */
   def pending(s: SparkSession, path: String, task: String, table: String,
@@ -77,6 +80,24 @@ object Ledger {
     require(recorded.length == planned.size,
       s"resume refused: recorded ${recorded.length} chunks but plan has " +
         s"${planned.size} — wipe the ledger or re-plan (full.go:287-331)")
+    // the plan rows carry boundaries only at init (update_seq 0);
+    // progress marks write (0,0) placeholders, so compare against the
+    // recorded PLAN boundaries, which arg-max keeps only if no mark
+    // exists — fetch them from the init rows directly
+    val plannedById = planned.map(c => c.id -> c).toMap
+    val init = log(s, path)
+      .filter(col("task") === task && col("table_name") === table &&
+        col("update_seq") === 0L)
+      .select("chunk_id", "lower", "upper").collect()
+    init.foreach { r =>
+      val id = r.getAs[Int]("chunk_id")
+      val p = plannedById.get(id)
+      require(p.exists(c => c.lower == r.getAs[Long]("lower") &&
+        c.upper == r.getAs[Long]("upper")),
+        s"resume refused: chunk $id boundaries drifted " +
+          s"(recorded [${r.getAs[Long]("lower")},${r.getAs[Long]("upper")}]" +
+          s" vs planned ${p.map(c => s"[${c.lower},${c.upper}]")})")
+    }
     val done = recorded.filter(_.getAs[String]("status") == Success)
       .map(_.getAs[Int]("chunk_id")).toSet
     planned.filterNot(c => done.contains(c.id))

@@ -43,10 +43,15 @@ case class CharsetEncode(child: Expression, charsetName: String)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
+    // resolve the Charset ONCE per generated-class instance (Charset
+    // isn't Serializable, so it can't ride the references array; a
+    // per-row Charset.forName would pay name canonicalization + cache
+    // probe on every value)
     val csLit = charsetName.replace("\\", "\\\\").replace("\"", "\\\"")
+    val csField = ctx.addMutableState("java.nio.charset.Charset", "graftCs",
+      v => s"""$v = java.nio.charset.Charset.forName("$csLit");""")
     nullSafeCodeGen(ctx, ev, c =>
-      s"""${ev.value} = ($c).toString()
-         |  .getBytes(java.nio.charset.Charset.forName("$csLit"));""".stripMargin)
+      s"${ev.value} = ($c).toString().getBytes($csField);")
   }
 
   override protected def withNewChildInternal(newChild: Expression)
@@ -57,7 +62,7 @@ object CharsetEncode {
   private val info = new ExpressionInfo(
     classOf[CharsetEncode].getCanonicalName, "charset_encode")
 
-  private def builder(exprs: Seq[Expression]): Expression = {
+  private[plans] def builder(exprs: Seq[Expression]): Expression = {
     require(exprs.size == 2, "charset_encode(str, 'CHARSET') takes 2 args")
     require(exprs(1).foldable,
       "charset_encode charset must be a literal (use the udf for dynamic)")
@@ -83,8 +88,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("charset_encode"),
       new ExpressionInfo(classOf[CharsetEncode].getCanonicalName,
         "charset_encode"),
-      (exprs: Seq[Expression]) => {
-        val name = exprs(1).eval().asInstanceOf[UTF8String].toString
-        CharsetEncode(exprs(0), name)
-      }))
+      // same validated builder as FunctionRegistry registration —
+      // arity/foldability/charset errors surface at analysis on both
+      // paths
+      (exprs: Seq[Expression]) => CharsetEncode.builder(exprs)))
 }

@@ -306,13 +306,14 @@ object Reverse {
       TypeMapper.mysqlType(OracleColumn("x", dt, len,
         Option(p).map(_.toInt), Option(sc).map(_.toInt),
         Option(cl).map(_.toInt), cu)))
+    // defaults rewrite through the ONE rule table (TypeMapper.mapDefault)
+    // — an inline when-chain copy here could drift from it
+    val mapDefaultUdf = udf((v: String) =>
+      TypeMapper.mapDefault(Option(v)))
     val lines = zoo.toDF()
       .withColumn("mysql_type", mysqlTypeUdf(col("data_type"), col("p"),
         col("s"), col("len"), col("char_len"), col("char_used")))
-      .withColumn("mapped_dflt",
-        when(upper(col("dflt")) === "SYSDATE", lit("NOW()"))
-          .when(upper(col("dflt")) === "SYS_GUID()", lit("UUID()"))
-          .otherwise(col("dflt")))
+      .withColumn("mapped_dflt", mapDefaultUdf(col("dflt")))
       .withColumn("line", concat(
         lit("`"), col("col_name"), lit("` "), lower(col("mysql_type")),
         when(!col("nullable"), lit(" NOT NULL")).otherwise(lit("")),

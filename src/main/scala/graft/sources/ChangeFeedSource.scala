@@ -25,14 +25,15 @@ import graft.streaming.Cdc
   * 144-176`).
   *
   * The feed is a directory of append-only files of CSV change lines
-  * `scn,seq,op,table,key,value` — each file one mined log window.
-  * Offsets are positions in the SORTED file listing (mined windows
-  * arrive in SCN order, mirroring the reference's log-sequence
-  * ordering), so the streaming checkpoint replays exactly-once per
-  * window: a restart resumes at the committed file index, and a
+  * `scn,seq,op,table,key,value` — each file one mined log window,
+  * named in increasing order (redo sequence numbers). Offsets are
+  * lexicographic file-NAME watermarks ([[FileNameOffset]]), so the
+  * streaming checkpoint replays exactly-once per window: a restart
+  * resumes after the committed name, a late file sorting below the
+  * watermark can never shift what committed offsets refer to, and a
   * re-delivered window never double-applies (the engine-level
   * (scn,seq) guard in [[Cdc.streamApplyGuarded]] covers re-MINED
-  * windows, which have new file names).
+  * windows, which carry new names).
   *
   * Against a live Oracle the only part that changes is
   * [[ChangeFeedStream.latestOffset]] + the reader: instead of listing
@@ -64,38 +65,50 @@ final class ChangeFeedTable(path: String) extends Table with SupportsRead {
     }
 }
 
-/** Offset = number of feed files (sorted by name) fully ingested. */
-final case class FileIndexOffset(index: Long) extends Offset {
-  override def json(): String = index.toString
+/** Offset = lexicographic high-watermark: the NAME of the last window
+  * file ingested ("" before any). Names are the stable identity —
+  * positional indices into a re-computed listing would shift if a
+  * file ever landed sorting before the committed position, silently
+  * skipping one window and double-delivering another. With a name
+  * watermark, windows must arrive in increasing name order (exactly
+  * how redo logs carry increasing sequence numbers); a violator is
+  * ignored rather than corrupting committed offsets.
+  */
+final case class FileNameOffset(lastName: String) extends Offset {
+  override def json(): String = lastName
 }
 
 final class ChangeFeedStream(path: String) extends MicroBatchStream {
-  private def listFiles(): Seq[String] = {
+  private def listFiles(): Seq[Path] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
         && !st.getPath.getName.startsWith("."))
-      .map(_.getPath.toString).sorted
+      .map(_.getPath).sortBy(_.getName)
   }
 
-  override def initialOffset(): Offset = FileIndexOffset(0)
-  override def latestOffset(): Offset = FileIndexOffset(listFiles().size)
+  override def initialOffset(): Offset = FileNameOffset("")
+  override def latestOffset(): Offset = {
+    val files = listFiles()
+    FileNameOffset(if (files.isEmpty) "" else files.last.getName)
+  }
   override def deserializeOffset(json: String): Offset =
-    FileIndexOffset(json.trim.toLong)
+    FileNameOffset(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val s = start.asInstanceOf[FileIndexOffset].index.toInt
-    val e = end.asInstanceOf[FileIndexOffset].index.toInt
-    // one partition per mined window file — windows are independent,
-    // so they read concurrently; intra-window order is restored
-    // downstream by (scn, seq)
-    listFiles().slice(s, e).map(f =>
-      ChangeFeedPartition(f): InputPartition).toArray
+    val s = start.asInstanceOf[FileNameOffset].lastName
+    val e = end.asInstanceOf[FileNameOffset].lastName
+    // one partition per mined window file in (start, end] — windows
+    // are independent, so they read concurrently; intra-window order
+    // is restored downstream by (scn, seq)
+    listFiles()
+      .filter(p => p.getName > s && p.getName <= e)
+      .map(p => ChangeFeedPartition(p.toString): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

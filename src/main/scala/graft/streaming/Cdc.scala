@@ -223,14 +223,23 @@ object Cdc {
     * order (`logminer.go:63` ORDER BY SCN), so a batch never carries
     * records older than an already-committed batch except on re-mine,
     * which is exactly what the guard drops.
+    *
+    * Sink writes are per-(run, batch) OVERWRITE directories, not bare
+    * appends: a batch that fails between the log write and the
+    * watermark write re-runs on recovery and overwrites its OWN
+    * output — the log can never accumulate duplicate rows from a
+    * retried batch (bare append + retry would). Different query runs
+    * get distinct run ids, so a fresh-checkpoint restart (whose batch
+    * ids restart at 0) can't clobber a previous run's directories.
     */
   def streamApplyGuarded(s: SparkSession, feedDir: String, logDir: String,
-      wmDir: String, checkpointDir: String): StreamingQuery =
+      wmDir: String, checkpointDir: String): StreamingQuery = {
+    val runId = java.util.UUID.randomUUID().toString.take(8)
     s.readStream.schema(changeSchema).parquet(feedDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val wm = broadcast(currentWatermarks(spark, wmDir))
         val fresh = batch.join(wm, Seq("table_name"), "left")
@@ -239,15 +248,20 @@ object Cdc {
               struct(col("wm_scn"), col("wm_seq")))
           .drop("wm_scn", "wm_seq")
           .localCheckpoint(true)
-        fresh.write.mode("append").partitionBy("table_name").parquet(logDir)
-        fresh.groupBy("table_name")
-          .agg(max(struct(col("scn"), col("seq"))).as("m"))
-          .select(col("table_name"), col("m.scn").as("wm_scn"),
-            col("m.seq").as("wm_seq"))
-          .write.mode("append").parquet(wmDir)
+        if (!fresh.isEmpty) {
+          fresh.write.mode("overwrite").partitionBy("table_name")
+            .parquet(s"$logDir/run=$runId/batch=$batchId")
+          fresh.groupBy("table_name")
+            .agg(max(struct(col("scn"), col("seq"))).as("m"))
+            .select(col("table_name"), col("m.scn").as("wm_scn"),
+              col("m.seq").as("wm_seq"))
+            .write.mode("overwrite")
+            .parquet(s"$wmDir/run=$runId/batch=$batchId")
+        }
         ()
       }
       .start()
+  }
 
   /** One redo/archive log's coverage: [firstScn, nextScn) — the
     * FIRST_CHANGE#/NEXT_CHANGE# pair of `v$log`/`v$archived_log`.

@@ -72,10 +72,12 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val gots = Cdc.currentWatermarks(spark, wm)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(gots == wants)
-    // C7: the log is physically partitioned per table
-    val dirs = new java.io.File(log).listFiles()
-      .filter(_.isDirectory).map(_.getName).toSet
-    assert(dirs == Set("table_name=users", "table_name=carts",
+    // C7: inside each (run, batch) dir the log is physically
+    // partitioned per table
+    val tableDirs = new java.io.File(log).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles).filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.isDirectory).map(_.getName).toSet
+    assert(tableDirs == Set("table_name=users", "table_name=carts",
       "table_name=orders_t"))
     assert(spark.read.parquet(log).count() == changes.count())
   }

@@ -45,6 +45,23 @@ class LedgerSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("equal-count replan with shifted boundaries refuses to resume") {
+    val path = tmp()
+    val task = Ledger.newTaskName()
+    // 8 chunks over keys 0..7999
+    val plan = Migrate.planChunks(0, 7999, 8000, 1000)
+    Ledger.init(spark, path, task, "orders", plan)
+    Ledger.mark(spark, path, task, "orders", Seq(0, 1), Ledger.Success, 1)
+    // table grew: still 8 chunks, but over 0..15999 — same count,
+    // different key spans; a count-only guard would silently skip the
+    // new ranges behind SUCCESS ids
+    val replanned = Migrate.planChunks(0, 15999, 16000, 2000)
+    assert(replanned.size == plan.size)
+    intercept[IllegalArgumentException] {
+      Ledger.pending(spark, path, task, "orders", replanned)
+    }
+  }
+
   test("ledgers are task- and table-scoped") {
     val path = tmp()
     val t1 = Ledger.newTaskName(); val t2 = Ledger.newTaskName()
