@@ -145,13 +145,20 @@ object Dedup {
     * partial-aggregable. The pair join touches only docs sharing a
     * band bucket — the LSH scale path.
     */
-  def d3MinhashLsh(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc minhash signature (mh0..mhK-1) from a (doc_id, shingle)
+    * relation — exposed for direct testing of the hash family.
+    */
+  def minhashSignature(shingleDf: DataFrame): DataFrame = {
     val (h1, h2) = hashPair(col("shingle"))
-    val sh = shingles(s, d).withColumn("h1", h1).withColumn("h2", h2)
+    val sh = shingleDf.withColumn("h1", h1).withColumn("h2", h2)
     val mins = (0 until K).map { i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"mh$i")
     }
-    val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  def d3MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSignature(shingles(s, d))
     val bandArr = array((0 until K / 2).map { b =>
       struct(lit(b).as("band"),
         concat_ws(":", col(s"mh${2 * b}").cast("string"),

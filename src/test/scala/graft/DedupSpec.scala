@@ -31,6 +31,29 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("minhash family is not degenerate: superset docs diverge somewhere") {
+    import spark.implicits._
+    // regression for the collapsed affine family: with a monotone
+    // family over ONE base hash, doc B ⊇ doc A implies B's signature
+    // components all tie A's wherever A holds the shared minimum —
+    // in particular two docs sharing their min shingle got IDENTICAL
+    // signatures. With double hashing the argmin varies per
+    // component, so a strict superset must win some component.
+    val aShingles = (1 to 10).map(i => (1L, s"shingle_$i"))
+    val bShingles = aShingles.map { case (_, sh) => (2L, sh) } ++
+      (11 to 50).map(i => (2L, s"shingle_$i"))
+    val sig = Dedup.minhashSignature(
+      (aShingles ++ bShingles).toDF("doc_id", "shingle"))
+      .orderBy("doc_id").collect()
+    val sa = (1 to 8).map(i => sig(0).getLong(i))
+    val sb = (1 to 8).map(i => sig(1).getLong(i))
+    // superset can only lower minima…
+    assert(sa.zip(sb).forall { case (a, b) => b <= a })
+    // …and with 40 extra shingles must strictly lower at least one
+    // (all-equal was the degenerate-family signature)
+    assert(sa != sb, s"signatures identical: $sa")
+  }
+
   test("exact dedup groups cover all docs exactly once") {
     val groups = Dedup.d1ExactDedup(spark, sf)
     val docs = Tables.load(spark, sf, "documents")
