@@ -13,14 +13,17 @@ object Bench {
     // untimed warmup: JIT/codegen/first-scan costs otherwise land on
     // whichever query happens to run first, distorting its number
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // a failed query records -1.0, NOT its time-to-exception — broken
+    // queries must be visible in BENCH json, never summed as fast runs
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

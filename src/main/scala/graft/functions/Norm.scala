@@ -82,6 +82,44 @@ object Norm {
     s"CASE WHEN $isEmpty THEN '$NullLit' ELSE $rendered END"
   }
 
+  /** Nullable canonical rendering: a true NULL (and '' for strings,
+    * per reference semantics) stays SQL NULL; values render to their
+    * canonical strings. Use where downstream must distinguish NULL
+    * from the 4-character string "NULL" — the sentinel form above
+    * collapses both, which is fine for checksums but would make
+    * fix-SQL synthesis write SQL NULL over a real 'NULL' string.
+    */
+  def sparkNormNullable(nc: NormCol): Column = {
+    val c = col(nc.name)
+    val rendered: Column = nc.kind match {
+      case KLong => c.cast("long").cast("string")
+      case KDec(p, s) => c.cast(DecimalType(p, s)).cast("string")
+      case KStr => c
+      case KDate => date_format(c, "yyyy-MM-dd")
+      case KTs => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    }
+    nc.kind match {
+      case KStr => when(c === lit(""), lit(null).cast("string"))
+        .otherwise(rendered)
+      case _ => rendered
+    }
+  }
+
+  def duckNormNullable(nc: NormCol): String = {
+    val c = nc.name
+    val rendered = nc.kind match {
+      case KLong => s"CAST(CAST($c AS BIGINT) AS VARCHAR)"
+      case KDec(p, s) => s"CAST(CAST($c AS DECIMAL($p,$s)) AS VARCHAR)"
+      case KStr => c
+      case KDate => s"strftime($c, '%Y-%m-%d')"
+      case KTs => s"strftime($c, '%Y-%m-%d %H:%M:%S')"
+    }
+    nc.kind match {
+      case KStr => s"CASE WHEN $c = '' THEN NULL ELSE $rendered END"
+      case _ => rendered
+    }
+  }
+
   /** Canonical row string: '|'-joined normalized columns. */
   def sparkRow(cols: Seq[NormCol]): Column =
     concat_ws("|", cols.map(sparkNorm): _*)

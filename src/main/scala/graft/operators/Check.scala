@@ -42,19 +42,25 @@ object Check {
         .otherwise(lit("SAME"))
     val qualified: Column =
       concat(lit(s"$targetSchema."), col("table_name"))
+    // every column-definition fix carries the nullability clause:
+    // MySQL's MODIFY/ADD COLUMN replaces the WHOLE definition, so an
+    // omitted NOT NULL would silently loosen the target (the
+    // reference always emits it — `check_marvin.sql` "NCHAR(20) NOT
+    // NULL")
+    val nullClause =
+      when(col("src_null"), lit(" NULL;")).otherwise(lit(" NOT NULL;"))
     val fix =
       when(change === "ADD", concat(lit("ALTER TABLE "), qualified,
         lit(" ADD COLUMN "), col("column_name"), lit(" "),
-        col("src_type"), lit(";")))
+        col("src_type"), nullClause))
         .when(change === "DROP", concat(lit("ALTER TABLE "), qualified,
           lit(" DROP COLUMN "), col("column_name"), lit(";")))
         .when(change === "MODIFY_TYPE", concat(lit("ALTER TABLE "),
           qualified, lit(" MODIFY COLUMN "), col("column_name"), lit(" "),
-          col("src_type"), lit(";")))
+          col("src_type"), nullClause))
         .when(change === "MODIFY_NULL", concat(lit("ALTER TABLE "),
           qualified, lit(" MODIFY COLUMN "), col("column_name"), lit(" "),
-          col("src_type"),
-          when(col("src_null"), lit(" NULL;")).otherwise(lit(" NOT NULL;"))))
+          col("src_type"), nullClause))
     joined.withColumn("change", change)
       .filter(col("change") =!= "SAME")
       .select(col("table_name"), col("column_name"), col("change"),
@@ -297,11 +303,13 @@ object Check {
        |SELECT table_name, column_name, change,
        |  CASE change
        |    WHEN 'ADD' THEN 'ALTER TABLE steven.' || table_name ||
-       |      ' ADD COLUMN ' || column_name || ' ' || src_type || ';'
+       |      ' ADD COLUMN ' || column_name || ' ' || src_type ||
+       |      CASE WHEN src_null THEN ' NULL;' ELSE ' NOT NULL;' END
        |    WHEN 'DROP' THEN 'ALTER TABLE steven.' || table_name ||
        |      ' DROP COLUMN ' || column_name || ';'
        |    WHEN 'MODIFY_TYPE' THEN 'ALTER TABLE steven.' || table_name ||
-       |      ' MODIFY COLUMN ' || column_name || ' ' || src_type || ';'
+       |      ' MODIFY COLUMN ' || column_name || ' ' || src_type ||
+       |      CASE WHEN src_null THEN ' NULL;' ELSE ' NOT NULL;' END
        |    WHEN 'MODIFY_NULL' THEN 'ALTER TABLE steven.' || table_name ||
        |      ' MODIFY COLUMN ' || column_name || ' ' || src_type ||
        |      CASE WHEN src_null THEN ' NULL;' ELSE ' NOT NULL;' END

@@ -73,17 +73,27 @@ object Compare {
     */
   def symmetricDiffCols(src: DataFrame, tgt: DataFrame,
       normCols: Seq[NormCol], keyCol: String): DataFrame = {
+    // NULLABLE normalization: a true NULL stays SQL NULL in the diff
+    // columns so fix synthesis can distinguish it from a literal
+    // "NULL" string (the sentinel form would collapse both and make
+    // the repair write SQL NULL over real 'NULL' text)
     def proj(df: DataFrame) =
       df.select(col(keyCol).cast("long").as("row_key") +:
-        normCols.map(nc => Norm.sparkNorm(nc).as(s"v_${nc.name}")): _*)
+        normCols.map(nc => Norm.sparkNormNullable(nc).as(s"v_${nc.name}")): _*)
     val keys = "row_key" +: normCols.map(nc => s"v_${nc.name}")
     val sc = proj(src).groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_src"))
     val tc = proj(tgt).groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_tgt"))
-    val j = sc.join(tc, keys, "full_outer")
-      .withColumn("n_src", coalesce(col("n_src"), lit(0L)))
-      .withColumn("n_tgt", coalesce(col("n_tgt"), lit(0L)))
+    // NULL-SAFE join on the row columns: with nullable values a plain
+    // equality join would never match NULL keys and report identical
+    // rows as differing on both sides (EXCEPT ALL — the oracle's
+    // formulation — treats NULLs as equal)
+    val cond = keys.map(k => sc(k) <=> tc(k)).reduce(_ && _)
+    val j = sc.join(tc, cond, "full_outer")
+      .select(keys.map(k => coalesce(sc(k), tc(k)).as(k)) ++ Seq(
+        coalesce(sc("n_src"), lit(0L)).as("n_src"),
+        coalesce(tc("n_tgt"), lit(0L)).as("n_tgt")): _*)
       .filter(col("n_src") =!= col("n_tgt"))
     j.select(keys.map(col) :+
         when(col("n_src") > col("n_tgt"), lit("SRC_ONLY"))
@@ -109,7 +119,9 @@ object Compare {
     import graft.functions.Escape
     val valueList = concat_ws(",", normCols.map { nc =>
       val v = col(s"v_${nc.name}")
-      when(v === "NULL", lit("NULL"))
+      // IS NULL test, not a sentinel compare: the literal string
+      // 'NULL' in data stays a quoted value
+      when(v.isNull, lit("NULL"))
         .otherwise(concat(lit("'"), Escape.sqlLiteralCol(v), lit("'")))
     }: _*)
     diff.select(
@@ -136,16 +148,8 @@ object Compare {
     * price on keys ≡0 (mod 101), insert near-duplicates of keys ≡0
     * (mod 89) shifted by +1,000,000.
     */
-  def driftedOrders(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.load(s, d, "orders")
-    val kept = o.filter(col("o_orderkey") % 97 =!= 0)
-      .withColumn("o_totalprice",
-        when(col("o_orderkey") % 101 === 0, col("o_totalprice") + lit(10.0))
-          .otherwise(col("o_totalprice")))
-    val inserted = o.filter(col("o_orderkey") % 89 === 0)
-      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L))
-    kept.unionAll(inserted)
-  }
+  def driftedOrders(s: SparkSession, d: String): DataFrame =
+    drift(Tables.load(s, d, "orders"))
 
   val driftedOrdersSql: String =
     """(SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -179,7 +183,9 @@ object Compare {
         .when(col("o_orderkey") % 6 === 2, lit("back\\slash\\"))
         .when(col("o_orderkey") % 6 === 3, lit("mix\"q'\\end"))
         .when(col("o_orderkey") % 6 === 4, lit("*/breaker/*"))
-        .otherwise(col("o_orderpriority")))
+        // the 4-char STRING "NULL" — must round-trip as a quoted
+        // value, never as SQL NULL
+        .otherwise(lit("NULL")))
 
   private val ordersHostileSql: String =
     """(SELECT orders.*,
@@ -188,7 +194,7 @@ object Compare {
       |       WHEN o_orderkey % 6 = 2 THEN 'back\slash\'
       |       WHEN o_orderkey % 6 = 3 THEN 'mix"q''\end'
       |       WHEN o_orderkey % 6 = 4 THEN '*/breaker/*'
-      |       ELSE o_orderpriority END AS payload
+      |       ELSE 'NULL' END AS payload
       | FROM orders)""".stripMargin
 
   /** The drift transform applied to any orders-shaped relation
@@ -255,12 +261,13 @@ object Compare {
     val tgtRel = driftSql(ordersHostileSql, hostileCols)
     def proj(rel: String) = {
       val vs = hostileNorm
-        .map(nc => s"${Norm.duckNorm(nc)} AS v_${nc.name}").mkString(",\n    ")
+        .map(nc => s"${Norm.duckNormNullable(nc)} AS v_${nc.name}")
+        .mkString(",\n    ")
       s"SELECT CAST(o_orderkey AS BIGINT) AS row_key,\n    $vs\n  FROM $rel t"
     }
     val vals = hostileNorm.map { nc =>
       val v = s"v_${nc.name}"
-      s"CASE WHEN $v = 'NULL' THEN 'NULL' " +
+      s"CASE WHEN $v IS NULL THEN 'NULL' " +
         s"ELSE '''' || ${Escape.sqlLiteralSql(v)} || '''' END"
     }.mkString(", ")
     s"""WITH src AS (${proj(ordersHostileSql)}),

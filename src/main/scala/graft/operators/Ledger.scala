@@ -33,16 +33,24 @@ object Ledger {
   private def log(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
-  /** Current chunk state: arg-max over the append log. */
+  /** Current chunk state: arg-max over the append log. Equal
+    * update_seq ties resolve by status PROGRESS RANK (WAITING <
+    * FAILED < SUCCESS), never by the status string itself —
+    * lexicographically "WAITING" beats "SUCCESS", which would
+    * resurrect completed chunks on a seq collision.
+    */
   def state(s: SparkSession, path: String, task: String,
-      table: String): DataFrame =
+      table: String): DataFrame = {
+    val rank = when(col("status") === Success, 2)
+      .when(col("status") === Failed, 1).otherwise(0)
     log(s, path)
       .filter(col("task") === task && col("table_name") === table)
       .groupBy(col("chunk_id"))
-      .agg(max(struct(col("update_seq"), col("status"), col("lower"),
-        col("upper"))).as("last"))
+      .agg(max(struct(col("update_seq"), rank.as("rank"), col("status"),
+        col("lower"), col("upper"))).as("last"))
       .select(col("chunk_id"), col("last.status").as("status"),
         col("last.lower").as("lower"), col("last.upper").as("upper"))
+  }
 
   /** Record the plan: one WAITING row per chunk (update_seq 0). */
   def init(s: SparkSession, path: String, task: String, table: String,
@@ -54,9 +62,13 @@ object Ledger {
       .write.mode(SaveMode.Append).parquet(path)
   }
 
-  /** Mark chunk completion (or failure) — append-only. */
+  /** Mark chunk completion (or failure) — append-only. `updateSeq`
+    * must be positive: 0 is reserved for the plan rows [[init]]
+    * writes.
+    */
   def mark(s: SparkSession, path: String, task: String, table: String,
       chunkIds: Seq[Int], status: String, updateSeq: Long): Unit = {
+    require(updateSeq > 0, "updateSeq 0 is reserved for init plan rows")
     import s.implicits._
     chunkIds.map(id => (task, table, id, 0L, 0L, status, updateSeq))
       .toDF("task", "table_name", "chunk_id", "lower", "upper", "status",

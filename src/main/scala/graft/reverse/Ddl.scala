@@ -71,7 +71,9 @@ object Ddl {
     * target table, case-insensitive lookup, identity when absent.
     */
   def applyNameRule(table: String, renames: Map[String, String]): String =
-    renames.collectFirst {
+    // sorted-key scan: with several case-variant keys matching, the
+    // winner must not depend on Map iteration order
+    renames.toSeq.sortBy(_._1).collectFirst {
       case (src, tgt) if src.equalsIgnoreCase(table) => tgt
     }.getOrElse(table)
 

@@ -79,9 +79,16 @@ final case class FileNameOffset(lastName: String) extends Offset {
 }
 
 final class ChangeFeedStream(path: String) extends MicroBatchStream {
+  // the SESSION's Hadoop configuration — a bare new Configuration()
+  // would drop spark.hadoop.* settings (object-store credentials,
+  // defaultFS), breaking any non-local feed path
+  private val hadoopConf: Configuration =
+    org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+
   private def listFiles(): Seq[Path] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hadoopConf)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
@@ -111,19 +118,31 @@ final class ChangeFeedStream(path: String) extends MicroBatchStream {
       .map(p => ChangeFeedPartition(p.toString): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ChangeFeedReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Configuration isn't Serializable: ship the entries and rebuild
+    // per partition so executors see the session's fs settings
+    import scala.jdk.CollectionConverters._
+    val entries = hadoopConf.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toSeq
+    new ChangeFeedReaderFactory(entries)
+  }
 }
 
 final case class ChangeFeedPartition(file: String) extends InputPartition
 
-final class ChangeFeedReaderFactory extends PartitionReaderFactory {
+final class ChangeFeedReaderFactory(confEntries: Seq[(String, String)])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[ChangeFeedPartition].file
     new PartitionReader[InternalRow] {
+      private val conf = {
+        val c = new Configuration(false)
+        confEntries.foreach { case (k, v) => c.set(k, v) }
+        c
+      }
       private val p = new Path(file)
-      private val in = p.getFileSystem(new Configuration()).open(p)
+      private val in = p.getFileSystem(conf).open(p)
       private val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
       private var current: InternalRow = _

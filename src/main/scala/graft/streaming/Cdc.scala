@@ -228,13 +228,18 @@ object Cdc {
     * appends: a batch that fails between the log write and the
     * watermark write re-runs on recovery and overwrites its OWN
     * output — the log can never accumulate duplicate rows from a
-    * retried batch (bare append + retry would). Different query runs
-    * get distinct run ids, so a fresh-checkpoint restart (whose batch
-    * ids restart at 0) can't clobber a previous run's directories.
+    * retried batch (bare append + retry would). The run id derives
+    * from the CHECKPOINT location, not a fresh UUID: a crash-recovery
+    * restart of the same logical stream lands in the same run
+    * directory (so the replayed batch overwrites, not duplicates),
+    * while a fresh-checkpoint stream (whose batch ids restart at 0)
+    * gets its own directories and can't clobber a previous run's.
     */
   def streamApplyGuarded(s: SparkSession, feedDir: String, logDir: String,
       wmDir: String, checkpointDir: String): StreamingQuery = {
-    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val runId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
     s.readStream.schema(changeSchema).parquet(feedDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)

@@ -74,6 +74,10 @@ class CompareSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(sqls.forall(balanced), sqls.find(s => !balanced(s)).getOrElse(""))
     // hostile payloads (keys ≡1 mod 6 carry a quote) actually occur
     assert(sqls.exists(_.contains("it\\'s ")))
+    // the literal 4-char string "NULL" stays a QUOTED value; true
+    // NULLs render bare — the sentinel form couldn't tell them apart
+    assert(sqls.exists(_.endsWith(",'NULL');")), "quoted 'NULL' missing")
+    assert(sqls.exists(_.endsWith(",NULL);")), "bare NULL missing")
     fix.unpersist()
   }
 
