@@ -48,38 +48,48 @@ object Norm {
 
   private val NullLit = "NULL"
 
-  /** Spark-side canonical string for one column. */
-  def sparkNorm(nc: NormCol): Column = {
+  /** ONE rendering per kind, shared by the sentinel and nullable
+    * forms in each dialect — four hand-maintained copies would drift.
+    */
+  private def sparkRendered(nc: NormCol): Column = {
     val c = col(nc.name)
-    val rendered: Column = nc.kind match {
+    nc.kind match {
       case KLong => c.cast("long").cast("string")
       case KDec(p, s) => c.cast(DecimalType(p, s)).cast("string")
       case KStr => c
       case KDate => date_format(c, "yyyy-MM-dd")
       case KTs => date_format(c, "yyyy-MM-dd HH:mm:ss")
     }
-    val isEmpty = nc.kind match {
-      case KStr => c.isNull || c === lit("")
-      case _ => c.isNull
-    }
-    when(isEmpty, lit(NullLit)).otherwise(rendered)
   }
 
-  /** DuckDB-side canonical string for one column (same semantics). */
-  def duckNorm(nc: NormCol): String = {
+  private def duckRendered(nc: NormCol): String = {
     val c = nc.name
-    val rendered = nc.kind match {
+    nc.kind match {
       case KLong => s"CAST(CAST($c AS BIGINT) AS VARCHAR)"
       case KDec(p, s) => s"CAST(CAST($c AS DECIMAL($p,$s)) AS VARCHAR)"
       case KStr => c
       case KDate => s"strftime($c, '%Y-%m-%d')"
       case KTs => s"strftime($c, '%Y-%m-%d %H:%M:%S')"
     }
+  }
+
+  /** Spark-side canonical string for one column. */
+  def sparkNorm(nc: NormCol): Column = {
+    val c = col(nc.name)
     val isEmpty = nc.kind match {
-      case KStr => s"$c IS NULL OR $c = ''"
-      case _ => s"$c IS NULL"
+      case KStr => c.isNull || c === lit("")
+      case _ => c.isNull
     }
-    s"CASE WHEN $isEmpty THEN '$NullLit' ELSE $rendered END"
+    when(isEmpty, lit(NullLit)).otherwise(sparkRendered(nc))
+  }
+
+  /** DuckDB-side canonical string for one column (same semantics). */
+  def duckNorm(nc: NormCol): String = {
+    val isEmpty = nc.kind match {
+      case KStr => s"${nc.name} IS NULL OR ${nc.name} = ''"
+      case _ => s"${nc.name} IS NULL"
+    }
+    s"CASE WHEN $isEmpty THEN '$NullLit' ELSE ${duckRendered(nc)} END"
   }
 
   /** Nullable canonical rendering: a true NULL (and '' for strings,
@@ -89,35 +99,16 @@ object Norm {
     * collapses both, which is fine for checksums but would make
     * fix-SQL synthesis write SQL NULL over a real 'NULL' string.
     */
-  def sparkNormNullable(nc: NormCol): Column = {
-    val c = col(nc.name)
-    val rendered: Column = nc.kind match {
-      case KLong => c.cast("long").cast("string")
-      case KDec(p, s) => c.cast(DecimalType(p, s)).cast("string")
-      case KStr => c
-      case KDate => date_format(c, "yyyy-MM-dd")
-      case KTs => date_format(c, "yyyy-MM-dd HH:mm:ss")
-    }
-    nc.kind match {
-      case KStr => when(c === lit(""), lit(null).cast("string"))
-        .otherwise(rendered)
-      case _ => rendered
-    }
+  def sparkNormNullable(nc: NormCol): Column = nc.kind match {
+    case KStr => when(col(nc.name) === lit(""), lit(null).cast("string"))
+      .otherwise(sparkRendered(nc))
+    case _ => sparkRendered(nc)
   }
 
-  def duckNormNullable(nc: NormCol): String = {
-    val c = nc.name
-    val rendered = nc.kind match {
-      case KLong => s"CAST(CAST($c AS BIGINT) AS VARCHAR)"
-      case KDec(p, s) => s"CAST(CAST($c AS DECIMAL($p,$s)) AS VARCHAR)"
-      case KStr => c
-      case KDate => s"strftime($c, '%Y-%m-%d')"
-      case KTs => s"strftime($c, '%Y-%m-%d %H:%M:%S')"
-    }
-    nc.kind match {
-      case KStr => s"CASE WHEN $c = '' THEN NULL ELSE $rendered END"
-      case _ => rendered
-    }
+  def duckNormNullable(nc: NormCol): String = nc.kind match {
+    case KStr =>
+      s"CASE WHEN ${nc.name} = '' THEN NULL ELSE ${duckRendered(nc)} END"
+    case _ => duckRendered(nc)
   }
 
   /** Canonical row string: '|'-joined normalized columns. */

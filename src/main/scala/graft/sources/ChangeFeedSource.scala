@@ -118,29 +118,33 @@ final class ChangeFeedStream(path: String) extends MicroBatchStream {
       .map(p => ChangeFeedPartition(p.toString): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // Configuration isn't Serializable: ship the entries and rebuild
-    // per partition so executors see the session's fs settings
-    import scala.jdk.CollectionConverters._
-    val entries = hadoopConf.iterator().asScala
+  // Configuration isn't Serializable: capture the entries ONCE (not
+  // per micro-batch) and ship them; readers rebuild lazily per
+  // executor, not per file
+  private lazy val confEntries: Seq[(String, String)] =
+    hadoopConf.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toSeq
-    new ChangeFeedReaderFactory(entries)
-  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangeFeedReaderFactory(confEntries)
 }
 
 final case class ChangeFeedPartition(file: String) extends InputPartition
 
 final class ChangeFeedReaderFactory(confEntries: Seq[(String, String)])
     extends PartitionReaderFactory {
+  // one rebuild per deserialized factory instance (per executor),
+  // shared by all its partition readers
+  @transient private lazy val conf: Configuration = {
+    val c = new Configuration(false)
+    confEntries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[ChangeFeedPartition].file
     new PartitionReader[InternalRow] {
-      private val conf = {
-        val c = new Configuration(false)
-        confEntries.foreach { case (k, v) => c.set(k, v) }
-        c
-      }
       private val p = new Path(file)
       private val in = p.getFileSystem(conf).open(p)
       private val reader = new java.io.BufferedReader(

@@ -228,18 +228,30 @@ object Cdc {
     * appends: a batch that fails between the log write and the
     * watermark write re-runs on recovery and overwrites its OWN
     * output — the log can never accumulate duplicate rows from a
-    * retried batch (bare append + retry would). The run id derives
-    * from the CHECKPOINT location, not a fresh UUID: a crash-recovery
-    * restart of the same logical stream lands in the same run
-    * directory (so the replayed batch overwrites, not duplicates),
-    * while a fresh-checkpoint stream (whose batch ids restart at 0)
-    * gets its own directories and can't clobber a previous run's.
+    * retried batch (bare append + retry would). The run id is the
+    * streaming QUERY id read from the checkpoint's own metadata: it
+    * persists across crash-recovery restarts of the same checkpoint
+    * (so a replayed batch overwrites, not duplicates) and is
+    * regenerated when the checkpoint is wiped — even at the same
+    * path — so a fresh-start stream whose batch ids restart at 0
+    * writes new directories instead of clobbering committed ones (a
+    * path-derived id would collide there; a per-start UUID would
+    * break retry dedup).
     */
   def streamApplyGuarded(s: SparkSession, feedDir: String, logDir: String,
       wmDir: String, checkpointDir: String): StreamingQuery = {
-    val runId = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
+    // resolved lazily on the first batch: StreamExecution writes
+    // checkpointDir/metadata {"id": "<uuid>"} at query start
+    lazy val runId: String = {
+      val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val text = new String(fs.open(p).readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"id"\s*:\s*"([0-9a-f-]+)"""".r.findFirstMatchIn(text)
+        .map(_.group(1).replace("-", "").take(12))
+        .getOrElse(throw new IllegalStateException(
+          s"no query id in $p — cannot derive a stable run id"))
+    }
     s.readStream.schema(changeSchema).parquet(feedDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
