@@ -182,6 +182,77 @@ object Cdc {
       .start()
   }
 
+  // ---------------------------- custom session state + timeout (C8/C3)
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start:
+      java.sql.Timestamp, n_events: Long)
+
+  /** Custom sessionization via `flatMapGroupsWithState` +
+    * EventTimeTimeout — the state-EVICTION path `mapGroupsWithState`
+    * can't show: an open session lives in GroupState with a timeout
+    * at last-event + gap; when the WATERMARK passes it, the state
+    * times out, the session closes and the key's state is removed
+    * (bounded state under unbounded keyspace). Gap-splitting inside a
+    * batch happens in plain Scala over the sorted group; semantics
+    * match the builtin `session_window` exactly, which the spec
+    * cross-checks.
+    */
+  def sessionizeStream(s: SparkSession, feedDir: String, outDir: String,
+      checkpointDir: String, gapMinutes: Int = 10): StreamingQuery = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes * 60000L
+    s.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType),
+        StructField("ts", TimestampType))))
+      .parquet(feedDir)
+      .withWatermark("ts", "10 seconds")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, events: Iterator[SessionEvent],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last-event + gap: close and EVICT
+            val open = state.get
+            state.remove()
+            Iterator(ClosedSession(uid,
+              new java.sql.Timestamp(open.startMs), open.n))
+          } else {
+            val sorted = events.map(_.ts.getTime).toSeq.sorted
+            var open = state.getOption.orNull
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { t =>
+              open match {
+                case null => open = OpenSession(t, t, 1)
+                case o if t < o.lastMs + gapMs =>
+                  open = o.copy(lastMs = math.max(o.lastMs, t), n = o.n + 1)
+                case o =>
+                  closed += ClosedSession(uid,
+                    new java.sql.Timestamp(o.startMs), o.n)
+                  open = OpenSession(t, t, 1)
+              }
+            }
+            state.update(open)
+            state.setTimeoutTimestamp(open.lastMs + gapMs)
+            closed.result().iterator
+          }
+      }
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[ClosedSession], _: Long) =>
+          batch.toDF().write.mode("append").parquet(outDir)
+          ()
+      }
+      .start()
+  }
+
   // ------------------------------------------- per-table watermarks (C3)
 
   /** Current per-table SCN watermark — arg-max over an append-only

@@ -127,6 +127,35 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(notOk.toSeq == Seq((2, "Big5")))
   }
 
+  test("flatMapGroupsWithState sessions match the builtin session_window") {
+    val tmp = Files.createTempDirectory("graft_sess").toString
+    val feed = s"$tmp/feed"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val events = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"))
+    events.write.parquet(feed)
+    Cdc.sessionizeStream(spark, feed, out, ckpt).awaitTermination(120000)
+    // flush: one far-future event per user advances the watermark past
+    // every open session's timeout, evicting and closing them all
+    val flushTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    import spark.implicits._
+    events.select("user_id").distinct()
+      .withColumn("ts", lit(flushTs)).write.mode("append").parquet(feed)
+    Cdc.sessionizeStream(spark, feed, out, ckpt).awaitTermination(120000)
+    Cdc.sessionizeStream(spark, feed, out, ckpt).awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+      .filter(col("session_start") < lit(flushTs))
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("st"),
+        col("n_events"))
+    val batch = Cdc.c9SessionWindow(spark, sf)
+      .select(col("user_id"), col("session_start").as("st"),
+        col("n_events").cast("long").as("n_events"))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      s"streamed=${streamed.count()} batch=${batch.count()}")
+  }
+
   test("mapGroupsWithState: per-key counters accumulate across restarts") {
     val tmp = Files.createTempDirectory("graft_mgws").toString
     val feed = s"$tmp/feed"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
