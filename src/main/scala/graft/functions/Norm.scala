@@ -36,6 +36,16 @@ object Norm {
   def xhash64Sql(expr: String): String =
     s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
 
+  /** Second independent 60-bit hash from the SAME md5 digest (hex
+    * chars 16-30): double-hashing families get two bases for one
+    * digest evaluation (codegen CSE folds the repeated md5 node).
+    */
+  def xhash64b(c: Column): Column =
+    conv(substring(md5(c), 16, 15), 16, 10).cast("long")
+
+  def xhash64bSql(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 16, 15) AS BIGINT)"
+
   /** Column rendering kinds with stable cross-engine string forms. */
   sealed trait Kind
   case object KLong extends Kind // integral (int32/int64)

@@ -342,6 +342,80 @@ object Migrate {
        |GROUP BY 1""".stripMargin
   }
 
+  /** s9c: DDL direct-apply (S9 `direct-write`,
+    * `module/reverse/write.go:41-120` — the reference can execute the
+    * reverse DDL straight against the target instead of writing a
+    * file). The marvin1lite zoo table is rendered in the embedded
+    * target's dialect, CREATEd over JDBC, a check-engine fix action
+    * (ADD COLUMN, the k1 ADD shape) applied on top, and the resulting
+    * structure read back from JDBC metadata — the oracle pins the
+    * expected structure, so synthesis + execution + introspection are
+    * all on the hook. Defaults rewrite per target (SYSDATE →
+    * CURRENT_TIMESTAMP); a default with no analogue (SYS_GUID())
+    * diverts to the compatibility path rather than failing the table.
+    */
+  def s9cDdlApply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.reverse.Reverse
+    val dbDir = tempDir("derby_ddl")
+    System.setProperty("derby.system.home", dbDir)
+    val url = s"jdbc:derby:$dbDir/ddldb;create=true"
+    val cols = Reverse.zoo.filter(_.table_name == "marvin1lite")
+    def derbyType(z: Reverse.ZooCol): String = z.data_type match {
+      case "NUMBER" => s"DECIMAL(${math.min(z.p.getOrElse(31), 31)})"
+      case "VARCHAR2" => s"VARCHAR(${z.len})"
+      case "DATE" => "TIMESTAMP"
+      case _ => "VARCHAR(100)"
+    }
+    def derbyDefault(dflt: String): Option[String] = dflt match {
+      case "SYSDATE" => Some("CURRENT_TIMESTAMP")
+      case "SYS_GUID()" => None // no Derby analogue — compat divert
+      case v => Some(v)
+    }
+    val lines = cols.map { z =>
+      val dfltCl = z.dflt.flatMap(derbyDefault)
+        .map(v => s" DEFAULT $v").getOrElse("")
+      val nn = if (!z.nullable) " NOT NULL" else ""
+      s"${z.col_name} ${derbyType(z)}$dfltCl$nn"
+    }
+    val createSql =
+      (s"CREATE TABLE marvin1lite (" +:
+        (lines :+ "PRIMARY KEY (id)").mkString(",\n") +: Seq(")"))
+        .mkString("\n")
+    val fixSql = "ALTER TABLE marvin1lite ADD COLUMN extra_flag VARCHAR(20)"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(createSql)
+      st.execute(fixSql)
+      st.close()
+      val md = conn.getMetaData.getColumns(null, null, "MARVIN1LITE", null)
+      val buf = Seq.newBuilder[(Int, String, String, Int, Boolean)]
+      while (md.next()) {
+        val tn = md.getString("TYPE_NAME")
+        // width is only meaningful for char/decimal forms; TIMESTAMP
+        // widths are driver-internal and not part of the contract
+        val w = if (tn == "VARCHAR" || tn == "DECIMAL")
+          md.getInt("COLUMN_SIZE") else 0
+        buf += ((md.getInt("ORDINAL_POSITION"),
+          md.getString("COLUMN_NAME"), tn, w,
+          md.getString("IS_NULLABLE") == "YES"))
+      }
+      md.close()
+      buf.result()
+        .toDF("ordinal", "column_name", "type_name", "width", "nullable")
+    } finally conn.close()
+  }
+
+  val s9cSql: String =
+    """SELECT * FROM (VALUES
+      |  (1, 'ID', 'DECIMAL', 8, FALSE),
+      |  (2, 'NAME', 'VARCHAR', 10, TRUE),
+      |  (3, 'CREATED', 'TIMESTAMP', 0, TRUE),
+      |  (4, 'GUID', 'VARCHAR', 32, TRUE),
+      |  (5, 'EXTRA_FLAG', 'VARCHAR', 20, TRUE)
+      |) t(ordinal, column_name, type_name, width, nullable)""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -349,6 +423,7 @@ object Migrate {
     "s7b_jdbc_roundtrip" -> s7bJdbcRoundtrip,
     "s8_csv_roundtrip" -> s8CsvRoundtrip,
     "s9b_json_roundtrip" -> s9bJsonRoundtrip,
+    "s9c_ddl_apply" -> s9cDdlApply,
     "s2_chunked_scan" -> s2ChunkedScan)
 
   val oracles: Map[String, String] = Map(
@@ -356,6 +431,7 @@ object Migrate {
     "s7b_jdbc_roundtrip" -> s7bSql,
     "s8_csv_roundtrip" -> s8Sql,
     "s9b_json_roundtrip" -> s9bSql,
+    "s9c_ddl_apply" -> s9cSql,
     // orders keys are dense 0..N-1 at every sf: 15000 rows/sf0.01 →
     // ceil(15000/2000)=8 chunks; recomputed generically below.
     "s2_chunked_scan" -> s2SqlGeneric)

@@ -305,6 +305,45 @@ object Relational {
       |UNION ALL SELECT 'l_suppkey', c2 FROM nd
       |UNION ALL SELECT 'l_linenumber', c3 FROM nd""".stripMargin
 
+  /** a9b: the split-key election SCALE path — approx_count_distinct
+    * (HyperLogLog++) in place of a9's exact countDistinct, which
+    * plans an Expand (4× row multiplication, the round-2 bench
+    * regression); HLL is one pass, map-side combinable, no expand.
+    * The registered result is the ELECTED column, not the sketch
+    * values: HLL estimates are engine-specific, but the election is
+    * stable because the candidates' cardinalities differ by orders of
+    * magnitude (orderkey ~N/4, partkey ~N/30, suppkey ~N/600,
+    * linenumber 7). The oracle elects with exact counts — agreement
+    * checks that the approximation preserves the argmax, which is the
+    * operator's actual contract (`database/oracle/compare.go:61-82`
+    * trusts stats for the same reason).
+    */
+  def a9bSplitKeyApprox(s: SparkSession, d: String): DataFrame = {
+    val cands = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val aggs = cands.map(c => approx_count_distinct(col(c)).as(s"nd_$c"))
+    li(s, d).agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cands.map(c =>
+        struct(lit(c).as("column_name"), col(s"nd_$c").as("n_distinct"))): _*))
+        .as("kv"))
+      .select(col("kv.column_name"), col("kv.n_distinct"))
+      .orderBy(col("n_distinct").desc, col("column_name").asc)
+      .limit(1)
+      .select(col("column_name").as("split_column"))
+  }
+
+  val a9bSql: String =
+    """WITH nd AS (
+      |  SELECT count(DISTINCT l_orderkey) AS c0, count(DISTINCT l_partkey) AS c1,
+      |         count(DISTINCT l_suppkey) AS c2, count(DISTINCT l_linenumber) AS c3
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT 'l_orderkey' AS column_name, c0 AS n_distinct FROM nd
+      |  UNION ALL SELECT 'l_partkey', c1 FROM nd
+      |  UNION ALL SELECT 'l_suppkey', c2 FROM nd
+      |  UNION ALL SELECT 'l_linenumber', c3 FROM nd)
+      |SELECT column_name AS split_column FROM m
+      |ORDER BY n_distinct DESC, column_name ASC LIMIT 1""".stripMargin
+
   /** a16: skew-safe two-stage salted aggregation — the 100 TB pattern
     * for hot grouping keys: a salt column spreads each key over N
     * partial groups (stage 1, map-side combinable), a second agg
@@ -415,6 +454,7 @@ object Relational {
     "a7_topk" -> a7TopK,
     "a8_threshold" -> a8Threshold,
     "a9_split_key_election" -> a9SplitKeyElection,
+    "a9b_split_key_approx" -> a9bSplitKeyApprox,
     "a16_salted_agg" -> a16SaltedAgg,
     "p1_export_projection" -> p1ExportProjection,
     "p3_chunk_filter" -> p3ChunkFilter,
@@ -435,6 +475,7 @@ object Relational {
     "a7_topk" -> a7Sql,
     "a8_threshold" -> a8Sql,
     "a9_split_key_election" -> a9Sql,
+    "a9b_split_key_approx" -> a9bSql,
     "a16_salted_agg" -> a16Sql,
     "p1_export_projection" -> p1Sql,
     "p3_chunk_filter" -> p3Sql,

@@ -195,7 +195,8 @@ final case class MySQLColumn(
     precision: Option[Int] = None,
     scale: Option[Int] = None,
     datePrecision: Int = 0,
-    nullable: Boolean = true) {
+    nullable: Boolean = true,
+    dflt: Option[String] = None) {
   def upperType: String = dataType.trim.toUpperCase
 }
 

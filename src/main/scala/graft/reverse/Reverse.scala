@@ -129,7 +129,7 @@ object Reverse {
       s"${if (z.nullable) "TRUE" else "FALSE"}, ${vStrO(z.dflt)})"
   }.mkString(",\n  ")
 
-  private val zooCte: String =
+  private[graft] val zooCte: String =
     s"""zoo(table_name, ordinal, col_name, data_type, p, s, len,
        |    char_len, char_used, nullable, dflt) AS (VALUES
        |  $zooValues)""".stripMargin
@@ -298,7 +298,13 @@ object Reverse {
     * independently: string_agg-with-ORDER-BY vs
     * array_sort(collect_list).
     */
-  def r3DdlSynthesis(s: SparkSession, d: String): DataFrame = {
+  /** Per-column MySQL/TiDB DDL lines from the zoo — shared by the
+    * O2M (r3) and O2T (r5) assemblies; the dialects differ only in
+    * keys and table suffix, never in column rendering
+    * (`module/reverse/oracle/o2t/rule.go` reuses the o2m column
+    * path).
+    */
+  private def ddlLines(s: SparkSession): DataFrame = {
     import s.implicits._
     val mysqlTypeUdf = udf((dt: String, p: java.lang.Integer,
         sc: java.lang.Integer, len: Int, cl: java.lang.Integer,
@@ -310,7 +316,7 @@ object Reverse {
     // — an inline when-chain copy here could drift from it
     val mapDefaultUdf = udf((v: String) =>
       TypeMapper.mapDefault(Option(v)))
-    val lines = zoo.toDF()
+    zoo.toDF()
       .withColumn("mysql_type", mysqlTypeUdf(col("data_type"), col("p"),
         col("s"), col("len"), col("char_len"), col("char_used")))
       .withColumn("mapped_dflt", mapDefaultUdf(col("dflt")))
@@ -319,20 +325,20 @@ object Reverse {
         when(!col("nullable"), lit(" NOT NULL")).otherwise(lit("")),
         when(col("dflt").isNotNull,
           concat(lit(" DEFAULT "), col("mapped_dflt"))).otherwise(lit(""))))
+  }
+
+  /** Ordinal-ordered column-list aggregation (independent of the
+    * oracle's string_agg-with-ORDER-BY formulation).
+    */
+  private def aggLines(lines: DataFrame): DataFrame =
     lines.groupBy(col("table_name"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("ordinal"), col("line")))),
         x => x.getField("line")), ",\n").as("cols"))
-      .select(col("table_name"), concat(
-        lit("CREATE TABLE `steven`.`"), col("table_name"), lit("` (\n"),
-        col("cols"),
-        lit("\n) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_bin;"))
-        .as("ddl"))
-  }
 
-  val r3Sql: String =
-    s"""WITH $zooCte,
-       |n AS ($deriveSql FROM zoo),
+  /** SQL mirror of [[ddlLines]] (`n` and `lines` CTE bodies). */
+  private val ddlLinesSql: String =
+    s"""n AS ($deriveSql FROM zoo),
        |lines AS (
        |  SELECT table_name, ordinal,
        |    '`' || col_name || '` ' || lower($mysqlCaseSql) ||
@@ -342,12 +348,83 @@ object Reverse {
        |           WHEN upper(dflt) = 'SYS_GUID()' THEN 'UUID()'
        |           ELSE dflt END
        |      ELSE '' END AS line
-       |  FROM n)
+       |  FROM n)""".stripMargin
+
+  def r3DdlSynthesis(s: SparkSession, d: String): DataFrame =
+    aggLines(ddlLines(s))
+      .select(col("table_name"), concat(
+        lit("CREATE TABLE `steven`.`"), col("table_name"), lit("` (\n"),
+        col("cols"),
+        lit("\n) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_bin;"))
+        .as("ddl"))
+
+  val r3Sql: String =
+    s"""WITH $zooCte,
+       |$ddlLinesSql
        |SELECT table_name,
        |  'CREATE TABLE `steven`.`' || table_name || '` (' || chr(10) ||
        |  string_agg(line, ',' || chr(10) ORDER BY ordinal) || chr(10) ||
        |  ') ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_bin;' AS ddl
        |FROM lines GROUP BY table_name""".stripMargin
+
+  /** Per-table TiDB routing for the O2T variant
+    * (`module/reverse/oracle/o2t/rule.go:230-400`): a clustered-index
+    * table renders `PRIMARY KEY (...) CLUSTERED` and takes NO
+    * table-option; a nonclustered table renders `NONCLUSTERED` (when
+    * it has a PK) and may carry a TiDB table-option suffix
+    * (SHARD_ROW_ID_BITS spreads the implicit _tidb_rowid hot spot).
+    */
+  val tidbRoutes: Seq[(String, String, String, String)] = Seq(
+    // (table_name, route, pk_cols, table_option)
+    ("marvin1lite", "clustered", "id", ""),
+    ("marvin2", "nonclustered", "",
+      "SHARD_ROW_ID_BITS=4 PRE_SPLIT_REGIONS=4"))
+
+  /** r5: the O2T (TiDB) DDL variant — same column rules as O2M, TiDB
+    * key/suffix dialect (`o2t/rule.go:241-250,379-400`; no FK
+    * emission for TiDB pre-v6.6 semantics).
+    */
+  def r5O2tDdl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val routes = tidbRoutes
+      .toDF("table_name", "route", "pk_cols", "table_option")
+    aggLines(ddlLines(s)).join(routes, Seq("table_name"), "left")
+      .select(col("table_name"), concat(
+        lit("CREATE TABLE `steven`.`"), col("table_name"), lit("` (\n"),
+        col("cols"),
+        when(col("pk_cols") =!= "", concat(
+          lit(",\nPRIMARY KEY (`"), col("pk_cols"), lit("`) "),
+          upper(col("route")))).otherwise(lit("")),
+        lit("\n) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_bin"),
+        when(col("route") === "nonclustered" && col("table_option") =!= "",
+          concat(lit(" "), col("table_option"))).otherwise(lit("")),
+        lit(";")).as("ddl"))
+  }
+
+  val r5Sql: String = {
+    val routeValues = tidbRoutes.map { case (t, r, pk, opt) =>
+      s"(${vStr(t)}, ${vStr(r)}, ${vStr(pk)}, ${vStr(opt)})"
+    }.mkString(",\n  ")
+    s"""WITH $zooCte,
+       |$ddlLinesSql,
+       |routes(table_name, route, pk_cols, table_option) AS (VALUES
+       |  $routeValues),
+       |agg AS (
+       |  SELECT table_name,
+       |    string_agg(line, ',' || chr(10) ORDER BY ordinal) AS cols
+       |  FROM lines GROUP BY table_name)
+       |SELECT agg.table_name,
+       |  'CREATE TABLE `steven`.`' || agg.table_name || '` (' || chr(10) ||
+       |  cols ||
+       |  CASE WHEN routes.pk_cols <> '' THEN
+       |    ',' || chr(10) || 'PRIMARY KEY (`' || routes.pk_cols || '`) ' ||
+       |    upper(routes.route)
+       |  ELSE '' END || chr(10) ||
+       |  ') ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_bin' ||
+       |  CASE WHEN routes.route = 'nonclustered' AND routes.table_option <> ''
+       |       THEN ' ' || routes.table_option ELSE '' END || ';' AS ddl
+       |FROM agg LEFT JOIN routes ON agg.table_name = routes.table_name""".stripMargin
+  }
 
   // -------------------------------------------------- compat filter (P6)
 
@@ -423,7 +500,12 @@ object Reverse {
     MySQLColumn("tb1", "TINYBLOB"), MySQLColumn("bl1", "BLOB"),
     MySQLColumn("mb1", "MEDIUMBLOB"), MySQLColumn("lb1", "LONGBLOB"),
     MySQLColumn("se1", "SET", length = 20),
-    MySQLColumn("en1", "ENUM", length = 10))
+    MySQLColumn("en1", "ENUM", length = 10),
+    // not-null / default branches for the M2O DDL assembly (r6)
+    MySQLColumn("nn1", "VARCHAR", length = 30, nullable = false,
+      dflt = Some("'pending'")),
+    MySQLColumn("nn2", "INT", nullable = false),
+    MySQLColumn("df1", "DATETIME", dflt = Some("CURRENT_TIMESTAMP")))
 
   /** r4: the M2O direction — MySQL zoo mapped to Oracle types by the
     * Scala rules vs an independent SQL CASE tree; SET/ENUM surface as
@@ -436,13 +518,12 @@ object Reverse {
     }.toDF("col_name", "mysql_type", "oracle_type")
   }
 
-  val r4Sql: String = {
-    val values = mysqlZoo.map { c =>
-      s"(${vStr(c.name)}, ${vStr(c.upperType)}, ${c.length}, " +
-        s"${vInt(c.precision)}, ${vInt(c.scale)}, ${c.datePrecision})"
-    }.mkString(",\n  ")
-    s"""SELECT col_name, mysql_type,
-       |  CASE mysql_type
+  /** Independent DuckDB implementation of the M2O mapping (expects
+    * columns mysql_type, len, p, s, dp in scope) — shared by r4 and
+    * the r6 DDL assembly.
+    */
+  private val m2oCaseSql: String =
+    """CASE mysql_type
        |    WHEN 'TINYINT' THEN 'NUMBER(3,0)'
        |    WHEN 'SMALLINT' THEN 'NUMBER(5,0)'
        |    WHEN 'MEDIUMINT' THEN 'NUMBER(7,0)'
@@ -476,10 +557,93 @@ object Reverse {
        |    WHEN 'SET' THEN 'UNSUPPORTED'
        |    WHEN 'ENUM' THEN 'UNSUPPORTED'
        |    ELSE 'CLOB'
-       |  END AS oracle_type
-       |FROM (VALUES
-       |  $values) z(col_name, mysql_type, len, p, s, dp)""".stripMargin
+       |  END""".stripMargin
+
+  /** The mysqlZoo as a VALUES relation with full attributes. */
+  private val mysqlZooCte: String = {
+    val values = mysqlZoo.zipWithIndex.map { case (c, i) =>
+      s"(${vStr(c.name)}, ${i + 1}, ${vStr(c.upperType)}, ${c.length}, " +
+        s"${vInt(c.precision)}, ${vInt(c.scale)}, ${c.datePrecision}, " +
+        s"${if (c.nullable) "TRUE" else "FALSE"}, ${vStrO(c.dflt)})"
+    }.mkString(",\n  ")
+    s"""mzoo(col_name, ordinal, mysql_type, len, p, s, dp, nullable,
+       |     dflt) AS (VALUES
+       |  $values)""".stripMargin
   }
+
+  val r4Sql: String =
+    s"""WITH $mysqlZooCte
+       |SELECT col_name, mysql_type,
+       |  $m2oCaseSql AS oracle_type
+       |FROM mzoo""".stripMargin
+
+  /** r6: full M2O DDL synthesis — the mysqlZoo assembled into Oracle
+    * CREATE TABLE text per the reference's m2o writer
+    * (`module/reverse/mysql/m2o/rule.go:390-550` column meta order
+    * `name type [DEFAULT v] [NOT NULL]`, create shape
+    * `m2o/ddl.go:172-192` — unquoted identifiers, unlike the MySQL
+    * direction). MySQL CURRENT_TIMESTAMP rewrites to SYSDATE;
+    * SET/ENUM columns divert to a compatibility artifact instead of
+    * failing the table.
+    */
+  def r6M2oDdl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cols = mysqlZoo.zipWithIndex.map { case (c, i) =>
+      (c.name, i + 1, c.upperType, M2OTypeMapper.oracleType(c),
+        c.nullable, c.dflt.orNull)
+    }.toDF("col_name", "ordinal", "mysql_type", "oracle_type",
+      "nullable", "dflt")
+      .withColumn("odflt",
+        when(upper(col("dflt")) === "CURRENT_TIMESTAMP", lit("SYSDATE"))
+          .otherwise(col("dflt")))
+    val lines = cols
+      .filter(col("oracle_type") =!= M2OTypeMapper.Unsupported)
+      .withColumn("line", concat(
+        col("col_name"), lit(" "), col("oracle_type"),
+        when(col("odflt").isNotNull,
+          concat(lit(" DEFAULT "), col("odflt"))).otherwise(lit("")),
+        when(!col("nullable"), lit(" NOT NULL")).otherwise(lit(""))))
+    val create = lines
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ordinal"), col("line")))),
+        x => x.getField("line")), ",\n").as("cols"))
+      .select(lit("create_table").as("artifact"),
+        concat(lit("CREATE TABLE steven.marvin_mysql (\n"), col("cols"),
+          lit(",\nPRIMARY KEY (b1)\n);")).as("text"))
+    val compat = cols
+      .filter(col("oracle_type") === M2OTypeMapper.Unsupported)
+      .agg(concat(lit("-- unsupported columns: "),
+        array_join(array_sort(collect_list(
+          concat(col("col_name"), lit(" "), col("mysql_type")))), ", "))
+        .as("text"))
+      .select(lit("compatibility").as("artifact"), col("text"))
+    create.unionAll(compat)
+  }
+
+  val r6Sql: String =
+    s"""WITH $mysqlZooCte,
+       |mapped AS (
+       |  SELECT mzoo.*, $m2oCaseSql AS oracle_type,
+       |    CASE WHEN upper(dflt) = 'CURRENT_TIMESTAMP' THEN 'SYSDATE'
+       |         ELSE dflt END AS odflt
+       |  FROM mzoo),
+       |lines AS (
+       |  SELECT ordinal,
+       |    col_name || ' ' || oracle_type ||
+       |    CASE WHEN odflt IS NOT NULL THEN ' DEFAULT ' || odflt ELSE '' END ||
+       |    CASE WHEN NOT nullable THEN ' NOT NULL' ELSE '' END AS line
+       |  FROM mapped WHERE oracle_type <> 'UNSUPPORTED')
+       |SELECT 'create_table' AS artifact,
+       |  'CREATE TABLE steven.marvin_mysql (' || chr(10) ||
+       |  string_agg(line, ',' || chr(10) ORDER BY ordinal) ||
+       |  ',' || chr(10) || 'PRIMARY KEY (b1)' || chr(10) || ');' AS text
+       |FROM lines
+       |UNION ALL
+       |SELECT 'compatibility' AS artifact,
+       |  '-- unsupported columns: ' ||
+       |  string_agg(col_name || ' ' || mysql_type, ', ' ORDER BY col_name)
+       |    AS text
+       |FROM mapped WHERE oracle_type = 'UNSUPPORTED'""".stripMargin
 
   /** a17: migration-route summary (assess compatibility overview —
     * the reference's per-bucket object counts,
@@ -500,6 +664,8 @@ object Reverse {
     "r2_number_buckets" -> r2NumberBuckets,
     "r3_ddl_synthesis" -> r3DdlSynthesis,
     "r4_m2o_mapping" -> r4M2oMapping,
+    "r5_o2t_ddl" -> r5O2tDdl,
+    "r6_m2o_ddl" -> r6M2oDdl,
     "p6_compat_filter" -> p6CompatFilter,
     "a17_route_counts" -> a17RouteCounts)
 
@@ -508,6 +674,8 @@ object Reverse {
     "r2_number_buckets" -> r2Sql,
     "r3_ddl_synthesis" -> r3Sql,
     "r4_m2o_mapping" -> r4Sql,
+    "r5_o2t_ddl" -> r5Sql,
+    "r6_m2o_ddl" -> r6Sql,
     "p6_compat_filter" -> p6Sql,
     "a17_route_counts" -> a17Sql)
 }

@@ -143,31 +143,47 @@ object Cdc {
   final case class KeyProgress(table_name: String, key: Long,
       n_changes: Long, last_scn: Long)
 
-  /** Per-key custom state via `mapGroupsWithState` — the
+  /** Per-key custom state via `flatMapGroupsWithState` — the
     * KeyValueGroupedDataset state path for logic windows/watermarks
-    * can't express: an unbounded running (change count, max SCN) per
-    * key, surviving restarts through the streaming checkpoint (the
-    * typed analogue of the reference's per-table `incr_sync_meta`
+    * can't express: a running (change count, max SCN) per key,
+    * surviving restarts through the streaming checkpoint (the typed
+    * analogue of the reference's per-table `incr_sync_meta`
     * counters). Emits one updated KeyProgress per touched key per
     * micro-batch.
+    *
+    * State is BOUNDED, not forever: every update arms a
+    * processing-time TTL; a key idle past `ttl` times out on a later
+    * batch, emits a tombstone row (`n_changes = -1`, carrying the
+    * final SCN) and its state is REMOVED — under an unbounded
+    * keyspace (the reference's per-table map is bounded by schema
+    * size, ours is per (table, key)) the store holds only the
+    * working set. A key seen again after eviction restarts at n=1;
+    * consumers wanting lifetime counts fold the tombstones.
     */
   def trackKeyProgress(s: SparkSession, feedDir: String, outDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, ttl: String = "30 minutes"): StreamingQuery = {
     import s.implicits._
-    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     s.readStream.schema(changeSchema).parquet(feedDir)
       .as[ChangeRow]
       .groupByKey(r => (r.table_name, r.key))
-      .mapGroupsWithState[(Long, Long), KeyProgress](
-        GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[(Long, Long), KeyProgress](
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (k: (String, Long), rows: Iterator[ChangeRow],
-            state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
-          val (n0, scn0) = state.getOption.getOrElse((0L, -1L))
-          var n = n0
-          var mx = scn0
-          rows.foreach { r => n += 1; if (r.scn > mx) mx = r.scn }
-          state.update((n, mx))
-          KeyProgress(k._1, k._2, n, mx)
+            state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, mx) = state.get
+            state.remove()
+            Iterator(KeyProgress(k._1, k._2, -1L, mx))
+          } else {
+            val (n0, scn0) = state.getOption.getOrElse((0L, -1L))
+            var n = n0
+            var mx = scn0
+            rows.foreach { r => n += 1; if (r.scn > mx) mx = r.scn }
+            state.update((n, mx))
+            state.setTimeoutDuration(ttl)
+            Iterator(KeyProgress(k._1, k._2, n, mx))
+          }
       }
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -385,7 +401,27 @@ object Cdc {
     * Values render through exact decimals so both engines build
     * byte-identical text.
     */
+  /** Hostile redo statements — string values carrying Oracle's
+    * quote-doubling ('' = literal ') in every position that breaks a
+    * naive [^']* grammar: mid-value, doubled runs, a value that IS one
+    * quote, and an empty value. One Scala Seq feeds BOTH the Spark
+    * feed and the oracle's VALUES rendering, so the fixtures cannot
+    * drift.
+    */
+  val hostileRedo: Seq[(Long, Long, String)] = Seq(
+    (1000000001L, 0L,
+      """insert into "GRAFT"."EVENTS"("KEY","VALUE") values ('901','O''Brien');"""),
+    (1000000002L, 0L,
+      """update "GRAFT"."EVENTS" set "VALUE" = 'it''s ''quoted''' where "KEY" = '902';"""),
+    (1000000003L, 0L,
+      """update "GRAFT"."EVENTS" set "VALUE" = '''' where "KEY" = '903';"""),
+    (1000000004L, 0L,
+      """insert into "GRAFT"."EVENTS"("KEY","VALUE") values ('904','');"""),
+    (1000000005L, 0L,
+      """delete from "GRAFT"."EVENTS" where "KEY" = '905';"""))
+
   def redoFeed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val base = eventsAsChanges(s, d).withColumn("v",
       col("value").cast(org.apache.spark.sql.types.DecimalType(18, 3))
         .cast("string"))
@@ -399,9 +435,13 @@ object Cdc {
         .otherwise(concat(
           lit("delete from \"GRAFT\".\"EVENTS\" where \"KEY\" = '"),
           col("key"), lit("';"))).as("sql_redo"))
+      .unionAll(hostileRedo.toDF("scn", "seq", "sql_redo"))
   }
 
-  val redoFeedSql: String =
+  val redoFeedSql: String = {
+    val hostileValues = hostileRedo.map { case (scn, seq, sql) =>
+      s"($scn, $seq, '${sql.replace("'", "''")}')"
+    }.mkString(",\n  ")
     s"""SELECT scn, seq,
        |  CASE op
        |    WHEN 'INSERT' THEN 'insert into "GRAFT"."EVENTS"("KEY","VALUE") values (''' ||
@@ -412,26 +452,41 @@ object Cdc {
        |      CAST(key AS VARCHAR) || ''';'
        |  END AS sql_redo
        |FROM (SELECT c.*, CAST(CAST(value AS DECIMAL(18,3)) AS VARCHAR) AS v
-       |      FROM ($eventsAsChangesSql) c) r""".stripMargin
+       |      FROM ($eventsAsChangesSql) c) r
+       |UNION ALL SELECT scn, seq, sql_redo FROM (VALUES
+       |  $hostileValues) h(scn, seq, sql_redo)""".stripMargin
+  }
+
+  /** The quoted-string grammar of Oracle redo: a run of non-quotes or
+    * DOUBLED quotes between single quotes ('' = literal '). Round 2's
+    * `[^']*` mis-parsed any value containing a quote; this grammar is
+    * exact for machine-generated redo (values are always quoted, the
+    * only escape is doubling). Unambiguous by construction: a single
+    * quote can never be consumed inside the group, so the match always
+    * ends at the true closing quote.
+    */
+  private val Q = "((?:[^']|'')*)"
 
   /** c5: parse redo SQL back into typed change records (C5) — pure
     * regexp extraction, codegen'd, no UDF, no driver loop; the
     * reference's AST walk collapses to three anchored patterns because
-    * LogMiner redo is machine-generated SQL with fixed shape.
+    * LogMiner redo is machine-generated SQL with fixed shape. Values
+    * un-double their quotes after extraction.
     */
   def c5RedoParse(s: SparkSession, d: String): DataFrame = {
     val feed = redoFeed(s, d)
     val op = upper(regexp_extract(col("sql_redo"),
       "^(insert|update|delete)", 1))
+    def unq(c: org.apache.spark.sql.Column) = regexp_replace(c, "''", "'")
     val keyStr =
       when(op === "INSERT",
-        regexp_extract(col("sql_redo"), "values \\('([^']*)','([^']*)'\\)", 1))
-        .otherwise(regexp_extract(col("sql_redo"), "\"KEY\" = '([^']*)'", 1))
+        regexp_extract(col("sql_redo"), s"values \\('$Q','$Q'\\)", 1))
+        .otherwise(regexp_extract(col("sql_redo"), s"\"KEY\" = '$Q'", 1))
     val valueStr =
       when(op === "INSERT",
-        regexp_extract(col("sql_redo"), "values \\('([^']*)','([^']*)'\\)", 2))
+        unq(regexp_extract(col("sql_redo"), s"values \\('$Q','$Q'\\)", 2)))
         .when(op === "UPDATE",
-          regexp_extract(col("sql_redo"), "set \"VALUE\" = '([^']*)'", 1))
+          unq(regexp_extract(col("sql_redo"), s"set \"VALUE\" = '$Q'", 1)))
         .otherwise(lit("NULL"))
     feed.select(col("scn"), col("seq"), op.as("op"),
       regexp_extract(col("sql_redo"), "\"GRAFT\"\\.\"([A-Z_]+)\"", 1)
@@ -439,21 +494,24 @@ object Cdc {
       keyStr.cast("long").as("key"), valueStr.as("value_str"))
   }
 
-  val c5Sql: String =
+  val c5Sql: String = {
+    // the same grammar as a DuckDB string literal (every ' doubled)
+    val q = Q.replace("'", "''")
     s"""SELECT scn, seq,
        |  upper(regexp_extract(sql_redo, '^(insert|update|delete)', 1)) AS op,
        |  regexp_extract(sql_redo, '"GRAFT"\\."([A-Z_]+)"', 1) AS table_name,
        |  CAST(CASE WHEN sql_redo LIKE 'insert%'
-       |    THEN regexp_extract(sql_redo, 'values \\(''([^'']*)'',''([^'']*)''\\)', 1)
-       |    ELSE regexp_extract(sql_redo, '"KEY" = ''([^'']*)''', 1)
+       |    THEN regexp_extract(sql_redo, 'values \\(''$q'',''$q''\\)', 1)
+       |    ELSE regexp_extract(sql_redo, '"KEY" = ''$q''', 1)
        |  END AS BIGINT) AS key,
        |  CASE WHEN sql_redo LIKE 'insert%'
-       |    THEN regexp_extract(sql_redo, 'values \\(''([^'']*)'',''([^'']*)''\\)', 2)
+       |    THEN replace(regexp_extract(sql_redo, 'values \\(''$q'',''$q''\\)', 2), '''''', '''')
        |    WHEN sql_redo LIKE 'update%'
-       |    THEN regexp_extract(sql_redo, 'set "VALUE" = ''([^'']*)''', 1)
+       |    THEN replace(regexp_extract(sql_redo, 'set "VALUE" = ''$q''', 1), '''''', '''')
        |    ELSE 'NULL'
        |  END AS value_str
        |FROM ($redoFeedSql) f""".stripMargin
+  }
 
   // ------------------------------------------------------------- queries
 

@@ -103,6 +103,7 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // round-trip the whole feed through SQL text and back, then apply;
     // the state must equal applying the structured feed directly
     val parsed = Cdc.c5RedoParse(spark, sf)
+      .filter(col("scn") < 1000000000L) // hostile fixture rows aside
       .withColumn("table_name", lower(col("table_name")))
       .withColumn("value",
         when(col("value_str") === "NULL", lit(null))
@@ -116,6 +117,20 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val a = Cdc.applyChanges(parsed).select("table_name", "key", "scn", "op")
     val b = Cdc.applyChanges(direct).select("table_name", "key", "scn", "op")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("redo parse survives quote-doubling in values (hostile fixture)") {
+    val hostile = Cdc.c5RedoParse(spark, sf)
+      .filter(col("scn") >= 1000000000L)
+      .orderBy("scn")
+      .collect()
+      .map(r => (r.getLong(4), r.getString(2), r.getString(5)))
+    assert(hostile.toSeq == Seq(
+      (901L, "INSERT", "O'Brien"),
+      (902L, "UPDATE", "it's 'quoted'"),
+      (903L, "UPDATE", "'"),
+      (904L, "INSERT", ""),
+      (905L, "DELETE", "NULL")))
   }
 
   test("charset: decode(encode(x)) round-trips for every mappable fixture") {
@@ -179,6 +194,43 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(finalState.exceptAll(truth).isEmpty &&
       truth.exceptAll(finalState).isEmpty)
     all.unpersist()
+  }
+
+  test("keyed state evicts idle keys after TTL: tombstone, then fresh count") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_evict").toString
+    val feed = s"$tmp/feed"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def row(scn: Long, key: Long) =
+      Seq((scn, 0L, "INSERT", "t1", key, Option(1.0)))
+        .toDF("scn", "seq", "op", "table_name", "key", "value")
+    // each run must be fully stopped before the next starts: with a
+    // 1ms TTL the AvailableNow drain loop keeps firing timeout
+    // batches, and two queries on one checkpoint race state commits
+    def runOnce(): Unit = {
+      val q = Cdc.trackKeyProgress(spark, feed, out, ckpt,
+        ttl = "1 milliseconds")
+      q.awaitTermination(120000)
+      q.stop()
+    }
+    // batch 1 touches key 1; TTL 1ms arms immediately
+    row(1, 1L).write.mode("append").parquet(feed)
+    runOnce()
+    Thread.sleep(100)
+    // batch 2 touches only key 2 — key 1's state times out: tombstone + removal
+    row(2, 2L).write.mode("append").parquet(feed)
+    runOnce()
+    // batch 3 touches key 1 again — evicted state must NOT resume at 2
+    row(3, 1L).write.mode("append").parquet(feed)
+    runOnce()
+    val rows = spark.read.parquet(out).filter(col("key") === 1L)
+      .orderBy("batch_id")
+      .select("n_changes", "last_scn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // with a 1ms TTL the fresh state of run 3 also times out in the
+    // drain batches, so the full observed lifecycle is
+    // count → tombstone → fresh count → tombstone
+    assert(rows == Seq((1L, 1L), (-1L, 1L), (1L, 3L), (-1L, 3L)),
+      s"expected count→tombstone→fresh-count→tombstone, got $rows")
   }
 
   test("streaming tumbling window + watermark drops late data (C8)") {

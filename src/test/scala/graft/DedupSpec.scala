@@ -54,6 +54,30 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(sa != sb, s"signatures identical: $sa")
   }
 
+  test("LSH hot-bucket cap: a degenerate duplicate mob emits no pairs") {
+    import spark.implicits._
+    // 100 identical docs -> identical signatures -> one bucket of 100
+    // per band; uncapped that is 4950 pairs PER BAND (the quadratic
+    // blowup), capped it is zero (d1 exact dedup owns identical docs)
+    val mob = for (doc <- 1L to 100L; sh <- 1 to 10)
+      yield (doc, s"shingle_$sh")
+    val sig = Dedup.minhashSignature(mob.toDF("doc_id", "shingle"))
+    assert(Dedup.bandedPairs(sig, bucketCap = 64).isEmpty)
+    assert(Dedup.bandedPairs(sig, bucketCap = 1000).count() == 4950)
+  }
+
+  test("LSH cap does not change results on the normal corpus") {
+    val sig = Dedup.minhashSignature(
+      Tables.load(spark, sf, "documents")
+        .withColumn("w", TextAnalysis.words(col("text")))
+        .withColumn("sh", expr(TextAnalysis.shingleExpr))
+        .select(col("doc_id"), explode(col("sh")).as("shingle")))
+    val capped = Dedup.bandedPairs(sig)
+    val uncapped = Dedup.bandedPairs(sig, bucketCap = Int.MaxValue)
+    assert(capped.exceptAll(uncapped).isEmpty &&
+      uncapped.exceptAll(capped).isEmpty)
+  }
+
   test("exact dedup groups cover all docs exactly once") {
     val groups = Dedup.d1ExactDedup(spark, sf)
     val docs = Tables.load(spark, sf, "documents")
