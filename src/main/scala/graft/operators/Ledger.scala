@@ -38,6 +38,12 @@ object Ledger {
     * FAILED < SUCCESS), never by the status string itself —
     * lexicographically "WAITING" beats "SUCCESS", which would
     * resurrect completed chunks on a seq collision.
+    *
+    * Bounds come from the PLAN row (update_seq 0) in the same single
+    * aggregate — progress marks carry placeholder bounds, and an
+    * earlier version let a winning mark surface its (0,0) as the
+    * chunk's bounds, forcing callers to re-read init rows to learn
+    * the real ranges.
     */
   def state(s: SparkSession, path: String, task: String,
       table: String): DataFrame = {
@@ -46,10 +52,15 @@ object Ledger {
     log(s, path)
       .filter(col("task") === task && col("table_name") === table)
       .groupBy(col("chunk_id"))
-      .agg(max(struct(col("update_seq"), rank.as("rank"), col("status"),
-        col("lower"), col("upper"))).as("last"))
+      .agg(
+        max(struct(col("update_seq"), rank.as("rank"), col("status")))
+          .as("last"),
+        // max ignores the nulls of non-plan rows; one plan row per
+        // chunk means this IS that row's bounds
+        max(when(col("update_seq") === 0L,
+          struct(col("lower"), col("upper")))).as("plan"))
       .select(col("chunk_id"), col("last.status").as("status"),
-        col("last.lower").as("lower"), col("last.upper").as("upper"))
+        col("plan.lower").as("lower"), col("plan.upper").as("upper"))
   }
 
   /** Record the plan: one WAITING row per chunk (update_seq 0). */
@@ -92,16 +103,10 @@ object Ledger {
     require(recorded.length == planned.size,
       s"resume refused: recorded ${recorded.length} chunks but plan has " +
         s"${planned.size} — wipe the ledger or re-plan (full.go:287-331)")
-    // the plan rows carry boundaries only at init (update_seq 0);
-    // progress marks write (0,0) placeholders, so compare against the
-    // recorded PLAN boundaries, which arg-max keeps only if no mark
-    // exists — fetch them from the init rows directly
+    // state carries the plan-row bounds per chunk, so the boundary
+    // drift check reads straight off it — one scan of the ledger
     val plannedById = planned.map(c => c.id -> c).toMap
-    val init = log(s, path)
-      .filter(col("task") === task && col("table_name") === table &&
-        col("update_seq") === 0L)
-      .select("chunk_id", "lower", "upper").collect()
-    init.foreach { r =>
+    recorded.foreach { r =>
       val id = r.getAs[Int]("chunk_id")
       val p = plannedById.get(id)
       require(p.exists(c => c.lower == r.getAs[Long]("lower") &&

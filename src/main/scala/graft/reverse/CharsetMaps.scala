@@ -1,0 +1,76 @@
+package graft.reverse
+
+/** Structure-level charset and collation matrices — the reference's
+  * `MigrateTableStructureDatabaseCharsetMap` /
+  * `MigrateTableStructureDatabaseCollationMap`
+  * (`common/reverse.go:102-200+`): which target charset a source
+  * database charset maps to per task direction, and which target
+  * collation realizes the source's case/accent sensitivity on that
+  * charset.
+  *
+  * Directional quirks carried over faithfully:
+  *  - O2T pins every source charset to UTF8MB4 (TiDB convention);
+  *  - CJK charsets have no accent-insensitive collations in MySQL, so
+  *    BINARY_CI/AI both fall back to *_CHINESE_CI (the reference's
+  *    commented substitution);
+  *  - BINARY (pre-12.2 Oracle, no NLS extension) behaves as
+  *    case+accent sensitive → *_BIN, same as BINARY_CS.
+  */
+object CharsetMaps {
+
+  /** O2M: Oracle database charset → MySQL charset. */
+  val o2mCharset: Map[String, String] = Map(
+    "UTF8" -> "UTF8MB4",
+    "AL32UTF8" -> "UTF8MB4",
+    "ZHT16BIG5" -> "BIG5",
+    "ZHS16GBK" -> "GBK",
+    "ZHS32GB18030" -> "GB18030")
+
+  /** O2T: TiDB structures are uniformly UTF8MB4. */
+  val o2tCharset: Map[String, String] =
+    o2mCharset.keysIterator.map(_ -> "UTF8MB4").toMap
+
+  /** M2O: MySQL charset → Oracle database charset. */
+  val m2oCharset: Map[String, String] = Map(
+    "UTF8MB4" -> "AL32UTF8",
+    "UTF8" -> "AL32UTF8",
+    "BIG5" -> "ZHT16BIG5",
+    "GBK" -> "ZHS16GBK",
+    "GB18030" -> "ZHS32GB18030")
+
+  private val cjkCi = Map(
+    "BIG5" -> "BIG5_CHINESE_CI",
+    "GBK" -> "GBK_CHINESE_CI",
+    "GB18030" -> "GB18030_CHINESE_CI")
+
+  /** Target collation for an Oracle NLS behavior (BINARY_CI /
+    * BINARY_AI / BINARY_CS / BINARY) on a MySQL-family charset.
+    */
+  def collation(nlsSort: String, targetCharset: String): String =
+    nlsSort.toUpperCase match {
+      case "BINARY_CI" => targetCharset match {
+        case "UTF8MB4" => "UTF8MB4_0900_AS_CI"
+        case "UTF8" => "UTF8_0900_AS_CI"
+        case c => cjkCi(c)
+      }
+      case "BINARY_AI" => targetCharset match {
+        case "UTF8MB4" => "UTF8MB4_GENERAL_CI"
+        case "UTF8" => "UTF8_GENERAL_CI"
+        case c => cjkCi(c)
+      }
+      case _ => s"${targetCharset}_BIN"
+    }
+
+  /** The CREATE TABLE suffix pieces for a direction + source charset +
+    * NLS behavior — what the DDL writers consume instead of pinned
+    * constants.
+    */
+  def tableCharsetCollation(taskType: String, sourceCharset: String,
+      nlsSort: String): (String, String) = {
+    val cs = taskType match {
+      case "O2T" => o2tCharset(sourceCharset.toUpperCase)
+      case _ => o2mCharset(sourceCharset.toUpperCase)
+    }
+    (cs, collation(nlsSort, cs))
+  }
+}

@@ -350,13 +350,19 @@ object Reverse {
        |      ELSE '' END AS line
        |  FROM n)""".stripMargin
 
-  def r3DdlSynthesis(s: SparkSession, d: String): DataFrame =
+  def r3DdlSynthesis(s: SparkSession, d: String): DataFrame = {
+    // suffix derived from the structure-level matrices, not pinned:
+    // AL32UTF8 source + BINARY_CS (the no-extension Oracle default)
+    // → utf8mb4 / utf8mb4_bin
+    val (cs, coll) =
+      CharsetMaps.tableCharsetCollation("O2M", "AL32UTF8", "BINARY_CS")
     aggLines(ddlLines(s))
       .select(col("table_name"), concat(
         lit("CREATE TABLE `steven`.`"), col("table_name"), lit("` (\n"),
         col("cols"),
-        lit("\n) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_bin;"))
-        .as("ddl"))
+        lit(s"\n) ENGINE=InnoDB DEFAULT CHARSET=${cs.toLowerCase}" +
+          s" COLLATE=${coll.toLowerCase};")).as("ddl"))
+  }
 
   val r3Sql: String =
     s"""WITH $zooCte,
@@ -645,6 +651,55 @@ object Reverse {
        |    AS text
        |FROM mapped WHERE oracle_type = 'UNSUPPORTED'""".stripMargin
 
+  /** r7: the structure-level charset/collation matrix as a query —
+    * every (direction, source charset, NLS behavior) cell of
+    * `common/reverse.go:102-200+` mapped by [[CharsetMaps]] on the
+    * Spark side and by an independent CASE tree in the oracle. DDL
+    * writers read their suffix from this map (see r3), so a matrix
+    * bug breaks both this hash and the DDL goldens.
+    */
+  val charsetGrid: Seq[(String, String, String)] = for {
+    task <- Seq("O2M", "O2T")
+    cs <- Seq("UTF8", "AL32UTF8", "ZHT16BIG5", "ZHS16GBK", "ZHS32GB18030")
+    nls <- Seq("BINARY_CI", "BINARY_AI", "BINARY_CS", "BINARY")
+  } yield (task, cs, nls)
+
+  def r7CollationMap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    charsetGrid.map { case (task, cs, nls) =>
+      val (tcs, coll) = CharsetMaps.tableCharsetCollation(task, cs, nls)
+      (task, cs, nls, tcs, coll)
+    }.toDF("task_type", "source_charset", "nls_sort", "target_charset",
+      "target_collation")
+  }
+
+  val r7Sql: String = {
+    val values = charsetGrid.map { case (t, c, n) =>
+      s"(${vStr(t)}, ${vStr(c)}, ${vStr(n)})"
+    }.mkString(",\n  ")
+    s"""WITH grid(task_type, source_charset, nls_sort) AS (VALUES
+       |  $values),
+       |m AS (
+       |  SELECT *,
+       |    CASE WHEN task_type = 'O2T' THEN 'UTF8MB4'
+       |         WHEN source_charset IN ('UTF8', 'AL32UTF8') THEN 'UTF8MB4'
+       |         WHEN source_charset = 'ZHT16BIG5' THEN 'BIG5'
+       |         WHEN source_charset = 'ZHS16GBK' THEN 'GBK'
+       |         ELSE 'GB18030' END AS target_charset
+       |  FROM grid)
+       |SELECT task_type, source_charset, nls_sort, target_charset,
+       |  CASE
+       |    WHEN nls_sort = 'BINARY_CI' AND target_charset = 'UTF8MB4'
+       |      THEN 'UTF8MB4_0900_AS_CI'
+       |    WHEN nls_sort = 'BINARY_AI' AND target_charset = 'UTF8MB4'
+       |      THEN 'UTF8MB4_GENERAL_CI'
+       |    WHEN nls_sort IN ('BINARY_CI', 'BINARY_AI')
+       |      THEN target_charset || '_CHINESE_CI'
+       |    ELSE target_charset || '_BIN'
+       |  END AS target_collation
+       |FROM m""".stripMargin
+  }
+
   /** a17: migration-route summary (assess compatibility overview —
     * the reference's per-bucket object counts,
     * `module/assess/oracle/o2m/assess_result.go` compatible-object
@@ -666,6 +721,7 @@ object Reverse {
     "r4_m2o_mapping" -> r4M2oMapping,
     "r5_o2t_ddl" -> r5O2tDdl,
     "r6_m2o_ddl" -> r6M2oDdl,
+    "r7_collation_map" -> r7CollationMap,
     "p6_compat_filter" -> p6CompatFilter,
     "a17_route_counts" -> a17RouteCounts)
 
@@ -676,6 +732,7 @@ object Reverse {
     "r4_m2o_mapping" -> r4Sql,
     "r5_o2t_ddl" -> r5Sql,
     "r6_m2o_ddl" -> r6Sql,
+    "r7_collation_map" -> r7Sql,
     "p6_compat_filter" -> p6Sql,
     "a17_route_counts" -> a17Sql)
 }

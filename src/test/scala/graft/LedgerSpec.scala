@@ -62,6 +62,21 @@ class LedgerSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("state reports plan bounds even after a mark wins the arg-max") {
+    import org.apache.spark.sql.functions.col
+    val path = tmp()
+    val task = Ledger.newTaskName()
+    val plan = Migrate.planChunks(0, 999, 1000, 500) // [0,499],[500,999]
+    Ledger.init(spark, path, task, "t", plan)
+    Ledger.mark(spark, path, task, "t", Seq(0), Ledger.Success, 1)
+    // regression: marks carry (0,0) placeholder bounds; the marked
+    // chunk's state must still show the PLAN's real key range
+    val r = Ledger.state(spark, path, task, "t")
+      .filter(col("chunk_id") === 0).collect()(0)
+    assert(r.getAs[String]("status") == Ledger.Success)
+    assert((r.getAs[Long]("lower"), r.getAs[Long]("upper")) == (0L, 499L))
+  }
+
   test("ledgers are task- and table-scoped") {
     val path = tmp()
     val t1 = Ledger.newTaskName(); val t2 = Ledger.newTaskName()
