@@ -353,6 +353,68 @@ object Assess {
        |    ELSE max(len) END AS INT) AS max_width
        |FROM zoo GROUP BY 1""".stripMargin
 
+  /** a29: compat threshold matrix — the reference's flat threshold
+    * scans (`assess.go:362-481`: partition count over limit, index
+    * count per table, identifier length, bare-precision NUMBER
+    * columns) melted into one (check, object, measure) report.
+    * Thresholds are fixture-scaled (32 partitions / 1 index / 10
+    * chars vs the reference's 1024 / 64 / 64) so every check fires on
+    * test data; the shapes are identical.
+    */
+  def a29ThresholdMatrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parts = toDfSeq(s, dictPartTables)
+      .filter(col("partition_count") > 32)
+      .select(lit("PARTITION_COUNT_OVER").as("check_name"),
+        concat_ws(".", col("owner"), col("table_name")).as("object_name"),
+        col("partition_count").cast("long").as("measure"))
+    val idxCounts = toDfSeq(s, dictIndexes)
+      .groupBy("owner", "table_name").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(lit("INDEX_COUNT_OVER").as("check_name"),
+        concat_ws(".", col("owner"), col("table_name")).as("object_name"),
+        col("n").as("measure"))
+    val longNames = toDfSeq(s, dictTables).select(col("table_name").as("nm"))
+      .unionAll(toDfSeq(s, dictViews).select(col("view_name").as("nm")))
+      .unionAll(toDfSeq(s, dictIndexes).select(col("index_name").as("nm")))
+      .filter(length(col("nm")) > 10)
+      .select(lit("IDENTIFIER_LENGTH_OVER").as("check_name"),
+        col("nm").as("object_name"),
+        length(col("nm")).cast("long").as("measure"))
+    val bareNumber = Reverse.zoo.toDF()
+      .filter(col("data_type") === "NUMBER" && col("p").isNull)
+      .select(lit("NUMBER_BARE_PRECISION").as("check_name"),
+        concat_ws(".", col("table_name"), col("col_name")).as("object_name"),
+        lit(0L).as("measure"))
+    parts.unionAll(idxCounts).unionAll(longNames).unionAll(bareNumber)
+  }
+
+  val a29Sql: String =
+    s"""WITH $partTablesCte,
+       |$indexesCte,
+       |$tablesCte,
+       |$viewsCte,
+       |${Reverse.zooCte}
+       |SELECT 'PARTITION_COUNT_OVER' AS check_name,
+       |  owner || '.' || table_name AS object_name,
+       |  CAST(partition_count AS BIGINT) AS measure
+       |FROM pt WHERE partition_count > 32
+       |UNION ALL
+       |SELECT 'INDEX_COUNT_OVER', object_name, n FROM (
+       |  SELECT owner || '.' || table_name AS object_name,
+       |    count(*) AS n
+       |  FROM idx GROUP BY 1) i WHERE n > 1
+       |UNION ALL
+       |SELECT 'IDENTIFIER_LENGTH_OVER', nm, CAST(length(nm) AS BIGINT)
+       |FROM (SELECT table_name AS nm FROM tabs
+       |      UNION ALL SELECT view_name FROM vws
+       |      UNION ALL SELECT index_name FROM idx) names
+       |WHERE length(nm) > 10
+       |UNION ALL
+       |SELECT 'NUMBER_BARE_PRECISION',
+       |  table_name || '.' || col_name, CAST(0 AS BIGINT)
+       |FROM zoo WHERE data_type = 'NUMBER' AND p IS NULL""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -364,7 +426,8 @@ object Assess {
     "a25_default_value_counts" -> a25DefaultValueCounts,
     "a26_view_types" -> a26ViewTypes,
     "a27_index_types" -> a27IndexTypes,
-    "a28_column_type_widths" -> a28ColumnTypeWidths)
+    "a28_column_type_widths" -> a28ColumnTypeWidths,
+    "a29_threshold_matrix" -> a29ThresholdMatrix)
 
   val oracles: Map[String, String] = Map(
     "a20_table_type_counts" -> a20Sql,
@@ -375,5 +438,6 @@ object Assess {
     "a25_default_value_counts" -> a25Sql,
     "a26_view_types" -> a26Sql,
     "a27_index_types" -> a27Sql,
-    "a28_column_type_widths" -> a28Sql)
+    "a28_column_type_widths" -> a28Sql,
+    "a29_threshold_matrix" -> a29Sql)
 }
