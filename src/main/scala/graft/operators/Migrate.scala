@@ -342,6 +342,26 @@ object Migrate {
        |GROUP BY 1""".stripMargin
   }
 
+  /** s9d: ORC roundtrip — the same export through Spark's native ORC
+    * source/sink (S8 family: every file format the engine claims is
+    * proven by a write→read→hash cycle, not by construction). ORC is
+    * columnar like parquet, so the roundtrip also covers the
+    * vectorized ORC reader path.
+    */
+  def s9dOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.load(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(14, 2)).cast("string")
+        .as("price_str"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+    val out = tempDir("s9d")
+    src.write.mode(SaveMode.Overwrite).orc(out)
+    s.read.orc(out)
+  }
+
+  // same projection as s9b — the format is what differs
+  val s9dSql: String = s9bSql
+
   /** s9c: DDL direct-apply (S9 `direct-write`,
     * `module/reverse/write.go:41-120` — the reference can execute the
     * reverse DDL straight against the target instead of writing a
@@ -424,6 +444,7 @@ object Migrate {
     "s8_csv_roundtrip" -> s8CsvRoundtrip,
     "s9b_json_roundtrip" -> s9bJsonRoundtrip,
     "s9c_ddl_apply" -> s9cDdlApply,
+    "s9d_orc_roundtrip" -> s9dOrcRoundtrip,
     "s2_chunked_scan" -> s2ChunkedScan)
 
   val oracles: Map[String, String] = Map(
@@ -432,6 +453,7 @@ object Migrate {
     "s8_csv_roundtrip" -> s8Sql,
     "s9b_json_roundtrip" -> s9bSql,
     "s9c_ddl_apply" -> s9cSql,
+    "s9d_orc_roundtrip" -> s9dSql,
     // orders keys are dense 0..N-1 at every sf: 15000 rows/sf0.01 →
     // ceil(15000/2000)=8 chunks; recomputed generically below.
     "s2_chunked_scan" -> s2SqlGeneric)

@@ -580,6 +580,83 @@ object Cdc {
       |    FROM events) f
       |) g GROUP BY user_id, island""".stripMargin
 
+  /** c10: interval join — each signup joined to the same user's
+    * actions inside the following 10 minutes, counted per signup.
+    * This is the event-time as-of/interval family composed from an
+    * equi-join plus a range predicate (SURVEY §2.3 preference (a):
+    * compose existing ops — the user_id equi-key carries the shuffle,
+    * the time range is a post-join filter, so the plan is a plain
+    * hash join at any scale). Timestamps truncate to seconds first:
+    * the feed is ns-precision and engines differ in sub-second
+    * handling at the window boundary.
+    */
+  def c10IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("tss"))
+    val su = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("tss").as("signup_ts"))
+    val ac = ev.filter(col("event_type") =!= "signup")
+      .select(col("user_id"), col("tss").as("action_ts"))
+    su.join(ac, Seq("user_id"))
+      .filter(col("action_ts") >= col("signup_ts") &&
+        col("action_ts") < col("signup_ts") + expr("interval 10 minutes"))
+      .groupBy(col("user_id"),
+        date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("signup_ts"))
+      .agg(count(lit(1)).as("n_actions"))
+  }
+
+  val c10Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, date_trunc('second', ts) AS tss
+      |  FROM events),
+      |su AS (SELECT user_id, tss AS signup_ts FROM ev
+      |       WHERE event_type = 'signup'),
+      |ac AS (SELECT user_id, tss AS action_ts FROM ev
+      |       WHERE event_type <> 'signup')
+      |SELECT su.user_id,
+      |  strftime(su.signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+      |  count(*) AS n_actions
+      |FROM su JOIN ac ON su.user_id = ac.user_id
+      |  AND ac.action_ts >= su.signup_ts
+      |  AND ac.action_ts < su.signup_ts + INTERVAL '10 minutes'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Stream-stream inner interval join (C8 family): both sides carry
+    * watermarks so the join state is BOUNDED — a buffered signup can
+    * be dropped once the action-side watermark passes its window end,
+    * which is exactly the condition Spark derives from the range
+    * predicate. Inner-join matches emit as soon as both rows arrive
+    * (no watermark wait); the watermark only fences state eviction.
+    * Emits the joined pairs append-only; aggregation happens
+    * downstream (the batch-equivalent c10 pins semantics).
+    */
+  def streamIntervalJoin(s: SparkSession, feedDir: String, outDir: String,
+      checkpointDir: String, gapMinutes: Int = 10): StreamingQuery = {
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("ts", TimestampType)))
+    val ev = s.readStream.schema(schema).parquet(feedDir)
+      .withColumn("tss", date_trunc("second", col("ts")))
+    val su = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("tss").as("signup_ts"))
+      .withWatermark("signup_ts", "1 hour")
+    val ac = ev.filter(col("event_type") =!= "signup")
+      .select(col("user_id").as("a_user"), col("tss").as("action_ts"))
+      .withWatermark("action_ts", "1 hour")
+    su.join(ac, expr(
+      s"""user_id = a_user AND action_ts >= signup_ts
+         |AND action_ts < signup_ts + interval $gapMinutes minutes"""
+        .stripMargin))
+      .select(col("user_id"), col("signup_ts"), col("action_ts"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", outDir)
+      .start()
+  }
+
   /** w2: lag/lead stream context (W-family) — previous event type and
     * whole-second gap per user. Timestamps truncated to seconds before
     * differencing so ns-vs-µs precision cannot skew the result.
@@ -613,6 +690,7 @@ object Cdc {
     "p5_cdc_filter" -> p5CdcFilter,
     "c8_window_agg" -> c8WindowAgg,
     "c9_session_window" -> c9SessionWindow,
+    "c10_interval_join" -> c10IntervalJoin,
     "w2_lag_lead" -> w2LagLead)
 
   val oracles: Map[String, String] = Map(
@@ -621,5 +699,6 @@ object Cdc {
     "p5_cdc_filter" -> p5Sql,
     "c8_window_agg" -> c8Sql,
     "c9_session_window" -> c9Sql,
+    "c10_interval_join" -> c10Sql,
     "w2_lag_lead" -> w2Sql)
 }

@@ -233,6 +233,24 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"expected count→tombstone→fresh-count→tombstone, got $rows")
   }
 
+  test("stream-stream interval join converges to the batch interval join") {
+    val tmp = Files.createTempDirectory("graft_ssj").toString
+    val feed = s"$tmp/feed"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .write.parquet(feed)
+    Cdc.streamIntervalJoin(spark, feed, out, ckpt).awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .groupBy(col("user_id"),
+        date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("signup_ts"))
+      .agg(count(lit(1)).as("n_actions"))
+    val batch = Cdc.c10IntervalJoin(spark, sf)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      s"streamed=${streamed.count()} batch=${batch.count()}")
+  }
+
   test("streaming tumbling window + watermark drops late data (C8)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_wm").toString
