@@ -91,7 +91,7 @@ object Similarity {
     * becomes the partition key every cell-restricted op (ann2 search,
     * d5 pair mining) equi-joins on.
     */
-  private def assignedCells(s: SparkSession, d: String): DataFrame = {
+  private[graft] def assignedCells(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
     val cent = broadcast(c.select(col("vec_id").as("cid"), col("v").as("cv"),
       col("nrm").as("cnrm")).filter(col("cid") % 50 === 0))

@@ -63,13 +63,16 @@ object Compare {
     * (not just the joined row string) so fix synthesis can render a
     * real VALUES list.
     *
-    * Multiset semantics via count-compare: each side aggregates to
-    * (row → multiplicity) once, then ONE full-outer join emits the
-    * surplus side with `sequence`-exploded multiplicity — identical
-    * rows to exceptAll-both-directions, at half the shuffles (two
-    * partial-aggregable groupBys + one join, vs two exceptAll joins
-    * that each reshuffle both inputs). The oracle implements the same
-    * diff WITH `EXCEPT ALL`, so the two formulations check each other.
+    * Multiset semantics via count-compare over a side-tagged UNION:
+    * both inputs flow into ONE partial-aggregable groupBy that counts
+    * each side's multiplicity, surplus rows re-expand via `sequence`
+    * — identical rows to exceptAll-both-directions at a single
+    * shuffle (vs two exceptAll joins that each reshuffle both inputs;
+    * an earlier round used per-side groupBys + a null-safe full-outer
+    * join — one more shuffle and a join this formulation doesn't
+    * need, since groupBy already treats NULL group keys as equal).
+    * The oracle implements the same diff WITH `EXCEPT ALL`, so the
+    * two formulations check each other.
     */
   def symmetricDiffCols(src: DataFrame, tgt: DataFrame,
       normCols: Seq[NormCol], keyCol: String): DataFrame = {
@@ -77,25 +80,17 @@ object Compare {
     // columns so fix synthesis can distinguish it from a literal
     // "NULL" string (the sentinel form would collapse both and make
     // the repair write SQL NULL over real 'NULL' text)
-    def proj(df: DataFrame) =
+    def proj(df: DataFrame, side: String) =
       df.select(col(keyCol).cast("long").as("row_key") +:
-        normCols.map(nc => Norm.sparkNormNullable(nc).as(s"v_${nc.name}")): _*)
+        normCols.map(nc => Norm.sparkNormNullable(nc).as(s"v_${nc.name}")) :+
+        lit(side).as("side"): _*)
     val keys = "row_key" +: normCols.map(nc => s"v_${nc.name}")
-    val sc = proj(src).groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_src"))
-    val tc = proj(tgt).groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_tgt"))
-    // NULL-SAFE join on the row columns: with nullable values a plain
-    // equality join would never match NULL keys and report identical
-    // rows as differing on both sides (EXCEPT ALL — the oracle's
-    // formulation — treats NULLs as equal)
-    val cond = keys.map(k => sc(k) <=> tc(k)).reduce(_ && _)
-    val j = sc.join(tc, cond, "full_outer")
-      .select(keys.map(k => coalesce(sc(k), tc(k)).as(k)) ++ Seq(
-        coalesce(sc("n_src"), lit(0L)).as("n_src"),
-        coalesce(tc("n_tgt"), lit(0L)).as("n_tgt")): _*)
+    proj(src, "S").unionAll(proj(tgt, "T"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(when(col("side") === "S", 1L).otherwise(0L)).as("n_src"),
+        sum(when(col("side") === "T", 1L).otherwise(0L)).as("n_tgt"))
       .filter(col("n_src") =!= col("n_tgt"))
-    j.select(keys.map(col) :+
+      .select(keys.map(col) :+
         when(col("n_src") > col("n_tgt"), lit("SRC_ONLY"))
           .otherwise(lit("TGT_ONLY")).as("diff_side") :+
         abs(col("n_src") - col("n_tgt")).as("surplus"): _*)

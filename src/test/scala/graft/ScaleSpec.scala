@@ -99,6 +99,22 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(q.count() == expected)
   }
 
+  test("IVF at rest: cell-partitioned embeddings prune to probed cells") {
+    import graft.functions.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf")
+      .toString + "/cells"
+    // the IVF layout: cell id as the physical partition key — this is
+    // the 100 TB query path, where a probe reads its cells' dirs and
+    // the rest of the corpus is never opened
+    val assigned = Similarity.assignedCells(spark, sf)
+    assigned.write.partitionBy("cell").parquet(dir)
+    val probe = assigned.limit(1).select("cell").collect()(0).getLong(0)
+    val q = spark.read.parquet(dir).filter(col("cell") === probe)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(cell"), scan)
+    assert(q.count() == assigned.filter(col("cell") === probe).count())
+  }
+
   test("log-window selection covers the checkpoint, in SCN order (C2)") {
     val logs = Seq(
       LogFile("arch1", 0, 1000), LogFile("arch2", 1000, 2000),
