@@ -318,13 +318,72 @@ object Check {
 
   // ------------------------------------------------------------- registry
 
+  /** k4: column-type RULE check — the reference's deepest check-mode
+    * surface (`module/check/oracle/o2m/rule.go`, 1,135 LoC of
+    * per-type source-vs-target comparisons): for every zoo column,
+    * the type the mapping rules REQUIRE on the target is compared
+    * against the type the target actually declares (drifted
+    * deterministically by ordinal), and mismatches synthesize `ALTER
+    * ... MODIFY COLUMN` fix SQL. The Spark side maps through
+    * [[graft.reverse.TypeMapper]]; the oracle re-derives the required
+    * type with its independent CASE tree and the same drift rule, so
+    * both the rule tree AND the comparison are cross-checked.
+    */
+  def k4TypeRuleCheck(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.reverse.{OracleColumn, Reverse, TypeMapper}
+    val rows = Reverse.zoo.map { z =>
+      (z.table_name, z.ordinal, z.col_name,
+        TypeMapper.mysqlType(OracleColumn(z.col_name, z.data_type, z.len,
+          z.p, z.s, z.char_len, z.char_used, z.nullable, z.dflt)))
+    }.toDF("table_name", "ordinal", "col_name", "required_type")
+    val checked = rows.withColumn("declared_type",
+      when(col("ordinal") % 11 === 0, lit("TEXT"))
+        .when(col("ordinal") % 11 === 5, lit("VARCHAR(255)"))
+        .otherwise(col("required_type")))
+    checked.select(col("table_name"), col("col_name"),
+      col("required_type"), col("declared_type"),
+      when(col("required_type") === col("declared_type"), lit("OK"))
+        .otherwise(lit("TYPE_MISMATCH")).as("verdict"),
+      when(col("required_type") =!= col("declared_type"),
+        concat(lit("ALTER TABLE steven."), col("table_name"),
+          lit(" MODIFY COLUMN `"), col("col_name"), lit("` "),
+          lower(col("required_type")), lit(";"))).as("fix_sql"))
+  }
+
+  val k4Sql: String = {
+    import graft.reverse.Reverse
+    s"""WITH ${Reverse.zooCte},
+       |n AS (${Reverse.deriveSql} FROM zoo),
+       |req AS (
+       |  SELECT table_name, ordinal, col_name,
+       |    ${Reverse.mysqlCaseSql} AS required_type
+       |  FROM n),
+       |chk AS (
+       |  SELECT *,
+       |    CASE WHEN ordinal % 11 = 0 THEN 'TEXT'
+       |         WHEN ordinal % 11 = 5 THEN 'VARCHAR(255)'
+       |         ELSE required_type END AS declared_type
+       |  FROM req)
+       |SELECT table_name, col_name, required_type, declared_type,
+       |  CASE WHEN required_type = declared_type THEN 'OK'
+       |       ELSE 'TYPE_MISMATCH' END AS verdict,
+       |  CASE WHEN required_type <> declared_type THEN
+       |    'ALTER TABLE steven.' || table_name || ' MODIFY COLUMN `' ||
+       |    col_name || '` ' || lower(required_type) || ';'
+       |  END AS fix_sql
+       |FROM chk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_struct_diff" -> k1StructDiff,
     "k3_index_diff" -> k3IndexDiff,
+    "k4_type_rule_check" -> k4TypeRuleCheck,
     "a19_object_overview" -> a19ObjectOverview)
 
   val oracles: Map[String, String] = Map(
     "k1_struct_diff" -> k1Sql,
     "k3_index_diff" -> k3Sql,
+    "k4_type_rule_check" -> k4Sql,
     "a19_object_overview" -> a19Sql)
 }

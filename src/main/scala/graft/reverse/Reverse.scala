@@ -139,7 +139,7 @@ object Reverse {
     * (tss) — mirroring [[TypeMapper.normalizeNumber]] and the char/ts
     * rules.
     */
-  private val deriveSql: String =
+  private[graft] val deriveSql: String =
     """SELECT *,
       |  coalesce(p, 38) AS np,
       |  greatest(CASE WHEN p IS NULL THEN coalesce(s, 127)
@@ -153,7 +153,7 @@ object Reverse {
   /** Independent DuckDB implementation of the MySQL mapping
     * (`mapping_mysql.go:83-560`).
     */
-  private val mysqlCaseSql: String =
+  private[graft] val mysqlCaseSql: String =
     """CASE
       | WHEN data_type = 'NUMBER' AND ns > 0 THEN CASE
       |   WHEN np = 38 AND ns > 30 THEN 'DECIMAL(65,30)'
