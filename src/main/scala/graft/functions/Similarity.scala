@@ -205,17 +205,103 @@ object Similarity {
        |       CAST((SELECT count(*) FROM hits) AS DOUBLE) /
        |         (SELECT count(*) FROM truth) AS recall""".stripMargin
 
+  /** Symmetric int8 per-vector quantization: scale = max|x|/127,
+    * q = halfUpRound(x/scale) ∈ [-127,127], dequantized back as
+    * q·scale. The 100 TB IO story: an int8 corpus is 4× smaller at
+    * rest and in shuffle than float32, and search runs on the
+    * dequantized values. Rounding is an EXPLICIT half-up
+    * (sign·floor(|x|+0.5)) because engine round() semantics differ on
+    * ties; all arithmetic is elementwise double, identical on both
+    * sides.
+    */
+  private def quantizedCorpus(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    c.withColumn("scale", greatest(
+        aggregate(transform(col("v"), x => abs(x)), lit(0.0),
+          (a, x) => when(x > a, x).otherwise(a)) / lit(127.0),
+        lit(1e-30)))
+      .withColumn("dv", transform(col("v"), x =>
+        signum(x) * floor(abs(x / col("scale")) + lit(0.5)) * col("scale")))
+      .withColumn("dnrm", sqrt(aggregate(
+        transform(col("dv"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .select(col("vec_id"), col("dv"), col("dnrm"))
+  }
+
+  private val quantizedSql: String =
+    s"""qc AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x ->
+       |      CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END *
+       |      floor(abs(x / scale) + 0.5) * scale) AS dv
+       |  FROM (SELECT vec_id, v,
+       |          greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+       |                   1e-30) AS scale
+       |        FROM c) sc),
+       |qcn AS (
+       |  SELECT vec_id, dv,
+       |    sqrt(list_sum(list_transform(dv, x -> x * x))) AS dnrm
+       |  FROM qc)""".stripMargin
+
+  /** ann4: recall of int8-quantized search vs the exact top-10 —
+    * full-precision queries against the dequantized corpus, the
+    * standard quantized-retrieval evaluation. One row:
+    * (n_expected, n_hits, recall).
+    */
+  def ann4QuantizedRecall(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val q = broadcast(c.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qnrm")).filter(col("qid") % 100 === 0))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val got = quantizedCorpus(s, d).join(q, col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        dot(col("qv"), col("dv")) / (col("qnrm") * col("dnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+    val truth = ann1BruteTopK(s, d)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_expected")).crossJoin(
+      hits.agg(count(lit(1)).as("n_hits")))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_expected"))
+  }
+
+  val ann4Sql: String =
+    s"""WITH c AS ($corpusSql),
+       |$quantizedSql,
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM c
+       |      WHERE vec_id % 100 = 0),
+       |got AS (
+       |  SELECT qid AS query_id, vec_id AS neighbor_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY
+       |        ${dotSql("qv", "dv")} / (qnrm * dnrm) DESC,
+       |        vec_id ASC) AS rank
+       |    FROM q, qcn WHERE vec_id <> qid) r WHERE rank <= 10),
+       |truth AS (SELECT query_id, neighbor_id FROM ($ann1Sql) a),
+       |hits AS (SELECT * FROM truth WHERE EXISTS (
+       |  SELECT 1 FROM got WHERE got.query_id = truth.query_id
+       |    AND got.neighbor_id = truth.neighbor_id))
+       |SELECT (SELECT count(*) FROM truth) AS n_expected,
+       |       (SELECT count(*) FROM hits) AS n_hits,
+       |       CAST((SELECT count(*) FROM hits) AS DOUBLE) /
+       |         (SELECT count(*) FROM truth) AS recall""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann1_brute_topk" -> ann1BruteTopK,
     "ann2_ivf_topk" -> ann2IvfTopK,
     "ann3_recall" -> ann3Recall,
+    "ann4_quantized_recall" -> ann4QuantizedRecall,
     "d5_cosine_pairs_banded" -> d5CosinePairsBanded)
 
   val oracles: Map[String, String] = Map(
     "ann1_brute_topk" -> ann1Sql,
     "ann2_ivf_topk" -> ann2Sql,
     "ann3_recall" -> ann3Sql,
+    "ann4_quantized_recall" -> ann4Sql,
     "d5_cosine_pairs_banded" -> d5Sql)
 }
