@@ -130,13 +130,55 @@ object Multimodal {
       |FROM (SELECT doc_id, md5(text) || md5(text || 'x') AS hx
       |      FROM documents) t""".stripMargin
 
+  /** m3: frame sampling — each media row is treated as a container of
+    * `n_frames` frames (metadata-derived; a real video's frame count
+    * comes from the demuxer) and up to 5 frames are sampled at
+    * UNIFORM temporal stride (frame i·n/k — the standard video
+    * keyframe sampling for training pipelines), exploded to one row
+    * per sampled frame with a payload-derived frame stub. All
+    * arithmetic is integral, all operators codegen'd
+    * (sequence/transform/explode); the decode of the sampled frame
+    * stays stubbed like m2's.
+    */
+  def m3FrameSample(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .withColumn("n_frames", (lit(1) + col("doc_id") % 30).cast("int"))
+      .withColumn("k", least(lit(5), col("n_frames")))
+      .select(col("doc_id"), col("fmt"), col("n_frames"),
+        explode(transform(sequence(lit(0), col("k") - 1), i =>
+          ((i.cast("long") * col("n_frames")) / col("k")).cast("int")))
+          .as("frame_idx"),
+        col("payload"))
+      .withColumn("frame_hex",
+        substring(hex(col("payload")), col("frame_idx") * 2 + 1, lit(6)))
+      .drop("payload")
+
+  val m3Sql: String =
+    """SELECT doc_id, fmt, n_frames, frame_idx,
+      |  substr(hx, frame_idx * 2 + 1, 6) AS frame_hex
+      |FROM (
+      |  SELECT doc_id, fmt, n_frames,
+      |    CAST(unnest(range(0, k)) * n_frames // k AS INT) AS frame_idx,
+      |    hx
+      |  FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |           WHEN doc_id % 3 = 1 THEN 'jpeg'
+      |           ELSE 'wav' END AS fmt,
+      |      CAST(1 + doc_id % 30 AS INT) AS n_frames,
+      |      least(5, CAST(1 + doc_id % 30 AS INT)) AS k,
+      |      upper(md5(text) || md5(text || 'x')) AS hx
+      |    FROM documents) base) f""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_meta" -> m1MediaMeta,
-    "m2_media_features" -> m2MediaFeatures)
+    "m2_media_features" -> m2MediaFeatures,
+    "m3_frame_sample" -> m3FrameSample)
 
   val oracles: Map[String, String] = Map(
     "m1_media_meta" -> m1Sql,
-    "m2_media_features" -> m2Sql)
+    "m2_media_features" -> m2Sql,
+    "m3_frame_sample" -> m3Sql)
 }

@@ -159,6 +159,13 @@ object Cdc {
     * size, ours is per (table, key)) the store holds only the
     * working set. A key seen again after eviction restarts at n=1;
     * consumers wanting lifetime counts fold the tombstones.
+    *
+    * Termination contract: with a processing-time timeout armed,
+    * Spark treats pending timeouts as potential work, so this query
+    * does NOT self-terminate under `Trigger.AvailableNow` — the
+    * caller stops it once the wanted output has landed (exactly how
+    * the reference's poll loop is externally cancelled,
+    * `incr.go:169-243`).
     */
   def trackKeyProgress(s: SparkSession, feedDir: String, outDir: String,
       checkpointDir: String, ttl: String = "30 minutes"): StreamingQuery = {

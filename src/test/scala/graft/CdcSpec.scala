@@ -8,6 +8,33 @@ import org.apache.spark.sql.functions._
 import graft.streaming.Cdc
 
 class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  /** Run an AvailableNow query to completion and ALWAYS stop it:
+    * armed processing-time timeouts can keep a stateful query alive
+    * past its data, and an unstopped query is a zombie that churns
+    * empty batches for the rest of the suite.
+    */
+  private def runStream(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try q.awaitTermination(120000) finally q.stop()
+
+  /** Run an AvailableNow query until `done` observes the expected
+    * output, then stop it. Needed for ProcessingTimeTimeout queries:
+    * with a processing-time timeout armed, Spark keeps scheduling
+    * batches (timeouts are always potential work), so such a query
+    * NEVER self-terminates under AvailableNow — termination is the
+    * caller's job, keyed on the output actually landing.
+    */
+  private def runStreamUntil(
+      q: org.apache.spark.sql.streaming.StreamingQuery)(
+      done: => Boolean): Unit =
+    try {
+      val t0 = System.currentTimeMillis
+      var finished = false
+      while (!finished && System.currentTimeMillis - t0 < 120000) {
+        finished = q.awaitTermination(500) ||
+          scala.util.Try(done).getOrElse(false)
+      }
+    } finally q.stop()
+
 
   test("apply is idempotent under batch re-delivery (replay guard)") {
     val changes = Cdc.eventsAsChanges(spark, sf)
@@ -37,8 +64,7 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // split the change feed into 4 files to force multiple input splits
     Cdc.eventsAsChanges(spark, sf).repartition(4)
       .write.parquet(feed)
-    val q = Cdc.streamApply(spark, feed, log, ckpt)
-    q.awaitTermination(120000)
+    runStream(Cdc.streamApply(spark, feed, log, ckpt))
     Cdc.compact(spark, log, stateDir)
     val streamed = spark.read.parquet(stateDir)
     val batch = Cdc.applyChanges(Cdc.eventsAsChanges(spark, sf))
@@ -49,9 +75,9 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val tmp = Files.createTempDirectory("graft_cdc2").toString
     val feed = s"$tmp/feed"; val log = s"$tmp/log"; val ckpt = s"$tmp/ckpt"
     Cdc.eventsAsChanges(spark, sf).limit(200).write.parquet(feed)
-    Cdc.streamApply(spark, feed, log, ckpt).awaitTermination(120000)
+    runStream(Cdc.streamApply(spark, feed, log, ckpt))
     val n1 = spark.read.parquet(log).count()
-    Cdc.streamApply(spark, feed, log, ckpt).awaitTermination(120000)
+    runStream(Cdc.streamApply(spark, feed, log, ckpt))
     val n2 = spark.read.parquet(log).count()
     assert(n1 == n2, s"log grew from $n1 to $n2 on replay")
   }
@@ -62,8 +88,7 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val wm = s"$tmp/wm"; val ckpt = s"$tmp/ckpt"
     val changes = Cdc.multiTableChanges(spark, sf)
     changes.repartition(4).write.parquet(feed)
-    Cdc.streamApplyGuarded(spark, feed, log, wm, ckpt)
-      .awaitTermination(120000)
+    runStream(Cdc.streamApplyGuarded(spark, feed, log, wm, ckpt))
     // C3: watermark per table equals the feed's max (scn, seq)
     val wants = changes.groupBy("table_name")
       .agg(max(struct(col("scn"), col("seq"))).as("m"))
@@ -86,15 +111,15 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val tmp = Files.createTempDirectory("graft_cdc4").toString
     val changes = Cdc.multiTableChanges(spark, sf).limit(600)
     changes.write.parquet(s"$tmp/feed1")
-    Cdc.streamApplyGuarded(spark, s"$tmp/feed1", s"$tmp/log", s"$tmp/wm",
-      s"$tmp/ckpt1").awaitTermination(120000)
+    runStream(Cdc.streamApplyGuarded(spark, s"$tmp/feed1", s"$tmp/log",
+      s"$tmp/wm", s"$tmp/ckpt1"))
     val n1 = spark.read.parquet(s"$tmp/log").count()
     // same records, new source dir + NEW checkpoint: only the
     // watermark guard (C4's `SCN >` rule) stands between this and
     // double-apply
     changes.write.parquet(s"$tmp/feed2")
-    Cdc.streamApplyGuarded(spark, s"$tmp/feed2", s"$tmp/log", s"$tmp/wm",
-      s"$tmp/ckpt2").awaitTermination(120000)
+    runStream(Cdc.streamApplyGuarded(spark, s"$tmp/feed2", s"$tmp/log",
+      s"$tmp/wm", s"$tmp/ckpt2"))
     val n2 = spark.read.parquet(s"$tmp/log").count()
     assert(n1 == n2, s"log grew from $n1 to $n2 on re-mined window")
   }
@@ -148,15 +173,15 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val events = Tables.load(spark, sf, "events")
       .select(col("user_id"), col("ts"))
     events.write.parquet(feed)
-    Cdc.sessionizeStream(spark, feed, out, ckpt).awaitTermination(120000)
+    runStream(Cdc.sessionizeStream(spark, feed, out, ckpt))
     // flush: one far-future event per user advances the watermark past
     // every open session's timeout, evicting and closing them all
     val flushTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
     import spark.implicits._
     events.select("user_id").distinct()
       .withColumn("ts", lit(flushTs)).write.mode("append").parquet(feed)
-    Cdc.sessionizeStream(spark, feed, out, ckpt).awaitTermination(120000)
-    Cdc.sessionizeStream(spark, feed, out, ckpt).awaitTermination(120000)
+    runStream(Cdc.sessionizeStream(spark, feed, out, ckpt))
+    runStream(Cdc.sessionizeStream(spark, feed, out, ckpt))
 
     val streamed = spark.read.parquet(out)
       .filter(col("session_start") < lit(flushTs))
@@ -177,10 +202,17 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val all = Cdc.eventsAsChanges(spark, sf).limit(400).cache()
     val (first, second) = (all.limit(250), all.exceptAll(all.limit(250)))
 
+    val n1 = first.count(); val n2 = n1 + second.count()
+    // cumulative processed changes = per-key max of the running counter
+    def emitted: Long = spark.read.parquet(out)
+      .groupBy("table_name", "key").agg(max("n_changes").as("m"))
+      .agg(sum("m")).head.getLong(0)
     first.write.mode("append").parquet(feed)
-    Cdc.trackKeyProgress(spark, feed, out, ckpt).awaitTermination(120000)
+    runStreamUntil(Cdc.trackKeyProgress(spark, feed, out, ckpt))(
+      emitted >= n1)
     second.write.mode("append").parquet(feed)
-    Cdc.trackKeyProgress(spark, feed, out, ckpt).awaitTermination(120000)
+    runStreamUntil(Cdc.trackKeyProgress(spark, feed, out, ckpt))(
+      emitted >= n2)
 
     // last emitted progress per key == batch truth over the WHOLE feed
     // (state restored from the checkpoint, not recomputed per run)
@@ -203,34 +235,40 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     def row(scn: Long, key: Long) =
       Seq((scn, 0L, "INSERT", "t1", key, Option(1.0)))
         .toDF("scn", "seq", "op", "table_name", "key", "value")
-    // each run must be fully stopped before the next starts: with a
-    // 1ms TTL the AvailableNow drain loop keeps firing timeout
-    // batches, and two queries on one checkpoint race state commits
-    def runOnce(): Unit = {
-      val q = Cdc.trackKeyProgress(spark, feed, out, ckpt,
-        ttl = "1 milliseconds")
-      q.awaitTermination(120000)
-      q.stop()
-    }
+    // each run must be fully stopped before the next starts (two
+    // queries on one checkpoint race state commits); each run ends
+    // when its phase's expected output lands — a timeout-armed query
+    // never self-terminates (see runStreamUntil)
+    def runOnce(done: => Boolean): Unit =
+      runStreamUntil(Cdc.trackKeyProgress(spark, feed, out, ckpt,
+        ttl = "1 milliseconds"))(done)
+    def outHas(pred: org.apache.spark.sql.Column): Boolean =
+      spark.read.parquet(out).filter(pred).count() > 0
     // batch 1 touches key 1; TTL 1ms arms immediately
     row(1, 1L).write.mode("append").parquet(feed)
-    runOnce()
+    runOnce(outHas(col("key") === 1L && col("n_changes") === 1L))
     Thread.sleep(100)
     // batch 2 touches only key 2 — key 1's state times out: tombstone + removal
     row(2, 2L).write.mode("append").parquet(feed)
-    runOnce()
+    runOnce(outHas(col("key") === 1L && col("n_changes") === -1L))
     // batch 3 touches key 1 again — evicted state must NOT resume at 2
     row(3, 1L).write.mode("append").parquet(feed)
-    runOnce()
+    runOnce(outHas(col("key") === 1L && col("last_scn") === 3L))
     val rows = spark.read.parquet(out).filter(col("key") === 1L)
       .orderBy("batch_id")
       .select("n_changes", "last_scn").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    // with a 1ms TTL the fresh state of run 3 also times out in the
-    // drain batches, so the full observed lifecycle is
-    // count → tombstone → fresh count → tombstone
-    assert(rows == Seq((1L, 1L), (-1L, 1L), (1L, 3L), (-1L, 3L)),
-      s"expected count→tombstone→fresh-count→tombstone, got $rows")
+    // Stopping on-condition makes the appended output at-least-once
+    // (an aborted batch replays on the next start), so assert the
+    // lifecycle INVARIANTS, not an exact row sequence:
+    //  - counting started at 1,
+    //  - the idle key produced a tombstone,
+    //  - after eviction the count restarted at 1 with the new SCN,
+    //  - and NO row ever shows n=2 — the proof state was removed.
+    assert(rows.head == (1L, 1L), s"first emission wrong: $rows")
+    assert(rows.contains((-1L, 1L)), s"no eviction tombstone: $rows")
+    assert(rows.contains((1L, 3L)), s"no fresh restart after evict: $rows")
+    assert(!rows.exists(_._1 == 2L), s"state survived eviction: $rows")
   }
 
   test("stream-stream interval join converges to the batch interval join") {
@@ -239,7 +277,7 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     Tables.load(spark, sf, "events")
       .select(col("user_id"), col("event_type"), col("ts"))
       .write.parquet(feed)
-    Cdc.streamIntervalJoin(spark, feed, out, ckpt).awaitTermination(120000)
+    runStream(Cdc.streamIntervalJoin(spark, feed, out, ckpt))
     val streamed = spark.read.parquet(out)
       .groupBy(col("user_id"),
         date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss")
@@ -260,7 +298,7 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     def pushAndRun(stamps: Seq[String]): Unit = {
       stamps.map(java.sql.Timestamp.valueOf).toDF("ts")
         .write.mode("append").parquet(feed)
-      spark.readStream
+      runStream(spark.readStream
         .schema(org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("ts",
             org.apache.spark.sql.types.TimestampType))))
@@ -274,7 +312,7 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
         .option("path", out).option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination(120000)
+        .start())
     }
 
     // batch 1: 3 on-time rows in the 10:00 window, one at 10:16
