@@ -61,6 +61,27 @@ object CharsetMaps {
       case _ => s"${targetCharset}_BIN"
     }
 
+  /** M2O/T2O: MySQL column collation → Oracle NLS sort behavior
+    * (`common/reverse.go:213-360`). Charset-independent in the
+    * reference (every Oracle charset row carries the same value).
+    * Ambiguous forms keep the reference's dual rendering: a CJK
+    * *_CHINESE_CI collation could be accent-sensitive or not
+    * ("BINARY_AI/BINARY_CI"), and *_BIN depends on the Oracle
+    * version's extension support ("BINARY/BINARY_CS").
+    */
+  val m2oNls: Map[String, String] = Map(
+    "UTF8MB4_0900_AS_CI" -> "BINARY_CI",
+    "UTF8MB4_GENERAL_CI" -> "BINARY_AI",
+    "UTF8_GENERAL_CI" -> "BINARY_AI",
+    "BIG5_CHINESE_CI" -> "BINARY_AI/BINARY_CI",
+    "GBK_CHINESE_CI" -> "BINARY_AI/BINARY_CI",
+    "GB18030_CHINESE_CI" -> "BINARY_AI/BINARY_CI",
+    "UTF8MB4_BIN" -> "BINARY/BINARY_CS",
+    "UTF8_BIN" -> "BINARY/BINARY_CS",
+    "BIG5_BIN" -> "BINARY/BINARY_CS",
+    "GBK_BIN" -> "BINARY/BINARY_CS",
+    "GB18030_BIN" -> "BINARY/BINARY_CS")
+
   /** The CREATE TABLE suffix pieces for a direction + source charset +
     * NLS behavior — what the DDL writers consume instead of pinned
     * constants.

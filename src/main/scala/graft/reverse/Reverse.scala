@@ -700,6 +700,34 @@ object Reverse {
        |FROM m""".stripMargin
   }
 
+  /** r8: the reverse direction's collation matrix — MySQL/TiDB
+    * column collation → Oracle NLS behavior ([[CharsetMaps.m2oNls]]).
+    * The oracle classifies by collation-name PATTERN (suffix rules),
+    * the Scala side by the explicit map — two formulations of
+    * `common/reverse.go:213-360`.
+    */
+  def r8M2oCollation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    CharsetMaps.m2oNls.toSeq.sortBy(_._1)
+      .toDF("mysql_collation", "oracle_nls")
+  }
+
+  val r8Sql: String = {
+    val values = CharsetMaps.m2oNls.keys.toSeq.sorted
+      .map(c => s"(${vStr(c)})").mkString(",\n  ")
+    s"""SELECT mysql_collation,
+       |  CASE WHEN mysql_collation = 'UTF8MB4_0900_AS_CI' THEN 'BINARY_CI'
+       |       WHEN mysql_collation LIKE '%\\_GENERAL\\_CI' ESCAPE '\\'
+       |         THEN 'BINARY_AI'
+       |       WHEN mysql_collation LIKE '%\\_CHINESE\\_CI' ESCAPE '\\'
+       |         THEN 'BINARY_AI/BINARY_CI'
+       |       WHEN mysql_collation LIKE '%\\_BIN' ESCAPE '\\'
+       |         THEN 'BINARY/BINARY_CS'
+       |  END AS oracle_nls
+       |FROM (VALUES
+       |  $values) t(mysql_collation)""".stripMargin
+  }
+
   /** a17: migration-route summary (assess compatibility overview —
     * the reference's per-bucket object counts,
     * `module/assess/oracle/o2m/assess_result.go` compatible-object
@@ -722,6 +750,7 @@ object Reverse {
     "r5_o2t_ddl" -> r5O2tDdl,
     "r6_m2o_ddl" -> r6M2oDdl,
     "r7_collation_map" -> r7CollationMap,
+    "r8_m2o_collation" -> r8M2oCollation,
     "p6_compat_filter" -> p6CompatFilter,
     "a17_route_counts" -> a17RouteCounts)
 
@@ -733,6 +762,7 @@ object Reverse {
     "r5_o2t_ddl" -> r5Sql,
     "r6_m2o_ddl" -> r6Sql,
     "r7_collation_map" -> r7Sql,
+    "r8_m2o_collation" -> r8Sql,
     "p6_compat_filter" -> p6Sql,
     "a17_route_counts" -> a17Sql)
 }

@@ -99,6 +99,42 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(q.count() == expected)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      // shrink AQE's skew thresholds to fixture scale and forbid
+      // broadcast so the join is a shuffled SMJ with one hot partition
+      conf.set(keys(0), "256KB")
+      conf.set(keys(1), "64KB")
+      conf.set(keys(2), "2")
+      conf.set(keys(3), "-1")
+      val fact = spark.range(300000).select(
+        when(col("id") % 10 < 9, lit(1L)).otherwise(col("id") % 100)
+          .as("key"),
+        concat(lit("payload_payload_payload_"), col("id")).as("pl"))
+      val dim = spark.range(100).select(col("id").as("key"),
+        concat(lit("dim_"), col("id")).as("dname"))
+      val j = fact.join(dim, "key")
+      // execute THIS dataset's own QueryExecution (count() would plan
+      // a separate collapsed query and leave j's plan un-finalized)
+      assert(j.collect().length == 300000)
+      // the FINAL adaptive plan must carry a skew-split SMJ — this is
+      // the runtime answer to hot keys that no static plan gives
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(4000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("IVF at rest: cell-partitioned embeddings prune to probed cells") {
     import graft.functions.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf")
