@@ -81,13 +81,26 @@ object Dedup {
   private val indexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Memoize a persisted DataFrame per (session, input dir). Entries
+    * of STOPPED sessions are purged on every access (the strong
+    * reference would otherwise pin dead sessions and their plans for
+    * the JVM's lifetime), and the compute runs under the map's lock
+    * so concurrent first calls cannot double-persist.
+    */
+  private def cachedPerSession(
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+      s: SparkSession, d: String)(build: => DataFrame): DataFrame =
+    cache.synchronized {
+      cache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      cache.getOrElseUpdate((s, d),
+        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
-    indexCache.getOrElseUpdate((s, d), {
+    cachedPerSession(indexCache, s, d) {
       val (h1, h2) = hashPair(col("shingle"))
-      shingles(s, d)
-        .select(col("doc_id"), h1.as("h1"), h2.as("h2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+      shingles(s, d).select(col("doc_id"), h1.as("h1"), h2.as("h2"))
+    }
 
   def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = shingleIndex(s, d).select(col("doc_id"), col("h1").as("shingle"))
@@ -224,9 +237,9 @@ object Dedup {
     .empty[(SparkSession, String), DataFrame]
 
   def d3MinhashLsh(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate((s, d),
+    cachedPerSession(pairCache, s, d) {
       bandedPairs(minhashSignatureFromIndex(shingleIndex(s, d)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   val d3Sql: String = {
     val mins = (0 until K).map { i =>
@@ -302,11 +315,13 @@ object Dedup {
     * the 48-bit simhash splits into 4 bands of 12 bits; ≤3 differing
     * bits can touch at most 3 bands, so every qualifying pair shares
     * at least one band value — candidates come from an EQUI-join on
-    * (band, value) and the hamming filter runs only on them. This is
-    * *lossless* (recall = 1 by pigeonhole), so the oracle stays the
-    * exact all-pairs SQL while the engine plan is the banded one
-    * (round 1 shipped the all-pairs plan itself: a
-    * BroadcastNestedLoopJoin, O(N²) at scale).
+    * (band, value) and the hamming filter runs only on them (round 1
+    * shipped the all-pairs plan itself: a BroadcastNestedLoopJoin,
+    * O(N²) at scale). Recall is 1 by pigeonhole for every pair whose
+    * shared buckets are UNDER the hot-bucket cap; a >CAP bucket is
+    * dropped (see below), so the oracle mirrors the banding + cap
+    * rather than exact all-pairs — the hamming predicate remains the
+    * independently-computed semantic check.
     */
   def d4bSimhashPairs(s: SparkSession, d: String): DataFrame = {
     val sim = d4Simhash(s, d)

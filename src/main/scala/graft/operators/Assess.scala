@@ -160,10 +160,12 @@ object Assess {
       s"(${vStr(i.owner)}, ${vStr(i.table_name)}, ${vStr(i.index_name)}, " +
         s"${vStr(i.index_type)})"
     }.mkString(",\n  ")
-    val lobs = dictLobIndexNames.map(vStr).mkString(", ")
+    // one parenthesized tuple PER name — a single tuple of N names
+    // would bind as one N-column row
+    val lobs = dictLobIndexNames.map(n => s"(${vStr(n)})").mkString(", ")
     s"""idx(owner, table_name, index_name, index_type) AS (VALUES
        |  $rows),
-       |lobs(index_name) AS (VALUES ($lobs))""".stripMargin
+       |lobs(index_name) AS (VALUES $lobs)""".stripMargin
   }
 
   // ------------------------------------------------------------- queries

@@ -109,6 +109,11 @@ object Ledger {
     recorded.foreach { r =>
       val id = r.getAs[Int]("chunk_id")
       val p = plannedById.get(id)
+      // a mark without its plan row means the ledger was partially
+      // wiped — refuse loudly, don't NPE unboxing the null bounds
+      require(!r.isNullAt(r.fieldIndex("lower")),
+        s"resume refused: chunk $id has progress marks but no plan row " +
+          "— the ledger is incomplete; wipe it or re-init")
       require(p.exists(c => c.lower == r.getAs[Long]("lower") &&
         c.upper == r.getAs[Long]("upper")),
         s"resume refused: chunk $id boundaries drifted " +

@@ -331,18 +331,11 @@ object Relational {
       .select(col("column_name").as("split_column"))
   }
 
-  val a9bSql: String =
-    """WITH nd AS (
-      |  SELECT count(DISTINCT l_orderkey) AS c0, count(DISTINCT l_partkey) AS c1,
-      |         count(DISTINCT l_suppkey) AS c2, count(DISTINCT l_linenumber) AS c3
-      |  FROM lineitem),
-      |m AS (
-      |  SELECT 'l_orderkey' AS column_name, c0 AS n_distinct FROM nd
-      |  UNION ALL SELECT 'l_partkey', c1 FROM nd
-      |  UNION ALL SELECT 'l_suppkey', c2 FROM nd
-      |  UNION ALL SELECT 'l_linenumber', c3 FROM nd)
-      |SELECT column_name AS split_column FROM m
-      |ORDER BY n_distinct DESC, column_name ASC LIMIT 1""".stripMargin
+  // the election selects over a9's OWN oracle text, so the candidate
+  // set can never drift between the two
+  lazy val a9bSql: String =
+    s"""SELECT column_name AS split_column FROM ($a9Sql) m
+       |ORDER BY n_distinct DESC, column_name ASC LIMIT 1""".stripMargin
 
   /** a16: skew-safe two-stage salted aggregation — the 100 TB pattern
     * for hot grouping keys: a salt column spreads each key over N

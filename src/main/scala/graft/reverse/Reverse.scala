@@ -616,12 +616,17 @@ object Reverse {
       .select(lit("create_table").as("artifact"),
         concat(lit("CREATE TABLE steven.marvin_mysql (\n"), col("cols"),
           lit(",\nPRIMARY KEY (b1)\n);")).as("text"))
+    // emit the compat artifact only when something is unsupported —
+    // an unconditional agg would emit '-- unsupported columns: ' on
+    // an empty set while the oracle's string_agg yields NULL
     val compat = cols
       .filter(col("oracle_type") === M2OTypeMapper.Unsupported)
-      .agg(concat(lit("-- unsupported columns: "),
-        array_join(array_sort(collect_list(
-          concat(col("col_name"), lit(" "), col("mysql_type")))), ", "))
-        .as("text"))
+      .agg(count(lit(1)).as("n"),
+        concat(lit("-- unsupported columns: "),
+          array_join(array_sort(collect_list(
+            concat(col("col_name"), lit(" "), col("mysql_type")))), ", "))
+          .as("text"))
+      .filter(col("n") > 0)
       .select(lit("compatibility").as("artifact"), col("text"))
     create.unionAll(compat)
   }
@@ -649,7 +654,8 @@ object Reverse {
        |  '-- unsupported columns: ' ||
        |  string_agg(col_name || ' ' || mysql_type, ', ' ORDER BY col_name)
        |    AS text
-       |FROM mapped WHERE oracle_type = 'UNSUPPORTED'""".stripMargin
+       |FROM mapped WHERE oracle_type = 'UNSUPPORTED'
+       |HAVING count(*) > 0""".stripMargin
 
   /** r7: the structure-level charset/collation matrix as a query —
     * every (direction, source charset, NLS behavior) cell of

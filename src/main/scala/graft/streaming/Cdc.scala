@@ -425,7 +425,13 @@ object Cdc {
     (1000000004L, 0L,
       """insert into "GRAFT"."EVENTS"("KEY","VALUE") values ('904','');"""),
     (1000000005L, 0L,
-      """delete from "GRAFT"."EVENTS" where "KEY" = '905';"""))
+      """delete from "GRAFT"."EVENTS" where "KEY" = '905';"""),
+    // values that QUOTE THE GRAMMAR ITSELF: an unanchored clause
+    // search would bind to the decoy WHERE/VALUES text inside the data
+    (1000000006L, 0L,
+      """update "GRAFT"."EVENTS" set "VALUE" = 'x where "KEY" = ''42''' where "KEY" = '906';"""),
+    (1000000007L, 0L,
+      """insert into "GRAFT"."EVENTS"("KEY","VALUE") values ('907','v values (''1'',''2'') end');"""))
 
   def redoFeed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -485,15 +491,24 @@ object Cdc {
     val op = upper(regexp_extract(col("sql_redo"),
       "^(insert|update|delete)", 1))
     def unq(c: org.apache.spark.sql.Column) = regexp_replace(c, "''", "'")
+    // whole-clause anchored patterns, statement-terminator included:
+    // an UNANCHORED `"KEY" = '...'` search would bind to that text
+    // occurring INSIDE a value payload; matching the full
+    // value-and-key tail (the quote grammar cannot stop a group at a
+    // doubled quote, so backtracking lands on the true clause
+    // boundaries) makes the parse exact even when values quote the
+    // grammar's own keywords
+    val insPat = s"values \\('$Q','$Q'\\);"
+    val updPat = s"set \"VALUE\" = '$Q' where \"KEY\" = '$Q';"
+    val delPat = s"delete from .* where \"KEY\" = '$Q';"
     val keyStr =
-      when(op === "INSERT",
-        regexp_extract(col("sql_redo"), s"values \\('$Q','$Q'\\)", 1))
-        .otherwise(regexp_extract(col("sql_redo"), s"\"KEY\" = '$Q'", 1))
+      when(op === "INSERT", regexp_extract(col("sql_redo"), insPat, 1))
+        .when(op === "UPDATE", regexp_extract(col("sql_redo"), updPat, 2))
+        .otherwise(regexp_extract(col("sql_redo"), delPat, 1))
     val valueStr =
-      when(op === "INSERT",
-        unq(regexp_extract(col("sql_redo"), s"values \\('$Q','$Q'\\)", 2)))
+      when(op === "INSERT", unq(regexp_extract(col("sql_redo"), insPat, 2)))
         .when(op === "UPDATE",
-          unq(regexp_extract(col("sql_redo"), s"set \"VALUE\" = '$Q'", 1)))
+          unq(regexp_extract(col("sql_redo"), updPat, 1)))
         .otherwise(lit("NULL"))
     feed.select(col("scn"), col("seq"), op.as("op"),
       regexp_extract(col("sql_redo"), "\"GRAFT\"\\.\"([A-Z_]+)\"", 1)
@@ -504,17 +519,22 @@ object Cdc {
   val c5Sql: String = {
     // the same grammar as a DuckDB string literal (every ' doubled)
     val q = Q.replace("'", "''")
+    val ins = s"values \\(''$q'',''$q''\\);"
+    val upd = s"""set "VALUE" = ''$q'' where "KEY" = ''$q'';"""
+    val del = s"""delete from .* where "KEY" = ''$q'';"""
     s"""SELECT scn, seq,
        |  upper(regexp_extract(sql_redo, '^(insert|update|delete)', 1)) AS op,
        |  regexp_extract(sql_redo, '"GRAFT"\\."([A-Z_]+)"', 1) AS table_name,
        |  CAST(CASE WHEN sql_redo LIKE 'insert%'
-       |    THEN regexp_extract(sql_redo, 'values \\(''$q'',''$q''\\)', 1)
-       |    ELSE regexp_extract(sql_redo, '"KEY" = ''$q''', 1)
+       |    THEN regexp_extract(sql_redo, '$ins', 1)
+       |    WHEN sql_redo LIKE 'update%'
+       |    THEN regexp_extract(sql_redo, '$upd', 2)
+       |    ELSE regexp_extract(sql_redo, '$del', 1)
        |  END AS BIGINT) AS key,
        |  CASE WHEN sql_redo LIKE 'insert%'
-       |    THEN replace(regexp_extract(sql_redo, 'values \\(''$q'',''$q''\\)', 2), '''''', '''')
+       |    THEN replace(regexp_extract(sql_redo, '$ins', 2), '''''', '''')
        |    WHEN sql_redo LIKE 'update%'
-       |    THEN replace(regexp_extract(sql_redo, 'set "VALUE" = ''$q''', 1), '''''', '''')
+       |    THEN replace(regexp_extract(sql_redo, '$upd', 1), '''''', '''')
        |    ELSE 'NULL'
        |  END AS value_str
        |FROM ($redoFeedSql) f""".stripMargin

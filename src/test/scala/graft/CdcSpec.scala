@@ -155,7 +155,9 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
       (902L, "UPDATE", "it's 'quoted'"),
       (903L, "UPDATE", "'"),
       (904L, "INSERT", ""),
-      (905L, "DELETE", "NULL")))
+      (905L, "DELETE", "NULL"),
+      (906L, "UPDATE", "x where \"KEY\" = '42'"),
+      (907L, "INSERT", "v values ('1','2') end")))
   }
 
   test("charset: decode(encode(x)) round-trips for every mappable fixture") {
