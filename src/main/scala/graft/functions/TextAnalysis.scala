@@ -173,15 +173,70 @@ object TextAnalysis {
 
   // ------------------------------------------------------------- registry
 
+  /** t5: winnowed rolling-hash fingerprints (the MOSS shape): a
+    * Rabin-Karp polynomial hash (base 31) over every 5-char window of
+    * the canonical text, then winnowing — the minimum hash of each
+    * run of 4 consecutive window hashes — and the distinct minima are
+    * the document's fingerprint set. Near-dup docs share most
+    * fingerprints even under edits, because a local edit only
+    * perturbs the windows it touches. Base/width keep every hash
+    * under 2^31, so the polynomial needs no modulus and both engines
+    * compute identical exact integers. Output is the set size and an
+    * order-insensitive checksum (sum), the join-able form.
+    */
+  def t5WinnowFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .withColumn("canon", lower(regexp_replace(col("text"), "\\s+", " ")))
+      .withColumn("hs", expr(
+        """CASE WHEN length(canon) < 5 THEN cast(array() as array<bigint>)
+          |ELSE transform(sequence(1, length(canon) - 4), i ->
+          |  cast(ascii(substr(canon, i, 1)) * 923521 +
+          |       ascii(substr(canon, i + 1, 1)) * 29791 +
+          |       ascii(substr(canon, i + 2, 1)) * 961 +
+          |       ascii(substr(canon, i + 3, 1)) * 31 +
+          |       ascii(substr(canon, i + 4, 1)) as bigint)) END""".stripMargin))
+      .withColumn("fps", expr(
+        """CASE WHEN size(hs) < 4 THEN array_distinct(hs)
+          |ELSE array_distinct(transform(sequence(1, size(hs) - 3), p ->
+          |  array_min(slice(hs, p, 4)))) END""".stripMargin))
+      .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
+        expr("aggregate(fps, 0L, (a, x) -> a + x)").as("fp_checksum"))
+
+  val t5Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS canon
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(canon) < 5 THEN []
+      |    ELSE list_transform(range(1, length(canon) - 3), i ->
+      |      ascii(substr(canon, CAST(i AS INT), 1)) * 923521 +
+      |      ascii(substr(canon, CAST(i + 1 AS INT), 1)) * 29791 +
+      |      ascii(substr(canon, CAST(i + 2 AS INT), 1)) * 961 +
+      |      ascii(substr(canon, CAST(i + 3 AS INT), 1)) * 31 +
+      |      ascii(substr(canon, CAST(i + 4 AS INT), 1))) END AS hs
+      |  FROM c),
+      |f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) < 4 THEN list_distinct(hs)
+      |    ELSE list_distinct(list_transform(range(1, len(hs) - 2), p ->
+      |      list_min(hs[CAST(p AS INT):CAST(p + 3 AS INT)]))) END AS fps
+      |  FROM h)
+      |SELECT doc_id, len(fps) AS n_fingerprints,
+      |  CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_checksum
+      |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> t1LangId,
     "t2_quality_score" -> t2QualityScore,
     "t3_token_count" -> t3TokenCount,
-    "t4_fingerprint" -> t4Fingerprint)
+    "t4_fingerprint" -> t4Fingerprint,
+    "t5_winnow_fingerprint" -> t5WinnowFingerprint)
 
   val oracles: Map[String, String] = Map(
     "t1_lang_id" -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_token_count" -> t3Sql,
-    "t4_fingerprint" -> t4Sql)
+    "t4_fingerprint" -> t4Sql,
+    "t5_winnow_fingerprint" -> t5Sql)
 }
