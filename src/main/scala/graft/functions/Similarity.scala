@@ -289,9 +289,54 @@ object Similarity {
        |       CAST((SELECT count(*) FROM hits) AS DOUBLE) /
        |         (SELECT count(*) FROM truth) AS recall""".stripMargin
 
+  /** ann5: one Lloyd iteration of k-means — the training step that
+    * produces real IVF centroids (ann2/d5 use a deterministic seed
+    * set; this is how the seed set converges). Assignment reuses
+    * [[assignedCells]] (broadcast centroids, one corpus pass); the
+    * update step is a per-cell component-wise mean, i.e. ONE
+    * map-side-combinable groupBy — the shape that scales: k-means on
+    * 100 TB is exactly `iterate(assign ∘ reduceByKey(mean))` with
+    * nothing but broadcasts and one shuffle per iteration.
+    *
+    * Arithmetic is made engine-exact: components are quantized to
+    * integers (half-up at 1e-6, the quantizedCorpus convention) and
+    * position-weighted BEFORE summing, so the per-cell reduction is
+    * an integer sum (order-independent); the reported mean fingerprint
+    * divides two exact integers. No float accumulation order can
+    * diverge between Spark and DuckDB.
+    */
+  def ann5KmeansIter(s: SparkSession, d: String): DataFrame = {
+    val a = assignedCells(s, d)
+    val wsum = aggregate(
+      zip_with(col("v"), sequence(lit(1), size(col("v"))), (x, j) =>
+        (signum(x) * floor(abs(x) * lit(1e6) + lit(0.5))).cast("long") *
+          j.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    a.withColumn("wsum", wsum)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("wsum")).as("s"))
+      .select(col("cell"), col("n_members"),
+        (col("s").cast("double") / col("n_members")).as("mean_fp"))
+  }
+
+  val ann5Sql: String =
+    s"""WITH c AS ($corpusSql),
+       |$assignedSqlCte,
+       |w AS (
+       |  SELECT cell,
+       |    CAST(list_sum(list_transform(range(1, len(v) + 1), i ->
+       |      CAST(CASE WHEN v[i] > 0 THEN 1 WHEN v[i] < 0 THEN -1 ELSE 0 END
+       |           * floor(abs(v[i]) * 1e6 + 0.5) AS BIGINT) * i))
+       |      AS BIGINT) AS wsum
+       |  FROM assigned)
+       |SELECT cell, count(*) AS n_members,
+       |  CAST(CAST(sum(wsum) AS BIGINT) AS DOUBLE) / count(*) AS mean_fp
+       |FROM w GROUP BY cell""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann5_kmeans_iter" -> ann5KmeansIter,
     "ann1_brute_topk" -> ann1BruteTopK,
     "ann2_ivf_topk" -> ann2IvfTopK,
     "ann3_recall" -> ann3Recall,
@@ -299,6 +344,7 @@ object Similarity {
     "d5_cosine_pairs_banded" -> d5CosinePairsBanded)
 
   val oracles: Map[String, String] = Map(
+    "ann5_kmeans_iter" -> ann5Sql,
     "ann1_brute_topk" -> ann1Sql,
     "ann2_ivf_topk" -> ann2Sql,
     "ann3_recall" -> ann3Sql,

@@ -417,9 +417,123 @@ object Assess {
        |  table_name || '.' || col_name, CAST(0 AS BIGINT)
        |FROM zoo WHERE data_type = 'NUMBER' AND p IS NULL""".stripMargin
 
+  /** dba_source-shaped rows for the code-object report
+    * (`assess.go:306-314`): one row per source LINE; the report is the
+    * per-object max.
+    */
+  final case class DictSource(owner: String, name: String,
+      obj_type: String, line: Int)
+
+  val dictSource: Seq[DictSource] =
+    Seq(
+      ("GRAFT", "PKG_LOAD", "PACKAGE BODY", 840),
+      ("GRAFT", "PKG_LOAD", "PACKAGE", 60),
+      ("GRAFT", "FN_PRICE", "FUNCTION", 45),
+      ("GRAFT", "TRG_AUDIT", "TRIGGER", 30),
+      ("MARVIN", "PRC_SYNC", "PROCEDURE", 220)
+    ).flatMap { case (o, n, t, maxLine) =>
+      // three sampled line numbers per object — enough that max() is
+      // a real aggregation, not an echo of the fixture
+      Seq(1, maxLine / 2, maxLine).map(l => DictSource(o, n, t, l))
+    }
+
+  /** dba_synonyms rows (`assess.go:344-351`). */
+  final case class DictSynonym(owner: String, synonym_name: String,
+      table_owner: String, table_name: String)
+
+  val dictSynonyms: Seq[DictSynonym] = Seq(
+    DictSynonym("PUBLIC", "ORDERS", "GRAFT", "ORDERS_H"),
+    DictSynonym("GRAFT", "LI", "GRAFT", "LINEITEM_P"),
+    DictSynonym("MARVIN", "ORD", "GRAFT", "ORDERS_H"),
+    DictSynonym("PUBLIC", "M2", "MARVIN", "MARVIN2"))
+
+  /** dba_mviews rows (`assess.go:353-360`). */
+  final case class DictMview(owner: String, mview_name: String,
+      rewrite_capability: String, refresh_mode: String,
+      refresh_method: String, fast_refreshable: String)
+
+  val dictMviews: Seq[DictMview] = Seq(
+    DictMview("GRAFT", "MV_REV_DAY", "GENERAL", "DEMAND", "COMPLETE", "NO"),
+    DictMview("GRAFT", "MV_ORD_FAST", "GENERAL", "COMMIT", "FAST", "DIRLOAD_DML"),
+    DictMview("MARVIN", "MV_M2", "TEXTMATCH", "DEMAND", "FORCE", "NO"))
+
+  private val sourceCte: String = {
+    val rows = dictSource.map { r =>
+      s"(${vStr(r.owner)}, ${vStr(r.name)}, ${vStr(r.obj_type)}, ${r.line})"
+    }.mkString(",\n  ")
+    s"src(owner, name, obj_type, line) AS (VALUES\n  $rows)"
+  }
+
+  private val synonymsCte: String = {
+    val rows = dictSynonyms.map { r =>
+      s"(${vStr(r.owner)}, ${vStr(r.synonym_name)}, ${vStr(r.table_owner)}, " +
+        s"${vStr(r.table_name)})"
+    }.mkString(",\n  ")
+    s"syn(owner, synonym_name, table_owner, table_name) AS (VALUES\n  $rows)"
+  }
+
+  private val mviewsCte: String = {
+    val rows = dictMviews.map { r =>
+      s"(${vStr(r.owner)}, ${vStr(r.mview_name)}, " +
+        s"${vStr(r.rewrite_capability)}, ${vStr(r.refresh_mode)}, " +
+        s"${vStr(r.refresh_method)}, ${vStr(r.fast_refreshable)})"
+    }.mkString(",\n  ")
+    s"""mv(owner, mview_name, rewrite_capability, refresh_mode,
+       |   refresh_method, fast_refreshable) AS (VALUES
+       |  $rows)""".stripMargin
+  }
+
+  /** a30: code-object inventory — per-object line counts from
+    * dba_source-shaped rows (`SELECT OWNER,NAME,TYPE,MAX(LINE)`,
+    * `assess.go:306-314`): the PL/SQL surface a migration must port
+    * by hand, sized in lines.
+    */
+  def a30CodeObjects(s: SparkSession, d: String): DataFrame =
+    toDfSeq(s, dictSource)
+      .groupBy("owner", "name", "obj_type")
+      .agg(max("line").as("lines"))
+
+  val a30Sql: String =
+    s"""WITH $sourceCte
+       |SELECT owner, name, obj_type, max(line) AS lines
+       |FROM src GROUP BY 1, 2, 3""".stripMargin
+
+  /** a31: synonym objects (`assess.go:344-351`) with a computed
+    * cross-schema flag — a synonym pointing outside its owner schema
+    * needs a qualified name (or a second synonym) on the target.
+    */
+  def a31Synonyms(s: SparkSession, d: String): DataFrame =
+    toDfSeq(s, dictSynonyms)
+      .withColumn("cross_schema",
+        col("owner") =!= col("table_owner"))
+
+  val a31Sql: String =
+    s"""WITH $synonymsCte
+       |SELECT owner, synonym_name, table_owner, table_name,
+       |  owner <> table_owner AS cross_schema
+       |FROM syn""".stripMargin
+
+  /** a32: materialized-view refresh profile (`assess.go:353-360`)
+    * rolled up by (refresh_mode, refresh_method) — the pair that
+    * decides the target-side rewrite (MySQL-family targets have no
+    * mviews; each group is one manual-migration bucket).
+    */
+  def a32MviewProfile(s: SparkSession, d: String): DataFrame =
+    toDfSeq(s, dictMviews)
+      .groupBy("refresh_mode", "refresh_method")
+      .agg(count(lit(1)).as("n_mviews"))
+
+  val a32Sql: String =
+    s"""WITH $mviewsCte
+       |SELECT refresh_mode, refresh_method, count(*) AS n_mviews
+       |FROM mv GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a30_code_objects" -> a30CodeObjects,
+    "a31_synonyms" -> a31Synonyms,
+    "a32_mview_profile" -> a32MviewProfile,
     "a20_table_type_counts" -> a20TableTypeCounts,
     "a21_partition_types" -> a21PartitionTypes,
     "a22_subpartition_types" -> a22SubpartitionTypes,
@@ -432,6 +546,9 @@ object Assess {
     "a29_threshold_matrix" -> a29ThresholdMatrix)
 
   val oracles: Map[String, String] = Map(
+    "a30_code_objects" -> a30Sql,
+    "a31_synonyms" -> a31Sql,
+    "a32_mview_profile" -> a32Sql,
     "a20_table_type_counts" -> a20Sql,
     "a21_partition_types" -> a21Sql,
     "a22_subpartition_types" -> a22Sql,

@@ -278,6 +278,53 @@ object Migrate {
       |  strftime(o_orderdate, '%Y-%m-%d') AS o_date
       |FROM orders""".stripMargin
 
+  /** s10: hive-partitioned parquet sink + partition-pruned read-back —
+    * the at-rest layout a 100 TB table needs: the partition key
+    * becomes a directory level, so a predicate on it prunes at FILE
+    * LISTING time (excluded partitions cost zero IO, not even footer
+    * reads). The read-back filter must appear as `PartitionFilters`
+    * in the scan node — MigrateSpec asserts that on the physical
+    * plan — while the oracle recomputes the summary straight from the
+    * source table, so layout fidelity is hash-checked end to end.
+    */
+  def s10PartitionedPruning(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.load(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      col("l_quantity").cast(DecimalType(18, 2)).cast("string").as("qty_str"))
+    val out = tempDir("s10")
+    src.write.mode(SaveMode.Overwrite)
+      .partitionBy("l_returnflag").parquet(out)
+    prunedReadBack(s, out)
+  }
+
+  /** The pruned read half of s10, split out so the spec can inspect
+    * its physical plan for `PartitionFilters` independently of the
+    * write.
+    */
+  def prunedReadBack(s: SparkSession, out: String): DataFrame = {
+    val normCols = Seq(
+      NormCol("l_orderkey", KLong), NormCol("l_linenumber", KLong),
+      NormCol("qty_str", KStr))
+    s.read.parquet(out).filter(col("l_returnflag") === "R")
+      .groupBy((floor(col("l_orderkey") / 1000)).cast("long").as("chunk_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        Norm.sparkRowChecksum(normCols).as("row_checksum"))
+  }
+
+  val s10Sql: String = {
+    val normCols = Seq(
+      NormCol("l_orderkey", KLong), NormCol("l_linenumber", KLong),
+      NormCol("qty_str", KStr))
+    s"""SELECT CAST(floor(l_orderkey / 1000.0) AS BIGINT) AS chunk_id,
+       |  count(*) AS n_rows,
+       |  ${Norm.duckRowChecksum(normCols)} AS row_checksum
+       |FROM (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS qty_str
+       |  FROM lineitem WHERE l_returnflag = 'R') t
+       |GROUP BY 1""".stripMargin
+  }
+
   /** s2: explicit chunk-planned scan — planChunks drives a computed
     * chunk_id over ONE pass of the table (round 1 unioned N per-chunk
     * filtered scans = N+1 full passes; at 100 TB that is N+1 reads of
@@ -445,6 +492,7 @@ object Migrate {
     "s9b_json_roundtrip" -> s9bJsonRoundtrip,
     "s9c_ddl_apply" -> s9cDdlApply,
     "s9d_orc_roundtrip" -> s9dOrcRoundtrip,
+    "s10_partitioned_pruning" -> s10PartitionedPruning,
     "s2_chunked_scan" -> s2ChunkedScan)
 
   val oracles: Map[String, String] = Map(
@@ -454,6 +502,7 @@ object Migrate {
     "s9b_json_roundtrip" -> s9bSql,
     "s9c_ddl_apply" -> s9cSql,
     "s9d_orc_roundtrip" -> s9dSql,
+    "s10_partitioned_pruning" -> s10Sql,
     // orders keys are dense 0..N-1 at every sf: 15000 rows/sf0.01 →
     // ceil(15000/2000)=8 chunks; recomputed generically below.
     "s2_chunked_scan" -> s2SqlGeneric)

@@ -82,6 +82,22 @@ object CharsetMaps {
     "GBK_BIN" -> "BINARY/BINARY_CS",
     "GB18030_BIN" -> "BINARY/BINARY_CS")
 
+  /** T2O: TiDB charset → Oracle database charset — the M2O map
+    * restricted to the charsets TiDB ships (`common/reverse.go:125-129`;
+    * no BIG5/GB18030).
+    */
+  val t2oCharset: Map[String, String] = Map(
+    "UTF8MB4" -> "AL32UTF8",
+    "UTF8" -> "AL32UTF8",
+    "GBK" -> "ZHS16GBK")
+
+  /** T2O collation matrix (`common/reverse.go:291-344`): the M2O rows
+    * minus the BIG5/GB18030 collations TiDB doesn't support.
+    */
+  val t2oNls: Map[String, String] =
+    m2oNls.view.filterKeys(k =>
+      !k.startsWith("BIG5") && !k.startsWith("GB18030")).toMap
+
   /** The CREATE TABLE suffix pieces for a direction + source charset +
     * NLS behavior — what the DDL writers consume instead of pinned
     * constants.

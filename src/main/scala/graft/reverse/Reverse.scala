@@ -734,6 +734,45 @@ object Reverse {
        |  $values) t(mysql_collation)""".stripMargin
   }
 
+  /** r9: the T2O (TiDB→Oracle) structure maps — the reference keeps a
+    * separate TaskTypeTiDB2Oracle matrix (`common/reverse.go:125-129`
+    * charsets, `:291-344` collations) that is the M2O matrix
+    * restricted to TiDB's charset surface (no BIG5/GB18030). One DF
+    * carries both artifacts tagged by kind; the oracle re-derives the
+    * targets from rules (charset by name, collation by suffix
+    * pattern) rather than echoing the map.
+    */
+  def r9T2oGrid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cs = CharsetMaps.t2oCharset.toSeq
+      .map { case (k, v) => ("charset", k, v) }
+    val co = CharsetMaps.t2oNls.toSeq
+      .map { case (k, v) => ("collation", k, v) }
+    (cs ++ co).toDF("kind", "source", "target")
+  }
+
+  val r9Sql: String = {
+    val csVals = CharsetMaps.t2oCharset.keys.toSeq.sorted
+      .map(c => s"(${vStr(c)})").mkString(", ")
+    val coVals = CharsetMaps.t2oNls.keys.toSeq.sorted
+      .map(c => s"(${vStr(c)})").mkString(", ")
+    s"""SELECT 'charset' AS kind, source,
+       |  CASE WHEN source = 'GBK' THEN 'ZHS16GBK'
+       |       ELSE 'AL32UTF8' END AS target
+       |FROM (VALUES $csVals) c(source)
+       |UNION ALL
+       |SELECT 'collation' AS kind, source,
+       |  CASE WHEN source = 'UTF8MB4_0900_AS_CI' THEN 'BINARY_CI'
+       |       WHEN source LIKE '%\\_GENERAL\\_CI' ESCAPE '\\'
+       |         THEN 'BINARY_AI'
+       |       WHEN source LIKE '%\\_CHINESE\\_CI' ESCAPE '\\'
+       |         THEN 'BINARY_AI/BINARY_CI'
+       |       WHEN source LIKE '%\\_BIN' ESCAPE '\\'
+       |         THEN 'BINARY/BINARY_CS'
+       |  END AS target
+       |FROM (VALUES $coVals) t(source)""".stripMargin
+  }
+
   /** a17: migration-route summary (assess compatibility overview —
     * the reference's per-bucket object counts,
     * `module/assess/oracle/o2m/assess_result.go` compatible-object
@@ -757,6 +796,7 @@ object Reverse {
     "r6_m2o_ddl" -> r6M2oDdl,
     "r7_collation_map" -> r7CollationMap,
     "r8_m2o_collation" -> r8M2oCollation,
+    "r9_t2o_grid" -> r9T2oGrid,
     "p6_compat_filter" -> p6CompatFilter,
     "a17_route_counts" -> a17RouteCounts)
 
@@ -769,6 +809,7 @@ object Reverse {
     "r6_m2o_ddl" -> r6Sql,
     "r7_collation_map" -> r7Sql,
     "r8_m2o_collation" -> r8Sql,
+    "r9_t2o_grid" -> r9Sql,
     "p6_compat_filter" -> p6Sql,
     "a17_route_counts" -> a17Sql)
 }

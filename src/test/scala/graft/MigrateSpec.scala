@@ -73,6 +73,26 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(back.rdd.getNumPartitions == 4)
   }
 
+  test("s10: partition filter reaches the scan (pruning, not row filter)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_s10p").toString
+    Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").cast("string").as("qty_str"))
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    val pruned = Migrate.prunedReadBack(spark, out)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(2000))
+    assert(plan.contains("l_returnflag"), plan.take(2000))
+    // the partition predicate must NOT degrade into a post-scan Filter
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.matches(".*PartitionFilters: \\[[^\\]]+\\].*"), scanLine)
+    // and the pruned read returns only the 'R' rows
+    val expected = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag") === "R").count()
+    assert(pruned.agg(sum("n_rows")).head.getLong(0) == expected)
+  }
+
   test("overwrite sink replaces prior contents (truncate-before-load)") {
     val out = java.nio.file.Files.createTempDirectory("graft_s10").toString
     val o = Tables.load(spark, sf, "orders")
