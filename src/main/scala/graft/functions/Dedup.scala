@@ -381,46 +381,64 @@ object Dedup {
     * 1-row convergence count — no data is collected.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
+    // symmetrized edge list plus one self-loop per node, so "min over
+    // self and neighbors" is a single join+groupBy every round (no
+    // union with the label relation — unioning a checkpointed DF
+    // trips Spark 4.1.2's union constraint rewrite, `key not found:
+    // doc_id#…`). Hash-partitioned ONCE on the message join key: the
+    // checkpoint captures the partitioning, so every round's join
+    // re-shuffles only the (small) label side, never the edges.
+    val sym = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
       .unionAll(pairs.select(col("doc_b").as("s"), col("doc_a").as("t")))
+    val edges = sym
+      .unionAll(sym.select(col("s"), col("s").as("t")).distinct())
+      .repartition(col("t"))
       .localCheckpoint(true)
     // seed = the first propagation's result, min(self, neighbors),
-    // from one groupBy (edges are symmetrized so every node appears
-    // as s) — a full round's progress for a fraction of a round's
-    // cost (no join, no convergence check)
+    // from one groupBy (self-loops put every node's own id in its
+    // min) — a full round's progress for a fraction of a round's cost
     var labels = edges.groupBy(col("s").as("doc_id"))
-      .agg(least(min(col("t")), col("s")).as("label"))
-      .localCheckpoint(true)
+      .agg(min(col("t")).as("label"))
+      .localCheckpoint(false)
+    // labels(n) ≤ n from the seed on, and each round can only lower a
+    // label, so the label total strictly decreases until the fixpoint:
+    // ONE driver-side Long per round is the whole convergence check —
+    // no changed-flag bookkeeping, no second action. The same sum
+    // action is also what materializes that round's lazy checkpoint.
+    var prevSum = labels.agg(sum("label")).head.getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val neighborMin = edges
+      // message passing fused with the self-min: neighbors' labels and
+      // the node's own label union into ONE min groupBy (the previous
+      // formulation joined neighbor minima back onto labels — an
+      // extra shuffle every round)
+      // message passing fused with the self-min (self-loops carry each
+      // node's own label through the same join): ONE join + ONE
+      // groupBy per round
+      val stepped = edges
         .join(labels.withColumnRenamed("doc_id", "t"), "t")
-        .groupBy(col("s").as("doc_id"))
-        .agg(min(col("label")).as("nmin"))
-      // carry the old label through the propagation join so the
-      // convergence check needs no second join over the labels
-      val step = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (coalesce(col("nmin"), col("label")) < col("label"))
-            .as("changed"),
-          least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"))
+        .groupBy(col("s").as("doc_id")).agg(min("label").as("label"))
       // pointer jumping: follow label→label once per round, so label
-      // distance to the component minimum roughly halves each round —
+      // distance to the component minimum contracts geometrically —
       // chains converge in O(log diameter) rounds instead of
-      // O(diameter). The changed flag rides along, so each round
-      // materializes ONE checkpoint and reads convergence off it (at
-      // a fixpoint the jump is the identity, so jumping
-      // unconditionally is safe).
-      val jumped = step.as("x")
-        .join(step.as("y"), col("x.label") === col("y.doc_id"), "left")
-        .select(col("x.doc_id").as("doc_id"), col("x.changed").as("changed"),
+      // O(diameter). (A second jump per round was measured: it does
+      // NOT cut rounds — convergence here is propagation-limited, not
+      // pointer-chain-limited — and its extra shuffle made rounds 30%
+      // slower.) At a fixpoint the jump is the identity, so jumping
+      // unconditionally is safe.
+      val jumped = stepped.as("x")
+        .join(stepped.as("y"), col("x.label") === col("y.doc_id"), "left")
+        .select(col("x.doc_id").as("doc_id"),
           coalesce(col("y.label"), col("x.label")).as("label"))
-        .localCheckpoint(true)
-      converged = jumped.filter(col("changed")).isEmpty
-      labels = jumped.drop("changed")
+        .localCheckpoint(false)
+      val labelSum = jumped.agg(sum("label")).head.getLong(0)
+      converged = labelSum == prevSum
+      prevSum = labelSum
+      labels = jumped
       i += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $i sum=$labelSum converged=$converged")
     }
     // loud failure beats silently-wrong cluster ids: a component with
     // diameter > maxIters means the fixpoint wasn't reached
