@@ -2,6 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField,
+  StructType, TimestampType}
 
 import graft.Tables
 import graft.functions.Norm.{xhash64, xhash64Sql}
@@ -466,6 +469,34 @@ object Dedup {
        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
        |SELECT s AS doc_id, least(s, min(t)) AS cluster_id
        |FROM reach GROUP BY s""".stripMargin
+
+  /** Streaming arm of d1: exact dedup over a document FEED — the
+    * ingestion-time shape of the batch content-hash dedup. The state
+    * store keys on the canonical-content fingerprint and
+    * `dropDuplicatesWithinWatermark` EVICTS a key once the watermark
+    * passes its arrival + delay window, so state holds the
+    * watermark window's working set, never the corpus history — the
+    * only state contract that survives an unbounded 100 TB/day feed.
+    * (Consequence, proven in DedupSpec: a duplicate arriving after
+    * its original's state evicted is re-emitted; cross-window dedup
+    * is the batch d1's job downstream.)
+    */
+  def streamingExactDedup(s: SparkSession, feedDir: String, outDir: String,
+      checkpointDir: String, delay: String = "10 minutes"): StreamingQuery = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    s.readStream.schema(schema).parquet(feedDir)
+      .withColumn("fingerprint",
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select(col("doc_id"), col("fingerprint"), col("ts"))
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", outDir)
+      .start()
+  }
 
   // ------------------------------------------------------------- registry
 

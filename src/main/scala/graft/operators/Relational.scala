@@ -431,6 +431,102 @@ object Relational {
       |                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
       |  FROM customer) t WHERE rn <= 3""".stripMargin
 
+  /** w7: as-of join — each purchase event matched to the same user's
+    * most recent click at or before it. Spark has no ASOF JOIN
+    * operator; the scalable composition is ONE window pass over the
+    * union of both sides: tag rows, sort (time, B-before-A, id)
+    * within user, and `last(..., ignoreNulls)` carries the latest B
+    * forward — a single shuffle on user_id, no join, no range
+    * explosion, the 100 TB shape for temporal alignment. The oracle
+    * uses DuckDB's NATIVE ASOF LEFT JOIN (clicks pre-deduped to max
+    * event_id per second, the same tie-break the window ordering
+    * encodes) — two entirely different algorithms pinning the same
+    * semantics.
+    */
+  def w7AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("tss"))
+      .withColumn("is_b", (col("event_type") === "click").cast("int"))
+      .withColumn("b_eid", when(col("is_b") === 1, col("event_id")))
+    // clicks sort before purchases at the same second (inclusive
+    // <=); among same-second clicks the largest event_id lands last
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tss"), col("is_b").desc, col("b_eid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("asof_click_id", last(col("b_eid"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_ts",
+        last(when(col("is_b") === 1, col("tss")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        date_format(col("tss"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("asof_click_id"),
+        date_format(col("asof_click_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("asof_click_ts"))
+  }
+
+  val w7Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |         date_trunc('second', ts) AS tss
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |p AS (SELECT event_id AS purchase_id, user_id, tss FROM ev
+      |      WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, tss, max(event_id) AS click_id FROM ev
+      |      WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.purchase_id, p.user_id,
+      |  strftime(p.tss, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  c.click_id AS asof_click_id,
+      |  strftime(c.tss, '%Y-%m-%d %H:%M:%S') AS asof_click_ts
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND c.tss <= p.tss""".stripMargin
+
+  /** j6: banded range join — every (error, view) event pair within
+    * ±2 s of each other, with NO equi key relating the sides (the
+    * incident-correlation shape: "what was happening around each
+    * error"). A naive range join is an O(N·M) nested loop; the
+    * scalable composition BANDS time into width-2s buckets, explodes
+    * the view side into its bucket and both neighbors, equi-joins on
+    * the bucket id, and applies the |Δ| ≤ 2 s predicate only inside
+    * the 3-bucket candidate set — shuffle keys are bucket ids, fan-out
+    * is bounded by bucket occupancy (same family as d4b's pigeonhole
+    * bands; every qualifying pair shares a band by construction, so
+    * recall is exact). The oracle runs DuckDB's plain range join —
+    * different algorithm, same pairs.
+    */
+  def j6BandedRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+      .select(col("event_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("tss"))
+      .withColumn("epoch", unix_timestamp(col("tss")))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("epoch").as("e_epoch"))
+      .withColumn("bucket", floor(col("e_epoch") / 2))
+    val view = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("epoch").as("v_epoch"))
+      .withColumn("bucket",
+        explode(array(floor(col("v_epoch") / 2) - 1,
+          floor(col("v_epoch") / 2), floor(col("v_epoch") / 2) + 1)))
+    err.join(view, Seq("bucket"))
+      .filter(abs(col("e_epoch") - col("v_epoch")) <= 2)
+      .select(col("error_id"), col("view_id"),
+        (col("v_epoch") - col("e_epoch")).as("delta_s"))
+      .distinct()
+  }
+
+  val j6Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch
+      |  FROM events),
+      |err AS (SELECT event_id AS error_id, epoch AS e_epoch FROM ev
+      |        WHERE event_type = 'error'),
+      |vw AS (SELECT event_id AS view_id, epoch AS v_epoch FROM ev
+      |       WHERE event_type = 'view')
+      |SELECT DISTINCT error_id, view_id, v_epoch - e_epoch AS delta_s
+      |FROM err JOIN vw ON abs(e_epoch - v_epoch) <= 2""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -452,7 +548,9 @@ object Relational {
     "p1_export_projection" -> p1ExportProjection,
     "p3_chunk_filter" -> p3ChunkFilter,
     "w5_top_per_group" -> w5TopPerGroup,
-    "w6_running_frame" -> w6RunningFrame)
+    "w6_running_frame" -> w6RunningFrame,
+    "w7_asof_join" -> w7AsofJoin,
+    "j6_banded_range_join" -> j6BandedRangeJoin)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -473,5 +571,7 @@ object Relational {
     "p1_export_projection" -> p1Sql,
     "p3_chunk_filter" -> p3Sql,
     "w5_top_per_group" -> w5Sql,
-    "w6_running_frame" -> w6Sql)
+    "w6_running_frame" -> w6Sql,
+    "w7_asof_join" -> w7Sql,
+    "j6_banded_range_join" -> j6Sql)
 }

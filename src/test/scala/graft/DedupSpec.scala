@@ -88,4 +88,45 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val bad = Dedup.d4bSimhashPairs(spark, sf).filter(col("hamming") > 3)
     assert(bad.isEmpty)
   }
+
+  test("streaming exact dedup: in-window dups dropped, state evicts with watermark") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdd").toString
+    val feed = s"$tmp/feed"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def push(rows: Seq[(Long, String, String)]): Unit =
+      rows.map { case (id, text, ts) =>
+        (id, text, java.sql.Timestamp.valueOf(ts)) }
+        .toDF("doc_id", "text", "ts")
+        .write.mode("append").parquet(feed)
+    def run(): Unit = {
+      val q = Dedup.streamingExactDedup(spark, feed, out, ckpt)
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    // batch 1: two docs with the SAME canonical fingerprint (case +
+    // whitespace differences) plus one distinct doc
+    push(Seq((1L, "Hello  World", "2024-01-01 10:00:00"),
+      (2L, "hello world", "2024-01-01 10:01:00"),
+      (3L, "something else", "2024-01-01 10:02:00")))
+    run()
+    assert(spark.read.parquet(out).select("fingerprint")
+      .distinct().count() == 2)
+    assert(spark.read.parquet(out).count() == 2)
+    // batch 2: a third copy while the key's state is still live
+    // (watermark has not passed arrival + 10 min) — still dropped
+    push(Seq((4L, "HELLO   world", "2024-01-01 10:03:00")))
+    run()
+    assert(spark.read.parquet(out).count() == 2)
+    // batch 3: advance the watermark far past the window so the
+    // fingerprint's state evicts, then batch 4 re-sends the dup —
+    // the documented within-watermark contract re-emits it (state
+    // holds the window's working set, not corpus history)
+    push(Seq((5L, "much later doc", "2024-01-01 11:00:00")))
+    run()
+    push(Seq((6L, "hello    world", "2024-01-01 10:59:00")))
+    run()
+    val fps = spark.read.parquet(out).groupBy("fingerprint").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fps.values.max == 2L, s"expected one re-emitted dup: $fps")
+    assert(spark.read.parquet(out).count() == 4)
+  }
 }

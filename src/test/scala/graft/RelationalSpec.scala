@@ -52,4 +52,22 @@ class RelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val over = df.groupBy("c_nationkey").count().filter(col("count") > 3).count()
     assert(over == 0)
   }
+
+  test("j6 banding is lossless: banded pairs == naive range-join pairs") {
+    val banded = Relational.j6BandedRangeJoin(spark, sf)
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("epoch"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("epoch").as("e_epoch"))
+    val view = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("epoch").as("v_epoch"))
+    // the O(N·M) plan the banding replaces — fine at sf0.001, the
+    // point of j6 is that it never runs at scale
+    val naive = err.crossJoin(view)
+      .filter(abs(col("e_epoch") - col("v_epoch")) <= 2)
+      .select(col("error_id"), col("view_id"),
+        (col("v_epoch") - col("e_epoch")).as("delta_s"))
+    assert(banded.exceptAll(naive).isEmpty && naive.exceptAll(banded).isEmpty)
+  }
 }
