@@ -325,6 +325,33 @@ object Migrate {
        |GROUP BY 1""".stripMargin
   }
 
+  /** s11: schema-evolution roundtrip — a table whose later batches
+    * grew a column, the normal state of any long-lived 100 TB
+    * dataset. Batch 1 lands without `o_orderstatus`, batch 2 with it;
+    * the read-back unifies per-file schemas (`mergeSchema` — an
+    * explicit opt-in because footer reconciliation across millions of
+    * files is a real planning cost) and old rows surface NULL for the
+    * new column. The oracle reconstructs the same evolution
+    * logically from the source table.
+    */
+  def s11SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.load(s, d, "orders")
+    val out = tempDir("s11")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .write.mode(SaveMode.Append).parquet(out)
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .write.mode(SaveMode.Append).parquet(out)
+    s.read.option("mergeSchema", "true").parquet(out)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+  }
+
+  val s11Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+      |FROM orders""".stripMargin
+
   /** s2: explicit chunk-planned scan — planChunks drives a computed
     * chunk_id over ONE pass of the table (round 1 unioned N per-chunk
     * filtered scans = N+1 full passes; at 100 TB that is N+1 reads of
@@ -493,6 +520,7 @@ object Migrate {
     "s9c_ddl_apply" -> s9cDdlApply,
     "s9d_orc_roundtrip" -> s9dOrcRoundtrip,
     "s10_partitioned_pruning" -> s10PartitionedPruning,
+    "s11_schema_evolution" -> s11SchemaEvolution,
     "s2_chunked_scan" -> s2ChunkedScan)
 
   val oracles: Map[String, String] = Map(
@@ -503,6 +531,7 @@ object Migrate {
     "s9c_ddl_apply" -> s9cSql,
     "s9d_orc_roundtrip" -> s9dSql,
     "s10_partitioned_pruning" -> s10Sql,
+    "s11_schema_evolution" -> s11Sql,
     // orders keys are dense 0..N-1 at every sf: 15000 rows/sf0.01 →
     // ceil(15000/2000)=8 chunks; recomputed generically below.
     "s2_chunked_scan" -> s2SqlGeneric)

@@ -527,6 +527,53 @@ object Relational {
       |SELECT DISTINCT error_id, view_id, v_epoch - e_epoch AS delta_s
       |FROM err JOIN vw ON abs(e_epoch - v_epoch) <= 2""".stripMargin
 
+  /** a33: per-chunk exact percentile profile (p50/p90/p99 of the
+    * price distribution) — the data-profiling report the assess
+    * family reads for value-distribution skew. Percentiles are EXACT
+    * ORDER STATISTICS (value at rank ceil(p·n) of the sorted chunk),
+    * not interpolated: interpolation formulas differ in final-ulp
+    * rounding across engines, order statistics cannot. Prices are
+    * quantized to integer cents with explicit half-up (the
+    * engine-stable rounding; doubles at rest). Shape: one window sort
+    * per chunk + one groupBy — the exact-quantile-per-partition
+    * layout; the sketch path for when a full sort is too much is
+    * `approx_percentile` (same trade as a9 vs a9b).
+    */
+  def a33PercentileProfile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.load(s, d, "lineitem").select(
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+      floor(col("l_orderkey") / 1000).cast("long").as("chunk_id"))
+    val byChunk = Window.partitionBy("chunk_id")
+    val ranked = li
+      .withColumn("rn", row_number().over(byChunk.orderBy(col("cents"))))
+      .withColumn("n", count(lit(1)).over(byChunk))
+    def atP(p: Double): Column =
+      max(when(col("rn") === greatest(lit(1L), ceil(col("n") * p)),
+        col("cents")))
+    ranked.groupBy("chunk_id")
+      .agg(atP(0.5).as("p50_cents"), atP(0.9).as("p90_cents"),
+        atP(0.99).as("p99_cents"), max(col("n")).as("n_rows"))
+  }
+
+  val a33Sql: String = {
+    def atP(p: String, name: String) =
+      s"max(CASE WHEN rn = greatest(1, CAST(ceil(n * $p) AS BIGINT)) " +
+        s"THEN cents END) AS $name"
+    s"""WITH li AS (
+       |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+       |         CAST(floor(l_orderkey / 1000.0) AS BIGINT) AS chunk_id
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT chunk_id, cents,
+       |    row_number() OVER (PARTITION BY chunk_id ORDER BY cents) AS rn,
+       |    count(*) OVER (PARTITION BY chunk_id) AS n
+       |  FROM li)
+       |SELECT chunk_id, ${atP("0.5", "p50_cents")},
+       |  ${atP("0.9", "p90_cents")}, ${atP("0.99", "p99_cents")},
+       |  max(n) AS n_rows
+       |FROM r GROUP BY 1""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -550,7 +597,8 @@ object Relational {
     "w5_top_per_group" -> w5TopPerGroup,
     "w6_running_frame" -> w6RunningFrame,
     "w7_asof_join" -> w7AsofJoin,
-    "j6_banded_range_join" -> j6BandedRangeJoin)
+    "j6_banded_range_join" -> j6BandedRangeJoin,
+    "a33_percentile_profile" -> a33PercentileProfile)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -573,5 +621,6 @@ object Relational {
     "w5_top_per_group" -> w5Sql,
     "w6_running_frame" -> w6Sql,
     "w7_asof_join" -> w7Sql,
-    "j6_banded_range_join" -> j6Sql)
+    "j6_banded_range_join" -> j6Sql,
+    "a33_percentile_profile" -> a33Sql)
 }
