@@ -408,14 +408,15 @@ object Dedup {
     // ONE driver-side Long per round is the whole convergence check —
     // no changed-flag bookkeeping, no second action. The same sum
     // action is also what materializes that round's lazy checkpoint.
-    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    // (coalesce: sum over an EMPTY label set is null — zero pairs in,
+    // e.g. every LSH bucket over the cap, must converge immediately,
+    // not NPE)
+    def labelSum(l: DataFrame): Long =
+      l.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // message passing fused with the self-min: neighbors' labels and
-      // the node's own label union into ONE min groupBy (the previous
-      // formulation joined neighbor minima back onto labels — an
-      // extra shuffle every round)
       // message passing fused with the self-min (self-loops carry each
       // node's own label through the same join): ONE join + ONE
       // groupBy per round
@@ -435,13 +436,13 @@ object Dedup {
         .select(col("x.doc_id").as("doc_id"),
           coalesce(col("y.label"), col("x.label")).as("label"))
         .localCheckpoint(false)
-      val labelSum = jumped.agg(sum("label")).head.getLong(0)
-      converged = labelSum == prevSum
-      prevSum = labelSum
+      val s = labelSum(jumped)
+      converged = s == prevSum
+      prevSum = s
       labels = jumped
       i += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[cc] round $i sum=$labelSum converged=$converged")
+        println(s"[cc] round $i sum=$s converged=$converged")
     }
     // loud failure beats silently-wrong cluster ids: a component with
     // diameter > maxIters means the fixpoint wasn't reached

@@ -179,10 +179,13 @@ object TextAnalysis {
     * run of 4 consecutive window hashes — and the distinct minima are
     * the document's fingerprint set. Near-dup docs share most
     * fingerprints even under edits, because a local edit only
-    * perturbs the windows it touches. Base/width keep every hash
-    * under 2^31, so the polynomial needs no modulus and both engines
-    * compute identical exact integers. Output is the set size and an
-    * order-insensitive checksum (sum), the join-able form.
+    * perturbs the windows it touches. Each ascii() term is cast to
+    * BIGINT BEFORE its weight multiply: Spark/DuckDB ascii() return
+    * the full Unicode codepoint (≤ 0x10FFFF), so 32-bit products
+    * overflow from codepoint 2326 up — in int64 the worst window sum
+    * is ~5·10¹², overflow-free and identical in both engines, no
+    * modulus needed. Output is the set size and an order-insensitive
+    * checksum (sum), the join-able form.
     */
   def t5WinnowFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
@@ -190,11 +193,11 @@ object TextAnalysis {
       .withColumn("hs", expr(
         """CASE WHEN length(canon) < 5 THEN cast(array() as array<bigint>)
           |ELSE transform(sequence(1, length(canon) - 4), i ->
-          |  cast(ascii(substr(canon, i, 1)) * 923521 +
-          |       ascii(substr(canon, i + 1, 1)) * 29791 +
-          |       ascii(substr(canon, i + 2, 1)) * 961 +
-          |       ascii(substr(canon, i + 3, 1)) * 31 +
-          |       ascii(substr(canon, i + 4, 1)) as bigint)) END""".stripMargin))
+          |  cast(ascii(substr(canon, i, 1)) as bigint) * 923521 +
+          |  cast(ascii(substr(canon, i + 1, 1)) as bigint) * 29791 +
+          |  cast(ascii(substr(canon, i + 2, 1)) as bigint) * 961 +
+          |  cast(ascii(substr(canon, i + 3, 1)) as bigint) * 31 +
+          |  cast(ascii(substr(canon, i + 4, 1)) as bigint)) END""".stripMargin))
       .withColumn("fps", expr(
         """CASE WHEN size(hs) < 4 THEN array_distinct(hs)
           |ELSE array_distinct(transform(sequence(1, size(hs) - 3), p ->
@@ -210,11 +213,11 @@ object TextAnalysis {
       |  SELECT doc_id,
       |    CASE WHEN length(canon) < 5 THEN []
       |    ELSE list_transform(range(1, length(canon) - 3), i ->
-      |      ascii(substr(canon, CAST(i AS INT), 1)) * 923521 +
-      |      ascii(substr(canon, CAST(i + 1 AS INT), 1)) * 29791 +
-      |      ascii(substr(canon, CAST(i + 2 AS INT), 1)) * 961 +
-      |      ascii(substr(canon, CAST(i + 3 AS INT), 1)) * 31 +
-      |      ascii(substr(canon, CAST(i + 4 AS INT), 1))) END AS hs
+      |      CAST(ascii(substr(canon, CAST(i AS INT), 1)) AS BIGINT) * 923521 +
+      |      CAST(ascii(substr(canon, CAST(i + 1 AS INT), 1)) AS BIGINT) * 29791 +
+      |      CAST(ascii(substr(canon, CAST(i + 2 AS INT), 1)) AS BIGINT) * 961 +
+      |      CAST(ascii(substr(canon, CAST(i + 3 AS INT), 1)) AS BIGINT) * 31 +
+      |      CAST(ascii(substr(canon, CAST(i + 4 AS INT), 1)) AS BIGINT)) END AS hs
       |  FROM c),
       |f AS (
       |  SELECT doc_id,

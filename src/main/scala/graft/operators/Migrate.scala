@@ -288,14 +288,21 @@ object Migrate {
     * source table, so layout fidelity is hash-checked end to end.
     */
   def s10PartitionedPruning(s: SparkSession, d: String): DataFrame = {
-    val src = Tables.load(s, d, "lineitem").select(
-      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-      col("l_quantity").cast(DecimalType(18, 2)).cast("string").as("qty_str"))
     val out = tempDir("s10")
-    src.write.mode(SaveMode.Overwrite)
-      .partitionBy("l_returnflag").parquet(out)
+    partitionedWrite(s, d, out)
     prunedReadBack(s, out)
   }
+
+  /** The write half of s10, shared with the spec so the pruning
+    * assertion always runs against the layout the registered query
+    * actually writes.
+    */
+  def partitionedWrite(s: SparkSession, d: String, out: String): Unit =
+    Tables.load(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      col("l_quantity").cast(DecimalType(18, 2)).cast("string").as("qty_str"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("l_returnflag").parquet(out)
 
   /** The pruned read half of s10, split out so the spec can inspect
     * its physical plan for `PartitionFilters` independently of the

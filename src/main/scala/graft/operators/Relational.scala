@@ -508,11 +508,13 @@ object Relational {
       .withColumn("bucket",
         explode(array(floor(col("v_epoch") / 2) - 1,
           floor(col("v_epoch") / 2), floor(col("v_epoch") / 2) + 1)))
+    // no distinct needed: an error has ONE bucket and a view's three
+    // exploded buckets are distinct, so a qualifying pair meets on
+    // exactly one bucket — duplicates are impossible by construction
     err.join(view, Seq("bucket"))
       .filter(abs(col("e_epoch") - col("v_epoch")) <= 2)
       .select(col("error_id"), col("view_id"),
         (col("v_epoch") - col("e_epoch")).as("delta_s"))
-      .distinct()
   }
 
   val j6Sql: String =
@@ -524,7 +526,7 @@ object Relational {
       |        WHERE event_type = 'error'),
       |vw AS (SELECT event_id AS view_id, epoch AS v_epoch FROM ev
       |       WHERE event_type = 'view')
-      |SELECT DISTINCT error_id, view_id, v_epoch - e_epoch AS delta_s
+      |SELECT error_id, view_id, v_epoch - e_epoch AS delta_s
       |FROM err JOIN vw ON abs(e_epoch - v_epoch) <= 2""".stripMargin
 
   /** a33: per-chunk exact percentile profile (p50/p90/p99 of the

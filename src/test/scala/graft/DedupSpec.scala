@@ -31,6 +31,15 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components of zero pairs is empty, not an NPE") {
+    import spark.implicits._
+    // regression: sum() over the empty label set is null — the
+    // convergence read must coalesce, since an all-over-cap LSH
+    // corpus legitimately emits zero candidate pairs
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).isEmpty)
+  }
+
   test("minhash family is not degenerate: superset docs diverge somewhere") {
     import spark.implicits._
     // regression for the collapsed affine family: with a monotone

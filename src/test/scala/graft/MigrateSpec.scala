@@ -75,10 +75,7 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("s10: partition filter reaches the scan (pruning, not row filter)") {
     val out = java.nio.file.Files.createTempDirectory("graft_s10p").toString
-    Tables.load(spark, sf, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        col("l_quantity").cast("decimal(18,2)").cast("string").as("qty_str"))
-      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    Migrate.partitionedWrite(spark, sf, out)
     val pruned = Migrate.prunedReadBack(spark, out)
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: ["), plan.take(2000))

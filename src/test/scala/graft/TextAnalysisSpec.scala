@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  test("t5 winnowing survives wide (non-Latin) codepoints") {
+    import spark.implicits._
+    // regression: ascii() yields the full Unicode codepoint, so an
+    // un-widened 32-bit polynomial overflows from codepoint 2326 up
+    // (ANSI mode: SparkArithmeticException; legacy: silent wrap that
+    // diverges from the oracle)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t5w").toString
+    Seq(
+      (1L, "一二三四五六七八九十"),
+      (2L, "short"),
+      (3L, "plain ascii text that winnows normally"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalysis.t5WinnowFingerprint(spark, tmp)
+      .orderBy("doc_id").collect()
+    assert(rows.length == 3)
+    // the CJK doc has 10 chars → 6 windows → winnowed minima exist,
+    // and every hash stayed positive int64 (no wrap)
+    assert(rows(0).getInt(1) > 0)
+    assert(rows(0).getLong(2) > 0L, s"checksum wrapped: ${rows(0)}")
+    // 5-char doc: one window, one fingerprint
+    assert(rows(1).getInt(1) == 1)
+  }
+
+  test("t5 fingerprint sets are whitespace/case-insensitive") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t5c").toString
+    Seq((1L, "The Quick   Brown Fox"), (2L, "the quick brown fox"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalysis.t5WinnowFingerprint(spark, tmp)
+      .select("n_fingerprints", "fp_checksum").distinct().collect()
+    assert(rows.length == 1, "canonicalization must collapse both docs")
+  }
+}
