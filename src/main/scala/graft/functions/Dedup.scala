@@ -90,7 +90,7 @@ object Dedup {
     * the JVM's lifetime), and the compute runs under the map's lock
     * so concurrent first calls cannot double-persist.
     */
-  private def cachedPerSession(
+  private[functions] def cachedPerSession(
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
       s: SparkSession, d: String)(build: => DataFrame): DataFrame =
     cache.synchronized {

@@ -91,7 +91,18 @@ object Similarity {
     * becomes the partition key every cell-restricted op (ann2 search,
     * d5 pair mining) equi-joins on.
     */
-  private[graft] def assignedCells(s: SparkSession, d: String): DataFrame = {
+  private val cellCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Memoized per (session, input): four independent consumers (ann2,
+    * ann3 via ann2, ann5, d5 twice via self-join) otherwise each pay
+    * the O(N·C) assignment pass — same sharing pattern as the dedup
+    * family's persisted shingle index.
+    */
+  private[graft] def assignedCells(s: SparkSession, d: String): DataFrame =
+    Dedup.cachedPerSession(cellCache, s, d)(assignedCellsUncached(s, d))
+
+  private def assignedCellsUncached(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
     val cent = broadcast(c.select(col("vec_id").as("cid"), col("v").as("cv"),
       col("nrm").as("cnrm")).filter(col("cid") % 50 === 0))
