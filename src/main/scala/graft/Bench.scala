@@ -17,6 +17,17 @@ object Bench {
     if (s.isEmpty) 0.0 else s(s.length / 2)
   }
 
+  /** Cumulative JVM GC wall time — the per-query delta separates "slow
+    * because collecting" from "slow because the host stole the CPU"
+    * (round 3's multi-minute stalls re-measured 10-200x faster; a GC
+    * column makes that adjudication data instead of inference).
+    */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,7 +51,9 @@ object Bench {
     // are sub-second) is taken again and the min kept. Two samples
     // bound the extra cost to the stalled queries only.
     val clean = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val gcs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val gc0 = gcMillis()
       val t1 = sample(spark, sfDir, fn)
       val med = median(clean.toSeq)
       val v =
@@ -48,6 +61,7 @@ object Bench {
           math.min(t1, math.max(sample(spark, sfDir, fn), 0.0))
         else t1
       if (v >= 0) clean += v
+      gcs(name) = (gcMillis() - gc0) / 1e3
       name -> v
     }
     // millisecond precision keeps the line ~3x shorter than raw doubles
@@ -60,10 +74,15 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // ALSO land the full JSON on disk: the driver's stdout capture
     // truncated r03 to 74 of 105 entries, so a third of the per-query
-    // numbers never reached the artifact the gate reads
+    // numbers never reached the artifact the gate reads. The file copy
+    // additionally carries the per-query GC seconds (stdout line stays
+    // byte-identical to the driver's expected shape).
+    val gcJson = gcs.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) + s""","gc_sec":$gcJson}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_local.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (fileLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line)
     spark.stop()

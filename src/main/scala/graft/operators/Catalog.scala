@@ -50,6 +50,46 @@ object Catalog {
     }.toDF("table_name", "ordinal", "column_name", "data_type", "nullable")
   }
 
+  /** JDBC-backed catalog snapshot (S5's live-dictionary half — the
+    * reference reads `dba_tab_columns` / `information_schema.columns`
+    * directly, `database/oracle/reverse.go:516-656`,
+    * `database/mysql/reverse.go:187-439`): one `DatabaseMetaData`
+    * column listing per table, normalized to the same snapshot shape
+    * as the parquet-footer path so check/reverse consume either
+    * source unchanged. Catalog reads are bounded driver-side metadata
+    * (one row per column, same as the reference's dictionary query) —
+    * the DATA path stays distributed.
+    *
+    * Char/decimal forms carry their width (`VARCHAR(32)`); other
+    * widths are driver-internal and dropped, matching the s9c
+    * read-back convention.
+    */
+  def snapshotJdbc(s: SparkSession, url: String,
+      tables: Seq[String]): DataFrame = {
+    import s.implicits._
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val md = conn.getMetaData
+      tables.flatMap { t =>
+        val rs = md.getColumns(null, null, t.toUpperCase, null)
+        val buf = Seq.newBuilder[(String, Int, String, String, Boolean)]
+        while (rs.next()) {
+          val tn = rs.getString("TYPE_NAME")
+          val dt =
+            if (Set("VARCHAR", "CHAR", "DECIMAL", "NUMERIC")(tn))
+              s"$tn(${rs.getInt("COLUMN_SIZE")})"
+            else tn
+          buf += ((t.toLowerCase, rs.getInt("ORDINAL_POSITION"),
+            rs.getString("COLUMN_NAME").toLowerCase, dt,
+            rs.getString("IS_NULLABLE") == "YES"))
+        }
+        rs.close()
+        buf.result()
+      }.toDF("table_name", "ordinal", "column_name", "data_type",
+        "nullable")
+    } finally conn.close()
+  }
+
   /** The snapshot the oracle expects — TESTDATA.md's schema pinned as
     * VALUES. Doubles as the introspection regression check: if a
     * reader change shifts a type (e.g. events.ts nanos handling), k2

@@ -252,14 +252,20 @@ object Check {
     * and rendered as aligned text. The heavy aggregation stays
     * distributed; only final report rows reach the driver.
     */
-  def renderAssessReport(s: SparkSession, d: String): String = {
-    val sections: Seq[(String, DataFrame)] = Seq(
+  /** The report's section list — one bounded report query per
+    * section, shared by the text and HTML renderers so the two
+    * artifacts can never disagree on content.
+    */
+  def assessSections(s: SparkSession, d: String): Seq[(String, DataFrame)] =
+    Seq(
       "SCHEMA OBJECT OVERVIEW" -> a19ObjectOverview(s, d),
       "TABLE ROW COUNTS" -> Catalog.a11RowCounts(s, d),
       "COLUMN TYPE DISTRIBUTION" -> Catalog.a10ColumnTypeDist(s, d),
       "WIDE TABLES (>= 5 COLUMNS)" -> Catalog.a15WideTables(s, d),
       "TOP TABLES BY ROWS" -> Catalog.a18TopTables(s, d))
-    sections.map { case (title, df) =>
+
+  def renderAssessReport(s: SparkSession, d: String): String =
+    assessSections(s, d).map { case (title, df) =>
       val cols = df.columns
       val rows = df.collect().map(r =>
         cols.indices.map(i => String.valueOf(r.get(i))))
@@ -270,6 +276,45 @@ object Check {
       (Seq(s"== $title ==", line(cols.toSeq)) ++ rows.map(line))
         .mkString("\n")
     }.mkString("\n\n")
+
+  private def htmlEsc(v: String): String =
+    v.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** HTML report artifact — the reference renders its assess structs
+    * through HTML templates to a report file
+    * (`module/assess/oracle/public/report.go:36-63`, the HTML
+    * templates under `template/`); here each section becomes an `<h2>` +
+    * `<table>`. Same aggregation plan as the text artifact: the heavy
+    * work stays distributed, only bounded report rows are collected
+    * and templated on the driver.
+    */
+  def renderAssessReportHtml(s: SparkSession, d: String): String = {
+    val body = assessSections(s, d).map { case (title, df) =>
+      val cols = df.columns
+      val head = cols.map(c => s"<th>${htmlEsc(c)}</th>")
+        .mkString("<tr>", "", "</tr>")
+      val rows = df.collect().map(r =>
+        cols.indices.map(i =>
+          s"<td>${htmlEsc(String.valueOf(r.get(i)))}</td>")
+          .mkString("<tr>", "", "</tr>")).mkString("\n")
+      s"""<section>
+         |<h2>${htmlEsc(title)}</h2>
+         |<table>
+         |<thead>$head</thead>
+         |<tbody>
+         |$rows
+         |</tbody>
+         |</table>
+         |</section>""".stripMargin
+    }.mkString("\n")
+    s"""<!DOCTYPE html>
+       |<html>
+       |<head><meta charset="utf-8"><title>Assess Report</title></head>
+       |<body>
+       |<h1>Assess Report</h1>
+       |$body
+       |</body>
+       |</html>""".stripMargin
   }
 
   // ------------------------------------------------------------- queries
@@ -282,8 +327,13 @@ object Check {
     structDiff(snap, driftedSnapshot(snap))
   }
 
-  val k1Sql: String =
-    s"""WITH ${Catalog.catalogValuesSql},
+  /** The full drift + full-outer-diff + fix-SQL oracle over any
+    * pinned catalog CTE named `cat` — shared by k1 (parquet-footer
+    * snapshot) and k5 (JDBC-introspected snapshot): the diff grammar
+    * is source-independent, only the snapshot under test changes.
+    */
+  def structDiffSql(catCte: String): String =
+    s"""WITH $catCte,
        |${driftedSqlCte(Norm.xhash64Sql)},
        |j AS (
        |  SELECT coalesce(s.table_name, t.table_name) AS table_name,
@@ -315,6 +365,65 @@ object Check {
        |      CASE WHEN src_null THEN ' NULL;' ELSE ' NOT NULL;' END
        |  END AS fix_sql
        |FROM c WHERE change <> 'SAME'""".stripMargin
+
+  val k1Sql: String = structDiffSql(Catalog.catalogValuesSql)
+
+  // ------------------------------------------------- JDBC catalog source
+
+  /** The Derby schema k5 lands and then introspects, pinned for the
+    * oracle: what the Spark JDBC writer creates for each source column
+    * (INT → INTEGER, BIGINT/DOUBLE pass-through, strings via explicit
+    * `createTableColumnTypes` widths).
+    */
+  private val jdbcCatFixture: Seq[(String, Int, String, String)] = Seq(
+    ("region", 1, "r_regionkey", "INTEGER"),
+    ("region", 2, "r_name", "VARCHAR(32)"),
+    ("nation", 1, "n_nationkey", "INTEGER"),
+    ("nation", 2, "n_name", "VARCHAR(32)"),
+    ("nation", 3, "n_regionkey", "INTEGER"),
+    ("customer", 1, "c_custkey", "BIGINT"),
+    ("customer", 2, "c_name", "VARCHAR(40)"),
+    ("customer", 3, "c_nationkey", "INTEGER"),
+    ("customer", 4, "c_acctbal", "DOUBLE"),
+    ("customer", 5, "c_mktsegment", "VARCHAR(16)"))
+
+  private val jdbcCatValuesSql: String = {
+    val values = jdbcCatFixture.map { case (t, i, c, ty) =>
+      s"('$t', $i, '$c', '$ty', TRUE)"
+    }.mkString(",\n  ")
+    s"""cat(table_name, ordinal, column_name, data_type, nullable) AS (VALUES
+       |  $values)""".stripMargin
+  }
+
+  /** k5: JDBC catalog introspection as a first-class check source —
+    * the reference's live-dictionary scan (S5,
+    * `database/mysql/reverse.go:187-439` `information_schema` reads)
+    * end to end: three tables land in embedded Derby through the real
+    * JDBC writer, [[Catalog.snapshotJdbc]] rebuilds the catalog
+    * snapshot from `DatabaseMetaData` (not from the source schema!),
+    * and the snapshot flows through the same drift + structDiff + fix
+    * synthesis as k1. The oracle pins the expected introspected
+    * schema, so writer type mapping, metadata read-back, AND the diff
+    * are all hash-checked.
+    */
+  def k5JdbcCatalog(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    val dbDir = Migrate.tempDir("derby_cat")
+    System.setProperty("derby.system.home", dbDir)
+    val url = s"jdbc:derby:$dbDir/catdb;create=true"
+    Migrate.runJdbc(Tables.load(s, d, "region"), url, "REGION",
+      columnTypes = Some("r_name VARCHAR(32)"))
+    Migrate.runJdbc(Tables.load(s, d, "nation"), url, "NATION",
+      columnTypes = Some("n_name VARCHAR(32)"))
+    Migrate.runJdbc(Tables.load(s, d, "customer"), url, "CUSTOMER",
+      columnTypes =
+        Some("c_name VARCHAR(40), c_mktsegment VARCHAR(16)"))
+    val snap = Catalog.snapshotJdbc(s, url,
+      Seq("region", "nation", "customer"))
+    structDiff(snap, driftedSnapshot(snap))
+  }
+
+  val k5Sql: String = structDiffSql(jdbcCatValuesSql)
 
   // ------------------------------------------------------------- registry
 
@@ -375,15 +484,82 @@ object Check {
        |FROM chk""".stripMargin
   }
 
+  /** k6: the M2O check direction — the reference keeps a full
+    * mysql→oracle struct-check package (`module/check/mysql/`,
+    * dispatcher `module/check/interf.go`) mirroring the O2M one: for
+    * every MySQL zoo column the type the M2O rules REQUIRE on the
+    * Oracle target ([[graft.reverse.M2OTypeMapper]]) is compared
+    * against the drifted declared type, and mismatches synthesize
+    * Oracle-dialect `ALTER TABLE ... MODIFY (col type)` fixes (Oracle
+    * wraps the column clause in parens and re-states only the type —
+    * unlike MySQL's full-definition MODIFY COLUMN). SET/ENUM map to
+    * UNSUPPORTED and divert to a manual-action comment, never to a
+    * runnable fix. Oracle side re-derives the required type with its
+    * independent CASE tree (`Reverse.m2oCaseSql`).
+    */
+  def k6M2oStructDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.reverse.{M2OTypeMapper, Reverse}
+    val rows = Reverse.mysqlZoo.zipWithIndex.map { case (c, i) =>
+      ("marvin_mysql", i + 1, c.name, M2OTypeMapper.oracleType(c))
+    }.toDF("table_name", "ordinal", "col_name", "required_type")
+    val checked = rows.withColumn("declared_type",
+      when(col("ordinal") % 7 === 0, lit("VARCHAR2(4000)"))
+        .when(col("ordinal") % 7 === 3, lit("CLOB"))
+        .otherwise(col("required_type")))
+    checked.select(col("table_name"), col("col_name"),
+      col("required_type"), col("declared_type"),
+      when(col("required_type") === M2OTypeMapper.Unsupported,
+        lit("MANUAL"))
+        .when(col("required_type") === col("declared_type"), lit("OK"))
+        .otherwise(lit("TYPE_MISMATCH")).as("verdict"),
+      when(col("required_type") === M2OTypeMapper.Unsupported,
+        concat(lit("-- manual [unsupported type]: "), col("col_name")))
+        .when(col("required_type") =!= col("declared_type"),
+          concat(lit("ALTER TABLE steven."), col("table_name"),
+            lit(" MODIFY ("), col("col_name"), lit(" "),
+            col("required_type"), lit(");"))).as("fix_sql"))
+  }
+
+  val k6Sql: String = {
+    import graft.reverse.Reverse
+    s"""WITH ${Reverse.mysqlZooCte},
+       |req AS (
+       |  SELECT 'marvin_mysql' AS table_name, ordinal, col_name,
+       |    ${Reverse.m2oCaseSql} AS required_type
+       |  FROM mzoo),
+       |chk AS (
+       |  SELECT *,
+       |    CASE WHEN ordinal % 7 = 0 THEN 'VARCHAR2(4000)'
+       |         WHEN ordinal % 7 = 3 THEN 'CLOB'
+       |         ELSE required_type END AS declared_type
+       |  FROM req)
+       |SELECT table_name, col_name, required_type, declared_type,
+       |  CASE WHEN required_type = 'UNSUPPORTED' THEN 'MANUAL'
+       |       WHEN required_type = declared_type THEN 'OK'
+       |       ELSE 'TYPE_MISMATCH' END AS verdict,
+       |  CASE WHEN required_type = 'UNSUPPORTED'
+       |         THEN '-- manual [unsupported type]: ' || col_name
+       |       WHEN required_type <> declared_type THEN
+       |         'ALTER TABLE steven.' || table_name || ' MODIFY (' ||
+       |         col_name || ' ' || required_type || ');'
+       |  END AS fix_sql
+       |FROM chk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_struct_diff" -> k1StructDiff,
     "k3_index_diff" -> k3IndexDiff,
     "k4_type_rule_check" -> k4TypeRuleCheck,
+    "k5_jdbc_catalog" -> k5JdbcCatalog,
+    "k6_m2o_struct_diff" -> k6M2oStructDiff,
     "a19_object_overview" -> a19ObjectOverview)
 
   val oracles: Map[String, String] = Map(
     "k1_struct_diff" -> k1Sql,
     "k3_index_diff" -> k3Sql,
     "k4_type_rule_check" -> k4Sql,
+    "k5_jdbc_catalog" -> k5Sql,
+    "k6_m2o_struct_diff" -> k6Sql,
     "a19_object_overview" -> a19Sql)
 }

@@ -142,8 +142,31 @@ object Migrate {
 
   // ------------------------------------------------------------- queries
 
-  private def tempDir(tag: String): String =
-    Files.createTempDirectory(s"graft_$tag").toString
+  /** Roundtrip scratch dirs, swept on JVM exit — without the hook a
+    * long-lived session leaks one /tmp/graft_* dir per roundtrip
+    * query run (142 had accumulated by round 3).
+    */
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirs.forEach { p =>
+        try {
+          import java.nio.file.{Files => F}
+          import scala.jdk.CollectionConverters._
+          // deepest-first so directories empty before their delete
+          F.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(f => F.deleteIfExists(f))
+        } catch { case _: Throwable => () }
+      }))
+  }
+
+  private[operators] def tempDir(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft_$tag")
+    tempDirs.add(p)
+    p.toString
+  }
 
   /** s7: parquet migrate roundtrip — lineitem → export projection →
     * parquet sink → read back → per-chunk summary. The oracle computes
@@ -236,6 +259,49 @@ object Migrate {
        |  CASE WHEN payload IS NULL OR payload = '' THEN 'NULL'
        |       ELSE payload END AS payload,
        |  price_str
+       |FROM ($edgeRowsSql) t""".stripMargin
+
+  /** The write half of s8b, split out so the spec can assert the
+    * on-disk layout. `partitionBy(chunk_id)` is the Spark-native
+    * equivalent of the reference's per-chunk `SCHEMA.TABLE.<i>.csv`
+    * file naming (`module/migrate/csv/oracle/o2m/csv.go:702-733`):
+    * the chunk id becomes a directory key (`chunk_id=<i>/part-*.csv`),
+    * so a chunk-restricted consumer prunes to exactly its files at
+    * LISTING time — the operational property the reference's naming
+    * scheme exists to provide.
+    */
+  def chunkedCsvWrite(s: SparkSession, d: String, out: String): Unit =
+    edgeRows(s, d)
+      .withColumn("chunk_id", pmod(col("o_orderkey"), lit(4)).cast("int"))
+      .write.mode(SaveMode.Overwrite).partitionBy("chunk_id")
+      .options(csvOptions).csv(out)
+
+  /** s8b: per-chunk CSV export + read-back — hostile-string content
+    * through the partitioned layout, chunk membership re-materialized
+    * from the directory names (not from the data!), so layout
+    * integrity is part of the hash check.
+    */
+  def s8bChunkedCsv(s: SparkSession, d: String): DataFrame = {
+    val out = tempDir("s8b")
+    chunkedCsvWrite(s, d, out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("payload", StringType),
+      StructField("price_str", StringType),
+      StructField("chunk_id", IntegerType)))
+    s.read.options(csvOptions).schema(schema).csv(out)
+      .select(col("o_orderkey"),
+        when(col("payload").isNull || col("payload") === "", lit("NULL"))
+          .otherwise(col("payload")).as("payload"),
+        col("price_str"), col("chunk_id"))
+  }
+
+  val s8bSql: String =
+    s"""SELECT o_orderkey,
+       |  CASE WHEN payload IS NULL OR payload = '' THEN 'NULL'
+       |       ELSE payload END AS payload,
+       |  price_str,
+       |  CAST(o_orderkey % 4 AS INT) AS chunk_id
        |FROM ($edgeRowsSql) t""".stripMargin
 
   /** Chunk membership as a single projected column: a when-chain over
@@ -523,6 +589,7 @@ object Migrate {
     "s7_parquet_roundtrip" -> s7ParquetRoundtrip,
     "s7b_jdbc_roundtrip" -> s7bJdbcRoundtrip,
     "s8_csv_roundtrip" -> s8CsvRoundtrip,
+    "s8b_chunked_csv" -> s8bChunkedCsv,
     "s9b_json_roundtrip" -> s9bJsonRoundtrip,
     "s9c_ddl_apply" -> s9cDdlApply,
     "s9d_orc_roundtrip" -> s9dOrcRoundtrip,
@@ -534,6 +601,7 @@ object Migrate {
     "s7_parquet_roundtrip" -> s7Sql,
     "s7b_jdbc_roundtrip" -> s7bSql,
     "s8_csv_roundtrip" -> s8Sql,
+    "s8b_chunked_csv" -> s8bSql,
     "s9b_json_roundtrip" -> s9bSql,
     "s9c_ddl_apply" -> s9cSql,
     "s9d_orc_roundtrip" -> s9dSql,

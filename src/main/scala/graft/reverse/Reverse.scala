@@ -528,7 +528,7 @@ object Reverse {
     * columns mysql_type, len, p, s, dp in scope) — shared by r4 and
     * the r6 DDL assembly.
     */
-  private val m2oCaseSql: String =
+  private[graft] val m2oCaseSql: String =
     """CASE mysql_type
        |    WHEN 'TINYINT' THEN 'NUMBER(3,0)'
        |    WHEN 'SMALLINT' THEN 'NUMBER(5,0)'
@@ -566,7 +566,7 @@ object Reverse {
        |  END""".stripMargin
 
   /** The mysqlZoo as a VALUES relation with full attributes. */
-  private val mysqlZooCte: String = {
+  private[graft] val mysqlZooCte: String = {
     val values = mysqlZoo.zipWithIndex.map { case (c, i) =>
       s"(${vStr(c.name)}, ${i + 1}, ${vStr(c.upperType)}, ${c.length}, " +
         s"${vInt(c.precision)}, ${vInt(c.scale)}, ${c.datePrecision}, " +

@@ -53,6 +53,45 @@ class CheckSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(java.nio.file.Files.size(java.nio.file.Paths.get(path)) > 500)
   }
 
+  test("html assess report renders every section as a table") {
+    val html = Check.renderAssessReportHtml(spark, sf)
+    assert(html.startsWith("<!DOCTYPE html>"))
+    Seq("SCHEMA OBJECT OVERVIEW", "TABLE ROW COUNTS",
+      "COLUMN TYPE DISTRIBUTION", "WIDE TABLES", "TOP TABLES BY ROWS")
+      .foreach(t => assert(html.contains(s"<h2>$t"), t))
+    assert("<section>".r.findAllIn(html).size == 5)
+    assert(html.contains("<td>lineitem</td>"))
+    // the >= in the wide-tables title must arrive escaped
+    assert(html.contains("&gt;= 5 COLUMNS"))
+  }
+
+  test("k5: jdbc-introspected snapshot feeds the same check surface") {
+    val diff = Check.k5JdbcCatalog(spark, sf).cache()
+    // one audit_ts DROP per introspected table
+    assert(diff.filter(col("column_name") === "audit_ts").count() == 3)
+    val kinds = diff.select("change").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(kinds.subsetOf(Set("ADD", "DROP", "MODIFY_TYPE", "MODIFY_NULL")),
+      kinds.toString)
+    assert(diff.filter(!col("fix_sql").startsWith("ALTER TABLE steven."))
+      .isEmpty)
+    diff.unpersist()
+  }
+
+  test("k6: unsupported mysql types divert to manual, never a runnable fix") {
+    val k6 = Check.k6M2oStructDiff(spark, sf).cache()
+    assert(k6.count() == graft.reverse.Reverse.mysqlZoo.size)
+    val manual = k6.filter(col("verdict") === "MANUAL").cache()
+    assert(manual.count() == 2) // SET + ENUM
+    assert(manual.filter(!col("fix_sql").startsWith("-- manual")).isEmpty)
+    val mism = k6.filter(col("verdict") === "TYPE_MISMATCH")
+    assert(mism.filter(!col("fix_sql").startsWith("ALTER TABLE steven."))
+      .isEmpty)
+    // Oracle dialect: MODIFY wraps the column clause in parens
+    assert(mism.filter(!col("fix_sql").contains(" MODIFY (")).isEmpty)
+    manual.unpersist(); k6.unpersist()
+  }
+
   test("diff is symmetric: swapping sides flips ADD and DROP") {
     val snap = Catalog.snapshot(spark, sf)
     val drifted = Check.driftedSnapshot(snap)

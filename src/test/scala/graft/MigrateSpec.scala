@@ -90,6 +90,23 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(pruned.agg(sum("n_rows")).head.getLong(0) == expected)
   }
 
+  test("s8b: chunked csv layout lands one directory per chunk") {
+    val out = java.nio.file.Files.createTempDirectory("graft_s8bt").toString
+    Migrate.chunkedCsvWrite(spark, sf, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == (0 until 4).map(i => s"chunk_id=$i").toSet, dirs.toString)
+    // every chunk directory holds its own csv part files — the
+    // per-chunk-file property SCHEMA.TABLE.<i>.csv naming provides
+    assert(dirs.forall(dn => new java.io.File(s"$out/$dn").listFiles()
+      .exists(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".csv"))))
+    // read-back re-materializes chunk membership from directory names
+    val back = Migrate.s8bChunkedCsv(spark, sf)
+    assert(back.filter(col("chunk_id") =!=
+      pmod(col("o_orderkey"), lit(4)).cast("int")).isEmpty)
+  }
+
   test("overwrite sink replaces prior contents (truncate-before-load)") {
     val out = java.nio.file.Files.createTempDirectory("graft_s10").toString
     val o = Tables.load(spark, sf, "orders")
