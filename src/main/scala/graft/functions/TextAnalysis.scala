@@ -229,17 +229,99 @@ object TextAnalysis {
       |  CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_checksum
       |FROM f""".stripMargin
 
+  /** t6: deterministic hash sampling — the reproducible way to cut an
+    * eval/holdout slice from a 100 TB corpus. `TABLESAMPLE`/`.sample`
+    * are seed-and-partitioning dependent (a repartition changes the
+    * sample!); hashing a stable key is not: the same doc lands in the
+    * same bucket on any cluster, any partitioning, any engine — the
+    * oracle recomputes the identical sample from the same md5-derived
+    * hash family ([[Norm.xhash64]]). The salt prefix decorrelates this
+    * sample from every other use of the doc_id hash (d1's dedup keys,
+    * d3's MinHash) — without it, "5% sample" would systematically
+    * overlap other hash-keyed decisions. Per-row, codegen'd, pushed
+    * after the scan; no shuffle at all.
+    */
+  def t6HashSample(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .withColumn("bucket",
+        pmod(xhash64(concat_ws("|", lit("smpl"), col("doc_id").cast("string"))),
+          lit(100L)))
+      .filter(col("bucket") < 5)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+
+  val t6Sql: String = {
+    val h = Norm.xhash64Sql("'smpl|' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, lang, bucket FROM (
+       |  SELECT doc_id, lang, $h % 100 AS bucket
+       |  FROM documents) t
+       |WHERE bucket < 5""".stripMargin
+  }
+
+  /** pipe1: the end-to-end training-data pipeline — the composition
+    * the individual t/d operators exist for: canonicalize → quality
+    * gate (word count + uniq ratio, t2's metrics) → exact dedup on
+    * canonical fingerprint keeping the lowest doc_id (d1's rule) →
+    * per-language corpus accounting. One scan, one window shuffle for
+    * the dedup, one partial-aggregated groupBy; no driver-side data
+    * movement — the whole pipeline is a single declarative plan, so at
+    * 100 TB Catalyst fuses the canonicalize+gate into the scan
+    * projection and the only wide stages are the two keyed exchanges.
+    */
+  def pipe1TrainingPipeline(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.load(s, d, "documents")
+      .withColumn("canon", lower(regexp_replace(col("text"), "\\s+", " ")))
+      .withColumn("w", words(col("canon")))
+      .withColumn("n_words", size(col("w")))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("w"))).cast("double") / col("n_words"))
+    val kept = base.filter(col("n_words") >= 10 && col("uniq_ratio") >= 0.3)
+    val deduped = kept
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("canon"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    deduped.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_tokens"),
+        sum(length(col("canon"))).as("total_chars"))
+  }
+
+  val pipe1Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |         lower(regexp_replace(text, '\s+', ' ', 'g')) AS canon
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, lang, canon,
+      |    len(string_split(canon, ' ')) AS n_words,
+      |    CAST(len(list_distinct(string_split(canon, ' '))) AS DOUBLE)
+      |      / len(string_split(canon, ' ')) AS uniq_ratio
+      |  FROM b),
+      |k AS (SELECT * FROM m WHERE n_words >= 10 AND uniq_ratio >= 0.3),
+      |dd AS (
+      |  SELECT *, row_number() OVER (PARTITION BY md5(canon)
+      |                               ORDER BY doc_id) AS rn
+      |  FROM k)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_words) AS BIGINT) AS total_tokens,
+      |  CAST(sum(length(canon)) AS BIGINT) AS total_chars
+      |FROM dd WHERE rn = 1 GROUP BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> t1LangId,
     "t2_quality_score" -> t2QualityScore,
     "t3_token_count" -> t3TokenCount,
     "t4_fingerprint" -> t4Fingerprint,
-    "t5_winnow_fingerprint" -> t5WinnowFingerprint)
+    "t5_winnow_fingerprint" -> t5WinnowFingerprint,
+    "t6_hash_sample" -> t6HashSample,
+    "pipe1_training_pipeline" -> pipe1TrainingPipeline)
 
   val oracles: Map[String, String] = Map(
     "t1_lang_id" -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_token_count" -> t3Sql,
     "t4_fingerprint" -> t4Sql,
-    "t5_winnow_fingerprint" -> t5Sql)
+    "t5_winnow_fingerprint" -> t5Sql,
+    "t6_hash_sample" -> t6Sql,
+    "pipe1_training_pipeline" -> pipe1Sql)
 }

@@ -322,6 +322,54 @@ object Compare {
        |   OR src_sum IS DISTINCT FROM tgt_sum""".stripMargin
   }
 
+  /** c3: two-phase narrowed compare — the reference's ACTUAL compare
+    * control flow (`report.go:74-303`: CRC fast path per chunk, row
+    * rescan only on mismatch) as one distributed plan. Phase 1 is the
+    * a2b chunk-summary compare; phase 2 restricts BOTH sides to the
+    * mismatched chunks (a broadcast semi join on chunk_id — the
+    * mismatch list is bounded by drift, and the chunk_id predicate is
+    * a pure function of the split key, so it pushes into the scans)
+    * and row-diffs only those. At 100 TB with 0.1% drift the slow
+    * path touches ~0.1% of the table instead of all of it.
+    *
+    * Narrowing is lossless by construction — equal (count, checksum)
+    * ⇒ equal chunk multisets, modulo 60-bit hash collision (the same
+    * trust the reference places in CRC32, with 2²⁸× more headroom) —
+    * so the ORACLE IS THE PLAIN FULL DIFF: the hash check proves the
+    * narrowed result equals the unnarrowed one.
+    */
+  def c3NarrowedDiff(s: SparkSession, d: String): DataFrame = {
+    val bucket = floor(col("o_orderkey") / 1000).cast("long")
+    val src = Tables.load(s, d, "orders").withColumn("chunk_id", bucket)
+    val tgt = driftedOrders(s, d).withColumn("chunk_id", bucket)
+    val bad = a2bChunkCompare(s, d).select("chunk_id")
+    def proj(df: DataFrame) = df
+      .join(broadcast(bad), Seq("chunk_id"), "left_semi")
+      .select(col("chunk_id"),
+        col("o_orderkey").cast("long").as("row_key"),
+        Norm.sparkRow(ordersNorm).as("row_str"))
+    val ns = proj(src)
+    val nt = proj(tgt)
+    ns.exceptAll(nt).withColumn("diff_side", lit("SRC_ONLY"))
+      .unionAll(nt.exceptAll(ns).withColumn("diff_side", lit("TGT_ONLY")))
+      .select("chunk_id", "diff_side", "row_key", "row_str")
+  }
+
+  val c3Sql: String = {
+    val row = Norm.duckRow(ordersNorm)
+    def proj(rel: String) =
+      s"""SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS chunk_id,
+         |       CAST(o_orderkey AS BIGINT) AS row_key, $row AS row_str
+         |FROM $rel t""".stripMargin
+    s"""WITH src AS (${proj("orders")}),
+       |tgt AS (${proj(driftedOrdersSql)})
+       |SELECT chunk_id, 'SRC_ONLY' AS diff_side, row_key, row_str FROM
+       |  (SELECT * FROM src EXCEPT ALL SELECT * FROM tgt)
+       |UNION ALL
+       |SELECT chunk_id, 'TGT_ONLY', row_key, row_str FROM
+       |  (SELECT * FROM tgt EXCEPT ALL SELECT * FROM src)""".stripMargin
+  }
+
   /** p2: compare normalization (P2/F5/F6): '' ≡ NULL, leading-dot
     * decimal rendering (.5 → 0.5), date canonicalization — the
     * dual-dialect SELECT pair of `task.go:134-187` collapsed into one
@@ -426,6 +474,7 @@ object Compare {
     "j4_symmetric_diff" -> j4SymmetricDiff,
     "c2_fix_actions" -> c2FixActions,
     "a2b_chunk_compare" -> a2bChunkCompare,
+    "c3_narrowed_diff" -> c3NarrowedDiff,
     "p2_compare_norm" -> p2CompareNorm,
     "set_except" -> setExcept,
     "set_intersect" -> setIntersect,
@@ -436,6 +485,7 @@ object Compare {
     "j4_symmetric_diff" -> j4Sql,
     "c2_fix_actions" -> c2Sql,
     "a2b_chunk_compare" -> a2bSql,
+    "c3_narrowed_diff" -> c3Sql,
     "p2_compare_norm" -> p2Sql,
     "set_except" -> setExceptSql,
     "set_intersect" -> setIntersectSql,

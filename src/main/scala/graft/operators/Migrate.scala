@@ -574,6 +574,163 @@ object Migrate {
     } finally conn.close()
   }
 
+  /** The write half of s12: both join sides land as bucketed tables —
+    * hash-partitioned BY THE JOIN KEY at rest, pre-sorted within each
+    * bucket. Bucketing is the at-rest co-location strategy for 100 TB
+    * fact⋈fact joins: a repeated join key's shuffle is paid ONCE at
+    * write time, and every subsequent join on that key reads
+    * bucket-aligned files with NO Exchange in the plan (MigrateSpec
+    * asserts exactly that). The reference has no analogue — its chunks
+    * co-locate a scan, not a join — this is Spark-native layout
+    * design. External-table form (`option("path")`) so the data
+    * lives in the caller's directory, not a session warehouse.
+    */
+  def bucketedWrite(s: SparkSession, d: String, ordPath: String,
+      custPath: String, buckets: Int = 8): Unit = {
+    s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    s.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+    Tables.load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("o_price"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
+      .option("path", ordPath).saveAsTable("graft_bkt_orders")
+    Tables.load(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
+      .option("path", custPath).saveAsTable("graft_bkt_customer")
+  }
+
+  /** The join half of s12, split out so the spec can assert the
+    * physical plan (SortMergeJoin, zero Exchange) independently of the
+    * aggregation. The merge hints pin the join to the sort-merge path
+    * the bucket layout exists to serve — without them Catalyst would
+    * broadcast the small side at test scale and the layout would never
+    * be exercised.
+    */
+  def bucketedJoin(s: SparkSession): DataFrame =
+    s.table("graft_bkt_orders").hint("merge")
+      .join(s.table("graft_bkt_customer").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+
+  /** s12: bucketed co-located join — write both sides bucketed on the
+    * join key, join shuffle-free, aggregate. The oracle computes the
+    * same join straight from the source tables, so bucket-pruned read
+    * fidelity (no dropped/duplicated rows across bucket files) is part
+    * of the hash check.
+    */
+  def s12BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    bucketedWrite(s, d, tempDir("s12_ord"), tempDir("s12_cust"))
+    bucketedJoin(s)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_price")).cast(DecimalType(38, 2)).cast("string")
+          .as("total"))
+  }
+
+  val s12Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Size-aware small-file compaction: list the input's data files,
+    * size the rewrite so output files land near `targetBytes`, rewrite
+    * in one distributed pass. Returns the chosen file count so callers
+    * (and the spec) can assert the plan. This is the maintenance
+    * operator every long-lived 100 TB table needs: streaming/CDC sinks
+    * (c6's `foreachBatch`, the reference's per-chunk CSV files) leave
+    * thousands of KB-scale files per partition, and scan planning cost
+    * grows with FILE COUNT, not bytes — a million 1 MB files plan
+    * ~1000× slower than a thousand 1 GB files. The listing is
+    * driver-side metadata (bounded: one FileStatus per file — exactly
+    * what Spark's own scan planner lists anyway); the data path is
+    * fully distributed.
+    */
+  def compact(s: SparkSession, in: String, out: String,
+      targetBytes: Long): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(in).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(new Path(in))
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    s.read.parquet(in).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    n
+  }
+
+  /** s13: small-file compaction roundtrip — fragment orders into 64
+    * shards (the CDC-debris shape), compact to size-targeted files,
+    * and checksum the compacted read-back against the source-table
+    * oracle: compaction must be byte-lossless, never "mostly".
+    */
+  def s13Compaction(s: SparkSession, d: String): DataFrame = {
+    val frag = tempDir("s13_frag")
+    val comp = tempDir("s13_comp")
+    Tables.load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(14, 2)).cast("string")
+          .as("price_str"))
+      .repartition(64)
+      .write.mode(SaveMode.Overwrite).parquet(frag)
+    compact(s, frag, comp, 32L << 20)
+    val back = s.read.parquet(comp)
+    val normCols = Seq(
+      NormCol("o_orderkey", KLong), NormCol("o_custkey", KLong),
+      NormCol("o_orderstatus", KStr), NormCol("price_str", KStr))
+    back.groupBy(floor(col("o_orderkey") / 1000).cast("long").as("chunk_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        Norm.sparkRowChecksum(normCols).as("row_checksum"))
+  }
+
+  // same per-chunk summary as s7b — the path under test is what differs
+  val s13Sql: String = s7bSql
+
+  /** s14: quarantine read — the reference records a failed chunk in
+    * `chunk_error_detail` and CONTINUES the job (`module/migrate/sql/
+    * oracle/o2m/full.go:497-524`, quarantine-not-fatal); the row-level
+    * file-era analogue is PERMISSIVE parsing with a corrupt-record
+    * column: malformed rows keep their parseable fields, carry the
+    * raw line in `_quarantine`, and flow to a replay sink instead of
+    * failing 100 TB of job for one bad record. Every 5th row's
+    * numeric field is poisoned with text; the oracle recomputes the
+    * good/quarantined split logically, so the engine's malformed-row
+    * classification is itself what the hash checks.
+    */
+  def s14QuarantineRead(s: SparkSession, d: String): DataFrame = {
+    val out = tempDir("s14")
+    Tables.load(s, d, "orders").select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 5 === 0, lit("not_a_number"))
+        .otherwise(col("o_custkey").cast("string")).as("custkey_str"))
+      .write.mode(SaveMode.Overwrite).csv(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("custkey", LongType),
+      StructField("_quarantine", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_quarantine")
+      .csv(out)
+      .groupBy(floor(col("o_orderkey") / 1000).cast("long").as("chunk_id"))
+      .agg(
+        sum(when(col("_quarantine").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_quarantine").isNotNull, 1L).otherwise(0L))
+          .as("n_quarantined"),
+        // good-row content survives untouched — checksum the payload
+        sum(when(col("_quarantine").isNull, col("custkey")))
+          .cast("long").as("good_key_sum"))
+  }
+
+  val s14Sql: String =
+    """SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS chunk_id,
+      |  CAST(sum(CASE WHEN o_orderkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+      |  CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+      |  CAST(sum(CASE WHEN o_orderkey % 5 <> 0 THEN o_custkey END) AS BIGINT) AS good_key_sum
+      |FROM orders GROUP BY 1""".stripMargin
+
   val s9cSql: String =
     """SELECT * FROM (VALUES
       |  (1, 'ID', 'DECIMAL', 8, FALSE),
@@ -595,6 +752,9 @@ object Migrate {
     "s9d_orc_roundtrip" -> s9dOrcRoundtrip,
     "s10_partitioned_pruning" -> s10PartitionedPruning,
     "s11_schema_evolution" -> s11SchemaEvolution,
+    "s12_bucketed_join" -> s12BucketedJoin,
+    "s13_compaction" -> s13Compaction,
+    "s14_quarantine_read" -> s14QuarantineRead,
     "s2_chunked_scan" -> s2ChunkedScan)
 
   val oracles: Map[String, String] = Map(
@@ -607,6 +767,9 @@ object Migrate {
     "s9d_orc_roundtrip" -> s9dSql,
     "s10_partitioned_pruning" -> s10Sql,
     "s11_schema_evolution" -> s11Sql,
+    "s12_bucketed_join" -> s12Sql,
+    "s13_compaction" -> s13Sql,
+    "s14_quarantine_read" -> s14Sql,
     // orders keys are dense 0..N-1 at every sf: 15000 rows/sf0.01 →
     // ceil(15000/2000)=8 chunks; recomputed generically below.
     "s2_chunked_scan" -> s2SqlGeneric)

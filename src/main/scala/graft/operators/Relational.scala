@@ -576,6 +576,90 @@ object Relational {
        |FROM r GROUP BY 1""".stripMargin
   }
 
+  /** j7: salted skew join — the join-side companion of a16's salted
+    * aggregation. A fact stream where one key carries ~80% of rows
+    * (here: 80% of lineitem maps to dim_key 0) sends all of that key's
+    * rows to ONE reducer under a plain shuffle join — at 100 TB, one
+    * straggler task holds the job. The skew-safe shape: replicate the
+    * dim row S ways (`explode(sequence(0, S-1))`), give each fact row
+    * a uniform salt in [0, S), and join on (key, salt) — the hot key
+    * now spreads across S tasks, at the bounded cost of an S× dim
+    * replication (dims are small; facts are not). The shuffle-hash
+    * hint keeps the demo on the shuffle path the pattern exists for
+    * (Catalyst would otherwise broadcast this small dim away — and AQE
+    * skew-join only rescues sort-merge joins whose skew it can see at
+    * runtime; pre-salting is the planned-for-sure variant). The salt
+    * never escapes: it is not a group key, so the result is
+    * salt-invariant and the oracle is the plain unsalted join.
+    */
+  def j7SaltedSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val S = 8
+    val fact = li(s, d).select(
+      when(pmod(col("l_orderkey"), lit(10)) < 8, lit(0L))
+        .otherwise(pmod(col("l_orderkey"), lit(25)).cast("long")).as("dim_key"),
+      col("l_extendedprice").cast(DecimalType(12, 2)).as("price"),
+      // any uniform deterministic salt works — it cancels in the agg
+      pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(S)).as("salt"))
+    val dim = nat(s, d)
+      .select(col("n_nationkey").cast("long").as("dim_key"), col("n_name"))
+      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+    fact.join(dim.hint("shuffle_hash"), Seq("dim_key", "salt"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        decStr(sum(col("price")).cast(DecimalType(38, 2))).as("revenue"))
+  }
+
+  val j7Sql: String =
+    """WITH fact AS (
+      |  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+      |              ELSE l_orderkey % 25 END AS dim_key,
+      |         CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+      |  FROM lineitem)
+      |SELECT n_name, count(*) AS n_rows,
+      |  CAST(CAST(sum(price) AS DECIMAL(38,2)) AS VARCHAR) AS revenue
+      |FROM fact JOIN nation ON dim_key = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** j8: bloom-filter pre-join reduction (the explicit form of runtime
+    * row-level filtering). A selective dim predicate should cut the
+    * fact scan BEFORE the fact rows travel to the join — otherwise
+    * 100 TB of fact shuffles so that 95% of it can be dropped at the
+    * probe. Shape: build ONE bounded bloom filter over the filtered
+    * dim keys (`df.stat.bloomFilter`, the public sketch API — Spark's
+    * own `spark.sql.optimizer.runtime.bloomFilter.*` injects the same
+    * thing automatically into shuffle joins it can see), broadcast it,
+    * drop non-matching fact rows at the scan, then make the result
+    * EXACT with the real semi join (the bloom admits ~fpp false
+    * positives; it may never be the last word). The udf is a bounded
+    * bit-array probe over a broadcast value — the one shape where a
+    * udf pre-filter beats anything declarative available today.
+    */
+  def j8BloomPrejoin(s: SparkSession, d: String): DataFrame = {
+    val small = cust(s, d)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") < 5)
+      .select(col("c_custkey"))
+    // one planning job over the (already filtered, bounded) dim keys
+    val bf = small.stat.bloomFilter("c_custkey", 1 << 17, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+    ord(s, d).filter(mightContain(col("o_custkey")))
+      .join(broadcast(small), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        decStr(sum(col("o_totalprice").cast(DecimalType(12, 2)))
+          .cast(DecimalType(38, 2))).as("total"))
+  }
+
+  val j8Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM customer
+      |              WHERE c_custkey = o_custkey
+      |                AND c_mktsegment = 'BUILDING' AND c_nationkey < 5)
+      |GROUP BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -600,6 +684,8 @@ object Relational {
     "w6_running_frame" -> w6RunningFrame,
     "w7_asof_join" -> w7AsofJoin,
     "j6_banded_range_join" -> j6BandedRangeJoin,
+    "j7_salted_skew_join" -> j7SaltedSkewJoin,
+    "j8_bloom_prejoin" -> j8BloomPrejoin,
     "a33_percentile_profile" -> a33PercentileProfile)
 
   val oracles: Map[String, String] = Map(
@@ -624,5 +710,7 @@ object Relational {
     "w6_running_frame" -> w6Sql,
     "w7_asof_join" -> w7Sql,
     "j6_banded_range_join" -> j6Sql,
+    "j7_salted_skew_join" -> j7Sql,
+    "j8_bloom_prejoin" -> j8Sql,
     "a33_percentile_profile" -> a33Sql)
 }

@@ -81,6 +81,32 @@ class CompareSpec extends AnyFunSuite with SparkSessionTestWrapper {
     fix.unpersist()
   }
 
+  test("c3 narrowing is lossless and actually narrows") {
+    val narrowed = Compare.c3NarrowedDiff(spark, sf)
+    // losslessness: the narrowed diff equals the full unnarrowed diff
+    val full = Compare.j4SymmetricDiff(spark, sf)
+      .withColumn("chunk_id", floor(col("row_key") / 1000).cast("long"))
+      .select("chunk_id", "diff_side", "row_key", "row_str")
+    assert(narrowed.exceptAll(full).isEmpty && full.exceptAll(narrowed).isEmpty)
+    // narrowing: a single-row drift flags EXACTLY its own chunk, so
+    // phase 2 rescans 1 chunk, not the table (the standard fixture's
+    // 97-periodic drift touches every /1000 chunk — build a sparse one)
+    val o = Tables.load(spark, sf, "orders")
+    val oneRowDrift = o.withColumn("o_totalprice",
+      when(col("o_orderkey") === 500, col("o_totalprice") + lit(1.0))
+        .otherwise(col("o_totalprice")))
+    val bucket = floor(col("o_orderkey") / 100).cast("long")
+    val srcSum = Compare.chunkSummary(o, bucket, Compare.ordersNorm)
+    val tgtSum = Compare.chunkSummary(oneRowDrift, bucket, Compare.ordersNorm)
+      .withColumnRenamed("row_checksum", "tgt_checksum")
+      .withColumnRenamed("n_rows", "tgt_rows")
+    val bad = srcSum.join(tgtSum, Seq("chunk_id"))
+      .filter(col("row_checksum") =!= col("tgt_checksum") ||
+        col("n_rows") =!= col("tgt_rows"))
+      .select("chunk_id").collect().map(_.getLong(0)).toSeq
+    assert(bad == Seq(5L), s"expected only chunk 5 flagged, got $bad")
+  }
+
   test("normalization maps '' and NULL to the same canonical value") {
     val n = Compare.p2CompareNorm(spark, sf)
     val nulls = n.filter(col("o_orderkey") % 5 === 0).select("norm_str").distinct()

@@ -107,6 +107,42 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
       pmod(col("o_orderkey"), lit(4)).cast("int")).isEmpty)
   }
 
+  test("s12: bucketed join plan has zero Exchange (co-located at rest)") {
+    Migrate.bucketedWrite(spark, sf,
+      java.nio.file.Files.createTempDirectory("graft_s12o").toString,
+      java.nio.file.Files.createTempDirectory("graft_s12c").toString)
+    // disable broadcast so the layout (not the dim size) decides the plan
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val j = Migrate.bucketedJoin(spark)
+      val plan = j.queryExecution.sparkPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange"), plan.take(2000))
+      // layout fidelity: the shuffle-free join sees every row
+      val expected = Tables.load(spark, sf, "orders").count()
+      assert(j.count() == expected)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("s13: compaction collapses 64 shards into size-targeted files") {
+    val frag = java.nio.file.Files.createTempDirectory("graft_s13f").toString
+    val comp = java.nio.file.Files.createTempDirectory("graft_s13c").toString
+    val src = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+    def parts(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(frag) == 64)
+    val n = Migrate.compact(spark, frag, comp, 32L << 20)
+    assert(n == 1) // 1.5k rows of two longs is far under 32 MB
+    assert(parts(comp) == n)
+    // lossless: every row survives, none duplicated
+    assert(spark.read.parquet(comp).exceptAll(src).isEmpty)
+    assert(src.exceptAll(spark.read.parquet(comp)).isEmpty)
+  }
+
   test("overwrite sink replaces prior contents (truncate-before-load)") {
     val out = java.nio.file.Files.createTempDirectory("graft_s10").toString
     val o = Tables.load(spark, sf, "orders")

@@ -53,6 +53,47 @@ class RelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(over == 0)
   }
 
+  test("j7 salting stays on the shuffle path and is salt-invariant") {
+    val df = Relational.j7SaltedSkewJoin(spark, sf)
+    // the hint must hold: this is the pattern for joins too big to
+    // broadcast, so the demo has to exercise a shuffle join
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+    // salt-invariance: the salted result equals the plain unsalted join
+    val li = Tables.load(spark, sf, "lineitem").select(
+      when(pmod(col("l_orderkey"), lit(10)) < 8, lit(0L))
+        .otherwise(pmod(col("l_orderkey"), lit(25)).cast("long")).as("dim_key"),
+      col("l_extendedprice")
+        .cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("price"))
+    val nat = Tables.load(spark, sf, "nation")
+      .select(col("n_nationkey").cast("long").as("dim_key"), col("n_name"))
+    val plain = li.join(nat, "dim_key").groupBy("n_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price")).cast(org.apache.spark.sql.types.DecimalType(38, 2))
+          .cast("string").as("revenue"))
+    assert(df.exceptAll(plain).isEmpty && plain.exceptAll(df).isEmpty)
+  }
+
+  test("j8 bloom prefilter passes a superset; semi join restores exactness") {
+    val orders = Tables.load(spark, sf, "orders")
+    val small = Tables.load(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") < 5)
+      .select("c_custkey")
+    val bf = small.stat.bloomFilter("c_custkey", 1 << 17, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+    val prefiltered = orders.filter(mightContain(col("o_custkey"))).count()
+    val exact = orders.join(small,
+      col("o_custkey") === col("c_custkey"), "left_semi").count()
+    // no false negatives ever; false positives bounded by fpp
+    assert(prefiltered >= exact)
+    assert(prefiltered <= orders.count())
+    // and the registered query's count matches the exact semi join
+    val total = Relational.j8BloomPrejoin(spark, sf)
+      .agg(sum("n_orders")).head.getLong(0)
+    assert(total == exact)
+  }
+
   test("j6 banding is lossless: banded pairs == naive range-join pairs") {
     val banded = Relational.j6BandedRangeJoin(spark, sf)
     val ev = Tables.load(spark, sf, "events")

@@ -31,6 +31,32 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rows(1).getInt(1) == 1)
   }
 
+  test("t6 sample is partitioning-invariant (same docs on any layout)") {
+    val a = TextAnalysis.t6HashSample(spark, sf).select("doc_id")
+    // re-derive the sample from a violently different layout — a
+    // hash sample must not care how the data is partitioned
+    val shuffled = Tables.load(spark, sf, "documents").repartition(13)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t6").toString
+    shuffled.write.parquet(s"$tmp/documents.parquet")
+    val b = TextAnalysis.t6HashSample(spark, tmp).select("doc_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // and it actually samples: strictly between 0 and all docs
+    val n = a.count()
+    assert(n > 0 && n < shuffled.count())
+  }
+
+  test("pipe1 accounting: docs survive gate+dedup, never multiply") {
+    val out = TextAnalysis.pipe1TrainingPipeline(spark, sf)
+    val total = out.agg(sum("n_docs")).head.getLong(0)
+    val source = Tables.load(spark, sf, "documents").count()
+    assert(total > 0 && total <= source)
+    // dedup invariant: distinct canonical texts >= surviving docs
+    val distinctCanon = Tables.load(spark, sf, "documents")
+      .select(lower(regexp_replace(col("text"), "\\s+", " ")).as("c"))
+      .distinct().count()
+    assert(total <= distinctCanon)
+  }
+
   test("t5 fingerprint sets are whitespace/case-insensitive") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_t5c").toString
