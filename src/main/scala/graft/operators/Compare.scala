@@ -32,6 +32,17 @@ import graft.functions.Norm._
   */
 object Compare {
 
+  /** ONE chunk-bucket definition for the orders compare family —
+    * c3's losslessness proof REQUIRES phase 2 to bucket with exactly
+    * the same expression as a2b's phase 1; two copies would let a
+    * width tune silently desynchronize them and drop real diffs.
+    */
+  private def ordersChunkId: Column =
+    floor(col("o_orderkey") / 1000).cast("long")
+
+  private val ordersChunkIdSql: String =
+    "CAST(floor(o_orderkey / 1000.0) AS BIGINT)"
+
   /** Per-chunk summary: fast-path compare unit (A1+A2).
     * `chunkExpr` buckets the split key (reference: range chunks from
     * CREATE_CHUNKS_BY_NUMBER_COL; here a computed bucket, which at
@@ -288,7 +299,7 @@ object Compare {
     * chunks the slow path would rescan.
     */
   def a2bChunkCompare(s: SparkSession, d: String): DataFrame = {
-    val bucket = floor(col("o_orderkey") / 1000).cast("long")
+    val bucket = ordersChunkId
     val src = chunkSummary(Tables.load(s, d, "orders"), bucket, ordersNorm)
       .withColumnRenamed("n_rows", "src_rows")
       .withColumnRenamed("row_checksum", "src_sum")
@@ -307,11 +318,11 @@ object Compare {
     val row = Norm.duckRow(ordersNorm)
     val sum = Norm.duckRowChecksum(ordersNorm)
     s"""WITH src AS (
-       |  SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS chunk_id,
+       |  SELECT $ordersChunkIdSql AS chunk_id,
        |         count(*) AS src_rows, $sum AS src_sum
        |  FROM orders GROUP BY 1),
        |tgt AS (
-       |  SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS chunk_id,
+       |  SELECT $ordersChunkIdSql AS chunk_id,
        |         count(*) AS tgt_rows, $sum AS tgt_sum
        |  FROM $driftedOrdersSql AS orders GROUP BY 1)
        |SELECT chunk_id,
@@ -339,9 +350,8 @@ object Compare {
     * narrowed result equals the unnarrowed one.
     */
   def c3NarrowedDiff(s: SparkSession, d: String): DataFrame = {
-    val bucket = floor(col("o_orderkey") / 1000).cast("long")
-    val src = Tables.load(s, d, "orders").withColumn("chunk_id", bucket)
-    val tgt = driftedOrders(s, d).withColumn("chunk_id", bucket)
+    val src = Tables.load(s, d, "orders").withColumn("chunk_id", ordersChunkId)
+    val tgt = driftedOrders(s, d).withColumn("chunk_id", ordersChunkId)
     val bad = a2bChunkCompare(s, d).select("chunk_id")
     def proj(df: DataFrame) = df
       .join(broadcast(bad), Seq("chunk_id"), "left_semi")
@@ -358,7 +368,7 @@ object Compare {
   val c3Sql: String = {
     val row = Norm.duckRow(ordersNorm)
     def proj(rel: String) =
-      s"""SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS chunk_id,
+      s"""SELECT $ordersChunkIdSql AS chunk_id,
          |       CAST(o_orderkey AS BIGINT) AS row_key, $row AS row_str
          |FROM $rel t""".stripMargin
     s"""WITH src AS (${proj("orders")}),

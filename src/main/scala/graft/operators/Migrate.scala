@@ -162,7 +162,7 @@ object Migrate {
       }))
   }
 
-  private[operators] def tempDir(tag: String): String = {
+  private[graft] def tempDir(tag: String): String = {
     val p = Files.createTempDirectory(s"graft_$tag")
     tempDirs.add(p)
     p.toString
@@ -731,6 +731,62 @@ object Migrate {
       |  CAST(sum(CASE WHEN o_orderkey % 5 <> 0 THEN o_custkey END) AS BIGINT) AS good_key_sum
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** The write half of s15: range-clustered layout —
+    * `repartitionByRange` + `sortWithinPartitions` on the query key,
+    * so each output file owns a DISJOINT key range and is internally
+    * sorted. Hive partitioning (s10) is for low-cardinality keys; for
+    * a high-cardinality range-query key this is the layout that works
+    * at 100 TB: parquet stores per-row-group min/max on the sort key,
+    * a range predicate prunes whole files/row-groups at footer time,
+    * and the sort makes those stats TIGHT (random layout gives every
+    * row-group a min≈global-min, max≈global-max — stats that prune
+    * nothing). MigrateSpec asserts the disjoint-file-range property
+    * directly.
+    */
+  def rangeLayoutWrite(s: SparkSession, d: String, out: String,
+      files: Int = 4): Unit =
+    Tables.load(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).cast("string")
+        .as("price_str"))
+      .repartitionByRange(files, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode(SaveMode.Overwrite).parquet(out)
+
+  /** s15: range-clustered export + range-pruned read-back. The range
+    * predicate on the read side hits the sort-key stats; the oracle
+    * recomputes the summary from the source, so the clustered write
+    * must be lossless under the predicate — boundary rows included
+    * (off-by-one at a range split would hash-mismatch).
+    */
+  def s15RangeLayout(s: SparkSession, d: String): DataFrame = {
+    val out = tempDir("s15")
+    rangeLayoutWrite(s, d, out)
+    val normCols = Seq(
+      NormCol("l_orderkey", KLong), NormCol("l_linenumber", KLong),
+      NormCol("price_str", KStr))
+    s.read.parquet(out)
+      .filter(col("l_orderkey") >= 2000 && col("l_orderkey") < 5000)
+      .groupBy(floor(col("l_orderkey") / 1000).cast("long").as("chunk_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        Norm.sparkRowChecksum(normCols).as("row_checksum"))
+  }
+
+  val s15Sql: String = {
+    val normCols = Seq(
+      NormCol("l_orderkey", KLong), NormCol("l_linenumber", KLong),
+      NormCol("price_str", KStr))
+    s"""SELECT CAST(floor(l_orderkey / 1000.0) AS BIGINT) AS chunk_id,
+       |  count(*) AS n_rows,
+       |  ${Norm.duckRowChecksum(normCols)} AS row_checksum
+       |FROM (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str
+       |  FROM lineitem
+       |  WHERE l_orderkey >= 2000 AND l_orderkey < 5000) t
+       |GROUP BY 1""".stripMargin
+  }
+
   val s9cSql: String =
     """SELECT * FROM (VALUES
       |  (1, 'ID', 'DECIMAL', 8, FALSE),
@@ -755,6 +811,7 @@ object Migrate {
     "s12_bucketed_join" -> s12BucketedJoin,
     "s13_compaction" -> s13Compaction,
     "s14_quarantine_read" -> s14QuarantineRead,
+    "s15_range_layout" -> s15RangeLayout,
     "s2_chunked_scan" -> s2ChunkedScan)
 
   val oracles: Map[String, String] = Map(
@@ -770,6 +827,7 @@ object Migrate {
     "s12_bucketed_join" -> s12Sql,
     "s13_compaction" -> s13Sql,
     "s14_quarantine_read" -> s14Sql,
+    "s15_range_layout" -> s15Sql,
     // orders keys are dense 0..N-1 at every sf: 15000 rows/sf0.01 →
     // ceil(15000/2000)=8 chunks; recomputed generically below.
     "s2_chunked_scan" -> s2SqlGeneric)

@@ -82,18 +82,23 @@ object Cdc {
     * keyspace, not log length).
     */
   def applyChanges(changes: DataFrame): DataFrame =
-    // arg-max as max(struct(scn, seq, ...)): (scn, seq) is the total
-    // log order, and replayed records are bit-identical, so the max is
-    // well-defined under re-delivery — no (key,scn) dedup pass needed.
-    // One partial-aggregable aggregate: no sort, no window, map-side
-    // combine at 100 TB. (A row_number window would full-sort each
-    // key's history and also trips SPARK's exceptAll attribute-binding
-    // bug when layered under set ops.)
+    lastChange(changes).filter(col("op") =!= "DELETE")
+
+  /** Per-key arg-max change INCLUDING the DELETE tombstones — the
+    * unit a stateful sink applies (upsert or delete per key).
+    * Arg-max as max(struct(scn, seq, ...)): (scn, seq) is the total
+    * log order, and replayed records are bit-identical, so the max is
+    * well-defined under re-delivery — no (key,scn) dedup pass needed.
+    * One partial-aggregable aggregate: no sort, no window, map-side
+    * combine at 100 TB. (A row_number window would full-sort each
+    * key's history and also trips Spark's exceptAll attribute-binding
+    * bug when layered under set ops.)
+    */
+  def lastChange(changes: DataFrame): DataFrame =
     changes
       .groupBy(col("table_name"), col("key"))
       .agg(max(struct(col("scn"), col("seq"), col("op"), col("value")))
         .as("last"))
-      .filter(col("last.op") =!= "DELETE")
       .select(col("table_name"), col("key"), col("last.scn").as("scn"),
         col("last.seq").as("seq"),
         col("last.op").as("op"), col("last.value").as("value"))
@@ -548,6 +553,95 @@ object Cdc {
 
   val c6Sql: String = applyChangesSql(eventsAsChangesSql)
 
+  /** Idempotent JDBC batch apply — the reference's translate-then-
+    * execute path (C6: INSERT→REPLACE, UPDATE→delete+replace,
+    * DELETE→DELETE, `module/migrate/sql/oracle/o2m/translate.go:
+    * 147-334`, txn apply `apply.go:120-183`) against a real SQL
+    * target. Each micro-batch reduces to its per-key arg-max change
+    * ([[lastChange]] — the distributed part), then each partition
+    * renders and executes guarded statements:
+    *
+    *  - upsert = `MERGE ... WHEN MATCHED AND (scn,seq) newer THEN
+    *    UPDATE WHEN NOT MATCHED THEN INSERT` — the (scn,seq) guard is
+    *    what makes replay a no-op: a redelivered batch carries
+    *    bit-identical (scn,seq), the strict `>` fails, nothing moves
+    *    (the reference's replay guard C4, moved into the sink);
+    *  - DELETE by key (a replayed delete hits zero rows — no-op).
+    *
+    * Statements are rendered text exactly like the reference's (values
+    * here are numeric; string rendering would go through
+    * [[graft.functions.Escape]]). Per-partition connections, batched
+    * execution — rows-per-key-bounded, so executor memory is safe.
+    */
+  def applyBatchJdbc(batch: DataFrame, url: String, table: String): Unit =
+    lastChange(batch).coalesce(4).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.createStatement()
+          rows.foreach { r =>
+            val (k, scn, seq, op) = (r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getString(4))
+            val sql =
+              if (op == "DELETE")
+                // the same staleness guard as the MERGE: a stale
+                // out-of-order DELETE must not destroy newer state;
+                // an exact replay hits zero rows either way. (A
+                // delete tombstone's value may be NULL — never read.)
+                s"""DELETE FROM $table WHERE k = $k
+                   |AND (scn < $scn OR (scn = $scn AND seq <= $seq))""".stripMargin
+              else {
+                val v = r.getDouble(5)
+                s"""MERGE INTO $table t
+                   |USING SYSIBM.SYSDUMMY1
+                   |ON t.k = $k
+                   |WHEN MATCHED AND (t.scn < $scn
+                   |  OR (t.scn = $scn AND t.seq < $seq))
+                   |THEN UPDATE SET v = $v, scn = $scn, seq = $seq
+                   |WHEN NOT MATCHED THEN INSERT (k, scn, seq, v)
+                   |VALUES ($k, $scn, $seq, $v)""".stripMargin
+              }
+            st.addBatch(sql)
+          }
+          st.executeBatch()
+          conn.commit()
+          st.close()
+        } finally conn.close()
+    }
+
+  /** c6b: CDC apply into an embedded Derby target via guarded MERGE,
+    * WITH a full duplicate delivery (the same batch applied twice —
+    * the C4 replay case) — then the target is read back over JDBC.
+    * The oracle computes the pure last-writer-wins state, so what the
+    * hash proves is: translate→MERGE→replay→read-back lands exactly
+    * the state the log defines, and the replay moved nothing.
+    */
+  def c6bJdbcMerge(s: SparkSession, d: String): DataFrame = {
+    val dbDir = graft.operators.Migrate.tempDir("derby_cdc")
+    System.setProperty("derby.system.home", dbDir)
+    val url = s"jdbc:derby:$dbDir/cdcdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        "CREATE TABLE CDC_STATE (k BIGINT PRIMARY KEY, scn BIGINT, " +
+          "seq BIGINT, v DOUBLE)")
+      st.close()
+    } finally conn.close()
+    val feed = eventsAsChanges(s, d)
+    applyBatchJdbc(feed, url, "CDC_STATE")
+    applyBatchJdbc(feed, url, "CDC_STATE") // duplicate delivery: no-op
+    s.read.format("jdbc").option("url", url)
+      .option("dbtable", "CDC_STATE").load()
+      .select(col("k").as("key"), col("scn"), col("seq"),
+        col("v").as("value"))
+  }
+
+  val c6bSql: String =
+    s"""SELECT key, scn, seq, value
+       |FROM (${applyChangesSql(eventsAsChangesSql)}) t""".stripMargin
+
   /** p5: CDC record filter (P5) — op whitelist + SCN checkpoint with
     * replay-guard boundary (`SCN >` after reset; `logminer.go:100-193`).
     */
@@ -714,6 +808,7 @@ object Cdc {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c5_redo_parse" -> c5RedoParse,
     "c6_cdc_apply" -> c6CdcApply,
+    "c6b_jdbc_merge" -> c6bJdbcMerge,
     "p5_cdc_filter" -> p5CdcFilter,
     "c8_window_agg" -> c8WindowAgg,
     "c9_session_window" -> c9SessionWindow,
@@ -723,6 +818,7 @@ object Cdc {
   val oracles: Map[String, String] = Map(
     "c5_redo_parse" -> c5Sql,
     "c6_cdc_apply" -> c6Sql,
+    "c6b_jdbc_merge" -> c6bSql,
     "p5_cdc_filter" -> p5Sql,
     "c8_window_agg" -> c8Sql,
     "c9_session_window" -> c9Sql,

@@ -343,4 +343,40 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val total = sessions.agg(sum("n_events")).head.getLong(0)
     assert(total == Tables.load(spark, sf, "events").count())
   }
+
+  test("jdbc merge apply: stale replay never overwrites newer state") {
+    import spark.implicits._
+    val dbDir = graft.operators.Migrate.tempDir("cdc_merge_t")
+    System.setProperty("derby.system.home", dbDir)
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE S (k BIGINT PRIMARY KEY, scn BIGINT, seq BIGINT, v DOUBLE)")
+    finally conn.close()
+    def feed(rows: Seq[(Long, Long, String, Long, Option[Double])]) =
+      rows.toDF("scn", "seq", "op", "key", "value")
+        .withColumn("table_name", lit("t"))
+    val older = feed(Seq(
+      (1L, 0L, "INSERT", 1L, Some(1.0)), (1L, 0L, "INSERT", 2L, Some(2.0)),
+      // a stale DELETE, older than the state it targets, with the
+      // normal NULL-valued tombstone shape (the apply must never
+      // read a tombstone's value)
+      (1L, 1L, "DELETE", 3L, None)))
+    val newer = feed(Seq(
+      (2L, 0L, "UPDATE", 1L, Some(10.0)), (2L, 0L, "UPDATE", 2L, Some(20.0)),
+      (2L, 0L, "INSERT", 3L, Some(30.0))))
+    Cdc.applyBatchJdbc(newer, url, "S")
+    // out-of-order delivery of the OLDER batch: the (scn,seq) guards
+    // must reject the stale updates AND the stale delete
+    Cdc.applyBatchJdbc(older, url, "S")
+    val state = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "S").load()
+      .collect().map(r => r.getAs[Long]("K") -> r.getAs[Double]("V")).toMap
+    assert(state == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0), state.toString)
+    // exact re-delivery of the newer batch is a no-op too
+    Cdc.applyBatchJdbc(newer, url, "S")
+    val again = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "S").load().count()
+    assert(again == 3)
+  }
 }

@@ -109,8 +109,7 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("s12: bucketed join plan has zero Exchange (co-located at rest)") {
     Migrate.bucketedWrite(spark, sf,
-      java.nio.file.Files.createTempDirectory("graft_s12o").toString,
-      java.nio.file.Files.createTempDirectory("graft_s12c").toString)
+      Migrate.tempDir("s12o_t"), Migrate.tempDir("s12c_t"))
     // disable broadcast so the layout (not the dim size) decides the plan
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
@@ -127,8 +126,8 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("s13: compaction collapses 64 shards into size-targeted files") {
-    val frag = java.nio.file.Files.createTempDirectory("graft_s13f").toString
-    val comp = java.nio.file.Files.createTempDirectory("graft_s13c").toString
+    val frag = Migrate.tempDir("s13f_t")
+    val comp = Migrate.tempDir("s13c_t")
     val src = Tables.load(spark, sf, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     src.repartition(64).write.mode("overwrite").parquet(frag)
@@ -141,6 +140,30 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // lossless: every row survives, none duplicated
     assert(spark.read.parquet(comp).exceptAll(src).isEmpty)
     assert(src.exceptAll(spark.read.parquet(comp)).isEmpty)
+  }
+
+  test("s15: range layout gives disjoint per-file key ranges") {
+    val out = Migrate.tempDir("s15_t")
+    Migrate.rangeLayoutWrite(spark, sf, out, files = 4)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 4, files.length.toString)
+    // per-file [min,max] on the sort key must not overlap — this is
+    // the property that makes footer stats prune range queries
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("l_orderkey"), max("l_orderkey")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping file ranges: $hi >= $lo2")
+      case _ =>
+    }
+    // lossless: clustered copy holds every source row exactly once
+    val n = spark.read.parquet(out).count()
+    assert(n == Tables.load(spark, sf, "lineitem").count())
   }
 
   test("overwrite sink replaces prior contents (truncate-before-load)") {
