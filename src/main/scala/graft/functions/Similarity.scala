@@ -346,8 +346,101 @@ object Similarity {
 
   // ------------------------------------------------------------- registry
 
+  /** Deterministic ±1 "random" hyperplanes (P=16 planes over d=64)
+    * from md5 parity of "rph|plane|dim" — generated once at
+    * query-BUILD time and embedded as literals in both the Spark plan
+    * and the oracle SQL, so cross-engine parity is by construction.
+    * Multiplying by exactly ±1.0 is IEEE-exact, so the signature bits
+    * are bit-stable wherever the dot products are (same fold the ann
+    * family already relies on).
+    */
+  private val rphPlanes: Seq[Seq[Double]] =
+    (0 until 16).map { p =>
+      (0 until 64).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rph|$p|$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1.0 else -1.0
+      }
+    }
+
+  /** d7: random-hyperplane LSH near-dup pairs — the third blocking
+    * family for embeddings next to d5's IVF cells (data-dependent
+    * centroids) and d4's token SimHash: each vector gets a 16-bit
+    * signature (sign of 16 hyperplane projections — a cosine-LSH, the
+    * SimHash construction applied to real vectors), the signature
+    * splits into 4 × 4-bit pigeonhole bands, candidates equi-join on
+    * (band, value), and every candidate is verified by exact cosine.
+    * Two vectors with cosine ≥ threshold agree on most signature bits
+    * (P[bit agree] = 1 − θ/π), so some 4-bit band matches with high
+    * probability — same recall argument as d4b, now in embedding
+    * space. Scale shape: shuffle keys are (band, value) buckets; at
+    * larger N the band width grows with log N (more planes) to keep
+    * bucket occupancy — and fan-out — bounded, exactly d3's cap
+    * story. The oracle mirrors the banding, so the hash check covers
+    * the signature computation itself, not just the final pairs.
+    */
+  /** (vec_id, v, nrm, sig): the 16-bit hyperplane signature per
+    * vector — split out so the spec can assert the pigeonhole banding
+    * guarantee on the signatures the query actually computes.
+    */
+  private[graft] def rphSignatures(s: SparkSession, d: String): DataFrame = {
+    val sig = rphPlanes.zipWithIndex.map { case (h, p) =>
+      when(dot(col("v"), array(h.map(lit): _*)) >= 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    corpus(s, d).withColumn("sig", sig)
+  }
+
+  def d7RphPairs(s: SparkSession, d: String): DataFrame = {
+    val banded = rphSignatures(s, d)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until 4).map(b => struct(
+          lit(b).as("band"),
+          shiftright(col("sig"), 4 * b).bitwiseAND(lit(15L)).as("bv"))): _*))
+          .as("bb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bv"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.v").as("va"), col("x.nrm").as("na"),
+        col("y.v").as("vb"), col("y.nrm").as("nb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) > 0.3)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
+  val d7Sql: String = {
+    val planeRows = rphPlanes.zipWithIndex.map { case (h, p) =>
+      val arr = h.map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"($p, $arr)"
+    }.mkString(",\n    ")
+    s"""WITH c AS ($corpusSql),
+       |planes(pid, h) AS (VALUES
+       |    $planeRows),
+       |sig AS (
+       |  SELECT vec_id, v, nrm,
+       |    CAST(sum(CASE WHEN ${dotSql("v", "h")} >= 0
+       |             THEN 1 << pid ELSE 0 END) AS BIGINT) AS sig
+       |  FROM c, planes GROUP BY vec_id, v, nrm),
+       |banded AS (
+       |  SELECT vec_id, sig, band, (sig >> CAST(4 * band AS INT)) & 15 AS bv
+       |  FROM sig, range(4) b(band)),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id)
+       |SELECT vec_a, vec_b
+       |FROM cand
+       |JOIN c a ON a.vec_id = vec_a
+       |JOIN c b2 ON b2.vec_id = vec_b
+       |WHERE ${dotSql("a.v", "b2.v")} / (a.nrm * b2.nrm) > 0.3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann5_kmeans_iter" -> ann5KmeansIter,
+    "d7_rph_pairs" -> d7RphPairs,
     "ann1_brute_topk" -> ann1BruteTopK,
     "ann2_ivf_topk" -> ann2IvfTopK,
     "ann3_recall" -> ann3Recall,
@@ -356,6 +449,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann5_kmeans_iter" -> ann5Sql,
+    "d7_rph_pairs" -> d7Sql,
     "ann1_brute_topk" -> ann1Sql,
     "ann2_ivf_topk" -> ann2Sql,
     "ann3_recall" -> ann3Sql,

@@ -576,6 +576,30 @@ object Relational {
        |FROM r GROUP BY 1""".stripMargin
   }
 
+  /** a34: rollup report — the assess-overview shape with subtotal and
+    * grand-total rows (SURVEY §2.4: grouping sets/rollup are absent in
+    * the reference's hand-written reports and free in Catalyst). One
+    * Expand + one partial-aggregable aggregate: at 100 TB the rollup
+    * costs (levels × rows) map-side, never a second scan. NULL group
+    * keys are the subtotal markers, identically in both engines.
+    */
+  def a34RollupReport(s: SparkSession, d: String): DataFrame =
+    cust(s, d)
+      .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_custs"),
+        decStr(sum(col("c_acctbal").cast(DecimalType(12, 2)))
+          .cast(DecimalType(38, 2))).as("total_bal"))
+
+  val a34Sql: String =
+    """SELECT r_name, n_name, count(*) AS n_custs,
+      |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
   /** j7: salted skew join — the join-side companion of a16's salted
     * aggregation. A fact stream where one key carries ~80% of rows
     * (here: 80% of lineitem maps to dim_key 0) sends all of that key's
@@ -686,7 +710,8 @@ object Relational {
     "j6_banded_range_join" -> j6BandedRangeJoin,
     "j7_salted_skew_join" -> j7SaltedSkewJoin,
     "j8_bloom_prejoin" -> j8BloomPrejoin,
-    "a33_percentile_profile" -> a33PercentileProfile)
+    "a33_percentile_profile" -> a33PercentileProfile,
+    "a34_rollup_report" -> a34RollupReport)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -712,5 +737,6 @@ object Relational {
     "j6_banded_range_join" -> j6Sql,
     "j7_salted_skew_join" -> j7Sql,
     "j8_bloom_prejoin" -> j8Sql,
-    "a33_percentile_profile" -> a33Sql)
+    "a33_percentile_profile" -> a33Sql,
+    "a34_rollup_report" -> a34Sql)
 }

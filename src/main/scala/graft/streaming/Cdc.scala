@@ -642,6 +642,52 @@ object Cdc {
     s"""SELECT key, scn, seq, value
        |FROM (${applyChangesSql(eventsAsChangesSql)}) t""".stripMargin
 
+  /** w9: conversion funnel over the event stream — per user, first
+    * signup then first SUBSEQUENT purchase, bucketed by conversion
+    * latency. The sequential-pattern shape every event pipeline needs;
+    * two keyed aggregations and one equi-join on user_id (the
+    * ordering constraint is a filter under the min, NOT a range
+    * join — at 100 TB events this shuffles on user_id only, and the
+    * signup side is one row per user, broadcastable).
+    */
+  def w9Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events").select(
+      col("user_id"), col("event_type"),
+      unix_timestamp(date_trunc("second", col("ts"))).as("epoch"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("epoch").as("signup_t"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(signup), "user_id")
+      .filter(col("epoch") >= col("signup_t"))
+      .groupBy("user_id").agg(min("epoch").as("purchase_t"))
+    signup.join(firstPurchase, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (col("purchase_t") - col("signup_t")).as("delta_s"))
+      .withColumn("bucket",
+        when(col("delta_s").isNull, lit("NO_PURCHASE"))
+          .when(col("delta_s") <= 3600, lit("WITHIN_1H"))
+          .when(col("delta_s") <= 86400, lit("WITHIN_24H"))
+          .otherwise(lit("LATER")))
+  }
+
+  val w9Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch
+      |  FROM events),
+      |s AS (SELECT user_id, min(epoch) AS signup_t FROM ev
+      |      WHERE event_type = 'signup' GROUP BY 1),
+      |p AS (SELECT ev.user_id, min(epoch) AS purchase_t
+      |      FROM ev JOIN s USING (user_id)
+      |      WHERE event_type = 'purchase' AND epoch >= signup_t
+      |      GROUP BY 1)
+      |SELECT s.user_id, purchase_t - signup_t AS delta_s,
+      |  CASE WHEN purchase_t IS NULL THEN 'NO_PURCHASE'
+      |       WHEN purchase_t - signup_t <= 3600 THEN 'WITHIN_1H'
+      |       WHEN purchase_t - signup_t <= 86400 THEN 'WITHIN_24H'
+      |       ELSE 'LATER' END AS bucket
+      |FROM s LEFT JOIN p ON s.user_id = p.user_id""".stripMargin
+
   /** p5: CDC record filter (P5) — op whitelist + SCN checkpoint with
     * replay-guard boundary (`SCN >` after reset; `logminer.go:100-193`).
     */
@@ -813,7 +859,8 @@ object Cdc {
     "c8_window_agg" -> c8WindowAgg,
     "c9_session_window" -> c9SessionWindow,
     "c10_interval_join" -> c10IntervalJoin,
-    "w2_lag_lead" -> w2LagLead)
+    "w2_lag_lead" -> w2LagLead,
+    "w9_funnel" -> w9Funnel)
 
   val oracles: Map[String, String] = Map(
     "c5_redo_parse" -> c5Sql,
@@ -823,5 +870,6 @@ object Cdc {
     "c8_window_agg" -> c8Sql,
     "c9_session_window" -> c9Sql,
     "c10_interval_join" -> c10Sql,
-    "w2_lag_lead" -> w2Sql)
+    "w2_lag_lead" -> w2Sql,
+    "w9_funnel" -> w9Sql)
 }

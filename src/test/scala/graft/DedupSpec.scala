@@ -138,4 +138,23 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(fps.values.max == 2L, s"expected one re-emitted dup: $fps")
     assert(spark.read.parquet(out).count() == 4)
   }
+
+  test("d7 banding pigeonhole: hamming<=3 signature pairs always collide") {
+    import graft.functions.Similarity
+    val sigs = Similarity.rphSignatures(spark, sf)
+      .select("vec_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // every pair within hamming 3 of the 16-bit signature MUST share
+    // one of the 4 exact 4-bit bands (4 mismatched bits can't cover 4
+    // bands... 3 can't either — pigeonhole), i.e. banding recall on
+    // near-identical signatures is exactly 1, never "probably"
+    def bands(s: Long) = (0 until 4).map(b => (b, (s >> (4 * b)) & 15L))
+    for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } assert(bands(sa).intersect(bands(sb)).nonEmpty,
+      s"pair ($ida,$idb) hamming<=3 missed all bands")
+    // and the signatures are non-degenerate: more than one value
+    assert(sigs.map(_._2).distinct.length > 1)
+  }
 }
