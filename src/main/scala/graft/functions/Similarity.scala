@@ -24,13 +24,24 @@ import graft.Tables
   */
 object Similarity {
 
-  /** corpus with double-cast vector and L2 norm. */
-  private def corpus(s: SparkSession, d: String): DataFrame =
+  /** corpus with double-cast vector and L2 norm. Registers the native
+    * dot_product expression on the session — every similarity query
+    * flows through here (directly or via assignedCells), so `dot`
+    * below always resolves.
+    */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    graft.plans.DotProduct.register(s)
+    // array-level cast, not transform(x -> cast): lambda-bearing
+    // higher-order expressions are CodegenFallback and knock the WHOLE
+    // enclosing projection out of whole-stage codegen; Cast fuses.
+    // float→double widening is exact either way. nrm = sqrt(v·v) is
+    // the same ascending-index fold the old aggregate(transform) form
+    // did — bit-identical, but inside generated code.
     Tables.load(s, d, "embeddings").select(
       col("vec_id"), col("label"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
 
   private val corpusSql: String =
     """SELECT vec_id, label,
@@ -40,8 +51,14 @@ object Similarity {
       |    AS nrm
       |FROM embeddings""".stripMargin
 
+  /** Codegen'd native dot product ([[graft.plans.DotProduct]]) — same
+    * left-to-right IEEE fold as the previous
+    * `aggregate(zip_with(_*_), 0d, _+_)` form, so every oracle hash is
+    * unchanged; the higher-order chain evaluated two interpreted
+    * lambdas per element and was the similarity family's hot spot.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("dot_product", a, b)
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"

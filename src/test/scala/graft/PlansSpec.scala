@@ -57,4 +57,41 @@ class PlansSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(onePass.exceptAll(twoAgg).isEmpty &&
       twoAgg.exceptAll(onePass).isEmpty)
   }
+
+  test("native dot_product is bit-identical to the higher-order fold") {
+    graft.plans.DotProduct.register(spark)
+    val v = Tables.load(spark, sf, "embeddings")
+      .select(expr("transform(embedding, x -> cast(x as double))").as("v"))
+    // same left-to-right IEEE fold ⇒ doubleToLongBits-identical, not
+    // just approximately equal — the oracle hashes depend on that
+    val both = v.select(
+      expr("dot_product(v, v)").as("native"),
+      expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0d, (a, x) -> a + x)")
+        .as("hof"))
+    val mismatches = both.filter(
+      !(col("native") <=> col("hof"))).count()
+    assert(mismatches == 0)
+  }
+
+  test("dot_product participates in whole-stage codegen") {
+    graft.plans.DotProduct.register(spark)
+    // array-level cast, NOT transform(x -> cast): lambda higher-order
+    // functions are CodegenFallback and would break the stage
+    val plan = Tables.load(spark, sf, "embeddings")
+      .selectExpr(
+        "dot_product(cast(embedding as array<double>), " +
+          "cast(embedding as array<double>)) AS d")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [dot_product("), plan)
+  }
+
+  test("dot_product rejects dimension mismatch instead of truncating") {
+    import spark.implicits._
+    graft.plans.DotProduct.register(spark)
+    val ex = intercept[Exception] {
+      Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+        .selectExpr("dot_product(a, b)").collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
