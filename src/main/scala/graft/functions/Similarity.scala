@@ -372,7 +372,7 @@ object Similarity {
     * family already relies on).
     */
   private val rphPlanes: Seq[Seq[Double]] =
-    (0 until 16).map { p =>
+    (0 until 32).map { p =>
       (0 until 64).map { i =>
         val h = java.security.MessageDigest.getInstance("MD5")
           .digest(s"rph|$p|$i".getBytes("UTF-8"))
@@ -380,23 +380,36 @@ object Similarity {
       }
     }
 
+  /** Hot-bucket occupancy cap for d7's band join — same rationale and
+    * oracle-mirroring as d3/d4b's BUCKET_CAP: one degenerate bucket
+    * (a mob of near-identical vectors, or a band value the signature
+    * distribution happens to favor) would contribute B² candidate
+    * pairs and dominate the join; dropping buckets past the cap
+    * bounds the worst task. Below the cap, band recall is untouched.
+    */
+  private val RPH_BUCKET_CAP = 256
+
   /** d7: random-hyperplane LSH near-dup pairs — the third blocking
     * family for embeddings next to d5's IVF cells (data-dependent
-    * centroids) and d4's token SimHash: each vector gets a 16-bit
-    * signature (sign of 16 hyperplane projections — a cosine-LSH, the
+    * centroids) and d4's token SimHash: each vector gets a 32-bit
+    * signature (sign of 32 hyperplane projections — a cosine-LSH, the
     * SimHash construction applied to real vectors), the signature
-    * splits into 4 × 4-bit pigeonhole bands, candidates equi-join on
-    * (band, value), and every candidate is verified by exact cosine.
-    * Two vectors with cosine ≥ threshold agree on most signature bits
-    * (P[bit agree] = 1 − θ/π), so some 4-bit band matches with high
-    * probability — same recall argument as d4b, now in embedding
-    * space. Scale shape: shuffle keys are (band, value) buckets; at
-    * larger N the band width grows with log N (more planes) to keep
-    * bucket occupancy — and fan-out — bounded, exactly d3's cap
-    * story. The oracle mirrors the banding, so the hash check covers
-    * the signature computation itself, not just the final pairs.
+    * splits into 4 × 8-bit pigeonhole bands, buckets past
+    * [[RPH_BUCKET_CAP]] are dropped (d3's cap story), candidates
+    * equi-join on (band, value), and every candidate is verified by
+    * exact cosine. Two vectors with cosine ≥ threshold agree on most
+    * signature bits (P[bit agree] = 1 − θ/π), so some 8-bit band
+    * matches with high probability, and hamming ≤ 3 signature pairs
+    * collide with certainty (pigeonhole over 4 bands). Scale shape:
+    * shuffle keys are (band, value) buckets with 256 values per band
+    * and a hard occupancy cap — per-bucket fan-out is ≤ CAP², never
+    * N²/bands (the first cut used 4-bit bands: average occupancy
+    * N/16 meant ~12M candidate pairs at 20k vectors; band WIDTH is
+    * the lever, the cap is the backstop). The oracle mirrors banding
+    * and cap, so the hash check covers the signature computation
+    * itself, not just the final pairs.
     */
-  /** (vec_id, v, nrm, sig): the 16-bit hyperplane signature per
+  /** (vec_id, v, nrm, sig): the 32-bit hyperplane signature per
     * vector — split out so the spec can assert the pigeonhole banding
     * guarantee on the signatures the query actually computes.
     */
@@ -413,11 +426,14 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"),
         explode(array((0 until 4).map(b => struct(
           lit(b).as("band"),
-          shiftright(col("sig"), 4 * b).bitwiseAND(lit(15L)).as("bv"))): _*))
+          shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*))
           .as("bb"))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
-    banded.as("x").join(banded.as("y"), Seq("band", "bv"))
+    val small = banded.groupBy("band", "bv").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= RPH_BUCKET_CAP).select("band", "bv")
+    val kept = banded.join(small, Seq("band", "bv"))
+    kept.as("x").join(kept.as("y"), Seq("band", "bv"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         col("x.v").as("va"), col("x.nrm").as("na"),
@@ -439,14 +455,18 @@ object Similarity {
        |sig AS (
        |  SELECT vec_id, v, nrm,
        |    CAST(sum(CASE WHEN ${dotSql("v", "h")} >= 0
-       |             THEN 1 << pid ELSE 0 END) AS BIGINT) AS sig
+       |             THEN CAST(1 AS BIGINT) << pid ELSE 0 END) AS BIGINT) AS sig
        |  FROM c, planes GROUP BY vec_id, v, nrm),
        |banded AS (
-       |  SELECT vec_id, sig, band, (sig >> CAST(4 * band AS INT)) & 15 AS bv
+       |  SELECT vec_id, sig, band, (sig >> CAST(8 * band AS INT)) & 255 AS bv
        |  FROM sig, range(4) b(band)),
+       |bsz AS (SELECT band, bv, count(*) AS bn FROM banded GROUP BY 1, 2),
+       |kept AS (SELECT b.vec_id, b.band, b.bv FROM banded b
+       |         JOIN bsz ON b.band = bsz.band AND b.bv = bsz.bv
+       |         WHERE bsz.bn <= $RPH_BUCKET_CAP),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-       |  FROM banded x JOIN banded y
+       |  FROM kept x JOIN kept y
        |    ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id)
        |SELECT vec_a, vec_b
        |FROM cand

@@ -144,11 +144,11 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val sigs = Similarity.rphSignatures(spark, sf)
       .select("vec_id", "sig").collect()
       .map(r => r.getLong(0) -> r.getLong(1))
-    // every pair within hamming 3 of the 16-bit signature MUST share
-    // one of the 4 exact 4-bit bands (4 mismatched bits can't cover 4
-    // bands... 3 can't either — pigeonhole), i.e. banding recall on
+    // every pair within hamming 3 of the 32-bit signature MUST share
+    // one of the 4 exact 8-bit bands (3 mismatched bits can't touch
+    // all 4 bands — pigeonhole), i.e. banding recall on
     // near-identical signatures is exactly 1, never "probably"
-    def bands(s: Long) = (0 until 4).map(b => (b, (s >> (4 * b)) & 15L))
+    def bands(s: Long) = (0 until 4).map(b => (b, (s >> (8 * b)) & 255L))
     for {
       (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
       if java.lang.Long.bitCount(sa ^ sb) <= 3
