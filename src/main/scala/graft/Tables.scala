@@ -34,4 +34,19 @@ object Tables {
         case None => spark.conf.unset(key)
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Memoized table schema. Each `load(...).schema` costs a driver-side
+    * footer read; catalog operators (snapshot, check, reverse) ask for
+    * the same schemas repeatedly, and at a 100×-table catalog the
+    * repeated listing is the bottleneck. Keyed by (dir, table) — the
+    * testdata is immutable per run; a mutating-catalog deployment
+    * would key by snapshot id instead.
+    */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String), org.apache.spark.sql.types.StructType]
+
+  def schemaOf(spark: SparkSession, dir: String,
+      name: String): org.apache.spark.sql.types.StructType =
+    schemaCache.getOrElseUpdate((dir, name), load(spark, dir, name).schema)
 }

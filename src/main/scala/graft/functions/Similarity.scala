@@ -363,7 +363,7 @@ object Similarity {
 
   // ------------------------------------------------------------- registry
 
-  /** Deterministic ±1 "random" hyperplanes (P=16 planes over d=64)
+  /** Deterministic ±1 "random" hyperplanes (P=32 planes over d=64)
     * from md5 parity of "rph|plane|dim" — generated once at
     * query-BUILD time and embedded as literals in both the Spark plan
     * and the oracle SQL, so cross-engine parity is by construction.

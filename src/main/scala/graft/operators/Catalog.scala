@@ -44,7 +44,9 @@ object Catalog {
   def snapshot(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.all.flatMap { t =>
-      Tables.load(s, d, t).schema.fields.zipWithIndex.map {
+      // memoized footer schema — one listing per (dir, table) per JVM,
+      // not per snapshot call (the k2/check/reverse paths all re-ask)
+      Tables.schemaOf(s, d, t).fields.zipWithIndex.map {
         case (f, i) => (t, i + 1, f.name, canonicalType(f.dataType), true)
       }
     }.toDF("table_name", "ordinal", "column_name", "data_type", "nullable")
@@ -200,15 +202,19 @@ object Catalog {
     .mkString("\nUNION ALL ")
 
   /** a11: per-table row counts (assess overview — the reference reads
-    * NVL(NUM_ROWS,0) stats, A4; here exact counts from parquet
-    * metadata, one metadata-only job per table).
+    * NVL(NUM_ROWS,0) stats, A4; here exact counts). ONE Spark job for
+    * the whole catalog: per-table zero-column count scans unioned into
+    * a single plan, instead of one sequential `.count()` action per
+    * table — at a 100×-table catalog the sequential loop's wall time
+    * is linear in tables (job-submission overhead dominates), the
+    * union runs all scans in one wave.
     */
-  def a11RowCounts(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  def a11RowCounts(s: SparkSession, d: String): DataFrame =
     Tables.all.map { t =>
-      (t, Tables.load(s, d, t).count())
-    }.toDF("table_name", "n_rows")
-  }
+      Tables.load(s, d, t)
+        .groupBy(lit(t).as("table_name"))
+        .agg(count(lit(1)).as("n_rows"))
+    }.reduce(_.unionAll(_))
 
   val a11Sql: String = Tables.all
     .map(t => s"SELECT '$t' AS table_name, count(*) AS n_rows FROM $t")

@@ -652,9 +652,15 @@ object Migrate {
       targetBytes: Long): Int = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(in).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(new Path(in))
-      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .map(_.getLen).sum
+    // recursive: a partitioned layout nests part- files under key=...
+    // subdirectories — a top-level listing would sum 0 bytes and
+    // silently compact everything to one file
+    val it = fs.listFiles(new Path(in), true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.startsWith("part-")) bytes += f.getLen
+    }
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     s.read.parquet(in).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(out)

@@ -570,9 +570,16 @@ object Cdc {
     *
     * Statements are rendered text exactly like the reference's (values
     * here are numeric; string rendering would go through
-    * [[graft.functions.Escape]]). Per-partition connections, batched
-    * execution — rows-per-key-bounded, so executor memory is safe.
+    * [[graft.functions.Escape]]). Per-partition connections; the batch
+    * is flushed every [[JdbcFlushEvery]] statements so sink-side
+    * buffering stays O(flush window) however many keys the partition
+    * holds. (Embedded Derby caveat: 4 concurrent writers on one
+    * embedded DB can escalate row locks to table locks under very
+    * large batches — the flush bound keeps each lock window small; a
+    * server-grade target takes per-partition connections natively.)
     */
+  val JdbcFlushEvery = 1000
+
   def applyBatchJdbc(batch: DataFrame, url: String, table: String): Unit =
     lastChange(batch).coalesce(4).foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -580,6 +587,7 @@ object Cdc {
         try {
           conn.setAutoCommit(false)
           val st = conn.createStatement()
+          var pending = 0
           rows.foreach { r =>
             val (k, scn, seq, op) = (r.getLong(1), r.getLong(2),
               r.getLong(3), r.getString(4))
@@ -592,7 +600,9 @@ object Cdc {
                 s"""DELETE FROM $table WHERE k = $k
                    |AND (scn < $scn OR (scn = $scn AND seq <= $seq))""".stripMargin
               else {
-                val v = r.getDouble(5)
+                // a NULL value on an INSERT/UPDATE is legal on the
+                // feed (not just DELETE tombstones) — render SQL NULL
+                val v = if (r.isNullAt(5)) "NULL" else r.getDouble(5).toString
                 s"""MERGE INTO $table t
                    |USING SYSIBM.SYSDUMMY1
                    |ON t.k = $k
@@ -603,8 +613,10 @@ object Cdc {
                    |VALUES ($k, $scn, $seq, $v)""".stripMargin
               }
             st.addBatch(sql)
+            pending += 1
+            if (pending >= JdbcFlushEvery) { st.executeBatch(); pending = 0 }
           }
-          st.executeBatch()
+          if (pending > 0) st.executeBatch()
           conn.commit()
           st.close()
         } finally conn.close()
