@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Norm
+import graft.functions.Norm.{KLong, KStr, NormCol}
+import graft.operators.Migrate.ChunkSpec
+
+/** pipe2: the reference's user-facing task-mode pipeline — the mode
+  * dispatch in `server/server.go:28-82` run end-to-end as ONE composed
+  * flow over the engine's own operators:
+  *
+  *   catalog snapshot (S5) → assess bounds/count (A3/A4) → reverse DDL
+  *   synthesis + artifact (S9, F11) → DDL apply to the JDBC target →
+  *   chunk plan + Ledger init (meta-DB checkpoint,
+  *   `database/meta/sync_meta_full.go`) → wave-wise chunked migrate
+  *   (S1/S2/S7, resumable, `module/migrate/sql/oracle/o2m/full.go:114-331`)
+  *   → chunked compare: per-chunk COUNT+checksum fast path (A1/A2) +
+  *   row-set symmetric diff slow path (J4) → fix-action synthesis
+  *   (`module/compare/oracle/o2m/compare.go:386-444`).
+  *
+  * Resume contract (the reference's checkpoint triage,
+  * `full.go:287-331`): every side effect lives under ONE caller-owned
+  * `workDir` (Derby target, parquet Ledger, DDL artifact), so a rerun
+  * with the same (workDir, task) replans identically, [[Ledger.pending]]
+  * validates the recorded plan, and only unfinished chunks move. A
+  * crash BETWEEN a wave's target write and its ledger mark is the
+  * hard case — the rerun re-runs that wave, and the wave write is
+  * idempotent because each wave DELETEs its own key ranges before
+  * inserting (the reference's per-chunk REPLACE INTO gives the same
+  * property statement-wise).
+  *
+  * Scale shape: chunks are processed in waves of `waveSize` — each
+  * wave is one distributed ranged write (all its chunk predicates
+  * OR-ed, pushed to the scan), so job count is chunks/waveSize, not
+  * chunks; resume granularity is one wave. The compare is the same
+  * single-shuffle machinery as a2b/j4. Nothing driver-side except the
+  * bounded plan/ledger rows — exactly the reference's meta-DB traffic.
+  */
+object Pipeline {
+
+  val ChunkRows = 1000L
+  val WaveSize = 4
+
+  /** Chunk plan with SQL-expressible boundaries: fixed key width
+    * `kw = ceil(span / ceil(cnt / chunkRows))`, chunk_id =
+    * `(key - minKey) div kw` — the same closed form the DuckDB oracle
+    * computes, so engine and oracle agree on chunk membership by
+    * construction (planChunks' density split has no integer-exact SQL
+    * inverse).
+    */
+  def planFixedWidth(minKey: Long, maxKey: Long, cnt: Long,
+      chunkRows: Long): (Long, Seq[ChunkSpec]) = {
+    require(cnt > 0 && maxKey >= minKey, "empty source — nothing to plan")
+    val span = maxKey - minKey + 1
+    val n = math.max(1L, (cnt + chunkRows - 1) / chunkRows)
+    val kw = math.max(1L, (span + n - 1) / n)
+    val nChunks = ((span + kw - 1) / kw).toInt
+    val chunks = (0 until nChunks).map { i =>
+      ChunkSpec(i, minKey + i * kw, math.min(minKey + (i + 1) * kw - 1, maxKey))
+    }
+    (kw, chunks)
+  }
+
+  /** Target-dialect type for a snapshot (canonical) type under the
+    * export projection (P1): integrals stay integral, everything the
+    * projection renders to a canonical string lands as VARCHAR — the
+    * reference's per-type SELECT-list rendering (`full.go:885-948`)
+    * paired with its datatype rule grid (F11/r-grids; this is the
+    * o2-Derby column of that grid, the sandbox's stand-in target).
+    */
+  def derbyTypeFor(canonical: String): String = canonical match {
+    case "BIGINT" => "BIGINT"
+    case "INT" => "INTEGER"
+    case "SMALLINT" => "SMALLINT"
+    case "DOUBLE" | "FLOAT" => "VARCHAR(44)" // exported decimal string
+    case "TIMESTAMP" => "VARCHAR(19)" // exported yyyy-MM-dd HH:mm:ss
+    case _ => "VARCHAR(64)"
+  }
+
+  /** End-to-end migration task. `failpoint` is a test seam: invoked
+    * with a stage label at every boundary; production callers leave
+    * the default no-op. Returns the compare report (one row per
+    * non-empty chunk).
+    */
+  def runMigration(s: SparkSession, d: String, workDir: String,
+      task: String, chunkRows: Long = ChunkRows, waveSize: Int = WaveSize,
+      failpoint: String => Unit = _ => ()): DataFrame = {
+    val table = "orders"
+    val tgtTable = "ORDERS_PIPE"
+    val keyCol = "o_orderkey"
+    System.setProperty("derby.system.home", workDir)
+    val url = s"jdbc:derby:$workDir/pipedb;create=true"
+    val ledgerPath = s"$workDir/ledger"
+
+    // ---- stage 1: catalog snapshot (S5) — bounded rows drive reverse
+    failpoint("snapshot")
+    val snapCols = Catalog.snapshot(s, d)
+      .filter(col("table_name") === table)
+      .orderBy("ordinal").collect()
+      .map(r => (r.getAs[String]("column_name"), r.getAs[String]("data_type")))
+
+    // ---- stage 2: assess (A3 bounds guard + A4 count) — one agg job
+    failpoint("assess")
+    val src0 = Tables.load(s, d, table)
+    val row = src0.agg(min(keyCol), max(keyCol), count(lit(1))).collect()(0)
+    val (minK, maxK, cnt) = (row.getLong(0), row.getLong(1), row.getLong(2))
+
+    // ---- stage 3: reverse — DDL synthesis + artifact (S9, F11).
+    // Quoted lower-case identifiers so the JDBC writer's quoted INSERT
+    // column list matches what CREATE TABLE declared.
+    failpoint("reverse")
+    val colDefs = snapCols.map { case (c, t) => s""""$c" ${derbyTypeFor(t)}""" }
+    val createSql =
+      s"CREATE TABLE $tgtTable (${colDefs.mkString(", ")})"
+    graft.reverse.Ddl.writeArtifact(s"$workDir/reverse_$table.sql",
+      Seq(createSql + ";"))
+
+    // ---- stage 4: apply DDL to the target (s9c direct-write path);
+    // on resume the table already exists (Derby SQLState X0Y32) — keep
+    // it, the wave writes are range-idempotent
+    failpoint("apply")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(createSql)
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      } finally st.close()
+    } finally conn.close()
+
+    // ---- stage 5: chunk plan + ledger init / resume triage
+    failpoint("plan")
+    val (kw, chunks) = planFixedWidth(minK, maxK, cnt, chunkRows)
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(ledgerPath)))
+      Ledger.init(s, ledgerPath, task, table, chunks)
+    val pending = Ledger.pending(s, ledgerPath, task, table, chunks)
+
+    // ---- stage 6: migrate — one distributed ranged write per wave
+    val decSpec = Map("o_totalprice" -> (14, 2))
+    val exportDf = src0.select(
+      Migrate.exportProjection(src0.schema, decSpec): _*)
+    pending.grouped(waveSize).zipWithIndex.foreach { case (wave, wi) =>
+      val ids = wave.map(_.id)
+      failpoint(s"wave_start:${ids.mkString(",")}")
+      // idempotence: a crashed-unmarked wave may have written rows —
+      // clear exactly this wave's ranges before inserting (bounded
+      // driver-side statements, one per chunk, against empty ranges in
+      // the happy path)
+      val c2 = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c2.createStatement()
+        wave.foreach(c => st.executeUpdate(
+          s"""DELETE FROM $tgtTable WHERE "$keyCol" BETWEEN ${c.lower} AND ${c.upper}"""))
+        st.close()
+      } finally c2.close()
+      exportDf
+        .filter(wave.map(c =>
+          col(keyCol).between(c.lower, c.upper)).reduce(_ || _))
+        .write.mode(SaveMode.Append).format("jdbc")
+        .option("url", url).option("dbtable", tgtTable)
+        .option("batchsize", 100).save()
+      failpoint(s"wave_written:${ids.mkString(",")}")
+      // wall-clock seq: nanoTime's origin is arbitrary PER JVM, so a
+      // cross-process resume could mark with a seq below the first
+      // run's — currentTimeMillis orders marks across restarts
+      Ledger.mark(s, ledgerPath, task, table, ids, Ledger.Success,
+        updateSeq = System.currentTimeMillis())
+    }
+
+    // ---- stage 7: compare — fast path per-chunk COUNT+checksum on
+    // both sides, slow path symmetric diff → fix actions (all the
+    // same single-shuffle operators a2b/j4/c2 register standalone)
+    failpoint("compare")
+    val normCols = Seq(NormCol("o_orderkey", KLong),
+      NormCol("o_custkey", KLong), NormCol("o_orderstatus", KStr),
+      NormCol("o_totalprice", KStr), NormCol("o_orderdate", KStr),
+      NormCol("o_orderpriority", KStr))
+    def chunkOf(c: org.apache.spark.sql.Column) =
+      ((c - lit(minK)) / lit(kw)).cast("long")
+    // JDBC metadata reports the quoted-lowercase column names, so the
+    // read schema matches the source names; Spark quotes the partition
+    // column itself (same path s7b exercises)
+    val back = Migrate.readJdbcChunked(s, url, tgtTable, keyCol,
+      minK, maxK + 1, 8)
+    val srcSum = Compare.chunkSummary(exportDf, chunkOf(col(keyCol)), normCols)
+    val tgtSum = Compare.chunkSummary(back, chunkOf(col(keyCol)), normCols)
+      .withColumnRenamed("n_rows", "t_rows")
+      .withColumnRenamed("row_checksum", "t_checksum")
+    val diff = Compare.symmetricDiffCols(exportDf, back, normCols, keyCol)
+    val fixes = Compare.fixActions(diff, tgtTable, keyCol, normCols)
+    val fixPerChunk = fixes
+      .groupBy(chunkOf(col("row_key")).as("chunk_id"))
+      .agg(count(lit(1)).as("n_fix_raw"))
+    srcSum.join(tgtSum, Seq("chunk_id"), "full_outer")
+      .join(fixPerChunk, Seq("chunk_id"), "left_outer")
+      .select(col("chunk_id"), col("n_rows"), col("row_checksum"),
+        (col("n_rows") <=> col("t_rows") &&
+          col("row_checksum") <=> col("t_checksum")).as("matched"),
+        coalesce(col("n_fix_raw"), lit(0L)).as("n_fix"))
+  }
+
+  // ------------------------------------------------------------- queries
+
+  /** pipe2: the composed pipeline as a registered query. The oracle is
+    * the composed PURE computation — per-chunk count+checksum of the
+    * export projection with the same closed-form chunk ids, matched
+    * TRUE and zero fix actions — so the hash proves snapshot → reverse
+    * → apply → migrate → compare lands exactly the state the source
+    * defines, end to end through a real JDBC target.
+    */
+  def pipe2Migration(s: SparkSession, d: String): DataFrame =
+    runMigration(s, d, Migrate.tempDir("pipe2"), task = "pipe2-task")
+
+  val pipe2Sql: String = {
+    val normCols = Seq(NormCol("o_orderkey", KLong),
+      NormCol("o_custkey", KLong), NormCol("o_orderstatus", KStr),
+      NormCol("o_totalprice", KStr), NormCol("o_orderdate", KStr),
+      NormCol("o_orderpriority", KStr))
+    s"""WITH proj AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus,
+       |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR) AS o_totalprice,
+       |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       |    o_orderpriority
+       |  FROM orders),
+       |b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+       |             count(*) AS cnt FROM orders),
+       |w AS (SELECT mn,
+       |  GREATEST(1, ((mx - mn + 1) + ((cnt + ${ChunkRows - 1}) // $ChunkRows) - 1)
+       |    // ((cnt + ${ChunkRows - 1}) // $ChunkRows)) AS kw
+       |  FROM b)
+       |SELECT CAST((o_orderkey - mn) // kw AS BIGINT) AS chunk_id,
+       |  count(*) AS n_rows,
+       |  ${Norm.duckRowChecksum(normCols)} AS row_checksum,
+       |  TRUE AS matched,
+       |  CAST(0 AS BIGINT) AS n_fix
+       |FROM proj, w
+       |GROUP BY 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe2_migration" -> pipe2Migration)
+
+  val oracles: Map[String, String] = Map(
+    "pipe2_migration" -> pipe2Sql)
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ledger, Pipeline}
+
+/** Failure-injection resume proof for the composed task-mode pipeline
+  * (the reference's checkpoint triage, `full.go:287-331`): kill the
+  * run at the WORST point — after a wave's target write, before its
+  * ledger mark — then rerun and assert (a) completed waves are
+  * skipped, (b) the killed wave re-runs idempotently, (c) the final
+  * compare is clean.
+  */
+class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private def freshWork() =
+    java.nio.file.Files.createTempDirectory("graft_pipe").toString
+
+  test("planFixedWidth covers [min,max] exactly, no overlap, SQL-invertible") {
+    val (kw, chunks) = Pipeline.planFixedWidth(10, 10009, 5000, 1000)
+    assert(chunks.head.lower == 10 && chunks.last.upper == 10009)
+    chunks.sliding(2).foreach {
+      case Seq(a, b) => assert(b.lower == a.upper + 1)
+      case _ => ()
+    }
+    // chunk_id must equal the closed form the oracle computes
+    chunks.foreach { c =>
+      assert((c.lower - 10) / kw == c.id && (c.upper - 10) / kw == c.id)
+    }
+  }
+
+  test("crash between wave write and mark: rerun skips done, re-runs " +
+    "the unmarked wave idempotently, compare is clean") {
+    val work = freshWork()
+    val task = "pipe-resume-test"
+
+    // run 1: crash after the SECOND wave's write, before its mark
+    var wavesWritten = 0
+    val boom = intercept[RuntimeException] {
+      Pipeline.runMigration(spark, sf, work, task, chunkRows = 200,
+        waveSize = 2, failpoint = l => {
+          if (l.startsWith("wave_written:")) {
+            wavesWritten += 1
+            if (wavesWritten == 2) throw new RuntimeException("injected")
+          }
+        })
+    }
+    assert(boom.getMessage == "injected")
+
+    // the ledger recorded exactly wave 1's chunks as SUCCESS; wave 2's
+    // rows ARE in the target but unmarked (the hard crash window)
+    val st1 = Ledger.state(spark, s"$work/ledger", task, "orders").collect()
+    val done1 = st1.filter(_.getAs[String]("status") == Ledger.Success)
+      .map(_.getAs[Int]("chunk_id")).toSet
+    assert(done1 == Set(0, 1), s"expected wave-1 chunks done, got $done1")
+
+    // run 2: same workDir+task resumes; record which waves run
+    val waves2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    val report = Pipeline.runMigration(spark, sf, work, task,
+      chunkRows = 200, waveSize = 2, failpoint = l =>
+        if (l.startsWith("wave_start:")) waves2 += l.stripPrefix("wave_start:"))
+      .collect()
+
+    // completed chunks 0,1 never re-ran; the unmarked wave (2,3) did
+    val rerunIds = waves2.flatMap(_.split(",")).map(_.toInt).toSet
+    assert(!rerunIds.contains(0) && !rerunIds.contains(1),
+      s"resume re-ran completed chunks: $waves2")
+    assert(rerunIds.contains(2) && rerunIds.contains(3),
+      s"resume skipped the unmarked wave: $waves2")
+
+    // end state: every chunk matched, zero fix actions — the killed
+    // wave's delete-before-insert made its re-run lossless, not doubled
+    assert(report.nonEmpty)
+    report.foreach { r =>
+      assert(r.getAs[Boolean]("matched"),
+        s"chunk ${r.getAs[Long]("chunk_id")} mismatched after resume")
+      assert(r.getAs[Long]("n_fix") == 0L)
+    }
+    val nRows = report.map(_.getAs[Long]("n_rows")).sum
+    val expected = Tables.load(spark, sf, "orders").count()
+    assert(nRows == expected, s"migrated $nRows of $expected rows")
+
+    // and the ledger now shows the full plan done
+    val st2 = Ledger.state(spark, s"$work/ledger", task, "orders").collect()
+    assert(st2.forall(_.getAs[String]("status") == Ledger.Success))
+  }
+
+  test("clean run end-to-end: all chunks matched, artifact written") {
+    val work = freshWork()
+    val report = Pipeline.runMigration(spark, sf, work, "pipe-clean")
+      .collect()
+    assert(report.nonEmpty)
+    assert(report.forall(_.getAs[Boolean]("matched")))
+    assert(report.forall(_.getAs[Long]("n_fix") == 0L))
+    // S9 artifact: the reverse DDL landed as a file
+    val ddl = java.nio.file.Files.readString(
+      java.nio.file.Path.of(s"$work/reverse_orders.sql"))
+    assert(ddl.contains("CREATE TABLE ORDERS_PIPE"))
+    assert(ddl.contains("\"o_orderkey\" BIGINT"))
+  }
+}
