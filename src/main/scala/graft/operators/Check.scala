@@ -547,12 +547,358 @@ object Check {
        |FROM chk""".stripMargin
   }
 
+  // ------------------------------------------------- O2T / T2O directions
+
+  /** Table-level charset/collation fixture for the O2T check — one
+    * table per Oracle NLS behavior branch of the O2T collation matrix
+    * (`common/reverse.go:176-212`).
+    */
+  val o2tTableCharsets: Seq[(String, String, String)] = Seq(
+    // (table_name, oracle_charset, nls_sort)
+    ("marvin2", "AL32UTF8", "BINARY_CS"),
+    ("marvin1lite", "ZHS16GBK", "BINARY_AI"),
+    ("hash_rang", "ZHT16BIG5", "BINARY_CI"),
+    ("gtt_stage", "UTF8", "BINARY"))
+
+  /** FK fixture for the O2T direction — TiDB parses but does not
+    * enforce foreign keys (pre-v6.6 semantics the reference targets;
+    * its o2t reverse never emits FK DDL, `o2t/rule.go`), so check-mode
+    * diverts every FK to a manual validation note.
+    */
+  val o2tForeignKeys: Seq[(String, String, String)] = Seq(
+    ("marvin2", "fk_m2_parent", "marvin1lite"),
+    ("hash_rang", "fk_hr_nation", "nation_dim"))
+
+  /** k7: the O2T check direction (`module/check/oracle/o2t/` — the
+    * O2M diff machinery swapped onto the Oracle2TiDB charset/collation
+    * maps plus TiDB-isms). Four row families in one report:
+    *
+    *  - COLUMN_TYPE — required type from the shared O2M/O2T datatype
+    *    grid vs a drifted declared type → `MODIFY COLUMN` fixes (TiDB
+    *    is MySQL-dialect);
+    *  - TABLE_COLLATION — the O2T matrix pins EVERY source charset to
+    *    UTF8MB4 (`common/reverse.go:176` "Charset 统一 UTF8MB4"), so the
+    *    check is collation-only → `CONVERT TO CHARACTER SET` fixes;
+    *  - PK_ROUTE — TiDB's clustered attribute is immutable after
+    *    CREATE, so a route mismatch has no ALTER: manual recreate note
+    *    (`o2t/rule.go:241-250`);
+    *  - FOREIGN_KEY — always a manual note, never a fix (TiDB doesn't
+    *    enforce FKs).
+    */
+  def k7O2tCheck(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.reverse.{CharsetMaps, OracleColumn, Reverse, TypeMapper}
+    val typeRows = Reverse.zoo.map { z =>
+      (z.table_name, z.ordinal, z.col_name,
+        TypeMapper.mysqlType(OracleColumn(z.col_name, z.data_type, z.len,
+          z.p, z.s, z.char_len, z.char_used, z.nullable, z.dflt)))
+    }.toDF("table_name", "ordinal", "item", "required")
+      .withColumn("declared",
+        when(col("ordinal") % 13 === 0, lit("TEXT"))
+          .when(col("ordinal") % 13 === 4, lit("VARCHAR(191)"))
+          .otherwise(col("required")))
+      .select(lit("COLUMN_TYPE").as("item_kind"), col("table_name"),
+        col("item"), col("required"), col("declared"),
+        when(col("required") === col("declared"), lit("OK"))
+          .otherwise(lit("TYPE_MISMATCH")).as("verdict"),
+        when(col("required") =!= col("declared"),
+          concat(lit("ALTER TABLE steven."), col("table_name"),
+            lit(" MODIFY COLUMN `"), col("item"), lit("` "),
+            lower(col("required")), lit(";"))).as("fix_sql"))
+    val collRows = o2tTableCharsets.zipWithIndex.map {
+      case ((t, _, nls), i) =>
+        val required = CharsetMaps.collation(nls, "UTF8MB4")
+        val declared =
+          if (i % 2 == 0) "UTF8MB4_GENERAL_CI" else required
+        (t, required, declared)
+    }.toDF("table_name", "required", "declared")
+      .select(lit("TABLE_COLLATION").as("item_kind"), col("table_name"),
+        lit("UTF8MB4").as("item"), col("required"), col("declared"),
+        when(col("required") === col("declared"), lit("OK"))
+          .otherwise(lit("COLLATION_MISMATCH")).as("verdict"),
+        when(col("required") =!= col("declared"),
+          concat(lit("ALTER TABLE steven."), col("table_name"),
+            lit(" CONVERT TO CHARACTER SET utf8mb4 COLLATE "),
+            lower(col("required")), lit(";"))).as("fix_sql"))
+    val routeRows = Reverse.tidbRoutes.map { case (t, route, pk, _) =>
+      (t, route, pk)
+    }.toDF("table_name", "required", "pk")
+      // declared: TiDB's default when the attribute is unspecified
+      .withColumn("declared", lit("nonclustered"))
+      .select(lit("PK_ROUTE").as("item_kind"), col("table_name"),
+        lit("PRIMARY_KEY").as("item"), col("required"), col("declared"),
+        when(col("required") === col("declared"), lit("OK"))
+          .otherwise(lit("CLUSTERED_MISMATCH")).as("verdict"),
+        when(col("required") =!= col("declared"),
+          concat(lit("-- manual [o2t]: clustered attribute is immutable"),
+            lit(" — recreate "), col("table_name"),
+            lit(" with PRIMARY KEY (`"), col("pk"), lit("`) CLUSTERED")))
+          .as("fix_sql"))
+    val fkRows = o2tForeignKeys.toDF("table_name", "fk_name", "ref_table")
+      .select(lit("FOREIGN_KEY").as("item_kind"), col("table_name"),
+        col("fk_name").as("item"),
+        concat(lit("REFERENCES "), col("ref_table")).as("required"),
+        lit("UNENFORCED").as("declared"),
+        lit("MANUAL").as("verdict"),
+        concat(lit("-- manual [o2t]: tidb does not enforce foreign keys"),
+          lit(" — validate "), col("fk_name"),
+          lit(" in the application")).as("fix_sql"))
+    typeRows.unionByName(collRows).unionByName(routeRows)
+      .unionByName(fkRows)
+  }
+
+  val k7Sql: String = {
+    import graft.reverse.Reverse
+    val collVals = o2tTableCharsets.zipWithIndex.map {
+      case ((t, _, nls), i) => s"('$t', '$nls', $i)"
+    }.mkString(",\n  ")
+    val routeVals = Reverse.tidbRoutes.map { case (t, r, pk, _) =>
+      s"('$t', '$r', '$pk')"
+    }.mkString(",\n  ")
+    val fkVals = o2tForeignKeys.map { case (t, f, r) =>
+      s"('$t', '$f', '$r')"
+    }.mkString(",\n  ")
+    s"""WITH ${Reverse.zooCte},
+       |n AS (${Reverse.deriveSql} FROM zoo),
+       |req AS (
+       |  SELECT table_name, ordinal, col_name,
+       |    ${Reverse.mysqlCaseSql} AS required
+       |  FROM n),
+       |t AS (
+       |  SELECT *,
+       |    CASE WHEN ordinal % 13 = 0 THEN 'TEXT'
+       |         WHEN ordinal % 13 = 4 THEN 'VARCHAR(191)'
+       |         ELSE required END AS declared
+       |  FROM req),
+       |coll AS (
+       |  SELECT table_name,
+       |    CASE WHEN nls = 'BINARY_CI' THEN 'UTF8MB4_0900_AS_CI'
+       |         WHEN nls = 'BINARY_AI' THEN 'UTF8MB4_GENERAL_CI'
+       |         ELSE 'UTF8MB4_BIN' END AS required, i
+       |  FROM (VALUES
+       |  $collVals) c(table_name, nls, i))
+       |SELECT 'COLUMN_TYPE' AS item_kind, table_name, col_name AS item,
+       |  required, declared,
+       |  CASE WHEN required = declared THEN 'OK'
+       |       ELSE 'TYPE_MISMATCH' END AS verdict,
+       |  CASE WHEN required <> declared THEN
+       |    'ALTER TABLE steven.' || table_name || ' MODIFY COLUMN `' ||
+       |    col_name || '` ' || lower(required) || ';'
+       |  END AS fix_sql
+       |FROM t
+       |UNION ALL
+       |SELECT 'TABLE_COLLATION', table_name, 'UTF8MB4', required,
+       |  CASE WHEN i % 2 = 0 THEN 'UTF8MB4_GENERAL_CI'
+       |       ELSE required END,
+       |  CASE WHEN i % 2 = 0 AND required <> 'UTF8MB4_GENERAL_CI'
+       |       THEN 'COLLATION_MISMATCH' ELSE 'OK' END,
+       |  CASE WHEN i % 2 = 0 AND required <> 'UTF8MB4_GENERAL_CI' THEN
+       |    'ALTER TABLE steven.' || table_name ||
+       |    ' CONVERT TO CHARACTER SET utf8mb4 COLLATE ' ||
+       |    lower(required) || ';'
+       |  END
+       |FROM coll
+       |UNION ALL
+       |SELECT 'PK_ROUTE', table_name, 'PRIMARY_KEY', route, 'nonclustered',
+       |  CASE WHEN route = 'nonclustered' THEN 'OK'
+       |       ELSE 'CLUSTERED_MISMATCH' END,
+       |  CASE WHEN route <> 'nonclustered' THEN
+       |    '-- manual [o2t]: clustered attribute is immutable — recreate ' ||
+       |    table_name || ' with PRIMARY KEY (`' || pk || '`) CLUSTERED'
+       |  END
+       |FROM (VALUES
+       |  $routeVals) r(table_name, route, pk)
+       |UNION ALL
+       |SELECT 'FOREIGN_KEY', table_name, fk_name, 'REFERENCES ' || ref_table,
+       |  'UNENFORCED', 'MANUAL',
+       |  '-- manual [o2t]: tidb does not enforce foreign keys — validate ' ||
+       |  fk_name || ' in the application'
+       |FROM (VALUES
+       |  $fkVals) f(table_name, fk_name, ref_table)""".stripMargin
+  }
+
+  /** k8: the T2O check direction (`module/check/mysql/t2o/` — the M2O
+    * diff machinery on the TiDB2Oracle charset/collation maps,
+    * `common/reverse.go:125-129,291-344`, plus TiDB table options that
+    * have no Oracle analogue). Families:
+    *
+    *  - COLUMN_TYPE — required Oracle type from the shared M2O/T2O
+    *    grid vs a drifted declared type → Oracle `MODIFY (col type)`
+    *    fixes; SET/ENUM stay UNSUPPORTED → manual;
+    *  - TABLE_CHARSET — TiDB charset → Oracle database charset; a
+    *    mismatched database charset has NO ALTER (CSALTER/full
+    *    migration) → manual note;
+    *  - COLLATION — TiDB collation → Oracle NLS behavior; ambiguous
+    *    dual renderings (CJK *_CHINESE_CI, *_BIN) divert to manual,
+    *    unambiguous mismatches get 12.2 `DEFAULT COLLATION` fixes;
+    *  - TABLE_OPTION — SHARD_ROW_ID_BITS/PRE_SPLIT_REGIONS have no
+    *    Oracle analogue (manual); a clustered PK maps to an IOT note.
+    */
+  def k8T2oCheck(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.reverse.{CharsetMaps, M2OTypeMapper, Reverse}
+    val tbl = "marvin_tidb"
+    val typeRows = Reverse.mysqlZoo.zipWithIndex.map { case (c, i) =>
+      (tbl, i + 1, c.name, M2OTypeMapper.oracleType(c))
+    }.toDF("table_name", "ordinal", "item", "required")
+      .withColumn("declared",
+        when(col("ordinal") % 5 === 0, lit("NVARCHAR2(100)"))
+          .when(col("ordinal") % 5 === 2, lit("NUMBER"))
+          .otherwise(col("required")))
+      .select(lit("COLUMN_TYPE").as("item_kind"), col("table_name"),
+        col("item"), col("required"), col("declared"),
+        when(col("required") === M2OTypeMapper.Unsupported, lit("MANUAL"))
+          .when(col("required") === col("declared"), lit("OK"))
+          .otherwise(lit("TYPE_MISMATCH")).as("verdict"),
+        when(col("required") === M2OTypeMapper.Unsupported,
+          concat(lit("-- manual [t2o]: unsupported type for "),
+            col("item")))
+          .when(col("required") =!= col("declared"),
+            concat(lit(s"ALTER TABLE steven.$tbl MODIFY ("), col("item"),
+              lit(" "), col("required"), lit(");"))).as("fix_sql"))
+    val charsetRows = CharsetMaps.t2oCharset.toSeq.sortBy(_._1)
+      .zipWithIndex.map { case ((src, tgt), i) =>
+        (tbl, src, tgt, if (i == 0) "WE8ISO8859P1" else tgt)
+      }.toDF("table_name", "item", "required", "declared")
+      .select(lit("TABLE_CHARSET").as("item_kind"), col("table_name"),
+        col("item"), col("required"), col("declared"),
+        when(col("required") === col("declared"), lit("OK"))
+          .otherwise(lit("CHARSET_MISMATCH")).as("verdict"),
+        when(col("required") =!= col("declared"),
+          concat(lit("-- manual [t2o]: database charset migration ("),
+            col("declared"), lit(" -> "), col("required"),
+            lit(") — no ALTER; full migration required"))).as("fix_sql"))
+    val collRows = CharsetMaps.t2oNls.toSeq.sortBy(_._1)
+      .map { case (src, req) => (tbl, src, req) }
+      .toDF("table_name", "item", "required")
+      .withColumn("ambiguous", col("required").contains("/"))
+      .withColumn("declared",
+        when(col("ambiguous"), lit("UNDECIDED")).otherwise(lit("BINARY_CS")))
+      .select(lit("COLLATION").as("item_kind"), col("table_name"),
+        col("item"), col("required"), col("declared"),
+        when(col("ambiguous"), lit("MANUAL"))
+          .when(col("required") === col("declared"), lit("OK"))
+          .otherwise(lit("COLLATION_MISMATCH")).as("verdict"),
+        when(col("ambiguous"),
+          concat(lit("-- manual [t2o]: ambiguous collation mapping "),
+            col("item"), lit(" -> "), col("required"),
+            lit(" — choose one")))
+          .when(col("required") =!= col("declared"),
+            concat(lit(s"ALTER TABLE steven.$tbl DEFAULT COLLATION "),
+              col("required"), lit(";"))).as("fix_sql"))
+    val optRows = Reverse.tidbRoutes.map { case (t, route, pk, opt) =>
+      (t, route, pk, opt)
+    }.toDF("table_name", "route", "pk", "opt")
+      .select(lit("TABLE_OPTION").as("item_kind"), col("table_name"),
+        when(col("opt") =!= "", col("opt"))
+          .otherwise(lit("CLUSTERED_PK")).as("item"),
+        col("route").as("required"),
+        lit("HEAP").as("declared"),
+        when(col("opt") =!= "", lit("MANUAL"))
+          .otherwise(lit("NOTE")).as("verdict"),
+        when(col("opt") =!= "",
+          concat(lit("-- manual [t2o]: no oracle analogue for "),
+            col("opt")))
+          .otherwise(concat(
+            lit("-- note [t2o]: clustered primary key (`"), col("pk"),
+            lit("`) maps to ORGANIZATION INDEX (IOT)"))).as("fix_sql"))
+    typeRows.unionByName(charsetRows).unionByName(collRows)
+      .unionByName(optRows)
+  }
+
+  val k8Sql: String = {
+    import graft.reverse.{CharsetMaps, Reverse}
+    val tbl = "marvin_tidb"
+    val csVals = CharsetMaps.t2oCharset.keys.toSeq.sorted.zipWithIndex
+      .map { case (c, i) => s"('$c', $i)" }.mkString(",\n  ")
+    val coVals = CharsetMaps.t2oNls.keys.toSeq.sorted
+      .map(c => s"('$c')").mkString(",\n  ")
+    val routeVals = Reverse.tidbRoutes.map { case (t, r, pk, opt) =>
+      s"('$t', '$r', '$pk', '$opt')"
+    }.mkString(",\n  ")
+    s"""WITH ${Reverse.mysqlZooCte},
+       |req AS (
+       |  SELECT '$tbl' AS table_name, ordinal, col_name,
+       |    ${Reverse.m2oCaseSql} AS required
+       |  FROM mzoo),
+       |t AS (
+       |  SELECT *,
+       |    CASE WHEN ordinal % 5 = 0 THEN 'NVARCHAR2(100)'
+       |         WHEN ordinal % 5 = 2 THEN 'NUMBER'
+       |         ELSE required END AS declared
+       |  FROM req),
+       |co AS (
+       |  SELECT source,
+       |    CASE WHEN source = 'UTF8MB4_0900_AS_CI' THEN 'BINARY_CI'
+       |         WHEN source LIKE '%\\_GENERAL\\_CI' ESCAPE '\\'
+       |           THEN 'BINARY_AI'
+       |         WHEN source LIKE '%\\_CHINESE\\_CI' ESCAPE '\\'
+       |           THEN 'BINARY_AI/BINARY_CI'
+       |         ELSE 'BINARY/BINARY_CS' END AS required
+       |  FROM (VALUES
+       |  $coVals) c(source))
+       |SELECT 'COLUMN_TYPE' AS item_kind, table_name, col_name AS item,
+       |  required, declared,
+       |  CASE WHEN required = 'UNSUPPORTED' THEN 'MANUAL'
+       |       WHEN required = declared THEN 'OK'
+       |       ELSE 'TYPE_MISMATCH' END AS verdict,
+       |  CASE WHEN required = 'UNSUPPORTED'
+       |         THEN '-- manual [t2o]: unsupported type for ' || col_name
+       |       WHEN required <> declared THEN
+       |         'ALTER TABLE steven.$tbl MODIFY (' || col_name || ' ' ||
+       |         required || ');'
+       |  END AS fix_sql
+       |FROM t
+       |UNION ALL
+       |SELECT 'TABLE_CHARSET', '$tbl', source,
+       |  CASE WHEN source = 'GBK' THEN 'ZHS16GBK' ELSE 'AL32UTF8' END,
+       |  CASE WHEN i = 0 THEN 'WE8ISO8859P1'
+       |       WHEN source = 'GBK' THEN 'ZHS16GBK' ELSE 'AL32UTF8' END,
+       |  CASE WHEN i = 0 THEN 'CHARSET_MISMATCH' ELSE 'OK' END,
+       |  CASE WHEN i = 0 THEN
+       |    '-- manual [t2o]: database charset migration (WE8ISO8859P1 -> ' ||
+       |    CASE WHEN source = 'GBK' THEN 'ZHS16GBK' ELSE 'AL32UTF8' END ||
+       |    ') — no ALTER; full migration required'
+       |  END
+       |FROM (VALUES
+       |  $csVals) cs(source, i)
+       |UNION ALL
+       |SELECT 'COLLATION', '$tbl', source, required,
+       |  CASE WHEN required LIKE '%/%' THEN 'UNDECIDED'
+       |       ELSE 'BINARY_CS' END,
+       |  CASE WHEN required LIKE '%/%' THEN 'MANUAL'
+       |       WHEN required = 'BINARY_CS' THEN 'OK'
+       |       ELSE 'COLLATION_MISMATCH' END,
+       |  CASE WHEN required LIKE '%/%' THEN
+       |    '-- manual [t2o]: ambiguous collation mapping ' || source ||
+       |    ' -> ' || required || ' — choose one'
+       |  WHEN required <> 'BINARY_CS' THEN
+       |    'ALTER TABLE steven.$tbl DEFAULT COLLATION ' || required || ';'
+       |  END
+       |FROM co
+       |UNION ALL
+       |SELECT 'TABLE_OPTION', table_name,
+       |  CASE WHEN opt <> '' THEN opt ELSE 'CLUSTERED_PK' END,
+       |  route, 'HEAP',
+       |  CASE WHEN opt <> '' THEN 'MANUAL' ELSE 'NOTE' END,
+       |  CASE WHEN opt <> '' THEN
+       |    '-- manual [t2o]: no oracle analogue for ' || opt
+       |  ELSE
+       |    '-- note [t2o]: clustered primary key (`' || pk ||
+       |    '`) maps to ORGANIZATION INDEX (IOT)'
+       |  END
+       |FROM (VALUES
+       |  $routeVals) r(table_name, route, pk, opt)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_struct_diff" -> k1StructDiff,
     "k3_index_diff" -> k3IndexDiff,
     "k4_type_rule_check" -> k4TypeRuleCheck,
     "k5_jdbc_catalog" -> k5JdbcCatalog,
     "k6_m2o_struct_diff" -> k6M2oStructDiff,
+    "k7_o2t_check" -> k7O2tCheck,
+    "k8_t2o_check" -> k8T2oCheck,
     "a19_object_overview" -> a19ObjectOverview)
 
   val oracles: Map[String, String] = Map(
@@ -561,5 +907,7 @@ object Check {
     "k4_type_rule_check" -> k4Sql,
     "k5_jdbc_catalog" -> k5Sql,
     "k6_m2o_struct_diff" -> k6Sql,
+    "k7_o2t_check" -> k7Sql,
+    "k8_t2o_check" -> k8Sql,
     "a19_object_overview" -> a19Sql)
 }
