@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Assess, Catalog, Check, Compare, Migrate, Pipeline,
   Relational}
-import graft.reverse.Reverse
+import graft.reverse.{Prepare, Reverse}
 import graft.streaming.Cdc
 import graft.functions.{CharsetConvert, Dedup, Multimodal, Similarity,
   TableFilter, TextAnalysis}
@@ -26,12 +26,14 @@ object SparkEntry {
       Cdc.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Reverse.queries ++
       Catalog.queries ++ Check.queries ++ TableFilter.queries ++
-      CharsetConvert.queries ++ Assess.queries ++ Pipeline.queries
+      CharsetConvert.queries ++ Assess.queries ++ Pipeline.queries ++
+      Prepare.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Compare.oracles ++ Migrate.oracles ++
       Cdc.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Reverse.oracles ++
       Catalog.oracles ++ Check.oracles ++ TableFilter.oracles ++
-      CharsetConvert.oracles ++ Assess.oracles ++ Pipeline.oracles
+      CharsetConvert.oracles ++ Assess.oracles ++ Pipeline.oracles ++
+      Prepare.oracles
 }

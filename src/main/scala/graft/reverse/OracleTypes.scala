@@ -266,21 +266,30 @@ final case class RuleSet(
     * type, the winner is deterministic (a Map's iteration order is
     * not).
     */
-  def resolve(schema: String, table: String, c: OracleColumn): String = {
+  def resolve(schema: String, table: String, c: OracleColumn): String =
+    resolveScoped(schema, table, c)._1
+
+  /** [[resolve]] plus WHICH precedence tier won — ("LONGTEXT",
+    * "column") / ... / (builtin type, "builtin") — the attribution the
+    * reference logs when a custom rule overrides the built-in grid.
+    */
+  def resolveScoped(schema: String, table: String,
+      c: OracleColumn): (String, String) = {
     val origin = TypeMapper.originType(c)
     columnRules.get((schema.toUpperCase, table.toUpperCase,
-        c.name.toUpperCase))
+        c.name.toUpperCase)).map((_, "column"))
       .orElse(tableRules.toSeq.sortBy(_._1).collectFirst {
         case ((s, t, src), tgt)
             if s.equalsIgnoreCase(schema) && t.equalsIgnoreCase(table) &&
-              normalizeRuleSource(src) == origin => tgt
+              normalizeRuleSource(src) == origin => (tgt, "table")
       })
       .orElse(schemaRules.toSeq.sortBy(_._1).collectFirst {
         case ((s, src), tgt)
             if s.equalsIgnoreCase(schema) &&
-              normalizeRuleSource(src) == origin => tgt
+              normalizeRuleSource(src) == origin => (tgt, "schema")
       })
-      .getOrElse(TypeMapper.mysqlType(c))
-      .toUpperCase
+      .getOrElse((TypeMapper.mysqlType(c), "builtin")) match {
+      case (t, scope) => (t.toUpperCase, scope)
+    }
   }
 }

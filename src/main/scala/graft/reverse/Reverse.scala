@@ -109,7 +109,7 @@ object Reverse {
         dflt = Some("SYS_GUID()")))
   }
 
-  private def toOracleColumn(z: ZooCol): OracleColumn =
+  private[graft] def toOracleColumn(z: ZooCol): OracleColumn =
     OracleColumn(z.col_name, z.data_type, z.len, z.p, z.s, z.char_len,
       z.char_used, z.nullable, z.dflt)
 
@@ -234,18 +234,21 @@ object Reverse {
     }.toDF("col_name", "oracle_type", "mysql_type", "spark_type")
   }
 
+  /** SQL mirror of [[TypeMapper.originType]] (shared by r1 and k9). */
+  private[graft] val originCaseSql: String =
+    """CASE
+      | WHEN data_type = 'NUMBER'
+      |   THEN 'NUMBER(' || CAST(np AS VARCHAR) || ',' || CAST(ns AS VARCHAR) || ')'
+      | WHEN data_type IN ('CHAR','CHARACTER','NCHAR','NCHAR VARYING','NVARCHAR2','VARCHAR','VARCHAR2')
+      |   THEN data_type || '(' || CAST(clen AS VARCHAR) || ')'
+      | WHEN data_type IN ('DECIMAL','DEC','NUMERIC')
+      |   THEN data_type || '(' || CAST(coalesce(p, 38) AS VARCHAR) || ',' || CAST(coalesce(s, 0) AS VARCHAR) || ')'
+      | WHEN data_type IN ('RAW','UROWID') THEN data_type || '(' || CAST(len AS VARCHAR) || ')'
+      | ELSE data_type
+      |END""".stripMargin
+
   val r1Sql: String = {
-    val originCase =
-      """CASE
-        | WHEN data_type = 'NUMBER'
-        |   THEN 'NUMBER(' || CAST(np AS VARCHAR) || ',' || CAST(ns AS VARCHAR) || ')'
-        | WHEN data_type IN ('CHAR','CHARACTER','NCHAR','NCHAR VARYING','NVARCHAR2','VARCHAR','VARCHAR2')
-        |   THEN data_type || '(' || CAST(clen AS VARCHAR) || ')'
-        | WHEN data_type IN ('DECIMAL','DEC','NUMERIC')
-        |   THEN data_type || '(' || CAST(coalesce(p, 38) AS VARCHAR) || ',' || CAST(coalesce(s, 0) AS VARCHAR) || ')'
-        | WHEN data_type IN ('RAW','UROWID') THEN data_type || '(' || CAST(len AS VARCHAR) || ')'
-        | ELSE data_type
-        |END""".stripMargin
+    val originCase = originCaseSql
     s"""WITH $zooCte,
        |n AS ($deriveSql FROM zoo)
        |SELECT col_name,

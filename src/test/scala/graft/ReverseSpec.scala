@@ -224,4 +224,27 @@ class ReverseSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // idempotence would double-escape; assert single application shape
     assert(Escape.sqlLiteral("""\'""") == """\\\'""")
   }
+
+  test("seeded parquet rules round-trip and resolve with attribution " +
+    "(prepare.go:98)") {
+    val metaDir =
+      java.nio.file.Files.createTempDirectory("graft_meta").toString
+    Prepare.seedRules(spark, metaDir)
+    val rules = Prepare.loadRules(spark, metaDir)
+    // column rule shadows the schema DATE rule on marvin2.ndate...
+    assert(rules.resolveScoped("steven", "marvin2",
+      OracleColumn("ndate", "DATE")) == ("VARCHAR(30)", "column"))
+    // ...but the schema rule is visible from the other table
+    assert(rules.resolveScoped("steven", "marvin1lite",
+      OracleColumn("created", "DATE")) == ("DATETIME(3)", "schema"))
+    // table rule beats the schema rule on the same source type
+    assert(rules.resolveScoped("steven", "marvin2",
+      num(Some(30), Some(2))) == ("DECIMAL(32,2)", "table"))
+    // wildcard NUMBER(*) matches the bare-NUMBER declaration
+    assert(rules.resolveScoped("steven", "marvin2",
+      num(None, None)) == ("DECIMAL(38,0)", "table"))
+    // unmatched columns fall through to the builtin grid
+    assert(rules.resolveScoped("steven", "marvin2",
+      OracleColumn("dlob", "CLOB")) == ("LONGTEXT", "builtin"))
+  }
 }
