@@ -2,14 +2,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
-  /** One timed run; -1.0 on failure (never time-to-exception — broken
-    * queries must be visible in BENCH json, never summed as fast runs).
+  /** One timed run: (seconds, result rows); (-1.0, -1) on failure
+    * (never time-to-exception — broken queries must be visible in
+    * BENCH json, never summed as fast runs). Rows ride along so the
+    * file artifact can trend THROUGHPUT round-over-round, not just
+    * wall time.
     */
   private def sample(spark: SparkSession, sfDir: String,
-      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : (Double, Long) = {
     val t0 = System.nanoTime()
-    try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-    catch { case _: Throwable => -1.0 }
+    try {
+      val n = fn(spark, sfDir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    } catch { case _: Throwable => (-1.0, -1L) }
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -55,16 +61,18 @@ object Bench {
     // best-of-2. Extra cost is bounded by the tail's true runtime.
     val clean = scala.collection.mutable.ArrayBuffer.empty[Double]
     val gcs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val gc0 = gcMillis()
-      val t1 = sample(spark, sfDir, fn)
+      val (t1, n1) = sample(spark, sfDir, fn)
       val med = median(clean.toSeq)
       val v =
         if (t1 >= 0 && clean.nonEmpty && t1 > math.max(3 * med, 1.0))
-          math.min(t1, math.max(sample(spark, sfDir, fn), 0.0))
+          math.min(t1, math.max(sample(spark, sfDir, fn)._1, 0.0))
         else t1
       if (v >= 0) clean += v
       gcs(name) = (gcMillis() - gc0) / 1e3
+      rows(name) = n1
       name -> v
     }
     // millisecond precision keeps the line ~3x shorter than raw doubles
@@ -82,7 +90,10 @@ object Bench {
     // byte-identical to the driver's expected shape).
     val gcJson = gcs.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val fileLine = line.dropRight(1) + s""","gc_sec":$gcJson}"""
+    val rowsJson = rows.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fileLine =
+      line.dropRight(1) + s""","gc_sec":$gcJson,"rows":$rowsJson}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_local.json"),
       (fileLine + "\n").getBytes("UTF-8"))

@@ -84,7 +84,7 @@ object CharsetEncode {
   * and `charset_encode` is available in plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("charset_encode"),
       new ExpressionInfo(classOf[CharsetEncode].getCanonicalName,
         "charset_encode"),
@@ -92,4 +92,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // arity/foldability/charset errors surface at analysis on both
       // paths
       (exprs: Seq[Expression]) => CharsetEncode.builder(exprs)))
+    ext.injectFunction((FunctionIdentifier("charset_decode"),
+      new ExpressionInfo(classOf[CharsetDecode].getCanonicalName,
+        "charset_decode"),
+      (exprs: Seq[Expression]) => CharsetDecode.builder(exprs)))
+  }
 }

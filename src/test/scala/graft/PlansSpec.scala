@@ -38,6 +38,39 @@ class PlansSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(n > 0)
   }
 
+  test("native charset_decode inverts charset_encode, matches the udf") {
+    import spark.implicits._
+    CharsetEncode.register(spark)
+    graft.plans.CharsetDecode.register(spark)
+    val df = CharsetConvert.fixtures.map(_._2).toDF("s")
+    CharsetConvert.supported.foreach { cs =>
+      val native = df
+        .select(expr(s"charset_decode(charset_encode(s, '$cs'), '$cs')"))
+        .collect().map(_.getString(0))
+      val viaUdf = df.select(CharsetConvert.decodeUdf(
+        CharsetConvert.encodeUdf(col("s"), lit(cs)), lit(cs)))
+        .collect().map(_.getString(0))
+      assert(native.toSeq == viaUdf.toSeq, cs)
+    }
+    // Big5 is lossy on simplified CJK: decode must surface the '?'
+    // replacement, not silently round-trip
+    val lossy = Seq("中文测试").toDF("s")
+      .selectExpr("charset_decode(charset_encode(s, 'Big5'), 'Big5') AS r")
+      .head.getString(0)
+    assert(lossy == "中文??")
+  }
+
+  test("charset_decode participates in whole-stage codegen") {
+    CharsetEncode.register(spark)
+    graft.plans.CharsetDecode.register(spark)
+    val plan = Tables.load(spark, sf, "documents")
+      .selectExpr("charset_decode(charset_encode(text, 'GBK'), 'GBK') AS t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [charset_decode(charset_encode("),
+      plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("unknown charset fails at analysis, not per-row at runtime") {
     import spark.implicits._
     CharsetEncode.register(spark)
