@@ -281,6 +281,93 @@ object Cdc {
       .start()
   }
 
+  // ------------------------------------ streaming conversion funnel (w9)
+
+  final case class FunnelEvent(user_id: Long, event_type: String,
+      epoch: Long)
+  final case class FunnelProgress(user_id: Long, signup_t: Long,
+      purchase_t: Long, bucket: String, finalized: Boolean)
+
+  /** w9's conversion funnel as a STREAM — per-user signup→purchase
+    * tracked in `mapGroupsWithState` instead of two batch aggregations
+    * (the reference's CDC loop is incremental; a funnel fed by it
+    * should be too). State per user is two Longs (first signup epoch,
+    * first subsequent purchase epoch; -1 = unseen) — constant-size,
+    * and the processing-time TTL evicts idle users (emitting a
+    * `finalized` row) so the store holds the working set, never the
+    * lifetime keyspace.
+    *
+    * Feed contract: per-user event-time-ordered delivery across
+    * micro-batches, which is what an SCN-ordered change feed
+    * ([[graft.sources.ChangeFeedSource]], this file's apply loop)
+    * provides. Under that contract the incremental state is EXACTLY
+    * the batch w9 semantics (first signup, first purchase ≥ it) —
+    * CdcSpec proves equality against [[w9Funnel]] on the same feed.
+    * An unordered feed needs the batch form.
+    *
+    * `filesPerTrigger` bounds each micro-batch (and, in the spec,
+    * forces the state to actually carry across batches). Same
+    * AvailableNow + ProcessingTimeTimeout termination contract as
+    * [[trackKeyProgress]]: the caller stops the query.
+    */
+  def funnelStream(s: SparkSession, feedDir: String, outDir: String,
+      checkpointDir: String, ttl: String = "30 minutes",
+      filesPerTrigger: Int = 1): StreamingQuery = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    def bucketOf(su: Long, pu: Long): String =
+      if (su < 0) "AWAITING_SIGNUP"
+      else if (pu < 0) "NO_PURCHASE"
+      else if (pu - su <= 3600) "WITHIN_1H"
+      else if (pu - su <= 86400) "WITHIN_24H"
+      else "LATER"
+    s.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("epoch", LongType))))
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(feedDir)
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long), FunnelProgress](
+        GroupStateTimeout.ProcessingTimeTimeout()) {
+        (uid: Long, events: Iterator[FunnelEvent],
+            state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (su, pu) = state.get
+            state.remove()
+            FunnelProgress(uid, su, pu, bucketOf(su, pu), finalized = true)
+          } else {
+            var (su, pu) = state.getOption.getOrElse((-1L, -1L))
+            // sort within the batch: the cross-batch order contract
+            // doesn't constrain intra-batch iterator order
+            events.toSeq.sortBy(_.epoch).foreach { e =>
+              e.event_type match {
+                case "signup" if su < 0 => su = e.epoch
+                case "purchase" if su >= 0 && pu < 0 && e.epoch >= su =>
+                  pu = e.epoch
+                case _ => ()
+              }
+            }
+            state.update((su, pu))
+            state.setTimeoutDuration(ttl)
+            FunnelProgress(uid, su, pu, bucketOf(su, pu), finalized = false)
+          }
+      }
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[FunnelProgress],
+            batchId: Long) =>
+          batch.toDF().withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+          ()
+      }
+      .start()
+  }
+
   // ------------------------------------------- per-table watermarks (C3)
 
   /** Current per-table SCN watermark — arg-max over an append-only
@@ -579,47 +666,64 @@ object Cdc {
     * server-grade target takes per-partition connections natively.)
     */
   val JdbcFlushEvery = 1000
+  val JdbcConnections = 4
+
+  /** One partition's guarded apply over one connection. Returns the
+    * number of `executeBatch` flushes — the spec's observable for the
+    * backpressure contract: flushes == ceil(rows / flushEvery) proves
+    * the statement buffer never held more than `flushEvery` entries,
+    * however many keys the partition carried.
+    */
+  private[graft] def applyPartition(
+      rows: Iterator[org.apache.spark.sql.Row], url: String,
+      table: String, flushEvery: Int = JdbcFlushEvery): Long = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      var pending = 0
+      var flushes = 0L
+      rows.foreach { r =>
+        val (k, scn, seq, op) = (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))
+        val sql =
+          if (op == "DELETE")
+            // the same staleness guard as the MERGE: a stale
+            // out-of-order DELETE must not destroy newer state;
+            // an exact replay hits zero rows either way. (A
+            // delete tombstone's value may be NULL — never read.)
+            s"""DELETE FROM $table WHERE k = $k
+               |AND (scn < $scn OR (scn = $scn AND seq <= $seq))""".stripMargin
+          else {
+            // a NULL value on an INSERT/UPDATE is legal on the
+            // feed (not just DELETE tombstones) — render SQL NULL
+            val v = if (r.isNullAt(5)) "NULL" else r.getDouble(5).toString
+            s"""MERGE INTO $table t
+               |USING SYSIBM.SYSDUMMY1
+               |ON t.k = $k
+               |WHEN MATCHED AND (t.scn < $scn
+               |  OR (t.scn = $scn AND t.seq < $seq))
+               |THEN UPDATE SET v = $v, scn = $scn, seq = $seq
+               |WHEN NOT MATCHED THEN INSERT (k, scn, seq, v)
+               |VALUES ($k, $scn, $seq, $v)""".stripMargin
+          }
+        st.addBatch(sql)
+        pending += 1
+        if (pending >= flushEvery) {
+          st.executeBatch(); flushes += 1; pending = 0
+        }
+      }
+      if (pending > 0) { st.executeBatch(); flushes += 1 }
+      conn.commit()
+      st.close()
+      flushes
+    } finally conn.close()
+  }
 
   def applyBatchJdbc(batch: DataFrame, url: String, table: String): Unit =
-    lastChange(batch).coalesce(4).foreachPartition {
+    lastChange(batch).coalesce(JdbcConnections).foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val conn = java.sql.DriverManager.getConnection(url)
-        try {
-          conn.setAutoCommit(false)
-          val st = conn.createStatement()
-          var pending = 0
-          rows.foreach { r =>
-            val (k, scn, seq, op) = (r.getLong(1), r.getLong(2),
-              r.getLong(3), r.getString(4))
-            val sql =
-              if (op == "DELETE")
-                // the same staleness guard as the MERGE: a stale
-                // out-of-order DELETE must not destroy newer state;
-                // an exact replay hits zero rows either way. (A
-                // delete tombstone's value may be NULL — never read.)
-                s"""DELETE FROM $table WHERE k = $k
-                   |AND (scn < $scn OR (scn = $scn AND seq <= $seq))""".stripMargin
-              else {
-                // a NULL value on an INSERT/UPDATE is legal on the
-                // feed (not just DELETE tombstones) — render SQL NULL
-                val v = if (r.isNullAt(5)) "NULL" else r.getDouble(5).toString
-                s"""MERGE INTO $table t
-                   |USING SYSIBM.SYSDUMMY1
-                   |ON t.k = $k
-                   |WHEN MATCHED AND (t.scn < $scn
-                   |  OR (t.scn = $scn AND t.seq < $seq))
-                   |THEN UPDATE SET v = $v, scn = $scn, seq = $seq
-                   |WHEN NOT MATCHED THEN INSERT (k, scn, seq, v)
-                   |VALUES ($k, $scn, $seq, $v)""".stripMargin
-              }
-            st.addBatch(sql)
-            pending += 1
-            if (pending >= JdbcFlushEvery) { st.executeBatch(); pending = 0 }
-          }
-          if (pending > 0) st.executeBatch()
-          conn.commit()
-          st.close()
-        } finally conn.close()
+        applyPartition(rows, url, table): Unit
     }
 
   /** c6b: CDC apply into an embedded Derby target via guarded MERGE,

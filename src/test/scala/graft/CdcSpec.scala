@@ -379,4 +379,78 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .option("dbtable", "S").load().count()
     assert(again == 3)
   }
+
+  test("jdbc apply scale contract: bounded statement buffer and " +
+    "connection count hold under a 10x batch") {
+    import spark.implicits._
+    // ~10x the c6b feed's key count, all distinct keys
+    val n = 12000
+    val feed = (1 to n).map(i =>
+      (i.toLong, 0L, "INSERT", i.toLong, Some(i * 1.0)))
+      .toDF("scn", "seq", "op", "key", "value")
+      .withColumn("table_name", lit("t"))
+    val reduced = Cdc.lastChange(feed)
+    // connection bound: the sink plans at most JdbcConnections
+    // partitions = at most that many concurrent connections,
+    // regardless of input partitioning
+    assert(reduced.coalesce(Cdc.JdbcConnections).rdd.getNumPartitions
+      <= Cdc.JdbcConnections)
+    // worst case: every key lands in ONE partition; the flush count
+    // proves the addBatch buffer never exceeded flushEvery entries
+    val dbDir = graft.operators.Migrate.tempDir("cdc_scale")
+    System.setProperty("derby.system.home", dbDir)
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE S10 (k BIGINT PRIMARY KEY, scn BIGINT, seq BIGINT, " +
+        "v DOUBLE)")
+    finally conn.close()
+    val flushes = Cdc.applyPartition(
+      reduced.collect().iterator, url, "S10", flushEvery = 1000)
+    assert(flushes == math.ceil(n / 1000.0).toLong, s"flushes=$flushes")
+    val landed = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "S10").load().count()
+    assert(landed == n)
+  }
+
+  test("streaming funnel (mapGroupsWithState + TTL) matches the batch " +
+    "w9 funnel on the same feed") {
+    val feed = Files.createTempDirectory("graft_funnel_feed").toString
+    val out = Files.createTempDirectory("graft_funnel_out").toString
+    val ckpt = Files.createTempDirectory("graft_funnel_ck").toString
+    val ev = Tables.load(spark, sf, "events").select(
+      col("user_id"), col("event_type"),
+      unix_timestamp(date_trunc("second", col("ts"))).as("epoch"))
+    // three sequential time-sliced files: per-user event-time-ordered
+    // delivery across micro-batches (the SCN-order contract), and
+    // maxFilesPerTrigger=1 forces the state to carry batch-to-batch
+    val row = ev.agg(min("epoch"), max("epoch")).collect()(0)
+    val (mn, mx) = (row.getLong(0), row.getLong(1))
+    val (b0, b1) = (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
+    Seq(col("epoch") <= b0,
+      col("epoch") > b0 && col("epoch") <= b1,
+      col("epoch") > b1).foreach { p =>
+      ev.filter(p).coalesce(1).write.mode("append").parquet(feed)
+    }
+    val expected = Cdc.w9Funnel(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        r.getAs[String]("bucket")).toMap
+    runStreamUntil(Cdc.funnelStream(spark, feed, out, ckpt))({
+      val o = spark.read.parquet(out)
+      o.agg(max("batch_id")).head.getLong(0) >= 2 &&
+        o.filter(col("signup_t") >= 0).select("user_id").distinct()
+          .count() == expected.size
+    })
+    // last progress row per user == the batch funnel's verdict
+    val last = spark.read.parquet(out)
+      .filter(col("signup_t") >= 0)
+      .groupBy("user_id")
+      .agg(max(struct(col("batch_id"), col("bucket")))
+        .getField("bucket").as("bucket"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        r.getAs[String]("bucket")).toMap
+    assert(last == expected,
+      s"stream/batch funnel diverged on ${
+        (last.toSet diff expected.toSet).take(5)} ...")
+  }
 }
