@@ -44,6 +44,20 @@ object Pipeline {
   val ChunkRows = 1000L
   val WaveSize = 4
 
+  /** Auto-plan cap: at most this many chunks per table. A fixed
+    * chunkRows makes the JOB COUNT grow linearly with data (150
+    * chunks = ~38 sequential wave writes at sf0.1 — measured 19 s,
+    * almost all job latency); a fixed chunk COUNT keeps the pipeline
+    * a handful of distributed jobs at any scale, with resume
+    * granularity cnt/16 rows — exactly how you'd size it for a
+    * 1000-executor cluster (chunks ≈ a small multiple of the write
+    * parallelism you want against the target, not of the data).
+    */
+  val MaxChunks = 16L
+
+  def autoChunkRows(cnt: Long): Long =
+    math.max(ChunkRows, (cnt + MaxChunks - 1) / MaxChunks)
+
   /** Chunk plan with SQL-expressible boundaries: fixed key width
     * `kw = ceil(span / ceil(cnt / chunkRows))`, chunk_id =
     * `(key - minKey) div kw` — the same closed form the DuckDB oracle
@@ -86,7 +100,7 @@ object Pipeline {
     * non-empty chunk).
     */
   def runMigration(s: SparkSession, d: String, workDir: String,
-      task: String, chunkRows: Long = ChunkRows, waveSize: Int = WaveSize,
+      task: String, chunkRows: Long = 0L, waveSize: Int = WaveSize,
       failpoint: String => Unit = _ => ()): DataFrame = {
     val table = "orders"
     val tgtTable = "ORDERS_PIPE"
@@ -131,9 +145,11 @@ object Pipeline {
       } finally st.close()
     } finally conn.close()
 
-    // ---- stage 5: chunk plan + ledger init / resume triage
+    // ---- stage 5: chunk plan + ledger init / resume triage.
+    // chunkRows = 0 (default) auto-sizes to a bounded chunk COUNT
+    val cr = if (chunkRows > 0) chunkRows else autoChunkRows(cnt)
     failpoint("plan")
-    val (kw, chunks) = planFixedWidth(minK, maxK, cnt, chunkRows)
+    val (kw, chunks) = planFixedWidth(minK, maxK, cnt, cr)
     val fs = new org.apache.hadoop.fs.Path(ledgerPath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(ledgerPath)))
@@ -163,7 +179,7 @@ object Pipeline {
           col(keyCol).between(c.lower, c.upper)).reduce(_ || _))
         .write.mode(SaveMode.Append).format("jdbc")
         .option("url", url).option("dbtable", tgtTable)
-        .option("batchsize", 100).save()
+        .option("batchsize", 1000).save()
       failpoint(s"wave_written:${ids.mkString(",")}")
       // wall-clock seq: nanoTime's origin is arbitrary PER JVM, so a
       // cross-process resume could mark with a seq below the first
@@ -229,10 +245,13 @@ object Pipeline {
        |  FROM orders),
        |b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx,
        |             count(*) AS cnt FROM orders),
+       |b2 AS (SELECT mn, mx, cnt,
+       |  GREATEST($ChunkRows, (cnt + ${MaxChunks - 1}) // $MaxChunks) AS cr
+       |  FROM b),
+       |b3 AS (SELECT mn, mx, (cnt + cr - 1) // cr AS nch FROM b2),
        |w AS (SELECT mn,
-       |  GREATEST(1, ((mx - mn + 1) + ((cnt + ${ChunkRows - 1}) // $ChunkRows) - 1)
-       |    // ((cnt + ${ChunkRows - 1}) // $ChunkRows)) AS kw
-       |  FROM b)
+       |  GREATEST(1, ((mx - mn + 1) + nch - 1) // nch) AS kw
+       |  FROM b3)
        |SELECT CAST((o_orderkey - mn) // kw AS BIGINT) AS chunk_id,
        |  count(*) AS n_rows,
        |  ${Norm.duckRowChecksum(normCols)} AS row_checksum,
