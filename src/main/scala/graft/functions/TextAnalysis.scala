@@ -307,6 +307,192 @@ object TextAnalysis {
       |  CAST(sum(length(canon)) AS BIGINT) AS total_chars
       |FROM dd WHERE rn = 1 GROUP BY lang""".stripMargin
 
+  /** Word 5-gram hashes for contamination checks — longer than d2's
+    * 3-gram dedup shingles on purpose: decontamination wants high
+    * precision (a shared 5-gram is strong evidence of copied text; a
+    * shared 3-gram is often just common phrasing).
+    */
+  private val shingle5Expr: String =
+    """array_distinct(transform(
+      |  if(size(w) >= 5, sequence(1, size(w) - 4), array()),
+      |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+      |                 element_at(w, i + 2), element_at(w, i + 3),
+      |                 element_at(w, i + 4))))""".stripMargin
+
+  // NB: no line may START with '||' — this string is re-embedded in a
+  // stripMargin'd outer SQL, which would eat the first '|'
+  private val shingle5SqlDuck: String =
+    """list_distinct(list_transform(
+      |  range(1, greatest(len(w) - 3, 1)),
+      |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] ||
+      |       ' ' || w[i+4]))""".stripMargin
+
+  /** t7: benchmark decontamination — flag training documents that
+    * share word-5-gram shingles with a held-out eval slice (the check
+    * every serious pretraining pipeline runs before training; same
+    * shape as GPT-3/PaLM's 13-gram overlap filters, scaled to this
+    * corpus's short docs). The eval slice is the deterministic hash
+    * slice t6 established (salt 'eval', 1/50 of docs) so both engines
+    * derive the identical split. Scale shape: explode-to-shingle-hash
+    * on both sides, the eval side is corpus/50 and BROADCAST; one
+    * equi-join on the 60-bit shingle hash, one partial-aggregable
+    * groupBy per contaminated doc. Never N² — cost is linear in
+    * shingles with a tiny broadcast probe.
+    */
+  def t7Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+      .withColumn("is_eval",
+        pmod(xhash64(concat_ws("|", lit("eval"),
+          col("doc_id").cast("string"))), lit(50L)) === 0)
+      .withColumn("w", words(col("text")))
+      .withColumn("g", explode(expr(shingle5Expr)))
+      .select(col("doc_id"), col("is_eval"), xhash64(col("g")).as("gh"))
+    val evalSide = docs.filter(col("is_eval"))
+      .select(col("gh"), col("doc_id").as("eval_doc"))
+    docs.filter(!col("is_eval"))
+      .join(broadcast(evalSide), "gh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gh")).as("n_shared_shingles"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+  }
+
+  val t7Sql: String = {
+    val evalPred =
+      s"${Norm.xhash64Sql("'eval|' || CAST(doc_id AS VARCHAR)")} % 50 = 0"
+    s"""WITH sh AS (
+       |  SELECT doc_id, $evalPred AS is_eval,
+       |    ${Norm.xhash64Sql("g")} AS gh
+       |  FROM (
+       |    SELECT doc_id, unnest($shingle5SqlDuck) AS g
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |          FROM documents) t0) t1)
+       |SELECT tr.doc_id,
+       |  count(DISTINCT tr.gh) AS n_shared_shingles,
+       |  count(DISTINCT ev.doc_id) AS n_eval_docs
+       |FROM sh tr JOIN (SELECT * FROM sh WHERE is_eval) ev
+       |  ON tr.gh = ev.gh
+       |WHERE NOT tr.is_eval
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** t8: stratified sampling with exact per-stratum quotas — N docs
+    * per language, selected by deterministic hash rank (salt 'strat')
+    * so the sample is reproducible across engines, partitionings and
+    * runs, unlike seed-based `.sample`. One shuffle on the stratum
+    * key. (Exact quotas need the per-stratum rank; a 100 TB variant
+    * with huge strata would pre-filter by a hash THRESHOLD — t6's
+    * shuffle-free shape — and rank only the survivors, trading a tiny
+    * quota variance window for the sort.)
+    */
+  def t8StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quota = 20
+    Tables.load(s, d, "documents")
+      .withColumn("h", xhash64(concat_ws("|", lit("strat"),
+        col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk") <= quota)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
+  val t8Sql: String = {
+    val h = Norm.xhash64Sql("'strat|' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, lang, rk FROM (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS rk
+       |  FROM documents) t
+       |WHERE rk <= 20""".stripMargin
+  }
+
+  /** t9: sequence packing — assign documents to fixed token-budget
+    * bins by running fill, per source stream (the packing step before
+    * writing pretraining examples). Deterministic contiguous fill:
+    * docs in doc_id order per source, bin = floor((cumsum - tokens) /
+    * budget) — a doc starts in the bin its predecessor's fill reached.
+    * The window is partitioned by `source`, NOT global: a global
+    * ordered cumsum is a single-partition bottleneck at 100 TB, the
+    * per-stream one shuffles once on source and scales with streams.
+    * Emits per-bin packing stats (fill ratio = how much budget real
+    * packers would pad away).
+    */
+  def t9SequencePacking(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, d, "documents")
+      .withColumn("tokens", size(words(col("text"))).cast("long"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("bin_id",
+        ((col("cum") - col("tokens")) / budget).cast("long"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("bin_tokens"))
+  }
+
+  val t9Sql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, tokens,
+      |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT source, CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS bin_id,
+      |  count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
+      |FROM c GROUP BY 1, 2""".stripMargin
+
+  /** t10: PII scrub — redact emails and IPv4 literals, report match
+    * counts per doc. PII is INJECTED deterministically (the synthetic
+    * corpus has none): both engines derive the same dirty text, so
+    * the scrub itself — pattern semantics, replacement, counts — is
+    * what the hash checks. Patterns stay in the Java∩RE2 common
+    * subset (no lookaround, no \\b) so Spark and DuckDB agree by
+    * construction. Per-row, codegen'd, no shuffle.
+    */
+  def t10PiiScrub(s: SparkSession, d: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    Tables.load(s, d, "documents")
+      .withColumn("dirty", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1"))).otherwise(lit(""))))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("dirty"), lit(email), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("dirty"), lit(ip), lit(0))).as("n_ips"),
+        xhash64(regexp_replace(regexp_replace(col("dirty"), email,
+          "[EMAIL]"), ip, "[IP]")).as("scrubbed_hash"))
+  }
+
+  val t10Sql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    s"""WITH dirty AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 7 = 0
+       |      THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |           '@example.com now' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0
+       |      THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+       |      ELSE '' END AS d
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(d, '$email')) AS n_emails,
+       |  len(regexp_extract_all(d, '$ip')) AS n_ips,
+       |  ${Norm.xhash64Sql(
+      s"regexp_replace(regexp_replace(d, '$email', '[EMAIL]', 'g'), " +
+        s"'$ip', '[IP]', 'g')")} AS scrubbed_hash
+       |FROM dirty""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> t1LangId,
     "t2_quality_score" -> t2QualityScore,
@@ -314,6 +500,10 @@ object TextAnalysis {
     "t4_fingerprint" -> t4Fingerprint,
     "t5_winnow_fingerprint" -> t5WinnowFingerprint,
     "t6_hash_sample" -> t6HashSample,
+    "t7_decontaminate" -> t7Decontaminate,
+    "t8_stratified_sample" -> t8StratifiedSample,
+    "t9_sequence_packing" -> t9SequencePacking,
+    "t10_pii_scrub" -> t10PiiScrub,
     "pipe1_training_pipeline" -> pipe1TrainingPipeline)
 
   val oracles: Map[String, String] = Map(
@@ -323,5 +513,9 @@ object TextAnalysis {
     "t4_fingerprint" -> t4Sql,
     "t5_winnow_fingerprint" -> t5Sql,
     "t6_hash_sample" -> t6Sql,
+    "t7_decontaminate" -> t7Sql,
+    "t8_stratified_sample" -> t8Sql,
+    "t9_sequence_packing" -> t9Sql,
+    "t10_pii_scrub" -> t10Sql,
     "pipe1_training_pipeline" -> pipe1Sql)
 }
