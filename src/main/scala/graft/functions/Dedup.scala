@@ -501,13 +501,78 @@ object Dedup {
 
   // ------------------------------------------------------------- registry
 
+  /** d8: incremental-ingest dedup — dedupe a NEW shard against a
+    * PERSISTED corpus fingerprint index without rescanning the corpus
+    * (the continuous-ingest shape: at 100 TB you never re-dedupe the
+    * whole lake per arriving shard; you probe its index). The corpus/
+    * shard split is a deterministic salted hash slice (both engines
+    * derive it identically); the engine side really materializes the
+    * index as parquet and probes THAT (write→read→join is on the
+    * hash hook), classifying each new doc:
+    *
+    *   DUP_OF_CORPUS — fingerprint already indexed (wins over
+    *   within-shard duplication: the corpus copy is the keeper);
+    *   DUP_IN_SHARD  — first seen in this shard, but a lower doc_id
+    *   in the same shard owns the fingerprint;
+    *   NEW           — goes into the corpus (and its fingerprint
+    *   appends to the index for the next shard).
+    *
+    * Scale shape: one shuffle-hash join of shard fingerprints against
+    * the index (bucket the index by fp and it's s12's zero-Exchange
+    * probe), one within-shard window on fp. Index maintenance is an
+    * APPEND of the NEW rows — never a rewrite.
+    */
+  def d8IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, d, "documents")
+      .withColumn("fp",
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+      .withColumn("is_new",
+        pmod(xhash64(concat_ws("|", lit("incr"),
+          col("doc_id").cast("string"))), lit(5L)) === 0)
+    val idxDir = graft.operators.Migrate.tempDir("d8_idx")
+    docs.filter(!col("is_new")).select(col("fp")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(idxDir)
+    val index = s.read.parquet(idxDir)
+      .withColumn("in_corpus", lit(true))
+    docs.filter(col("is_new"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .join(index, Seq("fp"), "left_outer")
+      .select(col("doc_id"),
+        when(col("in_corpus"), lit("DUP_OF_CORPUS"))
+          .when(col("rk") > 1, lit("DUP_IN_SHARD"))
+          .otherwise(lit("NEW")).as("verdict"))
+  }
+
+  val d8Sql: String = {
+    val isNew =
+      s"${xhash64Sql("'incr|' || CAST(doc_id AS VARCHAR)")} % 5 = 0"
+    s"""WITH dd AS (
+       |  SELECT doc_id,
+       |    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+       |    $isNew AS is_new
+       |  FROM documents),
+       |idx AS (SELECT DISTINCT fp FROM dd WHERE NOT is_new),
+       |shard AS (
+       |  SELECT doc_id, fp,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+       |  FROM dd WHERE is_new)
+       |SELECT s.doc_id,
+       |  CASE WHEN i.fp IS NOT NULL THEN 'DUP_OF_CORPUS'
+       |       WHEN s.rk > 1 THEN 'DUP_IN_SHARD'
+       |       ELSE 'NEW' END AS verdict
+       |FROM shard s LEFT JOIN idx i ON s.fp = i.fp""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d3_minhash_lsh" -> d3MinhashLsh,
     "d4_simhash" -> d4Simhash,
     "d4b_simhash_pairs" -> d4bSimhashPairs,
-    "d6_dup_clusters" -> d6DupClusters)
+    "d6_dup_clusters" -> d6DupClusters,
+    "d8_incremental_dedup" -> d8IncrementalDedup)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
@@ -515,5 +580,6 @@ object Dedup {
     "d3_minhash_lsh" -> d3Sql,
     "d4_simhash" -> d4Sql,
     "d4b_simhash_pairs" -> d4bSql,
-    "d6_dup_clusters" -> d6Sql)
+    "d6_dup_clusters" -> d6Sql,
+    "d8_incremental_dedup" -> d8Sql)
 }
