@@ -142,6 +142,31 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(src.exceptAll(spark.read.parquet(comp)).isEmpty)
   }
 
+  test("compact sizes a PARTITIONED layout from real bytes, not zero") {
+    val frag = Migrate.tempDir("s13p_t")
+    val comp = Migrate.tempDir("s13pc_t")
+    // key=... subdirectories: a non-recursive listing sums 0 bytes
+    // here and would silently compact everything to 1 file
+    Tables.load(spark, sf, "lineitem")
+      .withColumn("part", col("l_orderkey") % 4)
+      .repartition(16)
+      .write.partitionBy("part").mode("overwrite").parquet(frag)
+    // target small enough that the true byte count demands >1 file
+    val bytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile)
+          (if (f.getName.startsWith("part-")) f.length else 0L)
+        else f.listFiles().map(walk).sum
+      walk(new java.io.File(frag))
+    }
+    assert(bytes > 0)
+    val n = Migrate.compact(spark, frag, comp, targetBytes = bytes / 3)
+    assert(n >= 3, s"n=$n from bytes=$bytes — recursive sizing regressed")
+    // lossless across the layout change (partition column re-read)
+    assert(spark.read.parquet(comp).count() ==
+      Tables.load(spark, sf, "lineitem").count())
+  }
+
   test("s15: range layout gives disjoint per-file key ranges") {
     val out = Migrate.tempDir("s15_t")
     Migrate.rangeLayoutWrite(spark, sf, out, files = 4)
