@@ -172,13 +172,37 @@ object Multimodal {
 
   // ------------------------------------------------------------- registry
 
+  /** m4: exact media dedup — duplicate blobs by BINARY content hash
+    * (multimodal corpora carry the same image/audio under many doc
+    * ids; the d1 groupBy ladder applies to the binary column
+    * unchanged). Emits per-content keeper, copy count and the bytes a
+    * dedup pass reclaims. One partial-aggregable groupBy on the
+    * content hex — the payload bytes never shuffle, only their hash.
+    */
+  def m4MediaDedup(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .groupBy(hex(col("payload")).as("content_hex"))
+      .agg(min("doc_id").as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        (max(length(col("payload"))).cast("long") *
+          (count(lit(1)) - lit(1L))).as("bytes_saved"))
+
+  val m4Sql: String =
+    """SELECT upper(md5(text) || md5(text || 'x')) AS content_hex,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies,
+      |  CAST(max(octet_length(unhex(md5(text) || md5(text || 'x'))))
+      |       * (count(*) - 1) AS BIGINT) AS bytes_saved
+      |FROM documents GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_meta" -> m1MediaMeta,
     "m2_media_features" -> m2MediaFeatures,
-    "m3_frame_sample" -> m3FrameSample)
+    "m3_frame_sample" -> m3FrameSample,
+    "m4_media_dedup" -> m4MediaDedup)
 
   val oracles: Map[String, String] = Map(
     "m1_media_meta" -> m1Sql,
     "m2_media_features" -> m2Sql,
-    "m3_frame_sample" -> m3Sql)
+    "m3_frame_sample" -> m3Sql,
+    "m4_media_dedup" -> m4Sql)
 }
