@@ -793,6 +793,81 @@ object Migrate {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Bit-interleaved Z-value of two non-negative long keys — the
+    * multi-dimensional clustering key (Morton order): interleaving
+    * bits makes points close in BOTH dimensions close in the 1-D sort,
+    * so per-file min/max footer stats prune 2-D box predicates — the
+    * property a single-column range layout (s15) cannot give the
+    * second dimension. Pure long arithmetic, codegen'd, identical in
+    * SQL; `bits` per dimension (values ≥ 2^bits would alias — 24
+    * covers TPC-H keys to sf1 and beyond).
+    */
+  def zValue(a: Column, b: Column, bits: Int = 24): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  def zValueSql(a: String, b: String, bits: Int = 24): String =
+    (0 until bits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+
+  def zOrderWrite(s: SparkSession, d: String, out: String,
+      files: Int = 8): Unit = {
+    val zv = zValue(col("l_orderkey"), col("l_partkey"))
+    Tables.load(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).cast("string")
+        .as("price_str"))
+      .withColumn("zv", zv)
+      .repartitionByRange(files, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .write.mode(SaveMode.Overwrite).parquet(out)
+  }
+
+  /** s16: Z-order (multi-dim) clustered export + 2-D box read-back.
+    * The oracle recomputes the interleave arithmetic AND the summary
+    * from the source, so both the Morton encoding and write
+    * losslessness under the box predicate are hash-checked; the
+    * file-pruning benefit itself is asserted in MigrateSpec (the box
+    * touches a strict subset of files, vs all of them under the
+    * single-dim layout).
+    */
+  def s16ZorderLayout(s: SparkSession, d: String): DataFrame = {
+    val out = tempDir("s16")
+    zOrderWrite(s, d, out)
+    val normCols = Seq(
+      NormCol("l_orderkey", KLong), NormCol("l_partkey", KLong),
+      NormCol("l_linenumber", KLong), NormCol("price_str", KStr))
+    s.read.parquet(out)
+      .filter(col("l_orderkey").between(2000, 4999) &&
+        col("l_partkey").between(500, 1499))
+      .groupBy(floor(col("l_orderkey") / 1000).cast("long").as("chunk_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        Norm.sparkRowChecksum(normCols).as("row_checksum"),
+        sum(col("zv")).cast(DecimalType(38, 0)).cast("string")
+          .as("z_sum"))
+  }
+
+  val s16Sql: String = {
+    val normCols = Seq(
+      NormCol("l_orderkey", KLong), NormCol("l_partkey", KLong),
+      NormCol("l_linenumber", KLong), NormCol("price_str", KStr))
+    s"""SELECT CAST(floor(l_orderkey / 1000.0) AS BIGINT) AS chunk_id,
+       |  count(*) AS n_rows,
+       |  ${Norm.duckRowChecksum(normCols)} AS row_checksum,
+       |  CAST(CAST(sum(${zValueSql("l_orderkey", "l_partkey")})
+       |       AS DECIMAL(38,0)) AS VARCHAR) AS z_sum
+       |FROM (
+       |  SELECT l_orderkey, l_partkey, l_linenumber,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str
+       |  FROM lineitem
+       |  WHERE l_orderkey BETWEEN 2000 AND 4999
+       |    AND l_partkey BETWEEN 500 AND 1499) t
+       |GROUP BY 1""".stripMargin
+  }
+
   val s9cSql: String =
     """SELECT * FROM (VALUES
       |  (1, 'ID', 'DECIMAL', 8, FALSE),
@@ -818,6 +893,7 @@ object Migrate {
     "s13_compaction" -> s13Compaction,
     "s14_quarantine_read" -> s14QuarantineRead,
     "s15_range_layout" -> s15RangeLayout,
+    "s16_zorder_layout" -> s16ZorderLayout,
     "s2_chunked_scan" -> s2ChunkedScan)
 
   val oracles: Map[String, String] = Map(
@@ -834,6 +910,7 @@ object Migrate {
     "s13_compaction" -> s13Sql,
     "s14_quarantine_read" -> s14Sql,
     "s15_range_layout" -> s15Sql,
+    "s16_zorder_layout" -> s16Sql,
     // orders keys are dense 0..N-1 at every sf: 15000 rows/sf0.01 →
     // ceil(15000/2000)=8 chunks; recomputed generically below.
     "s2_chunked_scan" -> s2SqlGeneric)

@@ -167,6 +167,42 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
       Tables.load(spark, sf, "lineitem").count())
   }
 
+  test("s16: z-order layout prunes a 2-D box to a strict file subset") {
+    import org.apache.spark.sql.functions.input_file_name
+    val zout = Migrate.tempDir("s16z_t")
+    val rout = Migrate.tempDir("s16r_t")
+    Migrate.zOrderWrite(spark, sf, zout, files = 8)
+    // contrast layout: clustered on orderkey ONLY — the second
+    // dimension's values spread across every file
+    Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(rout)
+    def filesTouched(dir: String, pred: org.apache.spark.sql.Column) =
+      spark.read.parquet(dir).filter(pred)
+        .select(input_file_name()).distinct().count()
+    def totalFiles(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    // a box tight in BOTH dims (the z-order win condition)
+    val box = col("l_orderkey").between(2000, 2999) &&
+      col("l_partkey").between(100, 299)
+    assert(totalFiles(zout) == 8 && totalFiles(rout) == 8)
+    val zTouched = filesTouched(zout, box)
+    assert(zTouched < 8,
+      s"z-order box scan touched all $zTouched files — no pruning")
+    // the partkey-only predicate is where single-dim range layout
+    // cannot prune but z-order still can
+    val partOnly = col("l_partkey").between(100, 299)
+    assert(filesTouched(zout, partOnly) <= filesTouched(rout, partOnly),
+      "z-order pruned the second dimension worse than a layout that " +
+        "never sorted on it")
+    // and the box read is lossless vs the source
+    val expected = Tables.load(spark, sf, "lineitem").filter(box).count()
+    assert(spark.read.parquet(zout).filter(box).count() == expected)
+  }
+
   test("s15: range layout gives disjoint per-file key ranges") {
     val out = Migrate.tempDir("s15_t")
     Migrate.rangeLayoutWrite(spark, sf, out, files = 4)
