@@ -482,6 +482,38 @@ object Relational {
       |FROM p ASOF LEFT JOIN c
       |  ON p.user_id = c.user_id AND c.tss <= p.tss""".stripMargin
 
+  /** w10: cohort retention — users grouped by the week of their first
+    * event, distinct active users per (cohort week, week offset): the
+    * standard retention matrix every event-analytics engine ships.
+    * Two keyed aggregations and one equi-join on user_id; the
+    * countDistinct shuffles on (cohort, offset, user) then partially
+    * aggregates — no window, no driver loop, linear at 100 TB events.
+    * Week truncation is Monday-based in both engines (date_trunc
+    * 'week'), so cohort labels agree by construction.
+    */
+  def w10CohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+    val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cwk"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cwk").cast("string").as("cohort_week"),
+        (datediff(col("wk"), col("cwk")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val w10Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |c AS (SELECT user_id, min(wk) AS cwk FROM ev GROUP BY 1)
+      |SELECT CAST(cwk AS VARCHAR) AS cohort_week,
+      |  CAST((ev.wk - c.cwk) / 7 AS BIGINT) AS week_offset,
+      |  count(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN c ON ev.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   /** j6: banded range join — every (error, view) event pair within
     * ±2 s of each other, with NO equi key relating the sides (the
     * incident-correlation shape: "what was happening around each
@@ -707,6 +739,7 @@ object Relational {
     "w5_top_per_group" -> w5TopPerGroup,
     "w6_running_frame" -> w6RunningFrame,
     "w7_asof_join" -> w7AsofJoin,
+    "w10_cohort_retention" -> w10CohortRetention,
     "j6_banded_range_join" -> j6BandedRangeJoin,
     "j7_salted_skew_join" -> j7SaltedSkewJoin,
     "j8_bloom_prejoin" -> j8BloomPrejoin,
@@ -734,6 +767,7 @@ object Relational {
     "w5_top_per_group" -> w5Sql,
     "w6_running_frame" -> w6Sql,
     "w7_asof_join" -> w7Sql,
+    "w10_cohort_retention" -> w10Sql,
     "j6_banded_range_join" -> j6Sql,
     "j7_salted_skew_join" -> j7Sql,
     "j8_bloom_prejoin" -> j8Sql,
