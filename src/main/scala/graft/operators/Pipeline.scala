@@ -261,9 +261,62 @@ object Pipeline {
        |GROUP BY 1""".stripMargin
   }
 
+  /** pipe3: the reference's `all` task mode — full load THEN
+    * incremental CDC apply (`module/migrate/sql/oracle/o2m/incr.go:61`,
+    * dispatched after the full phase) — composed through ONE sink: the
+    * base snapshot is expressed as scn-0 INSERT changes and pushed
+    * through the same guarded-MERGE apply the incremental phase uses,
+    * so the full phase is idempotent and replay-safe by the exact
+    * mechanism that protects the stream (the reference reaches the
+    * same end state via REPLACE INTO full rows + guarded incremental
+    * apply). Every change scn orders after the base's (0,0) (scn 0
+    * implies seq ≥ 1 on the feed), so last-writer-wins over
+    * base ∪ changes IS the final target state — which the oracle
+    * computes purely, while the engine path goes through a real JDBC
+    * target and back.
+    */
+  def pipe3FullPlusIncr(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Cdc
+    val dbDir = Migrate.tempDir("pipe3_derby")
+    System.setProperty("derby.system.home", dbDir)
+    val url = s"jdbc:derby:$dbDir/alldb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE ALL_STATE (k BIGINT PRIMARY KEY, " +
+        "scn BIGINT, seq BIGINT, v DOUBLE)")
+      st.close()
+    } finally conn.close()
+    val base = Tables.load(s, d, "customer").select(
+      lit(0L).as("scn"), lit(0L).as("seq"), lit("INSERT").as("op"),
+      lit("events").as("table_name"),
+      col("c_custkey").cast("long").as("key"),
+      col("c_acctbal").as("value"))
+    Cdc.applyBatchJdbc(base, url, "ALL_STATE") // full phase
+    Cdc.applyBatchJdbc(Cdc.eventsAsChanges(s, d), url, "ALL_STATE") // incr
+    s.read.format("jdbc").option("url", url)
+      .option("dbtable", "ALL_STATE").load()
+      .select(col("k").as("key"), col("scn"), col("seq"),
+        col("v").as("value"))
+  }
+
+  val pipe3Sql: String = {
+    import graft.streaming.Cdc
+    val baseSql =
+      """SELECT CAST(0 AS BIGINT) AS scn, CAST(0 AS BIGINT) AS seq,
+        |  'INSERT' AS op, 'events' AS table_name,
+        |  CAST(c_custkey AS BIGINT) AS key, c_acctbal AS value
+        |FROM customer""".stripMargin
+    s"""SELECT key, scn, seq, value FROM (
+       |${Cdc.applyChangesSql(s"$baseSql UNION ALL ${Cdc.eventsAsChangesSql}")}
+       |) f""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipe2_migration" -> pipe2Migration)
+    "pipe2_migration" -> pipe2Migration,
+    "pipe3_full_plus_incr" -> pipe3FullPlusIncr)
 
   val oracles: Map[String, String] = Map(
-    "pipe2_migration" -> pipe2Sql)
+    "pipe2_migration" -> pipe2Sql,
+    "pipe3_full_plus_incr" -> pipe3Sql)
 }
