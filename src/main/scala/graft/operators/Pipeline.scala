@@ -261,19 +261,51 @@ object Pipeline {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Bind-variable batched full load (the reference's F10 path:
+    * prepared multi-row bind batches, `translate.go:34-145`): ONE
+    * PreparedStatement per partition, `addBatch` per row, flushed
+    * every 1000 — an order of magnitude cheaper per row than the
+    * guarded MERGE, which a freshly-created empty target doesn't
+    * need. Partitions write concurrently over bounded connections.
+    */
+  private def bulkLoadState(df: DataFrame, url: String,
+      table: String): Unit =
+    df.coalesce(graft.streaming.Cdc.JdbcConnections).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement(
+            s"INSERT INTO $table VALUES (?, ?, ?, ?)")
+          var pending = 0
+          rows.foreach { r =>
+            ps.setLong(1, r.getLong(0))
+            ps.setLong(2, r.getLong(1))
+            ps.setLong(3, r.getLong(2))
+            if (r.isNullAt(3)) ps.setNull(4, java.sql.Types.DOUBLE)
+            else ps.setDouble(4, r.getDouble(3))
+            ps.addBatch()
+            pending += 1
+            if (pending >= 1000) { ps.executeBatch(); pending = 0 }
+          }
+          if (pending > 0) ps.executeBatch()
+          conn.commit()
+          ps.close()
+        } finally conn.close()
+    }
+
   /** pipe3: the reference's `all` task mode — full load THEN
     * incremental CDC apply (`module/migrate/sql/oracle/o2m/incr.go:61`,
-    * dispatched after the full phase) — composed through ONE sink: the
-    * base snapshot is expressed as scn-0 INSERT changes and pushed
-    * through the same guarded-MERGE apply the incremental phase uses,
-    * so the full phase is idempotent and replay-safe by the exact
-    * mechanism that protects the stream (the reference reaches the
-    * same end state via REPLACE INTO full rows + guarded incremental
-    * apply). Every change scn orders after the base's (0,0) (scn 0
-    * implies seq ≥ 1 on the feed), so last-writer-wins over
-    * base ∪ changes IS the final target state — which the oracle
-    * computes purely, while the engine path goes through a real JDBC
-    * target and back.
+    * dispatched after the full phase). The full phase bulk-loads the
+    * base snapshot as scn-0 rows through bind-variable batches (the
+    * reference's REPLACE-batch full path — a fresh empty target needs
+    * no guard); the incremental phase applies the change feed through
+    * the guarded MERGE sink, whose (scn,seq) staleness guard is what
+    * makes the combined state exact under replay. Every change scn
+    * orders after the base's (0,0) (scn 0 implies seq ≥ 1 on the
+    * feed), so last-writer-wins over base ∪ changes IS the final
+    * target state — which the oracle computes purely, while the
+    * engine path goes through a real JDBC target and back.
     */
   def pipe3FullPlusIncr(s: SparkSession, d: String): DataFrame = {
     import graft.streaming.Cdc
@@ -288,11 +320,10 @@ object Pipeline {
       st.close()
     } finally conn.close()
     val base = Tables.load(s, d, "customer").select(
-      lit(0L).as("scn"), lit(0L).as("seq"), lit("INSERT").as("op"),
-      lit("events").as("table_name"),
-      col("c_custkey").cast("long").as("key"),
-      col("c_acctbal").as("value"))
-    Cdc.applyBatchJdbc(base, url, "ALL_STATE") // full phase
+      col("c_custkey").cast("long").as("k"),
+      lit(0L).as("scn"), lit(0L).as("seq"),
+      col("c_acctbal").as("v"))
+    bulkLoadState(base, url, "ALL_STATE") // full phase, F10 bind batches
     Cdc.applyBatchJdbc(Cdc.eventsAsChanges(s, d), url, "ALL_STATE") // incr
     s.read.format("jdbc").option("url", url)
       .option("dbtable", "ALL_STATE").load()
