@@ -154,6 +154,55 @@ object Relational {
       |  GROUP BY 1, 2
       |  ORDER BY rev_d DESC, l_orderkey ASC LIMIT 10) t""".stripMargin
 
+  /** q5: TPC-H local-supplier volume — the 6-table join shape
+    * (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region with
+    * the c_nationkey = s_nationkey locality constraint). Dimensions
+    * (supplier, nation, region) broadcast; the two fact joins shuffle
+    * on their keys and AQE re-plans at runtime. Exact DECIMAL
+    * arithmetic end-to-end, rendered after the numeric sort.
+    */
+  def q5LocalSupplierVolume(s: SparkSession, d: String): DataFrame = {
+    val price = col("l_extendedprice").cast(DecimalType(12, 2))
+    val disc = col("l_discount").cast(DecimalType(5, 2))
+    val asiaNations = nat(s, d).join(
+      reg(s, d).filter(col("r_name") === "ASIA"),
+      col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.load(s, d, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    li(s, d)
+      .join(ord(s, d).filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(cust(s, d), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(price * (lit(1).cast(DecimalType(5, 2)) - disc))
+        .cast(DecimalType(38, 4)).as("rev_d"))
+      .orderBy(col("rev_d").desc, col("n_name").asc)
+      .select(col("n_name"), decStr(col("rev_d")).as("revenue"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name, CAST(rev_d AS VARCHAR) AS revenue FROM (
+      |  SELECT n_name,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DECIMAL(38,4)) AS rev_d
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |    AND c_nationkey = s_nationkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1
+      |  ORDER BY rev_d DESC, n_name ASC) t""".stripMargin
+
   /** j2: anti join — customers with no orders (J2, set difference on
     * keys; transferdb `common/strings.go:84-95`).
     */
@@ -721,6 +770,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
+    "q5_local_supplier_volume" -> q5LocalSupplierVolume,
     "j1_revenue_by_nation" -> j1RevenueByNation,
     "j2_anti_join" -> j2AntiJoin,
     "j3_semi_join" -> j3SemiJoin,
@@ -749,6 +799,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
+    "q5_local_supplier_volume" -> q5Sql,
     "j1_revenue_by_nation" -> j1Sql,
     "j2_anti_join" -> j2Sql,
     "j3_semi_join" -> j3Sql,
