@@ -530,7 +530,43 @@ object Assess {
 
   // ------------------------------------------------------------- registry
 
+  /** a35: join-key skew profile — per candidate join column, the key
+    * cardinality, hottest-key row count, and skew factor
+    * (top1 × n_keys / n_rows; 1.0 = uniform) — the report that decides
+    * WHERE j7's salting or AQE skew-split is worth wiring before a
+    * 100 TB join melts one reducer. Two-stage partial-aggregable
+    * group-bys per column, unioned into one plan; nothing driver-side.
+    */
+  def a35SkewProfile(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    val specs = Seq(("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+      ("lineitem", "l_suppkey"), ("orders", "o_custkey"))
+    specs.map { case (t, c) =>
+      Tables.load(s, d, t).groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          max(col("n")).as("top1_rows"))
+        .select(lit(t).as("table_name"), lit(c).as("join_col"),
+          col("n_keys"), col("n_rows"), col("top1_rows"),
+          ((col("top1_rows") * col("n_keys")).cast("double") /
+            col("n_rows")).as("skew_factor"))
+    }.reduce(_.unionAll(_))
+  }
+
+  val a35Sql: String = {
+    val specs = Seq(("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+      ("lineitem", "l_suppkey"), ("orders", "o_custkey"))
+    specs.map { case (t, c) =>
+      s"""SELECT '$t' AS table_name, '$c' AS join_col,
+         |  count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+         |  CAST(max(n) AS BIGINT) AS top1_rows,
+         |  CAST(max(n) * count(*) AS DOUBLE) / CAST(sum(n) AS BIGINT)
+         |    AS skew_factor
+         |FROM (SELECT $c, count(*) AS n FROM $t GROUP BY 1) g""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a35_skew_profile" -> a35SkewProfile,
     "a30_code_objects" -> a30CodeObjects,
     "a31_synonyms" -> a31Synonyms,
     "a32_mview_profile" -> a32MviewProfile,
@@ -546,6 +582,7 @@ object Assess {
     "a29_threshold_matrix" -> a29ThresholdMatrix)
 
   val oracles: Map[String, String] = Map(
+    "a35_skew_profile" -> a35Sql,
     "a30_code_objects" -> a30Sql,
     "a31_synonyms" -> a31Sql,
     "a32_mview_profile" -> a32Sql,

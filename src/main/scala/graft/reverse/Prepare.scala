@@ -43,6 +43,14 @@ object Prepare {
     ("STEVEN", "DATE", "DATETIME(3)"),
     ("STEVEN", "NUMBER(30,2)", "DECIMAL(33,2)"))
 
+  /** Table rename rules (the reference's `name_rule_table`,
+    * `database/meta/name_rule_table.go`), seeded as data like the
+    * datatype rules; case-insensitive source match.
+    */
+  val nameRuleSeed: Seq[(String, String)] = Seq(
+    ("MARVIN2", "T_MARVIN2"),
+    ("marvin1lite", "M1L_CORE"))
+
   def seedRules(s: SparkSession, metaDir: String): Unit = {
     import s.implicits._
     columnRuleSeed
@@ -57,7 +65,15 @@ object Prepare {
       .toDF("schema_name", "source_type", "target_type")
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$metaDir/datatype_rule_schema")
+    nameRuleSeed
+      .toDF("source_table", "target_table")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$metaDir/name_rule_table")
   }
+
+  def loadNameRules(s: SparkSession, metaDir: String): Map[String, String] =
+    s.read.parquet(s"$metaDir/name_rule_table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
 
   /** Load the seeded tables back into the resolver. Rule tables are
     * catalog-bounded (the reference's are MySQL meta rows) — the
@@ -148,9 +164,46 @@ object Prepare {
        |  AND m.origin_type = ${norm("sr.src")}""".stripMargin
   }
 
+  /** k10: seeded name-rule application — rename rules round-trip
+    * through the parquet meta store and apply to the zoo's table
+    * names via [[Ddl.applyNameRule]] (case-insensitive source match,
+    * identity when absent — `change.go:45-98`); the oracle re-derives
+    * each rename with its own case-folded LEFT JOIN over the same
+    * seed VALUES.
+    */
+  def k10NameRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val metaDir = graft.operators.Migrate.tempDir("meta_names")
+    seedRules(s, metaDir)
+    val rules = loadNameRules(s, metaDir)
+    (Reverse.zoo.map(_.table_name).distinct :+ "other_table").map { t =>
+      val tgt = Ddl.applyNameRule(t, rules)
+      (t, tgt, tgt != t)
+    }.toDF("source_table", "target_table", "renamed")
+  }
+
+  val k10Sql: String = {
+    def vStr(x: String) = "'" + x.replace("'", "''") + "'"
+    val srcVals = (Reverse.zoo.map(_.table_name).distinct :+ "other_table")
+      .map(t => s"(${vStr(t)})").mkString(",\n  ")
+    val ruleVals = nameRuleSeed.map { case (a, b) =>
+      s"(${vStr(a)}, ${vStr(b)})"
+    }.mkString(",\n  ")
+    s"""SELECT source_table,
+       |  coalesce(tgt, source_table) AS target_table,
+       |  tgt IS NOT NULL AS renamed
+       |FROM (VALUES
+       |  $srcVals) s(source_table)
+       |LEFT JOIN (VALUES
+       |  $ruleVals) r(src, tgt)
+       |  ON upper(s.source_table) = upper(r.src)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "k9_rule_seed" -> k9RuleSeed)
+    "k9_rule_seed" -> k9RuleSeed,
+    "k10_name_rules" -> k10NameRules)
 
   val oracles: Map[String, String] = Map(
-    "k9_rule_seed" -> k9Sql)
+    "k9_rule_seed" -> k9Sql,
+    "k10_name_rules" -> k10Sql)
 }
