@@ -413,6 +413,39 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(landed == n)
   }
 
+  test("stream-static enrichment join converges to the batch join") {
+    // the CDC enrichment shape: each change row joined against a
+    // static dimension (broadcast per micro-batch; the dimension is
+    // re-resolvable, so a dim update between batches is picked up —
+    // the property a static-static join can't give a long-lived feed)
+    val feed = Files.createTempDirectory("graft_enrich_feed").toString
+    val out = Files.createTempDirectory("graft_enrich_out").toString
+    val ckpt = Files.createTempDirectory("graft_enrich_ck").toString
+    val changes = Cdc.eventsAsChanges(spark, sf)
+    changes.write.mode("append").parquet(feed)
+    val dim = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = spark.readStream.schema(changes.schema).parquet(feed)
+      .join(broadcast(dim), col("key") === col("c_custkey"))
+      .select(col("scn"), col("seq"), col("key"), col("c_mktsegment"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+          ()
+      }
+      .start()
+    runStream(q)
+    val streamed = spark.read.parquet(out)
+    val batch = changes.join(broadcast(dim), col("key") === col("c_custkey"))
+      .select(col("scn"), col("seq"), col("key"), col("c_mktsegment"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming funnel (mapGroupsWithState + TTL) matches the batch " +
     "w9 funnel on the same feed") {
     val feed = Files.createTempDirectory("graft_funnel_feed").toString
