@@ -493,7 +493,53 @@ object TextAnalysis {
        |FROM dirty""".stripMargin
   }
 
+  /** t11: lexicon-frequency profile — per document, how many of its
+    * word OCCURRENCES are corpus-common / mid / rare (document
+    * frequency bands over the corpus lexicon) plus the rare ratio:
+    * the deterministic skeleton of CCNet-style LM-quality filtering
+    * (docs dominated by rare tokens are boilerplate/garbled; docs of
+    * only ultra-common tokens carry no content). A float LM
+    * perplexity would be order-dependent under partial aggregation —
+    * the band counts are integers, exact under any partitioning, and
+    * the single ratio division is one IEEE op. Two shuffles: the
+    * lexicon groupBy and the occurrence join on the word.
+    */
+  def t11LexiconProfile(s: SparkSession, d: String): DataFrame = {
+    val occ = Tables.load(s, d, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val lex = occ.groupBy("word")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    occ.join(lex, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("df") >= 100, 1L).otherwise(0L)).as("n_common"),
+        sum(when(col("df") >= 10 && col("df") < 100, 1L).otherwise(0L))
+          .as("n_mid"),
+        sum(when(col("df") < 10, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ratio",
+        col("n_rare").cast("double") / col("n_words"))
+  }
+
+  val t11Sql: String =
+    """WITH occ AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |lex AS (SELECT word, count(DISTINCT doc_id) AS df FROM occ
+      |        GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_words,
+      |  CAST(sum(CASE WHEN df >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_common,
+      |  CAST(sum(CASE WHEN df >= 10 AND df < 100 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_mid,
+      |  CAST(sum(CASE WHEN df < 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_rare,
+      |  CAST(sum(CASE WHEN df < 10 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS rare_ratio
+      |FROM occ JOIN lex USING (word)
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_lexicon_profile" -> t11LexiconProfile,
     "t1_lang_id" -> t1LangId,
     "t2_quality_score" -> t2QualityScore,
     "t3_token_count" -> t3TokenCount,
@@ -507,6 +553,7 @@ object TextAnalysis {
     "pipe1_training_pipeline" -> pipe1TrainingPipeline)
 
   val oracles: Map[String, String] = Map(
+    "t11_lexicon_profile" -> t11Sql,
     "t1_lang_id" -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_token_count" -> t3Sql,
