@@ -19,22 +19,34 @@ object TextAnalysis {
   /** Whitespace word array (the corpus is single-space separated). */
   def words(c: Column): Column = split(c, " ")
 
-  /** Distinct word 3-gram shingles — the unit for Jaccard/MinHash
-    * dedup. Empty for docs under 3 words: the `if` guard is required
-    * because Spark's `sequence(1, 0)` yields the DESCENDING array
-    * [1, 0] (not empty), and `element_at(w, 0)` then throws at
-    * runtime on any 1-2 word doc.
+  /** Distinct word k-gram shingles — the unit for Jaccard/MinHash
+    * dedup (k=3) and decontamination (k=5). Empty for docs under k
+    * words: the `if` guard is required because Spark's
+    * `sequence(1, 0)` yields the DESCENDING array [1, 0] (not empty),
+    * and `element_at(w, 0)` then throws at runtime on any short doc.
+    * ONE generator per dialect — the two k values must never drift in
+    * guard or window arithmetic.
     */
-  val shingleExpr: String =
-    """array_distinct(transform(
-      |  if(size(w) >= 3, sequence(1, size(w) - 2), array()),
-      |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-      |                 element_at(w, i + 2))))""".stripMargin
+  def shingleExprK(k: Int): String = {
+    val cells = (0 until k).map(j => s"element_at(w, i + $j)")
+      .mkString(", ")
+    s"""array_distinct(transform(
+       |  if(size(w) >= $k, sequence(1, size(w) - ${k - 1}), array()),
+       |  i -> concat_ws(' ', $cells)))""".stripMargin
+  }
 
-  val shingleSqlDuck: String =
-    """list_distinct(list_transform(
-      |  range(1, greatest(len(w) - 1, 1)),
-      |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))""".stripMargin
+  // NB: no generated line may START with '||' — these strings are
+  // re-embedded in stripMargin'd outer SQL, which would eat the
+  // first '|'
+  def shingleSqlDuckK(k: Int): String = {
+    val cells = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""list_distinct(list_transform(
+       |  range(1, greatest(len(w) - ${k - 2}, 1)),
+       |  i -> $cells))""".stripMargin
+  }
+
+  val shingleExpr: String = shingleExprK(3)
+  val shingleSqlDuck: String = shingleSqlDuckK(3)
 
   // ------------------------------------------------------------- queries
 
@@ -312,20 +324,8 @@ object TextAnalysis {
     * precision (a shared 5-gram is strong evidence of copied text; a
     * shared 3-gram is often just common phrasing).
     */
-  private val shingle5Expr: String =
-    """array_distinct(transform(
-      |  if(size(w) >= 5, sequence(1, size(w) - 4), array()),
-      |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-      |                 element_at(w, i + 2), element_at(w, i + 3),
-      |                 element_at(w, i + 4))))""".stripMargin
-
-  // NB: no line may START with '||' — this string is re-embedded in a
-  // stripMargin'd outer SQL, which would eat the first '|'
-  private val shingle5SqlDuck: String =
-    """list_distinct(list_transform(
-      |  range(1, greatest(len(w) - 3, 1)),
-      |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] ||
-      |       ' ' || w[i+4]))""".stripMargin
+  private val shingle5Expr: String = shingleExprK(5)
+  private val shingle5SqlDuck: String = shingleSqlDuckK(5)
 
   /** t7: benchmark decontamination — flag training documents that
     * share word-5-gram shingles with a held-out eval slice (the check

@@ -211,9 +211,13 @@ object Catalog {
     */
   def a11RowCounts(s: SparkSession, d: String): DataFrame =
     Tables.all.map { t =>
+      // global agg, NOT groupBy(lit(t)): a grouped count on an empty
+      // table emits zero rows and the table would vanish from the
+      // report — the global form emits (t, 0) like the oracle's
+      // per-table SELECT count(*)
       Tables.load(s, d, t)
-        .groupBy(lit(t).as("table_name"))
         .agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table_name"), col("n_rows"))
     }.reduce(_.unionAll(_))
 
   val a11Sql: String = Tables.all

@@ -443,8 +443,7 @@ object Check {
     import graft.reverse.{OracleColumn, Reverse, TypeMapper}
     val rows = Reverse.zoo.map { z =>
       (z.table_name, z.ordinal, z.col_name,
-        TypeMapper.mysqlType(OracleColumn(z.col_name, z.data_type, z.len,
-          z.p, z.s, z.char_len, z.char_used, z.nullable, z.dflt)))
+        TypeMapper.mysqlType(Reverse.toOracleColumn(z)))
     }.toDF("table_name", "ordinal", "col_name", "required_type")
     val checked = rows.withColumn("declared_type",
       when(col("ordinal") % 11 === 0, lit("TEXT"))
@@ -590,8 +589,7 @@ object Check {
     import graft.reverse.{CharsetMaps, OracleColumn, Reverse, TypeMapper}
     val typeRows = Reverse.zoo.map { z =>
       (z.table_name, z.ordinal, z.col_name,
-        TypeMapper.mysqlType(OracleColumn(z.col_name, z.data_type, z.len,
-          z.p, z.s, z.char_len, z.char_used, z.nullable, z.dflt)))
+        TypeMapper.mysqlType(Reverse.toOracleColumn(z)))
     }.toDF("table_name", "ordinal", "item", "required")
       .withColumn("declared",
         when(col("ordinal") % 13 === 0, lit("TEXT"))

@@ -286,7 +286,9 @@ object Pipeline {
             else ps.setDouble(4, r.getDouble(3))
             ps.addBatch()
             pending += 1
-            if (pending >= 1000) { ps.executeBatch(); pending = 0 }
+            if (pending >= graft.streaming.Cdc.JdbcFlushEvery) {
+              ps.executeBatch(); pending = 0
+            }
           }
           if (pending > 0) ps.executeBatch()
           conn.commit()
@@ -301,9 +303,11 @@ object Pipeline {
     * reference's REPLACE-batch full path — a fresh empty target needs
     * no guard); the incremental phase applies the change feed through
     * the guarded MERGE sink, whose (scn,seq) staleness guard is what
-    * makes the combined state exact under replay. Every change scn
-    * orders after the base's (0,0) (scn 0 implies seq ≥ 1 on the
-    * feed), so last-writer-wins over base ∪ changes IS the final
+    * makes the combined state exact under replay. The base rows carry
+    * scn -1, strictly before every feed change (the feed CAN emit
+    * (0,0): event_id 0 maps there — a (0,0) base would tie, and the
+    * engine's MERGE guard and the oracle's op-DESC tie-break resolve
+    * ties differently), so last-writer-wins over base ∪ changes IS the final
     * target state — which the oracle computes purely, while the
     * engine path goes through a real JDBC target and back.
     */
@@ -319,9 +323,14 @@ object Pipeline {
         "scn BIGINT, seq BIGINT, v DOUBLE)")
       st.close()
     } finally conn.close()
+    // base marker is scn -1, NOT (0,0): the feed's scn = event_id/8
+    // and event_id 0 exists, so a change CAN carry (0,0) — a base at
+    // (0,0) would tie with it, and the engine's MERGE guard and the
+    // oracle's op-DESC tie-break resolve ties differently. scn -1
+    // orders strictly before every change in both engines.
     val base = Tables.load(s, d, "customer").select(
       col("c_custkey").cast("long").as("k"),
-      lit(0L).as("scn"), lit(0L).as("seq"),
+      lit(-1L).as("scn"), lit(0L).as("seq"),
       col("c_acctbal").as("v"))
     bulkLoadState(base, url, "ALL_STATE") // full phase, F10 bind batches
     Cdc.applyBatchJdbc(Cdc.eventsAsChanges(s, d), url, "ALL_STATE") // incr
@@ -334,7 +343,7 @@ object Pipeline {
   val pipe3Sql: String = {
     import graft.streaming.Cdc
     val baseSql =
-      """SELECT CAST(0 AS BIGINT) AS scn, CAST(0 AS BIGINT) AS seq,
+      """SELECT CAST(-1 AS BIGINT) AS scn, CAST(0 AS BIGINT) AS seq,
         |  'INSERT' AS op, 'events' AS table_name,
         |  CAST(c_custkey AS BIGINT) AS key, c_acctbal AS value
         |FROM customer""".stripMargin

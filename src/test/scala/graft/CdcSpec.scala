@@ -462,8 +462,16 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val (b0, b1) = (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
     Seq(col("epoch") <= b0,
       col("epoch") > b0 && col("epoch") <= b1,
-      col("epoch") > b1).foreach { p =>
+      col("epoch") > b1).zipWithIndex.foreach { case (p, i) =>
       ev.filter(p).coalesce(1).write.mode("append").parquet(feed)
+      // FileStreamSource orders by millisecond mtime: two writes in
+      // the same ms would let a later slice process first — pin each
+      // slice's files to a strictly increasing minute
+      val dir = new java.io.File(feed)
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        if (f.lastModified() > i * 60000L)
+          f.setLastModified((i + 1) * 60000L)
+      }
     }
     val expected = Cdc.w9Funnel(spark, sf)
       .collect().map(r => r.getAs[Long]("user_id") ->
