@@ -4,10 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Diagnostic main: flags BroadcastNestedLoopJoin / CartesianProduct
   * in every registered query's physical plan. The only acceptable
-  * BNLs are bounded-broadcast-side by design: ann1/ann3 (broadcast
-  * query set — the exact recall baseline), the IVF centroid
-  * assignment inside ann2/d5 (O(N·C) with C centroids broadcast),
-  * and a19's crossJoin of two single-row summary aggregates.
+  * BNLs are bounded-broadcast-side by design: ann1/ann3/ann6
+  * (broadcast query set — the exact recall baseline; ann6 adds the
+  * broadcast centroid ranking and single-row recall crossJoins), the
+  * IVF centroid assignment inside ann2/d5 (O(N·C) with C centroids
+  * broadcast), and a19's crossJoin of two single-row summary
+  * aggregates.
   * Anything else appearing here is a scale regression.
   */
 object PlanAudit {

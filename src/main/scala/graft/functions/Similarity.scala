@@ -233,6 +233,101 @@ object Similarity {
        |       CAST((SELECT count(*) FROM hits) AS DOUBLE) /
        |         (SELECT count(*) FROM truth) AS recall""".stripMargin
 
+  /** ann6: IVF probe-width sweep — recall@5 at nprobe ∈ {1, 2, 4}
+    * against the ann1 exact baseline, in ONE query: the tuning curve
+    * every IVF deployment reads before fixing its probe width (ann2
+    * is the nprobe=1 point; widening probes buys recall linearly in
+    * scanned cells). Each query ranks the centroids once (crank ≤ 4,
+    * broadcast centroids), every sweep point filters that ranking —
+    * the candidate join stays an equi-join on the cell id, and a
+    * vector belongs to exactly one cell, so no candidate duplicates.
+    */
+  def ann6ProbeSweep(s: SparkSession, d: String): DataFrame = {
+    val assigned = assignedCells(s, d)
+    val c = corpus(s, d)
+    val cent = broadcast(c.select(col("vec_id").as("cid"),
+      col("v").as("cv"), col("nrm").as("cnrm"))
+      .filter(col("cid") % 50 === 0))
+    val q = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val crankW = Window.partitionBy("qid")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val qcells = q.crossJoin(cent)
+      .withColumn("ccos",
+        dot(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
+      .withColumn("crank", row_number().over(crankW))
+      .filter(col("crank") <= 4)
+      .select(col("qid"), col("qv"), col("qnrm"),
+        col("cid").as("cell"), col("crank"))
+    val truth = ann1BruteTopK(s, d).filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    Seq(1, 2, 4).map { np =>
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val got = assigned.join(qcells.filter(col("crank") <= np), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+      val hits = truth.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_expected")).crossJoin(
+        hits.agg(count(lit(1)).as("n_hits")))
+        .select(lit(np).as("nprobe"), col("n_expected"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_expected")).as("recall"))
+    }.reduce(_.unionAll(_))
+  }
+
+  val ann6Sql: String = {
+    val branches = Seq(1, 2, 4).map { np =>
+      s"""SELECT $np AS nprobe,
+         |  (SELECT count(*) FROM truth) AS n_expected,
+         |  (SELECT count(*) FROM truth WHERE EXISTS (
+         |     SELECT 1 FROM (
+         |       SELECT qid, vec_id FROM (
+         |         SELECT qc.qid, a.vec_id,
+         |           row_number() OVER (PARTITION BY qc.qid ORDER BY
+         |             ${dotSql("qc.qv", "a.v")} / (qc.qnrm * a.nrm) DESC,
+         |             a.vec_id ASC) AS rank
+         |         FROM qc JOIN assigned a
+         |           ON a.cell = qc.cell AND a.vec_id <> qc.qid
+         |         WHERE qc.crank <= $np) r
+         |       WHERE rank <= 5) g
+         |     WHERE g.qid = truth.query_id
+         |       AND g.vec_id = truth.neighbor_id)) AS n_hits,
+         |  CAST((SELECT count(*) FROM truth WHERE EXISTS (
+         |     SELECT 1 FROM (
+         |       SELECT qid, vec_id FROM (
+         |         SELECT qc.qid, a.vec_id,
+         |           row_number() OVER (PARTITION BY qc.qid ORDER BY
+         |             ${dotSql("qc.qv", "a.v")} / (qc.qnrm * a.nrm) DESC,
+         |             a.vec_id ASC) AS rank
+         |         FROM qc JOIN assigned a
+         |           ON a.cell = qc.cell AND a.vec_id <> qc.qid
+         |         WHERE qc.crank <= $np) r
+         |       WHERE rank <= 5) g
+         |     WHERE g.qid = truth.query_id
+         |       AND g.vec_id = truth.neighbor_id)) AS DOUBLE) /
+         |    (SELECT count(*) FROM truth) AS recall""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH c AS ($corpusSql),
+       |$assignedSqlCte,
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM assigned
+       |      WHERE vec_id % 100 = 0),
+       |qc AS (
+       |  SELECT qid, qv, qnrm, cid AS cell, crank FROM (
+       |    SELECT q.qid, q.qv, q.qnrm, cent.cid,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        ${dotSql("cent.cv", "q.qv")} / (cent.cnrm * q.qnrm) DESC,
+       |        cent.cid ASC) AS crank
+       |    FROM q, cent) t WHERE crank <= 4),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM ($ann1Sql) a WHERE rank <= 5)
+       |$branches""".stripMargin
+  }
+
   /** Symmetric int8 per-vector quantization: scale = max|x|/127,
     * q = halfUpRound(x/scale) ∈ [-127,127], dequantized back as
     * q·scale. The 100 TB IO story: an int8 corpus is 4× smaller at
@@ -477,6 +572,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann5_kmeans_iter" -> ann5KmeansIter,
+    "ann6_probe_sweep" -> ann6ProbeSweep,
     "d7_rph_pairs" -> d7RphPairs,
     "ann1_brute_topk" -> ann1BruteTopK,
     "ann2_ivf_topk" -> ann2IvfTopK,
@@ -486,6 +582,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann5_kmeans_iter" -> ann5Sql,
+    "ann6_probe_sweep" -> ann6Sql,
     "d7_rph_pairs" -> d7Sql,
     "ann1_brute_topk" -> ann1Sql,
     "ann2_ivf_topk" -> ann2Sql,
