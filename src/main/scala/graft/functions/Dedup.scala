@@ -501,6 +501,105 @@ object Dedup {
 
   // ------------------------------------------------------------- registry
 
+  /** d9: MinHash estimator calibration — for every d3 candidate pair,
+    * the K-slot signature agreement (the Jaccard ESTIMATE the LSH
+    * bands act on: E[n_eq/K] = J) next to the exact capped-shingle
+    * Jaccard (d2's arithmetic without its 0.5 threshold). This is the
+    * estimator-quality report a dedup deployment reads before trusting
+    * banded candidates at 100 TB — if the K=8 estimate decorrelates
+    * from exact J on real data, the band thresholds are wrong. All
+    * joins are on doc ids over the tiny candidate-pair set; the heavy
+    * inputs (signatures, capped shingle index) are the same memoized
+    * relations d2/d3 already share.
+    */
+  def d9EstimatorCalibration(s: SparkSession, d: String): DataFrame = {
+    val pairs = d3MinhashLsh(s, d)
+    val sig = minhashSignatureFromIndex(shingleIndex(s, d))
+    val eq = (0 until K).map(i =>
+      when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = pairs
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        eq.cast("long").as("n_eq_slots"))
+    val sh = shingleIndex(s, d).select(col("doc_id"), col("h1").as("shingle"))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DF_CAP).select("shingle")
+    val kept = sh.join(rare, "shingle")
+    val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = kept.as("x").join(kept.as("y"), Seq("shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val denom = coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L)) -
+      coalesce(col("n_inter"), lit(0L))
+    est
+      .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"), "left_outer")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"), "left_outer")
+      .select(col("doc_a"), col("doc_b"), col("n_eq_slots"),
+        when(denom > 0, coalesce(col("n_inter"), lit(0L)).cast("double")
+          / denom).as("jaccard"))
+  }
+
+  val d9Sql: String = {
+    val mins = (0 until K).map { i =>
+      s"CAST(min(h1 + $i * h2) AS BIGINT) AS mh$i"
+    }.mkString(",\n    ")
+    val bands = (0 until K / 2).map { b =>
+      s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || ':' || " +
+        s"CAST(mh${2 * b + 1} AS VARCHAR) AS sig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val eq = (0 until K).map(i =>
+      s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sh0 AS ($shinglesSql),
+       |hashed AS (
+       |  SELECT doc_id, ${xhash64Sql("shingle")} AS h1,
+       |    ${Norm.xhash64bSql("shingle")} % 144115188075855872 AS h2
+       |  FROM sh0),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |bsz AS (SELECT band, sig, count(*) AS bn FROM bands GROUP BY 1, 2),
+       |kept AS (SELECT b.doc_id, b.band, b.sig FROM bands b
+       |         JOIN bsz ON b.band = bsz.band AND b.sig = bsz.sig
+       |         WHERE bsz.bn <= $BUCKET_CAP),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM kept x JOIN kept y ON x.band = y.band AND x.sig = y.sig
+       |  WHERE x.doc_id < y.doc_id),
+       |est AS (
+       |  SELECT p.doc_a, p.doc_b, CAST($eq AS BIGINT) AS n_eq_slots
+       |  FROM pairs p JOIN sig a ON a.doc_id = p.doc_a
+       |               JOIN sig b ON b.doc_id = p.doc_b),
+       |shk AS (SELECT doc_id, h1 AS shingle FROM hashed),
+       |dfreq AS (SELECT shingle, count(*) AS df FROM shk GROUP BY 1),
+       |kept2 AS (SELECT shk.doc_id, shk.shingle FROM shk
+       |          JOIN dfreq ON shk.shingle = dfreq.shingle
+       |          WHERE dfreq.df <= $DF_CAP),
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM kept2 GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM kept2 x JOIN kept2 y ON x.shingle = y.shingle
+       |  WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT e.doc_a, e.doc_b, e.n_eq_slots,
+       |  CASE WHEN coalesce(ca.n_sh, 0) + coalesce(cb.n_sh, 0)
+       |            - coalesce(i.n_inter, 0) > 0
+       |       THEN CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+       |         (coalesce(ca.n_sh, 0) + coalesce(cb.n_sh, 0)
+       |          - coalesce(i.n_inter, 0))
+       |  END AS jaccard
+       |FROM est e
+       |LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+       |LEFT JOIN counts ca ON ca.doc_id = e.doc_a
+       |LEFT JOIN counts cb ON cb.doc_id = e.doc_b""".stripMargin
+  }
+
   /** d8: incremental-ingest dedup — dedupe a NEW shard against a
     * PERSISTED corpus fingerprint index without rescanning the corpus
     * (the continuous-ingest shape: at 100 TB you never re-dedupe the
@@ -572,7 +671,8 @@ object Dedup {
     "d4_simhash" -> d4Simhash,
     "d4b_simhash_pairs" -> d4bSimhashPairs,
     "d6_dup_clusters" -> d6DupClusters,
-    "d8_incremental_dedup" -> d8IncrementalDedup)
+    "d8_incremental_dedup" -> d8IncrementalDedup,
+    "d9_estimator_calibration" -> d9EstimatorCalibration)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
@@ -581,5 +681,6 @@ object Dedup {
     "d4_simhash" -> d4Sql,
     "d4b_simhash_pairs" -> d4bSql,
     "d6_dup_clusters" -> d6Sql,
-    "d8_incremental_dedup" -> d8Sql)
+    "d8_incremental_dedup" -> d8Sql,
+    "d9_estimator_calibration" -> d9Sql)
 }
