@@ -889,7 +889,101 @@ object Check {
        |  $routeVals) r(table_name, route, pk, opt)""".stripMargin
   }
 
+  /** Constraint fixture for k11 — one row per constraint kind branch
+    * of the reference's diff (`module/check/oracle/o2m/diff.go:
+    * 292-420`): PK, UK, FK (with referenced table/column + delete
+    * rule), CHECK (with expression).
+    * (table, kind, name, columns, ref_table, ref_col, delete_rule,
+    * expr, on_target)
+    */
+  val constraintFixture
+      : Seq[(String, String, String, String, String, String, String,
+        String, Boolean)] = Seq(
+    ("marvin2", "PK", "pk_m2", "n1", "", "", "", "", false),
+    ("marvin2", "UK", "uk_m2_vchar3", "vchar3", "", "", "", "", false),
+    ("marvin1lite", "PK", "pk_m1l", "id", "", "", "", "", true),
+    ("marvin2", "FK", "fk_m2_m1l", "n4", "marvin1lite", "id", "CASCADE",
+      "", false),
+    ("marvin2", "CK", "ck_m2_n2", "", "", "", "", "n2 > 0", false),
+    ("marvin1lite", "CK", "ck_m1l_id", "", "", "", "", "id IS NOT NULL",
+      true))
+
+  /** The reference only emits CHECK fixes when the target version
+    * supports them (`diff.go:374-383`, gate at MySQL > 8.0.15 via the
+    * F7 version-ordinal compare). The gate runs at plan-build time
+    * against the pinned target version, exactly like the reference
+    * reads `c.MySQLDBVersion` once per task.
+    */
+  val k11TargetVersion = "8.0.20"
+
+  /** k11: constraint diff — source PK/UK/FK/CHECK constraints missing
+    * on the target synthesize the reference's exact ADD statements
+    * (`diff.go:292-420`; like the reference, only the missing-on-
+    * target side emits — target-extra constraints are ignored there
+    * too). CHECK fixes are gated on the target version through
+    * [[graft.functions.VersionUtil]].
+    */
+  def k11ConstraintDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VersionUtil
+    val ckSupported = VersionUtil.compare(k11TargetVersion, "8.0.15") > 0
+    val rows = constraintFixture.toDF("table_name", "kind", "item",
+      "cols", "ref_table", "ref_col", "delete_rule", "expr", "on_target")
+    val qualified = concat(lit("steven."), col("table_name"))
+    val fix =
+      when(col("kind") === "PK", concat(lit("ALTER TABLE "), qualified,
+        lit(" ADD PRIMARY KEY("), col("cols"), lit(");")))
+        .when(col("kind") === "UK", concat(lit("ALTER TABLE "), qualified,
+          lit(" ADD UNIQUE("), col("cols"), lit(");")))
+        .when(col("kind") === "FK", concat(lit("ALTER TABLE "), qualified,
+          lit(" ADD FOREIGN KEY("), col("cols"),
+          lit(") REFERENCES steven."), col("ref_table"), lit("("),
+          col("ref_col"), lit(") ON DELETE "), col("delete_rule"),
+          lit(";")))
+        .when(col("kind") === "CK" && lit(ckSupported),
+          concat(lit("ALTER TABLE "), qualified, lit(" ADD CONSTRAINT "),
+            col("table_name"), lit("_check_key CHECK("), col("expr"),
+            lit(");")))
+    val verdict =
+      when(col("on_target"), lit("OK"))
+        .when(col("kind") === "CK" && !lit(ckSupported),
+          lit("VERSION_SKIPPED"))
+        .otherwise(lit("MISSING"))
+    rows.select(col("table_name"), col("kind"), col("item"),
+      verdict.as("verdict"),
+      when(!col("on_target"), fix).as("fix_sql"))
+  }
+
+  val k11Sql: String = {
+    val values = constraintFixture.map {
+      case (t, k, n, c, rt, rc, dr, ex, ot) =>
+        s"('$t', '$k', '$n', '$c', '$rt', '$rc', '$dr', '$ex', " +
+          s"${if (ot) "TRUE" else "FALSE"})"
+    }.mkString(",\n  ")
+    // the version gate resolves at build time (8.0.20 > 8.0.15) —
+    // pinned TRUE here exactly as the engine resolves it
+    s"""SELECT table_name, kind, item,
+       |  CASE WHEN on_target THEN 'OK' ELSE 'MISSING' END AS verdict,
+       |  CASE WHEN on_target THEN NULL
+       |    WHEN kind = 'PK' THEN 'ALTER TABLE steven.' || table_name ||
+       |      ' ADD PRIMARY KEY(' || cols || ');'
+       |    WHEN kind = 'UK' THEN 'ALTER TABLE steven.' || table_name ||
+       |      ' ADD UNIQUE(' || cols || ');'
+       |    WHEN kind = 'FK' THEN 'ALTER TABLE steven.' || table_name ||
+       |      ' ADD FOREIGN KEY(' || cols || ') REFERENCES steven.' ||
+       |      ref_table || '(' || ref_col || ') ON DELETE ' ||
+       |      delete_rule || ';'
+       |    WHEN kind = 'CK' THEN 'ALTER TABLE steven.' || table_name ||
+       |      ' ADD CONSTRAINT ' || table_name || '_check_key CHECK(' ||
+       |      expr || ');'
+       |  END AS fix_sql
+       |FROM (VALUES
+       |  $values) f(table_name, kind, item, cols, ref_table, ref_col,
+       |             delete_rule, expr, on_target)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k11_constraint_diff" -> k11ConstraintDiff,
     "k1_struct_diff" -> k1StructDiff,
     "k3_index_diff" -> k3IndexDiff,
     "k4_type_rule_check" -> k4TypeRuleCheck,
@@ -900,6 +994,7 @@ object Check {
     "a19_object_overview" -> a19ObjectOverview)
 
   val oracles: Map[String, String] = Map(
+    "k11_constraint_diff" -> k11Sql,
     "k1_struct_diff" -> k1Sql,
     "k3_index_diff" -> k3Sql,
     "k4_type_rule_check" -> k4Sql,
