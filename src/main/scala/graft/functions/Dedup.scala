@@ -105,16 +105,31 @@ object Dedup {
       shingles(s, d).select(col("doc_id"), h1.as("h1"), h2.as("h2"))
     }
 
-  def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
+  /** The DF_CAP'd shingle relation — THE definition of "kept" both d2
+    * (threshold mining) and d9 (estimator calibration) ground their
+    * exact Jaccard in; one copy so a capping-policy change can't
+    * desynchronize the two.
+    */
+  private def cappedKept(s: SparkSession, d: String): DataFrame = {
     val sh = shingleIndex(s, d).select(col("doc_id"), col("h1").as("shingle"))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DF_CAP).select("shingle")
-    val kept = sh.join(rare, "shingle")
-    val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = kept.as("a").join(kept.as("b"), Seq("shingle"))
+    sh.join(rare, "shingle")
+  }
+
+  private def keptCounts(kept: DataFrame): DataFrame =
+    kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+
+  private def keptIntersections(kept: DataFrame): DataFrame =
+    kept.as("a").join(kept.as("b"), Seq("shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
+
+  def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val kept = cappedKept(s, d)
+    val counts = keptCounts(kept)
+    val inter = keptIntersections(kept)
     inter
       .join(counts.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_sh", "n_a"), "doc_a")
@@ -244,22 +259,30 @@ object Dedup {
       bandedPairs(minhashSignatureFromIndex(shingleIndex(s, d)))
     }
 
-  val d3Sql: String = {
+  /** Shared sh→hashed→sig CTE chain — d3's candidate machinery and
+    * d9's calibration oracle compose over ONE copy, so a banding or
+    * hash-family change cannot silently fork the two oracles.
+    */
+  private val sigCtesSql: String = {
     val mins = (0 until K).map { i =>
       s"CAST(min(h1 + $i * h2) AS BIGINT) AS mh$i"
     }.mkString(",\n    ")
-    val bands = (0 until K / 2).map { b =>
-      s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || ':' || " +
-        s"CAST(mh${2 * b + 1} AS VARCHAR) AS sig FROM sig"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH sh AS ($shinglesSql),
+    s"""sh AS ($shinglesSql),
        |hashed AS (
        |  SELECT doc_id, ${xhash64Sql("shingle")} AS h1,
        |    ${Norm.xhash64bSql("shingle")} % 144115188075855872 AS h2
        |  FROM sh),
        |sig AS (SELECT doc_id,
        |    $mins
-       |  FROM hashed GROUP BY doc_id),
+       |  FROM hashed GROUP BY doc_id)""".stripMargin
+  }
+
+  val d3Sql: String = {
+    val bands = (0 until K / 2).map { b =>
+      s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || ':' || " +
+        s"CAST(mh${2 * b + 1} AS VARCHAR) AS sig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $sigCtesSql,
        |bands AS (
        |  $bands),
        |bsz AS (SELECT band, sig, count(*) AS bn FROM bands GROUP BY 1, 2),
@@ -507,10 +530,11 @@ object Dedup {
     * Jaccard (d2's arithmetic without its 0.5 threshold). This is the
     * estimator-quality report a dedup deployment reads before trusting
     * banded candidates at 100 TB — if the K=8 estimate decorrelates
-    * from exact J on real data, the band thresholds are wrong. All
-    * joins are on doc ids over the tiny candidate-pair set; the heavy
-    * inputs (signatures, capped shingle index) are the same memoized
-    * relations d2/d3 already share.
+    * from exact J on real data, the band thresholds are wrong. The
+    * capped index is first SEMI-JOINED to the candidate docs, so the
+    * exact-Jaccard self-join runs over candidate neighborhoods only —
+    * never d2's full all-rare-pairs mining a second time; signatures
+    * and the shingle index are the memoized relations d2/d3 share.
     */
   def d9EstimatorCalibration(s: SparkSession, d: String): DataFrame = {
     val pairs = d3MinhashLsh(s, d)
@@ -523,15 +547,12 @@ object Dedup {
       .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         eq.cast("long").as("n_eq_slots"))
-    val sh = shingleIndex(s, d).select(col("doc_id"), col("h1").as("shingle"))
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DF_CAP).select("shingle")
-    val kept = sh.join(rare, "shingle")
-    val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = kept.as("x").join(kept.as("y"), Seq("shingle"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val kept = cappedKept(s, d)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+    val counts = keptCounts(kept)
+    val inter = keptIntersections(kept)
     val denom = coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L)) -
       coalesce(col("n_inter"), lit(0L))
     est
@@ -546,33 +567,10 @@ object Dedup {
   }
 
   val d9Sql: String = {
-    val mins = (0 until K).map { i =>
-      s"CAST(min(h1 + $i * h2) AS BIGINT) AS mh$i"
-    }.mkString(",\n    ")
-    val bands = (0 until K / 2).map { b =>
-      s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || ':' || " +
-        s"CAST(mh${2 * b + 1} AS VARCHAR) AS sig FROM sig"
-    }.mkString("\n  UNION ALL ")
     val eq = (0 until K).map(i =>
       s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH sh0 AS ($shinglesSql),
-       |hashed AS (
-       |  SELECT doc_id, ${xhash64Sql("shingle")} AS h1,
-       |    ${Norm.xhash64bSql("shingle")} % 144115188075855872 AS h2
-       |  FROM sh0),
-       |sig AS (SELECT doc_id,
-       |    $mins
-       |  FROM hashed GROUP BY doc_id),
-       |bands AS (
-       |  $bands),
-       |bsz AS (SELECT band, sig, count(*) AS bn FROM bands GROUP BY 1, 2),
-       |kept AS (SELECT b.doc_id, b.band, b.sig FROM bands b
-       |         JOIN bsz ON b.band = bsz.band AND b.sig = bsz.sig
-       |         WHERE bsz.bn <= $BUCKET_CAP),
-       |pairs AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM kept x JOIN kept y ON x.band = y.band AND x.sig = y.sig
-       |  WHERE x.doc_id < y.doc_id),
+    s"""WITH $sigCtesSql,
+       |pairs AS (SELECT doc_a, doc_b FROM ($d3Sql) p3),
        |est AS (
        |  SELECT p.doc_a, p.doc_b, CAST($eq AS BIGINT) AS n_eq_slots
        |  FROM pairs p JOIN sig a ON a.doc_id = p.doc_a

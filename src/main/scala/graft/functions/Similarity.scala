@@ -119,10 +119,20 @@ object Similarity {
   private[graft] def assignedCells(s: SparkSession, d: String): DataFrame =
     Dedup.cachedPerSession(cellCache, s, d)(assignedCellsUncached(s, d))
 
+  /** THE broadcast centroid relation (vec_id ≡ 0 mod 50) — one
+    * definition shared by the cell assignment and ann6's probe
+    * ranking: if the centroid rule ever changes (e.g. trained
+    * centroids from ann5), both consumers move together or the
+    * "ann2 is the nprobe=1 point" invariant silently breaks.
+    */
+  private def centroids(s: SparkSession, d: String): DataFrame =
+    broadcast(corpus(s, d).select(col("vec_id").as("cid"),
+      col("v").as("cv"), col("nrm").as("cnrm"))
+      .filter(col("cid") % 50 === 0))
+
   private def assignedCellsUncached(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
-    val cent = broadcast(c.select(col("vec_id").as("cid"), col("v").as("cv"),
-      col("nrm").as("cnrm")).filter(col("cid") % 50 === 0))
+    val cent = centroids(s, d)
     val assignW = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cid").asc)
     c.crossJoin(cent)
@@ -244,10 +254,7 @@ object Similarity {
     */
   def ann6ProbeSweep(s: SparkSession, d: String): DataFrame = {
     val assigned = assignedCells(s, d)
-    val c = corpus(s, d)
-    val cent = broadcast(c.select(col("vec_id").as("cid"),
-      col("v").as("cv"), col("nrm").as("cnrm"))
-      .filter(col("cid") % 50 === 0))
+    val cent = centroids(s, d)
     val q = assigned.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"))
@@ -281,35 +288,30 @@ object Similarity {
   }
 
   val ann6Sql: String = {
+    // one g/h CTE pair per sweep point (ann3's hits pattern): the
+    // ranked-candidate subquery exists ONCE per nprobe — n_hits and
+    // recall read the same CTE, so they cannot silently disagree
+    val perNp = Seq(1, 2, 4).map { np =>
+      s"""g$np AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qc.qid, a.vec_id,
+         |      row_number() OVER (PARTITION BY qc.qid ORDER BY
+         |        ${dotSql("qc.qv", "a.v")} / (qc.qnrm * a.nrm) DESC,
+         |        a.vec_id ASC) AS rank
+         |    FROM qc JOIN assigned a
+         |      ON a.cell = qc.cell AND a.vec_id <> qc.qid
+         |    WHERE qc.crank <= $np) r
+         |  WHERE rank <= 5),
+         |h$np AS (
+         |  SELECT count(*) AS n FROM truth WHERE EXISTS (
+         |    SELECT 1 FROM g$np WHERE g$np.qid = truth.query_id
+         |      AND g$np.vec_id = truth.neighbor_id))""".stripMargin
+    }.mkString(",\n")
     val branches = Seq(1, 2, 4).map { np =>
       s"""SELECT $np AS nprobe,
          |  (SELECT count(*) FROM truth) AS n_expected,
-         |  (SELECT count(*) FROM truth WHERE EXISTS (
-         |     SELECT 1 FROM (
-         |       SELECT qid, vec_id FROM (
-         |         SELECT qc.qid, a.vec_id,
-         |           row_number() OVER (PARTITION BY qc.qid ORDER BY
-         |             ${dotSql("qc.qv", "a.v")} / (qc.qnrm * a.nrm) DESC,
-         |             a.vec_id ASC) AS rank
-         |         FROM qc JOIN assigned a
-         |           ON a.cell = qc.cell AND a.vec_id <> qc.qid
-         |         WHERE qc.crank <= $np) r
-         |       WHERE rank <= 5) g
-         |     WHERE g.qid = truth.query_id
-         |       AND g.vec_id = truth.neighbor_id)) AS n_hits,
-         |  CAST((SELECT count(*) FROM truth WHERE EXISTS (
-         |     SELECT 1 FROM (
-         |       SELECT qid, vec_id FROM (
-         |         SELECT qc.qid, a.vec_id,
-         |           row_number() OVER (PARTITION BY qc.qid ORDER BY
-         |             ${dotSql("qc.qv", "a.v")} / (qc.qnrm * a.nrm) DESC,
-         |             a.vec_id ASC) AS rank
-         |         FROM qc JOIN assigned a
-         |           ON a.cell = qc.cell AND a.vec_id <> qc.qid
-         |         WHERE qc.crank <= $np) r
-         |       WHERE rank <= 5) g
-         |     WHERE g.qid = truth.query_id
-         |       AND g.vec_id = truth.neighbor_id)) AS DOUBLE) /
+         |  (SELECT n FROM h$np) AS n_hits,
+         |  CAST((SELECT n FROM h$np) AS DOUBLE) /
          |    (SELECT count(*) FROM truth) AS recall""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH c AS ($corpusSql),
@@ -324,7 +326,8 @@ object Similarity {
        |        cent.cid ASC) AS crank
        |    FROM q, cent) t WHERE crank <= 4),
        |truth AS (
-       |  SELECT query_id, neighbor_id FROM ($ann1Sql) a WHERE rank <= 5)
+       |  SELECT query_id, neighbor_id FROM ($ann1Sql) a WHERE rank <= 5),
+       |$perNp
        |$branches""".stripMargin
   }
 

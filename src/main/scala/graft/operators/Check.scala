@@ -923,10 +923,14 @@ object Check {
     * too). CHECK fixes are gated on the target version through
     * [[graft.functions.VersionUtil]].
     */
-  def k11ConstraintDiff(s: SparkSession, d: String): DataFrame = {
+  def k11ConstraintDiff(s: SparkSession, d: String): DataFrame =
+    k11ConstraintDiffFor(s, k11TargetVersion)
+
+  private[graft] def k11ConstraintDiffFor(s: SparkSession,
+      targetVersion: String): DataFrame = {
     import s.implicits._
     import graft.functions.VersionUtil
-    val ckSupported = VersionUtil.compare(k11TargetVersion, "8.0.15") > 0
+    val ckSupported = VersionUtil.compare(targetVersion, "8.0.15") > 0
     val rows = constraintFixture.toDF("table_name", "kind", "item",
       "cols", "ref_table", "ref_col", "delete_rule", "expr", "on_target")
     val qualified = concat(lit("steven."), col("table_name"))
@@ -960,10 +964,17 @@ object Check {
         s"('$t', '$k', '$n', '$c', '$rt', '$rc', '$dr', '$ex', " +
           s"${if (ot) "TRUE" else "FALSE"})"
     }.mkString(",\n  ")
-    // the version gate resolves at build time (8.0.20 > 8.0.15) —
-    // pinned TRUE here exactly as the engine resolves it
+    // the version gate resolves at build time from the SAME compare
+    // the engine uses — changing k11TargetVersion moves both sides
+    // together (a hand-pinned TRUE here would desynchronize the
+    // VERSION_SKIPPED branch from the oracle)
+    val ckSupported =
+      graft.functions.VersionUtil.compare(k11TargetVersion, "8.0.15") > 0
+    val ckGate = if (ckSupported) "TRUE" else "FALSE"
     s"""SELECT table_name, kind, item,
-       |  CASE WHEN on_target THEN 'OK' ELSE 'MISSING' END AS verdict,
+       |  CASE WHEN on_target THEN 'OK'
+       |       WHEN kind = 'CK' AND NOT $ckGate THEN 'VERSION_SKIPPED'
+       |       ELSE 'MISSING' END AS verdict,
        |  CASE WHEN on_target THEN NULL
        |    WHEN kind = 'PK' THEN 'ALTER TABLE steven.' || table_name ||
        |      ' ADD PRIMARY KEY(' || cols || ');'
@@ -973,7 +984,8 @@ object Check {
        |      ' ADD FOREIGN KEY(' || cols || ') REFERENCES steven.' ||
        |      ref_table || '(' || ref_col || ') ON DELETE ' ||
        |      delete_rule || ';'
-       |    WHEN kind = 'CK' THEN 'ALTER TABLE steven.' || table_name ||
+       |    WHEN kind = 'CK' AND $ckGate
+       |      THEN 'ALTER TABLE steven.' || table_name ||
        |      ' ADD CONSTRAINT ' || table_name || '_check_key CHECK(' ||
        |      expr || ');'
        |  END AS fix_sql

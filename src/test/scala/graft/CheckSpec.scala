@@ -101,4 +101,27 @@ class CheckSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val revDrop = rev.filter(col("change") === "DROP").count()
     assert(fwdAdd == revDrop)
   }
+
+  test("k11 CHECK fixes are version-gated both ways (diff.go:374-383)") {
+    // above the 8.0.15 gate: missing CKs get runnable ADD CONSTRAINT
+    val modern = Check.k11ConstraintDiffFor(spark, "8.0.20")
+      .filter(col("kind") === "CK" && col("verdict") =!= "OK").collect()
+    assert(modern.nonEmpty)
+    modern.foreach { r =>
+      assert(r.getAs[String]("verdict") == "MISSING")
+      assert(r.getAs[String]("fix_sql").contains("ADD CONSTRAINT"))
+    }
+    // below the gate: the same rows divert to VERSION_SKIPPED, no fix
+    val legacy = Check.k11ConstraintDiffFor(spark, "5.7.30")
+      .filter(col("kind") === "CK" && col("verdict") =!= "OK").collect()
+    assert(legacy.nonEmpty)
+    legacy.foreach { r =>
+      assert(r.getAs[String]("verdict") == "VERSION_SKIPPED")
+      assert(r.isNullAt(r.fieldIndex("fix_sql")))
+    }
+    // non-CK fixes are never gated
+    val fk = Check.k11ConstraintDiffFor(spark, "5.7.30")
+      .filter(col("kind") === "FK").head
+    assert(fk.getAs[String]("fix_sql").contains("ADD FOREIGN KEY"))
+  }
 }
