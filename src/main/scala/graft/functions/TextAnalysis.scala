@@ -269,6 +269,47 @@ object TextAnalysis {
        |WHERE bucket < 5""".stripMargin
   }
 
+  /** t12: context-window chunking — split each document into
+    * fixed-size token windows with overlap (stride < window), the
+    * preprocessing step that turns variable-length docs into
+    * training-context rows. Chunk starts are a deterministic
+    * arithmetic sequence, the slice is array_slice + join — one
+    * explode, no shuffle until a consumer aggregates; chunk ids are
+    * (doc_id, chunk_idx), stable under any partitioning. Windows
+    * cover every token: the last window starts at the final stride
+    * position even when short (standard tail handling — truncating
+    * it would drop document suffixes from training).
+    */
+  def t12ContextChunks(s: SparkSession, d: String): DataFrame = {
+    val window = 64
+    val stride = 48
+    Tables.load(s, d, "documents")
+      .withColumn("w", words(col("text")))
+      .withColumn("n", size(col("w")))
+      .withColumn("chunk_idx", explode(expr(
+        s"sequence(0, greatest(cast(ceil((n - $window) / $stride.0) as int), 0))")))
+      .withColumn("start", col("chunk_idx") * stride + 1)
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"slice(w, start, $window)").as("cw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("cw")).as("n_tokens"),
+        element_at(col("cw"), 1).as("first_word"),
+        element_at(col("cw"), -1).as("last_word"))
+  }
+
+  val t12Sql: String =
+    """SELECT doc_id, chunk_idx,
+      |  len(cw) AS n_tokens, cw[1] AS first_word, cw[-1] AS last_word
+      |FROM (
+      |  SELECT doc_id, chunk_idx,
+      |    w[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)] AS cw
+      |  FROM (
+      |    SELECT doc_id, w,
+      |      unnest(range(0, greatest(CAST(ceil((len(w) - 64) / 48.0)
+      |        AS INT), 0) + 1)) AS chunk_idx
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+      |          FROM documents) t0) t1) t2""".stripMargin
+
   /** pipe1: the end-to-end training-data pipeline — the composition
     * the individual t/d operators exist for: canonicalize → quality
     * gate (word count + uniq ratio, t2's metrics) → exact dedup on
@@ -540,6 +581,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_lexicon_profile" -> t11LexiconProfile,
+    "t12_context_chunks" -> t12ContextChunks,
     "t1_lang_id" -> t1LangId,
     "t2_quality_score" -> t2QualityScore,
     "t3_token_count" -> t3TokenCount,
@@ -554,6 +596,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t11_lexicon_profile" -> t11Sql,
+    "t12_context_chunks" -> t12Sql,
     "t1_lang_id" -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_token_count" -> t3Sql,
