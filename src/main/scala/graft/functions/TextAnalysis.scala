@@ -310,6 +310,48 @@ object TextAnalysis {
       |    FROM (SELECT doc_id, string_split(text, ' ') AS w
       |          FROM documents) t0) t1) t2""".stripMargin
 
+  /** t13: repetition filter — per-document duplicate-bigram fraction
+    * (the Gopher/MassiveText-style repetitive-content gate: docs whose
+    * n-gram mass is dominated by repeats are boilerplate or loops).
+    * Bigrams are counted WITH multiplicity (unlike the dedup shingles,
+    * which are distinct sets); dup_fraction = (occurrences − distinct)
+    * / occurrences — exact integers and one IEEE division, stable
+    * under any partitioning. One explode + two partial-aggregable
+    * group-bys.
+    */
+  def t13RepetitionFilter(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .withColumn("w", words(col("text")))
+      .withColumn("g", explode(expr(
+        """transform(if(size(w) >= 2, sequence(1, size(w) - 1), array()),
+          |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"""
+          .stripMargin)))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"))
+      .withColumn("dup_fraction",
+        (col("n_bigrams") - col("n_distinct")).cast("double")
+          / col("n_bigrams"))
+      .withColumn("flagged", col("dup_fraction") > 0.2)
+
+  val t13Sql: String =
+    """SELECT doc_id,
+      |  CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+      |  count(*) AS n_distinct,
+      |  CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt) AS dup_fraction,
+      |  (CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt)) > 0.2 AS flagged
+      |FROM (
+      |  SELECT doc_id, g, count(*) AS cnt FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      range(1, greatest(len(w), 1)),
+      |      i -> w[i] || ' ' || w[i+1])) AS g
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+      |          FROM documents) t0) t1
+      |  GROUP BY 1, 2) t2
+      |GROUP BY 1""".stripMargin
+
   /** pipe1: the end-to-end training-data pipeline — the composition
     * the individual t/d operators exist for: canonicalize → quality
     * gate (word count + uniq ratio, t2's metrics) → exact dedup on
@@ -582,6 +624,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_lexicon_profile" -> t11LexiconProfile,
     "t12_context_chunks" -> t12ContextChunks,
+    "t13_repetition_filter" -> t13RepetitionFilter,
     "t1_lang_id" -> t1LangId,
     "t2_quality_score" -> t2QualityScore,
     "t3_token_count" -> t3TokenCount,
@@ -597,6 +640,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t11_lexicon_profile" -> t11Sql,
     "t12_context_chunks" -> t12Sql,
+    "t13_repetition_filter" -> t13Sql,
     "t1_lang_id" -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_token_count" -> t3Sql,
