@@ -621,8 +621,128 @@ object TextAnalysis {
       |FROM occ JOIN lex USING (word)
       |GROUP BY 1""".stripMargin
 
+  /** pipe4: the FULL modern curation pipeline — what a pretraining
+    * data team actually runs, composed from this file's gates into
+    * one declarative DAG:
+    *
+    *   canonicalize → quality gate (t2's word/uniq metrics) →
+    *   repetition gate (t13's duplicate-bigram fraction) → exact
+    *   dedup keeping the lowest doc_id (d1's rule) → benchmark
+    *   decontamination against the deterministic eval slice (t7's
+    *   5-gram overlap, eval docs themselves held out) → deterministic
+    *   90% train split (t6's salted hash) → per-language corpus
+    *   accounting.
+    *
+    * Catalyst fuses the scalar gates into the scan projection; the
+    * wide stages are the dedup window, the decontamination
+    * shingle-hash semi-join (eval side broadcastable), and the final
+    * groupBy — all keyed, all partial-aggregable or bounded. The
+    * oracle recomputes the whole chain independently, so the
+    * COMPOSITION (gate order, held-out semantics, split arithmetic)
+    * is what the hash checks.
+    */
+  def pipe4Curation(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.load(s, d, "documents")
+      .withColumn("canon", lower(regexp_replace(col("text"), "\\s+", " ")))
+      .withColumn("w", words(col("canon")))
+      .withColumn("n_words", size(col("w")))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("w"))).cast("double") / col("n_words"))
+      .withColumn("is_eval",
+        pmod(xhash64(concat_ws("|", lit("eval"),
+          col("doc_id").cast("string"))), lit(50L)) === 0)
+    // scalar gates: quality + repetition
+    val bigrams = base.select(col("doc_id"), explode(expr(
+      """transform(if(size(w) >= 2, sequence(1, size(w) - 1), array()),
+        |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"""
+        .stripMargin)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(((sum(col("cnt")) - count(lit(1))).cast("double") /
+        sum(col("cnt"))).as("dup_fraction"))
+    val gated = base
+      .filter(col("n_words") >= 10 && col("uniq_ratio") >= 0.3)
+      .join(bigrams, "doc_id")
+      .filter(col("dup_fraction") <= 0.2)
+    // exact dedup, keep lowest doc_id
+    val deduped = gated
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("canon"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    // decontamination: drop train docs sharing a 5-gram with the
+    // eval slice; eval docs are held out of the corpus entirely
+    val sh = base.select(col("doc_id"), col("is_eval"),
+      explode(expr(shingleExprK(5))).as("g"))
+      .select(col("doc_id"), col("is_eval"), xhash64(col("g")).as("gh"))
+    val contaminated = sh.filter(!col("is_eval"))
+      .join(broadcast(sh.filter(col("is_eval")).select("gh").distinct()),
+        "gh")
+      .select("doc_id").distinct()
+    val clean = deduped.filter(!col("is_eval"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // deterministic train split + accounting
+    clean
+      .filter(pmod(xhash64(concat_ws("|", lit("split"),
+        col("doc_id").cast("string"))), lit(100L)) < 90)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_tokens"))
+  }
+
+  val pipe4Sql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    lower(regexp_replace(text, '\\s+', ' ', 'g')) AS canon,
+       |    ${Norm.xhash64Sql("'eval|' || CAST(doc_id AS VARCHAR)")} % 50 = 0
+       |      AS is_eval
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang, canon, is_eval,
+       |    string_split(canon, ' ') AS w,
+       |    len(string_split(canon, ' ')) AS n_words,
+       |    CAST(len(list_distinct(string_split(canon, ' '))) AS DOUBLE)
+       |      / len(string_split(canon, ' ')) AS uniq_ratio
+       |  FROM b),
+       |rep AS (
+       |  SELECT doc_id,
+       |    CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt) AS dup_fraction
+       |  FROM (
+       |    SELECT doc_id, g, count(*) AS cnt FROM (
+       |      SELECT doc_id, unnest(list_transform(
+       |        range(1, greatest(len(w), 1)),
+       |        i -> w[i] || ' ' || w[i+1])) AS g
+       |      FROM m) r0 GROUP BY 1, 2) r1
+       |  GROUP BY 1),
+       |gated AS (
+       |  SELECT m.* FROM m JOIN rep ON m.doc_id = rep.doc_id
+       |  WHERE m.n_words >= 10 AND m.uniq_ratio >= 0.3
+       |    AND rep.dup_fraction <= 0.2),
+       |dd AS (
+       |  SELECT *, row_number() OVER (PARTITION BY md5(canon)
+       |                               ORDER BY doc_id) AS rn
+       |  FROM gated),
+       |sh AS (
+       |  SELECT doc_id, is_eval, ${Norm.xhash64Sql("g")} AS gh FROM (
+       |    SELECT doc_id, is_eval, unnest(${shingleSqlDuckK(5)}) AS g
+       |    FROM m) s0),
+       |contaminated AS (
+       |  SELECT DISTINCT tr.doc_id FROM sh tr
+       |  JOIN (SELECT DISTINCT gh FROM sh WHERE is_eval) ev
+       |    ON tr.gh = ev.gh
+       |  WHERE NOT tr.is_eval)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS total_tokens
+       |FROM dd
+       |WHERE rn = 1 AND NOT is_eval
+       |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |  AND ${Norm.xhash64Sql("'split|' || CAST(doc_id AS VARCHAR)")}
+       |      % 100 < 90
+       |GROUP BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_lexicon_profile" -> t11LexiconProfile,
+    "pipe4_curation" -> pipe4Curation,
     "t12_context_chunks" -> t12ContextChunks,
     "t13_repetition_filter" -> t13RepetitionFilter,
     "t1_lang_id" -> t1LangId,
@@ -639,6 +759,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t11_lexicon_profile" -> t11Sql,
+    "pipe4_curation" -> pipe4Sql,
     "t12_context_chunks" -> t12Sql,
     "t13_repetition_filter" -> t13Sql,
     "t1_lang_id" -> t1Sql,
