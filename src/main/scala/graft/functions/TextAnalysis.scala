@@ -417,10 +417,13 @@ object TextAnalysis {
     * corpus's short docs). The eval slice is the deterministic hash
     * slice t6 established (salt 'eval', 1/50 of docs) so both engines
     * derive the identical split. Scale shape: explode-to-shingle-hash
-    * on both sides, the eval side is corpus/50 and BROADCAST; one
-    * equi-join on the 60-bit shingle hash, one partial-aggregable
-    * groupBy per contaminated doc. Never N² — cost is linear in
-    * shingles with a tiny broadcast probe.
+    * on both sides, one equi-join on the 60-bit shingle hash, one
+    * partial-aggregable groupBy per contaminated doc. Never N² — cost
+    * is linear in shingles. The eval side is corpus/50: NO broadcast
+    * hint — at test scale AQE broadcasts it on its own, at 100 TB
+    * corpus/50 is terabytes and the join correctly degrades to a
+    * shuffled hash join on the shingle hash (a forced broadcast would
+    * OOM the executors exactly when the check matters most).
     */
   def t7Decontaminate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents")
@@ -433,7 +436,7 @@ object TextAnalysis {
     val evalSide = docs.filter(col("is_eval"))
       .select(col("gh"), col("doc_id").as("eval_doc"))
     docs.filter(!col("is_eval"))
-      .join(broadcast(evalSide), "gh")
+      .join(evalSide, "gh")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gh")).as("n_shared_shingles"),
         countDistinct(col("eval_doc")).as("n_eval_docs"))
@@ -675,9 +678,11 @@ object TextAnalysis {
     val sh = base.select(col("doc_id"), col("is_eval"),
       explode(expr(shingleExprK(5))).as("g"))
       .select(col("doc_id"), col("is_eval"), xhash64(col("g")).as("gh"))
+    // no broadcast hint: corpus/50 of shingle hashes out-scales the
+    // broadcast limit long before 100 TB — AQE broadcasts when small,
+    // shuffles when not (t7's rationale)
     val contaminated = sh.filter(!col("is_eval"))
-      .join(broadcast(sh.filter(col("is_eval")).select("gh").distinct()),
-        "gh")
+      .join(sh.filter(col("is_eval")).select("gh").distinct(), "gh")
       .select("doc_id").distinct()
     val clean = deduped.filter(!col("is_eval"))
       .join(contaminated, Seq("doc_id"), "left_anti")
