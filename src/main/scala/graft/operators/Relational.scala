@@ -168,13 +168,16 @@ object Relational {
       reg(s, d).filter(col("r_name") === "ASIA"),
       col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey"), col("n_name"))
+    // supplier scales WITH the data (SF x 10k rows — 1B at the 100 TB
+    // target), unlike the fixed nation/region dims: no broadcast
+    // hint, AQE broadcasts while it fits and shuffles beyond that
     val sup = Tables.load(s, d, "supplier")
       .select(col("s_suppkey"), col("s_nationkey"))
     li(s, d)
       .join(ord(s, d).filter(col("o_orderdate") >= lit("1996-01-01") &&
         col("o_orderdate") < lit("1997-01-01")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(cust(s, d), col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(asiaNations),
