@@ -27,26 +27,39 @@ object TextAnalysis {
     * ONE generator per dialect — the two k values must never drift in
     * guard or window arithmetic.
     */
-  def shingleExprK(k: Int): String = {
+  def gramExprK(k: Int, distinct: Boolean): String = {
     val cells = (0 until k).map(j => s"element_at(w, i + $j)")
       .mkString(", ")
-    s"""array_distinct(transform(
-       |  if(size(w) >= $k, sequence(1, size(w) - ${k - 1}), array()),
-       |  i -> concat_ws(' ', $cells)))""".stripMargin
+    val grams =
+      s"""transform(
+         |  if(size(w) >= $k, sequence(1, size(w) - ${k - 1}), array()),
+         |  i -> concat_ws(' ', $cells))""".stripMargin
+    if (distinct) s"array_distinct($grams)" else grams
   }
 
   // NB: no generated line may START with '||' — these strings are
   // re-embedded in stripMargin'd outer SQL, which would eat the
   // first '|'
-  def shingleSqlDuckK(k: Int): String = {
+  def gramSqlDuckK(k: Int, distinct: Boolean): String = {
     val cells = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
-    s"""list_distinct(list_transform(
-       |  range(1, greatest(len(w) - ${k - 2}, 1)),
-       |  i -> $cells))""".stripMargin
+    val grams =
+      s"""list_transform(
+         |  range(1, greatest(len(w) - ${k - 2}, 1)),
+         |  i -> $cells)""".stripMargin
+    if (distinct) s"list_distinct($grams)" else grams
   }
+
+  def shingleExprK(k: Int): String = gramExprK(k, distinct = true)
+  def shingleSqlDuckK(k: Int): String = gramSqlDuckK(k, distinct = true)
 
   val shingleExpr: String = shingleExprK(3)
   val shingleSqlDuck: String = shingleSqlDuckK(3)
+
+  /** Bigrams WITH multiplicity — the repetition-gate unit (t13,
+    * pipe4); the dedup shingles above are distinct sets.
+    */
+  private val bigramExpr: String = gramExprK(2, distinct = false)
+  private val bigramSqlDuck: String = gramSqlDuckK(2, distinct = false)
 
   // ------------------------------------------------------------- queries
 
@@ -317,40 +330,47 @@ object TextAnalysis {
     * which are distinct sets); dup_fraction = (occurrences − distinct)
     * / occurrences — exact integers and one IEEE division, stable
     * under any partitioning. One explode + two partial-aggregable
-    * group-bys.
+    * group-bys. TOTAL over the corpus: docs too short to have a
+    * bigram come back with dup_fraction 0.0 / unflagged (an
+    * explode-dropped row would make a `join + !flagged` consumer
+    * silently discard every short doc).
     */
-  def t13RepetitionFilter(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents")
+  def t13RepetitionFilter(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+    val stats = docs
       .withColumn("w", words(col("text")))
-      .withColumn("g", explode(expr(
-        """transform(if(size(w) >= 2, sequence(1, size(w) - 1), array()),
-          |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"""
-          .stripMargin)))
+      .withColumn("g", explode(expr(bigramExpr)))
       .groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("n_bigrams"),
-        count(lit(1)).as("n_distinct"))
-      .withColumn("dup_fraction",
-        (col("n_bigrams") - col("n_distinct")).cast("double")
-          / col("n_bigrams"))
+      .agg(sum(col("cnt")).as("nb"), count(lit(1)).as("nd"))
+    docs.select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nd"), lit(0L)).as("n_distinct"),
+        coalesce((col("nb") - col("nd")).cast("double") / col("nb"),
+          lit(0.0)).as("dup_fraction"))
       .withColumn("flagged", col("dup_fraction") > 0.2)
+  }
 
   val t13Sql: String =
-    """SELECT doc_id,
-      |  CAST(sum(cnt) AS BIGINT) AS n_bigrams,
-      |  count(*) AS n_distinct,
-      |  CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt) AS dup_fraction,
-      |  (CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt)) > 0.2 AS flagged
-      |FROM (
-      |  SELECT doc_id, g, count(*) AS cnt FROM (
-      |    SELECT doc_id, unnest(list_transform(
-      |      range(1, greatest(len(w), 1)),
-      |      i -> w[i] || ' ' || w[i+1])) AS g
-      |    FROM (SELECT doc_id, string_split(text, ' ') AS w
-      |          FROM documents) t0) t1
-      |  GROUP BY 1, 2) t2
-      |GROUP BY 1""".stripMargin
+    s"""WITH stats AS (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nb,
+       |    count(*) AS nd
+       |  FROM (
+       |    SELECT doc_id, g, count(*) AS cnt FROM (
+       |      SELECT doc_id, unnest($bigramSqlDuck) AS g
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |            FROM documents) t0) t1
+       |    GROUP BY 1, 2) t2
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(nb, 0) AS n_bigrams,
+       |  coalesce(nd, 0) AS n_distinct,
+       |  coalesce(CAST(nb - nd AS DOUBLE) / nb, 0.0) AS dup_fraction,
+       |  coalesce(CAST(nb - nd AS DOUBLE) / nb, 0.0) > 0.2 AS flagged
+       |FROM documents d LEFT JOIN stats ON d.doc_id = stats.doc_id""".stripMargin
 
   /** pipe1: the end-to-end training-data pipeline — the composition
     * the individual t/d operators exist for: canonicalize → quality
@@ -362,45 +382,73 @@ object TextAnalysis {
     * 100 TB Catalyst fuses the canonicalize+gate into the scan
     * projection and the only wide stages are the two keyed exchanges.
     */
-  def pipe1TrainingPipeline(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = Tables.load(s, d, "documents")
+  /** Shared curation-gate constants and builders — pipe1 and pipe4
+    * MUST agree on which docs survive canonicalize + quality gate +
+    * dedup; one copy per dialect so a threshold or tie-break change
+    * cannot fork the two pipelines.
+    */
+  private[functions] val MinWords = 10
+  private[functions] val MinUniqRatio = 0.3
+
+  private def canonBase(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
       .withColumn("canon", lower(regexp_replace(col("text"), "\\s+", " ")))
       .withColumn("w", words(col("canon")))
       .withColumn("n_words", size(col("w")))
       .withColumn("uniq_ratio",
         size(array_distinct(col("w"))).cast("double") / col("n_words"))
-    val kept = base.filter(col("n_words") >= 10 && col("uniq_ratio") >= 0.3)
-    val deduped = kept
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(md5(col("canon"))).orderBy(col("doc_id"))))
+      .withColumn("is_eval",
+        pmod(xhash64(concat_ws("|", lit("eval"),
+          col("doc_id").cast("string"))), lit(50L)) === 0)
+
+  private def qualityGate(df: DataFrame): DataFrame =
+    df.filter(col("n_words") >= MinWords &&
+      col("uniq_ratio") >= MinUniqRatio)
+
+  private def dedupCanon(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("rn", row_number().over(
+      Window.partitionBy(md5(col("canon"))).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
-    deduped.groupBy(col("lang"))
+  }
+
+  /** SQL mirror of [[canonBase]] (CTEs `b`/`m`) + the gate predicate. */
+  private val canonCteSql: String =
+    s"""b AS (
+       |  SELECT doc_id, lang,
+       |    lower(regexp_replace(text, '\\s+', ' ', 'g')) AS canon,
+       |    ${Norm.xhash64Sql("'eval|' || CAST(doc_id AS VARCHAR)")} % 50 = 0
+       |      AS is_eval
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang, canon, is_eval,
+       |    string_split(canon, ' ') AS w,
+       |    len(string_split(canon, ' ')) AS n_words,
+       |    CAST(len(list_distinct(string_split(canon, ' '))) AS DOUBLE)
+       |      / len(string_split(canon, ' ')) AS uniq_ratio
+       |  FROM b)""".stripMargin
+
+  private val gateSql: String =
+    s"n_words >= $MinWords AND uniq_ratio >= $MinUniqRatio"
+
+  def pipe1TrainingPipeline(s: SparkSession, d: String): DataFrame =
+    dedupCanon(qualityGate(canonBase(s, d)))
+      .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("total_tokens"),
         sum(length(col("canon"))).as("total_chars"))
-  }
 
   val pipe1Sql: String =
-    """WITH b AS (
-      |  SELECT doc_id, lang,
-      |         lower(regexp_replace(text, '\s+', ' ', 'g')) AS canon
-      |  FROM documents),
-      |m AS (
-      |  SELECT doc_id, lang, canon,
-      |    len(string_split(canon, ' ')) AS n_words,
-      |    CAST(len(list_distinct(string_split(canon, ' '))) AS DOUBLE)
-      |      / len(string_split(canon, ' ')) AS uniq_ratio
-      |  FROM b),
-      |k AS (SELECT * FROM m WHERE n_words >= 10 AND uniq_ratio >= 0.3),
-      |dd AS (
-      |  SELECT *, row_number() OVER (PARTITION BY md5(canon)
-      |                               ORDER BY doc_id) AS rn
-      |  FROM k)
-      |SELECT lang, count(*) AS n_docs,
-      |  CAST(sum(n_words) AS BIGINT) AS total_tokens,
-      |  CAST(sum(length(canon)) AS BIGINT) AS total_chars
-      |FROM dd WHERE rn = 1 GROUP BY lang""".stripMargin
+    s"""WITH $canonCteSql,
+       |k AS (SELECT * FROM m WHERE $gateSql),
+       |dd AS (
+       |  SELECT *, row_number() OVER (PARTITION BY md5(canon)
+       |                               ORDER BY doc_id) AS rn
+       |  FROM k)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS total_tokens,
+       |  CAST(sum(length(canon)) AS BIGINT) AS total_chars
+       |FROM dd WHERE rn = 1 GROUP BY lang""".stripMargin
 
   /** Word 5-gram hashes for contamination checks — longer than d2's
     * 3-gram dedup shingles on purpose: decontamination wants high
@@ -638,53 +686,43 @@ object TextAnalysis {
     *
     * Catalyst fuses the scalar gates into the scan projection; the
     * wide stages are the dedup window, the decontamination
-    * shingle-hash semi-join (eval side broadcastable), and the final
-    * groupBy — all keyed, all partial-aggregable or bounded. The
-    * oracle recomputes the whole chain independently, so the
-    * COMPOSITION (gate order, held-out semantics, split arithmetic)
-    * is what the hash checks.
+    * shingle-hash semi-join (AQE-sized), and the final groupBy — all
+    * keyed, all partial-aggregable or bounded. The expensive stages
+    * run GATED-FIRST: the bigram aggregate only over quality-passing
+    * docs, the train-side shingle explode only over dedup survivors —
+    * at 100 TB the cheap scalar gates shed most of the corpus before
+    * any explode pays for it. The oracle recomputes the whole chain
+    * independently, so the COMPOSITION (gate order, held-out
+    * semantics, split arithmetic) is what the hash checks.
     */
   def pipe4Curation(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = Tables.load(s, d, "documents")
-      .withColumn("canon", lower(regexp_replace(col("text"), "\\s+", " ")))
-      .withColumn("w", words(col("canon")))
-      .withColumn("n_words", size(col("w")))
-      .withColumn("uniq_ratio",
-        size(array_distinct(col("w"))).cast("double") / col("n_words"))
-      .withColumn("is_eval",
-        pmod(xhash64(concat_ws("|", lit("eval"),
-          col("doc_id").cast("string"))), lit(50L)) === 0)
-    // scalar gates: quality + repetition
-    val bigrams = base.select(col("doc_id"), explode(expr(
-      """transform(if(size(w) >= 2, sequence(1, size(w) - 1), array()),
-        |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"""
-        .stripMargin)).as("g"))
+    val base = canonBase(s, d)
+    val quality = qualityGate(base)
+    // repetition gate (t13's metric), computed over quality survivors
+    val bigrams = quality.select(col("doc_id"),
+      explode(expr(bigramExpr)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
       .agg(((sum(col("cnt")) - count(lit(1))).cast("double") /
         sum(col("cnt"))).as("dup_fraction"))
-    val gated = base
-      .filter(col("n_words") >= 10 && col("uniq_ratio") >= 0.3)
-      .join(bigrams, "doc_id")
+    val gated = quality.join(bigrams, "doc_id")
       .filter(col("dup_fraction") <= 0.2)
-    // exact dedup, keep lowest doc_id
-    val deduped = gated
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(md5(col("canon"))).orderBy(col("doc_id"))))
-      .filter(col("rn") === 1)
-    // decontamination: drop train docs sharing a 5-gram with the
-    // eval slice; eval docs are held out of the corpus entirely
-    val sh = base.select(col("doc_id"), col("is_eval"),
-      explode(expr(shingleExprK(5))).as("g"))
-      .select(col("doc_id"), col("is_eval"), xhash64(col("g")).as("gh"))
+    val deduped = dedupCanon(gated)
+    // decontamination: train-side shingles only for dedup SURVIVORS
+    // (contaminated ∩ deduped is all the anti-join consumes); the
+    // eval slice explodes in full — it defines the benchmark
+    def shingles(df: DataFrame) =
+      df.select(col("doc_id"), explode(expr(shingleExprK(5))).as("g"))
+        .select(col("doc_id"), xhash64(col("g")).as("gh"))
+    val evalGh = shingles(base.filter(col("is_eval")))
+      .select("gh").distinct()
+    val trainSurvivors = deduped.filter(!col("is_eval"))
     // no broadcast hint: corpus/50 of shingle hashes out-scales the
     // broadcast limit long before 100 TB — AQE broadcasts when small,
     // shuffles when not (t7's rationale)
-    val contaminated = sh.filter(!col("is_eval"))
-      .join(sh.filter(col("is_eval")).select("gh").distinct(), "gh")
-      .select("doc_id").distinct()
-    val clean = deduped.filter(!col("is_eval"))
+    val contaminated = shingles(trainSurvivors)
+      .join(evalGh, "gh").select("doc_id").distinct()
+    val clean = trainSurvivors
       .join(contaminated, Seq("doc_id"), "left_anti")
     // deterministic train split + accounting
     clean
@@ -696,51 +734,38 @@ object TextAnalysis {
   }
 
   val pipe4Sql: String =
-    s"""WITH b AS (
-       |  SELECT doc_id, lang,
-       |    lower(regexp_replace(text, '\\s+', ' ', 'g')) AS canon,
-       |    ${Norm.xhash64Sql("'eval|' || CAST(doc_id AS VARCHAR)")} % 50 = 0
-       |      AS is_eval
-       |  FROM documents),
-       |m AS (
-       |  SELECT doc_id, lang, canon, is_eval,
-       |    string_split(canon, ' ') AS w,
-       |    len(string_split(canon, ' ')) AS n_words,
-       |    CAST(len(list_distinct(string_split(canon, ' '))) AS DOUBLE)
-       |      / len(string_split(canon, ' ')) AS uniq_ratio
-       |  FROM b),
+    s"""WITH $canonCteSql,
+       |q AS (SELECT * FROM m WHERE $gateSql),
        |rep AS (
        |  SELECT doc_id,
        |    CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt) AS dup_fraction
        |  FROM (
        |    SELECT doc_id, g, count(*) AS cnt FROM (
-       |      SELECT doc_id, unnest(list_transform(
-       |        range(1, greatest(len(w), 1)),
-       |        i -> w[i] || ' ' || w[i+1])) AS g
-       |      FROM m) r0 GROUP BY 1, 2) r1
+       |      SELECT doc_id, unnest($bigramSqlDuck) AS g
+       |      FROM q) r0 GROUP BY 1, 2) r1
        |  GROUP BY 1),
        |gated AS (
-       |  SELECT m.* FROM m JOIN rep ON m.doc_id = rep.doc_id
-       |  WHERE m.n_words >= 10 AND m.uniq_ratio >= 0.3
-       |    AND rep.dup_fraction <= 0.2),
+       |  SELECT q.* FROM q JOIN rep ON q.doc_id = rep.doc_id
+       |  WHERE rep.dup_fraction <= 0.2),
        |dd AS (
        |  SELECT *, row_number() OVER (PARTITION BY md5(canon)
        |                               ORDER BY doc_id) AS rn
        |  FROM gated),
-       |sh AS (
-       |  SELECT doc_id, is_eval, ${Norm.xhash64Sql("g")} AS gh FROM (
-       |    SELECT doc_id, is_eval, unnest(${shingleSqlDuckK(5)}) AS g
-       |    FROM m) s0),
+       |surv AS (SELECT * FROM dd WHERE rn = 1 AND NOT is_eval),
+       |evalgh AS (
+       |  SELECT DISTINCT ${Norm.xhash64Sql("g")} AS gh FROM (
+       |    SELECT unnest(${shingleSqlDuckK(5)}) AS g
+       |    FROM m WHERE is_eval) e0),
        |contaminated AS (
-       |  SELECT DISTINCT tr.doc_id FROM sh tr
-       |  JOIN (SELECT DISTINCT gh FROM sh WHERE is_eval) ev
-       |    ON tr.gh = ev.gh
-       |  WHERE NOT tr.is_eval)
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, ${Norm.xhash64Sql("g")} AS gh FROM (
+       |      SELECT doc_id, unnest(${shingleSqlDuckK(5)}) AS g
+       |      FROM surv) t0) t1
+       |  WHERE gh IN (SELECT gh FROM evalgh))
        |SELECT lang, count(*) AS n_docs,
        |  CAST(sum(n_words) AS BIGINT) AS total_tokens
-       |FROM dd
-       |WHERE rn = 1 AND NOT is_eval
-       |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |FROM surv
+       |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
        |  AND ${Norm.xhash64Sql("'split|' || CAST(doc_id AS VARCHAR)")}
        |      % 100 < 90
        |GROUP BY lang""".stripMargin

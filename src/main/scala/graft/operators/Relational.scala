@@ -156,10 +156,11 @@ object Relational {
 
   /** q5: TPC-H local-supplier volume — the 6-table join shape
     * (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region with
-    * the c_nationkey = s_nationkey locality constraint). Dimensions
-    * (supplier, nation, region) broadcast; the two fact joins shuffle
-    * on their keys and AQE re-plans at runtime. Exact DECIMAL
-    * arithmetic end-to-end, rendered after the numeric sort.
+    * the c_nationkey = s_nationkey locality constraint). The FIXED
+    * dims (nation ⋈ region) broadcast; supplier scales with SF so its
+    * join — like the fact joins — is AQE-sized (broadcast while small,
+    * shuffle beyond). Exact DECIMAL arithmetic end-to-end, rendered
+    * after the numeric sort.
     */
   def q5LocalSupplierVolume(s: SparkSession, d: String): DataFrame = {
     val price = col("l_extendedprice").cast(DecimalType(12, 2))

@@ -67,4 +67,57 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .select("n_fingerprints", "fp_checksum").distinct().collect()
     assert(rows.length == 1, "canonicalization must collapse both docs")
   }
+
+  test("t12 windows cover every token exactly (tail window included)") {
+    // per doc: last chunk must reach the final token, windows must
+    // overlap by window-stride, and no chunk may be empty
+    val chunks = TextAnalysis.t12ContextChunks(spark, sf)
+      .groupBy("doc_id")
+      .agg(max(col("chunk_idx") * 48 + col("n_tokens")).as("reach"),
+        min(col("n_tokens")).as("min_len"),
+        count(lit(1)).as("n_chunks"))
+    val words = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_words"))
+    val joined = chunks.join(words, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Int]("reach") >= r.getAs[Int]("n_words"),
+        s"doc ${r.getAs[Long]("doc_id")} tail tokens uncovered")
+      assert(r.getAs[Int]("min_len") > 0)
+    }
+  }
+
+  test("t13 is total over the corpus and flags iff fraction > 0.2") {
+    import spark.implicits._
+    val out = TextAnalysis.t13RepetitionFilter(spark, sf)
+    assert(out.count() == Tables.load(spark, sf, "documents").count())
+    assert(out.filter(col("flagged") =!= (col("dup_fraction") > 0.2))
+      .isEmpty)
+    // short docs come back unflagged with zero fraction, not dropped
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t13").toString
+    Seq((1L, "single"), (2L, "a a a a a a")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val edge = TextAnalysis.t13RepetitionFilter(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_fraction"), r.getAs[Boolean]("flagged")))
+      .toMap
+    assert(edge(1L) == ((0.0, false)), "1-word doc must be total+clean")
+    assert(edge(2L)._2, "pure repetition must flag")
+  }
+
+  test("pipe4 only removes docs relative to pipe1 (gates are subsets)") {
+    def total(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum("n_docs")).head.getLong(0)
+    val p1 = total(TextAnalysis.pipe1TrainingPipeline(spark, sf))
+    val p4 = total(TextAnalysis.pipe4Curation(spark, sf))
+    assert(p4 > 0, "curation emptied the corpus")
+    assert(p4 <= p1,
+      s"pipe4 ($p4) kept more docs than pipe1 ($p1) — extra gates " +
+        "must only remove")
+    // determinism: the whole composition is hash-driven, a second
+    // run must agree exactly
+    val again = total(TextAnalysis.pipe4Curation(spark, sf))
+    assert(again == p4)
+  }
 }
