@@ -49,27 +49,41 @@ object Bench {
     // untimed warmup: JIT/codegen/first-scan costs otherwise land on
     // whichever query happens to run first, distorting its number
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // Outlier re-run: host-level contention inflates a different query
-    // on every run (round-3 adjudication: driver saw d5=311 s that
-    // re-measured at 1.8 s; round-4 back-to-back runs still disagreed
-    // >1.5x on 15 queries in the 1-8 s band — all with ~0 GC, i.e.
-    // stolen CPU, not collection). One bad sample must not poison the
-    // artifact the perf gate reads, so any sample past the larger of
-    // 3x the running median and 1 s is taken again and the min kept:
-    // sub-second queries stay single-sample (jitter there is noise on
-    // noise), the heavy tail — where stalls actually land — is always
-    // best-of-2. Extra cost is bounded by the tail's true runtime.
+    // Re-sample policy: host-level contention inflates a different
+    // query on every run (round-3 adjudication: driver saw d5=311 s
+    // that re-measured at 1.8 s; round-4 back-to-back runs still
+    // disagreed >1.5x on 15 queries in the 1-8 s band — all with ~0
+    // GC, i.e. stolen CPU, not collection). One bad sample must not
+    // poison the artifact the perf gate reads, so best-of-2 applies
+    // to BOTH ends: every sub-second query (round-5 follow-up —
+    // single-sampled catalog queries flapped 2x between rounds; a
+    // second sub-second sample costs <1 s each) and any sample past
+    // the larger of 3x the running median and 1 s (the heavy tail,
+    // where stalls actually land). Mid-band queries whose first
+    // sample is ordinary stay single-sample.
     val clean = scala.collection.mutable.ArrayBuffer.empty[Double]
     val gcs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local iteration aid: SPARK_GRAFT_ONLY=q1,c6b runs a subset; the
+    // driver never sets it, so the artifact shape is unchanged
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val picked = only match {
+      case Some(ns) => SparkEntry.queries.filter { case (n, _) => ns(n) }
+      case None => SparkEntry.queries
+    }
+    val results = picked.map { case (name, fn) =>
       val gc0 = gcMillis()
       val (t1, n1) = sample(spark, sfDir, fn)
       val med = median(clean.toSeq)
       val v =
-        if (t1 >= 0 && clean.nonEmpty && t1 > math.max(3 * med, 1.0))
-          math.min(t1, math.max(sample(spark, sfDir, fn)._1, 0.0))
-        else t1
+        if (t1 >= 0 && (t1 < 1.0 ||
+            (clean.nonEmpty && t1 > math.max(3 * med, 1.0)))) {
+          // a failed second sample keeps the first — never report a
+          // phantom 0 s for a query that succeeded once
+          val t2 = sample(spark, sfDir, fn)._1
+          if (t2 >= 0) math.min(t1, t2) else t1
+        } else t1
       if (v >= 0) clean += v
       gcs(name) = (gcMillis() - gc0) / 1e3
       rows(name) = n1

@@ -196,21 +196,25 @@ object Pipeline {
       NormCol("o_custkey", KLong), NormCol("o_orderstatus", KStr),
       NormCol("o_totalprice", KStr), NormCol("o_orderdate", KStr),
       NormCol("o_orderpriority", KStr))
-    def chunkOf(c: org.apache.spark.sql.Column) =
-      ((c - lit(minK)) / lit(kw)).cast("long")
+    // `div` (IntegralDivide), NOT `/`: Column `/` on longs is IEEE
+    // double division — exact only below 2^53, which 100 TB key
+    // ranges exceed. `div` is the exact integer math planFixedWidth
+    // and the DuckDB oracle's `//` both use.
+    def chunkOf(name: String) =
+      expr(s"($name - ${minK}L) div ${kw}L").cast("long")
     // JDBC metadata reports the quoted-lowercase column names, so the
     // read schema matches the source names; Spark quotes the partition
     // column itself (same path s7b exercises)
     val back = Migrate.readJdbcChunked(s, url, tgtTable, keyCol,
       minK, maxK + 1, 8)
-    val srcSum = Compare.chunkSummary(exportDf, chunkOf(col(keyCol)), normCols)
-    val tgtSum = Compare.chunkSummary(back, chunkOf(col(keyCol)), normCols)
+    val srcSum = Compare.chunkSummary(exportDf, chunkOf(keyCol), normCols)
+    val tgtSum = Compare.chunkSummary(back, chunkOf(keyCol), normCols)
       .withColumnRenamed("n_rows", "t_rows")
       .withColumnRenamed("row_checksum", "t_checksum")
     val diff = Compare.symmetricDiffCols(exportDf, back, normCols, keyCol)
     val fixes = Compare.fixActions(diff, tgtTable, keyCol, normCols)
     val fixPerChunk = fixes
-      .groupBy(chunkOf(col("row_key")).as("chunk_id"))
+      .groupBy(chunkOf("row_key").as("chunk_id"))
       .agg(count(lit(1)).as("n_fix_raw"))
     srcSum.join(tgtSum, Seq("chunk_id"), "full_outer")
       .join(fixPerChunk, Seq("chunk_id"), "left_outer")
@@ -270,7 +274,7 @@ object Pipeline {
     */
   private def bulkLoadState(df: DataFrame, url: String,
       table: String): Unit =
-    df.coalesce(graft.streaming.Cdc.JdbcConnections).foreachPartition {
+    df.coalesce(graft.streaming.Cdc.sinkConnections(url)).foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         val conn = java.sql.DriverManager.getConnection(url)
         try {

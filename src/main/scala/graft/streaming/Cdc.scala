@@ -340,8 +340,13 @@ object Cdc {
           } else {
             var (su, pu) = state.getOption.getOrElse((-1L, -1L))
             // sort within the batch: the cross-batch order contract
-            // doesn't constrain intra-batch iterator order
-            events.toSeq.sortBy(_.epoch).foreach { e =>
+            // doesn't constrain intra-batch iterator order. Signups
+            // order BEFORE purchases at equal epoch — the batch w9
+            // counts a same-second purchase (epoch >= signup_t), so
+            // the stream must too, or the equivalence is data-
+            // dependent on no same-second signup/purchase ties.
+            events.toSeq.sortBy(e =>
+              (e.epoch, if (e.event_type == "signup") 0 else 1)).foreach { e =>
               e.event_type match {
                 case "signup" if su < 0 => su = e.epoch
                 case "purchase" if su >= 0 && pu < 0 && e.epoch >= su =>
@@ -655,18 +660,30 @@ object Cdc {
     *    (the reference's replay guard C4, moved into the sink);
     *  - DELETE by key (a replayed delete hits zero rows — no-op).
     *
-    * Statements are rendered text exactly like the reference's (values
-    * here are numeric; string rendering would go through
-    * [[graft.functions.Escape]]). Per-partition connections; the batch
-    * is flushed every [[JdbcFlushEvery]] statements so sink-side
-    * buffering stays O(flush window) however many keys the partition
-    * holds. (Embedded Derby caveat: 4 concurrent writers on one
-    * embedded DB can escalate row locks to table locks under very
-    * large batches — the flush bound keeps each lock window small; a
-    * server-grade target takes per-partition connections natively.)
+    * Both statement shapes are bind-variable `PreparedStatement`s
+    * prepared ONCE per partition (the reference's F10 prepared-batch
+    * path, `translate.go:34-145` — same as [[graft.operators.Pipeline]]'s
+    * bulk load): the target parses and plans each shape a single time
+    * instead of re-planning one rendered text statement per row.
+    * Per-partition connections; the buffers are flushed every
+    * [[JdbcFlushEvery]] statements so sink-side buffering stays
+    * O(flush window) however many keys the partition holds. Flushing
+    * MERGE and DELETE as separate batches is safe because the input is
+    * [[lastChange]] output — one change per key per delivery, so no two
+    * statements in a batch touch the same row.
     */
   val JdbcFlushEvery = 1000
   val JdbcConnections = 4
+
+  /** Embedded (in-process) JDBC targets run one lock manager inside
+    * this JVM: concurrent writers buy no parallelism there and can
+    * escalate row locks to table locks under load, so clamp those to a
+    * single writer. A server-grade URL (`jdbc:derby://host`, or any
+    * non-Derby target) keeps the full [[JdbcConnections]] fan-out.
+    */
+  private[graft] def sinkConnections(url: String): Int =
+    if (url.startsWith("jdbc:derby:") && !url.startsWith("jdbc:derby://")) 1
+    else JdbcConnections
 
   /** One partition's guarded apply over one connection. Returns the
     * number of `executeBatch` flushes — the spec's observable for the
@@ -680,48 +697,64 @@ object Cdc {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false)
-      val st = conn.createStatement()
-      var pending = 0
+      val merge = conn.prepareStatement(
+        s"""MERGE INTO $table t
+           |USING SYSIBM.SYSDUMMY1
+           |ON t.k = ?
+           |WHEN MATCHED AND (t.scn < ?
+           |  OR (t.scn = ? AND t.seq < ?))
+           |THEN UPDATE SET v = ?, scn = ?, seq = ?
+           |WHEN NOT MATCHED THEN INSERT (k, scn, seq, v)
+           |VALUES (?, ?, ?, ?)""".stripMargin)
+      // the same staleness guard as the MERGE: a stale out-of-order
+      // DELETE must not destroy newer state; an exact replay hits
+      // zero rows either way. (A delete tombstone's value may be
+      // NULL — never read.)
+      val del = conn.prepareStatement(
+        s"""DELETE FROM $table WHERE k = ?
+           |AND (scn < ? OR (scn = ? AND seq <= ?))""".stripMargin)
+      var pendingM = 0
+      var pendingD = 0
       var flushes = 0L
+      def flush(): Unit = {
+        if (pendingM > 0) { merge.executeBatch(); pendingM = 0 }
+        if (pendingD > 0) { del.executeBatch(); pendingD = 0 }
+        flushes += 1
+      }
       rows.foreach { r =>
         val (k, scn, seq, op) = (r.getLong(1), r.getLong(2),
           r.getLong(3), r.getString(4))
-        val sql =
-          if (op == "DELETE")
-            // the same staleness guard as the MERGE: a stale
-            // out-of-order DELETE must not destroy newer state;
-            // an exact replay hits zero rows either way. (A
-            // delete tombstone's value may be NULL — never read.)
-            s"""DELETE FROM $table WHERE k = $k
-               |AND (scn < $scn OR (scn = $scn AND seq <= $seq))""".stripMargin
-          else {
-            // a NULL value on an INSERT/UPDATE is legal on the
-            // feed (not just DELETE tombstones) — render SQL NULL
-            val v = if (r.isNullAt(5)) "NULL" else r.getDouble(5).toString
-            s"""MERGE INTO $table t
-               |USING SYSIBM.SYSDUMMY1
-               |ON t.k = $k
-               |WHEN MATCHED AND (t.scn < $scn
-               |  OR (t.scn = $scn AND t.seq < $seq))
-               |THEN UPDATE SET v = $v, scn = $scn, seq = $seq
-               |WHEN NOT MATCHED THEN INSERT (k, scn, seq, v)
-               |VALUES ($k, $scn, $seq, $v)""".stripMargin
+        if (op == "DELETE") {
+          del.setLong(1, k)
+          del.setLong(2, scn); del.setLong(3, scn); del.setLong(4, seq)
+          del.addBatch(); pendingD += 1
+        } else {
+          merge.setLong(1, k)
+          merge.setLong(2, scn); merge.setLong(3, scn); merge.setLong(4, seq)
+          // a NULL value on an INSERT/UPDATE is legal on the feed
+          // (not just DELETE tombstones) — bind SQL NULL
+          if (r.isNullAt(5)) {
+            merge.setNull(5, java.sql.Types.DOUBLE)
+            merge.setNull(11, java.sql.Types.DOUBLE)
+          } else {
+            merge.setDouble(5, r.getDouble(5))
+            merge.setDouble(11, r.getDouble(5))
           }
-        st.addBatch(sql)
-        pending += 1
-        if (pending >= flushEvery) {
-          st.executeBatch(); flushes += 1; pending = 0
+          merge.setLong(6, scn); merge.setLong(7, seq)
+          merge.setLong(8, k); merge.setLong(9, scn); merge.setLong(10, seq)
+          merge.addBatch(); pendingM += 1
         }
+        if (pendingM + pendingD >= flushEvery) flush()
       }
-      if (pending > 0) { st.executeBatch(); flushes += 1 }
+      if (pendingM + pendingD > 0) flush()
       conn.commit()
-      st.close()
+      merge.close(); del.close()
       flushes
     } finally conn.close()
   }
 
   def applyBatchJdbc(batch: DataFrame, url: String, table: String): Unit =
-    lastChange(batch).coalesce(JdbcConnections).foreachPartition {
+    lastChange(batch).coalesce(sinkConnections(url)).foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         applyPartition(rows, url, table): Unit
     }
