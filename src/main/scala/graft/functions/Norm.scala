@@ -51,6 +51,7 @@ object Norm {
   case object KLong extends Kind // integral (int32/int64)
   case class KDec(p: Int, s: Int) extends Kind // double rendered as decimal(p,s)
   case object KStr extends Kind // string ('' ≡ NULL, reference semantics)
+  case object KBool extends Kind // boolean ('true'/'false' in both engines)
   case object KDate extends Kind // timestamp rendered as yyyy-MM-dd
   case object KTs extends Kind // timestamp rendered to second precision
 
@@ -67,6 +68,7 @@ object Norm {
       case KLong => c.cast("long").cast("string")
       case KDec(p, s) => c.cast(DecimalType(p, s)).cast("string")
       case KStr => c
+      case KBool => c.cast("string")
       case KDate => date_format(c, "yyyy-MM-dd")
       case KTs => date_format(c, "yyyy-MM-dd HH:mm:ss")
     }
@@ -78,6 +80,7 @@ object Norm {
       case KLong => s"CAST(CAST($c AS BIGINT) AS VARCHAR)"
       case KDec(p, s) => s"CAST(CAST($c AS DECIMAL($p,$s)) AS VARCHAR)"
       case KStr => c
+      case KBool => s"CAST($c AS VARCHAR)"
       case KDate => s"strftime($c, '%Y-%m-%d')"
       case KTs => s"strftime($c, '%Y-%m-%d %H:%M:%S')"
     }

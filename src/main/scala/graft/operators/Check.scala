@@ -247,35 +247,144 @@ object Check {
        |   FROM idx) AS n_unique""".stripMargin
 
   /** Assess report artifact (S9's report sink — the reference renders
-    * its ~25 report structs to a file, `module/assess/oracle/public/
-    * report.go`): each section is a bounded report query collected
-    * and rendered as aligned text. The heavy aggregation stays
-    * distributed; only final report rows reach the driver.
+    * its ~25 report structs to ONE report file,
+    * `module/assess/oracle/public/report.go`): each section is a
+    * bounded report query collected and rendered as aligned text. The
+    * heavy aggregation stays distributed; only final report rows reach
+    * the driver.
     */
-  /** The report's section list — one bounded report query per
-    * section, shared by the text and HTML renderers so the two
-    * artifacts can never disagree on content.
+  /** One report section: registry key + rendered title + the section
+    * query, its DuckDB oracle, and the NormCol rendering of its output
+    * schema (for the a36 per-section checksum — derived columns like
+    * a35's skew_factor are excluded, they add no content the base
+    * columns don't already pin).
     */
-  def assessSections(s: SparkSession, d: String): Seq[(String, DataFrame)] =
-    Seq(
-      "SCHEMA OBJECT OVERVIEW" -> a19ObjectOverview(s, d),
-      "TABLE ROW COUNTS" -> Catalog.a11RowCounts(s, d),
-      "COLUMN TYPE DISTRIBUTION" -> Catalog.a10ColumnTypeDist(s, d),
-      "WIDE TABLES (>= 5 COLUMNS)" -> Catalog.a15WideTables(s, d),
-      "TOP TABLES BY ROWS" -> Catalog.a18TopTables(s, d))
+  final case class ReportSection(key: String, title: String,
+      fn: (SparkSession, String) => DataFrame, sql: String,
+      sumCols: Seq[Norm.NormCol])
 
-  def renderAssessReport(s: SparkSession, d: String): String =
-    assessSections(s, d).map { case (title, df) =>
-      val cols = df.columns
-      val rows = df.collect().map(r =>
-        cols.indices.map(i => String.valueOf(r.get(i))))
+  /** The report's full section list — the reference's assess report
+    * families (`module/assess/oracle/o2m/assess_result.go:30-1402`)
+    * assembled in reading order. Shared by the text and HTML renderers
+    * AND the a36 checksum query, so the artifacts and the hash gate
+    * can never disagree on content.
+    */
+  def reportSections: Seq[ReportSection] = {
+    import Norm.{KBool, KLong, KStr}
+    def nc(xs: (String, Norm.Kind)*) =
+      xs.map { case (n, k) => Norm.NormCol(n, k) }
+    Seq(
+      ReportSection("a19_object_overview", "SCHEMA OBJECT OVERVIEW",
+        a19ObjectOverview, a19Sql,
+        nc("n_tables" -> KLong, "n_columns" -> KLong, "n_indexes" -> KLong,
+          "n_unique" -> KLong)),
+      ReportSection("a11_row_counts", "TABLE ROW COUNTS",
+        Catalog.a11RowCounts, Catalog.a11Sql,
+        nc("table_name" -> KStr, "n_rows" -> KLong)),
+      ReportSection("a10_column_type_dist", "COLUMN TYPE DISTRIBUTION",
+        Catalog.a10ColumnTypeDist, Catalog.a10Sql,
+        nc("data_type" -> KStr, "n_columns" -> KLong, "n_tables" -> KLong)),
+      ReportSection("a15_wide_tables", "WIDE TABLES (>= 5 COLUMNS)",
+        Catalog.a15WideTables, Catalog.a15Sql,
+        nc("table_name" -> KStr, "n_columns" -> KLong)),
+      ReportSection("a18_top_tables", "TOP TABLES BY ROWS",
+        Catalog.a18TopTables, Catalog.a18Sql,
+        nc("table_name" -> KStr, "stat_rows" -> KLong)),
+      ReportSection("a6_assess_overview", "ORDER VALUE OVERVIEW",
+        Relational.a6AssessOverview, Relational.a6Sql,
+        nc("o_orderstatus" -> KStr, "price_band" -> KStr,
+          "n_orders" -> KLong, "total_price" -> KStr)),
+      ReportSection("a20_table_type_counts", "TABLE TYPES",
+        Assess.a20TableTypeCounts, Assess.a20Sql,
+        nc("owner" -> KStr, "table_type" -> KStr, "total_bytes" -> KLong,
+          "n_tables" -> KLong)),
+      ReportSection("a21_partition_types", "PARTITION TYPES",
+        Assess.a21PartitionTypes, Assess.a21Sql,
+        nc("owner" -> KStr, "partitioning_type" -> KStr,
+          "n_tables" -> KLong, "n_partitions" -> KLong)),
+      ReportSection("a22_subpartition_types", "SUBPARTITION TYPES",
+        Assess.a22SubpartitionTypes, Assess.a22Sql,
+        nc("owner" -> KStr, "subpartitioning_type" -> KStr,
+          "n_tables" -> KLong)),
+      ReportSection("a23_temp_table_types", "TEMPORARY TABLES",
+        Assess.a23TempTableTypes, Assess.a23Sql,
+        nc("owner" -> KStr, "temp_type" -> KStr, "n_tables" -> KLong)),
+      ReportSection("a24_constraint_types", "CONSTRAINT TYPES",
+        Assess.a24ConstraintTypes, Assess.a24Sql,
+        nc("owner" -> KStr, "constraint_type" -> KStr,
+          "n_constraints" -> KLong)),
+      ReportSection("a25_default_value_counts", "COLUMN DEFAULTS",
+        Assess.a25DefaultValueCounts, Assess.a25Sql,
+        nc("data_default" -> KStr, "n_columns" -> KLong)),
+      ReportSection("a26_view_types", "VIEW TYPES",
+        Assess.a26ViewTypes, Assess.a26Sql,
+        nc("owner" -> KStr, "view_type" -> KStr, "n_views" -> KLong)),
+      ReportSection("a27_index_types", "INDEX TYPES",
+        Assess.a27IndexTypes, Assess.a27Sql,
+        nc("owner" -> KStr, "index_type" -> KStr, "n_indexes" -> KLong)),
+      ReportSection("a28_column_type_widths", "COLUMN TYPE WIDTHS",
+        Assess.a28ColumnTypeWidths, Assess.a28Sql,
+        nc("data_type" -> KStr, "n_columns" -> KLong, "max_width" -> KLong)),
+      ReportSection("a29_threshold_matrix", "COMPATIBILITY THRESHOLDS",
+        Assess.a29ThresholdMatrix, Assess.a29Sql,
+        nc("check_name" -> KStr, "object_name" -> KStr, "measure" -> KLong)),
+      ReportSection("a30_code_objects", "CODE OBJECTS",
+        Assess.a30CodeObjects, Assess.a30Sql,
+        nc("owner" -> KStr, "name" -> KStr, "obj_type" -> KStr,
+          "lines" -> KLong)),
+      ReportSection("a31_synonyms", "SYNONYMS",
+        Assess.a31Synonyms, Assess.a31Sql,
+        nc("owner" -> KStr, "synonym_name" -> KStr, "table_owner" -> KStr,
+          "table_name" -> KStr, "cross_schema" -> KBool)),
+      ReportSection("a32_mview_profile", "MATERIALIZED VIEW REFRESH",
+        Assess.a32MviewProfile, Assess.a32Sql,
+        nc("refresh_mode" -> KStr, "refresh_method" -> KStr,
+          "n_mviews" -> KLong)),
+      ReportSection("a33_percentile_profile", "PRICE PERCENTILES BY CHUNK",
+        Relational.a33PercentileProfile, Relational.a33Sql,
+        nc("chunk_id" -> KLong, "p50_cents" -> KLong, "p90_cents" -> KLong,
+          "p99_cents" -> KLong, "n_rows" -> KLong)),
+      ReportSection("a34_rollup_report", "CUSTOMER BALANCE ROLLUP",
+        Relational.a34RollupReport, Relational.a34Sql,
+        nc("r_name" -> KStr, "n_name" -> KStr, "n_custs" -> KLong,
+          "total_bal" -> KStr)),
+      ReportSection("a35_skew_profile", "JOIN KEY SKEW",
+        Assess.a35SkewProfile, Assess.a35Sql,
+        nc("table_name" -> KStr, "join_col" -> KStr, "n_keys" -> KLong,
+          "n_rows" -> KLong, "top1_rows" -> KLong)))
+  }
+
+  def assessSections(s: SparkSession, d: String): Seq[(String, DataFrame)] =
+    reportSections.map(sec => sec.title -> sec.fn(s, d))
+
+  /** Every section run ONCE: the distributed aggregation collapses to
+    * its bounded report rows here, and everything downstream (text
+    * render, HTML render, a36 checksums) reads the collected rows.
+    */
+  private def sectionData(s: SparkSession, d: String)
+      : Seq[(ReportSection, org.apache.spark.sql.types.StructType,
+        Seq[org.apache.spark.sql.Row])] =
+    reportSections.map { sec =>
+      val df = sec.fn(s, d)
+      (sec, df.schema, df.collect().toSeq)
+    }
+
+  private def renderTextFrom(
+      data: Seq[(ReportSection, org.apache.spark.sql.types.StructType,
+        Seq[org.apache.spark.sql.Row])]): String =
+    data.map { case (sec, schema, rs) =>
+      val cols = schema.fieldNames
+      val rows = rs.map(r => cols.indices.map(i => String.valueOf(r.get(i))))
       val widths = cols.indices.map(i =>
         (cols(i).length +: rows.map(_(i).length)).max)
       def line(vals: Seq[String]) = vals.zip(widths)
         .map { case (v, w) => v.padTo(w, ' ') }.mkString("| ", " | ", " |")
-      (Seq(s"== $title ==", line(cols.toSeq)) ++ rows.map(line))
+      (Seq(s"== ${sec.title} ==", line(cols.toSeq)) ++ rows.map(line))
         .mkString("\n")
     }.mkString("\n\n")
+
+  def renderAssessReport(s: SparkSession, d: String): String =
+    renderTextFrom(sectionData(s, d))
 
   private def htmlEsc(v: String): String =
     v.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -288,17 +397,19 @@ object Check {
     * work stays distributed, only bounded report rows are collected
     * and templated on the driver.
     */
-  def renderAssessReportHtml(s: SparkSession, d: String): String = {
-    val body = assessSections(s, d).map { case (title, df) =>
-      val cols = df.columns
+  private def renderHtmlFrom(
+      data: Seq[(ReportSection, org.apache.spark.sql.types.StructType,
+        Seq[org.apache.spark.sql.Row])]): String = {
+    val body = data.map { case (sec, schema, rs) =>
+      val cols = schema.fieldNames
       val head = cols.map(c => s"<th>${htmlEsc(c)}</th>")
         .mkString("<tr>", "", "</tr>")
-      val rows = df.collect().map(r =>
+      val rows = rs.map(r =>
         cols.indices.map(i =>
           s"<td>${htmlEsc(String.valueOf(r.get(i)))}</td>")
           .mkString("<tr>", "", "</tr>")).mkString("\n")
       s"""<section>
-         |<h2>${htmlEsc(title)}</h2>
+         |<h2>${htmlEsc(sec.title)}</h2>
          |<table>
          |<thead>$head</thead>
          |<tbody>
@@ -316,6 +427,49 @@ object Check {
        |</body>
        |</html>""".stripMargin
   }
+
+  def renderAssessReportHtml(s: SparkSession, d: String): String =
+    renderHtmlFrom(sectionData(s, d))
+
+  /** a36: the assembled assess report as a registered, hash-checked
+    * query — the reference's report artifact
+    * (`module/assess/oracle/public/report.go:36-63`) as a pipe-style
+    * composition. Runs every section once (distributed aggregation →
+    * bounded report rows), writes BOTH rendered artifacts (aligned
+    * text + HTML) through the S9 file sink, and returns one row per
+    * section with the section's row count and order-insensitive
+    * checksum over its canonical rendering — so the driver's hash gate
+    * pins the exact content both artifacts were rendered from. The
+    * checksum aggregation runs over the already-collected bounded
+    * rows (a local relation); the heavy scan-side work happened
+    * exactly once inside each section's own distributed plan.
+    */
+  def a36AssessReport(s: SparkSession, d: String): DataFrame =
+    a36AssessReportTo(s, d, Migrate.tempDir("assess_report"))
+
+  def a36AssessReportTo(s: SparkSession, d: String,
+      outDir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val data = sectionData(s, d)
+    graft.reverse.Ddl.writeArtifact(s"$outDir/assess_report.txt",
+      Seq(renderTextFrom(data)))
+    graft.reverse.Ddl.writeArtifact(s"$outDir/assess_report.html",
+      Seq(renderHtmlFrom(data)))
+    data.map { case (sec, schema, rs) =>
+      s.createDataFrame(rs.asJava, schema)
+        .agg(count(lit(1)).as("n_rows"),
+          Norm.sparkRowChecksum(sec.sumCols).as("checksum"))
+        .select(lit(sec.key).as("section"), col("n_rows"), col("checksum"))
+    }.reduce(_.unionAll(_))
+  }
+
+  val a36Sql: String = reportSections.map { sec =>
+    s"""SELECT '${sec.key}' AS section, count(*) AS n_rows,
+       |  ${Norm.duckRowChecksum(sec.sumCols)} AS checksum
+       |FROM (
+       |${sec.sql}
+       |) report_section""".stripMargin
+  }.mkString("\nUNION ALL\n")
 
   // ------------------------------------------------------------- queries
 
@@ -1003,7 +1157,8 @@ object Check {
     "k6_m2o_struct_diff" -> k6M2oStructDiff,
     "k7_o2t_check" -> k7O2tCheck,
     "k8_t2o_check" -> k8T2oCheck,
-    "a19_object_overview" -> a19ObjectOverview)
+    "a19_object_overview" -> a19ObjectOverview,
+    "a36_assess_report" -> a36AssessReport)
 
   val oracles: Map[String, String] = Map(
     "k11_constraint_diff" -> k11Sql,
@@ -1014,5 +1169,6 @@ object Check {
     "k6_m2o_struct_diff" -> k6Sql,
     "k7_o2t_check" -> k7Sql,
     "k8_t2o_check" -> k8Sql,
-    "a19_object_overview" -> a19Sql)
+    "a19_object_overview" -> a19Sql,
+    "a36_assess_report" -> a36Sql)
 }

@@ -43,9 +43,8 @@ class CheckSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("assess report artifact renders every section with data rows") {
     val report = Check.renderAssessReport(spark, sf)
-    Seq("SCHEMA OBJECT OVERVIEW", "TABLE ROW COUNTS",
-      "COLUMN TYPE DISTRIBUTION", "WIDE TABLES", "TOP TABLES BY ROWS")
-      .foreach(t => assert(report.contains(t), t))
+    Check.reportSections.foreach(sec =>
+      assert(report.contains(s"== ${sec.title} =="), sec.title))
     assert(report.contains("lineitem"))
     val path = java.nio.file.Files.createTempDirectory("graft_rep")
       .toString + "/assess_report.txt"
@@ -56,13 +55,45 @@ class CheckSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("html assess report renders every section as a table") {
     val html = Check.renderAssessReportHtml(spark, sf)
     assert(html.startsWith("<!DOCTYPE html>"))
-    Seq("SCHEMA OBJECT OVERVIEW", "TABLE ROW COUNTS",
-      "COLUMN TYPE DISTRIBUTION", "WIDE TABLES", "TOP TABLES BY ROWS")
-      .foreach(t => assert(html.contains(s"<h2>$t"), t))
-    assert("<section>".r.findAllIn(html).size == 5)
+    Check.reportSections.foreach(sec =>
+      assert(html.contains(s"<h2>${sec.title
+        .replace("<", "&lt;").replace(">", "&gt;")}"), sec.title))
+    assert("<section>".r.findAllIn(html).size == Check.reportSections.size)
     assert(html.contains("<td>lineitem</td>"))
     // the >= in the wide-tables title must arrive escaped
     assert(html.contains("&gt;= 5 COLUMNS"))
+  }
+
+  test("a36: assembled report writes bounded artifacts and one " +
+    "checksum row per section") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_a36")
+      .toString
+    val df = Check.a36AssessReportTo(spark, sf, outDir).cache()
+    val rows = df.collect()
+    assert(rows.length == Check.reportSections.size)
+    assert(rows.map(_.getAs[String]("section")).toSet ==
+      Check.reportSections.map(_.key).toSet)
+    // every section carried content and a computed checksum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") > 0, r.toString)
+      assert(r.getAs[String]("checksum") != null, r.toString)
+    }
+    // both artifacts exist and are bounded driver-side files: big
+    // enough to carry every section, small enough that the report
+    // stayed a report (no data spill into the artifact)
+    for (f <- Seq("assess_report.txt", "assess_report.html")) {
+      val sz = java.nio.file.Files.size(
+        java.nio.file.Paths.get(s"$outDir/$f"))
+      assert(sz > 2000 && sz < 1024 * 1024, s"$f size=$sz")
+    }
+    // the text artifact renders exactly the section list, in order
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$outDir/assess_report.txt"))
+    val idxs = Check.reportSections.map(sec =>
+      txt.indexOf(s"== ${sec.title} =="))
+    assert(idxs.forall(_ >= 0) && idxs == idxs.sorted, idxs.toString)
+    df.unpersist()
+    ()
   }
 
   test("k5: jdbc-introspected snapshot feeds the same check surface") {
