@@ -482,6 +482,50 @@ object Reverse {
        |  $values) t(table_name, kind, temporary)""".stripMargin
   }
 
+  /** Compatibility report artifact for the diverted table kinds — the
+    * reference's `compatibility_marvin.sql` role: each diverted family
+    * renders one boxed comment naming the schema, the diverted table
+    * list, and the manual-action suggestion
+    * (`example/compatibility_marvin.sql:1-11` for the partition box;
+    * suggestions per `module/reverse/oracle/public/filter.go:121-150` —
+    * partition tables additionally need ADJUSTING because the target
+    * converts them to normal tables, the other kinds are plain manual
+    * creates). Rendered FROM the p6 route classification so a routing
+    * bug breaks both the p6 hash row and this golden artifact; empty
+    * families render nothing, exactly as the reference logs nothing
+    * for an empty list.
+    */
+  def renderCompatReport(s: SparkSession, d: String,
+      schema: String = "marvin"): String = {
+    val route = p6CompatFilter(s, d).collect()
+      .map(r => r.getAs[String]("table_name") -> r.getAs[String]("route"))
+      .toMap
+    // fixture order, not collect order: the artifact must be
+    // byte-stable run over run
+    def tablesOf(k: String) =
+      tableKinds.map(_._1).filter(t => route(t) == k)
+    val sections = Seq(
+      ("oracle partition table maybe mysql has compatibility, " +
+        "will convert to normal table, please manual adjust",
+        "ORACLE PARTITION LIST", tablesOf("COMPAT_PARTITION"),
+        "Manual Create And Adjust Table"),
+      ("oracle temporary table maybe mysql has compatibility, skip",
+        "ORACLE TEMPORARY LIST", tablesOf("DIVERT_TEMPORARY"),
+        "Manual Create"),
+      ("oracle clustered table maybe mysql has compatibility, skip",
+        "ORACLE CLUSTERED LIST", tablesOf("DIVERT_CLUSTERED"),
+        "Manual Create"),
+      ("oracle materialized view maybe mysql has compatibility, skip",
+        "ORACLE MVIEW LIST", tablesOf("DIVERT_MVIEW"),
+        "Manual Create"))
+    sections.filter(_._3.nonEmpty).map {
+      case (note, header, tables, suggest) =>
+        Seq("/*", s" $note", s" SCHEMA: $schema",
+          s" $header: ${tables.mkString(", ")}",
+          s" SUGGEST: $suggest", "*/").mkString("\n")
+    }.mkString("\n\n")
+  }
+
   /** MySQL type zoo for the M2O direction (every branch of
     * `mapping_oracle.go:90-330`).
     */

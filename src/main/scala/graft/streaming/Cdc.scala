@@ -430,7 +430,8 @@ object Cdc {
     * break retry dedup).
     */
   def streamApplyGuarded(s: SparkSession, feedDir: String, logDir: String,
-      wmDir: String, checkpointDir: String): StreamingQuery = {
+      wmDir: String, checkpointDir: String,
+      failpoint: String => Unit = _ => ()): StreamingQuery = {
     // resolved lazily on the first batch: StreamExecution writes
     // checkpointDir/metadata {"id": "<uuid>"} at query start
     lazy val runId: String = {
@@ -459,6 +460,12 @@ object Cdc {
         if (!fresh.isEmpty) {
           fresh.write.mode("overwrite").partitionBy("table_name")
             .parquet(s"$logDir/run=$runId/batch=$batchId")
+          // test seam for the documented hard case: a crash HERE (log
+          // written, watermark not) leaves rows in the log below the
+          // watermark — recovery re-runs the batch, the guard passes
+          // the same rows (wm unmoved), and the overwrite directory
+          // swallows them. Production callers leave the no-op.
+          failpoint(s"log_written:$batchId")
           fresh.groupBy("table_name")
             .agg(max(struct(col("scn"), col("seq"))).as("m"))
             .select(col("table_name"), col("m.scn").as("wm_scn"),

@@ -107,6 +107,46 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(spark.read.parquet(log).count() == changes.count())
   }
 
+  test("guarded stream recovery: crash between log write and watermark " +
+    "write overwrites, never duplicates") {
+    val tmp = Files.createTempDirectory("graft_cdc_crash").toString
+    val feed = s"$tmp/feed"; val log = s"$tmp/log"
+    val wm = s"$tmp/wm"; val ckpt = s"$tmp/ckpt"
+    val changes = Cdc.multiTableChanges(spark, sf).limit(600)
+    changes.write.parquet(feed)
+    // run 1: die exactly at the documented hard point — the batch's
+    // log directory is written, its watermark is NOT
+    val q1 = Cdc.streamApplyGuarded(spark, feed, log, wm, ckpt,
+      failpoint = label => if (label.startsWith("log_written"))
+        throw new RuntimeException(s"injected crash at $label"))
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q1.awaitTermination(120000) finally q1.stop()
+    }
+    assert(failed.getMessage.contains("injected crash"),
+      failed.getMessage)
+    // torn state: log rows exist, watermark side is empty
+    assert(spark.read.parquet(log).count() > 0)
+    assert(Cdc.currentWatermarks(spark, wm).isEmpty)
+    // run 2: same checkpoint, no failpoint — recovery re-runs the
+    // uncommitted batch; the guard passes the SAME rows (watermark
+    // never moved) and the per-(run,batch) overwrite swallows the
+    // torn write instead of appending next to it
+    runStream(Cdc.streamApplyGuarded(spark, feed, log, wm, ckpt))
+    val logged = spark.read.parquet(log)
+    assert(logged.count() == changes.count(),
+      s"log has ${logged.count()} rows, feed has ${changes.count()}")
+    assert(logged.groupBy("table_name", "scn", "seq", "key")
+      .count().filter(col("count") > 1).isEmpty, "duplicate log rows")
+    // and the watermark now matches the feed's per-table max
+    val wants = changes.groupBy("table_name")
+      .agg(max(struct(col("scn"), col("seq"))).as("m"))
+      .select(col("table_name"), col("m.scn"), col("m.seq"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val gots = Cdc.currentWatermarks(spark, wm)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gots == wants)
+  }
+
   test("guarded stream: overlapping re-mine with a FRESH checkpoint appends nothing") {
     val tmp = Files.createTempDirectory("graft_cdc4").toString
     val changes = Cdc.multiTableChanges(spark, sf).limit(600)

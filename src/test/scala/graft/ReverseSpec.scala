@@ -247,4 +247,48 @@ class ReverseSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rules.resolveScoped("steven", "marvin2",
       OracleColumn("dlob", "CLOB")) == ("LONGTEXT", "builtin"))
   }
+
+  test("golden: compatibility artifact renders the diverted kinds " +
+    "exactly (compatibility_marvin.sql shape)") {
+    val report = Reverse.renderCompatReport(spark, sf)
+    val expected =
+      """/*
+        | oracle partition table maybe mysql has compatibility, will convert to normal table, please manual adjust
+        | SCHEMA: marvin
+        | ORACLE PARTITION LIST: list_partition_table, hash_rang
+        | SUGGEST: Manual Create And Adjust Table
+        |*/
+        |
+        |/*
+        | oracle temporary table maybe mysql has compatibility, skip
+        | SCHEMA: marvin
+        | ORACLE TEMPORARY LIST: gtt_stage
+        | SUGGEST: Manual Create
+        |*/
+        |
+        |/*
+        | oracle clustered table maybe mysql has compatibility, skip
+        | SCHEMA: marvin
+        | ORACLE CLUSTERED LIST: iot_lookup
+        | SUGGEST: Manual Create
+        |*/
+        |
+        |/*
+        | oracle materialized view maybe mysql has compatibility, skip
+        | SCHEMA: marvin
+        | ORACLE MVIEW LIST: mv_summary
+        | SUGGEST: Manual Create
+        |*/""".stripMargin
+    assert(report == expected,
+      s"rendered:\n$report\n--- expected:\n$expected")
+    // the REVERSE-routed tables never leak into the compat artifact
+    Seq("marvin2", "marvin1lite").foreach(t =>
+      assert(!report.contains(t), t))
+    // and it lands through the same S9 sink the DDL artifacts use
+    val path = java.nio.file.Files.createTempDirectory("graft_compat")
+      .toString + "/compatibility_marvin.sql"
+    graft.reverse.Ddl.writeArtifact(path, Seq(report))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path)).startsWith("/*\n oracle partition"))
+  }
 }
