@@ -455,12 +455,23 @@ object Check {
       Seq(renderTextFrom(data)))
     graft.reverse.Ddl.writeArtifact(s"$outDir/assess_report.html",
       Seq(renderHtmlFrom(data)))
+    // ONE aggregation over a union of narrow per-section projections
+    // (section, canonical row string), not 22 separate aggregates:
+    // each section's rows are already local, so 22 unioned two-stage
+    // aggs would cost ~44 scheduler stages for 22 output rows — the
+    // single groupBy is one tiny shuffle. The canonical string is the
+    // same Norm.sparkRow the per-section checksum contract defines.
     data.map { case (sec, schema, rs) =>
       s.createDataFrame(rs.asJava, schema)
-        .agg(count(lit(1)).as("n_rows"),
-          Norm.sparkRowChecksum(sec.sumCols).as("checksum"))
-        .select(lit(sec.key).as("section"), col("n_rows"), col("checksum"))
+        .select(lit(sec.key).as("section"),
+          Norm.sparkRow(sec.sumCols).as("row_str"))
     }.reduce(_.unionAll(_))
+      .groupBy("section")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Norm.xhash64(col("row_str"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .cast("string").as("checksum"))
   }
 
   val a36Sql: String = reportSections.map { sec =>

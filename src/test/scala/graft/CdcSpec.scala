@@ -534,4 +534,27 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"stream/batch funnel diverged on ${
         (last.toSet diff expected.toSet).take(5)} ...")
   }
+
+  test("streaming funnel counts a same-second signup+purchase tie in " +
+    "one batch (batch w9's epoch >= signup_t semantics)") {
+    import spark.implicits._
+    val feed = Files.createTempDirectory("graft_tie_feed").toString
+    val out = Files.createTempDirectory("graft_tie_out").toString
+    val ckpt = Files.createTempDirectory("graft_tie_ck").toString
+    // purchase row FIRST in the file: sortBy is stable, so an
+    // epoch-only intra-batch sort would iterate the purchase before
+    // the signup and drop it (su still -1) — the batch w9 counts it
+    // via epoch >= signup_t. The signups-first tiebreak must agree.
+    Seq((7L, "purchase", 1000L), (7L, "signup", 1000L))
+      .toDF("user_id", "event_type", "epoch")
+      .coalesce(1).write.mode("append").parquet(feed)
+    runStreamUntil(Cdc.funnelStream(spark, feed, out, ckpt))({
+      spark.read.parquet(out).count() >= 1
+    })
+    val r = spark.read.parquet(out)
+      .orderBy(col("batch_id").desc).limit(1).collect()(0)
+    assert(r.getAs[Long]("signup_t") == 1000L, r.toString)
+    assert(r.getAs[Long]("purchase_t") == 1000L, r.toString)
+    assert(r.getAs[String]("bucket") == "WITHIN_1H", r.toString)
+  }
 }
