@@ -42,6 +42,42 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally spark.conf.set(key, prev)
   }
 
+  test("filters and projections reach the parquet scan " +
+    "(pushdown + pruning, the 100 TB scan contract)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // sparkPlan, not executedPlan: the pre-AQE physical plan exposes
+    // the scan nodes directly, and scan metadata holds the FULL
+    // PushedFilters list (the plan STRING truncates it)
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
+      df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    // p3: BOTH predicates land in PushedFilters — the scan skips row
+    // groups by footer stats instead of materializing rows to filter
+    val p3Scan = scans(graft.operators.Relational.p3ChunkFilter(spark, sf))
+    assert(p3Scan.nonEmpty)
+    val p3Pushed = p3Scan.head.metadata("PushedFilters")
+    assert(p3Pushed.contains("GreaterThanOrEqual(l_orderkey,2000)") &&
+      p3Pushed.contains("LessThanOrEqual(l_orderkey,4000)") &&
+      p3Pushed.contains("GreaterThan(l_quantity,"), p3Pushed)
+    // ...and the 16-column lineitem scan reads ONLY the 3 live columns
+    assert(p3Scan.head.requiredSchema.fieldNames.toSet ==
+      Set("l_orderkey", "l_linenumber", "l_quantity"),
+      p3Scan.head.requiredSchema.treeString)
+    // t3: the documents scan prunes to (doc_id, text) — lang/source/
+    // n_chars never leave the footer. At 100 TB the text column IS the
+    // table; reading even one dead sibling column is a material cost.
+    val t3Scan = scans(graft.functions.TextAnalysis.t3TokenCount(spark, sf))
+    assert(t3Scan.head.requiredSchema.fieldNames.toSet ==
+      Set("doc_id", "text"), t3Scan.head.requiredSchema.treeString)
+    // q1: the aggregate pushes its date predicate and prunes to the
+    // aggregation inputs — no key or dead column reaches the scan
+    val q1Scan = scans(graft.operators.Relational.q1PricingSummary(spark, sf))
+    val q1Pushed = q1Scan.head.metadata("PushedFilters")
+    assert(q1Pushed.contains("LessThanOrEqual(l_shipdate"), q1Pushed)
+    val q1Cols = q1Scan.head.requiredSchema.fieldNames.toSet
+    assert(!q1Cols.contains("l_orderkey") && !q1Cols.contains("l_partkey"),
+      q1Cols.toString)
+  }
+
   test("footer stats equal true counts with zero data scan") {
     val stats = Catalog.tableStats(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
