@@ -48,13 +48,22 @@ object Migrate {
       chunkRows: Long): Seq[ChunkSpec] = {
     require(chunkRows > 0, "chunkRows must be positive")
     if (totalRows <= 0 || maxKey < minKey) return Seq.empty
-    val nChunks = math.max(1L, (totalRows + chunkRows - 1) / chunkRows)
     val span = maxKey - minKey + 1
+    require(span > 0, s"key span [$minKey, $maxKey] exceeds the Long range")
+    val nChunks =
+      math.max(1L, totalRows / chunkRows +
+        (if (totalRows % chunkRows == 0) 0L else 1L))
     val n = math.min(nChunks, span).toInt
+    // boundary i is floor(span * i / n), decomposed as
+    // q*i + (r*i)/n with span = q*n + r: the direct product span*i
+    // overflows Long for spans >= 2^52 with thousands of chunks —
+    // exactly a 100 TB surrogate-key plan — while q*i <= span and
+    // r*i < n^2 <= 2^62 cannot
+    val q = span / n
+    val r = span % n
+    def bound(i: Long): Long = minKey + q * i + r * i / n
     (0 until n).map { i =>
-      val lo = minKey + span * i / n
-      val hi = minKey + span * (i + 1) / n - 1
-      ChunkSpec(i, lo, hi)
+      ChunkSpec(i, bound(i), bound(i + 1L) - 1)
     }
   }
 

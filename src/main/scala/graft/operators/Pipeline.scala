@@ -68,12 +68,23 @@ object Pipeline {
   def planFixedWidth(minKey: Long, maxKey: Long, cnt: Long,
       chunkRows: Long): (Long, Seq[ChunkSpec]) = {
     require(cnt > 0 && maxKey >= minKey, "empty source — nothing to plan")
+    require(chunkRows > 0, "chunkRows must be positive")
     val span = maxKey - minKey + 1
-    val n = math.max(1L, (cnt + chunkRows - 1) / chunkRows)
-    val kw = math.max(1L, (span + n - 1) / n)
-    val nChunks = ((span + kw - 1) / kw).toInt
+    require(span > 0, s"key span [$minKey, $maxKey] exceeds the Long range")
+    // ceil division in remainder form, NOT (a + b - 1) / b: the
+    // additive form overflows Long when span/cnt sit near 2^63 —
+    // exactly the surrogate-key ranges a 100 TB table can carry
+    def ceilDiv(a: Long, b: Long): Long = a / b + (if (a % b == 0) 0L else 1L)
+    val n = math.max(1L, ceilDiv(cnt, chunkRows))
+    val kw = math.max(1L, ceilDiv(span, n))
+    val nChunks = ceilDiv(span, kw).toInt
     val chunks = (0 until nChunks).map { i =>
-      ChunkSpec(i, minKey + i * kw, math.min(minKey + (i + 1) * kw - 1, maxKey))
+      // non-last uppers satisfy minKey + (i+1)*kw - 1 < maxKey (since
+      // (i+1)*kw < span there), so only the last chunk — whose direct
+      // upper IS maxKey — could overflow the additive form; hand it
+      // maxKey outright
+      val hi = if (i == nChunks - 1) maxKey else minKey + (i + 1) * kw - 1
+      ChunkSpec(i, minKey + i * kw, hi)
     }
     (kw, chunks)
   }

@@ -36,6 +36,36 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Migrate.planChunks(100, 0, 50, 10).isEmpty)
   }
 
+  test("planChunks holds at 100 TB key ranges (no span*i Long overflow)") {
+    val gen = for {
+      minK <- Gen.choose(0L, 1L << 62)
+      span <- Gen.choose(1L, 1L << 52)
+      rows <- Gen.choose(1L, 1L << 40)
+      chunkRows <- Gen.choose(1L, 1L << 30)
+    } yield (minK, span, rows, chunkRows)
+    val prop = Prop.forAll(gen) { case (minK, span, rows, chunkRows) =>
+      val maxK = minK + span - 1
+      val chunks = Migrate.planChunks(minK, maxK, rows, chunkRows)
+      chunks.nonEmpty &&
+        chunks.head.lower == minK && chunks.last.upper == maxK &&
+        chunks.forall(c => c.lower <= c.upper) &&
+        chunks.sliding(2).forall {
+          case Seq(a: ChunkSpec, b: ChunkSpec) => b.lower == a.upper + 1
+          case _ => true
+        }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+    // the concrete shape that overflowed span*i: 2^52 keys, 4096 chunks
+    val big = Migrate.planChunks(0L, (1L << 52) - 1, 1L << 22, 1L << 10)
+    assert(big.head.lower == 0L && big.last.upper == (1L << 52) - 1)
+    assert(big.sliding(2).forall {
+      case Seq(a, b) => b.lower == a.upper + 1
+      case _ => true
+    })
+  }
+
   test("csv roundtrip preserves hostile values exactly") {
     val back = Migrate.s8CsvRoundtrip(spark, sf).cache()
     // quote/backslash payloads survive

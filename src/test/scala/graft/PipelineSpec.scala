@@ -29,6 +29,53 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("planFixedWidth holds at 100 TB key ranges (property: coverage, " +
+    "contiguity, div-invertibility, no Long overflow)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      // spans up to 2^52 keys starting anywhere up to 2^62 — the
+      // surrogate-key territory where IEEE double division and
+      // additive ceil-division both break
+      minK <- Gen.choose(0L, 1L << 62)
+      span <- Gen.choose(1L, 1L << 52)
+      cnt <- Gen.choose(1L, 1L << 40)
+      chunkRows <- Gen.choose(1L, 1L << 30)
+      probe <- Gen.choose(0L, Long.MaxValue)
+    } yield (minK, span, cnt, chunkRows, probe)
+    val prop = Prop.forAll(gen) { case (minK, span, cnt, chunkRows, probe) =>
+      val maxK = minK + span - 1
+      val (kw, chunks) = Pipeline.planFixedWidth(minK, maxK, cnt, chunkRows)
+      val key = minK + probe % span // uniform key inside the range
+      val owner = chunks.find(c => c.lower <= key && key <= c.upper)
+      chunks.head.lower == minK && chunks.last.upper == maxK &&
+        chunks.forall(c => c.lower <= c.upper) &&
+        chunks.sliding(2).forall {
+          case Seq(a, b) => b.lower == a.upper + 1
+          case _ => true
+        } &&
+        // every in-range key belongs to exactly the chunk the oracle's
+        // closed form (key - minK) div kw names
+        owner.exists(_.id == (key - minK) / kw)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+    // the hard edges the additive ceil form overflowed on
+    val (_, top) = Pipeline.planFixedWidth(
+      Long.MaxValue - 1000, Long.MaxValue - 1, 10000L, 100L)
+    assert(top.head.lower == Long.MaxValue - 1000 &&
+      top.last.upper == Long.MaxValue - 1)
+    val (_, one) = Pipeline.planFixedWidth(Long.MaxValue - 1,
+      Long.MaxValue - 1, 1L, 1L)
+    assert(one == Seq(graft.operators.Migrate.ChunkSpec(0,
+      Long.MaxValue - 1, Long.MaxValue - 1)))
+    // a full-Long span cannot be planned exactly — refuse loudly
+    intercept[IllegalArgumentException] {
+      Pipeline.planFixedWidth(Long.MinValue, Long.MaxValue, 10L, 1L)
+    }
+    ()
+  }
+
   test("crash between wave write and mark: rerun skips done, re-runs " +
     "the unmarked wave idempotently, compare is clean") {
     val work = freshWork()
