@@ -360,14 +360,29 @@ object Check {
   /** Every section run ONCE: the distributed aggregation collapses to
     * its bounded report rows here, and everything downstream (text
     * render, HTML render, a36 checksums) reads the collected rows.
+    * Sections are independent, so their jobs are SUBMITTED
+    * CONCURRENTLY (bounded pool) — Spark schedules concurrent actions
+    * from one session fine, and the report's wall-clock becomes the
+    * slowest section instead of the sum of 22 job barriers. Result
+    * order stays the registry's reading order.
     */
   private def sectionData(s: SparkSession, d: String)
       : Seq[(ReportSection, org.apache.spark.sql.types.StructType,
-        Seq[org.apache.spark.sql.Row])] =
-    reportSections.map { sec =>
-      val df = sec.fn(s, d)
-      (sec, df.schema, df.collect().toSeq)
-    }
+        Seq[org.apache.spark.sql.Row])] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = reportSections.map { sec =>
+        Future {
+          val df = sec.fn(s, d)
+          (sec, df.schema, df.collect().toSeq)
+        }
+      }
+      Await.result(Future.sequence(futs), 10.minutes)
+    } finally pool.shutdown()
+  }
 
   private def renderTextFrom(
       data: Seq[(ReportSection, org.apache.spark.sql.types.StructType,
