@@ -418,6 +418,18 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val again = spark.read.format("jdbc").option("url", url)
       .option("dbtable", "S").load().count()
     assert(again == 3)
+    // NULL values are legal on INSERT/UPDATE (not just tombstones):
+    // the bind path must write SQL NULL through both MERGE branches —
+    // the not-matched INSERT (key 4) and the matched UPDATE (key 1)
+    val nulls = feed(Seq(
+      (3L, 0L, "INSERT", 4L, None), (3L, 0L, "UPDATE", 1L, None)))
+    Cdc.applyBatchJdbc(nulls, url, "S")
+    val state2 = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "S").load()
+      .collect().map(r => r.getAs[Long]("K") ->
+        Option(r.getAs[java.lang.Double]("V"))).toMap
+    assert(state2 == Map(1L -> None, 2L -> Some(20.0),
+      3L -> Some(30.0), 4L -> None), state2.toString)
   }
 
   test("jdbc apply scale contract: bounded statement buffer and " +
