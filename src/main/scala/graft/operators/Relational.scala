@@ -661,6 +661,42 @@ object Relational {
        |FROM r GROUP BY 1""".stripMargin
   }
 
+  /** a33b: the percentile SCALE path a33's scaladoc names — GK-sketch
+    * `percentile_approx` in place of the full per-chunk window sort
+    * (one partial-aggregable pass, no sort, the only affordable shape
+    * once a chunk stops fitting in one task's sort buffer). Like a9b,
+    * the registered result is a sketch-noise-robust DECISION, not the
+    * sketch values: per chunk, is the approx p50/p99 within 5% of the
+    * exact order statistic? GK guarantees rank error ≤ n/accuracy
+    * deterministically (accuracy 10⁴ ≫ chunk rows here), so the
+    * within-tolerance count equals the chunk count — which is exactly
+    * what the oracle asserts. A sketch regression past the tolerance
+    * breaks the hash.
+    */
+  def a33bPercentileSketch(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.load(s, d, "lineitem").select(
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+      floor(col("l_orderkey") / 1000).cast("long").as("chunk_id"))
+    val approx = li.groupBy("chunk_id")
+      .agg(percentile_approx(col("cents"), array(lit(0.5), lit(0.99)),
+        lit(10000)).as("ap"))
+    a33PercentileProfile(s, d).join(approx, "chunk_id")
+      .select(
+        (abs(col("ap")(0) - col("p50_cents")) <=
+          col("p50_cents").cast("double") * 0.05 &&
+          abs(col("ap")(1) - col("p99_cents")) <=
+            col("p99_cents").cast("double") * 0.05).as("within"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("within"), 1L).otherwise(0L)).as("n_within"))
+  }
+
+  val a33bSql: String =
+    """SELECT count(DISTINCT CAST(floor(l_orderkey / 1000.0) AS BIGINT))
+      |    AS n_chunks,
+      |  count(DISTINCT CAST(floor(l_orderkey / 1000.0) AS BIGINT))
+      |    AS n_within
+      |FROM lineitem""".stripMargin
+
   /** a34: rollup report — the assess-overview shape with subtotal and
     * grand-total rows (SURVEY §2.4: grouping sets/rollup are absent in
     * the reference's hand-written reports and free in Catalyst). One
@@ -798,6 +834,7 @@ object Relational {
     "j7_salted_skew_join" -> j7SaltedSkewJoin,
     "j8_bloom_prejoin" -> j8BloomPrejoin,
     "a33_percentile_profile" -> a33PercentileProfile,
+    "a33b_percentile_sketch" -> a33bPercentileSketch,
     "a34_rollup_report" -> a34RollupReport)
 
   val oracles: Map[String, String] = Map(
@@ -827,5 +864,6 @@ object Relational {
     "j7_salted_skew_join" -> j7Sql,
     "j8_bloom_prejoin" -> j8Sql,
     "a33_percentile_profile" -> a33Sql,
+    "a33b_percentile_sketch" -> a33bSql,
     "a34_rollup_report" -> a34Sql)
 }
