@@ -64,29 +64,39 @@ object Bench {
     val clean = scala.collection.mutable.ArrayBuffer.empty[Double]
     val gcs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    // local iteration aid: SPARK_GRAFT_ONLY=q1,c6b runs a subset; the
-    // driver never sets it, so the artifact shape is unchanged
+    // local iteration aid: SPARK_GRAFT_ONLY=q1,c6b runs a subset
+    // (stdout only — see the artifact write below)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val picked = only match {
       case Some(ns) => SparkEntry.queries.filter { case (n, _) => ns(n) }
       case None => SparkEntry.queries
     }
-    val results = picked.map { case (name, fn) =>
+    // one sample = (seconds, rows, gc seconds) with GC attributed to
+    // THIS sample; under best-of-2 the kept sample's gc/rows are the
+    // ones recorded, so gc_sec stays comparable to value (summing GC
+    // across both samples would misclassify every resampled query as
+    // GC-heavy)
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Long, Double) = {
       val gc0 = gcMillis()
-      val (t1, n1) = sample(spark, sfDir, fn)
+      val (t, n) = sample(spark, sfDir, fn)
+      (t, n, (gcMillis() - gc0) / 1e3)
+    }
+    val results = picked.map { case (name, fn) =>
+      val (t1, n1, g1) = timed(fn)
       val med = median(clean.toSeq)
-      val v =
+      val (v, n, g) =
         if (t1 >= 0 && (t1 < 1.0 ||
             (clean.nonEmpty && t1 > math.max(3 * med, 1.0)))) {
           // a failed second sample keeps the first — never report a
           // phantom 0 s for a query that succeeded once
-          val t2 = sample(spark, sfDir, fn)._1
-          if (t2 >= 0) math.min(t1, t2) else t1
-        } else t1
+          val (t2, n2, g2) = timed(fn)
+          if (t2 >= 0 && t2 < t1) (t2, n2, g2) else (t1, n1, g1)
+        } else (t1, n1, g1)
       if (v >= 0) clean += v
-      gcs(name) = (gcMillis() - gc0) / 1e3
-      rows(name) = n1
+      gcs(name) = g
+      rows(name) = n
       name -> v
     }
     // millisecond precision keeps the line ~3x shorter than raw doubles
@@ -108,10 +118,15 @@ object Bench {
       .mkString("{", ",", "}")
     val fileLine =
       line.dropRight(1) + s""","gc_sec":$gcJson,"rows":$rowsJson}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_local.json"),
-      (fileLine + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // subset runs (SPARK_GRAFT_ONLY) must NEVER touch the artifact:
+    // bench_local.json is the committed full-surface baseline the perf
+    // gate and BASELINE.md read — a 1-query dev run overwriting it
+    // silently falsifies both
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_local.json"),
+        (fileLine + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     println(line)
     spark.stop()
   }

@@ -354,9 +354,6 @@ object Check {
           "n_rows" -> KLong, "top1_rows" -> KLong)))
   }
 
-  def assessSections(s: SparkSession, d: String): Seq[(String, DataFrame)] =
-    reportSections.map(sec => sec.title -> sec.fn(s, d))
-
   /** Every section run ONCE: the distributed aggregation collapses to
     * its bounded report rows here, and everything downstream (text
     * render, HTML render, a36 checksums) reads the collected rows.
@@ -476,7 +473,7 @@ object Check {
     // aggs would cost ~44 scheduler stages for 22 output rows — the
     // single groupBy is one tiny shuffle. The canonical string is the
     // same Norm.sparkRow the per-section checksum contract defines.
-    data.map { case (sec, schema, rs) =>
+    val agg = data.map { case (sec, schema, rs) =>
       s.createDataFrame(rs.asJava, schema)
         .select(lit(sec.key).as("section"),
           Norm.sparkRow(sec.sumCols).as("row_str"))
@@ -487,6 +484,15 @@ object Check {
             .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .cast(org.apache.spark.sql.types.DecimalType(38, 0))
           .cast("string").as("checksum"))
+    // an EMPTY section must still report (section, 0, NULL): groupBy
+    // drops empty groups, but the oracle's per-section UNION ALL arms
+    // aggregate unconditionally — left-join the registry so both
+    // engines agree on empty sections too
+    import s.implicits._
+    reportSections.map(_.key).toDF("section")
+      .join(agg, Seq("section"), "left")
+      .select(col("section"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"), col("checksum"))
   }
 
   val a36Sql: String = reportSections.map { sec =>

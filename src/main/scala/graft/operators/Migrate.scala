@@ -39,6 +39,17 @@ object Migrate {
       s"$colName BETWEEN $lower AND $upper"
   }
 
+  /** Upper bound on planned chunk COUNT (2^20 ≈ 1M ranged predicates):
+    * a chunk plan is a bounded driver-side artifact (the reference's
+    * `user_tabs`-driven chunk metadata is likewise a meta-DB table);
+    * a plan that wants billions of chunks is a mis-sized chunkRows,
+    * and widening chunks beyond the target degrades resume
+    * granularity gracefully instead of materializing an unbounded Seq
+    * (or, worse, truncating the count through Int and planning ZERO
+    * chunks for a non-empty table).
+    */
+  val MaxPlannedChunks = 1L << 20
+
   /** Split [min,max] into ranges of ~chunkRows by key density
     * (assumes roughly uniform keys, like the reference's
     * CREATE_CHUNKS_BY_NUMBER_COL; skew is handled at execution time by
@@ -53,7 +64,13 @@ object Migrate {
     val nChunks =
       math.max(1L, totalRows / chunkRows +
         (if (totalRows % chunkRows == 0) 0L else 1L))
-    val n = math.min(nChunks, span).toInt
+    // chunk plans are driver-side Seqs consumed as ranged predicates —
+    // cap the COUNT, not the data: past the cap chunks simply get
+    // wider than the chunkRows target (chunkRows is best-effort by
+    // contract, "~chunkRows"), which also keeps the Long→Int
+    // conversion exact (a bare .toInt of >2^31 chunks truncated to 0
+    // or negative and emitted an empty plan for a non-empty table)
+    val n = math.min(math.min(nChunks, span), MaxPlannedChunks).toInt
     // boundary i is floor(span * i / n), decomposed as
     // q*i + (r*i)/n with span = q*n + r: the direct product span*i
     // overflows Long for spans >= 2^52 with thousands of chunks —

@@ -75,7 +75,12 @@ object Pipeline {
     // additive form overflows Long when span/cnt sit near 2^63 —
     // exactly the surrogate-key ranges a 100 TB table can carry
     def ceilDiv(a: Long, b: Long): Long = a / b + (if (a % b == 0) 0L else 1L)
-    val n = math.max(1L, ceilDiv(cnt, chunkRows))
+    // chunk-count cap (see Migrate.MaxPlannedChunks): clamping n
+    // BEFORE kw keeps the downstream count bounded too — kw >= span/n
+    // implies ceilDiv(span, kw) <= n, so nChunks.toInt is exact and
+    // the (key - minKey) div kw id formula stays invertible
+    val n = math.max(1L,
+      math.min(ceilDiv(cnt, chunkRows), Migrate.MaxPlannedChunks))
     val kw = math.max(1L, ceilDiv(span, n))
     val nChunks = ceilDiv(span, kw).toInt
     val chunks = (0 until nChunks).map { i =>

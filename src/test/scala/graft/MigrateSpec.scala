@@ -64,6 +64,16 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
       case Seq(a, b) => b.lower == a.upper + 1
       case _ => true
     })
+    // a plan that ASKS for 2^40 chunks: a bare Long→Int truncation
+    // planned ZERO chunks here (and n=0 would now divide by zero) —
+    // the cap must widen chunks instead, still covering exactly
+    val huge = Migrate.planChunks(0L, (1L << 52) - 1, 1L << 40, 1L)
+    assert(huge.length == Migrate.MaxPlannedChunks.toInt)
+    assert(huge.head.lower == 0L && huge.last.upper == (1L << 52) - 1)
+    assert(huge.sliding(2).forall {
+      case Seq(a, b) => b.lower == a.upper + 1
+      case _ => true
+    })
   }
 
   test("csv roundtrip preserves hostile values exactly") {

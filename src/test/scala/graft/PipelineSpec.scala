@@ -73,6 +73,15 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     intercept[IllegalArgumentException] {
       Pipeline.planFixedWidth(Long.MinValue, Long.MaxValue, 10L, 1L)
     }
+    // 2^40 requested chunks: truncation through Int returned an EMPTY
+    // plan here — the cap must bound the count while keeping coverage
+    // and the div-invertible id formula
+    val (hkw, huge) = Pipeline.planFixedWidth(0L, (1L << 52) - 1,
+      1L << 40, 1L)
+    assert(huge.nonEmpty &&
+      huge.length <= graft.operators.Migrate.MaxPlannedChunks.toInt)
+    assert(huge.head.lower == 0L && huge.last.upper == (1L << 52) - 1)
+    assert(huge.forall(c => c.lower / hkw == c.id && c.upper / hkw == c.id))
     ()
   }
 
