@@ -49,6 +49,28 @@ class ChangeFeedSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(runOnce() == 200)
   }
 
+  test("DSv2 source plans one input partition per window file — the " +
+    "parallel-ingest shape a log-mining backlog needs") {
+    val tmp = Files.createTempDirectory("graft_dsv2c").toString
+    val feed = s"$tmp/feed"
+    (1 to 5).foreach(i =>
+      writeFeedFile(feed, f"w$i%03d.csv", csvLines(10, 1000L * i)))
+    @volatile var parts = -1
+    @volatile var rows = -1L
+    spark.readStream.format(classOf[ChangeFeedSource].getName)
+      .option("path", feed).load()
+      .writeStream.option("checkpointLocation", s"$tmp/ck")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        parts = b.rdd.getNumPartitions
+        rows = b.count()
+      }.start().awaitTermination(120000)
+    // a 5-file backlog lands as ONE batch of 5 concurrent partitions
+    // (one reader per window file), not a serial file loop
+    assert(parts == 5, s"partitions=$parts")
+    assert(rows == 50, s"rows=$rows")
+  }
+
   test("DSv2 rows carry the full change schema with correct types") {
     val tmp = Files.createTempDirectory("graft_dsv2b").toString
     val feed = s"$tmp/feed"
