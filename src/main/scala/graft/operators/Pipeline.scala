@@ -63,7 +63,12 @@ object Pipeline {
     * `(key - minKey) div kw` — the same closed form the DuckDB oracle
     * computes, so engine and oracle agree on chunk membership by
     * construction (planChunks' density split has no integer-exact SQL
-    * inverse).
+    * inverse). One carve-out: the chunk COUNT is capped at
+    * [[Migrate.MaxPlannedChunks]], so a chunkRows small enough to ask
+    * for >2^20 chunks gets wider chunks than the closed form above —
+    * consumers must use the RETURNED kw (as runMigration and pipe2Sql's
+    * GREATEST-bounded cr do; pipe2's auto-cap of 16 chunks can never
+    * reach the carve-out), never re-derive it from chunkRows.
     */
   def planFixedWidth(minKey: Long, maxKey: Long, cnt: Long,
       chunkRows: Long): (Long, Seq[ChunkSpec]) = {

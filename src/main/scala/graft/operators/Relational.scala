@@ -626,10 +626,17 @@ object Relational {
     * layout; the sketch path for when a full sort is too much is
     * `approx_percentile` (same trade as a9 vs a9b).
     */
-  def a33PercentileProfile(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.load(s, d, "lineitem").select(
+  /** Shared (cents, chunk_id) projection for the a33 family — ONE
+    * definition of the price quantization and chunking rule, so the
+    * exact path and the sketch path can never drift apart.
+    */
+  private def centsChunks(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "lineitem").select(
       floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
       floor(col("l_orderkey") / 1000).cast("long").as("chunk_id"))
+
+  def a33PercentileProfile(s: SparkSession, d: String): DataFrame = {
+    val li = centsChunks(s, d)
     val byChunk = Window.partitionBy("chunk_id")
     val ranked = li
       .withColumn("rn", row_number().over(byChunk.orderBy(col("cents"))))
@@ -674,9 +681,7 @@ object Relational {
     * breaks the hash.
     */
   def a33bPercentileSketch(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.load(s, d, "lineitem").select(
-      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
-      floor(col("l_orderkey") / 1000).cast("long").as("chunk_id"))
+    val li = centsChunks(s, d)
     val approx = li.groupBy("chunk_id")
       .agg(percentile_approx(col("cents"), array(lit(0.5), lit(0.99)),
         lit(10000)).as("ap"))
@@ -687,7 +692,11 @@ object Relational {
           abs(col("ap")(1) - col("p99_cents")) <=
             col("p99_cents").cast("double") * 0.05).as("within"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("within"), 1L).otherwise(0L)).as("n_within"))
+        // coalesce: sum over ZERO rows is NULL while the oracle's
+        // empty-input count is 0 — same parity class as a36's empty
+        // sections
+        coalesce(sum(when(col("within"), 1L).otherwise(0L)), lit(0L))
+          .as("n_within"))
   }
 
   val a33bSql: String =

@@ -57,7 +57,8 @@ class ChangeFeedSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
       writeFeedFile(feed, f"w$i%03d.csv", csvLines(10, 1000L * i)))
     @volatile var parts = -1
     @volatile var rows = -1L
-    spark.readStream.format(classOf[ChangeFeedSource].getName)
+    val finished = spark.readStream
+      .format(classOf[ChangeFeedSource].getName)
       .option("path", feed).load()
       .writeStream.option("checkpointLocation", s"$tmp/ck")
       .trigger(Trigger.AvailableNow())
@@ -65,6 +66,7 @@ class ChangeFeedSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
         parts = b.rdd.getNumPartitions
         rows = b.count()
       }.start().awaitTermination(120000)
+    assert(finished, "stream did not terminate within 120s")
     // a 5-file backlog lands as ONE batch of 5 concurrent partitions
     // (one reader per window file), not a serial file loop
     assert(parts == 5, s"partitions=$parts")
