@@ -141,6 +141,73 @@ object Compare {
           col("row_key").cast("string"), lit(";"))).as("fix_sql"))
   }
 
+  /** fix.sql artifact — the compare mode's report FILE (the
+    * reference's `example/fix.sql`, appended per failed chunk by
+    * `module/compare/oracle/o2m/compare.go:386-444`): per MISMATCHED
+    * chunk, one boxed comment carrying both sides' count SQL, row
+    * counts, and checksums, then that chunk's fix statements in key
+    * order. Bounded driver-side: only mismatched chunks' summary rows
+    * and their fix rows are collected — matched chunks (the
+    * overwhelming majority at scale) contribute nothing to the
+    * artifact, exactly like the reference's failed-chunk-only report.
+    * `fixes` must carry (chunk_id, row_key, fix_sql).
+    */
+  def writeFixArtifact(path: String, srcTable: String, tgtTable: String,
+      srcSummary: DataFrame, tgtSummary: DataFrame, fixes: DataFrame,
+      chunkPred: Long => String): Unit = {
+    val sSum = srcSummary.select(col("chunk_id"),
+      col("n_rows"), col("row_checksum"))
+    val tSum = tgtSummary.select(col("chunk_id"),
+      col("n_rows").as("t_rows"), col("row_checksum").as("t_checksum"))
+    val mismatched = sSum.join(tSum, Seq("chunk_id"), "full_outer")
+      .filter(!(col("n_rows") <=> col("t_rows") &&
+        col("row_checksum") <=> col("t_checksum")))
+      .collect()
+      .map(r => (r.getAs[Long]("chunk_id"),
+        Option(r.getAs[java.lang.Long]("n_rows")).map(_.toLong),
+        Option(r.getAs[String]("row_checksum")),
+        Option(r.getAs[java.lang.Long]("t_rows")).map(_.toLong),
+        Option(r.getAs[String]("t_checksum"))))
+      .sortBy(_._1)
+    val mismIds = mismatched.map(_._1).toSet
+    val fixByChunk = fixes
+      .filter(col("chunk_id").isin(mismIds.toSeq: _*))
+      .select("chunk_id", "row_key", "fix_sql")
+      .collect()
+      .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("row_key"),
+        r.getAs[String]("fix_sql")))
+      .sortBy { case (c, k, sql) => (c, k, sql) }
+      .groupBy(_._1)
+    val blocks = mismatched.map { case (id, sn, sc, tn, tc) =>
+      def side(label: String, table: String, n: Option[Long],
+          c: Option[String]) =
+        s" $label: SELECT COUNT(1) FROM $table WHERE ${chunkPred(id)}" +
+          s"  rows=${n.getOrElse(0L)} checksum=${c.getOrElse("-")}"
+      val header = Seq("/*",
+        s" chunk $id differs between $srcTable and $tgtTable",
+        side("SRC", srcTable, sn, sc),
+        side("TGT", tgtTable, tn, tc),
+        "*/").mkString("\n")
+      val stmts = fixByChunk.getOrElse(id, Array.empty)
+        .map(_._3).mkString("\n")
+      if (stmts.isEmpty) header else s"$header\n$stmts"
+    }
+    graft.reverse.Ddl.writeArtifact(path, blocks.toIndexedSeq)
+  }
+
+  /** The c2 fixture's fix.sql: hostile orders vs its drifted target,
+    * chunked on o_orderkey/1000 — the demo wiring the spec pins.
+    */
+  def writeC2FixArtifact(s: SparkSession, d: String, path: String): Unit = {
+    val src = ordersHostile(s, d)
+    val srcSum = chunkSummary(src, ordersChunkId, hostileNorm)
+    val tgtSum = chunkSummary(drift(src), ordersChunkId, hostileNorm)
+    val fixes = c2FixActions(s, d)
+      .withColumn("chunk_id", floor(col("row_key") / 1000).cast("long"))
+    writeFixArtifact(path, "orders", "steven.orders", srcSum, tgtSum,
+      fixes, id => s"o_orderkey BETWEEN ${id * 1000} AND ${id * 1000 + 999}")
+  }
+
   // ------------------------------------------------------------ fixtures
 
   /** Canonical orders row rendering (keyed compare fixture). */

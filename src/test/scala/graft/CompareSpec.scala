@@ -107,6 +107,36 @@ class CompareSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(bad == Seq(5L), s"expected only chunk 5 flagged, got $bad")
   }
 
+  test("fix.sql artifact: boxed summary per mismatched chunk, every " +
+    "fix statement present, matched chunks absent") {
+    val path = java.nio.file.Files.createTempDirectory("graft_fixsql")
+      .toString + "/fix.sql"
+    Compare.writeC2FixArtifact(spark, sf, path)
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    // every fix statement the hash-gated c2 query emits is in the file
+    val fixes = Compare.c2FixActions(spark, sf)
+      .select("fix_sql").collect().map(_.getString(0))
+    assert(fixes.nonEmpty)
+    fixes.foreach(f => assert(txt.contains(f), f.take(60)))
+    // one boxed header per mismatched chunk; chunk ids strictly
+    // ascending (deterministic artifact)
+    val ids = """ chunk (\d+) differs""".r
+      .findAllMatchIn(txt).map(_.group(1).toLong).toSeq
+    assert(ids.nonEmpty && ids == ids.sorted && ids.distinct == ids)
+    // line-anchored: the hostile payload itself contains '/*' tokens
+    assert("(?m)^/\\*$".r.findAllIn(txt).size == ids.size)
+    // drift leaves keys %97==0 deleted and %89==0 duplicated-shifted:
+    // chunk 0 is affected, but a chunk with no drifted keys must NOT
+    // appear — cross-check against the summary-side mismatch count
+    val fixChunks = Compare.c2FixActions(spark, sf)
+      .select(floor(col("row_key") / 1000).cast("long").as("c"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(ids.toSet == fixChunks)
+    // both sides' count SQL rendered per box
+    assert(txt.contains("SELECT COUNT(1) FROM orders WHERE") &&
+      txt.contains("SELECT COUNT(1) FROM steven.orders WHERE"))
+  }
+
   test("normalization maps '' and NULL to the same canonical value") {
     val n = Compare.p2CompareNorm(spark, sf)
     val nulls = n.filter(col("o_orderkey") % 5 === 0).select("norm_str").distinct()
