@@ -21,19 +21,35 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.j1RevenueByNation(spark, "/root/testdata/sf0.001")
 
+  /** Per-module registries, named — the spec asserts no two modules
+    * register the same query name (`++` would silently keep one and
+    * shrink the verified surface) and that every query has an oracle.
+    */
+  private[graft] val queryRegistries
+      : Seq[(String, Map[String, (SparkSession, String) => DataFrame])] = Seq(
+    "Relational" -> Relational.queries, "Compare" -> Compare.queries,
+    "Migrate" -> Migrate.queries, "Cdc" -> Cdc.queries,
+    "TextAnalysis" -> TextAnalysis.queries, "Dedup" -> Dedup.queries,
+    "Similarity" -> Similarity.queries, "Multimodal" -> Multimodal.queries,
+    "Reverse" -> Reverse.queries, "Catalog" -> Catalog.queries,
+    "Check" -> Check.queries, "TableFilter" -> TableFilter.queries,
+    "CharsetConvert" -> CharsetConvert.queries, "Assess" -> Assess.queries,
+    "Pipeline" -> Pipeline.queries, "Prepare" -> Prepare.queries)
+
+  private[graft] val oracleRegistries: Seq[(String, Map[String, String])] =
+    Seq(
+      "Relational" -> Relational.oracles, "Compare" -> Compare.oracles,
+      "Migrate" -> Migrate.oracles, "Cdc" -> Cdc.oracles,
+      "TextAnalysis" -> TextAnalysis.oracles, "Dedup" -> Dedup.oracles,
+      "Similarity" -> Similarity.oracles, "Multimodal" -> Multimodal.oracles,
+      "Reverse" -> Reverse.oracles, "Catalog" -> Catalog.oracles,
+      "Check" -> Check.oracles, "TableFilter" -> TableFilter.oracles,
+      "CharsetConvert" -> CharsetConvert.oracles, "Assess" -> Assess.oracles,
+      "Pipeline" -> Pipeline.oracles, "Prepare" -> Prepare.oracles)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Compare.queries ++ Migrate.queries ++
-      Cdc.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ Reverse.queries ++
-      Catalog.queries ++ Check.queries ++ TableFilter.queries ++
-      CharsetConvert.queries ++ Assess.queries ++ Pipeline.queries ++
-      Prepare.queries
+    queryRegistries.map(_._2).reduce(_ ++ _)
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Compare.oracles ++ Migrate.oracles ++
-      Cdc.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Multimodal.oracles ++ Reverse.oracles ++
-      Catalog.oracles ++ Check.oracles ++ TableFilter.oracles ++
-      CharsetConvert.oracles ++ Assess.oracles ++ Pipeline.oracles ++
-      Prepare.oracles
+    oracleRegistries.map(_._2).reduce(_ ++ _)
 }

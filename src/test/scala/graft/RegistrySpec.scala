@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants for the query/oracle registries. These
+  * are the silent-shrinkage guards: `Map ++` keeps the LAST binding on
+  * a name collision, so two modules registering the same query name
+  * would quietly drop one implementation from the verified surface,
+  * and a query without an oracle would silently downgrade to the
+  * driver's weaker rows-only check.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  test("no two modules register the same query name") {
+    val all = SparkEntry.queryRegistries.flatMap { case (mod, m) =>
+      m.keys.map(_ -> mod)
+    }
+    val dupes = all.groupBy(_._1).filter(_._2.size > 1)
+      .map { case (k, ms) => s"$k <- ${ms.map(_._2).mkString(",")}" }
+    assert(dupes.isEmpty, dupes.mkString("; "))
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("no two modules register the same oracle name") {
+    val all = SparkEntry.oracleRegistries.flatMap { case (mod, m) =>
+      m.keys.map(_ -> mod)
+    }
+    val dupes = all.groupBy(_._1).filter(_._2.size > 1)
+      .map { case (k, ms) => s"$k <- ${ms.map(_._2).mkString(",")}" }
+    assert(dupes.isEmpty, dupes.mkString("; "))
+    assert(SparkEntry.oracleSql.size == all.size)
+  }
+
+  test("every query has an oracle and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q diff o).isEmpty, s"queries without oracle: ${q diff o}")
+    assert((o diff q).isEmpty, s"oracles without query: ${o diff q}")
+  }
+
+  test("within each module, queries and oracles pair up") {
+    SparkEntry.queryRegistries.zip(SparkEntry.oracleRegistries).foreach {
+      case ((qMod, qs), (oMod, os)) =>
+        assert(qMod == oMod)
+        assert(qs.keySet == os.keySet,
+          s"$qMod: ${qs.keySet diff os.keySet} / ${os.keySet diff qs.keySet}")
+    }
+  }
+}
