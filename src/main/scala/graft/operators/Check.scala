@@ -594,8 +594,7 @@ object Check {
     */
   def k5JdbcCatalog(s: SparkSession, d: String): DataFrame = {
     import graft.Tables
-    val dbDir = Migrate.tempDir("derby_cat")
-    System.setProperty("derby.system.home", dbDir)
+    val dbDir = Migrate.scratchDbDir("derby_cat")
     val url = s"jdbc:derby:$dbDir/catdb;create=true"
     Migrate.runJdbc(Tables.load(s, d, "region"), url, "REGION",
       columnTypes = Some("r_name VARCHAR(32)"))

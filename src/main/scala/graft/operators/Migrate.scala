@@ -194,6 +194,42 @@ object Migrate {
     p.toString
   }
 
+  /** Scratch home for an embedded JDBC (Derby) target, RAM-backed when
+    * the host has a writable tmpfs. Embedded Derby fsyncs its txn log
+    * on every commit; with the database on the shared disk, full-bench
+    * I/O load from the other 145 queries lands in those fsyncs and the
+    * JDBC queries measure the host's disk queue instead of the MERGE
+    * path (c6b: 0.9 s committed vs 4.5 s under driver load, two rounds
+    * running). tmpfs makes the commit a memory write, so the figure is
+    * load-invariant — and durability of a per-run scratch target is
+    * moot: the database is created fresh each run and swept on exit.
+    * Also pins Derby's boot-time tuning BEFORE the engine can boot
+    * (first connection anywhere in the JVM): page cache sized to 64 MiB
+    * (default is 4 MiB — thrashes on the MERGE working set) and
+    * derby.log kept out of the repo working dir.
+    */
+  private[graft] def scratchDbDir(tag: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val p =
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        Files.createTempDirectory(shm, s"graft_$tag")
+      else Files.createTempDirectory(s"graft_$tag")
+    tempDirs.add(p)
+    derbyTuned
+    System.setProperty("derby.system.home", p.toString)
+    p.toString
+  }
+
+  /** Applied once, before the first embedded-Derby boot in this JVM
+    * (boot-time system properties are read exactly once per engine).
+    */
+  private lazy val derbyTuned: Unit = {
+    def dflt(k: String, v: String): Unit =
+      if (System.getProperty(k) == null) System.setProperty(k, v): Unit
+    dflt("derby.storage.pageCacheSize", "16384") // 16384 x 4 KiB = 64 MiB
+    dflt("derby.stream.error.file", "/dev/null")
+  }
+
   /** s7: parquet migrate roundtrip — lineitem → export projection →
     * parquet sink → read back → per-chunk summary. The oracle computes
     * the same summary straight from the source table: sink fidelity is
@@ -479,9 +515,7 @@ object Migrate {
     * what's hash-checked.
     */
   def s7bJdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dbDir = tempDir("derby")
-    // keep derby.log out of the working directory
-    System.setProperty("derby.system.home", dbDir)
+    val dbDir = scratchDbDir("derby")
     val url = s"jdbc:derby:$dbDir/graftdb;create=true"
     val src = Tables.load(s, d, "orders").select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -550,8 +584,7 @@ object Migrate {
   def s9cDdlApply(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.reverse.Reverse
-    val dbDir = tempDir("derby_ddl")
-    System.setProperty("derby.system.home", dbDir)
+    val dbDir = scratchDbDir("derby_ddl")
     val url = s"jdbc:derby:$dbDir/ddldb;create=true"
     val cols = Reverse.zoo.filter(_.table_name == "marvin1lite")
     def derbyType(z: Reverse.ZooCol): String = z.data_type match {

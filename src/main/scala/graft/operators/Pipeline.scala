@@ -255,7 +255,7 @@ object Pipeline {
     * defines, end to end through a real JDBC target.
     */
   def pipe2Migration(s: SparkSession, d: String): DataFrame =
-    runMigration(s, d, Migrate.tempDir("pipe2"), task = "pipe2-task")
+    runMigration(s, d, Migrate.scratchDbDir("pipe2"), task = "pipe2-task")
 
   val pipe2Sql: String = {
     val normCols = Seq(NormCol("o_orderkey", KLong),
@@ -338,8 +338,7 @@ object Pipeline {
     */
   def pipe3FullPlusIncr(s: SparkSession, d: String): DataFrame = {
     import graft.streaming.Cdc
-    val dbDir = Migrate.tempDir("pipe3_derby")
-    System.setProperty("derby.system.home", dbDir)
+    val dbDir = Migrate.scratchDbDir("pipe3_derby")
     val url = s"jdbc:derby:$dbDir/alldb;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
     try {

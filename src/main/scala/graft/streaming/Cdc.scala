@@ -682,6 +682,50 @@ object Cdc {
   val JdbcFlushEvery = 1000
   val JdbcConnections = 4
 
+  /** Which statement family the sink speaks — the reference ships two
+    * (`module/migrate/sql/oracle/o2m/translate.go:118-334`):
+    *
+    *  - [[MergeDialect]]: guarded MERGE + guarded DELETE (the (scn,seq)
+    *    staleness guard lives in the statement — replay and stale
+    *    out-of-order changes are no-ops at the target). Standard SQL;
+    *    what Derby and server-grade targets get.
+    *  - [[ReplaceDialect]]: the reference's MySQL safe mode — multi-row
+    *    `REPLACE INTO ... VALUES (?,..),(?,..)` for upserts, DELETE by
+    *    key for deletes (`translate.go:118-128`). Unguarded: REPLACE is
+    *    last-write-wins by arrival, so correctness rests on the feed
+    *    being [[lastChange]]-reduced (one change per key per delivery)
+    *    and replays being bit-identical redeliveries — exactly the
+    *    contract the reference's safe mode assumes. Selected for
+    *    MySQL-family URLs.
+    *  - [[DeleteInsertDialect]]: REPLACE semantics spelled in portable
+    *    SQL — delete-by-key then insert, deletes flushed before
+    *    inserts (per the MySQL manual that IS what REPLACE does). This
+    *    is how c6c proves the REPLACE-semantics replay contract on the
+    *    embedded target the sandbox actually has; a real MySQL URL
+    *    takes the native single-statement path instead.
+    */
+  private[graft] sealed trait SinkDialect
+  private[graft] case object MergeDialect extends SinkDialect
+  private[graft] case object ReplaceDialect extends SinkDialect
+  private[graft] case object DeleteInsertDialect extends SinkDialect
+
+  private[graft] def dialectFor(url: String): SinkDialect =
+    if (url.startsWith("jdbc:mysql:") || url.startsWith("jdbc:mariadb:"))
+      ReplaceDialect
+    else MergeDialect
+
+  /** Rows folded into one native multi-row REPLACE statement. 100 rows
+    * x 4 binds = 400 parameters per statement — well under every
+    * driver's parameter cap, big enough that statement overhead
+    * amortizes (the reference batches its safe-mode REPLACE the same
+    * way, `translate.go:34-145`).
+    */
+  private[graft] val ReplaceRowsPerStmt = 100
+
+  private[graft] def replaceSql(table: String, rows: Int): String =
+    s"REPLACE INTO $table (k, scn, seq, v) VALUES " +
+      Seq.fill(rows)("(?, ?, ?, ?)").mkString(", ")
+
   /** Embedded (in-process) JDBC targets run one lock manager inside
     * this JVM: concurrent writers buy no parallelism there and can
     * escalate row locks to table locks under load, so clamp those to a
@@ -700,10 +744,24 @@ object Cdc {
     */
   private[graft] def applyPartition(
       rows: Iterator[org.apache.spark.sql.Row], url: String,
-      table: String, flushEvery: Int = JdbcFlushEvery): Long = {
+      table: String, flushEvery: Int = JdbcFlushEvery,
+      dialect: SinkDialect = null): Long = {
+    val dia = if (dialect == null) dialectFor(url) else dialect
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false)
+      dia match {
+        case MergeDialect => applyMerge(rows, conn, table, flushEvery)
+        case ReplaceDialect => applyReplace(rows, conn, table, flushEvery)
+        case DeleteInsertDialect =>
+          applyDeleteInsert(rows, conn, table, flushEvery)
+      }
+    } finally conn.close()
+  }
+
+  private def applyMerge(rows: Iterator[org.apache.spark.sql.Row],
+      conn: java.sql.Connection, table: String, flushEvery: Int): Long = {
+    {
       val merge = conn.prepareStatement(
         s"""MERGE INTO $table t
            |USING SYSIBM.SYSDUMMY1
@@ -757,13 +815,104 @@ object Cdc {
       conn.commit()
       merge.close(); del.close()
       flushes
-    } finally conn.close()
+    }
   }
 
-  def applyBatchJdbc(batch: DataFrame, url: String, table: String): Unit =
+  /** MySQL-family native path: full groups of [[ReplaceRowsPerStmt]]
+    * rows execute through ONE prepared multi-row REPLACE (parsed and
+    * planned once); the remainder rows at iterator end go through a
+    * batched single-row REPLACE. Deletes batch separately — a key never
+    * has both an upsert and a delete in one delivery ([[lastChange]]
+    * emits one change per key), so cross-batch ordering cannot matter.
+    */
+  private def applyReplace(rows: Iterator[org.apache.spark.sql.Row],
+      conn: java.sql.Connection, table: String, flushEvery: Int): Long = {
+    val full = conn.prepareStatement(replaceSql(table, ReplaceRowsPerStmt))
+    val one = conn.prepareStatement(replaceSql(table, 1))
+    val del = conn.prepareStatement(s"DELETE FROM $table WHERE k = ?")
+    def bind(ps: java.sql.PreparedStatement, base: Int,
+        r: org.apache.spark.sql.Row): Unit = {
+      ps.setLong(base + 1, r.getLong(1))
+      ps.setLong(base + 2, r.getLong(2))
+      ps.setLong(base + 3, r.getLong(3))
+      if (r.isNullAt(5)) ps.setNull(base + 4, java.sql.Types.DOUBLE)
+      else ps.setDouble(base + 4, r.getDouble(5))
+    }
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    var pendingD = 0
+    var flushes = 0L
+    def flushDel(): Unit =
+      if (pendingD > 0) { del.executeBatch(); pendingD = 0; flushes += 1 }
+    rows.foreach { r =>
+      if (r.getString(4) == "DELETE") {
+        del.setLong(1, r.getLong(1))
+        del.addBatch(); pendingD += 1
+        if (pendingD >= flushEvery) flushDel()
+      } else {
+        buf += r
+        if (buf.length == ReplaceRowsPerStmt) {
+          buf.zipWithIndex.foreach { case (br, i) => bind(full, i * 4, br) }
+          full.executeUpdate(); buf.clear(); flushes += 1
+        }
+      }
+    }
+    // remainder (< one full group) goes through the single-row
+    // statement as ONE executeBatch — the reference's remainder path
+    buf.foreach { br => bind(one, 0, br); one.addBatch() }
+    if (buf.nonEmpty) { one.executeBatch(); buf.clear(); flushes += 1 }
+    flushDel()
+    conn.commit()
+    full.close(); one.close(); del.close()
+    flushes
+  }
+
+  /** REPLACE semantics in portable SQL: delete-by-key then insert,
+    * deletes flushed strictly before their inserts (within one
+    * delivery a key appears once, so its delete and insert land in the
+    * same flush window, ordered). Unguarded like the native REPLACE —
+    * the [[lastChange]]-reduced feed plus bit-identical redelivery is
+    * what makes replay state-idempotent, and c6c's hash check proves
+    * exactly that on the embedded target.
+    */
+  private def applyDeleteInsert(rows: Iterator[org.apache.spark.sql.Row],
+      conn: java.sql.Connection, table: String, flushEvery: Int): Long = {
+    val clear = conn.prepareStatement(s"DELETE FROM $table WHERE k = ?")
+    val ins = conn.prepareStatement(
+      s"INSERT INTO $table (k, scn, seq, v) VALUES (?, ?, ?, ?)")
+    var pendingC = 0
+    var pendingI = 0
+    var flushes = 0L
+    def flush(): Unit = {
+      // order is the contract: every buffered insert's key was cleared
+      // in the same window, so the insert can never hit a live row
+      if (pendingC > 0) { clear.executeBatch(); pendingC = 0 }
+      if (pendingI > 0) { ins.executeBatch(); pendingI = 0 }
+      flushes += 1
+    }
+    rows.foreach { r =>
+      val k = r.getLong(1)
+      clear.setLong(1, k); clear.addBatch(); pendingC += 1
+      if (r.getString(4) != "DELETE") {
+        ins.setLong(1, k)
+        ins.setLong(2, r.getLong(2)); ins.setLong(3, r.getLong(3))
+        if (r.isNullAt(5)) ins.setNull(4, java.sql.Types.DOUBLE)
+        else ins.setDouble(4, r.getDouble(5))
+        ins.addBatch(); pendingI += 1
+      }
+      if (pendingC + pendingI >= flushEvery) flush()
+    }
+    if (pendingC + pendingI > 0) flush()
+    conn.commit()
+    clear.close(); ins.close()
+    flushes
+  }
+
+  def applyBatchJdbc(batch: DataFrame, url: String, table: String,
+      dialect: SinkDialect = null): Unit =
     lastChange(batch).coalesce(sinkConnections(url)).foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        applyPartition(rows, url, table): Unit
+        applyPartition(rows, url, table, dialect = dialect): Unit
     }
 
   /** c6b: CDC apply into an embedded Derby target via guarded MERGE,
@@ -774,8 +923,7 @@ object Cdc {
     * the state the log defines, and the replay moved nothing.
     */
   def c6bJdbcMerge(s: SparkSession, d: String): DataFrame = {
-    val dbDir = graft.operators.Migrate.tempDir("derby_cdc")
-    System.setProperty("derby.system.home", dbDir)
+    val dbDir = graft.operators.Migrate.scratchDbDir("derby_cdc")
     val url = s"jdbc:derby:$dbDir/cdcdb;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
     try {
@@ -797,6 +945,41 @@ object Cdc {
   val c6bSql: String =
     s"""SELECT key, scn, seq, value
        |FROM (${applyChangesSql(eventsAsChangesSql)}) t""".stripMargin
+
+  /** c6c: the same CDC apply + duplicate delivery through the
+    * REPLACE-semantics sink (the reference's MySQL safe mode,
+    * `module/migrate/sql/oracle/o2m/translate.go:118-128`) — executed
+    * via [[DeleteInsertDialect]], the portable spelling of REPLACE
+    * (delete-by-key + insert), because the sandbox's embedded target
+    * has no REPLACE grammar; a MySQL-family URL takes the native
+    * multi-row [[replaceSql]] path through the same [[applyBatchJdbc]]
+    * seam. The oracle is identical to c6b's: REPLACE over a
+    * [[lastChange]]-reduced feed with bit-identical redelivery lands
+    * the same last-writer-wins state as the guarded MERGE — proving
+    * the safe-mode replay contract (state-idempotent, though not
+    * write-idempotent like the guard).
+    */
+  def c6cReplaceApply(s: SparkSession, d: String): DataFrame = {
+    val dbDir = graft.operators.Migrate.scratchDbDir("derby_cdc_rep")
+    val url = s"jdbc:derby:$dbDir/cdcdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        "CREATE TABLE CDC_STATE (k BIGINT PRIMARY KEY, scn BIGINT, " +
+          "seq BIGINT, v DOUBLE)")
+      st.close()
+    } finally conn.close()
+    val feed = eventsAsChanges(s, d)
+    applyBatchJdbc(feed, url, "CDC_STATE", DeleteInsertDialect)
+    applyBatchJdbc(feed, url, "CDC_STATE", DeleteInsertDialect) // replay
+    s.read.format("jdbc").option("url", url)
+      .option("dbtable", "CDC_STATE").load()
+      .select(col("k").as("key"), col("scn"), col("seq"),
+        col("v").as("value"))
+  }
+
+  val c6cSql: String = c6bSql
 
   /** w9: conversion funnel over the event stream — per user, first
     * signup then first SUBSEQUENT purchase, bucketed by conversion
@@ -1011,6 +1194,7 @@ object Cdc {
     "c5_redo_parse" -> c5RedoParse,
     "c6_cdc_apply" -> c6CdcApply,
     "c6b_jdbc_merge" -> c6bJdbcMerge,
+    "c6c_jdbc_replace" -> c6cReplaceApply,
     "p5_cdc_filter" -> p5CdcFilter,
     "c8_window_agg" -> c8WindowAgg,
     "c9_session_window" -> c9SessionWindow,
@@ -1022,6 +1206,7 @@ object Cdc {
     "c5_redo_parse" -> c5Sql,
     "c6_cdc_apply" -> c6Sql,
     "c6b_jdbc_merge" -> c6bSql,
+    "c6c_jdbc_replace" -> c6cSql,
     "p5_cdc_filter" -> p5Sql,
     "c8_window_agg" -> c8Sql,
     "c9_session_window" -> c9Sql,

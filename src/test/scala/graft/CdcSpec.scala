@@ -432,6 +432,60 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
       3L -> Some(30.0), 4L -> None), state2.toString)
   }
 
+  test("replace dialect: MySQL-family URLs select the native " +
+    "multi-row REPLACE; delete-insert emulation is replay-idempotent") {
+    import spark.implicits._
+    // URL → dialect mapping (the reference picks its safe-mode
+    // statement family off the target type the same way)
+    assert(Cdc.dialectFor("jdbc:mysql://h:3306/db") == Cdc.ReplaceDialect)
+    assert(Cdc.dialectFor("jdbc:mariadb://h/db") == Cdc.ReplaceDialect)
+    assert(Cdc.dialectFor("jdbc:derby:/x/db") == Cdc.MergeDialect)
+    assert(Cdc.dialectFor("jdbc:derby://host/db") == Cdc.MergeDialect)
+    // the rendered native statement (translate.go:118-128 shape)
+    assert(Cdc.replaceSql("T", 2) ==
+      "REPLACE INTO T (k, scn, seq, v) VALUES (?, ?, ?, ?), (?, ?, ?, ?)")
+    // delete-insert REPLACE semantics against a live embedded target
+    val dbDir = graft.operators.Migrate.scratchDbDir("cdc_replace_t")
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE R (k BIGINT PRIMARY KEY, scn BIGINT, seq BIGINT, v DOUBLE)")
+    finally conn.close()
+    def feed(rows: Seq[(Long, Long, String, Long, Option[Double])]) =
+      rows.toDF("scn", "seq", "op", "key", "value")
+        .withColumn("table_name", lit("t"))
+    val batch = feed(Seq(
+      (2L, 0L, "INSERT", 1L, Some(10.0)), (2L, 0L, "INSERT", 2L, Some(20.0)),
+      (2L, 1L, "DELETE", 3L, None), (2L, 0L, "INSERT", 4L, None)))
+    def state() = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "R").load()
+      .collect().map(r => r.getAs[Long]("K") ->
+        Option(r.getAs[java.lang.Double]("V")).map(_.doubleValue)).toMap
+    Cdc.applyBatchJdbc(batch, url, "R", Cdc.DeleteInsertDialect)
+    val first = state()
+    assert(first == Map(1L -> Some(10.0), 2L -> Some(20.0), 4L -> None),
+      first.toString)
+    // bit-identical redelivery: REPLACE semantics are state-idempotent
+    Cdc.applyBatchJdbc(batch, url, "R", Cdc.DeleteInsertDialect)
+    assert(state() == first)
+    // the documented contract DIFFERENCE vs the guarded MERGE: REPLACE
+    // is last-write-by-ARRIVAL — a stale batch delivered out of order
+    // DOES overwrite (which is why safe mode requires ordered,
+    // lastChange-reduced delivery; the MERGE guard does not)
+    Cdc.applyBatchJdbc(feed(Seq((1L, 0L, "INSERT", 1L, Some(1.0)))),
+      url, "R", Cdc.DeleteInsertDialect)
+    assert(state()(1L) == Some(1.0))
+    // flush contract: buffer never exceeds flushEvery entries (each
+    // upsert costs 2 buffered statements — a clear + an insert)
+    val many = (1 to 500).map(i =>
+      (5L, 0L, "INSERT", 100000L + i, Some(i * 1.0)))
+    val flushes = Cdc.applyPartition(
+      Cdc.lastChange(feed(many)).collect().iterator, url, "R",
+      flushEvery = 100, dialect = Cdc.DeleteInsertDialect)
+    assert(flushes == 10L, s"flushes=$flushes")
+    assert(state().size == 503)
+  }
+
   test("jdbc apply scale contract: bounded statement buffer and " +
     "connection count hold under a 10x batch") {
     import spark.implicits._
