@@ -15,9 +15,11 @@ import graft.functions.Norm.{xhash64, xhash64Sql}
   *
   * Scale shape: everything is explode → hash → groupBy/join on hash
   * buckets. No pairwise O(n²) work except *within* candidate buckets
-  * (LSH's whole point); the only full-corpus pairwise op
-  * (d4b SimHash hamming pairs) is a 64-bit-key self-join kept for
-  * small-table verification and documented as banded at scale.
+  * (LSH's whole point) — including d4b's SimHash hamming pairs, which
+  * go through pigeonhole banding (4×12-bit bands of the 48-bit
+  * fingerprint, equi-join on (band, value), capped buckets, hamming
+  * evaluated only on candidates; any pair within distance 3 must
+  * agree exactly on ≥1 band, so banding loses nothing).
   */
 object Dedup {
 

@@ -368,17 +368,34 @@ object Check {
         Seq[org.apache.spark.sql.Row])] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    // daemon threads + shutdownNow + job-group cancel: a section query
+    // that hangs past the Await deadline must not keep the JVM alive
+    // (non-daemon pool threads would) or leave its Spark jobs running
+    // after the driver saw the TimeoutException
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-assess-section")
+        t.setDaemon(true)
+        t
+      })
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val jobGroup = "graft-assess-" + java.util.UUID.randomUUID()
     try {
       val futs = reportSections.map { sec =>
         Future {
+          s.sparkContext.setJobGroup(jobGroup,
+            "assess report sections", interruptOnCancel = true)
           val df = sec.fn(s, d)
           (sec, df.schema, df.collect().toSeq)
         }
       }
-      Await.result(Future.sequence(futs), 10.minutes)
-    } finally pool.shutdown()
+      try Await.result(Future.sequence(futs), 10.minutes)
+      catch {
+        case e: Throwable =>
+          s.sparkContext.cancelJobGroup(jobGroup)
+          throw e
+      }
+    } finally pool.shutdownNow()
   }
 
   private def renderTextFrom(

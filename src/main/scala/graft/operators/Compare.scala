@@ -151,7 +151,20 @@ object Compare {
     * overwhelming majority at scale) contribute nothing to the
     * artifact, exactly like the reference's failed-chunk-only report.
     * `fixes` must carry (chunk_id, row_key, fix_sql).
+    *
+    * The "bounded" claim is enforced, not assumed: a WHOLLY divergent
+    * target would otherwise collect O(table diff) rows. At most
+    * [[MaxFixChunks]] mismatched chunks are rendered (lowest chunk_id
+    * first — deterministic, resumable by re-running compare after
+    * applying the rendered fixes) and at most [[MaxFixStmtsPerChunk]]
+    * statements per chunk; both limits are pushed into the PLAN
+    * (limit / row_number before collect), so the driver never
+    * materializes the unrendered remainder, and each truncation leaves
+    * an explicit `-- TRUNCATED` marker in the artifact.
     */
+  val MaxFixChunks = 256
+  val MaxFixStmtsPerChunk = 10000
+
   def writeFixArtifact(path: String, srcTable: String, tgtTable: String,
       srcSummary: DataFrame, tgtSummary: DataFrame, fixes: DataFrame,
       chunkPred: Long => String): Unit = {
@@ -159,9 +172,13 @@ object Compare {
       col("n_rows"), col("row_checksum"))
     val tSum = tgtSummary.select(col("chunk_id"),
       col("n_rows").as("t_rows"), col("row_checksum").as("t_checksum"))
-    val mismatched = sSum.join(tSum, Seq("chunk_id"), "full_outer")
+    val mismatchedDf = sSum.join(tSum, Seq("chunk_id"), "full_outer")
       .filter(!(col("n_rows") <=> col("t_rows") &&
         col("row_checksum") <=> col("t_checksum")))
+    // chunk cap pushed into the plan: TopK by chunk_id, driver sees
+    // cap+1 rows at most (the +1 is the truncation signal)
+    val mismatched = mismatchedDf
+      .orderBy("chunk_id").limit(MaxFixChunks + 1)
       .collect()
       .map(r => (r.getAs[Long]("chunk_id"),
         Option(r.getAs[java.lang.Long]("n_rows")).map(_.toLong),
@@ -169,16 +186,23 @@ object Compare {
         Option(r.getAs[java.lang.Long]("t_rows")).map(_.toLong),
         Option(r.getAs[String]("t_checksum"))))
       .sortBy(_._1)
-    val mismIds = mismatched.map(_._1).toSet
+    val chunksTruncated = mismatched.length > MaxFixChunks
+    val rendered = mismatched.take(MaxFixChunks)
+    val mismIds = rendered.map(_._1).toSet
+    // per-chunk statement cap, also in the plan (row_number ≤ cap+1)
+    val rn = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk_id").orderBy(col("row_key"), col("fix_sql"))
     val fixByChunk = fixes
       .filter(col("chunk_id").isin(mismIds.toSeq: _*))
       .select("chunk_id", "row_key", "fix_sql")
+      .withColumn("rn", row_number().over(rn))
+      .filter(col("rn") <= MaxFixStmtsPerChunk + 1)
       .collect()
       .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("row_key"),
-        r.getAs[String]("fix_sql")))
-      .sortBy { case (c, k, sql) => (c, k, sql) }
+        r.getAs[String]("fix_sql"), r.getAs[Int]("rn")))
+      .sortBy { case (c, k, sql, _) => (c, k, sql) }
       .groupBy(_._1)
-    val blocks = mismatched.map { case (id, sn, sc, tn, tc) =>
+    val blocks = rendered.map { case (id, sn, sc, tn, tc) =>
       def side(label: String, table: String, n: Option[Long],
           c: Option[String]) =
         s" $label: SELECT COUNT(1) FROM $table WHERE ${chunkPred(id)}" +
@@ -188,11 +212,23 @@ object Compare {
         side("SRC", srcTable, sn, sc),
         side("TGT", tgtTable, tn, tc),
         "*/").mkString("\n")
-      val stmts = fixByChunk.getOrElse(id, Array.empty)
-        .map(_._3).mkString("\n")
-      if (stmts.isEmpty) header else s"$header\n$stmts"
+      val all = fixByChunk.getOrElse(id, Array.empty)
+      val kept = all.filter(_._4 <= MaxFixStmtsPerChunk)
+      val marker =
+        if (all.length > kept.length)
+          s"\n-- TRUNCATED: chunk $id has more than $MaxFixStmtsPerChunk" +
+            " fix statements; re-run compare after applying these"
+        else ""
+      val stmts = kept.map(_._3).mkString("\n")
+      if (stmts.isEmpty) header else s"$header\n$stmts$marker"
     }
-    graft.reverse.Ddl.writeArtifact(path, blocks.toIndexedSeq)
+    val tail =
+      if (chunksTruncated)
+        Seq(s"-- TRUNCATED: more than $MaxFixChunks mismatched chunks;" +
+          " artifact renders the first " + MaxFixChunks +
+          " by chunk_id — apply and re-run compare for the rest")
+      else Seq.empty
+    graft.reverse.Ddl.writeArtifact(path, blocks.toIndexedSeq ++ tail)
   }
 
   /** The c2 fixture's fix.sql: hostile orders vs its drifted target,

@@ -79,8 +79,14 @@ object Migrate {
     val q = span / n
     val r = span % n
     def bound(i: Long): Long = minKey + q * i + r * i / n
+    // last chunk's upper is pinned to maxKey directly: bound(n) =
+    // minKey + span transiently overflows Long when maxKey ==
+    // Long.MaxValue (bound(n) - 1 would still land right via
+    // two's-complement wraparound, but correctness should not hang on
+    // that; property-tested at the pinned extreme)
     (0 until n).map { i =>
-      ChunkSpec(i, bound(i), bound(i + 1L) - 1)
+      ChunkSpec(i, bound(i),
+        if (i == n - 1) maxKey else bound(i + 1L) - 1)
     }
   }
 

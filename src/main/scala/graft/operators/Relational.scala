@@ -679,6 +679,18 @@ object Relational {
     * within-tolerance count equals the chunk count — which is exactly
     * what the oracle asserts. A sketch regression past the tolerance
     * breaks the hash.
+    *
+    * Tolerance caveat (documented decision): GK's guarantee is on RANK
+    * error, and a rank-ε neighbour's VALUE can differ by >5% on a
+    * pathological distribution (adjacent order statistics far apart),
+    * so the 5% VALUE gate is data-dependent — it holds on this corpus
+    * and pins regressions, but is not distribution-independent. A
+    * rank-distance assertion would be; the value gate is kept because
+    * it is the form a user of the percentile report actually reads.
+    * Relatedly, the DuckDB side re-checks only the chunk count
+    * (n_within ≡ n_chunks there): the within-5% evaluation itself is
+    * Spark-side — the cross-engine hash fails iff a chunk leaves
+    * tolerance, which is the designed trigger.
     */
   def a33bPercentileSketch(s: SparkSession, d: String): DataFrame = {
     val li = centsChunks(s, d)

@@ -36,6 +36,26 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Migrate.planChunks(100, 0, 50, 10).isEmpty)
   }
 
+  test("planChunks pinned at maxKey == Long.MaxValue (no transient " +
+    "minKey + span overflow on the last bound)") {
+    for (chunks <- Seq(1L, 7L, 1000L)) {
+      val plan = Migrate.planChunks(Long.MaxValue - 100000,
+        Long.MaxValue, 100000, 100000 / chunks + 1)
+      assert(plan.head.lower == Long.MaxValue - 100000)
+      assert(plan.last.upper == Long.MaxValue)
+      assert(plan.forall(c => c.lower <= c.upper))
+      assert(plan.sliding(2).forall {
+        case Seq(a: ChunkSpec, b: ChunkSpec) => b.lower == a.upper + 1
+        case _ => true
+      })
+    }
+    // full-range table: span itself would overflow — the guard rejects
+    // it loudly instead of planning garbage
+    assertThrows[IllegalArgumentException] {
+      Migrate.planChunks(Long.MinValue, Long.MaxValue, 100, 10)
+    }
+  }
+
   test("planChunks holds at 100 TB key ranges (no span*i Long overflow)") {
     val gen = for {
       minK <- Gen.choose(0L, 1L << 62)
