@@ -590,8 +590,15 @@ object Cdc {
     * LogMiner redo is machine-generated SQL with fixed shape. Values
     * un-double their quotes after extraction.
     */
-  def c5RedoParse(s: SparkSession, d: String): DataFrame = {
-    val feed = redoFeed(s, d)
+  def c5RedoParse(s: SparkSession, d: String): DataFrame =
+    parseRedo(redoFeed(s, d))
+
+  /** The parse itself, over ANY (scn, seq, sql_redo) relation — the
+    * file-backed c5 feed and the JDBC-mined window ([[mineRedoJdbc]])
+    * share it, so the live-mining seam parses with the exact grammar
+    * the oracle-checked query pins.
+    */
+  def parseRedo(feed: DataFrame): DataFrame = {
     val op = upper(regexp_extract(col("sql_redo"),
       "^(insert|update|delete)", 1))
     def unq(c: org.apache.spark.sql.Column) = regexp_replace(c, "''", "'")
@@ -619,6 +626,40 @@ object Cdc {
         .as("table_name"),
       keyStr.cast("long").as("key"), valueStr.as("value_str"))
   }
+
+  /** One LogMiner mining window over a SQL-backed redo view — the
+    * closest sandbox-possible shape of the reference's live source
+    * (`database/oracle/all.go:144-176` scans `V$LOGMNR_CONTENTS` after
+    * `DBMS_LOGMNR.START_LOGMNR(startScn, endScn)`; the window bounds
+    * here play that role). The SCN-range predicate lives INSIDE the
+    * pushed-down subquery, so the database scans only the window —
+    * mining N windows reads the log once, exactly like the reference's
+    * incr poll loop (`module/migrate/sql/oracle/o2m/incr.go:249-505`).
+    * Output is [[parseRedo]]'s typed records; convert with
+    * [[parsedToChanges]] and land in a feed dir for
+    * [[streamApplyGuarded]] — the watermark guard then makes
+    * overlapping windows safe, so a re-mined range is a no-op.
+    */
+  def mineRedoJdbc(s: SparkSession, url: String, table: String,
+      fromScn: Long, toScn: Long): DataFrame =
+    parseRedo(
+      s.read.format("jdbc").option("url", url)
+        .option("dbtable",
+          s"""(SELECT scn, seq, sql_redo FROM $table
+             | WHERE scn >= $fromScn AND scn < $toScn) w""".stripMargin)
+        .load())
+
+  /** Parsed redo records → the [[changeSchema]] feed shape: rendered
+    * 'NULL' becomes SQL NULL, the value string re-types to double
+    * (try_cast — a non-numeric payload in a double column's redo is a
+    * data fault that must land as NULL, not kill the mining batch),
+    * the table name folds to the feed's lower case.
+    */
+  def parsedToChanges(parsed: DataFrame): DataFrame =
+    parsed.select(col("scn"), col("seq"), col("op"),
+      lower(col("table_name")).as("table_name"), col("key"),
+      when(col("value_str") === "NULL", lit(null))
+        .otherwise(col("value_str")).try_cast("double").as("value"))
 
   val c5Sql: String = {
     // the same grammar as a DuckDB string literal (every ' doubled)

@@ -164,6 +164,73 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(n1 == n2, s"log grew from $n1 to $n2 on re-mined window")
   }
 
+  test("SQL-backed mining: V\\$LOGMNR_CONTENTS-shaped JDBC table, mined " +
+    "in SCN windows through the guarded stream, lands the batch state") {
+    // the sandbox approximation of the reference's LIVE LogMiner seam
+    // (database/oracle/all.go:144-176): the redo feed sits in a real
+    // SQL table with the V$LOGMNR_CONTENTS column shape, is mined in
+    // SCN-range windows (each window a pushed-down range scan, like
+    // START_LOGMNR(startScn, endScn)), parsed by the same grammar c5
+    // pins, and applied through streamApplyGuarded
+    val url = s"jdbc:derby:${graft.operators.Migrate.scratchDbDir("redo_mine")}/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE REDO_LOG (scn BIGINT, seq BIGINT, " +
+        "seg_owner VARCHAR(30), table_name VARCHAR(30), " +
+        "operation VARCHAR(10), sql_redo VARCHAR(2000))")
+    finally conn.close()
+    val feed = Cdc.redoFeed(spark, sf)
+    feed.select(col("scn"), col("seq"),
+        lit("GRAFT").as("seg_owner"),
+        regexp_extract(col("sql_redo"), "\"GRAFT\"\\.\"([A-Z_]+)\"", 1)
+          .as("table_name"),
+        upper(regexp_extract(col("sql_redo"), "^(insert|update|delete)", 1))
+          .as("operation"),
+        col("sql_redo"))
+      .write.format("jdbc").option("url", url)
+      .option("dbtable", "REDO_LOG").mode("append").save()
+    val total = feed.count()
+    // 4 SCN windows partitioning [min, max]: the hostile fixture rows
+    // sit at scn ~1e9, so the middle windows are EMPTY ranges — the
+    // empty-window path is exercised, not avoided
+    val Array(minS, maxS) = feed.agg(min("scn"), max("scn")).collect()(0)
+      .toSeq.map(_.toString.toLong).toArray
+    val width = (maxS - minS) / 4 + 1
+    val bounds = (0 to 4).map(i => minS + width * i)
+    val tmp = Files.createTempDirectory("graft_redo_mine").toString
+    val feedDir = s"$tmp/feed"
+    var mined = 0L
+    bounds.sliding(2).foreach { case Seq(lo, hi) =>
+      val win = Cdc.parsedToChanges(
+        Cdc.mineRedoJdbc(spark, url, "REDO_LOG", lo, hi))
+      mined += win.count()
+      win.write.mode("append").parquet(feedDir)
+    }
+    // windows partition the SCN space: every redo row mined exactly once
+    assert(mined == total, s"mined $mined of $total")
+    runStream(Cdc.streamApplyGuarded(spark, feedDir, s"$tmp/log",
+      s"$tmp/wm", s"$tmp/ckpt"))
+    // re-mine the LAST window into a second feed with a FRESH
+    // checkpoint — only the per-table watermark guard stands between
+    // an overlapping mine and double-apply
+    Cdc.parsedToChanges(Cdc.mineRedoJdbc(spark, url, "REDO_LOG",
+        bounds(3), bounds(4)))
+      .write.mode("append").parquet(s"$tmp/feed2")
+    runStream(Cdc.streamApplyGuarded(spark, s"$tmp/feed2", s"$tmp/log",
+      s"$tmp/wm", s"$tmp/ckpt2"))
+    val logged = spark.read.parquet(s"$tmp/log")
+    assert(logged.count() == total,
+      s"log has ${logged.count()} rows, feed has $total")
+    // final state == the pure batch apply of the whole parsed feed
+    val streamed = Cdc.applyChanges(logged)
+      .select("table_name", "key", "scn", "seq", "op", "value")
+    val batch = Cdc.applyChanges(
+      Cdc.parsedToChanges(Cdc.parseRedo(feed)))
+      .select("table_name", "key", "scn", "seq", "op", "value")
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("redo parse inverts redo synthesis: apply(parsed) == apply(direct)") {
     // round-trip the whole feed through SQL text and back, then apply;
     // the state must equal applying the structured feed directly
