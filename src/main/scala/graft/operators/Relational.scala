@@ -752,11 +752,23 @@ object Relational {
     * now spreads across S tasks, at the bounded cost of an S× dim
     * replication (dims are small; facts are not). The shuffle-hash
     * hint keeps the demo on the shuffle path the pattern exists for
-    * (Catalyst would otherwise broadcast this small dim away — and AQE
-    * skew-join only rescues sort-merge joins whose skew it can see at
-    * runtime; pre-salting is the planned-for-sure variant). The salt
+    * (Catalyst would otherwise broadcast this small dim away). The salt
     * never escapes: it is not a group key, so the result is
     * salt-invariant and the oracle is the plain unsalted join.
+    *
+    * Salt vs AQE skew-join — the tuning decision, pinned by the
+    * RelationalSpec "AQE skew-join" test: AQE's OptimizeSkewedJoin DOES
+    * absorb this exact skew unsalted (executed plan shows skew=true,
+    * result identical), so at cluster scale the first line is AQE with
+    * its defaults — zero code change, runtime-triggered. The explicit
+    * salt remains the right tool in three verified cases: (a) the hot
+    * key also feeds a same-keyed aggregation — AQE splits only the
+    * join, the salt spreads both; (b) skew below the 256 MB partition
+    * threshold that still stalls a stage; (c) a hot partition fed by
+    * few map tasks — AQE splits at map-output-block granularity, so a
+    * single-mapper hot partition cannot be split at all (the spec's
+    * first unrepartitioned attempt reproduced this: no skew=true on a
+    * one-row-group scan).
     */
   def j7SaltedSkewJoin(s: SparkSession, d: String): DataFrame = {
     val S = 8

@@ -74,6 +74,68 @@ class RelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(df.exceptAll(plain).isEmpty && plain.exceptAll(df).isEmpty)
   }
 
+  test("j7 alternative: AQE skew-join splits the same hot key, unsalted") {
+    // Would AQE's OptimizeSkewedJoin absorb j7's skew with no salt?
+    // Pinned here: YES for the join — with the byte thresholds scaled
+    // to this data size the executed adaptive plan marks the join
+    // skew=true and the unsalted result matches j7 exactly. The
+    // operational answer at cluster scale, recorded for tuning: leave
+    // AQE skew-join ON as the first line (zero code change, it splits
+    // oversized post-shuffle partitions and replicates the matching
+    // build rows at runtime), and reach for the explicit salt only when
+    // (a) the skewed key ALSO feeds a same-keyed aggregation — AQE
+    // splits the join but a groupBy on the hot key still lands on one
+    // reducer, while j7's salt spreads both — or (b) the skew sits
+    // under the default 256 MB partition threshold yet still stalls the
+    // stage (many medium-hot keys).
+    val ks = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // the split would add no shuffle here, but don't let the
+      // ShuffleExchange-reuse veto silently skip the optimization
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      // scale detection to test data: sf0.001's hot partition is tens
+      // of KB, not the production 256 MB default
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // nation would broadcast (no shuffle, nothing to skew-split);
+      // force the shuffle join a too-big-to-broadcast dim would get
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = ks.map { case (k, _) => k -> spark.conf.getOption(k) }
+    ks.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // repartition(8) stands in for production's many map tasks: AQE
+      // splits a skewed partition at MAP-OUTPUT BLOCK granularity, so a
+      // hot partition fed by a single mapper (sf0.001's one-row-group
+      // parquet scan) cannot be split at all — a third case where the
+      // explicit salt is the only lever, recorded the hard way by this
+      // test's first version failing without it
+      val li = Tables.load(spark, sf, "lineitem").repartition(8).select(
+        when(pmod(col("l_orderkey"), lit(10)) < 8, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(25)).cast("long")).as("dim_key"),
+        col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("price"))
+      val nat = Tables.load(spark, sf, "nation")
+        .select(col("n_nationkey").cast("long").as("dim_key"), col("n_name"))
+      val unsalted = li.join(nat, "dim_key").groupBy("n_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price")).cast(org.apache.spark.sql.types.DecimalType(38, 2))
+            .cast("string").as("revenue"))
+      unsalted.collect() // the AQE final plan exists only after execution
+      val plan = unsalted.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(4000))
+      val salted = Relational.j7SaltedSkewJoin(spark, sf)
+      assert(unsalted.exceptAll(salted).isEmpty &&
+        salted.exceptAll(unsalted).isEmpty)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("j8 bloom prefilter passes a superset; semi join restores exactness") {
     val orders = Tables.load(spark, sf, "orders")
     val small = Tables.load(spark, sf, "customer")

@@ -187,6 +187,53 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(q.count() == assigned.filter(col("cell") === probe).count())
   }
 
+  test("sf1 smoke: engine-replicated 10x corpus, no headline query " +
+    "goes superlinear") {
+    // the scale-cliff detector (see ScaleUp's scaladoc): replicate
+    // sf0.1 10x BY THE ENGINE, run the most expensive queries plus the
+    // dedup family at both scales in this JVM, and assert each sf1
+    // time stays within 10x its measured sf0.1 time (+ a floor for
+    // sub-second base times, where constant overheads dominate and a
+    // ratio on noise would flap). A pair-generation path gone
+    // quadratic shows up as ~100x here, far outside the gate.
+    val sf01 = "/root/testdata/sf0.1"
+    val sf1 = java.nio.file.Files
+      .createTempDirectory("graft_sf1").toString
+    graft.operators.ScaleUp.replicate(spark, sf01, sf1, 10)
+    // replication contract: 10x rows, keys copy-disjoint
+    val li = spark.read.parquet(s"$sf1/lineitem.parquet")
+    assert(li.count() ==
+      10 * spark.read.parquet(s"$sf01/lineitem.parquet").count())
+    assert(li.select(countDistinct(floor(
+      col("l_orderkey") / graft.operators.ScaleUp.KeyOffset)))
+      .head.getLong(0) == 10)
+    val heads = Seq(
+      "pipe2_migration", "c6b_jdbc_merge", "s16_zorder_layout",
+      "s7_parquet_roundtrip", "s7b_jdbc_roundtrip", "s13_compaction",
+      "c2_fix_actions", "j4_symmetric_diff", "t12_context_chunks",
+      "a1_chunk_counts",
+      "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
+      "d4_simhash", "d4b_simhash_pairs", "d6_dup_clusters",
+      "d8_incremental_dedup", "d9_estimator_calibration")
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ratios = heads.map { name =>
+      val t01 = time(name, sf01)
+      val t1 = time(name, sf1)
+      val bound = 10.0 * math.max(t01, 0.5)
+      info(f"$name%-24s sf0.1=$t01%6.2fs sf1=$t1%7.2fs " +
+        f"ratio=${t1 / t01}%5.1fx bound=$bound%6.1fs")
+      (name, t01, t1, bound)
+    }
+    val over = ratios.filter { case (_, _, t1, bound) => t1 > bound }
+    assert(over.isEmpty, "superlinear at 10x: " + over.map {
+      case (n, t01, t1, b) => f"$n (sf0.1=$t01%.2fs sf1=$t1%.2fs bound=$b%.1fs)"
+    }.mkString(", "))
+  }
+
   test("log-window selection covers the checkpoint, in SCN order (C2)") {
     val logs = Seq(
       LogFile("arch1", 0, 1000), LogFile("arch2", 1000, 2000),
