@@ -664,6 +664,69 @@ object Dedup {
        |FROM shard s LEFT JOIN idx i ON s.fp = i.fp""".stripMargin
   }
 
+  /** d10: cluster canonicalization — the keep-one decision that turns
+    * d6's near-dup clusters into an actual dedup: per cluster, elect
+    * the highest-quality member as survivor and account for what gets
+    * dropped. Quality is all-integer (distinct-word count, then char
+    * length, then lowest doc_id) so both engines rank identically —
+    * no IEEE scores in the ordering. Scale shape: the election is ONE
+    * partial-aggregable `max(struct(...))` arg-max on cluster_id —
+    * map-side combine elects per-partition winners before the shuffle,
+    * so the hot path moves one candidate row per (partition, cluster),
+    * never the cluster membership; the quality features are per-row
+    * projections computed pre-shuffle. The oracle re-derives the
+    * clusters via its recursive CTE and re-ranks with a window — a
+    * different algorithm on both halves, so agreement pins the
+    * election rule, not the implementation.
+    */
+  def d10ClusterCanonical(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents").select(
+      col("doc_id"),
+      size(array_distinct(split(col("text"), " ")))
+        .cast("long").as("n_uniq"),
+      col("n_chars"))
+    d6DupClusters(s, d).join(docs, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("n_uniq"), col("n_chars"),
+          (-col("doc_id")).as("neg_id"))).as("w"),
+        count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("chars_total"))
+      .select(col("cluster_id"),
+        (-col("w.neg_id")).as("survivor_id"),
+        col("n_members"),
+        (col("chars_total") - col("w.n_chars")).as("chars_dropped"))
+  }
+
+  val d10Sql: String =
+    s"""WITH RECURSIVE pairs AS ($d3Sql),
+       |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(s, t) AS (
+       |  SELECT s, t FROM edges
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+       |clusters AS (
+       |  SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+       |  FROM reach GROUP BY s),
+       |m AS (
+       |  SELECT c.cluster_id, c.doc_id,
+       |    CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT)
+       |      AS n_uniq,
+       |    d.n_chars
+       |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY n_uniq DESC, n_chars DESC, doc_id ASC) AS rn
+       |  FROM m),
+       |agg AS (
+       |  SELECT cluster_id, count(*) AS n_members,
+       |    CAST(sum(n_chars) AS BIGINT) AS chars_total
+       |  FROM m GROUP BY 1)
+       |SELECT a.cluster_id, r.doc_id AS survivor_id, a.n_members,
+       |  a.chars_total - r.n_chars AS chars_dropped
+       |FROM agg a JOIN rk r ON a.cluster_id = r.cluster_id AND r.rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_ngram_jaccard" -> d2NgramJaccard,
@@ -672,7 +735,8 @@ object Dedup {
     "d4b_simhash_pairs" -> d4bSimhashPairs,
     "d6_dup_clusters" -> d6DupClusters,
     "d8_incremental_dedup" -> d8IncrementalDedup,
-    "d9_estimator_calibration" -> d9EstimatorCalibration)
+    "d9_estimator_calibration" -> d9EstimatorCalibration,
+    "d10_cluster_canonical" -> d10ClusterCanonical)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
@@ -682,5 +746,6 @@ object Dedup {
     "d4b_simhash_pairs" -> d4bSql,
     "d6_dup_clusters" -> d6Sql,
     "d8_incremental_dedup" -> d8Sql,
-    "d9_estimator_calibration" -> d9Sql)
+    "d9_estimator_calibration" -> d9Sql,
+    "d10_cluster_canonical" -> d10Sql)
 }

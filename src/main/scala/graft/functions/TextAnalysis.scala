@@ -770,6 +770,97 @@ object TextAnalysis {
        |      % 100 < 90
        |GROUP BY lang""".stripMargin
 
+  /** pipe5: token-budget mixture sampling — build a training mix that
+    * hits a per-language token budget (weights × half the corpus),
+    * the data-mixing step between curation and packing. Selection is
+    * EXACT greedy in (bucket, doc_id) order, but structured for
+    * 100 TB: docs hash into 64 buckets per language, per-bucket token
+    * sums roll up distributed, ONE tiny window (64 rows per language)
+    * computes each bucket's remaining budget, and the per-doc prefix
+    * window runs inside (lang, bucket) — 64× the parallelism of the
+    * naive per-language cumsum, whose single-reducer-per-language
+    * window is exactly the bottleneck this shape removes (t9's
+    * per-source argument, taken one level further). Budgets are pure
+    * integer arithmetic (basis points, integral div) so both engines
+    * agree bit-for-bit. Emits the per-language mix report: corpus
+    * size, budget, selected docs/tokens.
+    */
+  def pipe5TokenMixture(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBuckets = 64L
+    // mixture weights in basis points; budget = bp/10000 × T/2
+    val weights = s.createDataFrame(Seq(
+      ("en", 4000L), ("de", 1500L), ("fr", 1500L),
+      ("es", 1500L), ("zh", 1500L))).toDF("lang", "bp")
+    val tok = Tables.load(s, d, "documents").select(
+      col("doc_id"), col("lang"),
+      size(words(col("text"))).cast("long").as("tokens"),
+      (col("doc_id") % nBuckets).as("bucket"))
+    val tot = tok.agg(sum(col("tokens")).as("t_total"))
+    val wb = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buckets = tok.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("tokens")).as("btok"))
+      .withColumn("cb", sum(col("btok")).over(wb))
+      .crossJoin(broadcast(tot))
+      .join(broadcast(weights), "lang")
+      .withColumn("budget", expr("(bp * t_total) div 20000"))
+      .withColumn("rem",
+        greatest(least(col("budget") - (col("cb") - col("btok")),
+          col("btok")), lit(0L)))
+      .select("lang", "bucket", "budget", "rem")
+    val wd = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok.join(buckets, Seq("lang", "bucket"))
+      .withColumn("dcum", sum(col("tokens")).over(wd))
+      .withColumn("sel", col("dcum") - col("tokens") < col("rem"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("tok_total"),
+        max(col("budget")).as("budget"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_sel"),
+        sum(when(col("sel"), col("tokens")).otherwise(0L)).as("tok_sel"))
+  }
+
+  val pipe5Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+      |    doc_id % 64 AS bucket
+      |  FROM documents),
+      |w(lang, bp) AS (VALUES ('en', 4000), ('de', 1500), ('fr', 1500),
+      |                       ('es', 1500), ('zh', 1500)),
+      |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t_total FROM t),
+      |b AS (
+      |  SELECT lang, bucket, CAST(sum(tokens) AS BIGINT) AS btok
+      |  FROM t GROUP BY 1, 2),
+      |c AS (
+      |  SELECT lang, bucket, btok,
+      |    sum(btok) OVER (PARTITION BY lang ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      |  FROM b),
+      |r AS (
+      |  SELECT c.lang, c.bucket,
+      |    (w.bp * tot.t_total) // 20000 AS budget,
+      |    greatest(least((w.bp * tot.t_total) // 20000 - (cb - btok),
+      |                   btok), 0) AS rem
+      |  FROM c CROSS JOIN tot JOIN w ON c.lang = w.lang),
+      |d AS (
+      |  SELECT t.lang, t.doc_id, t.tokens, r.rem, r.budget,
+      |    sum(t.tokens) OVER (PARTITION BY t.lang, t.bucket
+      |      ORDER BY t.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcum
+      |  FROM t JOIN r ON t.lang = r.lang AND t.bucket = r.bucket)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(tokens) AS BIGINT) AS tok_total,
+      |  CAST(max(budget) AS BIGINT) AS budget,
+      |  CAST(sum(CASE WHEN dcum - tokens < rem THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_sel,
+      |  CAST(sum(CASE WHEN dcum - tokens < rem THEN tokens ELSE 0 END)
+      |    AS BIGINT) AS tok_sel
+      |FROM d GROUP BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_lexicon_profile" -> t11LexiconProfile,
     "pipe4_curation" -> pipe4Curation,
@@ -785,7 +876,8 @@ object TextAnalysis {
     "t8_stratified_sample" -> t8StratifiedSample,
     "t9_sequence_packing" -> t9SequencePacking,
     "t10_pii_scrub" -> t10PiiScrub,
-    "pipe1_training_pipeline" -> pipe1TrainingPipeline)
+    "pipe1_training_pipeline" -> pipe1TrainingPipeline,
+    "pipe5_token_mixture" -> pipe5TokenMixture)
 
   val oracles: Map[String, String] = Map(
     "t11_lexicon_profile" -> t11Sql,
@@ -802,5 +894,6 @@ object TextAnalysis {
     "t8_stratified_sample" -> t8Sql,
     "t9_sequence_packing" -> t9Sql,
     "t10_pii_scrub" -> t10Sql,
-    "pipe1_training_pipeline" -> pipe1Sql)
+    "pipe1_training_pipeline" -> pipe1Sql,
+    "pipe5_token_mixture" -> pipe5Sql)
 }

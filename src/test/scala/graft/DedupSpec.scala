@@ -157,4 +157,27 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // and the signatures are non-degenerate: more than one value
     assert(sigs.map(_._2).distinct.length > 1)
   }
+
+  test("d10 elects the best-quality member of each cluster, accounting exact") {
+    val clusters = Dedup.d6DupClusters(spark, sf)
+    val docs = graft.Tables.load(spark, sf, "documents").select(
+      col("doc_id"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"),
+      col("n_chars"))
+    val members = clusters.join(docs, "doc_id")
+      .collect().groupBy(_.getAs[Long]("cluster_id"))
+    val elected = Dedup.d10ClusterCanonical(spark, sf).collect()
+    assert(elected.length == members.size && elected.nonEmpty)
+    elected.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val m = members(cid).map(x => (x.getAs[Long]("n_uniq"),
+        x.getAs[Long]("n_chars"), x.getAs[Long]("doc_id")))
+      // survivor = max quality, tie -> longer, tie -> LOWEST doc_id
+      val best = m.maxBy { case (u, c, id) => (u, c, -id) }
+      assert(r.getAs[Long]("survivor_id") == best._3, s"cluster $cid")
+      assert(r.getAs[Long]("n_members") == m.length &&
+        r.getAs[Long]("n_members") >= 2)
+      assert(r.getAs[Long]("chars_dropped") == m.map(_._2).sum - best._2)
+    }
+  }
 }

@@ -120,4 +120,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val again = total(TextAnalysis.pipe4Curation(spark, sf))
     assert(again == p4)
   }
+
+  test("pipe5 budgets are respected within one greedy-boundary doc") {
+    val rows = TextAnalysis.pipe5TokenMixture(spark, sf).collect()
+    assert(rows.length == 5) // one mix row per weighted language
+    val maxTok = graft.Tables.load(spark, sf, "documents")
+      .select(max(size(TextAnalysis.words(col("text")))).cast("long"))
+      .head.getLong(0)
+    rows.foreach { r =>
+      val (tot, bud, nSel, tokSel) = (r.getAs[Long]("tok_total"),
+        r.getAs[Long]("budget"), r.getAs[Long]("n_sel"),
+        r.getAs[Long]("tok_sel"))
+      assert(nSel <= r.getAs[Long]("n_docs") && tokSel <= tot)
+      if (tot <= bud) {
+        // supply under budget: everything is selected
+        assert(tokSel == tot && nSel == r.getAs[Long]("n_docs"))
+      } else {
+        // greedy prefix: each of the 64 buckets may overshoot its
+        // remaining budget by at most one doc
+        assert(tokSel < bud + 64 * maxTok,
+          s"${r.getAs[String]("lang")}: sel=$tokSel budget=$bud")
+        // and it cannot leave more than a boundary doc per bucket
+        // unfilled while supply remains
+        assert(tokSel > bud - 64 * maxTok,
+          s"${r.getAs[String]("lang")}: sel=$tokSel budget=$bud")
+      }
+    }
+  }
 }
