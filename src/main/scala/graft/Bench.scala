@@ -57,7 +57,8 @@ object Bench {
     // shared indexes untimed so every timed d-figure measures the
     // operator at steady state — the state a production pipeline that
     // builds its index once actually runs in.
-    for (q <- Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4b_simhash_pairs"))
+    for (q <- Seq("d2_ngram_jaccard", "d3_minhash_lsh",
+        "d4b_simhash_pairs", "d6_dup_clusters"))
       SparkEntry.queries.get(q).foreach(fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () })
     // Re-sample policy: host-level contention inflates a different

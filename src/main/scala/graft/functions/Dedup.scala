@@ -482,8 +482,21 @@ object Dedup {
     * the same components with a recursive transitive-closure CTE —
     * a completely different algorithm, so agreement pins both.
     */
+  /** d6/d10 shared cluster assignment, persisted and memoized per
+    * (session, input dir) — the connected-components fixpoint is an
+    * iterative multi-job computation whose output (doc_id →
+    * cluster_id, near-dup docs only) is tiny; canonicalization (d10)
+    * and any other keep-one consumer start from the same relation
+    * instead of re-running the loop, exactly like the d3 pairs cache
+    * one level down.
+    */
+  private val clusterCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   def d6DupClusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(d3MinhashLsh(s, d))
+    cachedPerSession(clusterCache, s, d) {
+      connectedComponents(d3MinhashLsh(s, d))
+    }
 
   val d6Sql: String =
     s"""WITH RECURSIVE pairs AS ($d3Sql),

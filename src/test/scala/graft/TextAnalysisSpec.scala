@@ -147,4 +147,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
       }
     }
   }
+
+  test("pipe5 per-doc window is bucketed, never per-language global") {
+    // the scale contract from pipe5's scaladoc: the per-doc prefix
+    // cumsum must partition by (lang, bucket) — a (lang)-only window
+    // here is the single-reducer-per-language bottleneck the bucketed
+    // design exists to remove. Partition keys print WITHOUT a sort
+    // direction in windowspecdefinition, so the bucketed shape is
+    // "lang#n, bucket#n, doc_id#n ASC" — bucket as a partition key.
+    val plan = TextAnalysis.pipe5TokenMixture(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(
+      "windowspecdefinition\\(lang#\\d+, bucket#\\d+L?, doc_id#\\d+L? ASC"
+        .r.findFirstIn(plan).isDefined, plan.take(3000))
+    assert(
+      "windowspecdefinition\\(lang#\\d+, doc_id#\\d+L? ASC"
+        .r.findFirstIn(plan).isEmpty, "per-language global doc window found")
+  }
 }
