@@ -7,8 +7,8 @@ import org.apache.spark.sql.SparkSession
   * BNLs are bounded-broadcast-side by design: ann1/ann3/ann6
   * (broadcast query set — the exact recall baseline; ann6 adds the
   * broadcast centroid ranking and single-row recall crossJoins), the
-  * IVF centroid assignment inside ann2/d5 (O(N·C) with C centroids
-  * broadcast), a19's crossJoin of two single-row summary
+  * IVF centroid assignment inside ann2/d5/d11 (O(N·C) with C
+  * centroids broadcast), a19's crossJoin of two single-row summary
   * aggregates, and pipe5's crossJoin of the single-row corpus token
   * total onto the 64-row-per-language bucket summaries.
   * Anything else appearing here is a scale regression.

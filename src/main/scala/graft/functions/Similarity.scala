@@ -573,6 +573,63 @@ object Similarity {
        |WHERE ${dotSql("a.v", "b2.v")} / (a.nrm * b2.nrm) > 0.3""".stripMargin
   }
 
+  /** Semantic-dup cosine threshold — tighter than d5's 0.3 pair
+    * threshold on purpose: d5 mines CANDIDATE near-dup pairs for
+    * downstream estimation; d11 makes an irreversible drop decision,
+    * so it demands stronger evidence. The comparison is on the same
+    * IEEE-stable dot/nrm fold both engines share, so the boundary is
+    * bit-identical cross-engine (the invariant d5 already relies on).
+    */
+  private val SEM_TAU = 0.35
+
+  /** d11: semantic dedup verdict — the SemDeDup shape (Abbas et al.
+    * 2023, arXiv:2303.09540): cluster the embedding space, then
+    * within each cluster drop all but one member of every
+    * tight-cosine group. Clustering is the shared IVF cell assignment
+    * ([[assignedCells]], d5/ann2's relation); the keep-one rule is
+    * min-id DOMINATION — a vector is dropped iff a LOWER vec_id in
+    * its cell sits above [[SEM_TAU]] cosine. Domination is decidable
+    * per pair (no transitive-closure fixpoint like d6, and no
+    * sequential scan whose verdicts depend on earlier verdicts — a
+    * doc similar only to an already-dropped doc still drops, which is
+    * the conservative choice for training data). The deterministic id
+    * ranking replaces SemDeDup's distance-to-centroid ranking so both
+    * engines elect identically without comparing IEEE scores.
+    *
+    * Scale shape: inherits d5's bound — the only pair work is the
+    * within-cell equi-join on `cell`; the domination set is one
+    * partial-aggregable distinct on vec_id; the verdict is a
+    * left join of the assignment against that (tiny) set. Never N²,
+    * and the expensive relation (cell assignment) is the memoized one
+    * every embedding consumer shares. The keep-lowest-id rule is d1's
+    * exact-dedup election applied in embedding space.
+    */
+  def d11SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val a = assignedCells(s, d)
+    val dominated = a.as("x").join(a.as("y"), Seq("cell"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .filter(dot(col("x.v"), col("y.v")) /
+        (col("x.nrm") * col("y.nrm")) > SEM_TAU)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+      .withColumn("dom", lit(true))
+    a.join(dominated, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        when(col("dom"), lit("DROP")).otherwise(lit("KEEP")).as("verdict"))
+  }
+
+  val d11Sql: String =
+    s"""WITH c AS ($corpusSql),
+       |$assignedSqlCte,
+       |dom AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM assigned x JOIN assigned y
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) > $SEM_TAU)
+       |SELECT a.vec_id, a.cell,
+       |  CASE WHEN dom.vec_id IS NOT NULL THEN 'DROP' ELSE 'KEEP' END
+       |    AS verdict
+       |FROM assigned a LEFT JOIN dom ON a.vec_id = dom.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann5_kmeans_iter" -> ann5KmeansIter,
     "ann6_probe_sweep" -> ann6ProbeSweep,
@@ -581,7 +638,8 @@ object Similarity {
     "ann2_ivf_topk" -> ann2IvfTopK,
     "ann3_recall" -> ann3Recall,
     "ann4_quantized_recall" -> ann4QuantizedRecall,
-    "d5_cosine_pairs_banded" -> d5CosinePairsBanded)
+    "d5_cosine_pairs_banded" -> d5CosinePairsBanded,
+    "d11_semantic_dedup" -> d11SemanticDedup)
 
   val oracles: Map[String, String] = Map(
     "ann5_kmeans_iter" -> ann5Sql,
@@ -591,5 +649,6 @@ object Similarity {
     "ann2_ivf_topk" -> ann2Sql,
     "ann3_recall" -> ann3Sql,
     "ann4_quantized_recall" -> ann4Sql,
-    "d5_cosine_pairs_banded" -> d5Sql)
+    "d5_cosine_pairs_banded" -> d5Sql,
+    "d11_semantic_dedup" -> d11Sql)
 }

@@ -861,6 +861,114 @@ object TextAnalysis {
       |    AS BIGINT) AS tok_sel
       |FROM d GROUP BY lang""".stripMargin
 
+  /** pipe6: incremental-curation funnel — the continuous-ingest loop a
+    * production corpus actually runs: a NEW shard arrives (d8's
+    * deterministic 1-in-5 hash slice, salt "incr"), each arriving doc
+    * walks the admission ladder, and the per-language funnel report
+    * comes out the other end:
+    *
+    *   DUP_OF_CORPUS — canonical fingerprint already in the corpus
+    *   index (d8's verdict; the corpus copy is the keeper);
+    *   DUP_IN_SHARD  — a lower doc_id in the same shard owns the
+    *   fingerprint (d1's keep-lowest election within the batch);
+    *   LOW_QUALITY   — survives dedup but fails pipe1's quality gate
+    *   ([[MinWords]]/[[MinUniqRatio]] on the canonicalized text);
+    *   ADMIT         — enters the corpus; its tokens count toward
+    *   the training budget.
+    *
+    * The ladder ORDER is the contract: dedup before quality, corpus
+    * before shard — admitting a low-quality dup as LOW_QUALITY would
+    * double-count the drop reason and skew the funnel. Scale shape:
+    * the corpus side collapses to a distinct-fp index before the join
+    * (partial-aggregable; at rest it IS d8's persisted parquet index —
+    * the probe seam d8 proves with a real write→read→join), the shard
+    * join is one equi-join on fp, the within-shard window partitions
+    * by fp over shard rows only (never the corpus), and the funnel is
+    * one partial-aggregable groupBy(lang). Cost is linear in
+    * shard + index; the 100 TB corpus is touched only as its
+    * fingerprint projection. Fingerprint and gate rules are shared
+    * with d1/d8/pipe1 by construction, so the funnel cannot drift
+    * from the operators it composes.
+    */
+  def pipe6IncrementalCuration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.load(s, d, "documents")
+      .withColumn("canon", lower(regexp_replace(col("text"), "\\s+", " ")))
+      .withColumn("w", words(col("canon")))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("w"))).cast("double") / col("n_words"))
+      .withColumn("fp", md5(col("canon")))
+      .withColumn("is_new",
+        pmod(xhash64(concat_ws("|", lit("incr"),
+          col("doc_id").cast("string"))), lit(5L)) === 0)
+    val index = base.filter(!col("is_new")).select(col("fp")).distinct()
+      .withColumn("in_corpus", lit(true))
+    base.filter(col("is_new"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .join(index, Seq("fp"), "left_outer")
+      .withColumn("verdict",
+        when(col("in_corpus"), lit("DUP_OF_CORPUS"))
+          .when(col("rk") > 1, lit("DUP_IN_SHARD"))
+          .when(col("n_words") < MinWords ||
+            col("uniq_ratio") < MinUniqRatio, lit("LOW_QUALITY"))
+          .otherwise(lit("ADMIT")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_arrived"),
+        sum(when(col("verdict") === "DUP_OF_CORPUS", 1L).otherwise(0L))
+          .as("n_dup_corpus"),
+        sum(when(col("verdict") === "DUP_IN_SHARD", 1L).otherwise(0L))
+          .as("n_dup_shard"),
+        sum(when(col("verdict") === "LOW_QUALITY", 1L).otherwise(0L))
+          .as("n_low_quality"),
+        sum(when(col("verdict") === "ADMIT", 1L).otherwise(0L))
+          .as("n_admitted"),
+        sum(when(col("verdict") === "ADMIT", col("n_words"))
+          .otherwise(0L)).as("tokens_admitted"))
+  }
+
+  val pipe6Sql: String = {
+    val isNew =
+      s"${Norm.xhash64Sql("'incr|' || CAST(doc_id AS VARCHAR)")} % 5 = 0"
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    lower(regexp_replace(text, '\\s+', ' ', 'g')) AS canon,
+       |    $isNew AS is_new
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang, is_new, md5(canon) AS fp,
+       |    CAST(len(string_split(canon, ' ')) AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(string_split(canon, ' '))) AS DOUBLE)
+       |      / len(string_split(canon, ' ')) AS uniq_ratio
+       |  FROM b),
+       |idx AS (SELECT DISTINCT fp FROM m WHERE NOT is_new),
+       |shard AS (
+       |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+       |    AS rk
+       |  FROM m WHERE is_new),
+       |v AS (
+       |  SELECT s.lang, s.n_words,
+       |    CASE WHEN i.fp IS NOT NULL THEN 'DUP_OF_CORPUS'
+       |         WHEN s.rk > 1 THEN 'DUP_IN_SHARD'
+       |         WHEN s.n_words < $MinWords
+       |              OR s.uniq_ratio < $MinUniqRatio THEN 'LOW_QUALITY'
+       |         ELSE 'ADMIT' END AS verdict
+       |  FROM shard s LEFT JOIN idx i ON s.fp = i.fp)
+       |SELECT lang, count(*) AS n_arrived,
+       |  CAST(sum(CASE WHEN verdict = 'DUP_OF_CORPUS' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dup_corpus,
+       |  CAST(sum(CASE WHEN verdict = 'DUP_IN_SHARD' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dup_shard,
+       |  CAST(sum(CASE WHEN verdict = 'LOW_QUALITY' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_low_quality,
+       |  CAST(sum(CASE WHEN verdict = 'ADMIT' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_admitted,
+       |  CAST(sum(CASE WHEN verdict = 'ADMIT' THEN n_words ELSE 0 END)
+       |    AS BIGINT) AS tokens_admitted
+       |FROM v GROUP BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_lexicon_profile" -> t11LexiconProfile,
     "pipe4_curation" -> pipe4Curation,
@@ -877,7 +985,8 @@ object TextAnalysis {
     "t9_sequence_packing" -> t9SequencePacking,
     "t10_pii_scrub" -> t10PiiScrub,
     "pipe1_training_pipeline" -> pipe1TrainingPipeline,
-    "pipe5_token_mixture" -> pipe5TokenMixture)
+    "pipe5_token_mixture" -> pipe5TokenMixture,
+    "pipe6_incremental_curation" -> pipe6IncrementalCuration)
 
   val oracles: Map[String, String] = Map(
     "t11_lexicon_profile" -> t11Sql,
@@ -895,5 +1004,6 @@ object TextAnalysis {
     "t9_sequence_packing" -> t9Sql,
     "t10_pii_scrub" -> t10Sql,
     "pipe1_training_pipeline" -> pipe1Sql,
-    "pipe5_token_mixture" -> pipe5Sql)
+    "pipe5_token_mixture" -> pipe5Sql,
+    "pipe6_incremental_curation" -> pipe6Sql)
 }

@@ -180,4 +180,51 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(r.getAs[Long]("chars_dropped") == m.map(_._2).sum - best._2)
     }
   }
+
+  test("d11 semantic dedup matches an independent driver-side SemDeDup") {
+    // full reimplementation on the driver (plain Scala loops, same
+    // left-to-right IEEE fold): assign every vector to its max-cosine
+    // centroid (tie -> lowest cid), then DROP iff a lower vec_id in
+    // the same cell sits above the threshold. 500 vectors at sf0.001
+    // makes the O(N·C + cell²) loop trivial here — the point is that
+    // the distributed join plan and the sequential reference agree
+    // verdict-for-verdict.
+    val raw = graft.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nrm = raw.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val vec = raw.toMap
+    val cents = raw.filter(_._1 % 50 == 0)
+    val cell = raw.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) =>
+        (dot(cv, v) / (nrm(cid) * nrm(id)), cid)
+      }.minBy { case (cos, cid) => (-cos, cid) }._2
+    }.toMap
+    val expected = raw.map { case (id, v) =>
+      val dropped = raw.exists { case (oid, ov) =>
+        oid < id && cell(oid) == cell(id) &&
+          dot(ov, v) / (nrm(oid) * nrm(id)) > 0.35
+      }
+      id -> (if (dropped) "DROP" else "KEEP")
+    }.toMap
+    val got = graft.functions.Similarity.d11SemanticDedup(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cell"), r.getAs[String]("verdict")))
+    assert(got.length == raw.length, "one verdict per vector")
+    got.foreach { case (id, c, v) =>
+      assert(c == cell(id), s"vec $id assigned to cell $c, expected ${cell(id)}")
+      assert(v == expected(id), s"vec $id verdict $v, expected ${expected(id)}")
+    }
+    // and the decision is not degenerate at this corpus: both sides
+    assert(got.count(_._3 == "DROP") > 0)
+    assert(got.count(_._3 == "KEEP") > 0)
+  }
 }

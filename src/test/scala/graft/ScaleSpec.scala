@@ -215,7 +215,8 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
       "d4_simhash", "d4b_simhash_pairs", "d6_dup_clusters",
       "d8_incremental_dedup", "d9_estimator_calibration",
-      "d10_cluster_canonical", "pipe5_token_mixture")
+      "d10_cluster_canonical", "pipe5_token_mixture",
+      "pipe6_incremental_curation")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()

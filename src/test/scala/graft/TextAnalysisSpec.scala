@@ -164,4 +164,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "windowspecdefinition\\(lang#\\d+, doc_id#\\d+L? ASC"
         .r.findFirstIn(plan).isEmpty, "per-language global doc window found")
   }
+
+  test("pipe6 funnel conserves the shard and composes d8's verdicts") {
+    val rows = TextAnalysis.pipe6IncrementalCuration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // conservation: every arriving doc lands in exactly one bucket
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_arrived") ==
+        r.getAs[Long]("n_dup_corpus") + r.getAs[Long]("n_dup_shard") +
+          r.getAs[Long]("n_low_quality") + r.getAs[Long]("n_admitted"),
+        s"funnel leak in lang ${r.getAs[String]("lang")}")
+    }
+    // composition: pipe6's dedup buckets are EXACTLY d8's verdicts on
+    // the same shard (same salt, same fingerprint rule) — the funnel
+    // must not re-decide dedup, only extend it with the quality gate
+    val d8 = graft.functions.Dedup.d8IncrementalDedup(spark, sf)
+      .groupBy("verdict").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def tot(c: String) = rows.map(_.getAs[Long](c)).sum
+    assert(tot("n_dup_corpus") == d8.getOrElse("DUP_OF_CORPUS", 0L))
+    assert(tot("n_dup_shard") == d8.getOrElse("DUP_IN_SHARD", 0L))
+    assert(tot("n_low_quality") + tot("n_admitted") ==
+      d8.getOrElse("NEW", 0L))
+    // and the quality gate actually bites somewhere in the funnel
+    assert(tot("n_admitted") > 0)
+  }
 }
