@@ -38,6 +38,15 @@ class RegistrySpec extends AnyFunSuite {
     assert((o diff q).isEmpty, s"oracles without query: ${o diff q}")
   }
 
+  test("bench warmup names are live registry entries") {
+    // Bench resolves warmups with `.get` (a missing name must not
+    // fail the bench), so a renamed query would silently skip its
+    // warmup and the d-family figures would regress to measuring
+    // cache state — pin the list to the registry here instead.
+    val missing = Bench.WarmupQueries.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"warmup names not in registry: $missing")
+  }
+
   test("within each module, queries and oracles pair up") {
     SparkEntry.queryRegistries.zip(SparkEntry.oracleRegistries).foreach {
       case ((qMod, qs), (oMod, os)) =>
