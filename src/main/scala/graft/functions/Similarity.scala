@@ -519,24 +519,38 @@ object Similarity {
     corpus(s, d).withColumn("sig", sig)
   }
 
+  /** Banding, sizing, candidate join, and dedup all run on BARE IDS —
+    * the 512-byte vector payload never rides the (band, value)
+    * shuffles or the pair dedup (the first cut carried v/nrm through
+    * all of them: every vector shuffled 4 bands × 2 join sides with
+    * its payload, and dropDuplicates exchanged full vector PAIRS —
+    * 8N + 2·|cand| payload rows through the wire for an id-set
+    * output). Vectors re-enter only for the exact-cosine verify, one
+    * hash join per pair side on vec_id — shuffle volume ∝
+    * candidates + N, the shape the oracle SQL always had.
+    */
   def d7RphPairs(s: SparkSession, d: String): DataFrame = {
-    val banded = rphSignatures(s, d)
-      .select(col("vec_id"), col("v"), col("nrm"),
+    val sigs = rphSignatures(s, d)
+    val banded = sigs
+      .select(col("vec_id"),
         explode(array((0 until 4).map(b => struct(
           lit(b).as("band"),
           shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*))
           .as("bb"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
     val small = banded.groupBy("band", "bv").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= RPH_BUCKET_CAP).select("band", "bv")
     val kept = banded.join(small, Seq("band", "bv"))
-    kept.as("x").join(kept.as("y"), Seq("band", "bv"))
+    val cand = kept.as("x").join(kept.as("y"), Seq("band", "bv"))
       .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        col("x.v").as("va"), col("x.nrm").as("na"),
-        col("y.v").as("vb"), col("y.nrm").as("nb"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    val side = sigs.select(col("vec_id"), col("v"), col("nrm"))
+    cand
+      .join(side.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(side.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("vec_b"))
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) > 0.3)
       .select(col("vec_a"), col("vec_b"))
   }
