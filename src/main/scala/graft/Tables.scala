@@ -17,19 +17,31 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS), which Spark 4 refuses to read as
-      // a timestamp; read nanos as long and truncate to µs (floor —
-      // matching DuckDB's second-level truncation downstream). The
+      // events.ts encoding depends on the generator run: earlier
+      // rounds wrote TIMESTAMP(NANOS) (which Spark 4 refuses to read
+      // as a timestamp — the legacy flag surfaces it as a nanos
+      // long), round 7 writes TIMESTAMP(MICROS) (read natively as
+      // NTZ). Normalize BOTH to TimestampType so every downstream
+      // consumer sees one type regardless of the file vintage. The
       // legacy flag is scoped set/restore: leaking it session-wide
       // would silently change how any later ns-timestamp parquet in
       // the same session is read (raw long instead of timestamp).
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
-      try
-        spark.read.parquet(s"$dir/$name.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      finally prev match {
+      try {
+        val df = spark.read.parquet(s"$dir/$name.parquet")
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            // nanos-as-long vintage: truncate to µs (floor — matching
+            // DuckDB's second-level truncation downstream)
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ =>
+            // µs vintage (NTZ under inferTimestampNTZ); host/session
+            // zone is UTC, so the LTZ cast is value-preserving
+            df.withColumn("ts", col("ts").cast("timestamp"))
+        }
+      } finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }

@@ -740,6 +740,133 @@ object Dedup {
        |  a.chars_total - r.n_chars AS chars_dropped
        |FROM agg a JOIN rk r ON a.cluster_id = r.cluster_id AND r.rn = 1""".stripMargin
 
+  /** d12 window width (tokens). The reference ExactSubstr uses 50
+    * BPE tokens over web documents; this corpus averages ~54
+    * whitespace tokens per doc (min 10), so 8 keeps the detector
+    * meaningful at test scale while the machinery is width-agnostic.
+    */
+  private val SUB_W = 8
+
+  /** d12 hot-window cap: a window hash shared by more than SUB_CAP
+    * occurrences is boilerplate (licenses, headers) — the d2 DF_CAP
+    * argument verbatim: without the cut one hot 8-gram in 10⁶ docs
+    * fans the dup join out a million ways; with it, per-hash fan-out
+    * is bounded, independent of corpus size. Boilerplate past the cap
+    * is t13/pipe4's job (repetition gates), not the passage detector.
+    */
+  private val SUB_CAP = 256
+
+  /** d12: exact-substring duplicated-passage detector — the
+    * suffix-array ExactSubstr shape (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better") re-expressed as
+    * relational algebra: a suffix array is unaffordable distributed,
+    * but its OUTPUT — maximal duplicated token spans of length ≥ W —
+    * is reachable with positional window hashes. Slide a W-token
+    * window over every doc, hash each window (one 60-bit md5 slot,
+    * both engines identical), count corpus-wide occurrences, keep
+    * positions whose window repeats anywhere (within-doc repeats
+    * included, as in the reference algorithm), then merge overlapping
+    * windows into maximal spans: two windows [i,i+W) and [j,j+W)
+    * with j−i ≤ W overlap or touch, so a span break is a gap > W —
+    * gaps-and-islands with one lag + one running sum, both
+    * partitioned by doc_id.
+    *
+    * Scale shape: the positional window relation is linear in corpus
+    * tokens (same cost class as the d2/d3 shingle index); the
+    * occurrence count is one partial-aggregable groupBy on an 8-byte
+    * hash; ONLY duplicated positions reach the per-doc windows, whose
+    * partitions are bounded by document length — no global sort
+    * anywhere. The SUB_CAP filter bounds the dup-join fan-out (see
+    * above). Per-doc span arithmetic (max−min+W) is exact interval
+    * union because within a span consecutive kept positions are ≤ W
+    * apart by construction. All-integer output; `flagged` is the ≥20%
+    * dup-coverage gate as an integer cross-multiply (dup·5 ≥ n), no
+    * IEEE division.
+    */
+  def d12ExactSubstring(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = SUB_W
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("w"))
+    val cells = (0 until W).map(j => s"element_at(w, i + $j)")
+      .mkString(", ")
+    val pos = docs
+      .select(col("doc_id"),
+        explode(expr(
+          s"if(size(w) >= $W, sequence(1, size(w) - ${W - 1}), " +
+            "array())")).as("i"),
+        col("w"))
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        xhash64(expr(s"concat_ws(' ', $cells)")).as("h"))
+    val dup = pos.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= SUB_CAP)
+      .select("h")
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    val spans = pos.join(dup, "h")
+      .withColumn("brk",
+        // NULL lag (first kept position) falls to otherwise(1):
+        // every doc's first duplicated window opens a span
+        when(col("i") - lag(col("i"), 1).over(byDoc) <= W, 0L)
+          .otherwise(1L))
+      .withColumn("span_id", sum(col("brk")).over(byDoc))
+      .groupBy("doc_id", "span_id")
+      .agg((max(col("i")) - min(col("i")) + W).as("span_tokens"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).as("dup_tokens"),
+        max(col("span_tokens")).as("max_span_tokens"))
+    docs.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)) * 5 >= col("n_tokens"))
+          .cast("long").as("flagged"))
+  }
+
+  val d12Sql: String = {
+    val W = SUB_W
+    val gram = (0 until W).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |posx AS (
+       |  SELECT doc_id, unnest(range(1, greatest(len(w) - ${W - 2}, 1)))
+       |    AS i, w
+       |  FROM docs),
+       |pos AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |    ${xhash64Sql(gram)} AS h
+       |  FROM posx),
+       |dup AS (SELECT h FROM pos GROUP BY 1
+       |        HAVING count(*) > 1 AND count(*) <= $SUB_CAP),
+       |dpos AS (
+       |  SELECT p.doc_id, p.i,
+       |    CASE WHEN p.i - lag(p.i) OVER
+       |        (PARTITION BY p.doc_id ORDER BY p.i) <= $W
+       |      THEN 0 ELSE 1 END AS brk
+       |  FROM pos p JOIN dup USING (h)),
+       |sp AS (
+       |  SELECT doc_id, i,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+       |  FROM dpos),
+       |spans AS (
+       |  SELECT doc_id, span_id, max(i) - min(i) + $W AS span_tokens
+       |  FROM sp GROUP BY 1, 2),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+       |    CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
+       |  FROM spans GROUP BY 1)
+       |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+       |  coalesce(p.n_spans, 0) AS n_spans,
+       |  coalesce(p.dup_tokens, 0) AS dup_tokens,
+       |  coalesce(p.max_span_tokens, 0) AS max_span_tokens,
+       |  CAST(CASE WHEN coalesce(p.dup_tokens, 0) * 5 >= len(d.w)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS flagged
+       |FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_ngram_jaccard" -> d2NgramJaccard,
@@ -749,7 +876,8 @@ object Dedup {
     "d6_dup_clusters" -> d6DupClusters,
     "d8_incremental_dedup" -> d8IncrementalDedup,
     "d9_estimator_calibration" -> d9EstimatorCalibration,
-    "d10_cluster_canonical" -> d10ClusterCanonical)
+    "d10_cluster_canonical" -> d10ClusterCanonical,
+    "d12_exact_substring" -> d12ExactSubstring)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
@@ -760,5 +888,6 @@ object Dedup {
     "d6_dup_clusters" -> d6Sql,
     "d8_incremental_dedup" -> d8Sql,
     "d9_estimator_calibration" -> d9Sql,
-    "d10_cluster_canonical" -> d10Sql)
+    "d10_cluster_canonical" -> d10Sql,
+    "d12_exact_substring" -> d12Sql)
 }

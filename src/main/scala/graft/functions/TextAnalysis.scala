@@ -969,6 +969,96 @@ object TextAnalysis {
        |FROM v GROUP BY lang""".stripMargin
   }
 
+  /** t14: corpus-grounded rarity profile — the surprisal-flavored
+    * quality signal (how much of a document is built from rare
+    * constructions) with the TRIGRAM as its unit: this corpus's
+    * unigram vocabulary is 31 words (every one ubiquitous), so word
+    * df carries no signal, while the ~30k-type trigram space has a
+    * real frequency tail at every test scale. Per trigram occurrence
+    * the corpus document frequency (df), rolled up per doc into
+    * fixed absolute df BANDS (df = 1 hapax — constructions this doc
+    * alone contributes; 2–4; 5–24; ≥ 25) plus the doc's min/max df.
+    * A profile, deliberately not a binary gate: fixed thresholds
+    * can't stay non-degenerate across corpus scales, band counts
+    * always partition the mass. `hapax_per_mille` is the only
+    * derived value: one exact-int IEEE division + floor, identical
+    * in both engines.
+    *
+    * Scale shape: the df table is one partial-aggregable groupBy
+    * over distinct (doc, gram) pairs — gram-vocabulary-sized, not
+    * corpus-sized; the occurrence↔df equi-join on the gram is the
+    * one fat shuffle (hash-bucket the vocabulary at 100 TB and it
+    * co-locates); the per-doc rollup is partial-aggregable. Docs too
+    * short for a trigram survive via the left join with zero counts.
+    */
+  def t14RarityProfile(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+      .withColumn("w", words(col("text")))
+    val grams = docs.select(col("doc_id"),
+      explode(expr(gramExprK(3, distinct = false))).as("gram"))
+    val dfTab = grams.distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(dfTab, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_df1"),
+        sum(when(col("df") >= 2 && col("df") <= 4, 1L).otherwise(0L))
+          .as("n_df2_4"),
+        sum(when(col("df") >= 5 && col("df") <= 24, 1L).otherwise(0L))
+          .as("n_df5_24"),
+        sum(when(col("df") >= 25, 1L).otherwise(0L)).as("n_df25p"),
+        min(col("df")).as("min_df"), max(col("df")).as("max_df"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_df1"), lit(0L)).as("n_df1"),
+        coalesce(col("n_df2_4"), lit(0L)).as("n_df2_4"),
+        coalesce(col("n_df5_24"), lit(0L)).as("n_df5_24"),
+        coalesce(col("n_df25p"), lit(0L)).as("n_df25p"),
+        coalesce(col("min_df"), lit(0L)).as("min_df"),
+        coalesce(col("max_df"), lit(0L)).as("max_df"),
+        when(col("n_grams") > 0,
+          floor(lit(1000.0) * col("n_df1") / col("n_grams")))
+          .otherwise(0L).cast("long").as("hapax_per_mille"))
+  }
+
+  val t14Sql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(${gramSqlDuckK(3, distinct = false)})
+       |    AS gram
+       |  FROM docs),
+       |dfq AS (
+       |  SELECT gram, count(*) AS df
+       |  FROM (SELECT DISTINCT doc_id, gram FROM grams) GROUP BY 1),
+       |per_doc AS (
+       |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_df1,
+       |    CAST(sum(CASE WHEN f.df BETWEEN 2 AND 4 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_df2_4,
+       |    CAST(sum(CASE WHEN f.df BETWEEN 5 AND 24 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_df5_24,
+       |    CAST(sum(CASE WHEN f.df >= 25 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_df25p,
+       |    CAST(min(f.df) AS BIGINT) AS min_df,
+       |    CAST(max(f.df) AS BIGINT) AS max_df
+       |  FROM grams g JOIN dfq f ON g.gram = f.gram GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_grams, 0) AS n_grams,
+       |  coalesce(p.n_df1, 0) AS n_df1,
+       |  coalesce(p.n_df2_4, 0) AS n_df2_4,
+       |  coalesce(p.n_df5_24, 0) AS n_df5_24,
+       |  coalesce(p.n_df25p, 0) AS n_df25p,
+       |  coalesce(p.min_df, 0) AS min_df,
+       |  coalesce(p.max_df, 0) AS max_df,
+       |  CAST(CASE WHEN p.n_grams > 0
+       |    THEN floor(1000.0 * p.n_df1 / p.n_grams) ELSE 0 END AS BIGINT)
+       |    AS hapax_per_mille
+       |FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_lexicon_profile" -> t11LexiconProfile,
     "pipe4_curation" -> pipe4Curation,
@@ -986,7 +1076,8 @@ object TextAnalysis {
     "t10_pii_scrub" -> t10PiiScrub,
     "pipe1_training_pipeline" -> pipe1TrainingPipeline,
     "pipe5_token_mixture" -> pipe5TokenMixture,
-    "pipe6_incremental_curation" -> pipe6IncrementalCuration)
+    "pipe6_incremental_curation" -> pipe6IncrementalCuration,
+    "t14_rarity_profile" -> t14RarityProfile)
 
   val oracles: Map[String, String] = Map(
     "t11_lexicon_profile" -> t11Sql,
@@ -1005,5 +1096,6 @@ object TextAnalysis {
     "t10_pii_scrub" -> t10Sql,
     "pipe1_training_pipeline" -> pipe1Sql,
     "pipe5_token_mixture" -> pipe5Sql,
-    "pipe6_incremental_curation" -> pipe6Sql)
+    "pipe6_incremental_curation" -> pipe6Sql,
+    "t14_rarity_profile" -> t14Sql)
 }

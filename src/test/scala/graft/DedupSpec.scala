@@ -227,4 +227,36 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.count(_._3 == "DROP") > 0)
     assert(got.count(_._3 == "KEEP") > 0)
   }
+
+  test("d12 finds cross-doc and within-doc duplicated passages exactly") {
+    import spark.implicits._
+    // W = 8. A 12-token passage P shared by docs 1 and 2 must surface
+    // as ONE merged span of exactly |P| = 12 tokens in each (5
+    // consecutive window starts, max - min + W = 12); a doc with the
+    // same 8 tokens twice must get TWO spans of 8 (gap 17 > W); a
+    // unique doc must report zeros.
+    val p = (1 to 12).map(i => s"p$i").mkString(" ")
+    val docA = ((1 to 10).map(i => s"a$i") ++ Seq(p) ++
+      (11 to 15).map(i => s"a$i")).mkString(" ") // P at positions 11..22
+    val docB = (Seq(p) ++ (1 to 10).map(i => s"b$i")).mkString(" ")
+    val docC = (1 to 20).map(i => s"c$i").mkString(" ")
+    val r = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docD = (Seq(r) ++ (1 to 9).map(i => s"x$i") ++ Seq(r))
+      .mkString(" ") // r-block at positions 1..8 and 18..25
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d12").toString
+    Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = Dedup.d12ExactSubstring(spark, tmp).orderBy("doc_id")
+      .collect()
+      .map(row => (row.getAs[Long]("doc_id"), (
+        row.getAs[Long]("n_tokens"), row.getAs[Long]("n_spans"),
+        row.getAs[Long]("dup_tokens"),
+        row.getAs[Long]("max_span_tokens"),
+        row.getAs[Long]("flagged")))).toMap
+    assert(got(1L) == ((27L, 1L, 12L, 12L, 1L)), s"docA: ${got(1L)}")
+    assert(got(2L) == ((22L, 1L, 12L, 12L, 1L)), s"docB: ${got(2L)}")
+    assert(got(3L) == ((20L, 0L, 0L, 0L, 0L)), s"docC: ${got(3L)}")
+    assert(got(4L) == ((25L, 2L, 16L, 8L, 1L)), s"docD: ${got(4L)}")
+  }
 }
