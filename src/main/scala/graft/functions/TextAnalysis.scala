@@ -1059,6 +1059,126 @@ object TextAnalysis {
        |    AS hapax_per_mille
        |FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
 
+  /** pipe7: dataset card — the datasheet a curated corpus ships with,
+    * as ONE long-format (section, metric, value) relation assembled
+    * from the family's own operators: corpus size/diversity, exact-
+    * dup accounting (d1), duplicated-passage mass (d12), quality
+    * bands (t2), decontamination exposure (t7), and rarity coverage
+    * (t14). Every value is a BIGINT from a partial-aggregable
+    * global or tiny-group aggregate — each source collapses to a
+    * handful of rows BEFORE the union, so the card costs its
+    * constituent scans and nothing more, and at 100 TB those scans
+    * are the same ones the pipeline already runs (memoized inputs
+    * where the family memoizes). Quality bands present in the data
+    * appear as rows; absent bands are absent in BOTH engines (no
+    * conditional zero-fill to drift).
+    */
+  def pipe7DatasetCard(s: SparkSession, d: String): DataFrame = {
+    def longRows(section: String, oneRow: DataFrame): DataFrame =
+      oneRow.select(explode(map(oneRow.columns.flatMap(c =>
+        Seq(lit(c), col(c).cast("long"))): _*)))
+        .select(lit(section).as("section"), col("key").as("metric"),
+          col("value"))
+    val docs = Tables.load(s, d, "documents")
+    val corpus = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(words(col("text")))).as("total_tokens"),
+      sum(length(col("text"))).as("total_chars"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"))
+    val exact = Dedup.d1ExactDedup(s, d).agg(
+      count(lit(1)).as("n_exact_groups"),
+      (sum(col("n_copies")) - count(lit(1))).as("n_exact_dup_docs"))
+    val passages = Dedup.d12ExactSubstring(s, d).agg(
+      sum(when(col("n_spans") > 0, 1L).otherwise(0L))
+        .as("n_dup_passage_docs"),
+      sum(col("dup_tokens")).as("total_dup_passage_tokens"))
+    val quality = t2QualityScore(s, d).groupBy(col("quality_band"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("quality").as("section"),
+        concat(lit("band_"), col("quality_band")).as("metric"),
+        col("value"))
+    val decon = t7Decontaminate(s, d)
+      .agg(count(lit(1)).as("n_contaminated_docs"))
+    val rarity = t14RarityProfile(s, d).agg(
+      sum(when(col("n_df1") > 0, 1L).otherwise(0L))
+        .as("n_docs_with_hapax"))
+    longRows("corpus", corpus)
+      .unionAll(longRows("dedup", exact))
+      .unionAll(longRows("dedup", passages))
+      .unionAll(quality)
+      .unionAll(longRows("decontam", decon))
+      .unionAll(longRows("rarity", rarity))
+  }
+
+  val pipe7Sql: String =
+    s"""WITH card_corpus AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+       |      AS total_tokens,
+       |    CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       |  FROM documents),
+       |card_exact AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_exact_groups,
+       |    CAST(sum(n_copies) - count(*) AS BIGINT) AS n_exact_dup_docs
+       |  FROM (${Dedup.d1Sql}) x),
+       |card_passages AS (
+       |  SELECT CAST(sum(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_dup_passage_docs,
+       |    CAST(sum(dup_tokens) AS BIGINT) AS total_dup_passage_tokens
+       |  FROM (${Dedup.d12Sql}) x),
+       |card_quality AS (
+       |  SELECT quality_band, CAST(count(*) AS BIGINT) AS value
+       |  FROM ($t2Sql) x GROUP BY 1),
+       |card_decon AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_contaminated_docs
+       |  FROM ($t7Sql) x),
+       |card_rarity AS (
+       |  SELECT CAST(sum(CASE WHEN n_df1 > 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_docs_with_hapax
+       |  FROM ($t14Sql) x)
+       |SELECT 'corpus' AS section, 'n_docs' AS metric, n_docs AS value
+       |  FROM card_corpus
+       |UNION ALL SELECT 'corpus', 'total_tokens', total_tokens
+       |  FROM card_corpus
+       |UNION ALL SELECT 'corpus', 'total_chars', total_chars
+       |  FROM card_corpus
+       |UNION ALL SELECT 'corpus', 'n_sources', n_sources FROM card_corpus
+       |UNION ALL SELECT 'corpus', 'n_langs', n_langs FROM card_corpus
+       |UNION ALL SELECT 'dedup', 'n_exact_groups', n_exact_groups
+       |  FROM card_exact
+       |UNION ALL SELECT 'dedup', 'n_exact_dup_docs', n_exact_dup_docs
+       |  FROM card_exact
+       |UNION ALL SELECT 'dedup', 'n_dup_passage_docs', n_dup_passage_docs
+       |  FROM card_passages
+       |UNION ALL SELECT 'dedup', 'total_dup_passage_tokens',
+       |  total_dup_passage_tokens FROM card_passages
+       |UNION ALL SELECT 'quality', 'band_' || quality_band, value
+       |  FROM card_quality
+       |UNION ALL SELECT 'decontam', 'n_contaminated_docs',
+       |  n_contaminated_docs FROM card_decon
+       |UNION ALL SELECT 'rarity', 'n_docs_with_hapax', n_docs_with_hapax
+       |  FROM card_rarity""".stripMargin
+
+  /** The rendered card FILE (S9 sink): the same rows pipe7 registers,
+    * grouped by section in deterministic order — the artifact a
+    * dataset release actually ships. Bounded by construction (the
+    * card is ~a dozen rows).
+    */
+  def writeDatasetCard(path: String, card: DataFrame): Unit = {
+    val rows = card.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val bySection = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val body = bySection.map { case (sec, ms) =>
+      s"## $sec\n" + ms.map(m => s"- ${m._2}: ${m._3}").mkString("\n")
+    }
+    graft.reverse.Ddl.writeArtifact(path,
+      Seq("# Dataset Card") ++ body)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_lexicon_profile" -> t11LexiconProfile,
     "pipe4_curation" -> pipe4Curation,
@@ -1077,7 +1197,8 @@ object TextAnalysis {
     "pipe1_training_pipeline" -> pipe1TrainingPipeline,
     "pipe5_token_mixture" -> pipe5TokenMixture,
     "pipe6_incremental_curation" -> pipe6IncrementalCuration,
-    "t14_rarity_profile" -> t14RarityProfile)
+    "t14_rarity_profile" -> t14RarityProfile,
+    "pipe7_dataset_card" -> pipe7DatasetCard)
 
   val oracles: Map[String, String] = Map(
     "t11_lexicon_profile" -> t11Sql,
@@ -1097,5 +1218,6 @@ object TextAnalysis {
     "pipe1_training_pipeline" -> pipe1Sql,
     "pipe5_token_mixture" -> pipe5Sql,
     "pipe6_incremental_curation" -> pipe6Sql,
-    "t14_rarity_profile" -> t14Sql)
+    "t14_rarity_profile" -> t14Sql,
+    "pipe7_dataset_card" -> pipe7Sql)
 }

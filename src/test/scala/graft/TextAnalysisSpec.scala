@@ -189,4 +189,32 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // and the quality gate actually bites somewhere in the funnel
     assert(tot("n_admitted") > 0)
   }
+
+  test("pipe7 dataset card: metrics self-consistent, artifact renders them") {
+    val card = TextAnalysis.pipe7DatasetCard(spark, sf)
+    val rows = card.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every doc has exactly one fingerprint, so the exact-dup
+    // accounting must close over the corpus count
+    assert(rows(("dedup", "n_exact_dup_docs")) ==
+      rows(("corpus", "n_docs")) - rows(("dedup", "n_exact_groups")))
+    // quality bands partition the corpus
+    val bands = rows.collect { case (("quality", _), v) => v }.sum
+    assert(bands == rows(("corpus", "n_docs")))
+    // passage mass: flagged docs exist at this corpus and their token
+    // mass is positive iff any doc is flagged
+    val nPass = rows(("dedup", "n_dup_passage_docs"))
+    val tokPass = rows(("dedup", "total_dup_passage_tokens"))
+    assert((nPass > 0) == (tokPass > 0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_card").toString
+    val path = s"$tmp/dataset_card.md"
+    TextAnalysis.writeDatasetCard(path, card)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)))
+    assert(text.startsWith("# Dataset Card"))
+    Seq("## corpus", "## dedup", "## quality").foreach(h =>
+      assert(text.contains(h), s"missing section $h"))
+    assert(text.contains(
+      s"- n_docs: ${rows(("corpus", "n_docs"))}"))
+  }
 }
