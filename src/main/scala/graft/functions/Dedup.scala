@@ -783,7 +783,19 @@ object Dedup {
     * dup-coverage gate as an integer cross-multiply (dup·5 ≥ n), no
     * IEEE division.
     */
-  def d12ExactSubstring(s: SparkSession, d: String): DataFrame = {
+  /** d12's per-doc result is memoized per (session, input): pipe7
+    * folds the same relation into the dataset card, and the span
+    * pipeline (positional hashing + dup filter + windows) is the
+    * expensive part while the output is one bounded row per doc —
+    * exactly the storage ≪ recompute trade the shingle index makes.
+    */
+  private val substrCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def d12ExactSubstring(s: SparkSession, d: String): DataFrame =
+    cachedPerSession(substrCache, s, d)(d12Uncached(s, d))
+
+  private def d12Uncached(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val W = SUB_W
     val docs = Tables.load(s, d, "documents")

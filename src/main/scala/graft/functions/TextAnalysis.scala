@@ -473,7 +473,20 @@ object TextAnalysis {
     * shuffled hash join on the shingle hash (a forced broadcast would
     * OOM the executors exactly when the check matters most).
     */
-  def t7Decontaminate(s: SparkSession, d: String): DataFrame = {
+  /** t7/t14 results are memoized per (session, input) — pipe7 folds
+    * both into the dataset card, their outputs are bounded (one row
+    * per contaminated doc / per doc) while their inputs are the
+    * corpus-sized shingle/gram explosions: the Dedup-index trade.
+    */
+  private val deconCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val rarityCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def t7Decontaminate(s: SparkSession, d: String): DataFrame =
+    Dedup.cachedPerSession(deconCache, s, d)(t7Uncached(s, d))
+
+  private def t7Uncached(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents")
       .withColumn("is_eval",
         pmod(xhash64(concat_ws("|", lit("eval"),
@@ -991,7 +1004,10 @@ object TextAnalysis {
     * co-locates); the per-doc rollup is partial-aggregable. Docs too
     * short for a trigram survive via the left join with zero counts.
     */
-  def t14RarityProfile(s: SparkSession, d: String): DataFrame = {
+  def t14RarityProfile(s: SparkSession, d: String): DataFrame =
+    Dedup.cachedPerSession(rarityCache, s, d)(t14Uncached(s, d))
+
+  private def t14Uncached(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents")
       .withColumn("w", words(col("text")))
     val grams = docs.select(col("doc_id"),
