@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Diagnostic main: flags BroadcastNestedLoopJoin / CartesianProduct
   * in every registered query's physical plan. The only acceptable
-  * BNLs are bounded-broadcast-side by design: ann1/ann3/ann6
+  * BNLs are bounded-broadcast-side by design: ann1/ann3/ann4/ann6/
+  * ann7 (ann7's stage-1 coarse scan; its exact re-rank is an
+  * equi-join)
   * (broadcast query set — the exact recall baseline; ann6 adds the
   * broadcast centroid ranking and single-row recall crossJoins), the
   * IVF centroid assignment inside ann2/d5/d11 (O(N·C) with C

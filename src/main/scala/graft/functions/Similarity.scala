@@ -415,6 +415,125 @@ object Similarity {
        |       CAST((SELECT count(*) FROM hits) AS DOUBLE) /
        |         (SELECT count(*) FROM truth) AS recall""".stripMargin
 
+  /** ann7: two-stage refine — the production serving shape every
+    * quantized ANN deployment runs: stage 1 over-fetches top-30
+    * candidates per query with CHEAP distances (int8-dequantized
+    * corpus, ann4's convention); stage 2 re-ranks ONLY those
+    * candidates with full-precision vectors and keeps top-10. One
+    * row comparing coarse vs refined recall against ann1's exact
+    * truth — the refine's whole point is recovering the recall
+    * quantization loses while touching full vectors for 30 ids per
+    * query instead of the corpus.
+    *
+    * Stage 1 quantizes to int4 (max-abs scale / 7), NOT ann4's int8:
+    * at this corpus int8 retrieval is already exact in top-10
+    * (ann4's recall row shows it), and a refine whose coarse stage
+    * loses nothing demonstrates nothing. int4 is the memory-bound
+    * regime a 100 TB vector store actually over-fetches from, and
+    * its loss is visible: coarse recall < 1, refined recovers it.
+    *
+    * Scale shape: stage 1 is ann4's broadcast-query scan; the
+    * candidate relation that crosses stages is (qid, vec_id, rank) —
+    * ids only, NO vector payloads on the shuffle (the d7 rule);
+    * stage 2 equi-joins candidates to the corpus by vec_id (|Q|×30
+    * rows against the table — at 100 TB a shuffled hash join keyed
+    * exactly how a vector store shards) and re-attaches the
+    * broadcast query vectors. Ranking ties break on vec_id in both
+    * engines; recall is one exact-int division.
+    */
+  def ann7RefineRecall(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val int4 = c.withColumn("scale", greatest(
+        aggregate(transform(col("v"), x => abs(x)), lit(0.0),
+          (a, x) => when(x > a, x).otherwise(a)) / lit(7.0),
+        lit(1e-30)))
+      .withColumn("dv", transform(col("v"), x =>
+        signum(x) * floor(abs(x / col("scale")) + lit(0.5)) * col("scale")))
+      .withColumn("dnrm", sqrt(aggregate(
+        transform(col("dv"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .select(col("vec_id"), col("dv"), col("dnrm"))
+    val q = broadcast(c.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qnrm")).filter(col("qid") % 100 === 0))
+    val cw = Window.partitionBy("qid")
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+    val cand = int4.join(q, col("vec_id") =!= col("qid"))
+      .withColumn("qcos",
+        dot(col("qv"), col("dv")) / (col("qnrm") * col("dnrm")))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= 30)
+      .select(col("qid"), col("vec_id"), col("crank"))
+    val coarse = cand.filter(col("crank") <= 10)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+    val rw = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val refined = cand.join(c, "vec_id")
+      .join(q, "qid")
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= 10)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+    val truth = ann1BruteTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    val hitsC = truth.join(coarse, Seq("query_id", "neighbor_id"), "left_semi")
+    val hitsR = truth.join(refined, Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_expected"))
+      .crossJoin(hitsC.agg(count(lit(1)).as("n_hits_coarse")))
+      .crossJoin(hitsR.agg(count(lit(1)).as("n_hits_refined")))
+      .withColumn("recall_coarse",
+        col("n_hits_coarse").cast("double") / col("n_expected"))
+      .withColumn("recall_refined",
+        col("n_hits_refined").cast("double") / col("n_expected"))
+  }
+
+  val ann7Sql: String =
+    s"""WITH c AS ($corpusSql),
+       |q4 AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x ->
+       |      CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END *
+       |      floor(abs(x / scale) + 0.5) * scale) AS dv
+       |  FROM (SELECT vec_id, v,
+       |          greatest(list_max(list_transform(v, x -> abs(x))) / 7.0,
+       |                   1e-30) AS scale
+       |        FROM c) sc),
+       |qcn AS (
+       |  SELECT vec_id, dv,
+       |    sqrt(list_sum(list_transform(dv, x -> x * x))) AS dnrm
+       |  FROM q4),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM c
+       |      WHERE vec_id % 100 = 0),
+       |cand AS (
+       |  SELECT qid, vec_id, crank FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY
+       |        ${dotSql("qv", "dv")} / (qnrm * dnrm) DESC,
+       |        vec_id ASC) AS crank
+       |    FROM q, qcn WHERE vec_id <> qid) r WHERE crank <= 30),
+       |coarse AS (SELECT qid AS query_id, vec_id AS neighbor_id
+       |           FROM cand WHERE crank <= 10),
+       |refined AS (
+       |  SELECT qid AS query_id, vec_id AS neighbor_id FROM (
+       |    SELECT cd.qid, cd.vec_id,
+       |      row_number() OVER (PARTITION BY cd.qid ORDER BY
+       |        ${dotSql("q.qv", "c.v")} / (q.qnrm * c.nrm) DESC,
+       |        cd.vec_id ASC) AS rank
+       |    FROM cand cd JOIN c ON c.vec_id = cd.vec_id
+       |                 JOIN q ON q.qid = cd.qid) r
+       |  WHERE rank <= 10),
+       |truth AS (SELECT query_id, neighbor_id FROM ($ann1Sql) a),
+       |hc AS (SELECT * FROM truth t WHERE EXISTS (
+       |  SELECT 1 FROM coarse g WHERE g.query_id = t.query_id
+       |    AND g.neighbor_id = t.neighbor_id)),
+       |hr AS (SELECT * FROM truth t WHERE EXISTS (
+       |  SELECT 1 FROM refined g WHERE g.query_id = t.query_id
+       |    AND g.neighbor_id = t.neighbor_id))
+       |SELECT (SELECT count(*) FROM truth) AS n_expected,
+       |  (SELECT count(*) FROM hc) AS n_hits_coarse,
+       |  (SELECT count(*) FROM hr) AS n_hits_refined,
+       |  CAST((SELECT count(*) FROM hc) AS DOUBLE) /
+       |    (SELECT count(*) FROM truth) AS recall_coarse,
+       |  CAST((SELECT count(*) FROM hr) AS DOUBLE) /
+       |    (SELECT count(*) FROM truth) AS recall_refined""".stripMargin
+
   /** ann5: one Lloyd iteration of k-means — the training step that
     * produces real IVF centroids (ann2/d5 use a deterministic seed
     * set; this is how the seed set converges). Assignment reuses
@@ -652,6 +771,7 @@ object Similarity {
     "ann2_ivf_topk" -> ann2IvfTopK,
     "ann3_recall" -> ann3Recall,
     "ann4_quantized_recall" -> ann4QuantizedRecall,
+    "ann7_refine_recall" -> ann7RefineRecall,
     "d5_cosine_pairs_banded" -> d5CosinePairsBanded,
     "d11_semantic_dedup" -> d11SemanticDedup)
 
@@ -663,6 +783,7 @@ object Similarity {
     "ann2_ivf_topk" -> ann2Sql,
     "ann3_recall" -> ann3Sql,
     "ann4_quantized_recall" -> ann4Sql,
+    "ann7_refine_recall" -> ann7Sql,
     "d5_cosine_pairs_banded" -> d5Sql,
     "d11_semantic_dedup" -> d11Sql)
 }

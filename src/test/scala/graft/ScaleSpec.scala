@@ -216,7 +216,8 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "d4_simhash", "d4b_simhash_pairs", "d6_dup_clusters",
       "d8_incremental_dedup", "d9_estimator_calibration",
       "d10_cluster_canonical", "pipe5_token_mixture",
-      "pipe6_incremental_curation")
+      "pipe6_incremental_curation", "d12_exact_substring",
+      "t14_rarity_profile", "pipe7_dataset_card")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
