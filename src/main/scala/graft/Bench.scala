@@ -10,7 +10,12 @@ object Bench {
     * reintroduce the round-6 drift finding.
     */
   val WarmupQueries: Seq[String] = Seq("d2_ngram_jaccard",
-    "d3_minhash_lsh", "d4b_simhash_pairs", "d6_dup_clusters")
+    "d3_minhash_lsh", "d4b_simhash_pairs", "d6_dup_clusters",
+    // round-7 memoized per-doc relations (d12/t7/t14): warmed so the
+    // timed figures measure the operators at steady state, and
+    // whichever of {the operator itself, pipe7} runs first doesn't
+    // absorb the one-time build
+    "d12_exact_substring", "t7_decontaminate", "t14_rarity_profile")
 
   /** One timed run: (seconds, result rows); (-1.0, -1) on failure
     * (never time-to-exception — broken queries must be visible in

@@ -190,6 +190,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(tot("n_admitted") > 0)
   }
 
+  test("t14 rarity bands: hapax, shared, and hot trigrams account exactly") {
+    import spark.implicits._
+    // A: 2 unique trigrams (all hapax). B=C: identical 5-token docs,
+    // 3 trigrams each at df=2. D: too short for any trigram. E..I:
+    // share the "c1 c2 c3" trigram (df=5) plus 2 per-doc hapax grams.
+    val docs = Seq(
+      (1L, "x1 x2 x3 x4"),
+      (2L, "y1 y2 y3 y4 y5"), (3L, "y1 y2 y3 y4 y5"),
+      (4L, "z1 z2")) ++
+      (5L to 9L).map(i => (i, s"c1 c2 c3 e${i}a e${i}b"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t14").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.t14RarityProfile(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (
+        r.getAs[Long]("n_grams"), r.getAs[Long]("n_df1"),
+        r.getAs[Long]("n_df2_4"), r.getAs[Long]("n_df5_24"),
+        r.getAs[Long]("n_df25p"), r.getAs[Long]("min_df"),
+        r.getAs[Long]("max_df"), r.getAs[Long]("hapax_per_mille")))
+      .toMap
+    assert(got(1L) == ((2L, 2L, 0L, 0L, 0L, 1L, 1L, 1000L)))
+    assert(got(2L) == ((3L, 0L, 3L, 0L, 0L, 2L, 2L, 0L)))
+    assert(got(2L) == got(3L))
+    assert(got(4L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    (5L to 9L).foreach(i =>
+      assert(got(i) == ((3L, 2L, 0L, 1L, 0L, 1L, 5L, 666L)), s"doc $i"))
+  }
+
   test("pipe7 dataset card: metrics self-consistent, artifact renders them") {
     val card = TextAnalysis.pipe7DatasetCard(spark, sf)
     val rows = card.collect()
