@@ -11,8 +11,10 @@ import org.apache.spark.sql.SparkSession
   * broadcast centroid ranking and single-row recall crossJoins), the
   * IVF centroid assignment inside ann2/d5/d11 (O(N·C) with C
   * centroids broadcast), a19's crossJoin of two single-row summary
-  * aggregates, and pipe5's crossJoin of the single-row corpus token
-  * total onto the 64-row-per-language bucket summaries.
+  * aggregates, pipe5's crossJoin of the single-row corpus token
+  * total onto the 64-row-per-language bucket summaries, and pipe8's
+  * crossJoin of the single-row leakage audit onto the 3-row split
+  * summary.
   * Anything else appearing here is a scale regression.
   */
 object PlanAudit {

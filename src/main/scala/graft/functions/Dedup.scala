@@ -879,6 +879,87 @@ object Dedup {
        |FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
   }
 
+  /** pipe8: leakage-aware train/val/test split — the eval-integrity
+    * step after dedup: a naive per-doc hash split leaks near-
+    * duplicate content across the train/eval boundary (the exact
+    * failure t7 hunts AFTER the fact). Here the split unit is the
+    * near-dup CLUSTER: every doc keys by its d6 cluster id (its own
+    * id when unclustered), the group hash buckets 10 ways (0 → test,
+    * 1 → val, else train), so whole clusters land in one split BY
+    * CONSTRUCTION. The output carries the proof: the number of d3
+    * candidate pairs crossing splits — structurally zero because
+    * every candidate pair is, by definition, inside one d6 cluster;
+    * both engines COMPUTE it from their own independently derived
+    * clusters (iterative min-label propagation vs recursive CTE), so
+    * a split rule that ever broke cluster atomicity would surface as
+    * a nonzero count and a hash mismatch, not silently.
+    *
+    * Scale shape: one left join of the corpus onto the (much
+    * smaller) cluster relation — both memoized — one hash, one
+    * partial-aggregable groupBy; the leakage audit joins the pair
+    * list (already bounded by d3's band/cap design) to two id→split
+    * projections, never to payloads. The 1-row audit result rides a
+    * broadcast crossJoin (the a19 pattern, whitelisted).
+    */
+  def pipe8LeakageSplit(s: SparkSession, d: String): DataFrame = {
+    val assigned = Tables.load(s, d, "documents").select("doc_id")
+      .join(d6DupClusters(s, d), Seq("doc_id"), "left_outer")
+      .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", pmod(xhash64(concat_ws("|",
+        lit("split"), col("grp").cast("string"))), lit(10L)))
+      .withColumn("split",
+        when(col("bucket") === 0, "test")
+          .when(col("bucket") === 1, "val").otherwise("train"))
+    val pairs = d3MinhashLsh(s, d)
+    val xs = pairs
+      .join(assigned.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), "doc_a")
+      .join(assigned.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), "doc_b")
+      .agg(coalesce(sum(when(col("split_a") =!= col("split_b"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_cross_split_pairs"))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered_docs"))
+      .crossJoin(broadcast(xs))
+  }
+
+  val pipe8Sql: String =
+    s"""WITH RECURSIVE pairs AS ($d3Sql),
+       |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(s, t) AS (
+       |  SELECT s, t FROM edges
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+       |clusters AS (
+       |  SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+       |  FROM reach GROUP BY s),
+       |assigned AS (
+       |  SELECT doc_id, cluster_id, grp,
+       |    CASE WHEN bucket = 0 THEN 'test'
+       |         WHEN bucket = 1 THEN 'val' ELSE 'train' END AS split
+       |  FROM (
+       |    SELECT d.doc_id, c.cluster_id,
+       |      coalesce(c.cluster_id, d.doc_id) AS grp,
+       |      ${xhash64Sql("'split|' || CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)")}
+       |        % 10 AS bucket
+       |    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id) b),
+       |audit AS (
+       |  SELECT CAST(coalesce(sum(CASE WHEN a.split <> b.split
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross_split_pairs
+       |  FROM pairs p
+       |  JOIN assigned a ON p.doc_a = a.doc_id
+       |  JOIN assigned b ON p.doc_b = b.doc_id)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+       |  CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_clustered_docs,
+       |  (SELECT n_cross_split_pairs FROM audit) AS n_cross_split_pairs
+       |FROM assigned GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_ngram_jaccard" -> d2NgramJaccard,
@@ -889,7 +970,8 @@ object Dedup {
     "d8_incremental_dedup" -> d8IncrementalDedup,
     "d9_estimator_calibration" -> d9EstimatorCalibration,
     "d10_cluster_canonical" -> d10ClusterCanonical,
-    "d12_exact_substring" -> d12ExactSubstring)
+    "d12_exact_substring" -> d12ExactSubstring,
+    "pipe8_leakage_split" -> pipe8LeakageSplit)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
@@ -901,5 +983,6 @@ object Dedup {
     "d8_incremental_dedup" -> d8Sql,
     "d9_estimator_calibration" -> d9Sql,
     "d10_cluster_canonical" -> d10Sql,
-    "d12_exact_substring" -> d12Sql)
+    "d12_exact_substring" -> d12Sql,
+    "pipe8_leakage_split" -> pipe8Sql)
 }

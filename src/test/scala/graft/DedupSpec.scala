@@ -228,6 +228,49 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.count(_._3 == "KEEP") > 0)
   }
 
+  test("pipe8 split: clusters stay atomic, splits partition the corpus") {
+    val split = Dedup.pipe8LeakageSplit(spark, sf).collect()
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    assert(split.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(split.forall(_.getAs[Long]("n_cross_split_pairs") == 0L))
+    // independent reimplementation: plain-Scala per-doc split from
+    // the cluster map + the hash rule, rolled up and compared
+    // against the distributed aggregates field-for-field
+    val clusters = Dedup.d6DupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def bucketOf(grp: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split|$grp".getBytes("UTF-8"))
+      val hex = md5.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    def splitOf(b: Long) =
+      if (b == 0) "test" else if (b == 1) "val" else "train"
+    val cmap = clusters.toMap
+    val docIds = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = docIds
+      .map { doc =>
+        val grp = cmap.getOrElse(doc, doc)
+        (splitOf(bucketOf(grp)), grp, cmap.contains(doc))
+      }
+      .groupBy(_._1)
+      .map { case (sp, xs) =>
+        sp -> ((xs.length.toLong, xs.map(_._2).distinct.length.toLong,
+          xs.count(_._3).toLong))
+      }
+    val got = split.map(r => r.getAs[String]("split") -> ((
+      r.getAs[Long]("n_docs"), r.getAs[Long]("n_groups"),
+      r.getAs[Long]("n_clustered_docs")))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // and the split rule actually uses the CLUSTER id: a clustered
+    // doc whose own-id bucket differs from its cluster bucket must
+    // follow the cluster (leakage would otherwise be possible)
+    val follower = clusters.find { case (doc, cid) =>
+      doc != cid && bucketOf(doc) != bucketOf(cid) }
+    assert(follower.isDefined, "corpus has no discriminating doc")
+  }
+
   test("d12 finds cross-doc and within-doc duplicated passages exactly") {
     import spark.implicits._
     // W = 8. A 12-token passage P shared by docs 1 and 2 must surface
