@@ -144,11 +144,12 @@ object Bench {
       .mkString("{", ",", "}")
     val fileLine =
       line.dropRight(1) + s""","gc_sec":$gcJson,"rows":$rowsJson}"""
-    // subset runs (SPARK_GRAFT_ONLY) must NEVER touch the artifact:
-    // bench_local.json is the committed full-surface baseline the perf
-    // gate and BASELINE.md read — a 1-query dev run overwriting it
-    // silently falsifies both
-    if (only.isEmpty)
+    // subset runs (SPARK_GRAFT_ONLY) and non-baseline scale factors
+    // must NEVER touch the artifact: bench_local.json is the committed
+    // full-surface sf0.1 baseline the perf gate and BASELINE.md read —
+    // a 1-query dev run or an sf0.001 smoke overwriting it silently
+    // falsifies both (it did, once: see the round-7 restore commit)
+    if (only.isEmpty && sfDir.endsWith("sf0.1"))
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_local.json"),
         (fileLine + "\n").getBytes("UTF-8"))

@@ -92,13 +92,41 @@ object Dedup {
     * the JVM's lifetime), and the compute runs under the map's lock
     * so concurrent first calls cannot double-persist.
     */
+  /** Every memo map that has ever flowed through [[cachedPerSession]],
+    * so [[purgeAllCaches]] can find them without each owner object
+    * registering by hand.
+    */
+  private val cacheRegistry = scala.collection.mutable.Set
+    .empty[scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]]
+
   private[functions] def cachedPerSession(
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
       s: SparkSession, d: String)(build: => DataFrame): DataFrame =
     cache.synchronized {
+      cacheRegistry.synchronized(cacheRegistry += cache)
       cache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
       cache.getOrElseUpdate((s, d),
         build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** Unpersist and drop every memoized relation (all families, all
+    * input dirs). Benchmark/test hook: a long-lived JVM that has run
+    * many suites carries a storage pool full of unrelated persisted
+    * relations; a scale measurement taken in that state times
+    * eviction and GC, not the operator. Purging returns the session
+    * to a cold, clean-storage state; the next access re-builds and
+    * re-persists.
+    */
+  private[graft] def purgeAllCaches(): Unit =
+    cacheRegistry.synchronized {
+      cacheRegistry.foreach { cache =>
+        cache.synchronized {
+          cache.values.foreach(df =>
+            try df.unpersist(blocking = true)
+            catch { case _: Throwable => () })
+          cache.clear()
+        }
+      }
     }
 
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
@@ -130,13 +158,19 @@ object Dedup {
 
   def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val kept = cappedKept(s, d)
-    val counts = keptCounts(kept)
-    val inter = keptIntersections(kept)
-    inter
-      .join(counts.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(counts.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+    // per-doc set size rides INTO the pair join (one shuffle of kept by
+    // doc_id) instead of joining counts onto the pair relation after
+    // the groupBy — that shape reshuffled the O(pairs) relation twice
+    // (once per side) and was the stage the 10x scale gate caught
+    // bending superlinear. n_sh is functionally dependent on doc_id,
+    // so first() per pair group is exact. No broadcast: counts is
+    // O(corpus docs) and must stay a shuffle join at 100 TB.
+    val withN = kept.join(keptCounts(kept), "doc_id")
+    withN.as("a").join(withN.as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"),
+        first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")))

