@@ -10,11 +10,13 @@ import org.apache.spark.sql.SparkSession
   * (broadcast query set — the exact recall baseline; ann6 adds the
   * broadcast centroid ranking and single-row recall crossJoins), the
   * IVF centroid assignment inside ann2/d5/d11 (O(N·C) with C
-  * centroids broadcast), a19's crossJoin of two single-row summary
-  * aggregates, pipe5's crossJoin of the single-row corpus token
-  * total onto the 64-row-per-language bucket summaries, and pipe8's
-  * crossJoin of the single-row leakage audit onto the 3-row split
-  * summary.
+  * centroids broadcast), ann8's single-row recall crossJoins (its
+  * training/encode/ADC paths are all equi-joins on a broadcast
+  * codebook/distance table), a19's crossJoin of two single-row
+  * summary aggregates, pipe5's (and pipe9's) crossJoin of the
+  * single-row corpus/weight totals onto the per-language bucket
+  * summaries (resp. O(sources) rows), and pipe8's crossJoin of the
+  * single-row leakage audit onto the 3-row split summary.
   * Anything else appearing here is a scale regression.
   */
 object PlanAudit {

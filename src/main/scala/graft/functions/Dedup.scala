@@ -197,6 +197,55 @@ object Dedup {
        |JOIN counts cb ON cb.doc_id = doc_b
        |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.5""".stripMargin
 
+  /** d13: asymmetric containment pairs — |A∩B| / min(|A|,|B|) over
+    * the same df-capped shingle sets d2 grounds its Jaccard in. The
+    * quote/excerpt case Jaccard structurally misses: a short doc
+    * wholly embedded in a much longer one has tiny Jaccard (the long
+    * doc's extra shingles swamp the union) but containment ≈ 1. The
+    * threshold (0.8) and the Jaccard contrast column make the output
+    * the deduper's review queue: pairs where containment fires and
+    * Jaccard stayed silent. Same scale shape as d2 — one self-join on
+    * the capped inverted index, set sizes riding into the pair
+    * groupBy, no post-groupBy joins of the pair relation.
+    */
+  def d13ContainmentPairs(s: SparkSession, d: String): DataFrame = {
+    val kept = cappedKept(s, d)
+    val withN = kept.join(keptCounts(kept), "doc_id")
+    withN.as("a").join(withN.as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"),
+        first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("containment") >= 0.8)
+      .select("doc_a", "doc_b", "n_inter", "n_a", "n_b",
+        "containment", "jaccard")
+  }
+
+  val d13Sql: String =
+    s"""WITH sh0 AS ($shinglesSql),
+       |sh AS (SELECT doc_id, ${xhash64Sql("shingle")} AS shingle FROM sh0),
+       |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+       |kept AS (SELECT sh.doc_id, sh.shingle FROM sh
+       |         JOIN dfreq ON sh.shingle = dfreq.shingle
+       |         WHERE dfreq.df <= $DF_CAP),
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
+       |  CAST(n_inter AS DOUBLE) / least(ca.n_sh, cb.n_sh) AS containment,
+       |  CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+       |FROM inter
+       |JOIN counts ca ON ca.doc_id = doc_a
+       |JOIN counts cb ON cb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / least(ca.n_sh, cb.n_sh) >= 0.8""".stripMargin
+
   private val K = 8 // minhash functions; bands of 2 rows → 4 bands
 
   /** Double-hashing family for MinHash (Kirsch–Mitzenmacher): two
@@ -1005,6 +1054,7 @@ object Dedup {
     "d9_estimator_calibration" -> d9EstimatorCalibration,
     "d10_cluster_canonical" -> d10ClusterCanonical,
     "d12_exact_substring" -> d12ExactSubstring,
+    "d13_containment_pairs" -> d13ContainmentPairs,
     "pipe8_leakage_split" -> pipe8LeakageSplit)
 
   val oracles: Map[String, String] = Map(
@@ -1018,5 +1068,6 @@ object Dedup {
     "d9_estimator_calibration" -> d9Sql,
     "d10_cluster_canonical" -> d10Sql,
     "d12_exact_substring" -> d12Sql,
+    "d13_containment_pairs" -> d13Sql,
     "pipe8_leakage_split" -> pipe8Sql)
 }

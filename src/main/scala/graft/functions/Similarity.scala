@@ -763,8 +763,202 @@ object Similarity {
        |    AS verdict
        |FROM assigned a LEFT JOIN dom ON a.vec_id = dom.vec_id""".stripMargin
 
+  /** ann8: product quantization — the memory-bound ANN shape (FAISS
+    * PQ / ADC): split each L2-normalized vector into M=8 subvectors
+    * of 8 dims, quantize each against a K=16-codeword per-subspace
+    * codebook, and a vector's index entry shrinks to 8 code nibbles.
+    * Query-time ADC: the query precomputes its distance to every
+    * codeword (M·K tiny table, broadcast), and a corpus vector's
+    * approximate distance is the SUM of 8 table lookups — no float
+    * math per corpus row at all.
+    *
+    * The codebook is genuinely trained, one Lloyd iteration from a
+    * deterministic seed (subvectors of the 16 lowest vec_ids):
+    * assign → component-wise mean per codeword → re-encode, all
+    * engine-exact (see the quantization note below), so both engines
+    * derive the SAME trained codebook; more iterations = ann5's loop
+    * per subspace. Per-codeword distances are quantized half-up at
+    * 1e-6 to longs BEFORE the cross-code sum, so the ADC total is an
+    * integer sum (order-independent — the ann5/quantizedCorpus
+    * convention); argmin code election is a partial-aggregable
+    * min(struct(dist, k)), never a window over the N·M·K encode
+    * relation. Serving is two-stage like ann7: ADC shortlists 50
+    * candidates, full-precision cosine re-ranks the top-10.
+    * Decision-query output: ADC and refined recall@10 against ann1's
+    * exact top-10.
+    *
+    * 100 TB shape: training + encode are passes O(N·M·K) against a
+    * broadcast codebook; ADC is one equi-join of the code relation
+    * with the broadcast distance table and a partial-aggregable sum —
+    * and at rest the code relation is 8 nibbles/vector, the entire
+    * point: the shortlist scan reads codes, not vectors, and only the
+    * 50 candidates' full vectors are fetched for re-rank. Compose
+    * with ann2's IVF cells (IVF-PQ) to prune the scan the way the
+    * probe path does.
+    */
+  def ann8PqRecall(s: SparkSession, d: String): DataFrame = {
+    val M = 8; val SUB = 8; val CW = 16
+    val c = corpus(s, d).filter(col("nrm") > 0)
+    val cn = c.withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      .select("vec_id", "vn")
+    val sub = cn.select(col("vec_id"), explode(array(
+      (0 until M).map(m => struct(lit(m).as("m"),
+        slice(col("vn"), m * SUB + 1, SUB).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+    val cb0 = broadcast(sub.filter(col("vec_id") < CW)
+      .select(col("m"), col("vec_id").as("k"), col("sv").as("cbv")))
+    def qdist(a: Column, b: Column): Column =
+      floor(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x) * lit(1e6) + lit(0.5)).cast("long")
+    def encode(codebook: DataFrame): DataFrame =
+      sub.join(codebook, Seq("m"))
+        .select(col("vec_id"), col("m"), col("k"),
+          qdist(col("sv"), col("cbv")).as("qd"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("qd"), col("k"))).as("mk"))
+        .select(col("vec_id"), col("m"), col("mk.k").as("k"))
+    // one Lloyd update: component-wise mean of each codeword's
+    // assigned subvectors. Components are half-up-quantized to longs
+    // BEFORE the sum (integer reduction — no float accumulation
+    // order), mean = (Σq / n) / 1e6 with both divisions IEEE-exact
+    // given identical operands; a codeword that attracted nothing
+    // keeps its seed (coalesce against the seed's positions).
+    val compo = encode(cb0).join(sub, Seq("vec_id", "m"))
+      .select(col("m"), col("k"),
+        posexplode(col("sv")).as(Seq("pos", "x")))
+      .select(col("m"), col("k"), col("pos"),
+        floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("qx"))
+    val means = compo.groupBy("m", "k", "pos")
+      .agg((sum(col("qx")).cast("double") / count(lit(1)) / lit(1e6))
+        .as("mx"))
+    val seedPos = cb0.select(col("m"), col("k"),
+      posexplode(col("cbv")).as(Seq("pos", "sx")))
+    val cb1 = broadcast(seedPos
+      .join(means, Seq("m", "k", "pos"), "left_outer")
+      .withColumn("x", coalesce(col("mx"), col("sx")))
+      .groupBy("m", "k")
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("x")))),
+        e => e("x")).as("cbv")))
+    val enc = encode(cb1)
+    val dt = broadcast(sub.filter(col("vec_id") % 100 === 0)
+      .join(cb1, Seq("m"))
+      .select(col("vec_id").as("qid"), col("m"), col("k"),
+        qdist(col("sv"), col("cbv")).as("qd")))
+    val cw = Window.partitionBy("qid")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val cand = enc.join(dt, Seq("m", "k"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id").agg(sum(col("qd")).as("adist"))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= 50)
+    val adc = cand.filter(col("crank") <= 10)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+    // exact re-rank of the 30-candidate ADC shortlist (ann7's serving
+    // shape): full-precision cosine reads only the candidates' vectors
+    val q = broadcast(c.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qnrm")).filter(col("qid") % 100 === 0))
+    val rw = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val refined = cand.select("qid", "vec_id")
+      .join(c, "vec_id").join(q, "qid")
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= 10)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+    val truth = ann1BruteTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    val hitsA = truth.join(adc, Seq("query_id", "neighbor_id"), "left_semi")
+    val hitsR = truth.join(refined, Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_expected"))
+      .crossJoin(hitsA.agg(count(lit(1)).as("n_hits_adc")))
+      .crossJoin(hitsR.agg(count(lit(1)).as("n_hits_refined")))
+      .withColumn("recall_adc",
+        col("n_hits_adc").cast("double") / col("n_expected"))
+      .withColumn("recall_refined",
+        col("n_hits_refined").cast("double") / col("n_expected"))
+  }
+
+  val ann8Sql: String = {
+    val sq = (a: String, b: String) =>
+      s"CAST(floor(1e6 * list_sum(list_transform(range(1, 9), i -> " +
+        s"($a[i] - $b[i]) * ($a[i] - $b[i]))) + 0.5) AS BIGINT)"
+    s"""WITH c AS ($corpusSql),
+       |cn AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+       |       FROM c WHERE nrm > 0),
+       |sub AS (
+       |  SELECT vec_id, CAST(m AS INT) AS m, vn[m*8+1 : m*8+8] AS sv
+       |  FROM cn CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS m) ms),
+       |cb0 AS (SELECT m, vec_id AS k, sv AS cbv FROM sub WHERE vec_id < 16),
+       |enc0 AS (
+       |  SELECT vec_id, m, k FROM (
+       |    SELECT s.vec_id, s.m, cb0.k,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${sq("s.sv", "cb0.cbv")} ASC, cb0.k ASC) AS rn
+       |    FROM sub s JOIN cb0 ON s.m = cb0.m) r WHERE rn = 1),
+       |compo AS (
+       |  SELECT e.m, e.k, r.i - 1 AS pos,
+       |    CAST(floor(s.sv[r.i] * 1e6 + 0.5) AS BIGINT) AS qx
+       |  FROM enc0 e JOIN sub s ON s.vec_id = e.vec_id AND s.m = e.m
+       |  CROSS JOIN range(1, 9) r(i)),
+       |means AS (
+       |  SELECT m, k, pos,
+       |    CAST(sum(qx) AS DOUBLE) / count(*) / 1e6 AS mx
+       |  FROM compo GROUP BY 1, 2, 3),
+       |seedpos AS (
+       |  SELECT m, k, r.i - 1 AS pos, cbv[r.i] AS sx
+       |  FROM cb0 CROSS JOIN range(1, 9) r(i)),
+       |cb1 AS (
+       |  SELECT m, k, list(coalesce(mx, sx) ORDER BY pos) AS cbv
+       |  FROM seedpos LEFT JOIN means USING (m, k, pos)
+       |  GROUP BY 1, 2),
+       |enc AS (
+       |  SELECT vec_id, m, k FROM (
+       |    SELECT s.vec_id, s.m, cb1.k,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${sq("s.sv", "cb1.cbv")} ASC, cb1.k ASC) AS rn
+       |    FROM sub s JOIN cb1 ON s.m = cb1.m) r WHERE rn = 1),
+       |dt AS (
+       |  SELECT q.vec_id AS qid, cb1.m, cb1.k, ${sq("q.sv", "cb1.cbv")} AS qd
+       |  FROM sub q JOIN cb1 ON q.m = cb1.m WHERE q.vec_id % 100 = 0),
+       |cand AS (
+       |  SELECT qid, vec_id, crank FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adist ASC, vec_id ASC) AS crank FROM (
+       |      SELECT dt.qid, e.vec_id, CAST(sum(dt.qd) AS BIGINT) AS adist
+       |      FROM enc e JOIN dt ON e.m = dt.m AND e.k = dt.k
+       |      WHERE e.vec_id <> dt.qid GROUP BY 1, 2) a) r
+       |  WHERE crank <= 50),
+       |adc AS (SELECT qid AS query_id, vec_id AS neighbor_id
+       |        FROM cand WHERE crank <= 10),
+       |refined AS (
+       |  SELECT qid AS query_id, vec_id AS neighbor_id FROM (
+       |    SELECT cd.qid, cd.vec_id,
+       |      row_number() OVER (PARTITION BY cd.qid ORDER BY
+       |        ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+       |        cd.vec_id ASC) AS rank
+       |    FROM cand cd JOIN c ON c.vec_id = cd.vec_id
+       |                 JOIN c q ON q.vec_id = cd.qid) r
+       |  WHERE rank <= 10),
+       |truth AS (SELECT query_id, neighbor_id FROM ($ann1Sql) a),
+       |ha AS (SELECT * FROM truth t WHERE EXISTS (
+       |  SELECT 1 FROM adc g WHERE g.query_id = t.query_id
+       |    AND g.neighbor_id = t.neighbor_id)),
+       |hr AS (SELECT * FROM truth t WHERE EXISTS (
+       |  SELECT 1 FROM refined g WHERE g.query_id = t.query_id
+       |    AND g.neighbor_id = t.neighbor_id))
+       |SELECT (SELECT count(*) FROM truth) AS n_expected,
+       |  (SELECT count(*) FROM ha) AS n_hits_adc,
+       |  (SELECT count(*) FROM hr) AS n_hits_refined,
+       |  CAST((SELECT count(*) FROM ha) AS DOUBLE) /
+       |    (SELECT count(*) FROM truth) AS recall_adc,
+       |  CAST((SELECT count(*) FROM hr) AS DOUBLE) /
+       |    (SELECT count(*) FROM truth) AS recall_refined""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann5_kmeans_iter" -> ann5KmeansIter,
+    "ann8_pq_recall" -> ann8PqRecall,
     "ann6_probe_sweep" -> ann6ProbeSweep,
     "d7_rph_pairs" -> d7RphPairs,
     "ann1_brute_topk" -> ann1BruteTopK,
@@ -777,6 +971,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann5_kmeans_iter" -> ann5Sql,
+    "ann8_pq_recall" -> ann8Sql,
     "ann6_probe_sweep" -> ann6Sql,
     "d7_rph_pairs" -> d7Sql,
     "ann1_brute_topk" -> ann1Sql,

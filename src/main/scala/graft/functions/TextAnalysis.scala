@@ -1075,6 +1075,96 @@ object TextAnalysis {
        |    AS hapax_per_mille
        |FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
 
+  /** t15: TF-IDF keyword extraction — each doc's top-3 terms ranked
+    * rarity-weighted, the per-document topical fingerprint a curation
+    * UI or topic-drift monitor reads. The ranking is the
+    * float-free order (tf DESC, df ASC, term ASC): highest
+    * within-doc frequency first, corpus-rarer term on ties, then
+    * lexical — a total order both engines compute in pure integer and
+    * string comparisons, where a log-based tf·idf score would hang
+    * the cross-engine hash on transcendental rounding. Scale shape:
+    * tf is one partial-aggregable groupBy, df is a groupBy over the
+    * already-distinct (doc, term) pairs (O(vocab) output), and the
+    * top-3 window partitions per doc — no global sort anywhere.
+    */
+  def t15TfidfKeywords(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables.load(s, d, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfTab, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "tf", "df")
+  }
+
+  val t15Sql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      |SELECT doc_id, rank, term, tf, df FROM (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rank
+      |  FROM tf JOIN dfq ON tf.term = dfq.term) ranked
+      |WHERE rank <= 3""".stripMargin
+
+  /** pipe9: temperature-scaled source mixture — the multilingual/
+    * multi-domain rebalancing step (sample domain i proportional to
+    * p_i^α, α = 1/2): a flat-proportional mix lets the biggest source
+    * drown the tail, α→0 flattens to uniform; √p is the standard
+    * middle ground. The α = 1/2 choice is load-bearing for
+    * verification: weight_i = floor(√tokens_i) is exact in BOTH
+    * engines because IEEE-754 sqrt is correctly rounded (perfect
+    * squares land exactly; floor is then integer-stable), where a
+    * general p^α via exp/log would hang the hash on libm rounding.
+    * Everything after the sqrt is integer arithmetic: budget_i =
+    * weight_i · B ÷ Σweight with B = half the corpus tokens, and the
+    * effective per-source sampling rate in basis points. One
+    * partial-aggregable groupBy(source) then driver-size arithmetic —
+    * the report is O(sources) rows regardless of corpus size.
+    */
+  def pipe9TemperatureMixture(s: SparkSession, d: String): DataFrame = {
+    val bySrc = Tables.load(s, d, "documents")
+      .select(col("source"), size(words(col("text"))).cast("long").as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("tokens").cast("double"))).cast("long"))
+    val tot = bySrc.agg(sum(col("weight")).as("w_total"),
+      (sum(col("tokens")) / lit(2)).cast("long").as("b_total"))
+    bySrc.crossJoin(broadcast(tot))
+      .withColumn("budget",
+        expr("(weight * b_total) div w_total"))
+      .withColumn("rate_bp",
+        least(expr("(budget * 10000) div tokens"), lit(10000L)))
+      .select("source", "n_docs", "tokens", "weight", "budget", "rate_bp")
+  }
+
+  val pipe9Sql: String =
+    """WITH by_src AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT source, n_docs, tokens,
+      |    CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS weight
+      |  FROM by_src),
+      |tot AS (
+      |  SELECT CAST(sum(weight) AS BIGINT) AS w_total,
+      |    CAST(sum(tokens) // 2 AS BIGINT) AS b_total FROM w)
+      |SELECT source, n_docs, tokens, weight,
+      |  (weight * b_total) // w_total AS budget,
+      |  least((((weight * b_total) // w_total) * 10000) // tokens,
+      |        10000) AS rate_bp
+      |FROM w CROSS JOIN tot""".stripMargin
+
   /** pipe7: dataset card — the datasheet a curated corpus ships with,
     * as ONE long-format (section, metric, value) relation assembled
     * from the family's own operators: corpus size/diversity, exact-
@@ -1214,6 +1304,8 @@ object TextAnalysis {
     "pipe5_token_mixture" -> pipe5TokenMixture,
     "pipe6_incremental_curation" -> pipe6IncrementalCuration,
     "t14_rarity_profile" -> t14RarityProfile,
+    "t15_tfidf_keywords" -> t15TfidfKeywords,
+    "pipe9_temperature_mixture" -> pipe9TemperatureMixture,
     "pipe7_dataset_card" -> pipe7DatasetCard)
 
   val oracles: Map[String, String] = Map(
@@ -1235,5 +1327,7 @@ object TextAnalysis {
     "pipe5_token_mixture" -> pipe5Sql,
     "pipe6_incremental_curation" -> pipe6Sql,
     "t14_rarity_profile" -> t14Sql,
+    "t15_tfidf_keywords" -> t15Sql,
+    "pipe9_temperature_mixture" -> pipe9Sql,
     "pipe7_dataset_card" -> pipe7Sql)
 }

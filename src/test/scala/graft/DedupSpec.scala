@@ -302,4 +302,41 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got(3L) == ((20L, 0L, 0L, 0L, 0L)), s"docC: ${got(3L)}")
     assert(got(4L) == ((25L, 2L, 16L, 8L, 1L)), s"docD: ${got(4L)}")
   }
+
+  test("ann8 decision contract: exact re-rank never loses to raw ADC") {
+    // the two recalls share one candidate set; the refined stage
+    // re-orders it by TRUE cosine, so its hit count can only match or
+    // beat the ADC ordering's. Also pins the truth-side arithmetic:
+    // n_expected = 10 per query.
+    val r = graft.functions.Similarity.ann8PqRecall(spark, sf).collect()(0)
+    val nq = r.getAs[Long]("n_expected")
+    assert(nq > 0 && nq % 10 == 0, s"n_expected=$nq")
+    assert(r.getAs[Double]("recall_refined") >=
+      r.getAs[Double]("recall_adc"),
+      s"refined ${r.getAs[Double]("recall_refined")} < " +
+        s"adc ${r.getAs[Double]("recall_adc")}")
+  }
+
+  test("d13 containment fires on an embedded excerpt that Jaccard misses") {
+    import spark.implicits._
+    // doc 2 = a 6-word excerpt of doc 1 (60 words): every one of its 4
+    // shingles appears in doc 1, so containment = 1.0, while Jaccard
+    // = 4 / 58 ≈ 0.07 — below d2's 0.5 threshold. doc 3 is unrelated.
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (20 to 25).map(i => s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d13").toString
+    Seq((1L, long), (2L, excerpt), (3L, other))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = graft.functions.Dedup.d13ContainmentPairs(spark, tmp)
+      .collect()
+    assert(rows.length == 1, rows.mkString("; "))
+    val r = rows(0)
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("n_inter") == 4L)
+    assert(r.getAs[Double]("containment") == 1.0)
+    assert(r.getAs[Double]("jaccard") < 0.5,
+      "the pair d13 exists for must be invisible to d2")
+  }
 }

@@ -244,4 +244,42 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(text.contains(
       s"- n_docs: ${rows(("corpus", "n_docs"))}"))
   }
+
+  test("t15 keyword rank is (tf desc, df asc, term asc), top-3 only") {
+    import spark.implicits._
+    // doc 1: "b b b a a c d" → b(tf3) first; a(tf2) second; c vs d tie
+    // on tf=1 → df decides: c appears in doc 2 too (df 2), d only
+    // here (df 1) → d outranks c. doc 2: same df rule demotes its c
+    // below e and f (df 1 each), whose own tie breaks lexically.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t15").toString
+    Seq((1L, "b b b a a c d"), (2L, "c e f"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.t15TfidfKeywords(spark, tmp)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"),
+        r.getAs[String]("term")))
+    assert(got.toSeq == Seq(
+      (1L, 1, "b"), (1L, 2, "a"), (1L, 3, "d"),
+      (2L, 1, "e"), (2L, 2, "f"), (2L, 3, "c")), got.mkString("; "))
+  }
+
+  test("pipe9 sqrt-temperature budgets: exact integers, rate capped") {
+    import spark.implicits._
+    // two sources, 400 vs 100 tokens (docs of 4 words each):
+    // weights 20 vs 10, B = 250 → budgets 166 vs 83: the small
+    // source gets 33% of the budget at 20% of the mass — the
+    // tail-boost that IS the point of temperature scaling.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p9").toString
+    val docs =
+      (1 to 100).map(i => (i.toLong, "a b c d", "big")) ++
+        (1 to 25).map(i => (1000L + i, "a b c d", "small"))
+    docs.toDF("doc_id", "text", "source")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.pipe9TemperatureMixture(spark, tmp)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("tokens"), r.getAs[Long]("weight"),
+          r.getAs[Long]("budget"), r.getAs[Long]("rate_bp"))).toMap
+    assert(got("big") == ((400L, 20L, 166L, 4150L)), got("big").toString)
+    assert(got("small") == ((100L, 10L, 83L, 8300L)), got("small").toString)
+  }
 }
