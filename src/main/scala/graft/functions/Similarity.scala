@@ -67,9 +67,18 @@ object Similarity {
 
   /** ann1: brute-force cosine top-10 per query (queries = vec_id ≡ 0
     * mod 100, broadcast). Exact baseline every ANN variant is judged
-    * against.
+    * against — and memoized for exactly that reason: ann3/ann4/ann7/
+    * ann8 each join against this truth relation, and without the memo
+    * each recall query re-pays the full O(N·Q) exact scan it exists
+    * to avoid.
     */
-  def ann1BruteTopK(s: SparkSession, d: String): DataFrame = {
+  private val truthCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def ann1BruteTopK(s: SparkSession, d: String): DataFrame =
+    Dedup.cachedPerSession(truthCache, s, d)(ann1Uncached(s, d))
+
+  private def ann1Uncached(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
     val q = broadcast(c.select(col("vec_id").as("qid"), col("v").as("qv"),
       col("nrm").as("qnrm")).filter(col("qid") % 100 === 0))
@@ -801,19 +810,28 @@ object Similarity {
     val c = corpus(s, d).filter(col("nrm") > 0)
     val cn = c.withColumn("vn", transform(col("v"), x => x / col("nrm")))
       .select("vec_id", "vn")
+    // each subvector row carries its own squared norm so the pairwise
+    // squared distance is ‖a‖² − 2a·b + ‖b‖² over the NATIVE codegen'd
+    // dot product — the zip_with((x,y) => (x−y)²) fold is interpreted
+    // (CodegenFallback) and was this query's hot spot across the
+    // N·M·K encode passes. The identity changes rounding vs the
+    // fold-of-squares by ulps; the oracle computes the identical
+    // expression, so the quantized longs stay engine-equal.
     val sub = cn.select(col("vec_id"), explode(array(
       (0 until M).map(m => struct(lit(m).as("m"),
         slice(col("vn"), m * SUB + 1, SUB).as("sv"))): _*)).as("e"))
       .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+      .withColumn("s2", dot(col("sv"), col("sv")))
     val cb0 = broadcast(sub.filter(col("vec_id") < CW)
-      .select(col("m"), col("vec_id").as("k"), col("sv").as("cbv")))
-    def qdist(a: Column, b: Column): Column =
-      floor(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x) * lit(1e6) + lit(0.5)).cast("long")
+      .select(col("m"), col("vec_id").as("k"), col("sv").as("cbv"),
+        col("s2").as("c2")))
+    def qdist(s2: Column, a: Column, b: Column, c2: Column): Column =
+      floor((s2 - lit(2.0) * dot(a, b) + c2) * lit(1e6) + lit(0.5))
+        .cast("long")
     def encode(codebook: DataFrame): DataFrame =
       sub.join(codebook, Seq("m"))
         .select(col("vec_id"), col("m"), col("k"),
-          qdist(col("sv"), col("cbv")).as("qd"))
+          qdist(col("s2"), col("sv"), col("cbv"), col("c2")).as("qd"))
         .groupBy("vec_id", "m")
         .agg(min(struct(col("qd"), col("k"))).as("mk"))
         .select(col("vec_id"), col("m"), col("mk.k").as("k"))
@@ -839,12 +857,13 @@ object Similarity {
       .groupBy("m", "k")
       .agg(transform(
         sort_array(collect_list(struct(col("pos"), col("x")))),
-        e => e("x")).as("cbv")))
+        e => e("x")).as("cbv"))
+      .withColumn("c2", dot(col("cbv"), col("cbv"))))
     val enc = encode(cb1)
     val dt = broadcast(sub.filter(col("vec_id") % 100 === 0)
       .join(cb1, Seq("m"))
       .select(col("vec_id").as("qid"), col("m"), col("k"),
-        qdist(col("sv"), col("cbv")).as("qd")))
+        qdist(col("s2"), col("sv"), col("cbv"), col("c2")).as("qd")))
     val cw = Window.partitionBy("qid")
       .orderBy(col("adist").asc, col("vec_id").asc)
     val cand = enc.join(dt, Seq("m", "k"))
@@ -880,21 +899,28 @@ object Similarity {
   }
 
   val ann8Sql: String = {
-    val sq = (a: String, b: String) =>
-      s"CAST(floor(1e6 * list_sum(list_transform(range(1, 9), i -> " +
-        s"($a[i] - $b[i]) * ($a[i] - $b[i]))) + 0.5) AS BIGINT)"
+    // the ‖a‖² − 2a·b + ‖b‖² identity, matching the Spark side's
+    // native-dot form operation-for-operation
+    val sq = (s2: String, a: String, b: String, c2: String) =>
+      s"CAST(floor(($s2 - 2 * list_sum(list_transform(range(1, 9), " +
+        s"i -> $a[i] * $b[i])) + $c2) * 1e6 + 0.5) AS BIGINT)"
     s"""WITH c AS ($corpusSql),
        |cn AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
        |       FROM c WHERE nrm > 0),
-       |sub AS (
+       |sub0 AS (
        |  SELECT vec_id, CAST(m AS INT) AS m, vn[m*8+1 : m*8+8] AS sv
        |  FROM cn CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS m) ms),
-       |cb0 AS (SELECT m, vec_id AS k, sv AS cbv FROM sub WHERE vec_id < 16),
+       |sub AS (
+       |  SELECT vec_id, m, sv,
+       |    list_sum(list_transform(range(1, 9), i -> sv[i] * sv[i])) AS s2
+       |  FROM sub0),
+       |cb0 AS (SELECT m, vec_id AS k, sv AS cbv, s2 AS c2 FROM sub
+       |        WHERE vec_id < 16),
        |enc0 AS (
        |  SELECT vec_id, m, k FROM (
        |    SELECT s.vec_id, s.m, cb0.k,
        |      row_number() OVER (PARTITION BY s.vec_id, s.m
-       |        ORDER BY ${sq("s.sv", "cb0.cbv")} ASC, cb0.k ASC) AS rn
+       |        ORDER BY ${sq("s.s2", "s.sv", "cb0.cbv", "cb0.c2")} ASC, cb0.k ASC) AS rn
        |    FROM sub s JOIN cb0 ON s.m = cb0.m) r WHERE rn = 1),
        |compo AS (
        |  SELECT e.m, e.k, r.i - 1 AS pos,
@@ -908,18 +934,22 @@ object Similarity {
        |seedpos AS (
        |  SELECT m, k, r.i - 1 AS pos, cbv[r.i] AS sx
        |  FROM cb0 CROSS JOIN range(1, 9) r(i)),
-       |cb1 AS (
+       |cb1a AS (
        |  SELECT m, k, list(coalesce(mx, sx) ORDER BY pos) AS cbv
        |  FROM seedpos LEFT JOIN means USING (m, k, pos)
        |  GROUP BY 1, 2),
+       |cb1 AS (
+       |  SELECT m, k, cbv,
+       |    list_sum(list_transform(range(1, 9), i -> cbv[i] * cbv[i])) AS c2
+       |  FROM cb1a),
        |enc AS (
        |  SELECT vec_id, m, k FROM (
        |    SELECT s.vec_id, s.m, cb1.k,
        |      row_number() OVER (PARTITION BY s.vec_id, s.m
-       |        ORDER BY ${sq("s.sv", "cb1.cbv")} ASC, cb1.k ASC) AS rn
+       |        ORDER BY ${sq("s.s2", "s.sv", "cb1.cbv", "cb1.c2")} ASC, cb1.k ASC) AS rn
        |    FROM sub s JOIN cb1 ON s.m = cb1.m) r WHERE rn = 1),
        |dt AS (
-       |  SELECT q.vec_id AS qid, cb1.m, cb1.k, ${sq("q.sv", "cb1.cbv")} AS qd
+       |  SELECT q.vec_id AS qid, cb1.m, cb1.k, ${sq("q.s2", "q.sv", "cb1.cbv", "cb1.c2")} AS qd
        |  FROM sub q JOIN cb1 ON q.m = cb1.m WHERE q.vec_id % 100 = 0),
        |cand AS (
        |  SELECT qid, vec_id, crank FROM (
