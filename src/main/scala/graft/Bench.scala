@@ -15,7 +15,11 @@ object Bench {
     // timed figures measure the operators at steady state, and
     // whichever of {the operator itself, pipe7} runs first doesn't
     // absorb the one-time build
-    "d12_exact_substring", "t7_decontaminate", "t14_rarity_profile")
+    "d12_exact_substring", "t7_decontaminate", "t14_rarity_profile",
+    // ann1's exact-cosine truth relation is memoized and shared by
+    // ann3/ann4/ann7/ann8/ann9 — warm it so no recall query's timed
+    // figure absorbs the one-time O(N·Q) truth build
+    "ann1_brute_topk")
 
   /** One timed run: (seconds, result rows); (-1.0, -1) on failure
     * (never time-to-exception — broken queries must be visible in

@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
   * ann7 (ann7's stage-1 coarse scan; its exact re-rank is an
   * equi-join)
   * (broadcast query set — the exact recall baseline; ann6 adds the
-  * broadcast centroid ranking and single-row recall crossJoins), the
+  * broadcast centroid ranking and single-row recall crossJoins;
+  * ann9 inherits ann1's broadcast-query scan through the memoized
+  * truth relation — its own lexical/fusion joins are all equi), the
   * IVF centroid assignment inside ann2/d5/d11 (O(N·C) with C
   * centroids broadcast), ann8's single-row recall crossJoins (its
   * training/encode/ADC paths are all equi-joins on a broadcast

@@ -246,6 +246,76 @@ object Dedup {
        |JOIN counts cb ON cb.doc_id = doc_b
        |WHERE CAST(n_inter AS DOUBLE) / least(ca.n_sh, cb.n_sh) >= 0.8""".stripMargin
 
+  /** d14: fuzzy entity-name pairs — every distinct `p_name` pair
+    * within Levenshtein distance ≤ 2, found WITHOUT an all-pairs
+    * scan via the FastSS deletion-neighborhood scheme: each name
+    * emits its ≤2-char-deletion variants as signatures, and any two
+    * names within edit distance 2 are GUARANTEED to share one
+    * (delete the edited positions from each side) — so an equi-join
+    * on the signature is an exact-recall candidate generator, and
+    * `levenshtein` runs only inside candidate buckets. Per-name
+    * fan-out is 1 + n + n(n−1)/2 signatures (n = name length, short
+    * for entity names), the bucket join is capped at 256 members
+    * (same hot-bucket policy as d2's DF_CAP — mirrored in the
+    * oracle), and the whole pipeline is explode → distinct →
+    * equi-join → filter: linear in distinct names, never in name
+    * pairs. The entity-resolution twin of the document-level d2/d3.
+    */
+  def d14FuzzyNamePairs(s: SparkSession, d: String): DataFrame = {
+    // delete position `p` from string `str` (1-based); substring
+    // clamps past-the-end, so length(w) is a safe max tail length
+    def del(str: String, p: String) =
+      s"concat(substring($str, 1, $p - 1), substring($str, $p + 1, length(w)))"
+    val dj = del("w", "j")
+    val sigExpr =
+      s"""flatten(transform(sequence(1, length(w)), j ->
+         |  transform(sequence(0, j - 1), i ->
+         |    CASE WHEN i = 0 THEN $dj ELSE ${del(s"($dj)", "i")} END)))"""
+        .stripMargin
+    val vocab = Tables.load(s, d, "part")
+      .groupBy(col("p_name").as("w")).agg(count(lit(1)).as("freq"))
+    val sigs = vocab
+      .select(col("w"), col("freq"),
+        explode(array_distinct(concat(expr(sigExpr), array(col("w")))))
+          .as("sig"))
+    val keptSig = sigs.groupBy("sig").agg(count(lit(1)).as("members"))
+      .filter(col("members") <= 256).select("sig")
+    val kept = sigs.join(keptSig, Seq("sig"))
+    kept.as("a").join(kept.as("b"), Seq("sig"))
+      .filter(col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("name_a"), col("b.w").as("name_b"))
+      .agg(min(col("a.freq")).as("freq_a"), min(col("b.freq")).as("freq_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select("name_a", "name_b", "dist", "freq_a", "freq_b")
+  }
+
+  val d14Sql: String =
+    """WITH vocab AS (
+      |  SELECT p_name AS w, count(*) AS freq FROM part GROUP BY 1),
+      |sigs0 AS (
+      |  SELECT w, freq, unnest(list_append(flatten(
+      |    [[CASE WHEN i = 0
+      |        THEN substr(w, 1, j - 1) || substr(w, j + 1, length(w))
+      |        ELSE substr(substr(w, 1, j - 1) || substr(w, j + 1, length(w)),
+      |               1, i - 1)
+      |             || substr(substr(w, 1, j - 1) || substr(w, j + 1, length(w)),
+      |                  i + 1, length(w))
+      |      END for i in range(0, j)]
+      |     for j in range(1, length(w) + 1)]), w)) AS sig
+      |  FROM vocab),
+      |sigs AS (SELECT DISTINCT w, freq, sig FROM sigs0),
+      |keptsig AS (SELECT sig FROM sigs GROUP BY sig HAVING count(*) <= 256),
+      |kept AS (SELECT s.w, s.freq, s.sig FROM sigs s JOIN keptsig USING (sig)),
+      |cand AS (
+      |  SELECT a.w AS name_a, b.w AS name_b,
+      |         min(a.freq) AS freq_a, min(b.freq) AS freq_b
+      |  FROM kept a JOIN kept b ON a.sig = b.sig AND a.w < b.w
+      |  GROUP BY 1, 2)
+      |SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist,
+      |  freq_a, freq_b
+      |FROM cand WHERE levenshtein(name_a, name_b) <= 2""".stripMargin
+
   private val K = 8 // minhash functions; bands of 2 rows → 4 bands
 
   /** Double-hashing family for MinHash (Kirsch–Mitzenmacher): two
@@ -1055,6 +1125,7 @@ object Dedup {
     "d10_cluster_canonical" -> d10ClusterCanonical,
     "d12_exact_substring" -> d12ExactSubstring,
     "d13_containment_pairs" -> d13ContainmentPairs,
+    "d14_fuzzy_name_pairs" -> d14FuzzyNamePairs,
     "pipe8_leakage_split" -> pipe8LeakageSplit)
 
   val oracles: Map[String, String] = Map(
@@ -1069,5 +1140,6 @@ object Dedup {
     "d10_cluster_canonical" -> d10Sql,
     "d12_exact_substring" -> d12Sql,
     "d13_containment_pairs" -> d13Sql,
+    "d14_fuzzy_name_pairs" -> d14Sql,
     "pipe8_leakage_split" -> pipe8Sql)
 }

@@ -986,7 +986,104 @@ object Similarity {
        |    (SELECT count(*) FROM truth) AS recall_refined""".stripMargin
   }
 
+  /** ann9: hybrid retrieval — reciprocal-rank fusion of a LEXICAL
+    * ranking (rare-word overlap between documents, inverted-index
+    * join) and the VECTOR ranking (ann1's exact cosine top-10),
+    * `RRF = 1/(60+lex_rank) + 1/(60+vec_rank)` with absent-list
+    * contributions 0, top-5 fused per query. The standard two-tower
+    * retrieval merge (BM25 ⊕ embeddings) every RAG/curation stack
+    * runs. Scale shape: the lexical side is a DF-capped inverted
+    * index (postings join on rare words only — the same hot-bucket
+    * policy as d2; a stopword can never fan out), the vector side
+    * reuses the memoized ann1 truth relation, and the fusion is a
+    * full-outer equi-join of two already-top-10 relations — O(Q·20)
+    * rows, trivially broadcastable, no score arithmetic beyond two
+    * exact divisions (deterministic IEEE in both engines since the
+    * add order is fixed lex + vec).
+    *
+    * Candidate universes agree by construction: the lexical side is
+    * restricted to documents that HAVE an embedding (inner join on
+    * the corpus ids), matching ann1's corpus.
+    */
+  def ann9HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val ids = corpus(s, d).select(col("vec_id"))
+    val post0 = Tables.load(s, d, "documents")
+      .join(ids, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .filter(length(col("w")) >= 4)
+    val rare = post0.groupBy("w").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= 100).select("w")
+    val post = post0.join(rare, Seq("w"))
+    val qpost = post.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"), col("w"))
+    val wl = Window.partitionBy("qid")
+      .orderBy(col("n_shared").desc, col("doc_id").asc)
+    val lex = qpost.join(post, Seq("w"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= 10)
+      .select("qid", "doc_id", "lex_rank")
+    val vec = ann1BruteTopK(s, d).select(col("query_id").as("qid"),
+      col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
+    val wf = Window.partitionBy("qid")
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+      .withColumn("fused_rank", row_number().over(wf))
+      .filter(col("fused_rank") <= 5)
+      .select(col("qid").as("query_id"), col("doc_id").as("neighbor_id"),
+        col("lex_rank"), col("vec_rank"), col("rrf_score"),
+        col("fused_rank"))
+  }
+
+  val ann9Sql: String =
+    s"""WITH c AS ($corpusSql),
+       |post0 AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+       |  FROM documents JOIN c ON doc_id = c.vec_id),
+       |post1 AS (SELECT doc_id, w FROM post0 WHERE length(w) >= 4),
+       |rare AS (SELECT w FROM post1 GROUP BY w HAVING count(*) <= 100),
+       |post AS (SELECT p.doc_id, p.w FROM post1 p JOIN rare USING (w)),
+       |lex AS (
+       |  SELECT qid, doc_id, lex_rank FROM (
+       |    SELECT qid, doc_id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY n_shared DESC, doc_id ASC) AS lex_rank
+       |    FROM (
+       |      SELECT q.doc_id AS qid, p.doc_id AS doc_id, count(*) AS n_shared
+       |      FROM post q JOIN post p ON q.w = p.w AND p.doc_id <> q.doc_id
+       |      WHERE q.doc_id % 100 = 0 GROUP BY 1, 2) o) r
+       |  WHERE lex_rank <= 10),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM c
+       |      WHERE vec_id % 100 = 0),
+       |pc AS (SELECT qid, vec_id,
+       |         ${dotSql("qv", "v")} / (qnrm * nrm) AS cos
+       |       FROM q, c WHERE vec_id <> qid),
+       |vec AS (
+       |  SELECT qid, vec_id AS doc_id, vec_rank FROM (
+       |    SELECT qid, vec_id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS vec_rank
+       |    FROM pc) r WHERE vec_rank <= 10),
+       |fused AS (
+       |  SELECT coalesce(lex.qid, vec.qid) AS qid,
+       |    coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+       |    lex.lex_rank, vec.vec_rank,
+       |    coalesce(CAST(1 AS DOUBLE) / (60 + lex.lex_rank), 0) +
+       |      coalesce(CAST(1 AS DOUBLE) / (60 + vec.vec_rank), 0) AS rrf_score
+       |  FROM lex FULL OUTER JOIN vec
+       |    ON lex.qid = vec.qid AND lex.doc_id = vec.doc_id)
+       |SELECT qid AS query_id, doc_id AS neighbor_id, lex_rank, vec_rank,
+       |  rrf_score, fused_rank FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY qid ORDER BY rrf_score DESC, doc_id ASC) AS fused_rank
+       |  FROM fused) f WHERE fused_rank <= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann9_hybrid_rrf" -> ann9HybridRrf,
     "ann5_kmeans_iter" -> ann5KmeansIter,
     "ann8_pq_recall" -> ann8PqRecall,
     "ann6_probe_sweep" -> ann6ProbeSweep,
@@ -1000,6 +1097,7 @@ object Similarity {
     "d11_semantic_dedup" -> d11SemanticDedup)
 
   val oracles: Map[String, String] = Map(
+    "ann9_hybrid_rrf" -> ann9Sql,
     "ann5_kmeans_iter" -> ann5Sql,
     "ann8_pq_recall" -> ann8Sql,
     "ann6_probe_sweep" -> ann6Sql,

@@ -838,6 +838,122 @@ object Relational {
       |                AND c_mktsegment = 'BUILDING' AND c_nationkey < 5)
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** w11: batch sessionization — the gap rule (30 min of user
+    * inactivity closes a session) applied to the events log, the
+    * batch twin of the streaming `c9_session_window`. Classic
+    * two-window composition: `lag` marks session starts, a running
+    * `sum` of the start flags numbers sessions, one `groupBy`
+    * aggregates them — ALL on the same `user_id` partitioning, so
+    * Spark plans exactly ONE shuffle (both window passes and the
+    * final partial-aggregable groupBy reuse it). Ordering is
+    * (epoch, event_id): event_id is unique, so the frame is total —
+    * deterministic under any partitioning. The 100 TB shape for
+    * "assemble interaction transcripts per user" in a training-data
+    * pipeline.
+    */
+  def w11Sessionize(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events").select(
+      col("user_id"), col("event_id"),
+      unix_timestamp(date_trunc("second", col("ts"))).as("epoch"))
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("epoch"), col("event_id"))
+    ev.withColumn("prev", lag(col("epoch"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("epoch") - col("prev") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("epoch")).as("start_epoch"),
+        max(col("epoch")).as("end_epoch"))
+      .withColumn("duration_s", col("end_epoch") - col("start_epoch"))
+  }
+
+  val w11Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, epoch,
+      |    CASE WHEN lag(epoch) OVER w IS NULL
+      |           OR epoch - lag(epoch) OVER w > 1800
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY epoch, event_id)),
+      |g AS (
+      |  SELECT user_id, epoch,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+      |                             ORDER BY epoch, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING
+      |                             AND CURRENT ROW) AS BIGINT) AS sess_idx
+      |  FROM f)
+      |SELECT user_id, sess_idx, count(*) AS n_events,
+      |  min(epoch) AS start_epoch, max(epoch) AS end_epoch,
+      |  max(epoch) - min(epoch) AS duration_s
+      |FROM g GROUP BY 1, 2""".stripMargin
+
+  /** a37: key-skew DISTRIBUTION profile — deepens a35's per-column
+    * skew factor (Assess.a35SkewProfile: n_keys/top1/skew per join
+    * column) with the shape of the whole count distribution, which
+    * is what actually separates "one hot key → salt it like j7"
+    * from "fat head → AQE skew-split" from "uniform → leave it":
+    * per-key row counts on the events `user_id` domain, reduced to
+    * max / exact p50 / exact p99 of the count distribution, the
+    * hottest key's share of all rows, and the skew factor (max over
+    * mean). Two-level aggregation, both
+    * partial-aggregable; the exact percentiles run over the
+    * COUNT-HISTOGRAM (distinct count values, a bounded long-tail
+    * domain — thousands of entries at any corpus size), never over
+    * the key relation itself, so the single-partition cumsum window
+    * is safe at 100 TB where a global sort of per-key counts would
+    * not be. Ratios are single double divisions of exact ints.
+    */
+  def a37SkewProfile(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.load(s, d, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("nk"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("nk")).over(w))
+      .withColumn("n_keys", sum(col("nk")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("n_rows", sum(col("c") * col("nk")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    def atP(p: Double): Column =
+      min(when(col("cum") >= ceil(col("n_keys") * p), col("c")))
+    cum.groupBy(lit("events.user_id").as("key_domain"))
+      .agg(max(col("n_keys")).as("n_keys"),
+        max(col("n_rows")).as("n_rows"),
+        max(col("c")).as("max_c"),
+        atP(0.5).as("p50_c"), atP(0.99).as("p99_c"))
+      .withColumn("top1_share",
+        col("max_c").cast("double") / col("n_rows"))
+      .withColumn("skew_factor",
+        (col("max_c") * col("n_keys")).cast("double") / col("n_rows"))
+  }
+
+  val a37Sql: String =
+    """WITH counts AS (
+      |  SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+      |hist AS (SELECT c, count(*) AS nk FROM counts GROUP BY 1),
+      |cum AS (
+      |  SELECT c, nk,
+      |    CAST(sum(nk) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+      |                       AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(nk) OVER () AS BIGINT) AS n_keys,
+      |    CAST(sum(c * nk) OVER () AS BIGINT) AS n_rows
+      |  FROM hist)
+      |SELECT 'events.user_id' AS key_domain,
+      |  max(n_keys) AS n_keys, max(n_rows) AS n_rows, max(c) AS max_c,
+      |  min(CASE WHEN cum >= ceil(n_keys * 0.5) THEN c END) AS p50_c,
+      |  min(CASE WHEN cum >= ceil(n_keys * 0.99) THEN c END) AS p99_c,
+      |  CAST(max(c) AS DOUBLE) / max(n_rows) AS top1_share,
+      |  CAST(max(c) * max(n_keys) AS DOUBLE) / max(n_rows) AS skew_factor
+      |FROM cum GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -863,6 +979,8 @@ object Relational {
     "w6_running_frame" -> w6RunningFrame,
     "w7_asof_join" -> w7AsofJoin,
     "w10_cohort_retention" -> w10CohortRetention,
+    "w11_sessionize" -> w11Sessionize,
+    "a37_skew_profile" -> a37SkewProfile,
     "j6_banded_range_join" -> j6BandedRangeJoin,
     "j7_salted_skew_join" -> j7SaltedSkewJoin,
     "j8_bloom_prejoin" -> j8BloomPrejoin,
@@ -893,6 +1011,8 @@ object Relational {
     "w6_running_frame" -> w6Sql,
     "w7_asof_join" -> w7Sql,
     "w10_cohort_retention" -> w10Sql,
+    "w11_sessionize" -> w11Sql,
+    "a37_skew_profile" -> a37Sql,
     "j6_banded_range_join" -> j6Sql,
     "j7_salted_skew_join" -> j7Sql,
     "j8_bloom_prejoin" -> j8Sql,

@@ -339,4 +339,28 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r.getAs[Double]("jaccard") < 0.5,
       "the pair d13 exists for must be invisible to d2")
   }
+
+  test("d14 FastSS deletion banding matches brute-force lev<=2 exactly") {
+    // the whole point of the scheme is exact recall: the capped
+    // signature join must find PRECISELY the pairs a quadratic
+    // levenshtein scan finds
+    val got = Dedup.d14FuzzyNamePairs(spark, sf)
+      .select("name_a", "name_b", "dist").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = graft.Tables.load(spark, sf, "part")
+      .select("p_name").distinct().collect().map(_.getString(0))
+    val want = (for {
+      a <- names; b <- names if a < b
+      dist = lev(a, b) if dist <= 2
+    } yield (a, b, dist)).toSet
+    assert(got == want, s"FastSS=${got.size} brute=${want.size}")
+  }
 }

@@ -173,4 +173,69 @@ class RelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
         (col("v_epoch") - col("e_epoch")).as("delta_s"))
     assert(banded.exceptAll(naive).isEmpty && naive.exceptAll(banded).isEmpty)
   }
+
+  test("w11 sessions partition the event log and honor the 30-min gap") {
+    val ev = graft.Tables.load(spark, sf, "events")
+    val sess = Relational.w11Sessionize(spark, sf)
+    // partition: session event counts sum to the event count
+    assert(sess.agg(sum("n_events")).head.getLong(0) == ev.count())
+    // gap rule, both directions: consecutive sessions of a user are
+    // separated by > 1800 s (else they would have merged), and every
+    // session's span is consistent (start <= end, duration matches)
+    val perUser = sess.orderBy("user_id", "sess_idx").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    perUser.values.foreach { rows =>
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_epoch") -
+            a.getAs[Long]("end_epoch") > 1800,
+            "adjacent sessions closer than the gap rule allows")
+        case _ => ()
+      }
+      rows.foreach { r =>
+        assert(r.getAs[Long]("duration_s") ==
+          r.getAs[Long]("end_epoch") - r.getAs[Long]("start_epoch"))
+        assert(r.getAs[Long]("duration_s") >= 0)
+      }
+    }
+  }
+
+  test("a37 skew profile internal consistency") {
+    val ev = graft.Tables.load(spark, sf, "events")
+    val r = Relational.a37SkewProfile(spark, sf).head
+    assert(r.getAs[Long]("n_rows") == ev.count())
+    assert(r.getAs[Long]("n_keys") ==
+      ev.select("user_id").distinct().count())
+    val (p50, p99, max) = (r.getAs[Long]("p50_c"),
+      r.getAs[Long]("p99_c"), r.getAs[Long]("max_c"))
+    assert(p50 <= p99 && p99 <= max)
+    assert(r.getAs[Double]("top1_share") > 0 &&
+      r.getAs[Double]("top1_share") <= 1.0)
+    // skew_factor is max/mean: >= 1 by definition of max
+    assert(r.getAs[Double]("skew_factor") >= 1.0)
+  }
+
+  test("ann9 fusion: a doc on both top-10 lists outranks rank-peers on one") {
+    import graft.functions.Similarity
+    val fused = Similarity.ann9HybridRrf(spark, sf).collect()
+    assert(fused.nonEmpty)
+    val byQ = fused.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rows =>
+      assert(rows.length <= 5)
+      rows.foreach { r =>
+        val lex = Option(r.getAs[Integer]("lex_rank")).map(_.toInt)
+        val vec = Option(r.getAs[Integer]("vec_rank")).map(_.toInt)
+        assert(lex.nonEmpty || vec.nonEmpty,
+          "a fused row must come from at least one list")
+        val want = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+          vec.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+        assert(r.getAs[Double]("rrf_score") == want)
+      }
+      // ranks within a query are strictly ordered by score then id
+      val sorted = rows.sortBy(r => (-r.getAs[Double]("rrf_score"),
+        r.getAs[Long]("neighbor_id")))
+      assert(sorted.map(_.getAs[Integer]("fused_rank").toInt).toSeq ==
+        (1 to rows.length))
+    }
+  }
 }

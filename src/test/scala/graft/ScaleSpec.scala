@@ -217,7 +217,12 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "d8_incremental_dedup", "d9_estimator_calibration",
       "d10_cluster_canonical", "pipe5_token_mixture",
       "pipe6_incremental_curation", "d12_exact_substring",
-      "t14_rarity_profile", "pipe7_dataset_card")
+      "t14_rarity_profile", "pipe7_dataset_card",
+      // round-7 late additions with scale-relevant shapes: w11's
+      // single-shuffle double window over 10x events, d14's
+      // vocab-bound FastSS signature join (10x part rows, SAME name
+      // vocabulary — cost must track the vocab, not the table)
+      "w11_sessionize", "d14_fuzzy_name_pairs")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
