@@ -805,23 +805,42 @@ object Similarity {
     * with ann2's IVF cells (IVF-PQ) to prune the scan the way the
     * probe path does.
     */
+  private val subCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** The (vec_id, m, subvector, ‖sv‖²) relation — persisted per
+    * (session, input): SIX consumers inside ann8 (seed codebook,
+    * two encode passes, the Lloyd update, the query distance table,
+    * and the re-rank's candidate fetch) otherwise each replay the
+    * corpus scan + normalize + explode lineage; memoizing is the
+    * same storage≪recompute trade as the dedup family's shingle
+    * index, and at 100 TB this relation IS the PQ index's training
+    * input, materialized once by construction.
+    */
+  private def subVectors(s: SparkSession, d: String): DataFrame =
+    Dedup.cachedPerSession(subCache, s, d) {
+      val M = 8; val SUB = 8
+      val c = corpus(s, d).filter(col("nrm") > 0)
+      val cn = c.withColumn("vn", transform(col("v"), x => x / col("nrm")))
+        .select("vec_id", "vn")
+      // each subvector row carries its own squared norm so the pairwise
+      // squared distance is ‖a‖² − 2a·b + ‖b‖² over the NATIVE codegen'd
+      // dot product — the zip_with((x,y) => (x−y)²) fold is interpreted
+      // (CodegenFallback) and was this query's hot spot across the
+      // N·M·K encode passes. The identity changes rounding vs the
+      // fold-of-squares by ulps; the oracle computes the identical
+      // expression, so the quantized longs stay engine-equal.
+      cn.select(col("vec_id"), explode(array(
+        (0 until M).map(m => struct(lit(m).as("m"),
+          slice(col("vn"), m * SUB + 1, SUB).as("sv"))): _*)).as("e"))
+        .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+        .withColumn("s2", dot(col("sv"), col("sv")))
+    }
+
   def ann8PqRecall(s: SparkSession, d: String): DataFrame = {
-    val M = 8; val SUB = 8; val CW = 16
+    val CW = 16
     val c = corpus(s, d).filter(col("nrm") > 0)
-    val cn = c.withColumn("vn", transform(col("v"), x => x / col("nrm")))
-      .select("vec_id", "vn")
-    // each subvector row carries its own squared norm so the pairwise
-    // squared distance is ‖a‖² − 2a·b + ‖b‖² over the NATIVE codegen'd
-    // dot product — the zip_with((x,y) => (x−y)²) fold is interpreted
-    // (CodegenFallback) and was this query's hot spot across the
-    // N·M·K encode passes. The identity changes rounding vs the
-    // fold-of-squares by ulps; the oracle computes the identical
-    // expression, so the quantized longs stay engine-equal.
-    val sub = cn.select(col("vec_id"), explode(array(
-      (0 until M).map(m => struct(lit(m).as("m"),
-        slice(col("vn"), m * SUB + 1, SUB).as("sv"))): _*)).as("e"))
-      .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
-      .withColumn("s2", dot(col("sv"), col("sv")))
+    val sub = subVectors(s, d)
     val cb0 = broadcast(sub.filter(col("vec_id") < CW)
       .select(col("m"), col("vec_id").as("k"), col("sv").as("cbv"),
         col("s2").as("c2")))

@@ -627,6 +627,92 @@ object Cdc {
       keyStr.cast("long").as("key"), valueStr.as("value_str"))
   }
 
+  /** Synthetic DDL-bearing redo feed for [[c5bDdlRoute]]: signup
+    * events deterministically render one of four DDL shapes — the two
+    * the reference SYNCS (`drop table ... AS "BIN$...==$0"` in
+    * Oracle's recycle-bin form, `truncate table ...`) and two it must
+    * FILTER (`alter table`, `create index`). Heads are lower-case on
+    * purpose: the reference routes on the UPPER-folded first two
+    * words, so the feed exercises the fold.
+    */
+  private def ddlFeed(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .filter(col("event_type") === "signup")
+      .select((col("event_id") / 8).cast("long").as("scn"),
+        (col("event_id") % 8).cast("long").as("seq"), col("user_id"))
+      .withColumn("k", col("user_id") % 20)
+      .withColumn("sql_redo",
+        when(col("user_id") % 4 === 0, concat(
+          lit("drop table marvin_"), col("k"), lit(" AS \"BIN$"),
+          md5(col("user_id").cast("string")), lit("==$0\"")))
+          .when(col("user_id") % 4 === 1,
+            concat(lit("truncate table marvin_"), col("k")))
+          .when(col("user_id") % 4 === 2, concat(
+            lit("alter table marvin_"), col("k"), lit(" add (extra number)")))
+          .otherwise(concat(lit("create index idx_"), col("k"),
+            lit(" on marvin_"), col("k"), lit("(key)"))))
+
+  private val ddlFeedSql: String =
+    """SELECT CAST(event_id // 8 AS BIGINT) AS scn,
+      |  CAST(event_id % 8 AS BIGINT) AS seq,
+      |  CASE CAST(user_id % 4 AS INT)
+      |    WHEN 0 THEN 'drop table marvin_' || (user_id % 20) ||
+      |      ' AS "BIN$' || md5(CAST(user_id AS VARCHAR)) || '==$0"'
+      |    WHEN 1 THEN 'truncate table marvin_' || (user_id % 20)
+      |    WHEN 2 THEN 'alter table marvin_' || (user_id % 20) ||
+      |      ' add (extra number)'
+      |    ELSE 'create index idx_' || (user_id % 20) || ' on marvin_' ||
+      |      (user_id % 20) || '(key)'
+      |  END AS sql_redo
+      |FROM events WHERE event_type = 'signup'""".stripMargin
+
+  /** c5b: DDL routing — the reference syncs exactly two DDL shapes
+    * alongside DML (`logminer.go:31`, `incr` filter at
+    * `module/migrate/sql/oracle/public/logminer.go:132-160`): the
+    * first two words of the redo are UPPER-folded, only `DROP TABLE`
+    * and `TRUNCATE TABLE` pass (every other DDL is dropped), and a
+    * recycle-bin drop (`drop table t AS "BIN$..."`) is normalized by
+    * upper-casing the statement and cutting at the first `AS` —
+    * faithfully including the reference's truncate-at-ANY-`AS`
+    * behavior, not a word-bounded variant. Output is the routed DDL
+    * record stream (scn, seq, kind, table, normalized statement);
+    * case-folded table_name comes from the normalized statement, so
+    * the DROP path is upper (as the reference forwards it) and the
+    * TRUNCATE path verbatim. Pure projection + filter — codegen'd,
+    * no shuffle at all; at 100 TB of redo this is a map-only pass.
+    */
+  def c5bDdlRoute(s: SparkSession, d: String): DataFrame = {
+    val tok = split(col("sql_redo"), " ")
+    ddlFeed(s, d)
+      .withColumn("ddl_kind",
+        upper(concat_ws(" ", element_at(tok, 1), element_at(tok, 2))))
+      .filter(col("ddl_kind").isin("DROP TABLE", "TRUNCATE TABLE"))
+      .withColumn("stmt_norm",
+        when(col("ddl_kind") === "DROP TABLE",
+          rtrim(substring_index(upper(col("sql_redo")), "AS", 1)))
+          .otherwise(col("sql_redo")))
+      .withColumn("table_name",
+        element_at(split(col("stmt_norm"), " "), 3))
+      .select("scn", "seq", "ddl_kind", "table_name", "stmt_norm")
+  }
+
+  val c5bSql: String =
+    s"""WITH f AS ($ddlFeedSql),
+       |r AS (
+       |  SELECT scn, seq, sql_redo,
+       |    upper(string_split(sql_redo, ' ')[1] || ' ' ||
+       |          string_split(sql_redo, ' ')[2]) AS ddl_kind
+       |  FROM f),
+       |n AS (
+       |  SELECT scn, seq, ddl_kind,
+       |    CASE WHEN ddl_kind = 'DROP TABLE'
+       |         THEN rtrim(split_part(upper(sql_redo), 'AS', 1))
+       |         ELSE sql_redo END AS stmt_norm
+       |  FROM r WHERE ddl_kind IN ('DROP TABLE', 'TRUNCATE TABLE'))
+       |SELECT scn, seq, ddl_kind,
+       |  string_split(stmt_norm, ' ')[3] AS table_name, stmt_norm
+       |FROM n""".stripMargin
+
   /** One LogMiner mining window over a SQL-backed redo view — the
     * closest sandbox-possible shape of the reference's live source
     * (`database/oracle/all.go:144-176` scans `V$LOGMNR_CONTENTS` after
@@ -1233,6 +1319,7 @@ object Cdc {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c5_redo_parse" -> c5RedoParse,
+    "c5b_ddl_route" -> c5bDdlRoute,
     "c6_cdc_apply" -> c6CdcApply,
     "c6b_jdbc_merge" -> c6bJdbcMerge,
     "c6c_jdbc_replace" -> c6cReplaceApply,
@@ -1245,6 +1332,7 @@ object Cdc {
 
   val oracles: Map[String, String] = Map(
     "c5_redo_parse" -> c5Sql,
+    "c5b_ddl_route" -> c5bSql,
     "c6_cdc_apply" -> c6Sql,
     "c6b_jdbc_merge" -> c6bSql,
     "c6c_jdbc_replace" -> c6cSql,

@@ -690,4 +690,36 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r.getAs[Long]("purchase_t") == 1000L, r.toString)
     assert(r.getAs[String]("bucket") == "WITHIN_1H", r.toString)
   }
+
+  test("c5b routes only DROP/TRUNCATE DDL and strips the recycle-bin " +
+    "suffix, like the reference's incr filter") {
+    val routed = Cdc.c5bDdlRoute(spark, sf).collect()
+    assert(routed.nonEmpty)
+    val kinds = routed.map(_.getAs[String]("ddl_kind")).toSet
+    assert(kinds.subsetOf(Set("DROP TABLE", "TRUNCATE TABLE")),
+      s"alter/create leaked through: $kinds")
+    routed.foreach { r =>
+      val stmt = r.getAs[String]("stmt_norm")
+      val kind = r.getAs[String]("ddl_kind")
+      if (kind == "DROP TABLE") {
+        assert(!stmt.contains("BIN$"), s"recycle-bin suffix kept: $stmt")
+        assert(stmt == stmt.toUpperCase, s"drop path must be upper: $stmt")
+        assert(r.getAs[String]("table_name").startsWith("MARVIN_"))
+      } else {
+        assert(stmt.startsWith("truncate table "), stmt)
+        assert(r.getAs[String]("table_name").startsWith("marvin_"))
+      }
+    }
+    // the feed renders user_id%4==0 as drop and ==1 as truncate; the
+    // router must keep exactly those
+    val feed = graft.Tables.load(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "signup")
+    val nDrop = feed.filter(org.apache.spark.sql.functions
+      .col("user_id") % 4 === 0).count()
+    val nTrunc = feed.filter(org.apache.spark.sql.functions
+      .col("user_id") % 4 === 1).count()
+    assert(routed.count(_.getAs[String]("ddl_kind") == "DROP TABLE") == nDrop)
+    assert(routed.count(
+      _.getAs[String]("ddl_kind") == "TRUNCATE TABLE") == nTrunc)
+  }
 }
