@@ -933,6 +933,86 @@ object Migrate {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Manifest build for [[s17ManifestSkipping]]: one row per data
+    * file with its key min/max and row count — the table-format
+    * manifest role (Iceberg manifest entries / Delta Add actions
+    * carry exactly these per-file column stats). Built by one
+    * groupBy over `input_file_name()`; at 100 TB the manifest is
+    * maintained incrementally at write time, but its SIZE stays
+    * O(files), which is what makes the planner below cheap.
+    */
+  def manifestWrite(s: SparkSession, d: String, out: String,
+      files: Int = 8): Unit = {
+    rangeLayoutWrite(s, d, s"$out/data", files)
+    s.read.parquet(s"$out/data")
+      .groupBy(input_file_name().as("path"))
+      .agg(min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/manifest")
+  }
+
+  /** Manifest-planned scan: files whose [min,max] overlaps [lo,hi)
+    * are read, the rest are never opened. The driver-side collect is
+    * the FILE LIST — O(files), the same bounded planning collect
+    * every table format performs; row data stays distributed.
+    * Returns (pruned scan, files read, files total) so the spec can
+    * assert the skip actually happened.
+    */
+  def manifestPrunedRead(s: SparkSession, out: String, lo: Long,
+      hi: Long): (DataFrame, Int, Int) = {
+    val man = s.read.parquet(s"$out/manifest")
+    val total = man.count().toInt
+    val picked = man
+      .filter(col("min_key") < hi && col("max_key") >= lo)
+      .select("path").collect().map(_.getString(0))
+    val scan = s.read.parquet(picked.toIndexedSeq: _*)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+    (scan, picked.length, total)
+  }
+
+  /** s17: manifest-based file skipping — the data-skipping layer
+    * ABOVE parquet footer stats: s15's footer min/max still requires
+    * opening every file; a manifest (the Iceberg/Delta mechanism)
+    * prunes at PLAN time from one tiny stats table, which at 100 TB
+    * is the difference between listing 10⁶ files and reading one
+    * manifest. The range-clustered write (s15's layout) is what
+    * makes the per-file stats tight enough to prune. The oracle
+    * recomputes the summary from the raw source, so the
+    * manifest-planned scan must be LOSSLESS under the predicate —
+    * a file wrongly skipped (boundary off-by-one in the overlap
+    * test) hash-mismatches; the skipping itself is asserted in
+    * MigrateSpec (strict subset of files read).
+    */
+  def s17ManifestSkipping(s: SparkSession, d: String): DataFrame = {
+    val out = tempDir("s17")
+    manifestWrite(s, d, out)
+    val (scan, _, _) = manifestPrunedRead(s, out, 1000L, 4000L)
+    val normCols = Seq(
+      NormCol("l_orderkey", KLong), NormCol("l_linenumber", KLong),
+      NormCol("price_str", KStr))
+    scan
+      .groupBy(floor(col("l_orderkey") / 1000).cast("long").as("chunk_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        Norm.sparkRowChecksum(normCols).as("row_checksum"))
+  }
+
+  val s17Sql: String = {
+    val normCols = Seq(
+      NormCol("l_orderkey", KLong), NormCol("l_linenumber", KLong),
+      NormCol("price_str", KStr))
+    s"""SELECT CAST(floor(l_orderkey / 1000.0) AS BIGINT) AS chunk_id,
+       |  count(*) AS n_rows,
+       |  ${Norm.duckRowChecksum(normCols)} AS row_checksum
+       |FROM (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str
+       |  FROM lineitem
+       |  WHERE l_orderkey >= 1000 AND l_orderkey < 4000) t
+       |GROUP BY 1""".stripMargin
+  }
+
   val s9cSql: String =
     """SELECT * FROM (VALUES
       |  (1, 'ID', 'DECIMAL', 8, FALSE),
@@ -959,6 +1039,7 @@ object Migrate {
     "s14_quarantine_read" -> s14QuarantineRead,
     "s15_range_layout" -> s15RangeLayout,
     "s16_zorder_layout" -> s16ZorderLayout,
+    "s17_manifest_skipping" -> s17ManifestSkipping,
     "s2_chunked_scan" -> s2ChunkedScan)
 
   val oracles: Map[String, String] = Map(
@@ -976,6 +1057,7 @@ object Migrate {
     "s14_quarantine_read" -> s14Sql,
     "s15_range_layout" -> s15Sql,
     "s16_zorder_layout" -> s16Sql,
+    "s17_manifest_skipping" -> s17Sql,
     // orders keys are dense 0..N-1 at every sf: 15000 rows/sf0.01 →
     // ceil(15000/2000)=8 chunks; recomputed generically below.
     "s2_chunked_scan" -> s2SqlGeneric)

@@ -294,4 +294,24 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
     Migrate.run(o, out)
     assert(spark.read.parquet(out).count() == o.count())
   }
+
+  test("s17 manifest skipping: strict file subset read, losslessly") {
+    val out = Migrate.tempDir("s17spec")
+    Migrate.manifestWrite(spark, sf, out, files = 8)
+    val man = spark.read.parquet(s"$out/manifest")
+    assert(man.count() == 8, "range layout should emit one row per file")
+    // disjoint file ranges (the property that makes stats prune):
+    // total rows across manifest == total data rows
+    val data = spark.read.parquet(s"$out/data")
+    assert(man.agg(sum("n_rows")).head.getLong(0) == data.count())
+    val lo = 1000L; val hi = 4000L
+    val (scan, nPicked, nTotal) = Migrate.manifestPrunedRead(spark, out, lo, hi)
+    assert(nPicked < nTotal,
+      s"manifest pruned nothing: $nPicked of $nTotal files read")
+    assert(nPicked > 0)
+    // losslessness: pruned scan == full scan under the same predicate
+    val full = data.filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+    assert(scan.count() == full.count())
+    assert(scan.exceptAll(full).isEmpty && full.exceptAll(scan).isEmpty)
+  }
 }
