@@ -261,7 +261,11 @@ object Dedup {
     * equi-join → filter: linear in distinct names, never in name
     * pairs. The entity-resolution twin of the document-level d2/d3.
     */
-  def d14FuzzyNamePairs(s: SparkSession, d: String): DataFrame = {
+  /** The FastSS join over ANY (w, freq) vocabulary relation — d14's
+    * engine, exposed so the property test can drive it with random
+    * vocabularies and compare against a brute-force quadratic scan.
+    */
+  private[graft] def fuzzyPairs(vocab: DataFrame): DataFrame = {
     // delete position `p` from string `str` (1-based); substring
     // clamps past-the-end, so length(w) is a safe max tail length
     def del(str: String, p: String) =
@@ -272,8 +276,6 @@ object Dedup {
          |  transform(sequence(0, j - 1), i ->
          |    CASE WHEN i = 0 THEN $dj ELSE ${del(s"($dj)", "i")} END)))"""
         .stripMargin
-    val vocab = Tables.load(s, d, "part")
-      .groupBy(col("p_name").as("w")).agg(count(lit(1)).as("freq"))
     val sigs = vocab
       .select(col("w"), col("freq"),
         explode(array_distinct(concat(expr(sigExpr), array(col("w")))))
@@ -289,6 +291,10 @@ object Dedup {
       .filter(col("dist") <= 2)
       .select("name_a", "name_b", "dist", "freq_a", "freq_b")
   }
+
+  def d14FuzzyNamePairs(s: SparkSession, d: String): DataFrame =
+    fuzzyPairs(Tables.load(s, d, "part")
+      .groupBy(col("p_name").as("w")).agg(count(lit(1)).as("freq")))
 
   val d14Sql: String =
     """WITH vocab AS (

@@ -363,4 +363,55 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } yield (a, b, dist)).toSet
     assert(got == want, s"FastSS=${got.size} brute=${want.size}")
   }
+
+  test("FastSS pigeonhole property: lev<=2 implies a shared deletion " +
+    "signature (randomized), and the Spark join equals brute force " +
+    "on a random vocabulary") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // mirror of the Spark signature expression: {w} ∪ 1-deletions ∪
+    // 2-deletions (delete j then i < j)
+    def sigs(w: String): Set[String] = {
+      def del(s: String, p: Int) = s.substring(0, p - 1) + s.substring(p)
+      val one = (1 to w.length).map(del(w, _))
+      val two = for (j <- 1 to w.length; dj = del(w, j);
+        i <- 1 until j) yield del(dj, i)
+      (one ++ two ++ Seq(w)).toSet
+    }
+    val word = for {
+      n <- Gen.choose(0, 7)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val prop = Prop.forAll(word, word) { (u: String, v: String) =>
+      lev(u, v) > 2 || sigs(u).intersect(sigs(v)).nonEmpty
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+    // end-to-end on a random small-alphabet vocabulary, where near
+    // pairs are dense: the distributed join must equal brute force
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val names = Seq.fill(80)(
+      (1 to (2 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString).distinct
+    val vocab = names.toDF("w")
+      .withColumn(
+        "freq", org.apache.spark.sql.functions.lit(1L))
+    val got = graft.functions.Dedup.fuzzyPairs(vocab)
+      .select("name_a", "name_b", "dist").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val want = (for {
+      a <- names; b <- names if a < b
+      dd = lev(a, b) if dd <= 2
+    } yield (a, b, dd)).toSet
+    assert(got == want, s"FastSS=${got.size} brute=${want.size}")
+  }
 }
