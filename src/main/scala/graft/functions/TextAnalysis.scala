@@ -1285,7 +1285,76 @@ object TextAnalysis {
       Seq("# Dataset Card") ++ body)
   }
 
+  /** t16: the first two BPE merge rounds — tokenizer-training prep.
+    * BPE trainers touch the CORPUS exactly once (the word-frequency
+    * count); every merge round after that runs over the VOCABULARY
+    * (word, freq) relation, which is what makes training tractable at
+    * 100 TB — and this operator has precisely that shape: one corpus
+    * groupBy, then per-round vocab-bound passes. Round 1 counts
+    * freq-weighted adjacent character pairs and elects the top merge
+    * (argmax by (count desc, pair asc) — the deterministic tie-break
+    * real trainers also need); round 2 applies that merge (leftmost
+    * non-overlapping rewrite, identical regexp semantics in both
+    * engines; the fused symbol becomes one char) and recounts.
+    * Top-20 per round via orderBy+limit — Spark plans
+    * TakeOrderedAndProject, the scalable global top-k (no
+    * single-partition window). Restricted to purely alphabetic words
+    * so the elected pair is always a regex-literal.
+    */
+  def t16BpeMerges(s: SparkSession, d: String): DataFrame = {
+    val wf = Tables.load(s, d, "documents")
+      .select(explode(words(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    def pairCounts(df: DataFrame): DataFrame = df
+      .filter(length(col("w")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("f")).as("n"))
+    val r1 = pairCounts(wf)
+    val top1 = broadcast(r1.orderBy(col("n").desc, col("pair").asc)
+      .limit(1).select(col("pair").as("mpair")))
+    val wf2 = wf.crossJoin(top1)
+      .select(regexp_replace(col("w"), col("mpair"), lit("@")).as("w"),
+        col("f"))
+      .groupBy("w").agg(sum(col("f")).as("f"))
+    def top20(df: DataFrame, round: Int): DataFrame = df
+      .orderBy(col("n").desc, col("pair").asc).limit(20)
+      .select(lit(round.toLong).as("round"), col("pair"), col("n"))
+    top20(r1, 1).unionAll(top20(pairCounts(wf2), 2))
+  }
+
+  val t16Sql: String =
+    """WITH wf AS (
+      |  SELECT w, count(*) AS f FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1),
+      |r1 AS (
+      |  SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
+      |    SELECT f, unnest([substr(w, i, 2)
+      |                      for i in range(1, length(w))]) AS pair
+      |    FROM wf WHERE length(w) >= 2) p GROUP BY 1),
+      |wf2 AS (
+      |  SELECT w, CAST(sum(f) AS BIGINT) AS f FROM (
+      |    SELECT regexp_replace(w,
+      |      (SELECT pair FROM r1 ORDER BY n DESC, pair ASC LIMIT 1),
+      |      '@', 'g') AS w, f
+      |    FROM wf) m GROUP BY 1),
+      |r2 AS (
+      |  SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
+      |    SELECT f, unnest([substr(w, i, 2)
+      |                      for i in range(1, length(w))]) AS pair
+      |    FROM wf2 WHERE length(w) >= 2) p GROUP BY 1)
+      |SELECT CAST(1 AS BIGINT) AS round, pair, n FROM
+      |  (SELECT pair, n FROM r1 ORDER BY n DESC, pair ASC LIMIT 20) a
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS round, pair, n FROM
+      |  (SELECT pair, n FROM r2 ORDER BY n DESC, pair ASC LIMIT 20) b"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_bpe_merges" -> t16BpeMerges,
     "t11_lexicon_profile" -> t11LexiconProfile,
     "pipe4_curation" -> pipe4Curation,
     "t12_context_chunks" -> t12ContextChunks,
@@ -1328,6 +1397,7 @@ object TextAnalysis {
     "pipe6_incremental_curation" -> pipe6Sql,
     "t14_rarity_profile" -> t14Sql,
     "t15_tfidf_keywords" -> t15Sql,
+    "t16_bpe_merges" -> t16Sql,
     "pipe9_temperature_mixture" -> pipe9Sql,
     "pipe7_dataset_card" -> pipe7Sql)
 }

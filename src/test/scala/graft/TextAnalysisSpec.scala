@@ -282,4 +282,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got("big") == ((400L, 20L, 166L, 4150L)), got("big").toString)
     assert(got("small") == ((100L, 10L, 83L, 8300L)), got("small").toString)
   }
+
+  test("t16 BPE: the elected merge is gone from round 2 and the fused " +
+    "symbol takes its place") {
+    val rows = TextAnalysis.t16BpeMerges(spark, sf).collect()
+    val r1 = rows.filter(_.getAs[Long]("round") == 1L)
+    val r2 = rows.filter(_.getAs[Long]("round") == 2L)
+    assert(r1.nonEmpty && r2.nonEmpty)
+    // round-1 winner under the same total order the operator uses
+    val winner = r1.minBy(r =>
+      (-r.getAs[Long]("n"), r.getAs[String]("pair"))).getAs[String]("pair")
+    // every occurrence was rewritten, so the winning pair cannot be
+    // adjacent anywhere in round 2
+    assert(!r2.exists(_.getAs[String]("pair") == winner),
+      s"merged pair $winner survived into round 2")
+    // and the fused symbol participates in new pairs
+    assert(r2.exists(_.getAs[String]("pair").contains("@")),
+      "no round-2 pair contains the fused symbol")
+    // counts are freq-weighted positives
+    rows.foreach(r => assert(r.getAs[Long]("n") > 0))
+  }
 }
