@@ -194,13 +194,75 @@ object Multimodal {
       |       * (count(*) - 1) AS BIGINT) AS bytes_saved
       |FROM documents GROUP BY 1""".stripMargin
 
+  final case class ResizePlan(doc_id: Long, fmt: String, width: Int,
+      height: Int, target_w: Long, target_h: Long,
+      n_bytes_resized: Long, scale_bp: Long)
+
+  /** m5: resize planning + stub execution — the remaining verb of the
+    * multimodal quartet (decode m2 / frame-sample m3 / dedup m4 /
+    * RESIZE). Aspect-preserving fit into 224×224, never upscaling;
+    * the new edge is computed in pure integer round-half-up
+    * (`(h·448 + w) div (2w)` = ⌊224·h/w + ½⌋), so both engines agree
+    * bit-for-bit with no float division. Runs through the same
+    * `mapPartitions` batch stage as m2 (one codec init per
+    * partition; the pixel rewrite is the stubbed step — the
+    * container ships no codecs), emitting the plan row per media:
+    * target dims, resized byte count (RGB), and the megapixel
+    * reduction in basis points. At 100 TB this is the map-only
+    * pre-pass that sizes the GPU decode batches.
+    */
+  def m5ResizePlan(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    mediaTable(s, d).select("doc_id", "fmt", "width", "height", "payload")
+      .as[MediaRecord]
+      .mapPartitions { rows =>
+        // per-partition init would go here (codec load)
+        rows.map { r =>
+          val (w, h) = (r.width.toLong, r.height.toLong)
+          val (tw, th) =
+            if (math.max(w, h) <= 224) (w, h)
+            else if (w >= h) (224L, (h * 448 + w) / (2 * w))
+            else ((w * 448 + h) / (2 * h), 224L)
+          ResizePlan(r.doc_id, r.fmt, r.width, r.height, tw, th,
+            tw * th * 3, tw * th * 10000L / (w * h))
+        }
+      }.toDF()
+  }
+
+  val m5Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |         WHEN doc_id % 3 = 1 THEN 'jpeg'
+      |         ELSE 'wav' END AS fmt,
+      |    CAST(64 + doc_id % 192 AS BIGINT) AS w,
+      |    CAST(64 + (doc_id * 7) % 192 AS BIGINT) AS h
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, fmt, w, h,
+      |    CASE WHEN greatest(w, h) <= 224 THEN w
+      |         WHEN w >= h THEN 224
+      |         ELSE (w * 448 + h) // (2 * h) END AS target_w,
+      |    CASE WHEN greatest(w, h) <= 224 THEN h
+      |         WHEN w >= h THEN (h * 448 + w) // (2 * w)
+      |         ELSE 224 END AS target_h
+      |  FROM m)
+      |SELECT doc_id, fmt, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  target_w, target_h,
+      |  target_w * target_h * 3 AS n_bytes_resized,
+      |  (target_w * target_h * 10000) // (w * h) AS scale_bp
+      |FROM p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_resize_plan" -> m5ResizePlan,
     "m1_media_meta" -> m1MediaMeta,
     "m2_media_features" -> m2MediaFeatures,
     "m3_frame_sample" -> m3FrameSample,
     "m4_media_dedup" -> m4MediaDedup)
 
   val oracles: Map[String, String] = Map(
+    "m5_resize_plan" -> m5Sql,
     "m1_media_meta" -> m1Sql,
     "m2_media_features" -> m2Sql,
     "m3_frame_sample" -> m3Sql,
