@@ -1353,8 +1353,97 @@ object TextAnalysis {
       |  (SELECT pair, n FROM r2 ORDER BY n DESC, pair ASC LIMIT 20) b"""
       .stripMargin
 
+  /** pipe10: gate-ablation matrix — for every train candidate, the
+    * four curation gates (quality, repetition, exact-dedup,
+    * decontamination) evaluated INDEPENDENTLY (not sequentially —
+    * the sequential funnel is pipe4 itself), then one groupBy over
+    * the flag combination: the "why did my corpus shrink" table
+    * every pipeline report ships, showing each gate's exclusive and
+    * joint kill counts. Flag definitions are pipe1/pipe4's own
+    * (shared canonBase / thresholds / gram generators), so this
+    * matrix can never drift from the pipeline it explains. Docs too
+    * short for a gate pass it vacuously (no bigram / no 5-shingle ⇒
+    * not repetitive / not contaminated). Scale: each flag is one
+    * bucketed join or window over relations the pipeline already
+    * builds; as a diagnostics pass a 100 TB deployment runs it on a
+    * stratified sample (t8's operator) — the plan shape is unchanged.
+    */
+  def pipe10GateAblation(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = canonBase(s, d)
+    val rep = base.select(col("doc_id"), explode(expr(bigramExpr)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(((sum(col("cnt")) - count(lit(1))).cast("double") /
+        sum(col("cnt"))).as("dup_fraction"))
+    val dupRank = base.withColumn("rn", row_number().over(
+      Window.partitionBy(md5(col("canon"))).orderBy(col("doc_id"))))
+      .select("doc_id", "rn")
+    val evalGh = base.filter(col("is_eval"))
+      .select(explode(expr(shingleExprK(5))).as("g"))
+      .select(xhash64(col("g")).as("gh")).distinct()
+    val contaminated = base
+      .select(col("doc_id"), explode(expr(shingleExprK(5))).as("g"))
+      .select(col("doc_id"), xhash64(col("g")).as("gh"))
+      .join(evalGh, "gh").select("doc_id").distinct()
+      .withColumn("is_cont", lit(true))
+    base.filter(!col("is_eval"))
+      .join(rep, Seq("doc_id"), "left_outer")
+      .join(dupRank, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_outer")
+      .groupBy(
+        (col("n_words") >= MinWords && col("uniq_ratio") >= MinUniqRatio)
+          .as("passed_quality"),
+        coalesce(col("dup_fraction") <= 0.2, lit(true))
+          .as("passed_repetition"),
+        (col("rn") === 1).as("not_exact_dup"),
+        coalesce(!col("is_cont"), lit(true)).as("not_contaminated"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_tokens"))
+  }
+
+  val pipe10Sql: String =
+    s"""WITH $canonCteSql,
+       |rep AS (
+       |  SELECT doc_id,
+       |    CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt) AS dup_fraction
+       |  FROM (
+       |    SELECT doc_id, g, count(*) AS cnt FROM (
+       |      SELECT doc_id, unnest($bigramSqlDuck) AS g
+       |      FROM m) r0 GROUP BY 1, 2) r1
+       |  GROUP BY 1),
+       |dr AS (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY md5(canon)
+       |                                    ORDER BY doc_id) AS rn
+       |  FROM m),
+       |evalgh AS (
+       |  SELECT DISTINCT ${Norm.xhash64Sql("g")} AS gh FROM (
+       |    SELECT unnest(${shingleSqlDuckK(5)}) AS g
+       |    FROM m WHERE is_eval) e0),
+       |cont AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, ${Norm.xhash64Sql("g")} AS gh FROM (
+       |      SELECT doc_id, unnest(${shingleSqlDuckK(5)}) AS g
+       |      FROM m) c0) c1
+       |  JOIN evalgh USING (gh))
+       |SELECT
+       |  n_words >= $MinWords AND uniq_ratio >= $MinUniqRatio
+       |    AS passed_quality,
+       |  coalesce(dup_fraction <= 0.2, TRUE) AS passed_repetition,
+       |  dr.rn = 1 AS not_exact_dup,
+       |  cont.doc_id IS NULL AS not_contaminated,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS total_tokens
+       |FROM m
+       |LEFT JOIN rep USING (doc_id)
+       |JOIN dr USING (doc_id)
+       |LEFT JOIN cont USING (doc_id)
+       |WHERE NOT is_eval
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t16_bpe_merges" -> t16BpeMerges,
+    "pipe10_gate_ablation" -> pipe10GateAblation,
     "t11_lexicon_profile" -> t11LexiconProfile,
     "pipe4_curation" -> pipe4Curation,
     "t12_context_chunks" -> t12ContextChunks,
@@ -1398,6 +1487,7 @@ object TextAnalysis {
     "t14_rarity_profile" -> t14Sql,
     "t15_tfidf_keywords" -> t15Sql,
     "t16_bpe_merges" -> t16Sql,
+    "pipe10_gate_ablation" -> pipe10Sql,
     "pipe9_temperature_mixture" -> pipe9Sql,
     "pipe7_dataset_card" -> pipe7Sql)
 }

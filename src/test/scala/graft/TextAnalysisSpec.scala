@@ -302,4 +302,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // counts are freq-weighted positives
     rows.foreach(r => assert(r.getAs[Long]("n") > 0))
   }
+
+  test("pipe10 ablation cells partition the train candidates") {
+    import org.apache.spark.sql.functions._
+    val cells = TextAnalysis.pipe10GateAblation(spark, sf).collect()
+    assert(cells.nonEmpty)
+    val nTrainCandidates = graft.Tables.load(spark, sf, "documents")
+      .withColumn("is_eval",
+        pmod(graft.functions.Norm.xhash64(concat_ws("|", lit("eval"),
+          col("doc_id").cast("string"))), lit(50L)) === 0)
+      .filter(!col("is_eval")).count()
+    assert(cells.map(_.getAs[Long]("n_docs")).sum == nTrainCandidates,
+      "ablation cells must partition the candidate set exactly")
+    // flag combos are distinct cells
+    val keys = cells.map(r => (r.getBoolean(0), r.getBoolean(1),
+      r.getBoolean(2), r.getBoolean(3)))
+    assert(keys.distinct.length == keys.length)
+  }
 }
