@@ -222,7 +222,12 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // single-shuffle double window over 10x events, d14's
       // vocab-bound FastSS signature join (10x part rows, SAME name
       // vocabulary — cost must track the vocab, not the table)
-      "w11_sessionize", "d14_fuzzy_name_pairs")
+      "w11_sessionize", "d14_fuzzy_name_pairs",
+      // t16 is vocab-bound after one corpus pass (must stay near
+      // flat); pipe10 is corpus-linear (four bucketed flag joins);
+      // s17 is a write-layout job like s13/s15 plus an O(files)
+      // planning collect
+      "t16_bpe_merges", "pipe10_gate_ablation", "s17_manifest_skipping")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
