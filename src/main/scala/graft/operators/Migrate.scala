@@ -967,8 +967,15 @@ object Migrate {
     val picked = man
       .filter(col("min_key") < hi && col("max_key") >= lo)
       .select("path").collect().map(_.getString(0))
-    val scan = s.read.parquet(picked.toIndexedSeq: _*)
-      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+    // a window overlapping NO file is a legitimate plan outcome (the
+    // best case, in fact): answer from schema alone — parquet() with
+    // zero paths throws instead
+    val scan =
+      if (picked.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          s.read.parquet(s"$out/data").schema)
+      else s.read.parquet(picked.toIndexedSeq: _*)
+        .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
     (scan, picked.length, total)
   }
 

@@ -313,5 +313,11 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val full = data.filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
     assert(scan.count() == full.count())
     assert(scan.exceptAll(full).isEmpty && full.exceptAll(scan).isEmpty)
+    // a window past every file prunes ALL of them and answers from
+    // schema alone — the best-case plan, not an error
+    val (empty, n0, _) =
+      Migrate.manifestPrunedRead(spark, out, Long.MaxValue - 1, Long.MaxValue)
+    assert(n0 == 0 && empty.count() == 0)
+    assert(empty.schema == data.schema)
   }
 }
