@@ -152,8 +152,13 @@ object Bench {
     // must NEVER touch the artifact: bench_local.json is the committed
     // full-surface sf0.1 baseline the perf gate and BASELINE.md read —
     // a 1-query dev run or an sf0.001 smoke overwriting it silently
-    // falsifies both (it did, once: see the round-7 restore commit)
-    if (only.isEmpty && sfDir.endsWith("sf0.1"))
+    // falsifies both (it did, once: see the round-7 restore commit).
+    // Compare the normalized basename, not endsWith: a trailing slash
+    // (shell completion) must not silently skip the write, and a
+    // foreign dir that merely ENDS in "sf0.1" must not pass
+    if (only.isEmpty &&
+        java.nio.file.Paths.get(sfDir).normalize()
+          .getFileName.toString == "sf0.1")
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_local.json"),
         (fileLine + "\n").getBytes("UTF-8"))

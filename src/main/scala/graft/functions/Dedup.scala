@@ -94,20 +94,31 @@ object Dedup {
     */
   /** Every memo map that has ever flowed through [[cachedPerSession]],
     * so [[purgeAllCaches]] can find them without each owner object
-    * registering by hand.
+    * registering by hand. IDENTITY-keyed: mutable TrieMaps compare
+    * structurally, so a plain Set would consider two empty caches
+    * equal, skip the second registration, and leave its persisted
+    * relations invisible to the purge (and mutating a hash-set member
+    * corrupts the set's invariant besides). Registration happens
+    * OUTSIDE any cache monitor — taking the registry lock while
+    * holding a cache lock, with the purge nesting them the other way
+    * round, was an ABBA deadlock waiting for the first concurrent
+    * purge (Check's report sections run memoized queries on a pool).
     */
-  private val cacheRegistry = scala.collection.mutable.Set
-    .empty[scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]]
+  private val cacheRegistry: java.util.Set[
+      scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(new java.util.IdentityHashMap))
 
   private[functions] def cachedPerSession(
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
-      s: SparkSession, d: String)(build: => DataFrame): DataFrame =
+      s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
+    cacheRegistry.add(cache)
     cache.synchronized {
-      cacheRegistry.synchronized(cacheRegistry += cache)
       cache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
       cache.getOrElseUpdate((s, d),
         build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
+  }
 
   /** Unpersist and drop every memoized relation (all families, all
     * input dirs). Benchmark/test hook: a long-lived JVM that has run
@@ -115,19 +126,23 @@ object Dedup {
     * relations; a scale measurement taken in that state times
     * eviction and GC, not the operator. Purging returns the session
     * to a cold, clean-storage state; the next access re-builds and
-    * re-persists.
+    * re-persists. Iterates over a SNAPSHOT of the registry and takes
+    * each cache's monitor without holding any other lock (see
+    * cacheRegistry's doc for the lock-order rationale).
     */
-  private[graft] def purgeAllCaches(): Unit =
-    cacheRegistry.synchronized {
-      cacheRegistry.foreach { cache =>
-        cache.synchronized {
-          cache.values.foreach(df =>
-            try df.unpersist(blocking = true)
-            catch { case _: Throwable => () })
-          cache.clear()
-        }
+  private[graft] def purgeAllCaches(): Unit = {
+    val snapshot = cacheRegistry.synchronized {
+      new java.util.ArrayList(cacheRegistry)
+    }
+    snapshot.forEach { cache =>
+      cache.synchronized {
+        cache.values.foreach(df =>
+          try df.unpersist(blocking = true)
+          catch { case _: Throwable => () })
+        cache.clear()
       }
     }
+  }
 
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
     cachedPerSession(indexCache, s, d) {
@@ -156,15 +171,22 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
 
-  def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
+  /** THE pair-stats relation both threshold miners (d2, d13) filter:
+    * (doc_a, doc_b, n_inter, n_a, n_b, jaccard) over the df-capped
+    * shingle sets. One definition so a join-shape or cap-policy
+    * change can never desynchronize the two operators' candidate
+    * semantics — this exact block is where the 10x gate caught a
+    * superlinear shape in round 7, and the fix must hold for every
+    * consumer. Per-doc set size rides INTO the pair join (one
+    * shuffle of kept by doc_id) instead of joining counts onto the
+    * pair relation after the groupBy — that shape reshuffled the
+    * O(pairs) relation twice (once per side). n_sh is functionally
+    * dependent on doc_id, so first() per pair group is exact. No
+    * broadcast: counts is O(corpus docs) and must stay a shuffle
+    * join at 100 TB.
+    */
+  private def pairStats(s: SparkSession, d: String): DataFrame = {
     val kept = cappedKept(s, d)
-    // per-doc set size rides INTO the pair join (one shuffle of kept by
-    // doc_id) instead of joining counts onto the pair relation after
-    // the groupBy — that shape reshuffled the O(pairs) relation twice
-    // (once per side) and was the stage the 10x scale gate caught
-    // bending superlinear. n_sh is functionally dependent on doc_id,
-    // so first() per pair group is exact. No broadcast: counts is
-    // O(corpus docs) and must stay a shuffle join at 100 TB.
     val withN = kept.join(keptCounts(kept), "doc_id")
     withN.as("a").join(withN.as("b"), Seq("shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -174,9 +196,12 @@ object Dedup {
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")))
+  }
+
+  def d2NgramJaccard(s: SparkSession, d: String): DataFrame =
+    pairStats(s, d)
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
-  }
 
   val d2Sql: String =
     s"""WITH sh0 AS ($shinglesSql),
@@ -208,23 +233,13 @@ object Dedup {
     * the capped inverted index, set sizes riding into the pair
     * groupBy, no post-groupBy joins of the pair relation.
     */
-  def d13ContainmentPairs(s: SparkSession, d: String): DataFrame = {
-    val kept = cappedKept(s, d)
-    val withN = kept.join(keptCounts(kept), "doc_id")
-    withN.as("a").join(withN.as("b"), Seq("shingle"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"),
-        first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
+  def d13ContainmentPairs(s: SparkSession, d: String): DataFrame =
+    pairStats(s, d)
       .withColumn("containment",
         col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("containment") >= 0.8)
       .select("doc_a", "doc_b", "n_inter", "n_a", "n_b",
         "containment", "jaccard")
-  }
 
   val d13Sql: String =
     s"""WITH sh0 AS ($shinglesSql),
@@ -260,6 +275,16 @@ object Dedup {
     * oracle), and the whole pipeline is explode → distinct →
     * equi-join → filter: linear in distinct names, never in name
     * pairs. The entity-resolution twin of the document-level d2/d3.
+    *
+    * Recall contract, precisely: exact WHEN no shared-signature
+    * bucket exceeds the cap — a pair whose ONLY common signature
+    * lives in a capped bucket (possible for very short names whose
+    * 2-deletion signatures degenerate, e.g. hundreds of 2-char names
+    * all sharing the empty signature) is dropped, the same
+    * recall-for-boundedness trade as every capped LSH family here.
+    * DedupSpec asserts the tested vocabularies stay below the cap,
+    * so its brute-force-equality checks genuinely exercise the
+    * exact-recall regime.
     */
   /** The FastSS join over ANY (w, freq) vocabulary relation — d14's
     * engine, exposed so the property test can drive it with random

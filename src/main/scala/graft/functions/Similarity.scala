@@ -892,7 +892,7 @@ object Similarity {
       .filter(col("crank") <= 50)
     val adc = cand.filter(col("crank") <= 10)
       .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
-    // exact re-rank of the 30-candidate ADC shortlist (ann7's serving
+    // exact re-rank of the 50-candidate ADC shortlist (ann7's serving
     // shape): full-precision cosine reads only the candidates' vectors
     val q = broadcast(c.select(col("vec_id").as("qid"), col("v").as("qv"),
       col("nrm").as("qnrm")).filter(col("qid") % 100 === 0))

@@ -362,6 +362,20 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       dist = lev(a, b) if dist <= 2
     } yield (a, b, dist)).toSet
     assert(got == want, s"FastSS=${got.size} brute=${want.size}")
+    // the exact-recall claim is conditional on no signature bucket
+    // hitting the 256 cap (see d14's scaladoc) — prove the tested
+    // vocabulary is in that regime, so the equality above genuinely
+    // exercises it
+    def sigsOf(w: String): Set[String] = {
+      def del(s: String, p: Int) = s.substring(0, p - 1) + s.substring(p)
+      val one = (1 to w.length).map(del(w, _))
+      val two = for (j <- 1 to w.length; dj = del(w, j);
+        i <- 1 until j) yield del(dj, i)
+      (one ++ two ++ Seq(w)).toSet
+    }
+    val bucketMax = names.flatMap(w => sigsOf(w).map(_ -> w))
+      .groupBy(_._1).values.map(_.size).max
+    assert(bucketMax <= 256, s"cap regime violated: hottest bucket $bucketMax")
   }
 
   test("FastSS pigeonhole property: lev<=2 implies a shared deletion " +
