@@ -954,6 +954,87 @@ object Relational {
       |  CAST(max(c) * max(n_keys) AS DOUBLE) / max(n_rows) AS skew_factor
       |FROM cum GROUP BY 1""".stripMargin
 
+  /** a39: Count-Min heavy hitters — completes the sketch trio
+    * (a33b GK quantiles, a9b approx-distinct, now FREQUENCY): a
+    * D=3 × W=64 Count-Min sketch over the events key stream,
+    * decision-query style like a33b: the output carries the exact
+    * top-10 (the truth), each key's sketch estimate (min over the 3
+    * hashed cells), the overcount, and the ε-bound check
+    * (overcount ≤ 2N/W), so a sketch regression hash-mismatches.
+    * CMS never undercounts — the spec asserts overcount ≥ 0
+    * unconditionally; the 2N/W bound is probabilistic in general
+    * and holds comfortably at every tested scale (documented
+    * decision-query trade, a33b's precedent).
+    *
+    * 100 TB shape: the sketch is D·W integer cells — one
+    * partial-aggregable groupBy builds it, cells merge by addition
+    * (the CMS property), so executors can sketch partitions
+    * independently and reduce, and a streaming deployment keeps it
+    * as `mapGroupsWithState` state. The exact top-10 here is the
+    * VERIFIER, not the operator; at scale the sketch answers point
+    * frequencies without it.
+    */
+  def a39HeavyHittersCms(s: SparkSession, d: String): DataFrame = {
+    val W = 1024L; val D = 3
+    // the stream is SKEWED by construction (30% of events rewritten
+    // to one hot key — the j7 scenario): a heavy-hitter sketch on a
+    // uniform stream answers nothing (every count ≈ N/W noise); on
+    // the skewed stream the hot key's estimate is tight (error ≤
+    // 2N/W ≪ its count) while tail keys show the noise floor —
+    // CMS's actual behavior, visible in the output
+    val ev = Tables.load(s, d, "events")
+      .select(when(pmod(col("event_id"), lit(10L)) < 3, lit("hot"))
+        .otherwise(col("user_id").cast("string")).as("key"))
+    def buckets(key: Column) = array((0 until D).map { r =>
+      struct(lit(r).as("r"),
+        pmod(Norm.xhash64(concat_ws("|", lit(s"cms$r"), key)), lit(W))
+          .as("b"))
+    }: _*)
+    val cells = ev.select(explode(buckets(col("key"))).as("e"))
+      .groupBy(col("e.r").as("r"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val exact = ev.groupBy("key").agg(count(lit(1)).as("true_c"))
+      .orderBy(col("true_c").desc, col("key").asc).limit(10)
+    val probes = exact
+      .select(col("key"), col("true_c"), explode(buckets(col("key"))).as("e"))
+      .select(col("key"), col("true_c"),
+        col("e.r").as("r"), col("e.b").as("b"))
+    val est = probes.join(cells, Seq("r", "b"))
+      .groupBy("key", "true_c").agg(min(col("c")).as("est_c"))
+    val tot = ev.agg(count(lit(1)).as("n_total"))
+    est.crossJoin(tot)
+      .withColumn("overcount", col("est_c") - col("true_c"))
+      .withColumn("within_bound",
+        col("overcount") <= expr(s"(2 * n_total) div $W"))
+      .select("key", "true_c", "est_c", "overcount", "within_bound")
+  }
+
+  val a39Sql: String = {
+    def bSql(r: Int, keyExpr: String) =
+      s"${Norm.xhash64Sql(s"'cms$r|' || $keyExpr")} % 1024"
+    val rowsSql = (0 until 3).map { r =>
+      s"SELECT key, $r AS r, ${bSql(r, "key")} AS b FROM ev"
+    }.mkString("\nUNION ALL\n")
+    val probeSql = (0 until 3).map { r =>
+      s"SELECT key, true_c, $r AS r, ${bSql(r, "key")} AS b FROM exact"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ev AS (
+       |  SELECT CASE WHEN event_id % 10 < 3 THEN 'hot'
+       |              ELSE CAST(user_id AS VARCHAR) END AS key
+       |  FROM events),
+       |hashed AS ($rowsSql),
+       |cells AS (SELECT r, b, count(*) AS c FROM hashed GROUP BY 1, 2),
+       |exact AS (SELECT key, count(*) AS true_c FROM ev
+       |          GROUP BY 1 ORDER BY true_c DESC, key ASC LIMIT 10),
+       |probes AS ($probeSql),
+       |est AS (SELECT key, true_c, min(c) AS est_c FROM probes
+       |        JOIN cells USING (r, b) GROUP BY 1, 2),
+       |tot AS (SELECT count(*) AS n_total FROM ev)
+       |SELECT key, true_c, est_c, est_c - true_c AS overcount,
+       |  est_c - true_c <= (2 * n_total) // 1024 AS within_bound
+       |FROM est, tot""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -981,6 +1062,7 @@ object Relational {
     "w10_cohort_retention" -> w10CohortRetention,
     "w11_sessionize" -> w11Sessionize,
     "a37_skew_profile" -> a37SkewProfile,
+    "a39_heavy_hitters_cms" -> a39HeavyHittersCms,
     "j6_banded_range_join" -> j6BandedRangeJoin,
     "j7_salted_skew_join" -> j7SaltedSkewJoin,
     "j8_bloom_prejoin" -> j8BloomPrejoin,
@@ -1013,6 +1095,7 @@ object Relational {
     "w10_cohort_retention" -> w10Sql,
     "w11_sessionize" -> w11Sql,
     "a37_skew_profile" -> a37Sql,
+    "a39_heavy_hitters_cms" -> a39Sql,
     "j6_banded_range_join" -> j6Sql,
     "j7_salted_skew_join" -> j7Sql,
     "j8_bloom_prejoin" -> j8Sql,

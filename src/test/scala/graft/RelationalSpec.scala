@@ -215,6 +215,22 @@ class RelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r.getAs[Double]("skew_factor") >= 1.0)
   }
 
+  test("a39 CMS: never undercounts, nails the hot key, stays in bound") {
+    val rows = Relational.a39HeavyHittersCms(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0,
+        "CMS can only OVERcount — an undercount is a hash-split bug")
+      assert(r.getAs[Boolean]("within_bound"), r.toString)
+    }
+    val hot = rows.find(_.getAs[String]("key") == "hot").get
+    // the heavy hitter's relative error must be far below the tail's
+    // noise floor — the property that makes the sketch useful
+    assert(hot.getAs[Long]("overcount").toDouble /
+      hot.getAs[Long]("true_c") < 0.05,
+      s"hot-key estimate not tight: $hot")
+  }
+
   test("ann9 fusion: a doc on both top-10 lists outranks rank-peers on one") {
     import graft.functions.Similarity
     val fused = Similarity.ann9HybridRrf(spark, sf).collect()
