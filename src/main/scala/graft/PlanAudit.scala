@@ -15,7 +15,9 @@ import org.apache.spark.sql.SparkSession
   * centroids broadcast), ann8's single-row recall crossJoins (its
   * training/encode/ADC paths are all equi-joins on a broadcast
   * codebook/distance table), a19's crossJoin of two single-row
-  * summary aggregates, pipe5's (and pipe9's) crossJoin of the
+  * summary aggregates, a39's crossJoin of the single-row stream
+  * total onto the 10-row heavy-hitter relation, pipe5's (and
+  * pipe9's) crossJoin of the
   * single-row corpus/weight totals onto the per-language bucket
   * summaries (resp. O(sources) rows), and pipe8's crossJoin of the
   * single-row leakage audit onto the 3-row split summary.
