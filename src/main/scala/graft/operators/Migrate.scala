@@ -442,11 +442,24 @@ object Migrate {
     * its physical plan for `PartitionFilters` independently of the
     * write.
     */
+  /** The layout s10 writes, stated explicitly: reading a partitioned
+    * dir WITHOUT a schema infers it from the files present — which
+    * fails outright on an empty table (zero files) and at 100 TB
+    * costs a footer-sampling job; a production reader always states
+    * the schema it expects (partition column included).
+    */
+  private val s10Schema = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_linenumber", LongType),
+    StructField("qty_str", StringType),
+    StructField("l_returnflag", StringType)))
+
   def prunedReadBack(s: SparkSession, out: String): DataFrame = {
     val normCols = Seq(
       NormCol("l_orderkey", KLong), NormCol("l_linenumber", KLong),
       NormCol("qty_str", KStr))
-    s.read.parquet(out).filter(col("l_returnflag") === "R")
+    s.read.schema(s10Schema).parquet(out)
+      .filter(col("l_returnflag") === "R")
       .groupBy((floor(col("l_orderkey") / 1000)).cast("long").as("chunk_id"))
       .agg(count(lit(1)).as("n_rows"),
         Norm.sparkRowChecksum(normCols).as("row_checksum"))
@@ -502,10 +515,16 @@ object Migrate {
     */
   def s2ChunkedScan(s: SparkSession, d: String): DataFrame = {
     val o = Tables.load(s, d, "orders")
-    val Array(minK, maxK, n) = o
-      .agg(min("o_orderkey"), max("o_orderkey"), count(lit(1)))
-      .collect()(0).toSeq.map(_.toString.toLong).toArray
-    val chunks = planChunks(minK, maxK, n, 2000L)
+    val row = o.agg(min("o_orderkey"), max("o_orderkey"), count(lit(1)))
+      .collect()(0)
+    val n = row.getLong(2)
+    // empty table: min/max are NULL (planChunks' own empty contract);
+    // the chunked scan of nothing is the empty summary, not an NPE
+    if (n == 0)
+      return o.groupBy(lit(0L).as("chunk_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+    val chunks = planChunks(row.getLong(0), row.getLong(1), n, 2000L)
     o.groupBy(chunkIdColumn(chunks, col("o_orderkey")).as("chunk_id"))
       .agg(count(lit(1)).as("n_rows"),
         min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
@@ -529,13 +548,17 @@ object Migrate {
         .as("price_str"))
     runJdbc(src, url, "ORDERS_MIG", batchSize = 100,
       columnTypes = Some("o_orderstatus VARCHAR(4), price_str VARCHAR(32)"))
-    val Array(minK, maxK) = src.agg(min("o_orderkey"), max("o_orderkey"))
-      .collect()(0).toSeq.map(_.toString.toLong).toArray
-    val back = readJdbcChunked(s, url, "ORDERS_MIG", "o_orderkey",
-      minK, maxK + 1, 8)
     val normCols = Seq(
       NormCol("o_orderkey", KLong), NormCol("o_custkey", KLong),
       NormCol("o_orderstatus", KStr), NormCol("price_str", KStr))
+    val bounds = src.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+    // empty source: the JDBC overwrite still created the (empty)
+    // target table; there is no partition range to read back — the
+    // roundtrip summary of nothing is empty, not an NPE on NULL min
+    val back =
+      if (bounds.isNullAt(0)) src.limit(0)
+      else readJdbcChunked(s, url, "ORDERS_MIG", "o_orderkey",
+        bounds.getLong(0), bounds.getLong(1) + 1, 8)
     back.groupBy(floor(col("o_orderkey") / 1000).cast("long").as("chunk_id"))
       .agg(count(lit(1)).as("n_rows"),
         Norm.sparkRowChecksum(normCols).as("row_checksum"))

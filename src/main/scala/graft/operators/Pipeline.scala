@@ -141,7 +141,13 @@ object Pipeline {
     failpoint("assess")
     val src0 = Tables.load(s, d, table)
     val row = src0.agg(min(keyCol), max(keyCol), count(lit(1))).collect()(0)
-    val (minK, maxK, cnt) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // empty source: min/max are NULL — getLong would throw. The
+    // reference treats an empty table as a completed (trivial) task,
+    // not an error; the guard below stage 4 returns the empty summary
+    // after the target table is still created.
+    val cnt = row.getLong(2)
+    val (minK, maxK) =
+      if (cnt == 0) (0L, 0L) else (row.getLong(0), row.getLong(1))
 
     // ---- stage 3: reverse — DDL synthesis + artifact (S9, F11).
     // Quoted lower-case identifiers so the JDBC writer's quoted INSERT
@@ -166,6 +172,23 @@ object Pipeline {
       } finally st.close()
     } finally conn.close()
 
+    val decSpec = Map("o_totalprice" -> (14, 2))
+    val exportDf = src0.select(
+      Migrate.exportProjection(src0.schema, decSpec): _*)
+    val normCols = Seq(NormCol("o_orderkey", KLong),
+      NormCol("o_custkey", KLong), NormCol("o_orderstatus", KStr),
+      NormCol("o_totalprice", KStr), NormCol("o_orderdate", KStr),
+      NormCol("o_orderpriority", KStr))
+
+    // empty source: target table exists (stage 4), there is nothing
+    // to chunk, migrate, or repair — the compare summary is exactly
+    // empty, same schema as the populated path
+    if (cnt == 0)
+      return Compare.chunkSummary(exportDf.limit(0),
+          lit(0L).cast("long"), normCols)
+        .select(col("chunk_id"), col("n_rows"), col("row_checksum"),
+          lit(true).as("matched"), lit(0L).as("n_fix"))
+
     // ---- stage 5: chunk plan + ledger init / resume triage.
     // chunkRows = 0 (default) auto-sizes to a bounded chunk COUNT
     val cr = if (chunkRows > 0) chunkRows else autoChunkRows(cnt)
@@ -178,9 +201,6 @@ object Pipeline {
     val pending = Ledger.pending(s, ledgerPath, task, table, chunks)
 
     // ---- stage 6: migrate — one distributed ranged write per wave
-    val decSpec = Map("o_totalprice" -> (14, 2))
-    val exportDf = src0.select(
-      Migrate.exportProjection(src0.schema, decSpec): _*)
     pending.grouped(waveSize).zipWithIndex.foreach { case (wave, wi) =>
       val ids = wave.map(_.id)
       failpoint(s"wave_start:${ids.mkString(",")}")
@@ -213,10 +233,6 @@ object Pipeline {
     // both sides, slow path symmetric diff → fix actions (all the
     // same single-shuffle operators a2b/j4/c2 register standalone)
     failpoint("compare")
-    val normCols = Seq(NormCol("o_orderkey", KLong),
-      NormCol("o_custkey", KLong), NormCol("o_orderstatus", KStr),
-      NormCol("o_totalprice", KStr), NormCol("o_orderdate", KStr),
-      NormCol("o_orderpriority", KStr))
     // `div` (IntegralDivide), NOT `/`: Column `/` on longs is IEEE
     // double division — exact only below 2^53, which 100 TB key
     // ranges exceed. `div` is the exact integer math planFixedWidth

@@ -816,11 +816,22 @@ object Relational {
     val small = cust(s, d)
       .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") < 5)
       .select(col("c_custkey"))
-    // one planning job over the (already filtered, bounded) dim keys
-    val bf = small.stat.bloomFilter("c_custkey", 1 << 17, 0.01)
-    val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
-    ord(s, d).filter(mightContain(col("o_custkey")))
+    // one planning job over the (already filtered, bounded) dim keys.
+    // An EMPTY dim yields a bloom filter with NO backing bitmap —
+    // every method on it (even bitSize) NPEs — and also proves no
+    // fact row can match, so the prefilter degenerates to `false`:
+    // same plan shape, zero scan output, no crash. The isEmpty probe
+    // is a limit-1 job on the already-filtered dim, the same
+    // planning-pass class as the bloom build itself.
+    val prefilter: Column =
+      if (small.isEmpty) lit(false)
+      else {
+        val bf = small.stat.bloomFilter("c_custkey", 1 << 17, 0.01)
+        val bfB = s.sparkContext.broadcast(bf)
+        val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+        mightContain(col("o_custkey"))
+      }
+    ord(s, d).filter(prefilter)
       .join(broadcast(small), col("o_custkey") === col("c_custkey"),
         "left_semi")
       .groupBy(col("o_orderpriority"))
