@@ -19,7 +19,13 @@ object Bench {
     // ann1's exact-cosine truth relation is memoized and shared by
     // ann3/ann4/ann7/ann8/ann9 — warm it so no recall query's timed
     // figure absorbs the one-time O(N·Q) truth build
-    "ann1_brute_topk")
+    "ann1_brute_topk",
+    // f1's native charset expression pair registers + codegens once
+    // per JVM (see CharsetConvert's scaladoc); Map order put f1 at
+    // the FRONT of round-7's driver run, so ~13 s of one-time cost
+    // landed on its figure (12.9 s driver vs 1.42 s committed).
+    // Warm it so the timed figure is the steady state.
+    "f1_charset")
 
   /** One timed run: (seconds, result rows); (-1.0, -1) on failure
     * (never time-to-exception — broken queries must be visible in
@@ -68,6 +74,12 @@ object Bench {
     // untimed warmup: JIT/codegen/first-scan costs otherwise land on
     // whichever query happens to run first, distorting its number
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // untimed first scan of the BENCH scale's own data: entry() warms
+    // sf0.001, but the first sf0.1 parquet scan (footer reads, codec
+    // init, page-cache fill) otherwise lands on whichever timed query
+    // touches lineitem first — j1 absorbed 2.4 s of it in round 7
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    catch { case _: Throwable => () }
     // d-family steady state: d2/d3/d6/d9 share memoized PERSISTED
     // shingle/minhash structures (Dedup.cachedPerSession), so whichever
     // d-query a run reaches first absorbs the one-time index build —
@@ -117,8 +129,13 @@ object Bench {
       val (t1, n1, g1) = timed(fn)
       val med = median(clean.toSeq)
       val (v, n, g) =
-        if (t1 >= 0 && (t1 < 1.0 ||
-            (clean.nonEmpty && t1 > math.max(3 * med, 1.0)))) {
+        // no clean.nonEmpty guard on the heavy-tail branch: with no
+        // prior samples the threshold degenerates to a flat 1 s, so
+        // the FIRST query of a run is resample-eligible too (round-7
+        // finding: the first >=1 s query could never be resampled, and
+        // Map order put f1/j1 there — 14 s of one-time cost became
+        // unchallengeable figures)
+        if (t1 >= 0 && (t1 < 1.0 || t1 > math.max(3 * med, 1.0))) {
           // a failed second sample keeps the first — never report a
           // phantom 0 s for a query that succeeded once
           val (t2, n2, g2) = timed(fn)

@@ -129,6 +129,17 @@ object Dedup {
     * re-persists. Iterates over a SNAPSHOT of the registry and takes
     * each cache's monitor without holding any other lock (see
     * cacheRegistry's doc for the lock-order rationale).
+    *
+    * ASSUMES QUIESCENCE: cold-clean-storage is guaranteed only when
+    * no query is concurrently building (the hook's actual use — a
+    * bench/test pausing between phases). A cachedPerSession call
+    * racing the purge can register its cache after the snapshot, or
+    * re-populate a cache the loop already passed, leaving that
+    * relation resident — by design: the alternative (re-running the
+    * snapshot loop until every cache is empty) never terminates
+    * against a steady query stream, and blocking builds for the
+    * purge's duration would trade a measurement hook for a global
+    * pause. Under concurrency the purge is best-effort.
     */
   private[graft] def purgeAllCaches(): Unit = {
     val snapshot = cacheRegistry.synchronized {

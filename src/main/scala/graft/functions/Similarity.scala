@@ -837,52 +837,98 @@ object Similarity {
         .withColumn("s2", dot(col("sv"), col("sv")))
     }
 
-  def ann8PqRecall(s: SparkSession, d: String): DataFrame = {
-    val CW = 16
-    val c = corpus(s, d).filter(col("nrm") > 0)
-    val sub = subVectors(s, d)
-    val cb0 = broadcast(sub.filter(col("vec_id") < CW)
-      .select(col("m"), col("vec_id").as("k"), col("sv").as("cbv"),
-        col("s2").as("c2")))
-    def qdist(s2: Column, a: Column, b: Column, c2: Column): Column =
-      floor((s2 - lit(2.0) * dot(a, b) + c2) * lit(1e6) + lit(0.5))
-        .cast("long")
-    def encode(codebook: DataFrame): DataFrame =
-      sub.join(codebook, Seq("m"))
-        .select(col("vec_id"), col("m"), col("k"),
-          qdist(col("s2"), col("sv"), col("cbv"), col("c2")).as("qd"))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("qd"), col("k"))).as("mk"))
-        .select(col("vec_id"), col("m"), col("mk.k").as("k"))
-    // one Lloyd update: component-wise mean of each codeword's
-    // assigned subvectors. Components are half-up-quantized to longs
-    // BEFORE the sum (integer reduction — no float accumulation
-    // order), mean = (Σq / n) / 1e6 with both divisions IEEE-exact
-    // given identical operands; a codeword that attracted nothing
-    // keeps its seed (coalesce against the seed's positions).
-    val compo = encode(cb0).join(sub, Seq("vec_id", "m"))
-      .select(col("m"), col("k"),
-        posexplode(col("sv")).as(Seq("pos", "x")))
-      .select(col("m"), col("k"), col("pos"),
-        floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("qx"))
-    val means = compo.groupBy("m", "k", "pos")
-      .agg((sum(col("qx")).cast("double") / count(lit(1)) / lit(1e6))
-        .as("mx"))
-    val seedPos = cb0.select(col("m"), col("k"),
-      posexplode(col("cbv")).as(Seq("pos", "sx")))
-    val cb1 = broadcast(seedPos
-      .join(means, Seq("m", "k", "pos"), "left_outer")
-      .withColumn("x", coalesce(col("mx"), col("sx")))
-      .groupBy("m", "k")
-      .agg(transform(
-        sort_array(collect_list(struct(col("pos"), col("x")))),
-        e => e("x")).as("cbv"))
-      .withColumn("c2", dot(col("cbv"), col("cbv"))))
-    val enc = encode(cb1)
-    val dt = broadcast(sub.filter(col("vec_id") % 100 === 0)
+  /** Quantized ADC distance of one subvector against one codeword:
+    * ‖a‖² − 2a·b + ‖b‖² half-up at 1e-6 to a long, so every
+    * cross-code reduction downstream is an integer sum. ONE
+    * definition feeds training, encoding, and both ADC consumers
+    * (ann8, ann10).
+    */
+  private def qdist(s2: Column, a: Column, b: Column, c2: Column): Column =
+    floor((s2 - lit(2.0) * dot(a, b) + c2) * lit(1e6) + lit(0.5))
+      .cast("long")
+
+  /** Nearest-codeword assignment of every subvector against a
+    * (broadcastable) codebook — argmin via partial-aggregable
+    * min(struct(dist, k)), never a window over the N·M·K relation.
+    */
+  private def pqEncode(s: SparkSession, d: String,
+      codebook: DataFrame): DataFrame =
+    subVectors(s, d).join(codebook, Seq("m"))
+      .select(col("vec_id"), col("m"), col("k"),
+        qdist(col("s2"), col("sv"), col("cbv"), col("c2")).as("qd"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("qd"), col("k"))).as("mk"))
+      .select(col("vec_id"), col("m"), col("mk.k").as("k"))
+
+  private val cbCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val codeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** The trained PQ codebook (m, k, cbv, c2) — one Lloyd iteration
+    * from the deterministic seed (subvectors of the 16 lowest
+    * vec_ids): assign → component-wise mean per codeword → done.
+    * Components are half-up-quantized to longs BEFORE the sum
+    * (integer reduction — no float accumulation order), mean =
+    * (Σq / n) / 1e6 with both divisions IEEE-exact given identical
+    * operands; a codeword that attracted nothing keeps its seed
+    * (coalesce against the seed's positions). Memoized per (session,
+    * input): ann8 and ann10 both train against it, and at 100 TB the
+    * codebook is trained once and shipped with the index by
+    * construction. M·K rows — broadcast at every use site.
+    */
+  private[graft] def trainedCodebook(s: SparkSession, d: String): DataFrame =
+    Dedup.cachedPerSession(cbCache, s, d) {
+      val CW = 16
+      val sub = subVectors(s, d)
+      val cb0 = broadcast(sub.filter(col("vec_id") < CW)
+        .select(col("m"), col("vec_id").as("k"), col("sv").as("cbv"),
+          col("s2").as("c2")))
+      val compo = pqEncode(s, d, cb0).join(sub, Seq("vec_id", "m"))
+        .select(col("m"), col("k"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .select(col("m"), col("k"), col("pos"),
+          floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("qx"))
+      val means = compo.groupBy("m", "k", "pos")
+        .agg((sum(col("qx")).cast("double") / count(lit(1)) / lit(1e6))
+          .as("mx"))
+      val seedPos = cb0.select(col("m"), col("k"),
+        posexplode(col("cbv")).as(Seq("pos", "sx")))
+      seedPos
+        .join(means, Seq("m", "k", "pos"), "left_outer")
+        .withColumn("x", coalesce(col("mx"), col("sx")))
+        .groupBy("m", "k")
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("x")))),
+          e => e("x")).as("cbv"))
+        .withColumn("c2", dot(col("cbv"), col("cbv")))
+    }
+
+  /** The PQ code relation (vec_id, m, k) under the trained codebook —
+    * 8 nibbles per vector, the index every ADC consumer scans.
+    * Memoized: ann8 and ann10 share one encode pass, and at rest this
+    * relation IS the PQ index, materialized once.
+    */
+  private[graft] def pqCodes(s: SparkSession, d: String): DataFrame =
+    Dedup.cachedPerSession(codeCache, s, d) {
+      pqEncode(s, d, broadcast(trainedCodebook(s, d)))
+    }
+
+  /** The query-side ADC distance table (qid, m, k, qd) — M·K longs
+    * per query, broadcast at every use site.
+    */
+  private def pqQueryTable(s: SparkSession, d: String): DataFrame = {
+    val cb1 = broadcast(trainedCodebook(s, d))
+    subVectors(s, d).filter(col("vec_id") % 100 === 0)
       .join(cb1, Seq("m"))
       .select(col("vec_id").as("qid"), col("m"), col("k"),
-        qdist(col("s2"), col("sv"), col("cbv"), col("c2")).as("qd")))
+        qdist(col("s2"), col("sv"), col("cbv"), col("c2")).as("qd"))
+  }
+
+  def ann8PqRecall(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d).filter(col("nrm") > 0)
+    val enc = pqCodes(s, d)
+    val dt = broadcast(pqQueryTable(s, d))
     val cw = Window.partitionBy("qid")
       .orderBy(col("adist").asc, col("vec_id").asc)
     val cand = enc.join(dt, Seq("m", "k"))

@@ -817,20 +817,25 @@ object Relational {
       .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") < 5)
       .select(col("c_custkey"))
     // one planning job over the (already filtered, bounded) dim keys.
-    // An EMPTY dim yields a bloom filter with NO backing bitmap —
-    // every method on it (even bitSize) NPEs — and also proves no
-    // fact row can match, so the prefilter degenerates to `false`:
-    // same plan shape, zero scan output, no crash. The isEmpty probe
-    // is a limit-1 job on the already-filtered dim, the same
-    // planning-pass class as the bloom build itself.
+    // An EMPTY dim NPEs inside the bloom build/merge (no backing
+    // bitmap to read; observed as "array length ... buf is null"
+    // during the build itself, and any method on a bitmap-less bloom
+    // NPEs the same way — bitSize is probed to pin that down) — and
+    // an empty dim also proves no fact row can match, so the NPE IS
+    // the emptiness signal and the prefilter degenerates to `false`:
+    // same plan shape, zero scan output, no crash. This makes the ONE
+    // build job double as the emptiness check (an earlier version ran
+    // a separate limit-1 isEmpty job on every invocation — including
+    // the common non-empty path — just to guard the NPE;
+    // EmptySweepSpec keeps the catch branch exercised).
     val prefilter: Column =
-      if (small.isEmpty) lit(false)
-      else {
+      try {
         val bf = small.stat.bloomFilter("c_custkey", 1 << 17, 0.01)
+        bf.bitSize()
         val bfB = s.sparkContext.broadcast(bf)
         val mightContain = udf((k: Long) => bfB.value.mightContain(k))
         mightContain(col("o_custkey"))
-      }
+      } catch { case _: NullPointerException => lit(false) }
     ord(s, d).filter(prefilter)
       .join(broadcast(small), col("o_custkey") === col("c_custkey"),
         "left_semi")
@@ -914,11 +919,17 @@ object Relational {
     * hottest key's share of all rows, and the skew factor (max over
     * mean). Two-level aggregation, both
     * partial-aggregable; the exact percentiles run over the
-    * COUNT-HISTOGRAM (distinct count values, a bounded long-tail
-    * domain — thousands of entries at any corpus size), never over
-    * the key relation itself, so the single-partition cumsum window
-    * is safe at 100 TB where a global sort of per-key counts would
-    * not be. Ratios are single double divisions of exact ints.
+    * COUNT-HISTOGRAM (distinct count values — in natural long-tail
+    * corpora a domain of thousands of entries regardless of corpus
+    * size), never over the key relation itself, so the
+    * single-partition cumsum window is safe where a global sort of
+    * per-key counts would not be. The histogram bound is
+    * distributional, not absolute: an adversarial domain where every
+    * key has a DISTINCT count makes the histogram O(#keys) again —
+    * if that hard bound is ever needed, log-bucket the counts
+    * (`floor(log2(c))`) before the window and report bucketed
+    * percentiles; here exactness wins because the oracle checks
+    * exact p50/p99. Ratios are single double divisions of exact ints.
     */
   def a37SkewProfile(s: SparkSession, d: String): DataFrame = {
     val counts = Tables.load(s, d, "events")
@@ -967,7 +978,7 @@ object Relational {
 
   /** a39: Count-Min heavy hitters — completes the sketch trio
     * (a33b GK quantiles, a9b approx-distinct, now FREQUENCY): a
-    * D=3 × W=64 Count-Min sketch over the events key stream,
+    * D=3 × W=1024 Count-Min sketch over the events key stream,
     * decision-query style like a33b: the output carries the exact
     * top-10 (the truth), each key's sketch estimate (min over the 3
     * hashed cells), the overcount, and the ε-bound check

@@ -674,7 +674,13 @@ object Cdc {
     * recycle-bin drop (`drop table t AS "BIN$..."`) is normalized by
     * upper-casing the statement and cutting at the first `AS` —
     * faithfully including the reference's truncate-at-ANY-`AS`
-    * behavior, not a word-bounded variant. Output is the routed DDL
+    * behavior, not a word-bounded variant. ONE deliberate deviation:
+    * the reference's `strings.Split(upper, "AS")[0]` keeps the
+    * trailing space before the cut; we `rtrim` it so `stmt_norm` is a
+    * clean statement string (semantics identical — downstream routing
+    * keys on `ddl_kind`/`table_name`, never on trailing whitespace —
+    * but a byte-for-byte compare of normalized statements would
+    * differ). Output is the routed DDL
     * record stream (scn, seq, kind, table, normalized statement);
     * case-folded table_name comes from the normalized statement, so
     * the DROP path is upper (as the reference forwards it) and the
@@ -859,9 +865,15 @@ object Cdc {
     * single writer. A server-grade URL (`jdbc:derby://host`, or any
     * non-Derby target) keeps the full [[JdbcConnections]] fan-out.
     */
-  private[graft] def sinkConnections(url: String): Int =
-    if (url.startsWith("jdbc:derby:") && !url.startsWith("jdbc:derby://")) 1
+  private[graft] def sinkConnections(url: String): Int = {
+    // the ReplaceShim prefix is transport, not a target: the clamp
+    // decision belongs to the DELEGATE url (an embedded Derby behind
+    // the shim still runs one in-process lock manager)
+    val u = if (url.startsWith(ReplaceShim.Prefix))
+      url.substring(ReplaceShim.Prefix.length) else url
+    if (u.startsWith("jdbc:derby:") && !u.startsWith("jdbc:derby://")) 1
     else JdbcConnections
+  }
 
   /** One partition's guarded apply over one connection. Returns the
     * number of `executeBatch` flushes — the spec's observable for the
@@ -1108,6 +1120,46 @@ object Cdc {
 
   val c6cSql: String = c6bSql
 
+  /** c6d: the same CDC apply + duplicate delivery through the NATIVE
+    * multi-row REPLACE path ([[ReplaceDialect]] → [[applyReplace]] —
+    * full groups of [[ReplaceRowsPerStmt]] through one prepared
+    * multi-row statement, remainder through a batched single-row
+    * statement; the reference's safe mode,
+    * `module/migrate/sql/oracle/o2m/translate.go:34-145`). The
+    * sandbox has no REPLACE-grammar server, so the grammar is
+    * translated at the driver seam by [[ReplaceShim]]
+    * (`jdbc:graftreplace:` → delete-by-key + insert on the embedded
+    * delegate); everything ABOVE the seam — statement text, the
+    * base-offset parameter binding, group folding, remainder and
+    * delete batching — is the exact path a MySQL URL takes, and was
+    * previously covered only by a statement-shape assertion, never
+    * executed. Oracle identical to c6b/c6c: all three dialects carry
+    * one hash contract.
+    */
+  def c6dReplaceNative(s: SparkSession, d: String): DataFrame = {
+    ReplaceShim.ensureRegistered()
+    val dbDir = graft.operators.Migrate.scratchDbDir("derby_cdc_repnat")
+    val baseUrl = s"jdbc:derby:$dbDir/cdcdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(baseUrl)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        "CREATE TABLE CDC_STATE (k BIGINT PRIMARY KEY, scn BIGINT, " +
+          "seq BIGINT, v DOUBLE)")
+      st.close()
+    } finally conn.close()
+    val url = ReplaceShim.Prefix + baseUrl
+    val feed = eventsAsChanges(s, d)
+    applyBatchJdbc(feed, url, "CDC_STATE", ReplaceDialect)
+    applyBatchJdbc(feed, url, "CDC_STATE", ReplaceDialect) // replay
+    s.read.format("jdbc").option("url", baseUrl)
+      .option("dbtable", "CDC_STATE").load()
+      .select(col("k").as("key"), col("scn"), col("seq"),
+        col("v").as("value"))
+  }
+
+  val c6dSql: String = c6bSql
+
   /** w9: conversion funnel over the event stream — per user, first
     * signup then first SUBSEQUENT purchase, bucketed by conversion
     * latency. The sequential-pattern shape every event pipeline needs;
@@ -1323,6 +1375,7 @@ object Cdc {
     "c6_cdc_apply" -> c6CdcApply,
     "c6b_jdbc_merge" -> c6bJdbcMerge,
     "c6c_jdbc_replace" -> c6cReplaceApply,
+    "c6d_jdbc_replace_native" -> c6dReplaceNative,
     "p5_cdc_filter" -> p5CdcFilter,
     "c8_window_agg" -> c8WindowAgg,
     "c9_session_window" -> c9SessionWindow,
@@ -1336,6 +1389,7 @@ object Cdc {
     "c6_cdc_apply" -> c6Sql,
     "c6b_jdbc_merge" -> c6bSql,
     "c6c_jdbc_replace" -> c6cSql,
+    "c6d_jdbc_replace_native" -> c6dSql,
     "p5_cdc_filter" -> p5Sql,
     "c8_window_agg" -> c8Sql,
     "c9_session_window" -> c9Sql,
