@@ -20,6 +20,11 @@ object Bench {
     // ann3/ann4/ann7/ann8/ann9 — warm it so no recall query's timed
     // figure absorbs the one-time O(N·Q) truth build
     "ann1_brute_topk",
+    // ann8 builds the memoized PQ artifacts (subVectors,
+    // trainedCodebook, pqCodes) that ann10 composes with — warm them
+    // so whichever of the two runs first doesn't absorb the training
+    // + encode passes
+    "ann8_pq_recall",
     // f1's native charset expression pair registers + codegens once
     // per JVM (see CharsetConvert's scaladoc); Map order put f1 at
     // the FRONT of round-7's driver run, so ~13 s of one-time cost

@@ -963,14 +963,22 @@ object Similarity {
         col("n_hits_refined").cast("double") / col("n_expected"))
   }
 
-  val ann8Sql: String = {
-    // the ‖a‖² − 2a·b + ‖b‖² identity, matching the Spark side's
-    // native-dot form operation-for-operation
-    val sq = (s2: String, a: String, b: String, c2: String) =>
-      s"CAST(floor(($s2 - 2 * list_sum(list_transform(range(1, 9), " +
-        s"i -> $a[i] * $b[i])) + $c2) * 1e6 + 0.5) AS BIGINT)"
-    s"""WITH c AS ($corpusSql),
-       |cn AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+  // the ‖a‖² − 2a·b + ‖b‖² identity, matching the Spark side's
+  // native-dot form operation-for-operation (the SQL twin of qdist)
+  private val sqlQdist = (s2: String, a: String, b: String, c2: String) =>
+    s"CAST(floor(($s2 - 2 * list_sum(list_transform(range(1, 9), " +
+      s"i -> $a[i] * $b[i])) + $c2) * 1e6 + 0.5) AS BIGINT)"
+
+  /** Shared DuckDB CTE chain for the PQ family — subvector split,
+    * seed codebook, one Lloyd iteration, trained codebook, corpus
+    * codes, query distance tables — mirroring the Spark side's
+    * trainedCodebook/pqCodes/pqQueryTable sharing: ONE text both
+    * ann8Sql and ann10Sql splice, so the two oracles cannot drift.
+    * Assumes a preceding `c AS ($corpusSql)` CTE.
+    */
+  private val pqSqlCtes: String = {
+    val sq = sqlQdist
+    s"""cn AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
        |       FROM c WHERE nrm > 0),
        |sub0 AS (
        |  SELECT vec_id, CAST(m AS INT) AS m, vn[m*8+1 : m*8+8] AS sv
@@ -1014,8 +1022,13 @@ object Similarity {
        |        ORDER BY ${sq("s.s2", "s.sv", "cb1.cbv", "cb1.c2")} ASC, cb1.k ASC) AS rn
        |    FROM sub s JOIN cb1 ON s.m = cb1.m) r WHERE rn = 1),
        |dt AS (
-       |  SELECT q.vec_id AS qid, cb1.m, cb1.k, ${sq("q.s2", "q.sv", "cb1.cbv", "cb1.c2")} AS qd
-       |  FROM sub q JOIN cb1 ON q.m = cb1.m WHERE q.vec_id % 100 = 0),
+       |  SELECT sq.vec_id AS qid, cb1.m, cb1.k, ${sq("sq.s2", "sq.sv", "cb1.cbv", "cb1.c2")} AS qd
+       |  FROM sub sq JOIN cb1 ON sq.m = cb1.m WHERE sq.vec_id % 100 = 0)""".stripMargin
+  }
+
+  val ann8Sql: String = {
+    s"""WITH c AS ($corpusSql),
+       |$pqSqlCtes,
        |cand AS (
        |  SELECT qid, vec_id, crank FROM (
        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
@@ -1049,6 +1062,179 @@ object Similarity {
        |    (SELECT count(*) FROM truth) AS recall_adc,
        |  CAST((SELECT count(*) FROM hr) AS DOUBLE) /
        |    (SELECT count(*) FROM truth) AS recall_refined""".stripMargin
+  }
+
+  /** How many centroid cells ann10 probes per query. 2 — one more
+    * than ann2's implicit nprobe=1 — so the output can pin the claim
+    * that widening probes plus PQ-with-re-rank serves at least the
+    * exact single-cell recall.
+    */
+  private val IvfPqProbes = 2
+
+  /** ann10: IVF-PQ — the production ANN serving composition (FAISS
+    * IndexIVFPQ; ann8's scaladoc prescribes exactly this): rank the
+    * broadcast centroids per query, probe the top-[[IvfPqProbes]]
+    * cells, ADC-scan ONLY the probed cells' code entries (the
+    * cell-keyed PQ index — at rest partitioned by cell, 8 nibbles per
+    * vector), then exact-cosine re-rank the 50-candidate shortlist to
+    * a top-10. Composes the two memoized index artifacts:
+    * [[assignedCells]] (IVF) and [[pqCodes]] (PQ) — nothing is
+    * re-trained or re-encoded here; this is the query path alone.
+    *
+    * Decision-query output: recall@10 of the ADC shortlist and of the
+    * re-ranked top-10 against ann1's exact truth, PLUS the exact
+    * nprobe=1 baseline (the rank-1 probe cell is by construction the
+    * query's own assigned cell, so this IS ann2's probe width at
+    * k=10) — the hash pins `recall_refined ≥ recall_nprobe1`, i.e.
+    * the composed serving path beats exact single-cell IVF.
+    *
+    * 100 TB shape: probe ranking is O(Q·C) on broadcast centroids;
+    * the candidate generation is ONE equi-join of the cell-keyed code
+    * relation with the bounded (Q·w rows, broadcast) probe list —
+    * only probed cells' codes are ever read (partition pruning when
+    * the code relation is stored partitioned by cell) — followed by a
+    * broadcast distance-table join and a partial-aggregable integer
+    * sum; only the 50 shortlisted candidates' full vectors are
+    * fetched for re-rank. No stage touches unprobed cells.
+    */
+  def ann10IvfPqRecall(s: SparkSession, d: String): DataFrame = {
+    val assigned = assignedCells(s, d)
+    val cent = centroids(s, d)
+    val c = corpus(s, d).filter(col("nrm") > 0)
+    val enc = pqCodes(s, d)
+    val dt = broadcast(pqQueryTable(s, d))
+    val q = broadcast(assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm")))
+    val crankW = Window.partitionBy("qid")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probes = q.crossJoin(cent)
+      .withColumn("ccos",
+        dot(col("cv"), col("qv")) / (col("cnrm") * col("qnrm")))
+      .withColumn("prank", row_number().over(crankW))
+      .filter(col("prank") <= IvfPqProbes)
+      .select(col("qid"), col("cid").as("cell"), col("prank"))
+    // the IVF-PQ index: codes keyed by their vector's cell
+    val encCell = enc.join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+    val cw = Window.partitionBy("qid")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val cand = encCell
+      .join(broadcast(probes.select("qid", "cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(dt, Seq("qid", "m", "k"))
+      .groupBy("qid", "vec_id").agg(sum(col("qd")).as("adist"))
+      .withColumn("crank", row_number().over(cw))
+      // shortlist SCALES WITH PROBE WIDTH (50 per probed cell — the
+      // FAISS k′≫k reorder convention): a fixed 50 would prune the
+      // ~50-member-per-cell candidate pool by half at w=2 and cap
+      // refined recall below the exact single-cell baseline the
+      // output exists to beat
+      .filter(col("crank") <= 50 * IvfPqProbes)
+    val adc = cand.filter(col("crank") <= 10)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+    val rw = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val refined = cand.select("qid", "vec_id")
+      .join(c, "vec_id").join(q, "qid")
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= 10)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+    // exact top-10 within the rank-1 probe cell: ann2's probe width
+    val np1W = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val np1 = assigned
+      .join(broadcast(probes.filter(col("prank") === 1)
+        .select("qid", "cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(q, Seq("qid"))
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(np1W))
+      .filter(col("rank") <= 10)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+    val truth = ann1BruteTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    def hits(g: DataFrame) =
+      truth.join(g, Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_expected"))
+      .crossJoin(hits(adc).agg(count(lit(1)).as("n_hits_adc")))
+      .crossJoin(hits(refined).agg(count(lit(1)).as("n_hits_refined")))
+      .crossJoin(hits(np1).agg(count(lit(1)).as("n_hits_nprobe1")))
+      .withColumn("recall_adc",
+        col("n_hits_adc").cast("double") / col("n_expected"))
+      .withColumn("recall_refined",
+        col("n_hits_refined").cast("double") / col("n_expected"))
+      .withColumn("recall_nprobe1",
+        col("n_hits_nprobe1").cast("double") / col("n_expected"))
+  }
+
+  val ann10Sql: String = {
+    s"""WITH c AS ($corpusSql),
+       |$assignedSqlCte,
+       |$pqSqlCtes,
+       |qset AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm
+       |         FROM assigned WHERE vec_id % 100 = 0),
+       |probes AS (
+       |  SELECT qid, cell, prank FROM (
+       |    SELECT qset.qid, cent.cid AS cell,
+       |      row_number() OVER (PARTITION BY qset.qid ORDER BY
+       |        ${dotSql("cent.cv", "qset.qv")} / (cent.cnrm * qset.qnrm) DESC,
+       |        cent.cid ASC) AS prank
+       |    FROM qset, cent) t WHERE prank <= $IvfPqProbes),
+       |enccell AS (
+       |  SELECT e.vec_id, e.m, e.k, a.cell
+       |  FROM enc e JOIN assigned a ON a.vec_id = e.vec_id),
+       |cand AS (
+       |  SELECT qid, vec_id, crank FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adist ASC, vec_id ASC) AS crank FROM (
+       |      SELECT p.qid, ec.vec_id, CAST(sum(dt.qd) AS BIGINT) AS adist
+       |      FROM enccell ec JOIN probes p ON ec.cell = p.cell
+       |      JOIN dt ON dt.qid = p.qid AND dt.m = ec.m AND dt.k = ec.k
+       |      WHERE ec.vec_id <> p.qid GROUP BY 1, 2) a) r
+       |  WHERE crank <= ${50 * IvfPqProbes}),
+       |adc AS (SELECT qid AS query_id, vec_id AS neighbor_id
+       |        FROM cand WHERE crank <= 10),
+       |refined AS (
+       |  SELECT qid AS query_id, vec_id AS neighbor_id FROM (
+       |    SELECT cd.qid, cd.vec_id,
+       |      row_number() OVER (PARTITION BY cd.qid ORDER BY
+       |        ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+       |        cd.vec_id ASC) AS rank
+       |    FROM cand cd JOIN c ON c.vec_id = cd.vec_id
+       |                 JOIN c q ON q.vec_id = cd.qid) r
+       |  WHERE rank <= 10),
+       |np1 AS (
+       |  SELECT qid AS query_id, vec_id AS neighbor_id FROM (
+       |    SELECT p.qid, a.vec_id,
+       |      row_number() OVER (PARTITION BY p.qid ORDER BY
+       |        ${dotSql("qset.qv", "a.v")} / (qset.qnrm * a.nrm) DESC,
+       |        a.vec_id ASC) AS rank
+       |    FROM probes p
+       |    JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid
+       |    JOIN qset ON qset.qid = p.qid
+       |    WHERE p.prank = 1) r WHERE rank <= 10),
+       |truth AS (SELECT query_id, neighbor_id FROM ($ann1Sql) a),
+       |ha AS (SELECT * FROM truth t WHERE EXISTS (
+       |  SELECT 1 FROM adc g WHERE g.query_id = t.query_id
+       |    AND g.neighbor_id = t.neighbor_id)),
+       |hr AS (SELECT * FROM truth t WHERE EXISTS (
+       |  SELECT 1 FROM refined g WHERE g.query_id = t.query_id
+       |    AND g.neighbor_id = t.neighbor_id)),
+       |hn AS (SELECT * FROM truth t WHERE EXISTS (
+       |  SELECT 1 FROM np1 g WHERE g.query_id = t.query_id
+       |    AND g.neighbor_id = t.neighbor_id))
+       |SELECT (SELECT count(*) FROM truth) AS n_expected,
+       |  (SELECT count(*) FROM ha) AS n_hits_adc,
+       |  (SELECT count(*) FROM hr) AS n_hits_refined,
+       |  (SELECT count(*) FROM hn) AS n_hits_nprobe1,
+       |  CAST((SELECT count(*) FROM ha) AS DOUBLE) /
+       |    (SELECT count(*) FROM truth) AS recall_adc,
+       |  CAST((SELECT count(*) FROM hr) AS DOUBLE) /
+       |    (SELECT count(*) FROM truth) AS recall_refined,
+       |  CAST((SELECT count(*) FROM hn) AS DOUBLE) /
+       |    (SELECT count(*) FROM truth) AS recall_nprobe1""".stripMargin
   }
 
   /** ann9: hybrid retrieval — reciprocal-rank fusion of a LEXICAL
@@ -1149,6 +1335,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann9_hybrid_rrf" -> ann9HybridRrf,
+    "ann10_ivfpq_recall" -> ann10IvfPqRecall,
     "ann5_kmeans_iter" -> ann5KmeansIter,
     "ann8_pq_recall" -> ann8PqRecall,
     "ann6_probe_sweep" -> ann6ProbeSweep,
@@ -1163,6 +1350,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann9_hybrid_rrf" -> ann9Sql,
+    "ann10_ivfpq_recall" -> ann10Sql,
     "ann5_kmeans_iter" -> ann5Sql,
     "ann8_pq_recall" -> ann8Sql,
     "ann6_probe_sweep" -> ann6Sql,

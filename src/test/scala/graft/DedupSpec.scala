@@ -317,6 +317,33 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
         s"adc ${r.getAs[Double]("recall_adc")}")
   }
 
+  test("ann10 serving contract: IVF-PQ with re-rank beats exact single-cell") {
+    val df = graft.functions.Similarity.ann10IvfPqRecall(spark, sf)
+    // the ADC candidate generation must reach the probed cells through
+    // an EQUI-join on the cell id (broadcast probe list) — the
+    // structural guarantee that no unprobed cell's codes are read; a
+    // plan that degraded to a non-equi join over the code relation
+    // would stop matching here
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [cell"),
+      s"ADC cell restriction is not a broadcast equi-join on cell:\n" +
+        plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    val r = df.collect()(0)
+    val nq = r.getAs[Long]("n_expected")
+    assert(nq > 0 && nq % 10 == 0, s"n_expected=$nq")
+    // the composed serving path (probe 2 cells → ADC shortlist →
+    // exact re-rank) must at least match the exact nprobe=1 search it
+    // exists to replace, and re-ranking can only improve on raw ADC
+    assert(r.getAs[Double]("recall_refined") >=
+      r.getAs[Double]("recall_nprobe1"),
+      s"refined ${r.getAs[Double]("recall_refined")} < " +
+        s"nprobe1 ${r.getAs[Double]("recall_nprobe1")}")
+    assert(r.getAs[Double]("recall_refined") >=
+      r.getAs[Double]("recall_adc"),
+      s"refined ${r.getAs[Double]("recall_refined")} < " +
+        s"adc ${r.getAs[Double]("recall_adc")}")
+  }
+
   test("d13 containment fires on an embedded excerpt that Jaccard misses") {
     import spark.implicits._
     // doc 2 = a 6-word excerpt of doc 1 (60 words): every one of its 4

@@ -34,4 +34,28 @@ class EmptySweepSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"${failures.size} queries crash on empty input:\n" +
         failures.mkString("\n"))
   }
+
+  test("all registered queries survive single-row tables") {
+    // minimum CARDINALITY, not absence: one-row inputs reach branches
+    // the zero-row sweep never does — window frames with a real first
+    // row but no second, min==max chunk guards, singleton clusters,
+    // centroid sets of one — while every aggregate/join still has
+    // data flowing through it
+    val dir = java.nio.file.Files.createTempDirectory("graft_one").toString
+    for (t <- Tables.all) {
+      Tables.load(spark, sf, t).limit(1)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, dir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName} " +
+            String.valueOf(e.getMessage).replace('\n', ' ').take(100))
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries crash on single-row input:\n" +
+        failures.mkString("\n"))
+  }
 }
