@@ -1441,7 +1441,109 @@ object TextAnalysis {
        |WHERE NOT is_eval
        |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** t17: held-out bigram-LM fluency score — the CCNet shape (Wenzek
+    * et al., arXiv:1911.00359: score target text under an LM trained
+    * on a reference corpus; perplexity bands drive keep/drop). Train
+    * slice = docs with doc_id % 10 ≠ 0 (t7's deterministic-slice
+    * convention); EVERY doc is scored, so the held-out 10% exercises
+    * genuinely unseen bigrams and the add-one smoothing is load-
+    * bearing, not decorative.
+    *
+    * Deliberately NOT float perplexity (t11's scaladoc states the
+    * family rule: a float LM score is order-dependent under partial
+    * aggregation, and ln() is transcendental — engines differ in the
+    * last ulp). The score is the integer-exact surrogate: per bigram,
+    * reciprocal smoothed conditional probability
+    * `S = floor((c1 + V) / (c12 + 1))` (an exact integer in both
+    * engines — c1/c12/V are counts), per doc the SUM of S (integer,
+    * associative — safe under any partitioning) and its mean (one
+    * IEEE division of exact ints). Same ordering signal as perplexity
+    * for banding — monotone per-bigram in 1/p — with arithmetic
+    * instead of geometric averaging (documented trade: rare bigrams
+    * weigh heavier, which is the property a garbled-text gate wants).
+    *
+    * 100 TB shape: the MODEL is vocabulary-bound — one groupBy for
+    * bigram counts, one for head counts, both partial-aggregable;
+    * scoring is two equi-joins on the word keys (broadcastable while
+    * the model fits, shuffled-hash beyond) plus one per-doc
+    * partial-aggregable sum. V is a bounded planning aggregate (one
+    * long), the same class as the chunk-plan collects.
+    */
+  def t17BigramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+    // the sequence(1,0)-descends guard, see gramExprK's scaladoc
+    val pairs = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(expr(
+        """transform(
+          |  if(size(w) >= 2, sequence(1, size(w) - 1), array()),
+          |  i -> struct(element_at(w, i) AS w1,
+          |              element_at(w, i + 1) AS w2))""".stripMargin))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val train = pairs.filter(col("doc_id") % 10 =!= 0)
+    val big = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val head = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(explode(words(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).head.getLong(0)
+    pairs
+      .join(head, Seq("w1"), "left_outer")
+      .join(big, Seq("w1", "w2"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c12"), lit(0L)).as("c12"))
+      // counts ≪ 2^52, so the double-division floor is exact
+      .withColumn("s", floor((col("c1") + lit(v)).cast("double") /
+        (col("c12") + lit(1L))).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12") === 0, 1L).otherwise(0L)).as("n_unseen"),
+        sum(col("s")).as("sum_recip"))
+      .withColumn("in_train",
+        when(col("doc_id") % 10 =!= 0, 1L).otherwise(0L))
+      .withColumn("mean_recip",
+        col("sum_recip").cast("double") / col("n_bigrams"))
+      .select("doc_id", "in_train", "n_bigrams", "n_unseen",
+        "sum_recip", "mean_recip")
+  }
+
+  val t17Sql: String =
+    """WITH dw AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pairs AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(w), 1)),
+      |                          i -> w[i])) AS w1,
+      |    unnest(list_transform(range(1, greatest(len(w), 1)),
+      |                          i -> w[i+1])) AS w2
+      |  FROM dw),
+      |tp AS (SELECT * FROM pairs WHERE doc_id % 10 <> 0),
+      |big AS (SELECT w1, w2, count(*) AS c12 FROM tp GROUP BY 1, 2),
+      |hd AS (SELECT w1, count(*) AS c1 FROM tp GROUP BY 1),
+      |vocab AS (
+      |  SELECT count(DISTINCT t) AS v FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS t
+      |    FROM documents WHERE doc_id % 10 <> 0) u),
+      |sc AS (
+      |  SELECT p.doc_id, coalesce(big.c12, 0) AS c12,
+      |    CAST(floor(CAST(coalesce(hd.c1, 0) + (SELECT v FROM vocab)
+      |                    AS DOUBLE) / (coalesce(big.c12, 0) + 1))
+      |      AS BIGINT) AS s
+      |  FROM pairs p
+      |  LEFT JOIN hd USING (w1)
+      |  LEFT JOIN big USING (w1, w2))
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END AS in_train,
+      |  count(*) AS n_bigrams,
+      |  CAST(sum(CASE WHEN c12 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unseen,
+      |  CAST(sum(s) AS BIGINT) AS sum_recip,
+      |  CAST(sum(s) AS DOUBLE) / count(*) AS mean_recip
+      |FROM sc GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_bigram_lm" -> t17BigramLm,
     "t16_bpe_merges" -> t16BpeMerges,
     "pipe10_gate_ablation" -> pipe10GateAblation,
     "t11_lexicon_profile" -> t11LexiconProfile,
@@ -1487,6 +1589,7 @@ object TextAnalysis {
     "t14_rarity_profile" -> t14Sql,
     "t15_tfidf_keywords" -> t15Sql,
     "t16_bpe_merges" -> t16Sql,
+    "t17_bigram_lm" -> t17Sql,
     "pipe10_gate_ablation" -> pipe10Sql,
     "pipe9_temperature_mixture" -> pipe9Sql,
     "pipe7_dataset_card" -> pipe7Sql)

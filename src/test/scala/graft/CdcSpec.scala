@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.streaming.Cdc
+import graft.streaming.{Cdc, ReplaceShim}
 
 class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
   /** Run an AvailableNow query to completion and ALWAYS stop it:
@@ -551,6 +551,45 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
       flushEvery = 100, dialect = Cdc.DeleteInsertDialect)
     assert(flushes == 10L, s"flushes=$flushes")
     assert(state().size == 503)
+  }
+
+  test("ReplaceShim: the NATIVE multi-row REPLACE path executes — " +
+    "group folding, remainder, NULLs, deletes, replay") {
+    import spark.implicits._
+    // 233 upserts = 2 full 100-row groups through the prepared
+    // multi-row statement + a 33-row remainder through the batched
+    // single-row statement (the reference's remainder path,
+    // translate.go:34-145) — plus deletes and a NULL value bind, all
+    // through applyReplace itself, with the grammar translated at the
+    // ReplaceShim driver seam
+    ReplaceShim.ensureRegistered()
+    val dbDir = graft.operators.Migrate.scratchDbDir("cdc_shim_t")
+    val baseUrl = s"jdbc:derby:$dbDir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(baseUrl)
+    try conn.createStatement().execute(
+      "CREATE TABLE R (k BIGINT PRIMARY KEY, scn BIGINT, seq BIGINT, v DOUBLE)")
+    finally conn.close()
+    val url = ReplaceShim.Prefix + baseUrl
+    // embedded delegate behind the shim keeps the single-writer clamp
+    assert(Cdc.sinkConnections(url) == 1)
+    val rows = (1 to 233).map(i => (2L, 0L, "INSERT", i.toLong,
+        if (i == 7) None else Some(i * 1.0))) ++
+      Seq((2L, 0L, "DELETE", 9999L, None))
+    val batch = rows.toDF("scn", "seq", "op", "key", "value")
+      .withColumn("table_name", lit("t"))
+    def state() = spark.read.format("jdbc").option("url", baseUrl)
+      .option("dbtable", "R").load()
+      .collect().map(r => r.getAs[Long]("K") ->
+        Option(r.getAs[java.lang.Double]("V")).map(_.doubleValue)).toMap
+    Cdc.applyBatchJdbc(batch, url, "R", Cdc.ReplaceDialect)
+    val first = state()
+    assert(first.size == 233, s"size=${first.size}")
+    assert(first(7L).isEmpty && first(1L) == Some(1.0) &&
+      first(233L) == Some(233.0), first.take(5).toString)
+    // bit-identical redelivery through the native path: state moves
+    // nothing (REPLACE is delete+insert per key — same end state)
+    Cdc.applyBatchJdbc(batch, url, "R", Cdc.ReplaceDialect)
+    assert(state() == first)
   }
 
   test("jdbc apply scale contract: bounded statement buffer and " +

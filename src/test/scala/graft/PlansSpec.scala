@@ -91,6 +91,31 @@ class PlansSpec extends AnyFunSuite with SparkSessionTestWrapper {
       twoAgg.exceptAll(onePass).isEmpty)
   }
 
+  test("ChunkSummaryAgg 128-bit carry arithmetic equals BigInt under " +
+    "any reduce/merge split") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.functions.ChunkSummaryAgg.{zero, reduce, merge, finish}
+    // terms span the full 60-bit hash range so the low word overflows
+    // roughly every 16 terms — the carry path is the test subject, not
+    // a rare corner; the split point exercises merge at every ratio
+    val gen = for {
+      terms <- Gen.nonEmptyListOf(Gen.frequency(
+        4 -> Gen.choose(0L, (1L << 60) - 1),
+        1 -> Gen.const((1L << 60) - 1)))
+      cut <- Gen.choose(0, terms.length)
+    } yield (terms, cut)
+    val prop = Prop.forAll(gen) { case (terms, cut) =>
+      val (l, r) = terms.splitAt(cut)
+      val merged = merge(l.foldLeft(zero)(reduce), r.foldLeft(zero)(reduce))
+      val (n, sum) = finish(merged)
+      n == terms.length &&
+        sum == terms.map(BigInt(_)).sum.toString
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("native dot_product is bit-identical to the higher-order fold") {
     graft.plans.DotProduct.register(spark)
     val v = Tables.load(spark, sf, "embeddings")

@@ -227,7 +227,15 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // flat); pipe10 is corpus-linear (four bucketed flag joins);
       // s17 is a write-layout job like s13/s15 plus an O(files)
       // planning collect
-      "t16_bpe_merges", "pipe10_gate_ablation", "s17_manifest_skipping")
+      "t16_bpe_merges", "pipe10_gate_ablation", "s17_manifest_skipping",
+      // round-8: c6d's REPLACE path is row-linear like c6b's MERGE.
+      // ann10 is deliberately NOT a head, same reason ann1 isn't: its
+      // decision-query wrapper embeds the exact O(N·Q) truth verifier
+      // (and the O(N·C) assignment), both quadratic at 10x BY DESIGN
+      // — the serving path alone (probe ranking + cell-restricted
+      // ADC) is the production shape and is covered by the
+      // plan-asserted equi-join contract in DedupSpec
+      "c6d_jdbc_replace_native")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()

@@ -319,4 +319,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
       r.getBoolean(2), r.getBoolean(3)))
     assert(keys.distinct.length == keys.length)
   }
+
+  test("t17 bigram LM: hand-computed smoothed reciprocals, unseen " +
+    "bigram on the held-out slice") {
+    import spark.implicits._
+    // train slice (id % 10 != 0): docs 1-2 → c12(a,b)=3, c12(b,a)=1,
+    // c1(a)=3, c1(b)=1, V={a,b}=2. held-out: doc 10 seen bigram,
+    // doc 20 an UNSEEN one (z not in the train vocab), so add-one
+    // smoothing is what scores it: S = floor((c1+V)/(c12+1))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t17").toString
+    Seq((1L, "a b a b"), (2L, "a b"), (10L, "a b"), (20L, "a z"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = graft.functions.TextAnalysis.t17BigramLm(spark, tmp)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("in_train"), r.getAs[Long]("n_bigrams"),
+          r.getAs[Long]("n_unseen"), r.getAs[Long]("sum_recip"))))
+      .toMap
+    // doc 1: pairs (a,b)(b,a)(a,b) → S = 1+1+1 (floor(5/4), floor(3/2))
+    assert(got(1L) == ((1L, 3L, 0L, 3L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((1L, 1L, 0L, 1L)), s"doc2: ${got(2L)}")
+    assert(got(10L) == ((0L, 1L, 0L, 1L)), s"doc10: ${got(10L)}")
+    // unseen (a,z): c12=0 → S = floor((3+2)/1) = 5
+    assert(got(20L) == ((0L, 1L, 1L, 5L)), s"doc20: ${got(20L)}")
+  }
 }
