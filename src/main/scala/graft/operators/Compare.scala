@@ -436,6 +436,73 @@ object Compare {
        |   OR src_sum IS DISTINCT FROM tgt_sum""".stripMargin
   }
 
+  /** Sample-rate denominator for c7: keys whose 60-bit hash ≡ 0
+    * mod this are in the sample (rate 1/4 here, so the sf0.01 sample
+    * still covers every chunk; at 100 TB the knob goes to 1/100 or
+    * beyond).
+    */
+  private val SampleMod = 4L
+
+  /** c7: hash-sampled pre-compare — the pass a 100 TB compare runs
+    * BEFORE a2b/c3: both sides restrict to the DETERMINISTIC key
+    * sample (xhash64(key) ≡ 0 mod [[SampleMod]] — the same rows on
+    * both engines and both sides, no RNG), then run the a2b
+    * chunk-summary compare on the sample alone. The contract that
+    * makes it a sound pre-check: a sampled-key difference IS a real
+    * difference, so every chunk this flags is truly dirty (ZERO false
+    * positives — CompareSpec asserts c7's chunks ⊆ a2b's); a dirty
+    * chunk escapes only if ALL its drifted keys fall outside the
+    * sample — false-negative probability (1 − 1/S)^k for k drifted
+    * keys, the estimator every sampled-audit design rides.
+    *
+    * Scale accounting (honest): against flat files both sides still
+    * SCAN fully — the saving is S-fold on the normalize + checksum +
+    * shuffle compare volume, which is where a wide-row compare
+    * actually spends; with the key-hash as the storage bucket (s12's
+    * layout) the scan itself prunes to 1/S of the buckets. Shares
+    * [[ordersChunkId]] and [[chunkSummary]] with a2b/c3 — one bucket
+    * definition, one checksum projection (the c3 losslessness rule).
+    */
+  def c7SampledCompare(s: SparkSession, d: String): DataFrame = {
+    val bucket = ordersChunkId
+    def sampled(df: DataFrame) = df.filter(
+      pmod(Norm.xhash64(col("o_orderkey").cast("string")),
+        lit(SampleMod)) === 0)
+    val src = chunkSummary(sampled(Tables.load(s, d, "orders")), bucket,
+        ordersNorm)
+      .withColumnRenamed("n_rows", "src_rows")
+      .withColumnRenamed("row_checksum", "src_sum")
+    val tgt = chunkSummary(sampled(driftedOrders(s, d)), bucket, ordersNorm)
+      .withColumnRenamed("n_rows", "tgt_rows")
+      .withColumnRenamed("row_checksum", "tgt_sum")
+    src.join(tgt, Seq("chunk_id"), "full_outer")
+      .filter(!(col("src_rows") <=> col("tgt_rows")) ||
+        !(col("src_sum") <=> col("tgt_sum")))
+      .select(col("chunk_id"),
+        coalesce(col("src_rows"), lit(0L)).as("src_rows"),
+        coalesce(col("tgt_rows"), lit(0L)).as("tgt_rows"))
+  }
+
+  val c7Sql: String = {
+    val sum = Norm.duckRowChecksum(ordersNorm)
+    val keep =
+      s"${Norm.xhash64Sql("CAST(o_orderkey AS VARCHAR)")} % $SampleMod = 0"
+    s"""WITH src AS (
+       |  SELECT $ordersChunkIdSql AS chunk_id,
+       |         count(*) AS src_rows, $sum AS src_sum
+       |  FROM orders WHERE $keep GROUP BY 1),
+       |tgt AS (
+       |  SELECT $ordersChunkIdSql AS chunk_id,
+       |         count(*) AS tgt_rows, $sum AS tgt_sum
+       |  FROM $driftedOrdersSql AS orders WHERE $keep GROUP BY 1)
+       |SELECT chunk_id,
+       |       coalesce(src_rows, 0) AS src_rows,
+       |       coalesce(tgt_rows, 0) AS tgt_rows
+       |FROM src FULL OUTER JOIN tgt USING (chunk_id)
+       |WHERE src_rows IS DISTINCT FROM tgt_rows
+       |   OR src_sum IS DISTINCT FROM tgt_sum""".stripMargin
+  }
+
   /** c3: two-phase narrowed compare — the reference's ACTUAL compare
     * control flow (`report.go:74-303`: CRC fast path per chunk, row
     * rescan only on mismatch) as one distributed plan. Phase 1 is the
@@ -588,6 +655,7 @@ object Compare {
     "c2_fix_actions" -> c2FixActions,
     "a2b_chunk_compare" -> a2bChunkCompare,
     "c3_narrowed_diff" -> c3NarrowedDiff,
+    "c7_sampled_compare" -> c7SampledCompare,
     "p2_compare_norm" -> p2CompareNorm,
     "set_except" -> setExcept,
     "set_intersect" -> setIntersect,
@@ -599,6 +667,7 @@ object Compare {
     "c2_fix_actions" -> c2Sql,
     "a2b_chunk_compare" -> a2bSql,
     "c3_narrowed_diff" -> c3Sql,
+    "c7_sampled_compare" -> c7Sql,
     "p2_compare_norm" -> p2Sql,
     "set_except" -> setExceptSql,
     "set_intersect" -> setIntersectSql,

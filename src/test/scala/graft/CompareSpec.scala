@@ -137,6 +137,23 @@ class CompareSpec extends AnyFunSuite with SparkSessionTestWrapper {
       txt.contains("SELECT COUNT(1) FROM steven.orders WHERE"))
   }
 
+  test("c7 sampled pre-compare: zero false positives (sampled-dirty " +
+    "⊆ full-dirty) and nonzero coverage") {
+    val sampledDirty = graft.operators.Compare
+      .c7SampledCompare(spark, sf).select("chunk_id")
+      .collect().map(_.getLong(0)).toSet
+    val fullDirty = graft.operators.Compare
+      .a2bChunkCompare(spark, sf).select("chunk_id")
+      .collect().map(_.getLong(0)).toSet
+    // a sampled-key difference is a REAL difference: every chunk the
+    // sample flags must be flagged by the full compare too
+    assert(sampledDirty.subsetOf(fullDirty),
+      s"false positives: ${(sampledDirty -- fullDirty).toSeq.sorted}")
+    // and at a 1/4 rate over this drift the sample actually catches
+    // something — a pre-check that never fires is untested code
+    assert(sampledDirty.nonEmpty)
+  }
+
   test("normalization maps '' and NULL to the same canonical value") {
     val n = Compare.p2CompareNorm(spark, sf)
     val nulls = n.filter(col("o_orderkey") % 5 === 0).select("norm_str").distinct()
