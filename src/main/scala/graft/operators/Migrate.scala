@@ -372,6 +372,129 @@ object Migrate {
        |  CAST(o_orderkey % 4 AS INT) AS chunk_id
        |FROM ($edgeRowsSql) t""".stripMargin
 
+  /** The reference's EXACT CSV dialect knobs (`example/config.toml:
+    * 68-80`, writer `module/migrate/csv/oracle/o2m/csv.go`):
+    * multi-character field separator, multi-character row terminator,
+    * quote delimiter, bare unquoted NULL token, escape-backslash.
+    */
+  private[graft] val DialectSep = "|#|"
+  private[graft] val DialectTerm = "|+|\r\n"
+
+  /** Dialect-stress fixture for s8c: payloads embedding the dialect's
+    * OWN metacharacters — the separator, the terminator's pieces
+    * including a raw CR LF, quotes + backslashes, '' and NULL, and
+    * the bare NULL token as a literal STRING (expressible only in a
+    * quoting dialect — standard CSV's read-back collapses it).
+    * Deliberately NOT shared with s8's edgeRows: that fixture feeds
+    * the standard-CSV roundtrip whose reader (no multiLine) cannot
+    * carry raw newlines, and weakening this fixture to fit it would
+    * untest the dialect.
+    */
+  private def dialectEdgeRows(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "orders").select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 8 === 0, lit(null: String))
+        .when(col("o_orderkey") % 8 === 1, lit(""))
+        .when(col("o_orderkey") % 8 === 2, lit("x|#|y"))
+        .when(col("o_orderkey") % 8 === 3, lit("t|+|\r\nend"))
+        .when(col("o_orderkey") % 8 === 4, lit("NULL"))
+        .when(col("o_orderkey") % 8 === 5,
+          concat(lit("q\"uo\\te"), col("o_orderstatus")))
+        .otherwise(col("o_orderpriority")).as("payload"),
+      col("o_totalprice").cast(DecimalType(14, 2)).cast("string")
+        .as("price_str"))
+
+  private val dialectEdgeRowsSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 8 = 0 THEN NULL
+      |       WHEN o_orderkey % 8 = 1 THEN ''
+      |       WHEN o_orderkey % 8 = 2 THEN 'x|#|y'
+      |       WHEN o_orderkey % 8 = 3 THEN 't|+|' || chr(13) || chr(10) || 'end'
+      |       WHEN o_orderkey % 8 = 4 THEN 'NULL'
+      |       WHEN o_orderkey % 8 = 5 THEN 'q"uo\te' || o_orderstatus
+      |       ELSE o_orderpriority END AS payload,
+      |  CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR) AS price_str
+      |FROM orders""".stripMargin
+
+  /** Literal (non-regex) sequential replaces — the escape/unescape
+    * primitive for the dialect writer/reader.
+    */
+  private def replaceAll(c: Column,
+      subs: Seq[(String, String)]): Column =
+    subs.foldLeft(c) { case (acc, (from, to)) =>
+      call_function("replace", acc, lit(from), lit(to)) }
+
+  /** s8c: the reference's CSV dialect, byte-for-byte — a dialect
+    * Spark's own CSV writer cannot produce (write-side `sep` is
+    * single-character; the terminator and bare-NULL conventions have
+    * no writer knobs at all). The rows are RENDERED as codegen'd
+    * string expressions — escape-backslash escapes `\` `"` CR LF
+    * (dumpling's rule, and the property that keeps the raw terminator
+    * sequence impossible inside a field) — shipped through the text
+    * sink with the terminator as `lineSep`, and re-parsed on read
+    * with ONE regexp whose alternation consumes quoted regions
+    * atomically (separators, quotes, terminator pieces, or the NULL
+    * token INSIDE a payload cannot split or spoof fields). Unescape
+    * routes escaped backslashes through a NUL sentinel (payloads
+    * containing NUL are out of scope — the text sink's own limit).
+    *
+    * What the hash proves beyond s8: `''`, SQL NULL, and the literal
+    * string `"NULL"` all round-trip DISTINCT (`was_null` pins the
+    * SQL-NULL rows) — the quoted dialect expresses what standard CSV
+    * read-back collapses (`database/oracle/full.go:198-201`).
+    * Scale shape identical to s8: one codegen projection, one text
+    * write, one text scan + projection — no shuffle anywhere.
+    */
+  /** The write half of s8c, split out (the s8b pattern) so the spec
+    * can assert the RAW BYTES use the dialect — separator between
+    * fields, terminator between rows, bare NULL tokens, escaped
+    * CR/LF — not just that the round-trip closes.
+    */
+  def csvDialectWrite(s: SparkSession, d: String, out: String): Unit = {
+    def quoted(c: Column): Column =
+      when(c.isNull, lit("NULL"))
+        .otherwise(concat(lit("\""), replaceAll(c, Seq(
+          "\\" -> "\\\\", "\"" -> "\\\"",
+          "\r" -> "\\r", "\n" -> "\\n")), lit("\"")))
+    dialectEdgeRows(s, d)
+      .select(concat_ws(DialectSep,
+        quoted(col("o_orderkey").cast("string")),
+        quoted(col("payload")), quoted(col("price_str"))).as("value"))
+      .write.mode(SaveMode.Overwrite).format("text")
+      .option("lineSep", DialectTerm).save(out)
+  }
+
+  def s8cCsvDialect(s: SparkSession, d: String): DataFrame = {
+    val out = tempDir("s8c")
+    csvDialectWrite(s, d, out)
+    val fields = regexp_extract_all(col("value"),
+      lit("\"(?:[^\"\\\\]|\\\\.)*\"|NULL"), lit(0))
+    def unescaped(t: Column): Column =
+      when(t === "NULL", lit(null: String))
+        .otherwise(replaceAll(t.substr(lit(2), length(t) - 2), Seq(
+          "\\\\" -> "\u0000", "\\r" -> "\r", "\\n" -> "\n",
+          "\\\"" -> "\"", "\u0000" -> "\\")))
+    s.read.format("text").option("lineSep", DialectTerm).load(out)
+      .filter(length(col("value")) > 0)
+      .select(fields.as("f"))
+      .select(
+        unescaped(element_at(col("f"), 1)).cast("long").as("o_orderkey"),
+        unescaped(element_at(col("f"), 2)).as("payload_rt"),
+        unescaped(element_at(col("f"), 3)).as("price_str"))
+      .select(col("o_orderkey"),
+        coalesce(col("payload_rt"), lit("NULL")).as("payload_out"),
+        when(col("payload_rt").isNull, 1L).otherwise(0L).as("was_null"),
+        col("price_str"))
+  }
+
+  val s8cSql: String =
+    s"""SELECT o_orderkey,
+       |  CASE WHEN payload IS NULL THEN 'NULL' ELSE payload END
+       |    AS payload_out,
+       |  CASE WHEN payload IS NULL THEN 1 ELSE 0 END AS was_null,
+       |  price_str
+       |FROM ($dialectEdgeRowsSql) t""".stripMargin
+
   /** Chunk membership as a single projected column: a when-chain over
     * the planned boundaries. Pure projection — codegen'd, no join, no
     * extra scan; the chunk *plan* stays on the driver (it is bounded:
@@ -1059,6 +1182,7 @@ object Migrate {
     "s7b_jdbc_roundtrip" -> s7bJdbcRoundtrip,
     "s8_csv_roundtrip" -> s8CsvRoundtrip,
     "s8b_chunked_csv" -> s8bChunkedCsv,
+    "s8c_csv_dialect" -> s8cCsvDialect,
     "s9b_json_roundtrip" -> s9bJsonRoundtrip,
     "s9c_ddl_apply" -> s9cDdlApply,
     "s9d_orc_roundtrip" -> s9dOrcRoundtrip,
@@ -1077,6 +1201,7 @@ object Migrate {
     "s7b_jdbc_roundtrip" -> s7bSql,
     "s8_csv_roundtrip" -> s8Sql,
     "s8b_chunked_csv" -> s8bSql,
+    "s8c_csv_dialect" -> s8cSql,
     "s9b_json_roundtrip" -> s9bSql,
     "s9c_ddl_apply" -> s9cSql,
     "s9d_orc_roundtrip" -> s9dSql,

@@ -320,4 +320,30 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(n0 == 0 && empty.count() == 0)
     assert(empty.schema == data.schema)
   }
+
+  test("s8c dialect bytes: separator/terminator/NULL-token/escapes " +
+    "appear RAW on disk") {
+    val out = java.nio.file.Files.createTempDirectory("graft_s8c").toString
+    Migrate.csvDialectWrite(spark, sf, out)
+    val bytes = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".txt"))
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath),
+        "UTF-8")).mkString
+    // the dialect, byte-for-byte (config.toml:68-80): fields joined by
+    // the multi-char separator, rows ended by the multi-char
+    // terminator, SQL NULL as a bare unquoted token, and raw CR LF
+    // impossible outside terminators (escape-backslash escapes them)
+    assert(bytes.contains(Migrate.DialectSep))
+    assert(bytes.contains(Migrate.DialectTerm))
+    assert(bytes.contains(Migrate.DialectSep + "NULL" + Migrate.DialectSep),
+      "bare NULL token for SQL NULL payloads")
+    assert(bytes.contains("\\r\\n"), "escaped CR LF inside fields")
+    val noTerms = bytes.split(java.util.regex.Pattern.quote(
+      Migrate.DialectTerm), -1)
+    assert(noTerms.forall(r => !r.contains("\r") && !r.contains("\n")),
+      "raw CR/LF must only occur as part of the terminator")
+    // and the literal string "NULL" payload stays QUOTED — distinct
+    // from the bare token
+    assert(bytes.contains("\"NULL\""))
+  }
 }

@@ -77,8 +77,23 @@ def main(sf_dir, out_dir):
                 print('   spark cols:', list(a.columns))
                 print('   duck  cols:', list(b.columns))
             n_fail += 1
-    print(f'PASS={n_pass} FAIL={n_fail} NO-ORACLE={n_noracle}')
-    return 1 if n_fail else 0
+    # a query that CRASHED in Verify never writes its dir — without
+    # this check it silently vanishes from the counts (it did once:
+    # a2c failed under a mis-flagged JVM and the sweep still said
+    # FAIL=0; grep Verify's stderr for [verify] lines too)
+    written = {n for n in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, n))}
+    missing = sorted(set(oracle) - written)
+    # ...but a SUBSET dev run (Verify's 3rd arg) legitimately writes
+    # few dirs; only treat absences as failures when the run clearly
+    # attempted the full surface
+    full_run = len(written) >= 0.9 * len(oracle)
+    if full_run:
+        for name in missing:
+            print(f'  {name:32s} MISSING (no Verify output dir)')
+    print(f'PASS={n_pass} FAIL={n_fail} NO-ORACLE={n_noracle}'
+          + (f' MISSING={len(missing)}' if full_run and missing else ''))
+    return 1 if n_fail or (full_run and missing) else 0
 
 if __name__ == '__main__':
     sys.exit(main(sys.argv[1], sys.argv[2]))
