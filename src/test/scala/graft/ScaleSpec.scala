@@ -228,14 +228,19 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // s17 is a write-layout job like s13/s15 plus an O(files)
       // planning collect
       "t16_bpe_merges", "pipe10_gate_ablation", "s17_manifest_skipping",
-      // round-8: c6d's REPLACE path is row-linear like c6b's MERGE.
+      // round-8: c6d's REPLACE path is row-linear like c6b's MERGE;
+      // t17's model is vocab-bound (10x corpus, SAME vocabulary —
+      // cost must track tokens, not bigram-pair space); c7 is the
+      // 1/4-sampled a2b (compare volume scales with the sample);
+      // s8c is a no-shuffle render/parse pass.
       // ann10 is deliberately NOT a head, same reason ann1 isn't: its
       // decision-query wrapper embeds the exact O(N·Q) truth verifier
       // (and the O(N·C) assignment), both quadratic at 10x BY DESIGN
       // — the serving path alone (probe ranking + cell-restricted
       // ADC) is the production shape and is covered by the
       // plan-asserted equi-join contract in DedupSpec
-      "c6d_jdbc_replace_native")
+      "c6d_jdbc_replace_native", "t17_bigram_lm",
+      "c7_sampled_compare", "s8c_csv_dialect")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
