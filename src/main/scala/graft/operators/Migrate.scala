@@ -450,37 +450,54 @@ object Migrate {
     * fields, terminator between rows, bare NULL tokens, escaped
     * CR/LF — not just that the round-trip closes.
     */
-  def csvDialectWrite(s: SparkSession, d: String, out: String): Unit = {
-    def quoted(c: Column): Column =
-      when(c.isNull, lit("NULL"))
-        .otherwise(concat(lit("\""), replaceAll(c, Seq(
-          "\\" -> "\\\\", "\"" -> "\\\"",
-          "\r" -> "\\r", "\n" -> "\\n")), lit("\"")))
+  /** One dialect FIELD, rendered: SQL NULL → the bare token; anything
+    * else escape-backslashed (`\` `"` CR LF) and quote-delimited.
+    * Inverse of [[dialectField]] — DialectSpec property-tests the
+    * round-trip on arbitrary strings.
+    */
+  private[graft] def dialectRender(c: Column): Column =
+    when(c.isNull, lit("NULL"))
+      .otherwise(concat(lit("\""), replaceAll(c, Seq(
+        "\\" -> "\\\\", "\"" -> "\\\"",
+        "\r" -> "\\r", "\n" -> "\\n")), lit("\"")))
+
+  /** One extracted dialect token, parsed back: the bare NULL token →
+    * SQL NULL; a quoted field stripped and unescaped (escaped
+    * backslashes route through a NUL sentinel — payloads containing
+    * NUL are out of scope, the text sink's own limit).
+    */
+  private[graft] def dialectField(t: Column): Column =
+    when(t === "NULL", lit(null: String))
+      .otherwise(replaceAll(t.substr(lit(2), length(t) - 2), Seq(
+        "\\\\" -> "\u0000", "\\r" -> "\r", "\\n" -> "\n",
+        "\\\"" -> "\"", "\u0000" -> "\\")))
+
+  /** The token regex: one quoted field (escape-aware — consumes
+    * quoted regions atomically) or the bare NULL token.
+    */
+  private[graft] val DialectFieldRe = "\"(?:[^\"\\\\]|\\\\.)*\"|NULL"
+
+  def csvDialectWrite(s: SparkSession, d: String, out: String): Unit =
     dialectEdgeRows(s, d)
       .select(concat_ws(DialectSep,
-        quoted(col("o_orderkey").cast("string")),
-        quoted(col("payload")), quoted(col("price_str"))).as("value"))
+        dialectRender(col("o_orderkey").cast("string")),
+        dialectRender(col("payload")),
+        dialectRender(col("price_str"))).as("value"))
       .write.mode(SaveMode.Overwrite).format("text")
       .option("lineSep", DialectTerm).save(out)
-  }
 
   def s8cCsvDialect(s: SparkSession, d: String): DataFrame = {
     val out = tempDir("s8c")
     csvDialectWrite(s, d, out)
     val fields = regexp_extract_all(col("value"),
-      lit("\"(?:[^\"\\\\]|\\\\.)*\"|NULL"), lit(0))
-    def unescaped(t: Column): Column =
-      when(t === "NULL", lit(null: String))
-        .otherwise(replaceAll(t.substr(lit(2), length(t) - 2), Seq(
-          "\\\\" -> "\u0000", "\\r" -> "\r", "\\n" -> "\n",
-          "\\\"" -> "\"", "\u0000" -> "\\")))
+      lit(DialectFieldRe), lit(0))
     s.read.format("text").option("lineSep", DialectTerm).load(out)
       .filter(length(col("value")) > 0)
       .select(fields.as("f"))
       .select(
-        unescaped(element_at(col("f"), 1)).cast("long").as("o_orderkey"),
-        unescaped(element_at(col("f"), 2)).as("payload_rt"),
-        unescaped(element_at(col("f"), 3)).as("price_str"))
+        dialectField(element_at(col("f"), 1)).cast("long").as("o_orderkey"),
+        dialectField(element_at(col("f"), 2)).as("payload_rt"),
+        dialectField(element_at(col("f"), 3)).as("price_str"))
       .select(col("o_orderkey"),
         coalesce(col("payload_rt"), lit("NULL")).as("payload_out"),
         when(col("payload_rt").isNull, 1L).otherwise(0L).as("was_null"),

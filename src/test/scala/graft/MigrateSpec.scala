@@ -321,6 +321,48 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(empty.schema == data.schema)
   }
 
+  test("s8c dialect round-trip: render→tokenize→parse is identity on " +
+    "arbitrary strings (property)") {
+    import spark.implicits._
+    // hostile generator: dialect metacharacters, escapes, the NULL
+    // token, CR/LF, unicode — everything except NUL (documented out
+    // of scope: it is the unescape sentinel and the text sink's limit)
+    val atom = Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(8)),
+      3 -> Gen.oneOf("|#|", "|+|", "\r\n", "\r", "\n", "\"", "\\",
+        "\\\\", "\\\"", "NULL", "\"NULL\"", "", " ", "|", "#", "+",
+        "é中文"),
+      1 -> Gen.listOfN(3, Gen.choose(' ', '߿')).map(_.mkString))
+    val gen = Gen.listOfN(40,
+      Gen.option(Gen.listOfN(4, atom).map(_.mkString)))
+    val prop = Prop.forAll(gen) { payloads =>
+      val df = payloads.zipWithIndex
+        .map { case (p, i) => (i.toLong, p.orNull) }.toDF("i", "p")
+      // one rendered line per row, three fields so mid-line and
+      // line-final token extraction both run
+      val rendered = df.select(col("i"),
+        concat_ws(Migrate.DialectSep,
+          Migrate.dialectRender(col("i").cast("string")),
+          Migrate.dialectRender(col("p")),
+          Migrate.dialectRender(lit("tail"))).as("value"))
+      val back = rendered.select(col("i"),
+        regexp_extract_all(col("value"),
+          lit(Migrate.DialectFieldRe), lit(0)).as("f"))
+        .select(col("i"),
+          Migrate.dialectField(element_at(col("f"), 2)).as("rt"),
+          size(col("f")).as("nf"))
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.getString(1)), r.getInt(2)))).toMap
+      payloads.zipWithIndex.forall { case (p, i) =>
+        back(i.toLong) == ((p, 3))
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("s8c dialect bytes: separator/terminator/NULL-token/escapes " +
     "appear RAW on disk") {
     val out = java.nio.file.Files.createTempDirectory("graft_s8c").toString
