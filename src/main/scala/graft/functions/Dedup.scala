@@ -196,18 +196,30 @@ object Dedup {
     * broadcast: counts is O(corpus docs) and must stay a shuffle
     * join at 100 TB.
     */
-  private def pairStats(s: SparkSession, d: String): DataFrame = {
-    val kept = cappedKept(s, d)
-    val withN = kept.join(keptCounts(kept), "doc_id")
-    withN.as("a").join(withN.as("b"), Seq("shingle"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"),
-        first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")))
-  }
+  private val pairStatsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Memoized per (session, input) — d2 and d13 are two THRESHOLDS
+    * over one relation, and the pair self-join is the family's most
+    * expensive step after the index build; un-memoized, each miner
+    * re-paid it (~1.8 s each at sf0.1). Same storage≪recompute trade
+    * as the shingle index itself; at rest this relation is the
+    * near-dup candidate table a production deduper materializes once
+    * per corpus snapshot.
+    */
+  private def pairStats(s: SparkSession, d: String): DataFrame =
+    cachedPerSession(pairStatsCache, s, d) {
+      val kept = cappedKept(s, d)
+      val withN = kept.join(keptCounts(kept), "doc_id")
+      withN.as("a").join(withN.as("b"), Seq("shingle"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"),
+          first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
+        .withColumn("jaccard",
+          col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")))
+    }
 
   def d2NgramJaccard(s: SparkSession, d: String): DataFrame =
     pairStats(s, d)
