@@ -744,6 +744,101 @@ object Dedup {
       .start()
   }
 
+  /** One arriving doc's membership in one LSH band bucket. */
+  final case class BucketArrival(band: Int, sig: String, doc_id: Long,
+      ts: java.sql.Timestamp)
+
+  /** A streamed near-dup candidate: the arriving doc co-bucketed with
+    * a previously seen one (doc_a < doc_b; `band` says which band
+    * fired — the same pair may fire from several).
+    */
+  final case class CandidatePair(doc_a: Long, doc_b: Long, band: Int)
+
+  /** Streaming arm of d3: near-dup CANDIDATE detection at ingestion.
+    * Each arriving doc computes its K-minhash signature as a pure
+    * per-row projection (array_min over the shingle array with the
+    * SAME double-hash family as the batch groupBy — no shuffle, the
+    * signature is row-local by construction), explodes into the same
+    * 2-row band buckets as [[bandedPairs]], and probes per-bucket
+    * GroupState holding the bucket's previously seen member docs:
+    * every prior member pairs with the arrival.
+    *
+    * Bounded state, twice over: (1) a bucket at [[BUCKET_CAP]]
+    * members stops admitting AND emitting — the ONLINE analogue of
+    * the batch hot-bucket drop (batch retroactively drops the whole
+    * >cap bucket; a stream cannot retract, so the prefix is capped —
+    * at most C(cap,2) pairs can ever leave one bucket, and a
+    * boilerplate template flood stays non-quadratic); (2) an
+    * EventTimeTimeout evicts a bucket once the watermark passes its
+    * last arrival + `delay` — state holds the watermark-era working
+    * set, never corpus history (streamingExactDedup's contract; a
+    * near-dup of an evicted doc is the downstream batch d3's job).
+    * DedupSpec proves the emitted distinct pairs equal the batch
+    * [[bandedPairs]] on the same corpus (arrival = doc_id order) and
+    * the cap stops a hot bucket.
+    */
+  def streamingNearDup(s: SparkSession, feedDir: String, outDir: String,
+      checkpointDir: String, delayMinutes: Int = 10,
+      bucketCap: Int = BUCKET_CAP): StreamingQuery = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val delay = s"$delayMinutes minutes"
+    val delayMs = delayMinutes * 60000L
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    def mh(i: Int): org.apache.spark.sql.Column =
+      array_min(transform(col("sh"), g =>
+      xhash64(g) + lit(i.toLong) *
+        (Norm.xhash64b(g) % lit(144115188075855872L))))
+    val bandArr = array((0 until K / 2).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", mh(2 * b).cast("string"),
+          mh(2 * b + 1).cast("string")).as("sig"))
+    }: _*)
+    s.readStream.schema(schema).parquet(feedDir)
+      .withColumn("w", TextAnalysis.words(col("text")))
+      .withColumn("sh", expr(TextAnalysis.shingleExpr))
+      .filter(size(col("sh")) > 0)
+      .withWatermark("ts", delay)
+      .select(explode(bandArr).as("bb"), col("doc_id"), col("ts"))
+      .select(col("bb.band").as("band"), col("bb.sig").as("sig"),
+        col("doc_id"), col("ts"))
+      .as[BucketArrival]
+      .groupByKey(a => (a.band, a.sig))
+      .flatMapGroupsWithState[Seq[Long], CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (k: (Int, String), rows: Iterator[BucketArrival],
+            state: GroupState[Seq[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.getOrElse(Seq.empty)
+            var maxTs = 0L
+            val out = Seq.newBuilder[CandidatePair]
+            // deterministic within-batch order (a micro-batch is a
+            // set): oldest doc id admits first, like the batch view
+            rows.toSeq.sortBy(_.doc_id).foreach { r =>
+              maxTs = math.max(maxTs, r.ts.getTime)
+              if (!members.contains(r.doc_id) && members.size < bucketCap) {
+                members.foreach { m =>
+                  out += CandidatePair(math.min(m, r.doc_id),
+                    math.max(m, r.doc_id), k._1)
+                }
+                members = members :+ r.doc_id
+              }
+            }
+            state.update(members)
+            state.setTimeoutTimestamp(maxTs + delayMs)
+            out.result().iterator
+          }
+      }
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", outDir)
+      .start()
+  }
+
   // ------------------------------------------------------------- registry
 
   /** d9: MinHash estimator calibration — for every d3 candidate pair,

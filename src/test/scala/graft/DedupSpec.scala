@@ -139,6 +139,66 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(spark.read.parquet(out).count() == 4)
   }
 
+  test("streaming near-dup: emitted candidates equal batch LSH pairs; " +
+    "hot bucket capped") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snd").toString
+    val feed = s"$tmp/feed"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    // corpus with genuine near-dups: docs 1/2 differ by one word, doc
+    // 3 shares nothing, docs 4/5 are another near-pair — arriving
+    // over TWO batches so cross-batch pairing (state, not batch-local
+    // join) is what gets tested
+    val mk = (i: Long, words: String, t: String) =>
+      (i, words, java.sql.Timestamp.valueOf(t))
+    def push(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit =
+      rows.toDF("doc_id", "text", "ts").write.mode("append").parquet(feed)
+    val base = (1 to 30).map(j => s"w$j").mkString(" ")
+    val docs = Seq(
+      mk(1L, base, "2024-01-01 10:00:00"),
+      mk(3L, (1 to 30).map(j => s"z$j").mkString(" "),
+        "2024-01-01 10:01:00"),
+      mk(4L, "alpha beta gamma delta epsilon zeta", "2024-01-01 10:02:00"))
+    val docs2 = Seq(
+      mk(2L, base.replace("w15", "CHANGED"), "2024-01-01 10:03:00"),
+      mk(5L, "alpha beta gamma delta epsilon OTHER", "2024-01-01 10:04:00"))
+    def run(): Unit = {
+      val q = Dedup.streamingNearDup(spark, feed, out, ckpt)
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    push(docs); run(); push(docs2); run()
+    val streamed = spark.read.parquet(out)
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch truth: the SAME banding over the same five docs
+    val corpus = java.nio.file.Files.createTempDirectory("graft_snd_b")
+      .toString
+    (docs ++ docs2).map { case (i, t, _) => (i, t) }.toDF("doc_id", "text")
+      .write.parquet(s"$corpus/documents.parquet")
+    val batch = Dedup.d3MinhashLsh(spark, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"stream=$streamed batch=$batch")
+    assert(streamed.contains((1L, 2L)) && streamed.contains((4L, 5L)),
+      s"expected the two near-pairs: $streamed")
+    // hot bucket: 10 identical docs through a cap of 3 — pairs stop
+    // at the prefix (C(3,2) = 3 per bucket at most, so ≤ 3 distinct
+    // pairs, never C(10,2) = 45)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_snd2")
+      .toString
+    def push2(dir: String): Unit = {
+      (1 to 10).map(i => mk(i.toLong, base, s"2024-01-01 10:0${i % 10}:00"))
+        .toDF("doc_id", "text", "ts")
+        .write.mode("append").parquet(s"$dir/feed")
+      val q = Dedup.streamingNearDup(spark, s"$dir/feed", s"$dir/out",
+        s"$dir/ckpt", bucketCap = 3)
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    push2(tmp2)
+    val hot = spark.read.parquet(s"$tmp2/out")
+      .select("doc_a", "doc_b").distinct().count()
+    assert(hot <= 3, s"hot bucket must cap at C(3,2)=3 pairs, got $hot")
+  }
+
   test("d7 banding pigeonhole: hamming<=3 signature pairs always collide") {
     import graft.functions.Similarity
     val sigs = Similarity.rphSignatures(spark, sf)
