@@ -1,0 +1,160 @@
+package graft.operators
+
+/** The reference's user-facing configuration contract
+  * (`example/config.toml`, struct `config/config.go:178-341`) mapped
+  * onto this engine's knobs, so a transferdb user's existing config
+  * file carries over. Two pieces:
+  *
+  *  - a minimal TOML-subset parser covering exactly the shapes that
+  *    file uses: `[section]` headers, `key = value` with literal
+  *    (single-quoted, no escapes — how the reference writes
+  *    `separator = '|#|'`), basic (double-quoted with `\r \n \t \\ \"`
+  *    escapes — how it writes `terminator = "|+|\r\n"`), integer,
+  *    boolean, and string-array values, and `#` comments OUTSIDE
+  *    quotes (the separator value itself contains `#`, so comment
+  *    stripping must be quote-aware);
+  *  - [[EngineKnobs]], the typed mapping: batch sizes to the sink's
+  *    bind-group size, chunk sizes to the chunk planners, the CSV
+  *    dialect to the s8c renderer, compare switches to the fast/full
+  *    paths, schema + include/exclude lists to the table-glob filter,
+  *    and the reverse case rule to identifier folding (F11).
+  *
+  * ConfigSpec parses the reference's own example values and pins the
+  * equivalences — including that [[graft.streaming.Cdc
+  * .ReplaceRowsPerStmt]] IS `app.insert-batch-size = 100`
+  * (`config.toml:22`) and the s8c dialect constants ARE the example's
+  * `[csv]` separator/terminator after real escape processing.
+  */
+object TransferdbConfig {
+
+  /** section → key → String | Long | Boolean | Seq[String]. Keys and
+    * sections keep the reference's kebab-case spelling.
+    */
+  def parse(text: String): Map[String, Map[String, Any]] = {
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[String, Any]]
+    var section = ""
+    out(section) = scala.collection.mutable.LinkedHashMap.empty
+    for (raw <- text.linesIterator) {
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#")) {
+        if (line.startsWith("[")) {
+          section = line.stripPrefix("[").takeWhile(_ != ']').trim
+          out.getOrElseUpdate(section,
+            scala.collection.mutable.LinkedHashMap.empty)
+        } else line.indexOf('=') match {
+          case -1 => // tolerated: the reference file has none of these
+          case eq =>
+            val key = line.substring(0, eq).trim
+            out(section)(key) = parseValue(line.substring(eq + 1).trim)
+        }
+      }
+    }
+    out.map { case (s, kv) => s -> kv.toMap }.toMap
+  }
+
+  private def parseValue(v: String): Any = v.headOption match {
+    case Some('\'') => // literal string: no escapes, ends at next '
+      v.substring(1, v.indexOf('\'', 1))
+    case Some('"') => unescapeBasic(v)._1
+    case Some('[') => // string array (the include/exclude lists)
+      val inner = v.substring(1, v.lastIndexOf(']')).trim
+      if (inner.isEmpty) Seq.empty[String]
+      else inner.split(",").toSeq.map(_.trim).map { item =>
+        parseValue(item) match { case s: String => s
+          case other => other.toString }
+      }
+    case _ =>
+      // bare scalar runs to a comment or EOL
+      val bare = v.takeWhile(_ != '#').trim
+      if (bare == "true") true
+      else if (bare == "false") false
+      else bare.toLongOption.getOrElse(bare)
+  }
+
+  /** Basic (double-quoted) string with the escapes the reference's
+    * values use; returns (value, chars consumed).
+    */
+  private def unescapeBasic(v: String): (String, Int) = {
+    val sb = new StringBuilder
+    var i = 1
+    while (i < v.length && v(i) != '"') {
+      if (v(i) == '\\' && i + 1 < v.length) {
+        sb += (v(i + 1) match {
+          case 'r' => '\r'
+          case 'n' => '\n'
+          case 't' => '\t'
+          case '\\' => '\\'
+          case '"' => '"'
+          case c => c
+        })
+        i += 2
+      } else { sb += v(i); i += 1 }
+    }
+    (sb.toString, i + 1)
+  }
+
+  /** The `[csv]` dialect block (`config.toml:66-80`) — the knobs the
+    * s8c renderer implements.
+    */
+  final case class CsvDialect(header: Boolean, separator: String,
+      terminator: String, charset: String, delimiter: String,
+      nullValue: String, escapeBackslash: Boolean, rows: Long)
+
+  /** The engine-relevant projection of a reference config. Threads/
+    * pool counts are deliberately ABSENT: on Spark those are the
+    * cluster scheduler's job (executor/core counts), not per-operator
+    * worker pools — the knobs that survive the port are the semantic
+    * ones.
+    */
+  final case class EngineKnobs(
+      insertBatchSize: Int, fullChunkSize: Long, csvChunkRows: Long,
+      compareChunkSize: Long, onlyCheckRows: Boolean,
+      enableCheckpoint: Boolean, fixSqlDir: Option[String],
+      csv: CsvDialect, sourceSchema: String, targetSchema: String,
+      includeTables: Seq[String], excludeTables: Seq[String],
+      lowerCaseFieldName: String)
+
+  def knobs(text: String): EngineKnobs = {
+    val c = parse(text)
+    def sec(s: String) = c.getOrElse(s, Map.empty)
+    def str(s: String, k: String, d: String): String =
+      sec(s).get(k).map(_.toString).getOrElse(d)
+    def long(s: String, k: String, d: Long): Long = sec(s).get(k) match {
+      case Some(l: Long) => l
+      case _ => d
+    }
+    def bool(s: String, k: String, d: Boolean): Boolean =
+      sec(s).get(k) match {
+        case Some(b: Boolean) => b
+        case _ => d
+      }
+    def arr(s: String, k: String): Seq[String] = sec(s).get(k) match {
+      case Some(xs: Seq[_]) => xs.map(_.toString)
+      case _ => Seq.empty
+    }
+    EngineKnobs(
+      insertBatchSize = long("app", "insert-batch-size", 100L).toInt,
+      fullChunkSize = long("full", "chunk-size", 100000L),
+      csvChunkRows = long("csv", "rows", 100000L),
+      compareChunkSize = long("compare", "chunk-size", 50000L),
+      onlyCheckRows = bool("compare", "only-check-rows", d = false),
+      enableCheckpoint = bool("full", "enable-checkpoint", d = true) ||
+        bool("compare", "enable-checkpoint", d = false),
+      fixSqlDir = sec("compare").get("fix-sql-dir").map(_.toString),
+      csv = CsvDialect(
+        header = bool("csv", "header", d = true),
+        separator = str("csv", "separator", ","),
+        terminator = str("csv", "terminator", "\r\n"),
+        charset = str("csv", "charset", "UTF8MB4"),
+        delimiter = str("csv", "delimiter", "\""),
+        nullValue = str("csv", "null-value", "NULL"),
+        escapeBackslash = bool("csv", "escape-backslash", d = true),
+        rows = long("csv", "rows", 100000L)),
+      sourceSchema = str("schema-config", "source-schema", ""),
+      targetSchema = str("schema-config", "target-schema", ""),
+      includeTables = arr("schema-config", "source-include-table"),
+      excludeTables = arr("schema-config", "source-exclude-table"),
+      lowerCaseFieldName = str("reverse", "lower-case-field-name", "0"))
+  }
+}

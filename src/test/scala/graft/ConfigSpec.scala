@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Migrate, TransferdbConfig}
+import graft.streaming.Cdc
+
+/** The reference's example config values (mirroring
+  * `example/config.toml`'s cited lines) must land in the engine's
+  * knobs — including the equivalences the engine hard-codes as its
+  * envelope: the sink's bind-group size IS `insert-batch-size`, and
+  * the s8c dialect constants ARE the example's `[csv]` dialect after
+  * real escape processing.
+  */
+class ConfigSpec extends AnyFunSuite {
+
+  // the shapes and values of example/config.toml:19-160 (kebab keys,
+  // literal vs basic strings, inline arrays, bare scalars, comments —
+  // including '#' INSIDE a quoted value)
+  private val example =
+    """[app]
+      |# transaction batch
+      |insert-batch-size = 100
+      |slowlog-threshold = 1024
+      |pprof-port = ":9696"
+      |
+      |[reverse]
+      |lower-case-field-name = "2"
+      |
+      |[compare]
+      |chunk-size = 50000
+      |diff-threads = 128
+      |only-check-rows = false
+      |enable-checkpoint = true
+      |fix-sql-dir = "/users/marvin/gostore/transferdb/data"
+      |
+      |[csv]
+      |header = true
+      |separator = '|#|'
+      |terminator = "|+|\r\n"
+      |charset = "UTF8MB4"
+      |delimiter = '"'
+      |null-value = 'NULL'
+      |escape-backslash = true
+      |rows = 100000
+      |
+      |[full]
+      |chunk-size = 100000   # rows per ROWID chunk
+      |enable-checkpoint = true
+      |
+      |[schema-config]
+      |source-schema = "marvin"
+      |source-include-table = ["kp"]
+      |source-exclude-table = []
+      |target-schema = "marvin"
+      |""".stripMargin
+
+  test("reference example config parses into the engine knobs") {
+    val k = TransferdbConfig.knobs(example)
+    assert(k.insertBatchSize == 100)
+    assert(k.fullChunkSize == 100000L)
+    assert(k.compareChunkSize == 50000L)
+    assert(!k.onlyCheckRows && k.enableCheckpoint)
+    assert(k.fixSqlDir.contains("/users/marvin/gostore/transferdb/data"))
+    assert(k.sourceSchema == "marvin" && k.targetSchema == "marvin")
+    assert(k.includeTables == Seq("kp") && k.excludeTables.isEmpty)
+    assert(k.lowerCaseFieldName == "2")
+    assert(k.csv.header && k.csv.escapeBackslash)
+    assert(k.csv.charset == "UTF8MB4" && k.csv.delimiter == "\"" &&
+      k.csv.nullValue == "NULL" && k.csv.rows == 100000L)
+  }
+
+  test("engine envelope constants equal the reference example's values") {
+    val k = TransferdbConfig.knobs(example)
+    // the sink's bind-group size IS app.insert-batch-size
+    // (translate.go:34-145 batches by that config; BASELINE.md row 1)
+    assert(k.insertBatchSize == Cdc.ReplaceRowsPerStmt)
+    // the s8c dialect IS the example's [csv] dialect — with the
+    // terminator's \r\n arriving as REAL CR LF through basic-string
+    // escape processing, and the '#' inside the single-quoted
+    // separator surviving quote-aware comment handling
+    assert(k.csv.separator == Migrate.DialectSep)
+    assert(k.csv.terminator == Migrate.DialectTerm)
+    assert(k.csv.terminator.endsWith("\r\n"))
+  }
+
+  test("value forms: literal vs basic strings, bare scalars, comments") {
+    val p = TransferdbConfig.parse(example)
+    assert(p("app")("pprof-port") == ":9696")
+    assert(p("app")("slowlog-threshold") == 1024L)
+    // inline comment after a bare scalar is stripped
+    assert(p("full")("chunk-size") == 100000L)
+    // literal string keeps backslashes un-processed; basic processes
+    val esc = TransferdbConfig.parse(
+      "[x]\na = '\\r'\nb = \"\\r\"\n")
+    assert(esc("x")("a") == "\\r" && esc("x")("b") == "\r")
+  }
+}
