@@ -72,11 +72,8 @@ object Similarity {
     * each recall query re-pays the full O(N·Q) exact scan it exists
     * to avoid.
     */
-  private val truthCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-
-  def ann1BruteTopK(s: SparkSession, d: String): DataFrame =
-    Dedup.cachedPerSession(truthCache, s, d)(ann1Uncached(s, d))
+  val ann1BruteTopK: (SparkSession, String) => DataFrame =
+    Dedup.memoized("similarity.ann1Truth")(ann1Uncached)
 
   private def ann1Uncached(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
@@ -117,16 +114,13 @@ object Similarity {
     * becomes the partition key every cell-restricted op (ann2 search,
     * d5 pair mining) equi-joins on.
     */
-  private val cellCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-
   /** Memoized per (session, input): four independent consumers (ann2,
     * ann3 via ann2, ann5, d5 twice via self-join) otherwise each pay
     * the O(N·C) assignment pass — same sharing pattern as the dedup
     * family's persisted shingle index.
     */
-  private[graft] def assignedCells(s: SparkSession, d: String): DataFrame =
-    Dedup.cachedPerSession(cellCache, s, d)(assignedCellsUncached(s, d))
+  private[graft] val assignedCells: (SparkSession, String) => DataFrame =
+    Dedup.memoized("similarity.assignedCells")(assignedCellsUncached)
 
   /** THE broadcast centroid relation (vec_id ≡ 0 mod 50) — one
     * definition shared by the cell assignment and ann6's probe
@@ -805,9 +799,6 @@ object Similarity {
     * with ann2's IVF cells (IVF-PQ) to prune the scan the way the
     * probe path does.
     */
-  private val subCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-
   /** The (vec_id, m, subvector, ‖sv‖²) relation — persisted per
     * (session, input): SIX consumers inside ann8 (seed codebook,
     * two encode passes, the Lloyd update, the query distance table,
@@ -817,8 +808,8 @@ object Similarity {
     * index, and at 100 TB this relation IS the PQ index's training
     * input, materialized once by construction.
     */
-  private def subVectors(s: SparkSession, d: String): DataFrame =
-    Dedup.cachedPerSession(subCache, s, d) {
+  private val subVectors: (SparkSession, String) => DataFrame =
+    Dedup.memoized("similarity.pqSubVectors") { (s, d) =>
       val M = 8; val SUB = 8
       val c = corpus(s, d).filter(col("nrm") > 0)
       val cn = c.withColumn("vn", transform(col("v"), x => x / col("nrm")))
@@ -860,11 +851,6 @@ object Similarity {
       .agg(min(struct(col("qd"), col("k"))).as("mk"))
       .select(col("vec_id"), col("m"), col("mk.k").as("k"))
 
-  private val cbCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-  private val codeCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-
   /** The trained PQ codebook (m, k, cbv, c2) — one Lloyd iteration
     * from the deterministic seed (subvectors of the 16 lowest
     * vec_ids): assign → component-wise mean per codeword → done.
@@ -877,8 +863,8 @@ object Similarity {
     * codebook is trained once and shipped with the index by
     * construction. M·K rows — broadcast at every use site.
     */
-  private[graft] def trainedCodebook(s: SparkSession, d: String): DataFrame =
-    Dedup.cachedPerSession(cbCache, s, d) {
+  private[graft] val trainedCodebook: (SparkSession, String) => DataFrame =
+    Dedup.memoized("similarity.pqCodebook") { (s, d) =>
       val CW = 16
       val sub = subVectors(s, d)
       val cb0 = broadcast(sub.filter(col("vec_id") < CW)
@@ -909,8 +895,8 @@ object Similarity {
     * Memoized: ann8 and ann10 share one encode pass, and at rest this
     * relation IS the PQ index, materialized once.
     */
-  private[graft] def pqCodes(s: SparkSession, d: String): DataFrame =
-    Dedup.cachedPerSession(codeCache, s, d) {
+  private[graft] val pqCodes: (SparkSession, String) => DataFrame =
+    Dedup.memoized("similarity.pqCodes") { (s, d) =>
       pqEncode(s, d, broadcast(trainedCodebook(s, d)))
     }
 

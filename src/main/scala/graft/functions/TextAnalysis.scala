@@ -478,13 +478,8 @@ object TextAnalysis {
     * per contaminated doc / per doc) while their inputs are the
     * corpus-sized shingle/gram explosions: the Dedup-index trade.
     */
-  private val deconCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-  private val rarityCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-
-  def t7Decontaminate(s: SparkSession, d: String): DataFrame =
-    Dedup.cachedPerSession(deconCache, s, d)(t7Uncached(s, d))
+  val t7Decontaminate: (SparkSession, String) => DataFrame =
+    Dedup.memoized("text.t7Decontaminate")(t7Uncached)
 
   private def t7Uncached(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents")
@@ -1004,8 +999,8 @@ object TextAnalysis {
     * co-locates); the per-doc rollup is partial-aggregable. Docs too
     * short for a trigram survive via the left join with zero counts.
     */
-  def t14RarityProfile(s: SparkSession, d: String): DataFrame =
-    Dedup.cachedPerSession(rarityCache, s, d)(t14Uncached(s, d))
+  val t14RarityProfile: (SparkSession, String) => DataFrame =
+    Dedup.memoized("text.t14RarityProfile")(t14Uncached)
 
   private def t14Uncached(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents")

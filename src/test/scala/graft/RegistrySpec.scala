@@ -47,6 +47,25 @@ class RegistrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"warmup names not in registry: $missing")
   }
 
+  test("memo warmer registry holds every memoized shared relation") {
+    // Bench warms graft.functions.Dedup.memoWarmers by iterating the
+    // registry (drift-proof by construction); this pins that module
+    // init actually registers the known shared relations, so a
+    // refactor that bypasses Dedup.memoized (hand-rolled TrieMap
+    // cache) is caught instead of silently opting out of warmup.
+    require(SparkEntry.queries.nonEmpty) // force module init
+    val names = graft.functions.Dedup.memoWarmers.keySet
+    val expected = Set(
+      "dedup.shingleIndex", "dedup.pairStats", "dedup.d3MinhashPairs",
+      "dedup.d6Clusters", "dedup.d12ExactSubstring",
+      "similarity.ann1Truth", "similarity.assignedCells",
+      "similarity.pqSubVectors", "similarity.pqCodebook",
+      "similarity.pqCodes",
+      "text.t7Decontaminate", "text.t14RarityProfile")
+    val gone = expected.diff(names)
+    assert(gone.isEmpty, s"memoized relations missing from warmup: $gone")
+  }
+
   test("within each module, queries and oracles pair up") {
     SparkEntry.queryRegistries.zip(SparkEntry.oracleRegistries).foreach {
       case ((qMod, qs), (oMod, os)) =>
