@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Assess, Catalog, Check, Compare, Migrate, Pipeline,
-  Relational}
+  Relational, TaskModes}
 import graft.reverse.{Prepare, Reverse}
 import graft.streaming.Cdc
 import graft.functions.{CharsetConvert, Dedup, Multimodal, Similarity,
@@ -34,7 +34,8 @@ object SparkEntry {
     "Reverse" -> Reverse.queries, "Catalog" -> Catalog.queries,
     "Check" -> Check.queries, "TableFilter" -> TableFilter.queries,
     "CharsetConvert" -> CharsetConvert.queries, "Assess" -> Assess.queries,
-    "Pipeline" -> Pipeline.queries, "Prepare" -> Prepare.queries)
+    "Pipeline" -> Pipeline.queries, "Prepare" -> Prepare.queries,
+    "TaskModes" -> TaskModes.queries)
 
   private[graft] val oracleRegistries: Seq[(String, Map[String, String])] =
     Seq(
@@ -45,7 +46,8 @@ object SparkEntry {
       "Reverse" -> Reverse.oracles, "Catalog" -> Catalog.oracles,
       "Check" -> Check.oracles, "TableFilter" -> TableFilter.oracles,
       "CharsetConvert" -> CharsetConvert.oracles, "Assess" -> Assess.oracles,
-      "Pipeline" -> Pipeline.oracles, "Prepare" -> Prepare.oracles)
+      "Pipeline" -> Pipeline.oracles, "Prepare" -> Prepare.oracles,
+      "TaskModes" -> TaskModes.oracles)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queryRegistries.map(_._2).reduce(_ ++ _)

@@ -55,12 +55,28 @@ object TransferdbConfig {
 
   private def parseValue(v: String): Any = v.headOption match {
     case Some('\'') => // literal string: no escapes, ends at next '
-      v.substring(1, v.indexOf('\'', 1))
-    case Some('"') => unescapeBasic(v)._1
+      val close = v.indexOf('\'', 1)
+      // unterminated quote: fail with the offending text, not a
+      // StringIndexOutOfBounds from substring(1, -1) — this parser
+      // accepts arbitrary user config files
+      if (close < 0)
+        throw new IllegalArgumentException(
+          s"unterminated literal string in config value: $v")
+      v.substring(1, close)
+    case Some('"') =>
+      val (s, consumed) = unescapeBasic(v)
+      if (consumed > v.length || v.lift(consumed - 1) != Some('"'))
+        throw new IllegalArgumentException(
+          s"unterminated basic string in config value: $v")
+      s
     case Some('[') => // string array (the include/exclude lists)
-      val inner = v.substring(1, v.lastIndexOf(']')).trim
+      val end = v.lastIndexOf(']')
+      if (end < 0)
+        throw new IllegalArgumentException(
+          s"unterminated array in config value: $v")
+      val inner = v.substring(1, end).trim
       if (inner.isEmpty) Seq.empty[String]
-      else inner.split(",").toSeq.map(_.trim).map { item =>
+      else splitTopLevel(inner).map(_.trim).map { item =>
         parseValue(item) match { case s: String => s
           case other => other.toString }
       }
@@ -70,6 +86,28 @@ object TransferdbConfig {
       if (bare == "true") true
       else if (bare == "false") false
       else bare.toLongOption.getOrElse(bare)
+  }
+
+  /** Split an array body on commas OUTSIDE quotes — a quoted item
+    * containing a comma (`['a,b', 'c']`) is one item, not two.
+    */
+  private def splitTopLevel(inner: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < inner.length) {
+      val c = inner(i)
+      if (quote == 0 && (c == '\'' || c == '"')) { quote = c; cur += c }
+      else if (quote != 0 && c == quote &&
+          !(quote == '"' && i > 0 && inner(i - 1) == '\\')) {
+        quote = 0; cur += c
+      } else if (quote == 0 && c == ',') { out += cur.toString; cur.clear() }
+      else cur += c
+      i += 1
+    }
+    out += cur.toString
+    out.toSeq
   }
 
   /** Basic (double-quoted) string with the escapes the reference's
@@ -111,9 +149,20 @@ object TransferdbConfig {
       insertBatchSize: Int, fullChunkSize: Long, csvChunkRows: Long,
       compareChunkSize: Long, onlyCheckRows: Boolean,
       enableCheckpoint: Boolean, fixSqlDir: Option[String],
+      checkSqlDir: Option[String], ddlReverseDir: Option[String],
+      ddlCompatibleDir: Option[String],
       csv: CsvDialect, sourceSchema: String, targetSchema: String,
       includeTables: Seq[String], excludeTables: Seq[String],
-      lowerCaseFieldName: String)
+      lowerCaseFieldName: String) {
+    /** `lower-case-field-name` → [[graft.reverse.Ddl.foldCase]] mode
+      * (`config.go:147`: "0" origin, "1" lower, "2" upper).
+      */
+    def caseMode: String = lowerCaseFieldName match {
+      case "1" => "lower"
+      case "2" => "upper"
+      case _ => "origin"
+    }
+  }
 
   def knobs(text: String): EngineKnobs = {
     val c = parse(text)
@@ -142,6 +191,10 @@ object TransferdbConfig {
       enableCheckpoint = bool("full", "enable-checkpoint", d = true) ||
         bool("compare", "enable-checkpoint", d = false),
       fixSqlDir = sec("compare").get("fix-sql-dir").map(_.toString),
+      checkSqlDir = sec("check").get("check-sql-dir").map(_.toString),
+      ddlReverseDir = sec("reverse").get("ddl-reverse-dir").map(_.toString),
+      ddlCompatibleDir =
+        sec("reverse").get("ddl-compatible-dir").map(_.toString),
       csv = CsvDialect(
         header = bool("csv", "header", d = true),
         separator = str("csv", "separator", ","),

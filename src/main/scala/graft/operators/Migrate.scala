@@ -380,6 +380,75 @@ object Migrate {
   private[graft] val DialectSep = "|#|"
   private[graft] val DialectTerm = "|+|\r\n"
 
+  /** A full CSV dialect as data — the `[csv]` config block
+    * (`example/config.toml:66-80`) made executable, so a user's
+    * separator/terminator/null-token/escape/header knobs actually
+    * parameterize the writer instead of being pinned to the s8c
+    * constants. [[ReferenceCsv]] IS those constants, so the s8c
+    * surface is the spec applied to the reference's example values.
+    * `delimiter` is the quote character (single char — the grammar's
+    * char-classes assume it; the reference's own example uses `"`).
+    */
+  final case class CsvSpec(separator: String, terminator: String,
+      nullToken: String, escapeBackslash: Boolean, header: Boolean,
+      delimiter: String = "\"") {
+    require(delimiter.length == 1, "quote delimiter must be one char")
+    require(separator.nonEmpty && terminator.nonEmpty,
+      "separator/terminator must be non-empty")
+  }
+
+  private[graft] val ReferenceCsv = CsvSpec(DialectSep, DialectTerm,
+    nullToken = "NULL", escapeBackslash = true, header = false)
+
+  private def regexEscChar(c: Char): String =
+    if ("\\^$.|?*+()[]{}".indexOf(c.toInt) >= 0) "\\" + c else c.toString
+
+  /** The escape substitutions for a spec, writer direction.
+    * escape-backslash=true is dumpling's rule (backslash-escape `\`,
+    * the delimiter, CR, LF — keeps the raw terminator sequence
+    * impossible inside a field); false is standard-CSV delimiter
+    * doubling (fields then MUST NOT contain the terminator — the
+    * doubling grammar cannot protect the line split, dumpling has the
+    * same caveat).
+    */
+  private def escapePairs(spec: CsvSpec): Seq[(String, String)] =
+    if (spec.escapeBackslash)
+      Seq("\\" -> "\\\\", spec.delimiter -> ("\\" + spec.delimiter),
+        "\r" -> "\\r", "\n" -> "\\n")
+    else Seq(spec.delimiter -> (spec.delimiter + spec.delimiter))
+
+  private def unescapePairs(spec: CsvSpec): Seq[(String, String)] =
+    if (spec.escapeBackslash)
+      Seq("\\\\" -> "\u0000", "\\r" -> "\r", "\\n" -> "\n",
+        ("\\" + spec.delimiter) -> spec.delimiter, "\u0000" -> "\\")
+    else Seq((spec.delimiter + spec.delimiter) -> spec.delimiter)
+
+  /** One configured FIELD, rendered: SQL NULL → the spec's bare null
+    * token; anything else escaped per the spec and quote-delimited.
+    */
+  private[graft] def dialectRender(c: Column, spec: CsvSpec): Column =
+    when(c.isNull, lit(spec.nullToken))
+      .otherwise(concat(lit(spec.delimiter),
+        replaceAll(c, escapePairs(spec)), lit(spec.delimiter)))
+
+  /** Inverse of [[dialectRender]] on one extracted token. */
+  private[graft] def dialectField(t: Column, spec: CsvSpec): Column =
+    when(t === spec.nullToken, lit(null: String))
+      .otherwise(replaceAll(t.substr(lit(2), length(t) - 2),
+        unescapePairs(spec)))
+
+  /** The token regex for a spec: one quoted field (escape-aware per
+    * the spec's escape rule, consuming quoted regions atomically) or
+    * the bare null token.
+    */
+  private[graft] def dialectFieldRe(spec: CsvSpec): String = {
+    val d = regexEscChar(spec.delimiter.head)
+    val quoted =
+      if (spec.escapeBackslash) s"$d(?:[^$d\\\\]|\\\\.)*$d"
+      else s"$d(?:[^$d]|$d$d)*$d"
+    quoted + "|" + java.util.regex.Pattern.quote(spec.nullToken)
+  }
+
   /** Dialect-stress fixture for s8c: payloads embedding the dialect's
     * OWN metacharacters — the separator, the terminator's pieces
     * including a raw CR LF, quotes + backslashes, '' and NULL, and
@@ -456,10 +525,7 @@ object Migrate {
     * round-trip on arbitrary strings.
     */
   private[graft] def dialectRender(c: Column): Column =
-    when(c.isNull, lit("NULL"))
-      .otherwise(concat(lit("\""), replaceAll(c, Seq(
-        "\\" -> "\\\\", "\"" -> "\\\"",
-        "\r" -> "\\r", "\n" -> "\\n")), lit("\"")))
+    dialectRender(c, ReferenceCsv)
 
   /** One extracted dialect token, parsed back: the bare NULL token →
     * SQL NULL; a quoted field stripped and unescaped (escaped
@@ -467,15 +533,12 @@ object Migrate {
     * NUL are out of scope, the text sink's own limit).
     */
   private[graft] def dialectField(t: Column): Column =
-    when(t === "NULL", lit(null: String))
-      .otherwise(replaceAll(t.substr(lit(2), length(t) - 2), Seq(
-        "\\\\" -> "\u0000", "\\r" -> "\r", "\\n" -> "\n",
-        "\\\"" -> "\"", "\u0000" -> "\\")))
+    dialectField(t, ReferenceCsv)
 
   /** The token regex: one quoted field (escape-aware — consumes
     * quoted regions atomically) or the bare NULL token.
     */
-  private[graft] val DialectFieldRe = "\"(?:[^\"\\\\]|\\\\.)*\"|NULL"
+  private[graft] val DialectFieldRe = dialectFieldRe(ReferenceCsv)
 
   def csvDialectWrite(s: SparkSession, d: String, out: String): Unit =
     dialectEdgeRows(s, d)

@@ -884,14 +884,16 @@ object Cdc {
   private[graft] def applyPartition(
       rows: Iterator[org.apache.spark.sql.Row], url: String,
       table: String, flushEvery: Int = JdbcFlushEvery,
-      dialect: SinkDialect = null): Long = {
+      dialect: SinkDialect = null,
+      rowsPerStmt: Int = ReplaceRowsPerStmt): Long = {
     val dia = if (dialect == null) dialectFor(url) else dialect
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false)
       dia match {
         case MergeDialect => applyMerge(rows, conn, table, flushEvery)
-        case ReplaceDialect => applyReplace(rows, conn, table, flushEvery)
+        case ReplaceDialect =>
+          applyReplace(rows, conn, table, flushEvery, rowsPerStmt)
         case DeleteInsertDialect =>
           applyDeleteInsert(rows, conn, table, flushEvery)
       }
@@ -965,8 +967,9 @@ object Cdc {
     * emits one change per key), so cross-batch ordering cannot matter.
     */
   private def applyReplace(rows: Iterator[org.apache.spark.sql.Row],
-      conn: java.sql.Connection, table: String, flushEvery: Int): Long = {
-    val full = conn.prepareStatement(replaceSql(table, ReplaceRowsPerStmt))
+      conn: java.sql.Connection, table: String, flushEvery: Int,
+      rowsPerStmt: Int = ReplaceRowsPerStmt): Long = {
+    val full = conn.prepareStatement(replaceSql(table, rowsPerStmt))
     val one = conn.prepareStatement(replaceSql(table, 1))
     val del = conn.prepareStatement(s"DELETE FROM $table WHERE k = ?")
     def bind(ps: java.sql.PreparedStatement, base: Int,
@@ -990,7 +993,7 @@ object Cdc {
         if (pendingD >= flushEvery) flushDel()
       } else {
         buf += r
-        if (buf.length == ReplaceRowsPerStmt) {
+        if (buf.length == rowsPerStmt) {
           buf.zipWithIndex.foreach { case (br, i) => bind(full, i * 4, br) }
           full.executeUpdate(); buf.clear(); flushes += 1
         }
@@ -1048,10 +1051,12 @@ object Cdc {
   }
 
   def applyBatchJdbc(batch: DataFrame, url: String, table: String,
-      dialect: SinkDialect = null): Unit =
+      dialect: SinkDialect = null,
+      rowsPerStmt: Int = ReplaceRowsPerStmt): Unit =
     lastChange(batch).coalesce(sinkConnections(url)).foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        applyPartition(rows, url, table, dialect = dialect): Unit
+        applyPartition(rows, url, table, dialect = dialect,
+          rowsPerStmt = rowsPerStmt): Unit
     }
 
   /** c6b: CDC apply into an embedded Derby target via guarded MERGE,

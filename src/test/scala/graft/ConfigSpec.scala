@@ -14,46 +14,11 @@ import graft.streaming.Cdc
   */
 class ConfigSpec extends AnyFunSuite {
 
-  // the shapes and values of example/config.toml:19-160 (kebab keys,
-  // literal vs basic strings, inline arrays, bare scalars, comments —
-  // including '#' INSIDE a quoted value)
-  private val example =
-    """[app]
-      |# transaction batch
-      |insert-batch-size = 100
-      |slowlog-threshold = 1024
-      |pprof-port = ":9696"
-      |
-      |[reverse]
-      |lower-case-field-name = "2"
-      |
-      |[compare]
-      |chunk-size = 50000
-      |diff-threads = 128
-      |only-check-rows = false
-      |enable-checkpoint = true
-      |fix-sql-dir = "/users/marvin/gostore/transferdb/data"
-      |
-      |[csv]
-      |header = true
-      |separator = '|#|'
-      |terminator = "|+|\r\n"
-      |charset = "UTF8MB4"
-      |delimiter = '"'
-      |null-value = 'NULL'
-      |escape-backslash = true
-      |rows = 100000
-      |
-      |[full]
-      |chunk-size = 100000   # rows per ROWID chunk
-      |enable-checkpoint = true
-      |
-      |[schema-config]
-      |source-schema = "marvin"
-      |source-include-table = ["kp"]
-      |source-exclude-table = []
-      |target-schema = "marvin"
-      |""".stripMargin
+  // the shared mirror of example/config.toml:19-160 (kebab keys,
+  // literal vs basic strings, inline arrays, comments — including '#'
+  // INSIDE a quoted value) — the same text the task-mode dispatch
+  // defaults to, so what this spec pins is what graft.Main runs
+  private val example = graft.operators.TaskModes.ExampleConfig
 
   test("reference example config parses into the engine knobs") {
     val k = TransferdbConfig.knobs(example)
@@ -68,6 +33,23 @@ class ConfigSpec extends AnyFunSuite {
     assert(k.csv.header && k.csv.escapeBackslash)
     assert(k.csv.charset == "UTF8MB4" && k.csv.delimiter == "\"" &&
       k.csv.nullValue == "NULL" && k.csv.rows == 100000L)
+    // artifact-dir knobs + the F11 case-mode mapping
+    assert(k.checkSqlDir.contains("/users/marvin/gostore/transferdb/data"))
+    assert(k.ddlReverseDir.contains("/users/marvin/gostore/transferdb/data"))
+    assert(k.ddlCompatibleDir
+      .contains("/users/marvin/gostore/transferdb/data"))
+    assert(k.caseMode == "upper") // lower-case-field-name = "2"
+  }
+
+  test("malformed values fail loudly, quoted commas stay one item") {
+    // unterminated literal/basic strings and arrays raise a parse
+    // error naming the value — not StringIndexOutOfBounds
+    for (bad <- Seq("[x]\na = 'oops\n", "[x]\na = \"oops\n",
+        "[x]\na = ['a', 'b'\n"))
+      assertThrows[IllegalArgumentException](TransferdbConfig.parse(bad))
+    // a quoted array item containing a comma is ONE item
+    val p = TransferdbConfig.parse("[x]\na = ['a,b', 'c']\n")
+    assert(p("x")("a") == Seq("a,b", "c"))
   }
 
   test("engine envelope constants equal the reference example's values") {
