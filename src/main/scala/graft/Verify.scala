@@ -10,6 +10,16 @@ object Verify {
     // dev loop; the driver always passes exactly 2 args → full run
     val only: Option[Seq[String]] =
       if (args.length > 2) Some(args(2).split(',').toSeq) else None
+    // subset runs declare themselves with a marker file, so the
+    // oracle checker never has to INFER full-vs-subset from the
+    // written-dir ratio (a full run with >10% crashes used to look
+    // like a subset run and skip its MISSING report)
+    new java.io.File(outDir).mkdirs()
+    val marker = Paths.get(s"$outDir/subset_run.txt")
+    only match {
+      case Some(ps) => Files.writeString(marker, ps.mkString(","))
+      case None => Files.deleteIfExists(marker): Unit
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -828,14 +828,19 @@ object Dedup {
         col("doc_id"), col("ts"))
       .as[BucketArrival]
       .groupByKey(a => (a.band, a.sig))
-      .flatMapGroupsWithState[Seq[Long], CandidatePair](
+      .flatMapGroupsWithState[(Seq[Long], Long), CandidatePair](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (k: (Int, String), rows: Iterator[BucketArrival],
-            state: GroupState[Seq[Long]]) =>
+            state: GroupState[(Seq[Long], Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var members = state.getOption.getOrElse(Seq.empty)
-            var maxTs = 0L
+            var (members, storedMax) =
+              state.getOption.getOrElse((Seq.empty[Long], 0L))
+            // eviction clock = max event time EVER seen, carried in
+            // the state: a late-but-valid arrival after a newer one
+            // must not move the timeout BACKWARDS (the documented
+            // contract is last arrival + delay, monotone)
+            var maxTs = storedMax
             val out = Seq.newBuilder[CandidatePair]
             // deterministic within-batch order (a micro-batch is a
             // set): oldest doc id admits first, like the batch view
@@ -849,7 +854,7 @@ object Dedup {
                 members = members :+ r.doc_id
               }
             }
-            state.update(members)
+            state.update((members, maxTs))
             state.setTimeoutTimestamp(maxTs + delayMs)
             out.result().iterator
           }
@@ -859,6 +864,30 @@ object Dedup {
       .trigger(Trigger.AvailableNow())
       .format("parquet").option("path", outDir)
       .start()
+  }
+
+  /** d15: the STREAMING near-dup arm under the batch ORACLE — the
+    * documents corpus replayed as a timestamped parquet feed through
+    * [[streamingNearDup]] (AvailableNow, but the real machinery: the
+    * per-row signature projection, the band explode, the per-bucket
+    * flatMapGroupsWithState with watermark + cap), then the emitted
+    * candidates read back as the distinct pair set. DedupSpec proves
+    * the arm ≡ [[bandedPairs]]; this row puts that equivalence under
+    * the DuckDB hash gate every batch operator answers to, so the
+    * streaming arm is no longer the one component without a
+    * CORRECTNESS entry. Oracle = d3's SQL (the same pair truth).
+    */
+  def d15StreamingNearDup(s: SparkSession, d: String): DataFrame = {
+    val root = graft.operators.Migrate.tempDir("d15")
+    val feed = s"$root/feed"; val out = s"$root/out"
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
+      .write.mode("overwrite").parquet(feed)
+    val q = streamingNearDup(s, feed, out, s"$root/ckpt")
+    try q.awaitTermination(300000) finally q.stop()
+    s.read.schema("doc_a LONG, doc_b LONG, band INT").parquet(out)
+      .select("doc_a", "doc_b").distinct()
   }
 
   // ------------------------------------------------------------- registry
@@ -1294,12 +1323,14 @@ object Dedup {
     "d12_exact_substring" -> d12ExactSubstring,
     "d13_containment_pairs" -> d13ContainmentPairs,
     "d14_fuzzy_name_pairs" -> d14FuzzyNamePairs,
+    "d15_streaming_near_dup" -> d15StreamingNearDup,
     "pipe8_leakage_split" -> pipe8LeakageSplit)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
     "d2_ngram_jaccard" -> d2Sql,
     "d3_minhash_lsh" -> d3Sql,
+    "d15_streaming_near_dup" -> d3Sql,
     "d4_simhash" -> d4Sql,
     "d4b_simhash_pairs" -> d4bSql,
     "d6_dup_clusters" -> d6Sql,

@@ -828,14 +828,22 @@ object Relational {
     // a separate limit-1 isEmpty job on every invocation — including
     // the common non-empty path — just to guard the NPE;
     // EmptySweepSpec keeps the catch branch exercised).
-    val prefilter: Column =
+    // the try covers ONLY the build + bitSize probe: an NPE from any
+    // later step (broadcast, udf construction) is a real bug and must
+    // surface, not silently degenerate the prefilter to `false`
+    val bfOpt =
       try {
         val bf = small.stat.bloomFilter("c_custkey", 1 << 17, 0.01)
         bf.bitSize()
+        Some(bf)
+      } catch { case _: NullPointerException => None }
+    val prefilter: Column = bfOpt match {
+      case Some(bf) =>
         val bfB = s.sparkContext.broadcast(bf)
         val mightContain = udf((k: Long) => bfB.value.mightContain(k))
         mightContain(col("o_custkey"))
-      } catch { case _: NullPointerException => lit(false) }
+      case None => lit(false)
+    }
     ord(s, d).filter(prefilter)
       .join(broadcast(small), col("o_custkey") === col("c_custkey"),
         "left_semi")

@@ -493,9 +493,11 @@ object TaskModes {
       // raw-bytes metrics: whole files as blobs, substring counts
       val blob = s.read.format("text").option("wholetext", "true")
         .load(ordersOut)
+      // coalesce: an EMPTY corpus writes no files, sum() is NULL
       def occ(tok: String): Column =
-        sum(((length(col("value")) - length(call_function("replace",
-          col("value"), lit(tok), lit("")))) / tok.length).cast("long"))
+        coalesce(sum(((length(col("value")) - length(call_function(
+          "replace", col("value"), lit(tok), lit(""))))
+          / tok.length).cast("long")), lit(0L))
       val m = blob.agg(
         occ("|#|").as("ref_sep"), occ("~^~").as("alt_sep"),
         occ("\"o_orderkey\"").as("n_header")).collect()(0)

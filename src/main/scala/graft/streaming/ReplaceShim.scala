@@ -115,14 +115,14 @@ object ReplaceShim {
     final case class TypedNull(sqlType: Int)
     val params = new Array[AnyRef](nGroups * nCols)
 
-    def runGroups(sets: Seq[Array[AnyRef]]): Int = {
-      // feed contract: one row per key per statement, so batching all
-      // deletes before all inserts cannot reorder a key against itself
+    def delBatch(sets: Seq[Array[AnyRef]]): Unit = {
       for (p <- sets; g <- 0 until nGroups) {
         del.setObject(1, p(g * nCols))
         del.addBatch()
       }
-      del.executeBatch()
+      del.executeBatch(): Unit
+    }
+    def insBatch(sets: Seq[Array[AnyRef]]): Unit = {
       for (p <- sets; g <- 0 until nGroups) {
         (0 until nCols).foreach { c =>
           p(g * nCols + c) match {
@@ -132,7 +132,29 @@ object ReplaceShim {
         }
         ins.addBatch()
       }
-      ins.executeBatch()
+      ins.executeBatch(): Unit
+    }
+
+    def runGroups(sets: Seq[Array[AnyRef]]): Int = {
+      // real REPLACE is last-write-wins in STATEMENT order; batching
+      // all deletes before all inserts preserves that only when no
+      // key repeats across the batched statements (a repeated key
+      // would get delete,delete,insert,insert — a duplicate-key
+      // failure, or two rows on a PK-less table). The production feed
+      // (Cdc.lastChange) emits globally distinct keys, so the
+      // two-phase fast path is the common case; a general caller with
+      // duplicate keys ACROSS statements gets the per-statement
+      // interleave instead of a silently diverging answer. (A key
+      // repeated WITHIN one multi-row statement remains out of scope:
+      // Cdc.replaceSql statements carry one row per key by
+      // construction, and such a statement would surface as a
+      // duplicate-key error here, never as wrong data.)
+      val allKeys = sets.flatMap(p => (0 until nGroups).map(g => p(g * nCols)))
+      if (allKeys.distinct.size == allKeys.size) {
+        delBatch(sets)
+        insBatch(sets)
+      } else
+        sets.foreach { p => delBatch(Seq(p)); insBatch(Seq(p)) }
       // MySQL reports delete+insert as 2 affected rows; nothing above
       // the seam reads this, so the insert count suffices
       sets.size * nGroups

@@ -592,6 +592,40 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(state() == first)
   }
 
+  test("ReplaceShim: duplicate keys across batched statements follow " +
+    "statement-order last-write-wins, like real REPLACE") {
+    // the production feed (lastChange) emits globally distinct keys,
+    // but the shim is a general portability layer: a key repeated
+    // across two addBatch param-sets in ONE executeBatch must land
+    // the LAST statement's row (real REPLACE per-statement
+    // delete+insert), not fail on a duplicate key under the
+    // all-deletes-then-all-inserts fast path
+    ReplaceShim.ensureRegistered()
+    val dbDir = graft.operators.Migrate.scratchDbDir("cdc_shim_dup")
+    val baseUrl = s"jdbc:derby:$dbDir/db;create=true"
+    val c0 = java.sql.DriverManager.getConnection(baseUrl)
+    try c0.createStatement().execute(
+      "CREATE TABLE RD (k BIGINT PRIMARY KEY, scn BIGINT, seq BIGINT, v DOUBLE)")
+    finally c0.close()
+    val conn = java.sql.DriverManager.getConnection(
+      ReplaceShim.Prefix + baseUrl)
+    try {
+      val ps = conn.prepareStatement(Cdc.replaceSql("RD", 1))
+      def add(k: Long, v: Double): Unit = {
+        ps.setLong(1, k); ps.setLong(2, 0L); ps.setLong(3, 0L)
+        ps.setDouble(4, v); ps.addBatch()
+      }
+      add(1L, 1.0); add(2L, 2.0); add(1L, 10.0) // key 1 repeats
+      ps.executeBatch()
+      ps.close()
+      val st = conn.createStatement()
+      val rs = st.executeQuery("SELECT k, v FROM RD ORDER BY k")
+      val got = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      assert(got == Map(1L -> 10.0, 2L -> 2.0), got.toString)
+    } finally conn.close()
+  }
+
   test("jdbc apply scale contract: bounded statement buffer and " +
     "connection count hold under a 10x batch") {
     import spark.implicits._

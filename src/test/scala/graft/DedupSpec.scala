@@ -199,6 +199,39 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(hot <= 3, s"hot bucket must cap at C(3,2)=3 pairs, got $hot")
   }
 
+  test("streaming arms survive empty and single-doc feeds") {
+    import spark.implicits._
+    val schema = "doc_id LONG, text STRING, ts TIMESTAMP"
+    def emptyFeed(dir: String): Unit =
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+        .write.parquet(dir)
+    def oneDoc(dir: String): Unit =
+      Seq((1L, "hello world solo", java.sql.Timestamp.valueOf(
+        "2024-01-01 10:00:00"))).toDF("doc_id", "text", "ts")
+        .write.parquet(dir)
+    // empty feed: both arms terminate, no output rows, no crash
+    // (GroupState with no prior members, watermark with no events)
+    for ((mk, tag) <- Seq((emptyFeed _, "empty"), (oneDoc _, "one"))) {
+      val t = java.nio.file.Files.createTempDirectory(s"graft_s$tag")
+        .toString
+      mk(s"$t/feed")
+      val q1 = Dedup.streamingExactDedup(spark, s"$t/feed", s"$t/out1",
+        s"$t/ck1")
+      try q1.awaitTermination(120000) finally q1.stop()
+      val q2 = Dedup.streamingNearDup(spark, s"$t/feed", s"$t/out2",
+        s"$t/ck2")
+      try q2.awaitTermination(120000) finally q2.stop()
+      val dedup = spark.read.schema("doc_id LONG, fingerprint STRING," +
+        " ts TIMESTAMP").parquet(s"$t/out1")
+      val pairs = spark.read.schema("doc_a LONG, doc_b LONG, band INT")
+        .parquet(s"$t/out2")
+      if (tag == "empty") assert(dedup.count() == 0)
+      else assert(dedup.count() == 1) // the lone doc passes dedup
+      assert(pairs.count() == 0) // no co-bucketed partner either way
+    }
+  }
+
   test("d7 banding pigeonhole: hamming<=3 signature pairs always collide") {
     import graft.functions.Similarity
     val sigs = Similarity.rphSignatures(spark, sf)

@@ -85,9 +85,10 @@ def main(sf_dir, out_dir):
                if os.path.isdir(os.path.join(out_dir, n))}
     missing = sorted(set(oracle) - written)
     # ...but a SUBSET dev run (Verify's 3rd arg) legitimately writes
-    # few dirs; only treat absences as failures when the run clearly
-    # attempted the full surface
-    full_run = len(written) >= 0.9 * len(oracle)
+    # few dirs. Verify DECLARES subset runs via a marker file — no
+    # ratio inference (a full run where >10% of queries crashed used
+    # to pass for a subset run and skip its MISSING report)
+    full_run = not os.path.exists(os.path.join(out_dir, 'subset_run.txt'))
     if full_run:
         for name in missing:
             print(f'  {name:32s} MISSING (no Verify output dir)')
