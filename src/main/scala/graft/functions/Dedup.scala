@@ -884,7 +884,14 @@ object Dedup {
       .select(col("doc_id"), col("text"),
         timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
       .write.mode("overwrite").parquet(feed)
-    val q = streamingNearDup(s, feed, out, s"$root/ckpt")
+    // the streaming query's state-store count = shuffle partitions at
+    // plan time; 5k docs need nowhere near the batch engine's 32
+    // stores (each store pays open/commit per micro-batch)
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try streamingNearDup(s, feed, out, s"$root/ckpt")
+      finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
     try q.awaitTermination(300000) finally q.stop()
     s.read.schema("doc_a LONG, doc_b LONG, band INT").parquet(out)
       .select("doc_a", "doc_b").distinct()

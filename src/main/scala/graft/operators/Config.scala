@@ -30,27 +30,52 @@ object TransferdbConfig {
   /** section → key → String | Long | Boolean | Seq[String]. Keys and
     * sections keep the reference's kebab-case spelling.
     */
-  def parse(text: String): Map[String, Map[String, Any]] = {
+  def parse(text: String): Map[String, Map[String, Any]] =
+    parseFull(text)._1
+
+  /** Full parse: plain `[section]`s plus `[[array.of.tables]]`
+    * entries (the reference's per-table custom blocks,
+    * `config.go:122-138`: `[[schema-config.compare-config]]` /
+    * `[[schema-config.migrate-config]]` — each occurrence appends one
+    * table map under its dotted name).
+    */
+  def parseFull(text: String): (Map[String, Map[String, Any]],
+      Map[String, Seq[Map[String, Any]]]) = {
     val out = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[String, Any]]
+    val arrays = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[
+        scala.collection.mutable.LinkedHashMap[String, Any]]]
     var section = ""
-    out(section) = scala.collection.mutable.LinkedHashMap.empty
+    // the map currently receiving `key = value` lines: a plain
+    // section, or the latest entry of an array-of-tables
+    var sink: scala.collection.mutable.LinkedHashMap[String, Any] =
+      scala.collection.mutable.LinkedHashMap.empty
+    out(section) = sink
     for (raw <- text.linesIterator) {
       val line = raw.trim
       if (line.nonEmpty && !line.startsWith("#")) {
-        if (line.startsWith("[")) {
+        if (line.startsWith("[[")) {
+          val name = line.stripPrefix("[[").takeWhile(_ != ']').trim
+          val entry =
+            scala.collection.mutable.LinkedHashMap.empty[String, Any]
+          arrays.getOrElseUpdate(name,
+            scala.collection.mutable.ArrayBuffer.empty) += entry
+          sink = entry
+        } else if (line.startsWith("[")) {
           section = line.stripPrefix("[").takeWhile(_ != ']').trim
-          out.getOrElseUpdate(section,
+          sink = out.getOrElseUpdate(section,
             scala.collection.mutable.LinkedHashMap.empty)
         } else line.indexOf('=') match {
           case -1 => // tolerated: the reference file has none of these
           case eq =>
             val key = line.substring(0, eq).trim
-            out(section)(key) = parseValue(line.substring(eq + 1).trim)
+            sink(key) = parseValue(line.substring(eq + 1).trim)
         }
       }
     }
-    out.map { case (s, kv) => s -> kv.toMap }.toMap
+    (out.map { case (s, kv) => s -> kv.toMap }.toMap,
+      arrays.map { case (n, es) => n -> es.map(_.toMap).toSeq }.toMap)
   }
 
   private def parseValue(v: String): Any = v.headOption match {
@@ -139,6 +164,24 @@ object TransferdbConfig {
       terminator: String, charset: String, delimiter: String,
       nullValue: String, escapeBackslash: Boolean, rows: Long)
 
+  /** Per-table compare customization (`config.go:128-132`,
+    * consumed by `module/compare/oracle/o2m/chunk.go:71-106`):
+    * priority is only-check-rows > range > index-fields > the
+    * auto-elected numeric key; `range` compares ONLY the predicated
+    * rows as one chunk, `index-fields` swaps the split column.
+    */
+  final case class CompareTableConfig(sourceTable: String,
+      indexFields: String, range: String)
+
+  /** Per-table migrate customization (`config.go:134-138`, consumed
+    * by `full.go:655-703`): `range` restricts the export,
+    * `enable-split = false` forces a single chunk, `sql-hint` is an
+    * Oracle-side scan hint (no Spark analogue — the scheduler owns
+    * scan parallelism; recorded for fidelity).
+    */
+  final case class MigrateTableConfig(sourceTable: String,
+      enableSplit: Boolean, range: String, sqlHint: String)
+
   /** The engine-relevant projection of a reference config. Threads/
     * pool counts are deliberately ABSENT: on Spark those are the
     * cluster scheduler's job (executor/core counts), not per-operator
@@ -153,7 +196,16 @@ object TransferdbConfig {
       ddlCompatibleDir: Option[String],
       csv: CsvDialect, sourceSchema: String, targetSchema: String,
       includeTables: Seq[String], excludeTables: Seq[String],
-      lowerCaseFieldName: String) {
+      lowerCaseFieldName: String,
+      compareConfigs: Seq[CompareTableConfig] = Seq.empty,
+      migrateConfigs: Seq[MigrateTableConfig] = Seq.empty) {
+    /** Case-insensitive per-table lookup, the reference's
+      * `strings.EqualFold` match (first entry wins).
+      */
+    def compareConfigFor(table: String): Option[CompareTableConfig] =
+      compareConfigs.find(_.sourceTable.equalsIgnoreCase(table))
+    def migrateConfigFor(table: String): Option[MigrateTableConfig] =
+      migrateConfigs.find(_.sourceTable.equalsIgnoreCase(table))
     /** `lower-case-field-name` → [[graft.reverse.Ddl.foldCase]] mode
       * (`config.go:147`: "0" origin, "1" lower, "2" upper).
       */
@@ -165,7 +217,20 @@ object TransferdbConfig {
   }
 
   def knobs(text: String): EngineKnobs = {
-    val c = parse(text)
+    val (c, arrays) = parseFull(text)
+    def entryStr(e: Map[String, Any], k: String): String =
+      e.get(k).map(_.toString).getOrElse("")
+    val cmpCfgs = arrays.getOrElse("schema-config.compare-config", Seq.empty)
+      .map(e => CompareTableConfig(entryStr(e, "source-table"),
+        entryStr(e, "index-fields"), entryStr(e, "range")))
+      .filter(_.sourceTable.nonEmpty)
+    val migCfgs = arrays.getOrElse("schema-config.migrate-config", Seq.empty)
+      .map(e => MigrateTableConfig(entryStr(e, "source-table"),
+        e.get("enable-split") match {
+          case Some(b: Boolean) => b
+          case _ => true
+        }, entryStr(e, "range"), entryStr(e, "sql-hint")))
+      .filter(_.sourceTable.nonEmpty)
     def sec(s: String) = c.getOrElse(s, Map.empty)
     def str(s: String, k: String, d: String): String =
       sec(s).get(k).map(_.toString).getOrElse(d)
@@ -208,6 +273,8 @@ object TransferdbConfig {
       targetSchema = str("schema-config", "target-schema", ""),
       includeTables = arr("schema-config", "source-include-table"),
       excludeTables = arr("schema-config", "source-exclude-table"),
-      lowerCaseFieldName = str("reverse", "lower-case-field-name", "0"))
+      lowerCaseFieldName = str("reverse", "lower-case-field-name", "0"),
+      compareConfigs = cmpCfgs,
+      migrateConfigs = migCfgs)
   }
 }

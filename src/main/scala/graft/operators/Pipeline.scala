@@ -122,7 +122,8 @@ object Pipeline {
     */
   def runMigration(s: SparkSession, d: String, workDir: String,
       task: String, chunkRows: Long = 0L, waveSize: Int = WaveSize,
-      failpoint: String => Unit = _ => ()): DataFrame = {
+      failpoint: String => Unit = _ => (),
+      where: Option[String] = None): DataFrame = {
     val table = "orders"
     val tgtTable = "ORDERS_PIPE"
     val keyCol = "o_orderkey"
@@ -139,7 +140,11 @@ object Pipeline {
 
     // ---- stage 2: assess (A3 bounds guard + A4 count) — one agg job
     failpoint("assess")
-    val src0 = Tables.load(s, d, table)
+    // per-table migrate-config range (full.go:698-701): the custom
+    // predicate restricts the WHOLE task — assess bounds, chunk plan,
+    // export, and the compare all see only the predicated rows
+    val src0 = where.foldLeft(Tables.load(s, d, table))(
+      (df, rg) => df.filter(expr(rg)))
     val row = src0.agg(min(keyCol), max(keyCol), count(lit(1))).collect()(0)
     // empty source: min/max are NULL — getLong would throw. The
     // reference treats an empty table as a completed (trivial) task,

@@ -189,8 +189,18 @@ object TaskModes {
     import s.implicits._
     val spec = csvSpecOf(knobs.csv)
     val rows = resolveTables(knobs).map { t =>
-      val (n, nch) = csvExportChunked(s, Tables.load(s, d, t), spec,
-        knobs.csv.rows, s"$outDir/csv/$t")
+      // per-table [[schema-config.migrate-config]] (full.go:655-703):
+      // `range` restricts the export, enable-split=false forces ONE
+      // chunk (chunkRows >= any count); sql-hint has no Spark analogue
+      val mc = knobs.migrateConfigFor(t)
+      val base = Tables.load(s, d, t)
+      val src = mc.map(_.range).filter(_.nonEmpty)
+        .map(r => base.filter(expr(r))).getOrElse(base)
+      val chunkRows =
+        if (mc.exists(!_.enableSplit)) Long.MaxValue / 4
+        else knobs.csv.rows
+      val (n, nch) = csvExportChunked(s, src, spec, chunkRows,
+        s"$outDir/csv/$t")
       (t, n, nch)
     }
     rows.toDF("table_name", "n_rows", "n_chunks")
@@ -313,17 +323,43 @@ object TaskModes {
     */
   private def compareMode(s: SparkSession, knobs: EngineKnobs, d: String,
       outDir: String): DataFrame = {
-    val src = Tables.load(s, d, "orders")
+    val src0 = Tables.load(s, d, "orders")
     if (!resolveTables(knobs).contains("orders"))
       return compareEmpty(s)
-    val r = src.agg(min(col("o_orderkey")).cast("long"),
-      max(col("o_orderkey")).cast("long"), count(lit(1))).collect()(0)
+    val tgt0 = Compare.driftedOrders(s, d)
+    // per-table [[schema-config.compare-config]] — the reference's
+    // priority chain (chunk.go:110-160): only-check-rows > range >
+    // index-fields > the default numeric key
+    val cc = knobs.compareConfigFor("orders")
+    val customRange = cc.map(_.range).filter(_.nonEmpty)
+      .filter(_ => !knobs.onlyCheckRows)
+    val (src, tgt) = customRange match {
+      case Some(rg) => (src0.filter(expr(rg)), tgt0.filter(expr(rg)))
+      case None => (src0, tgt0)
+    }
+    val splitCol = cc.map(_.indexFields).filter(_.nonEmpty)
+      .filter(_ => customRange.isEmpty).getOrElse("o_orderkey")
+    if (splitCol != "o_orderkey") {
+      // the reference validates index-fields is a NUMBER column
+      // (chunk.go:78-86) and errors otherwise
+      val dt = src.schema(splitCol).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType,
+        s"config file index-filed isn't number type: $splitCol is $dt")
+    }
+    val r = src.agg(min(col(splitCol)).cast("long"),
+      max(col(splitCol)).cast("long"), count(lit(1))).collect()(0)
     if (r.getLong(2) == 0) return compareEmpty(s)
-    val (kw, _) = Pipeline.planFixedWidth(r.getLong(0), r.getLong(1),
-      r.getLong(2), knobs.compareChunkSize)
+    // a custom range compares as ONE chunk (the reference stores the
+    // predicate as the chunk, no split); otherwise fixed-width chunks
+    // on the split column
+    val kw = customRange match {
+      case Some(_) => Long.MaxValue / 4
+      case None => Pipeline.planFixedWidth(r.getLong(0), r.getLong(1),
+        r.getLong(2), knobs.compareChunkSize)._1
+    }
     val bucket =
-      expr(s"(o_orderkey - ${r.getLong(0)}L) div ${kw}L").cast("long")
-    val tgt = Compare.driftedOrders(s, d)
+      expr(s"($splitCol - ${r.getLong(0)}L) div ${kw}L").cast("long")
     if (knobs.onlyCheckRows) {
       val sSum = src.groupBy(bucket.as("chunk_id"))
         .agg(count(lit(1)).as("src_rows"))
@@ -337,7 +373,10 @@ object TaskModes {
     } else {
       val sSum = Compare.chunkSummary(src, bucket, Compare.ordersNorm)
       val tSum = Compare.chunkSummary(tgt, bucket, Compare.ordersNorm)
-      knobs.fixSqlDir.foreach { fixDir =>
+      // fix artifact: keyed by o_orderkey chunk membership — only
+      // meaningful when chunking on the key column itself
+      knobs.fixSqlDir.filter(_ => splitCol == "o_orderkey")
+        .foreach { fixDir =>
         val diff = Compare.symmetricDiffCols(src, tgt,
           Compare.ordersNorm, "o_orderkey")
         val fixes = Compare.fixActions(diff,
@@ -437,8 +476,12 @@ object TaskModes {
       case "compare" => compareMode(s, knobs, d, outDir)
       case "csv" => csvMode(s, knobs, d, outDir)
       case "full" =>
+        val mc = knobs.migrateConfigFor("orders")
         Pipeline.runMigration(s, d, s"$outDir/full", task = "full-task",
-          chunkRows = knobs.fullChunkSize)
+          chunkRows =
+            if (mc.exists(!_.enableSplit)) Long.MaxValue / 4
+            else knobs.fullChunkSize,
+          where = mc.map(_.range).filter(_.nonEmpty))
       case "all" => allMode(s, knobs, d, outDir)
       case other => throw new IllegalArgumentException(
         // the reference's own wording, server.go:79
@@ -479,7 +522,15 @@ object TaskModes {
     */
   def pipe11ConfigDriven(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rows = variantConfigs.map { case (variant, text) =>
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.DurationInt
+    // the three variant runs are independent jobs over independent
+    // output dirs — submit them concurrently so the local scheduler
+    // overlaps them (wall-clock ~= the slowest variant, not the sum);
+    // on a cluster these would be three parallel task-mode runs
+    val rows = Await.result(Future.traverse(variantConfigs) {
+      case (variant, text) => Future {
       val knobs = TransferdbConfig.knobs(text)
       val out = Migrate.tempDir(s"pipe11_$variant")
       val report = runMode(s, "csv", knobs, d, out)
@@ -507,7 +558,8 @@ object TaskModes {
         .filter(length(col("value")) > 0 && col("value") =!= hdr)
         .count()
       (variant, nRows, nChunks, m.getLong(0), m.getLong(1), m.getLong(2))
-    }
+      }
+    }, 600.seconds)
     rows.toDF("variant", "n_rows", "n_chunks", "ref_sep", "alt_sep",
       "n_header")
   }
@@ -548,9 +600,99 @@ object TaskModes {
       |  CAST(p.hdr * ch.n_chunks AS BIGINT) AS n_header
       |FROM p JOIN ch ON p.variant = ch.variant""".stripMargin
 
+  // ---------------------------------------------------------- pipe12
+
+  private def compareVariantConfigs: Seq[(String, String)] = {
+    val base = ExampleConfig +
+      "\n[schema-config]\nsource-include-table = [\"ord*\"]\n"
+    Seq(
+      // plain chunked compare, smaller chunks than the example
+      "default" -> (base + "[compare]\nchunk-size = 2000\n"),
+      // [[schema-config.compare-config]] index-fields: the split
+      // column swaps from the key to o_custkey (chunk.go:77-87)
+      "custkey_split" -> (base + "[compare]\nchunk-size = 200\n" +
+        "[[schema-config.compare-config]]\n" +
+        "source-table = \"orders\"\nindex-fields = \"o_custkey\"\n"),
+      // [[schema-config.compare-config]] range: ONE chunk over the
+      // predicated rows, both sides (chunk.go:90-103)
+      "range" -> (base + "[[schema-config.compare-config]]\n" +
+        "source-table = \"orders\"\nrange = \"o_custkey < 500\"\n"))
+  }
+
+  /** pipe12: the compare task mode under the reference's PER-TABLE
+    * custom config blocks (`[[schema-config.compare-config]]`,
+    * `config.go:128-132`) — three configs through the same dispatch:
+    * the plain chunked compare, an `index-fields` config that swaps
+    * the split column to o_custkey, and a `range` config that
+    * compares only the predicated rows as one chunk. The oracle
+    * recomputes every variant's chunk summaries (fixed-width plan on
+    * the configured column; the drifted target) in pure SQL, so the
+    * hash gate proves the custom blocks actually steer the chunking.
+    */
+  def pipe12CompareConfig(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.DurationInt
+    val rows = Await.result(Future.traverse(compareVariantConfigs) {
+      case (variant, text) => Future {
+        val knobs = TransferdbConfig.knobs(text)
+        runMode(s, "compare", knobs, d, Migrate.tempDir(s"pipe12_$variant"))
+          .collect().map(r => (variant, r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getBoolean(3)))
+      }
+    }, 600.seconds).flatten
+    rows.toDF("variant", "chunk_id", "src_rows", "tgt_rows", "matched")
+  }
+
+  val pipe12Sql: String = {
+    val sum = graft.functions.Norm.duckRowChecksum(Compare.ordersNorm)
+    def kwSql(cntRel: String, mn: String, mx: String, cr: Long): String =
+      s"GREATEST(1, (($mx - $mn + 1) + " +
+        s"GREATEST(1, LEAST(($cntRel + ${cr - 1}) // $cr, 1048576)) - 1) // " +
+        s"GREATEST(1, LEAST(($cntRel + ${cr - 1}) // $cr, 1048576)))"
+    s"""WITH tgt AS (SELECT * FROM ${Compare.driftedOrdersSql} t),
+       |b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+       |             min(o_custkey) AS mnc, max(o_custkey) AS mxc,
+       |             count(*) AS cnt FROM orders),
+       |w AS (SELECT mn, mnc,
+       |  ${kwSql("cnt", "mn", "mx", 2000L)} AS kw_key,
+       |  ${kwSql("cnt", "mnc", "mxc", 200L)} AS kw_ck
+       |  FROM b),
+       |sd AS (SELECT (o_orderkey - mn) // kw_key AS chunk_id,
+       |         count(*) AS n, $sum AS cs FROM orders, w GROUP BY 1),
+       |td AS (SELECT (o_orderkey - mn) // kw_key AS chunk_id,
+       |         count(*) AS n, $sum AS cs FROM tgt AS orders, w GROUP BY 1),
+       |sc AS (SELECT (o_custkey - mnc) // kw_ck AS chunk_id,
+       |         count(*) AS n, $sum AS cs FROM orders, w GROUP BY 1),
+       |tc AS (SELECT (o_custkey - mnc) // kw_ck AS chunk_id,
+       |         count(*) AS n, $sum AS cs FROM tgt AS orders, w GROUP BY 1),
+       |sr AS (SELECT count(*) AS n, $sum AS cs FROM orders
+       |       WHERE o_custkey < 500),
+       |tr AS (SELECT count(*) AS n, $sum AS cs FROM tgt AS orders
+       |       WHERE o_custkey < 500)
+       |SELECT 'default' AS variant, chunk_id,
+       |  coalesce(sd.n, 0) AS src_rows, coalesce(td.n, 0) AS tgt_rows,
+       |  (sd.n IS NOT DISTINCT FROM td.n AND
+       |   sd.cs IS NOT DISTINCT FROM td.cs) AS matched
+       |FROM sd FULL OUTER JOIN td USING (chunk_id)
+       |UNION ALL
+       |SELECT 'custkey_split', chunk_id,
+       |  coalesce(sc.n, 0), coalesce(tc.n, 0),
+       |  (sc.n IS NOT DISTINCT FROM tc.n AND
+       |   sc.cs IS NOT DISTINCT FROM tc.cs)
+       |FROM sc FULL OUTER JOIN tc USING (chunk_id)
+       |UNION ALL
+       |SELECT 'range', CAST(0 AS BIGINT), sr.n, tr.n,
+       |  (sr.n = tr.n AND sr.cs IS NOT DISTINCT FROM tr.cs)
+       |FROM sr, tr""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipe11_config_driven" -> pipe11ConfigDriven)
+    "pipe11_config_driven" -> pipe11ConfigDriven,
+    "pipe12_compare_config" -> pipe12CompareConfig)
 
   val oracles: Map[String, String] = Map(
-    "pipe11_config_driven" -> pipe11Sql)
+    "pipe11_config_driven" -> pipe11Sql,
+    "pipe12_compare_config" -> pipe12Sql)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Migrate, TransferdbConfig}
+import graft.operators.{Migrate, TaskModes, TransferdbConfig}
 import graft.streaming.Cdc
 
 /** The reference's example config values (mirroring
@@ -39,6 +39,40 @@ class ConfigSpec extends AnyFunSuite {
     assert(k.ddlCompatibleDir
       .contains("/users/marvin/gostore/transferdb/data"))
     assert(k.caseMode == "upper") // lower-case-field-name = "2"
+  }
+
+  test("array-of-tables blocks parse into per-table configs") {
+    // the commented-out example blocks (example/config.toml:150-170),
+    // uncommented — the reference's per-table custom compare/migrate
+    val text = TaskModes.ExampleConfig +
+      """
+        |[[schema-config.compare-config]]
+        |source-table = "marvin"
+        |index-fields = "id"
+        |range = "age > 10 AND age < 20"
+        |[[schema-config.compare-config]]
+        |source-table = "steven"
+        |index-fields = "sid"
+        |[[schema-config.migrate-config]]
+        |source-table = "marvin"
+        |enable-split = true
+        |range = "age > 10 AND age < 20"
+        |sql-hint = "/*+ PARALLEL(8) */"
+        |""".stripMargin
+    val k = TransferdbConfig.knobs(text)
+    assert(k.compareConfigs.size == 2)
+    assert(k.compareConfigFor("MARVIN").get.range ==
+      "age > 10 AND age < 20")
+    assert(k.compareConfigFor("steven").get.indexFields == "sid")
+    assert(k.compareConfigFor("nobody").isEmpty)
+    val m = k.migrateConfigFor("marvin").get
+    assert(m.enableSplit && m.range.nonEmpty &&
+      m.sqlHint == "/*+ PARALLEL(8) */")
+    // a [section] after an array entry returns the sink to sections
+    val mixed = TransferdbConfig.parseFull(
+      "[[a.b]]\nx = 1\n[c]\ny = 2\n")
+    assert(mixed._2("a.b") == Seq(Map("x" -> 1L)))
+    assert(mixed._1("c")("y") == 2L)
   }
 
   test("malformed values fail loudly, quoted commas stay one item") {

@@ -210,6 +210,46 @@ class MainSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(a.values.exists(_._1 >= 0L))
   }
 
+  test("migrate-config: range and enable-split steer csv and full modes") {
+    // [[schema-config.migrate-config]] range restricts the export;
+    // enable-split = false forces one chunk regardless of csv.rows
+    val kRange = knobsWith(
+      "[schema-config]\nsource-include-table = [\"orders\"]\n" +
+        "[csv]\nrows = 200\n" +
+        "[[schema-config.migrate-config]]\nsource-table = \"orders\"\n" +
+        "range = \"o_orderkey < 600\"\n")
+    val repR = TaskModes.runMode(spark, "csv", kRange, sf, out("mcr"))
+      .collect()(0)
+    assert(repR.getLong(1) == 600L, s"range-restricted rows: $repR")
+    assert(repR.getLong(2) == 3L, s"600 rows / 200 per chunk: $repR")
+    val kNoSplit = knobsWith(
+      "[schema-config]\nsource-include-table = [\"orders\"]\n" +
+        "[csv]\nrows = 200\n" +
+        "[[schema-config.migrate-config]]\nsource-table = \"ORDERS\"\n" +
+        "enable-split = false\n")
+    val repS = TaskModes.runMode(spark, "csv", kNoSplit, sf, out("mcs"))
+      .collect()(0)
+    assert(repS.getLong(1) == 1500L && repS.getLong(2) == 1L,
+      s"unsplit export: $repS")
+    // full mode: the range flows through the whole migration task
+    val kFull = knobsWith(
+      "[[schema-config.migrate-config]]\nsource-table = \"orders\"\n" +
+        "range = \"o_orderkey < 600\"\n")
+    val full = TaskModes.runMode(spark, "full", kFull, sf, out("mcf"))
+      .collect()
+    assert(full.map(_.getAs[Long]("n_rows")).sum == 600L)
+    assert(full.forall(_.getAs[Boolean]("matched")))
+  }
+
+  test("compare-config: index-fields must be a numeric column") {
+    val k = knobsWith(
+      "[[schema-config.compare-config]]\nsource-table = \"orders\"\n" +
+        "index-fields = \"o_orderstatus\"\n")
+    val e = intercept[IllegalArgumentException](
+      TaskModes.runMode(spark, "compare", k, sf, out("ccbad")))
+    assert(e.getMessage.contains("isn't number type"))
+  }
+
   test("unknown mode fails with the reference's wording") {
     val e = intercept[IllegalArgumentException](
       TaskModes.runMode(spark, "bogus", baseKnobs, sf, out("x")))
