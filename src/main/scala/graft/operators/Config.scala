@@ -182,6 +182,15 @@ object TransferdbConfig {
   final case class MigrateTableConfig(sourceTable: String,
       enableSplit: Boolean, range: String, sqlHint: String)
 
+  /** Per-table TiDB clustered-index routing (`config.go:140-151`,
+    * consumed by `module/reverse/oracle/o2t/rule.go:230-400`): tables
+    * in a `[[schema-config.struct-nonclustered-config]]` block take
+    * that block's table-option; everything else takes
+    * `global-table-option` (clustered tables take none).
+    */
+  final case class NonclusteredConfig(sourceTables: Seq[String],
+      tableOption: String)
+
   /** The engine-relevant projection of a reference config. Threads/
     * pool counts are deliberately ABSENT: on Spark those are the
     * cluster scheduler's job (executor/core counts), not per-operator
@@ -198,7 +207,23 @@ object TransferdbConfig {
       includeTables: Seq[String], excludeTables: Seq[String],
       lowerCaseFieldName: String,
       compareConfigs: Seq[CompareTableConfig] = Seq.empty,
-      migrateConfigs: Seq[MigrateTableConfig] = Seq.empty) {
+      migrateConfigs: Seq[MigrateTableConfig] = Seq.empty,
+      consistentRead: Boolean = false,
+      logminerQueryTimeout: Int = 300,
+      oracleCharset: String = "AL32UTF8",
+      targetCharset: String = "UTF8MB4",
+      globalTableOption: String = "",
+      nonclusteredConfigs: Seq[NonclusteredConfig] = Seq.empty,
+      clusteredTables: Seq[String] = Seq.empty) {
+    /** TiDB table-option for a table under the o2t routing: an
+      * explicitly clustered table takes none; a nonclustered-config
+      * member takes its block's option; default = the global option.
+      */
+    def tidbTableOption(table: String): String =
+      if (clusteredTables.exists(_.equalsIgnoreCase(table))) ""
+      else nonclusteredConfigs
+        .find(_.sourceTables.exists(_.equalsIgnoreCase(table)))
+        .map(_.tableOption).getOrElse(globalTableOption)
     /** Case-insensitive per-table lookup, the reference's
       * `strings.EqualFold` match (first entry wins).
       */
@@ -247,6 +272,23 @@ object TransferdbConfig {
       case Some(xs: Seq[_]) => xs.map(_.toString)
       case _ => Seq.empty
     }
+    val nonclustered = arrays
+      .getOrElse("schema-config.struct-nonclustered-config", Seq.empty)
+      .map { e =>
+        val tabs = e.get("source-table") match {
+          case Some(xs: Seq[_]) => xs.map(_.toString)
+          case Some(v) => Seq(v.toString)
+          case None => Seq.empty
+        }
+        NonclusteredConfig(tabs, entryStr(e, "nonclustered-table-option"))
+      }
+      .filter(_.sourceTables.nonEmpty)
+    val clustered = c.getOrElse("schema-config.struct-clustered-config",
+        Map.empty).get("source-table") match {
+      case Some(xs: Seq[_]) => xs.map(_.toString)
+      case Some(v) => Seq(v.toString)
+      case None => Seq.empty
+    }
     EngineKnobs(
       insertBatchSize = long("app", "insert-batch-size", 100L).toInt,
       fullChunkSize = long("full", "chunk-size", 100000L),
@@ -275,6 +317,15 @@ object TransferdbConfig {
       excludeTables = arr("schema-config", "source-exclude-table"),
       lowerCaseFieldName = str("reverse", "lower-case-field-name", "0"),
       compareConfigs = cmpCfgs,
-      migrateConfigs = migCfgs)
+      migrateConfigs = migCfgs,
+      consistentRead = bool("full", "consistent-read", d = false) ||
+        bool("csv", "consistent-read", d = false),
+      logminerQueryTimeout =
+        long("all", "logminer-query-timeout", 300L).toInt,
+      oracleCharset = str("oracle", "charset", "AL32UTF8"),
+      targetCharset = str("mysql", "charset", "UTF8MB4"),
+      globalTableOption = str("schema-config", "global-table-option", ""),
+      nonclusteredConfigs = nonclustered,
+      clusteredTables = clustered)
   }
 }

@@ -79,6 +79,13 @@ object TaskModes {
       |source-include-table = ["kp"]
       |source-exclude-table = []
       |target-schema = "marvin"
+      |global-table-option = "SHARD_ROW_ID_BITS = 4 PRE_SPLIT_REGIONS = 4"
+      |
+      |[oracle]
+      |charset = "AL32UTF8"
+      |
+      |[mysql]
+      |charset = "UTF8MB4"
       |""".stripMargin
 
   /** `[csv]` knobs → the executable dialect spec. */
@@ -193,7 +200,16 @@ object TaskModes {
       // `range` restricts the export, enable-split=false forces ONE
       // chunk (chunkRows >= any count); sql-hint has no Spark analogue
       val mc = knobs.migrateConfigFor(t)
-      val base = Tables.load(s, d, t)
+      // consistent-read (S3): pin the file LISTING once per table so
+      // a file landing mid-export stays invisible — the flashback
+      // analogue Snapshot documents. events keeps Tables.load (its
+      // vintage-dependent timestamp normalization lives there).
+      val base =
+        if (knobs.consistentRead && t != "events") {
+          val files = graft.sources.Snapshot.pin(s, s"$d/$t.parquet")
+          if (files.isEmpty) Tables.load(s, d, t)
+          else graft.sources.Snapshot.read(s, files)
+        } else Tables.load(s, d, t)
       val src = mc.map(_.range).filter(_.nonEmpty)
         .map(r => base.filter(expr(r))).getOrElse(base)
       val chunkRows =
@@ -269,12 +285,24 @@ object TaskModes {
             s""""${Ddl.foldCase(t, cm)}" (""" + "\n" +
             lines.mkString(",\n") + "\n);"
         } else {
+          // charset suffix from the config's [oracle].charset through
+          // the direction's charset matrix (r7's grid) — GBK sources
+          // land GBK-family targets, not a pinned utf8mb4
+          val (cs, coll) = graft.reverse.CharsetMaps.tableCharsetCollation(
+            if (dir == "o2t") "O2T" else "O2M",
+            knobs.oracleCharset, "BINARY_CS")
+          // o2t: TiDB table-option routing (rule.go:230-400) — the
+          // clustered/nonclustered config blocks + global-table-option
+          val opt =
+            if (dir == "o2t") Option(knobs.tidbTableOption(t))
+              .filter(_.nonEmpty).map(" " + _).getOrElse("")
+            else ""
           val lines = cols.map { case (_, n, ty) =>
             s"`${Ddl.foldCase(n, cm)}` ${mysqlTypeFor(ty)}" }
           s"CREATE TABLE `${Ddl.foldCase(knobs.targetSchema, cm)}`." +
             s"`${Ddl.foldCase(t, cm)}` (\n" + lines.mkString(",\n") +
-            "\n) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4" +
-            " COLLATE=utf8mb4_bin;"
+            s"\n) ENGINE=InnoDB DEFAULT CHARSET=${cs.toLowerCase}" +
+            s" COLLATE=${coll.toLowerCase}$opt;"
         }
       (t, ddl)
     }

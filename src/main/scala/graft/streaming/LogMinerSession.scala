@@ -174,7 +174,8 @@ object LogMinerSession {
     * rule).
     */
   def mineWindow(conn: Connection, sourceSchema: String,
-      tables: Seq[String], checkpointScn: Long): Seq[MinedRow] = {
+      tables: Seq[String], checkpointScn: Long,
+      queryTimeoutSeconds: Int = 300): Seq[MinedRow] = {
     val log = archivedLogs(conn, checkpointScn).headOption
       .getOrElse(currentRedo(conn))
     addLogFile(conn, log.file)
@@ -182,6 +183,10 @@ object LogMinerSession {
     try {
       val st = conn.createStatement()
       try {
+        // `all.logminer-query-timeout` (config.go:109, applied at
+        // incr.go:332): a V$LOGMNR_CONTENTS fetch that outlives the
+        // bound is cancelled instead of wedging the poll loop
+        st.setQueryTimeout(queryTimeoutSeconds)
         val rs = st.executeQuery(
           contentsSql(sourceSchema, tables, checkpointScn))
         val out = Seq.newBuilder[MinedRow]
@@ -207,8 +212,9 @@ object LogMinerSession {
     */
   def mineWindowToDf(spark: SparkSession, conn: Connection,
       sourceSchema: String, tables: Seq[String],
-      checkpointScn: Long): DataFrame = {
-    val rows = mineWindow(conn, sourceSchema, tables, checkpointScn)
+      checkpointScn: Long, queryTimeoutSeconds: Int = 300): DataFrame = {
+    val rows = mineWindow(conn, sourceSchema, tables, checkpointScn,
+      queryTimeoutSeconds)
       .map(r => Row(r.scn, r.sourceSchema, r.sourceTable, r.operation,
         r.sqlRedo, r.sqlUndo))
     spark.createDataFrame(

@@ -60,6 +60,9 @@ class LogMinerSessionSpec extends AnyFunSuite with SparkSessionTestWrapper {
                     val sql = sargs(0).asInstanceOf[String]
                     log += sql
                     resultSet(answer(sql))
+                  case "setQueryTimeout" =>
+                    log += s"setQueryTimeout:${sargs(0)}"
+                    null
                   case "close" => null
                   case n => throw new UnsupportedOperationException(n)
                 }
@@ -93,15 +96,18 @@ class LogMinerSessionSpec extends AnyFunSuite with SparkSessionTestWrapper {
       Map[String, Any]("LOG_FILE" -> "/arch/log_42.arc",
         "FIRST_CHANGE" -> 4800L, "NEXT_CHANGE" -> 5100L))))
     val rows = LogMinerSession.mineWindow(conn, "marvin",
-      Seq("t1", "t2"), 5000L)
+      Seq("t1", "t2"), 5000L, queryTimeoutSeconds = 300)
     assert(rows == Seq(
       MinedRow(5001L, "MARVIN", "T1", "INSERT",
         "insert into \"MARVIN\".\"T1\"(\"K\") values ('1')",
         "delete from \"MARVIN\".\"T1\" where \"K\" = '1'"),
       MinedRow(5002L, "MARVIN", "T2", "DDL",
         "DROP TABLE T2 AS \"BIN$abc\"", "")))
-    // sequence: discovery → ADD → START → contents → END
-    assert(log.size == 5, log.mkString("\n---\n"))
+    // sequence: discovery → ADD → START → timeout-bound → contents
+    // → END (the timeout is all.logminer-query-timeout, incr.go:332)
+    assert(log.size == 6, log.mkString("\n---\n"))
+    assert(log(3) == "setQueryTimeout:300")
+    log.remove(3)
     assert(log(0).contains("v$ARCHIVED_LOG") &&
       log(0).contains("STATUS = 'A'") && log(0).contains("DELETED = 'NO'") &&
       log(0).contains("FIRST_CHANGE# >= 5000") &&

@@ -250,6 +250,59 @@ class MainSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(e.getMessage.contains("isn't number type"))
   }
 
+  test("reverse mode: charset knob and TiDB table-option routing") {
+    // [oracle].charset = ZHS16GBK routes the o2m suffix through the
+    // charset matrix (GBK family), not a pinned utf8mb4
+    val kGbk = knobsWith(
+      "[schema-config]\nsource-include-table = [\"reg*\"]\n" +
+        "[oracle]\ncharset = \"ZHS16GBK\"\n")
+    val gbk = TaskModes.runMode(spark, "reverse", kGbk, sf, out("gbk"))
+      .collect()(0).getString(1)
+    assert(gbk.contains("CHARSET=gbk"), s"gbk-routed suffix: $gbk")
+    // o2t: nonclustered block option for region, global option for
+    // nation, none for the clustered table
+    val kTidb = knobsWith(
+      "[schema-config]\nsource-include-table = [\"reg*\", \"nat*\", \"part\"]\n" +
+        "global-table-option = \"SHARD_ROW_ID_BITS = 4\"\n" +
+        "[[schema-config.struct-nonclustered-config]]\n" +
+        "source-table = [\"region\"]\n" +
+        "nonclustered-table-option = \"SHARD_ROW_ID_BITS = 6 PRE_SPLIT_REGIONS = 6\"\n" +
+        "[schema-config.struct-clustered-config]\n" +
+        "source-table = [\"part\"]\n")
+    val ddls = TaskModes.runMode(spark, "reverse", kTidb, sf, out("tidb"),
+      sourceDb = "oracle", targetDb = "tidb")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ddls("region").contains("SHARD_ROW_ID_BITS = 6"), ddls("region"))
+    assert(ddls("nation").contains("SHARD_ROW_ID_BITS = 4"), ddls("nation"))
+    assert(!ddls("part").contains("SHARD_ROW_ID_BITS"), ddls("part"))
+  }
+
+  test("consistent-read pins the listing: a late file stays invisible") {
+    // copy region into a DIRECTORY-backed table, export once with
+    // consistent-read (pin happens inside the mode), then prove the
+    // pin contract directly: a file appended after the pin is not in
+    // the pinned read, while a fresh load sees it
+    val droot = out("cr")
+    Tables.load(spark, sf, "region")
+      .write.parquet(s"$droot/region.parquet")
+    for (t <- Tables.all if t != "region")
+      Tables.load(spark, sf, t).limit(0)
+        .write.parquet(s"$droot/$t.parquet")
+    val k = knobsWith(
+      "[schema-config]\nsource-include-table = [\"region\"]\n" +
+        "[csv]\nconsistent-read = true\n")
+    assert(k.consistentRead)
+    val rep = TaskModes.runMode(spark, "csv", k, droot, out("crout"))
+      .collect()(0)
+    assert(rep.getLong(1) == 5L)
+    val pinned = graft.sources.Snapshot.pin(spark, s"$droot/region.parquet")
+    // late arrival AFTER the pin
+    Tables.load(spark, sf, "region").limit(1)
+      .write.mode("append").parquet(s"$droot/region.parquet")
+    assert(graft.sources.Snapshot.read(spark, pinned).count() == 5L)
+    assert(spark.read.parquet(s"$droot/region.parquet").count() == 6L)
+  }
+
   test("unknown mode fails with the reference's wording") {
     val e = intercept[IllegalArgumentException](
       TaskModes.runMode(spark, "bogus", baseKnobs, sf, out("x")))
