@@ -156,6 +156,70 @@ class LogMinerSessionSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "session must not leak a started miner")
   }
 
+  test("wire-to-target: mined window -> parse -> translate -> apply, " +
+    "replay is a no-op") {
+    // the COMPLETE all-mode incremental path with only the Oracle
+    // server mocked at the wire: the session's statement sequence
+    // fetches redo rows (the reference's exact PL/SQL bracket), the
+    // rows parse through the oracle-checked c5 grammar, translate to
+    // the change-feed shape, and land in a real JDBC target through
+    // the guarded sink; re-mining the SAME window and re-applying
+    // moves nothing (the overlap-safety the poll loop rides on)
+    import graft.streaming.Cdc
+    def contentsRow(scn: Long, op: String, sql: String) =
+      Map[String, Any]("SCN" -> scn, "SOURCE_SCHEMA" -> "GRAFT",
+        "SOURCE_TABLE" -> "EVENTS", "OPERATION" -> op,
+        "SQL_REDO" -> sql, "SQL_UNDO" -> "")
+    val mined = Seq(
+      contentsRow(6001L, "INSERT",
+        "insert into \"GRAFT\".\"EVENTS\"(\"KEY\",\"VALUE\") values ('7','1.500');"),
+      contentsRow(6002L, "UPDATE",
+        "update \"GRAFT\".\"EVENTS\" set \"VALUE\" = '2.250' where \"KEY\" = '7';"),
+      contentsRow(6003L, "INSERT",
+        "insert into \"GRAFT\".\"EVENTS\"(\"KEY\",\"VALUE\") values ('8','NULL');"),
+      contentsRow(6004L, "DELETE",
+        "delete from \"GRAFT\".\"EVENTS\" where \"KEY\" = '9';"))
+    def mine(): org.apache.spark.sql.DataFrame = {
+      val log = scala.collection.mutable.Buffer.empty[String]
+      val conn = recordingConnection(log, sql =>
+        if (sql.contains("V$LOGMNR_CONTENTS")) mined
+        else answers(Seq(Map[String, Any]("LOG_FILE" -> "/arch/log_43.arc",
+          "FIRST_CHANGE" -> 6000L, "NEXT_CHANGE" -> 6100L)))(sql))
+      LogMinerSession.mineWindowToDf(spark, conn, "graft",
+        Seq("events"), 6000L)
+    }
+    val dbDir = graft.operators.Migrate.scratchDbDir("lm_wire")
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    try c0.createStatement().execute(
+      "CREATE TABLE W (k BIGINT PRIMARY KEY, scn BIGINT, seq BIGINT, v DOUBLE)")
+    finally c0.close()
+    def applyWindow(): Unit = {
+      val changes = Cdc.parsedToChanges(Cdc.parseRedo(
+        mine().select(org.apache.spark.sql.functions.col("scn"),
+          org.apache.spark.sql.functions.lit(0L).as("seq"),
+          org.apache.spark.sql.functions.col("sql_redo"))))
+      Cdc.applyBatchJdbc(changes, url, "W")
+    }
+    def state(): Map[Long, (Long, Option[Double])] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery("SELECT k, scn, v FROM W")
+        Iterator.continually(rs).takeWhile(_.next()).map(r =>
+          r.getLong(1) -> (r.getLong(2),
+            Option(r.getObject(3)).map(_.asInstanceOf[Double]))).toMap
+      } finally c.close()
+    }
+    applyWindow()
+    val first = state()
+    // key 7: last change wins (the 6002 UPDATE); key 8: rendered NULL
+    // lands as SQL NULL; key 9: delete of an absent row is a no-op
+    assert(first == Map(7L -> (6002L, Some(2.25)), 8L -> (6003L, None)),
+      first.toString)
+    applyWindow() // the SAME window re-mined and re-applied
+    assert(state() == first, "replayed window must move nothing")
+  }
+
   test("mined window lands as the distributed DataFrame handoff") {
     val log = scala.collection.mutable.Buffer.empty[String]
     val conn = recordingConnection(log, answers(Seq(
