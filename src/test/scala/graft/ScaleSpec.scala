@@ -240,7 +240,13 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // ADC) is the production shape and is covered by the
       // plan-asserted equi-join contract in DedupSpec
       "c6d_jdbc_replace_native", "t17_bigram_lm",
-      "c7_sampled_compare", "s8c_csv_dialect")
+      "c7_sampled_compare", "s8c_csv_dialect",
+      // round-9: the config-driven task modes are corpus-linear
+      // (three concurrent csv renders / chunk-summary compares); the
+      // streaming arms are row-linear signature work + capped-bucket
+      // state over a fixed micro-batch overhead
+      "pipe11_config_driven", "pipe12_compare_config",
+      "d15_streaming_near_dup", "d16_streaming_exact_dedup")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
