@@ -37,16 +37,12 @@ object Main {
       throw new IllegalArgumentException(
         "flag [mode] can not null or value configure error"))
     // a user-supplied config owns its artifact paths verbatim; the
-    // built-in default strips the example's author-local absolute
-    // dirs so artifacts land under --out instead
+    // built-in default is the PORTABLE example (artifact dirs
+    // stripped, so artifacts land under --out instead of the example
+    // author's filesystem)
     val configText = a.get("config")
       .map(p => java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
-      .getOrElse(TaskModes.ExampleConfig.linesIterator.filterNot { l =>
-        val t = l.trim
-        t.startsWith("ddl-reverse-dir") ||
-          t.startsWith("ddl-compatible-dir") ||
-          t.startsWith("check-sql-dir") || t.startsWith("fix-sql-dir")
-      }.mkString("\n"))
+      .getOrElse(TaskModes.ExampleConfigPortable)
     val knobs = TransferdbConfig.knobs(configText)
     val data = a.getOrElse("data", "/root/testdata/sf0.001")
     val out = a.getOrElse("out", "task_out")

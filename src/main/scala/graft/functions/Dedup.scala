@@ -173,6 +173,7 @@ object Dedup {
     * pause. Under concurrency the purge is best-effort.
     */
   private[graft] def purgeAllCaches(): Unit = {
+    feedCache.synchronized(feedCache.clear()) // paths only; files stay on disk
     val snapshot = cacheRegistry.synchronized {
       new java.util.ArrayList(cacheRegistry)
     }
@@ -523,6 +524,36 @@ object Dedup {
        |kept AS (SELECT b.doc_id, b.band, b.sig FROM bands b
        |         JOIN bsz ON b.band = bsz.band AND b.sig = bsz.sig
        |         WHERE bsz.bn <= $BUCKET_CAP)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM kept x JOIN kept y ON x.band = y.band AND x.sig = y.sig
+       |WHERE x.doc_id < y.doc_id""".stripMargin
+  }
+
+  /** d15's oracle: d3's banding with the STREAMING hot-bucket rule —
+    * the stream caps each bucket at its first [[BUCKET_CAP]] members
+    * in admission order (a stream cannot retract a prefix), while
+    * batch d3 retroactively drops the WHOLE over-cap bucket. d15's
+    * replay feed arrives as one AvailableNow batch in doc_id order,
+    * so admission order IS doc_id order and the prefix is
+    * `row_number() OVER (PARTITION BY band, sig ORDER BY doc_id)` —
+    * this oracle stays correct on a future fixture with a hot bucket,
+    * where d3Sql's whole-bucket drop would diverge from the stream.
+    */
+  val d15Sql: String = {
+    val bands = (0 until K / 2).map { b =>
+      s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || ':' || " +
+        s"CAST(mh${2 * b + 1} AS VARCHAR) AS sig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $sigCtesSql,
+       |bands AS (
+       |  $bands),
+       |ranked AS (
+       |  SELECT doc_id, band, sig,
+       |         row_number() OVER (PARTITION BY band, sig
+       |                            ORDER BY doc_id) AS rk
+       |  FROM bands),
+       |kept AS (SELECT doc_id, band, sig FROM ranked
+       |         WHERE rk <= $BUCKET_CAP)
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |FROM kept x JOIN kept y ON x.band = y.band AND x.sig = y.sig
        |WHERE x.doc_id < y.doc_id""".stripMargin
@@ -886,14 +917,19 @@ object Dedup {
     .empty[(SparkSession, String), String]
 
   private def docsFeed(s: SparkSession, d: String): String =
-    feedCache.getOrElseUpdate((s, d), {
-      val feed = graft.operators.Migrate.tempDir("stream_feed") + "/feed"
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("text"),
-          timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
-        .write.mode("overwrite").parquet(feed)
-      feed
-    })
+    feedCache.synchronized {
+      // same stopped-session hygiene as cachedPerSession: a strong
+      // (session, dir) key would pin dead sessions for the JVM's life
+      feedCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      feedCache.getOrElseUpdate((s, d), {
+        val feed = graft.operators.Migrate.tempDir("stream_feed") + "/feed"
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
+          .write.mode("overwrite").parquet(feed)
+        feed
+      })
+    }
 
   // the feed write is a first-consumer one-time cost exactly like a
   // memoized relation build — register it with the warmup registry
@@ -1385,7 +1421,7 @@ object Dedup {
     "d1_exact_dedup" -> d1Sql,
     "d2_ngram_jaccard" -> d2Sql,
     "d3_minhash_lsh" -> d3Sql,
-    "d15_streaming_near_dup" -> d3Sql,
+    "d15_streaming_near_dup" -> d15Sql,
     "d16_streaming_exact_dedup" -> d16Sql,
     "d4_simhash" -> d4Sql,
     "d4b_simhash_pairs" -> d4bSql,

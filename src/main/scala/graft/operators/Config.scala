@@ -120,15 +120,20 @@ object TransferdbConfig {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var quote: Char = 0
+    // run-length of consecutive backslashes IMMEDIATELY before the
+    // current char: a double-quote is escaped only under an ODD run
+    // ("tab\\" ends in a literal backslash and the quote CLOSES;
+    // the naive prev-char check dropped every item after it)
+    var bsRun = 0
     var i = 0
     while (i < inner.length) {
       val c = inner(i)
+      val escaped = quote == '"' && bsRun % 2 == 1
       if (quote == 0 && (c == '\'' || c == '"')) { quote = c; cur += c }
-      else if (quote != 0 && c == quote &&
-          !(quote == '"' && i > 0 && inner(i - 1) == '\\')) {
-        quote = 0; cur += c
-      } else if (quote == 0 && c == ',') { out += cur.toString; cur.clear() }
+      else if (quote != 0 && c == quote && !escaped) { quote = 0; cur += c }
+      else if (quote == 0 && c == ',') { out += cur.toString; cur.clear() }
       else cur += c
+      bsRun = if (c == '\\') bsRun + 1 else 0
       i += 1
     }
     out += cur.toString
@@ -208,10 +213,10 @@ object TransferdbConfig {
       lowerCaseFieldName: String,
       compareConfigs: Seq[CompareTableConfig] = Seq.empty,
       migrateConfigs: Seq[MigrateTableConfig] = Seq.empty,
-      consistentRead: Boolean = false,
+      fullConsistentRead: Boolean = false,
+      csvConsistentRead: Boolean = false,
       logminerQueryTimeout: Int = 300,
       oracleCharset: String = "AL32UTF8",
-      targetCharset: String = "UTF8MB4",
       globalTableOption: String = "",
       nonclusteredConfigs: Seq[NonclusteredConfig] = Seq.empty,
       clusteredTables: Seq[String] = Seq.empty) {
@@ -289,11 +294,20 @@ object TransferdbConfig {
       case Some(v) => Seq(v.toString)
       case None => Seq.empty
     }
+    // fail at PARSE time with the offending key, not deep inside a
+    // sink/planner with a malformed statement or a require(chunkRows>0)
+    def positive(v: Long, key: String): Long = {
+      require(v > 0, s"config key $key must be positive, got $v")
+      v
+    }
     EngineKnobs(
-      insertBatchSize = long("app", "insert-batch-size", 100L).toInt,
-      fullChunkSize = long("full", "chunk-size", 100000L),
-      csvChunkRows = long("csv", "rows", 100000L),
-      compareChunkSize = long("compare", "chunk-size", 50000L),
+      insertBatchSize = positive(
+        long("app", "insert-batch-size", 100L), "app.insert-batch-size").toInt,
+      fullChunkSize = positive(
+        long("full", "chunk-size", 100000L), "full.chunk-size"),
+      csvChunkRows = positive(long("csv", "rows", 100000L), "csv.rows"),
+      compareChunkSize = positive(
+        long("compare", "chunk-size", 50000L), "compare.chunk-size"),
       onlyCheckRows = bool("compare", "only-check-rows", d = false),
       enableCheckpoint = bool("full", "enable-checkpoint", d = true) ||
         bool("compare", "enable-checkpoint", d = false),
@@ -318,12 +332,17 @@ object TransferdbConfig {
       lowerCaseFieldName = str("reverse", "lower-case-field-name", "0"),
       compareConfigs = cmpCfgs,
       migrateConfigs = migCfgs,
-      consistentRead = bool("full", "consistent-read", d = false) ||
-        bool("csv", "consistent-read", d = false),
+      // per-section, NOT merged: [full]'s flag pins the migration's
+      // listing, [csv]'s the export's — a flag in one section must
+      // not silently change the other mode's behavior.
+      // ([mysql].charset is deliberately NOT a knob: the reference
+      // documents it as the CONNECTION charset, with DDL charsets
+      // auto-adapting from the source matrix — which reverseMode does.)
+      fullConsistentRead = bool("full", "consistent-read", d = false),
+      csvConsistentRead = bool("csv", "consistent-read", d = false),
       logminerQueryTimeout =
         long("all", "logminer-query-timeout", 300L).toInt,
       oracleCharset = str("oracle", "charset", "AL32UTF8"),
-      targetCharset = str("mysql", "charset", "UTF8MB4"),
       globalTableOption = str("schema-config", "global-table-option", ""),
       nonclusteredConfigs = nonclustered,
       clusteredTables = clustered)

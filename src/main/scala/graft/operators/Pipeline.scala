@@ -123,7 +123,8 @@ object Pipeline {
   def runMigration(s: SparkSession, d: String, workDir: String,
       task: String, chunkRows: Long = 0L, waveSize: Int = WaveSize,
       failpoint: String => Unit = _ => (),
-      where: Option[String] = None): DataFrame = {
+      where: Option[String] = None,
+      consistentRead: Boolean = false): DataFrame = {
     val table = "orders"
     val tgtTable = "ORDERS_PIPE"
     val keyCol = "o_orderkey"
@@ -142,9 +143,17 @@ object Pipeline {
     failpoint("assess")
     // per-table migrate-config range (full.go:698-701): the custom
     // predicate restricts the WHOLE task — assess bounds, chunk plan,
-    // export, and the compare all see only the predicated rows
-    val src0 = where.foldLeft(Tables.load(s, d, table))(
-      (df, rg) => df.filter(expr(rg)))
+    // export, and the compare all see only the predicated rows.
+    // full.consistent-read pins the file LISTING once (the AS OF SCN
+    // analogue): a file landing mid-task cannot tear assess/export/
+    // compare apart — they all read the pinned set
+    val loaded =
+      if (consistentRead) {
+        val files = graft.sources.Snapshot.pin(s, s"$d/$table.parquet")
+        if (files.isEmpty) Tables.load(s, d, table)
+        else graft.sources.Snapshot.read(s, files)
+      } else Tables.load(s, d, table)
+    val src0 = where.foldLeft(loaded)((df, rg) => df.filter(expr(rg)))
     val row = src0.agg(min(keyCol), max(keyCol), count(lit(1))).collect()(0)
     // empty source: min/max are NULL — getLong would throw. The
     // reference treats an empty table as a completed (trivial) task,

@@ -88,6 +88,20 @@ object TaskModes {
       |charset = "UTF8MB4"
       |""".stripMargin
 
+  /** The example config minus its author-local absolute artifact
+    * dirs — the safe default for anything that runs modes WITHOUT a
+    * user-supplied config (Main's default, pipe12's variants):
+    * artifacts then land under the mode's own out dir instead of the
+    * example author's filesystem.
+    */
+  val ExampleConfigPortable: String =
+    ExampleConfig.linesIterator.filterNot { l =>
+      val t = l.trim
+      t.startsWith("ddl-reverse-dir") ||
+        t.startsWith("ddl-compatible-dir") ||
+        t.startsWith("check-sql-dir") || t.startsWith("fix-sql-dir")
+    }.mkString("\n")
+
   /** `[csv]` knobs → the executable dialect spec. */
   def csvSpecOf(c: TransferdbConfig.CsvDialect): Migrate.CsvSpec =
     Migrate.CsvSpec(c.separator, c.terminator, c.nullValue,
@@ -205,7 +219,7 @@ object TaskModes {
       // analogue Snapshot documents. events keeps Tables.load (its
       // vintage-dependent timestamp normalization lives there).
       val base =
-        if (knobs.consistentRead && t != "events") {
+        if (knobs.csvConsistentRead && t != "events") {
           val files = graft.sources.Snapshot.pin(s, s"$d/$t.parquet")
           if (files.isEmpty) Tables.load(s, d, t)
           else graft.sources.Snapshot.read(s, files)
@@ -402,8 +416,11 @@ object TaskModes {
       val sSum = Compare.chunkSummary(src, bucket, Compare.ordersNorm)
       val tSum = Compare.chunkSummary(tgt, bucket, Compare.ordersNorm)
       // fix artifact: keyed by o_orderkey chunk membership — only
-      // meaningful when chunking on the key column itself
-      knobs.fixSqlDir.filter(_ => splitCol == "o_orderkey")
+      // meaningful when chunking on the key column itself. Like the
+      // check/reverse artifacts, an unset fix-sql-dir falls back to
+      // the mode's outDir (the reference always writes its fix SQL).
+      Option(knobs.fixSqlDir.getOrElse(outDir))
+        .filter(_ => splitCol == "o_orderkey")
         .foreach { fixDir =>
         val diff = Compare.symmetricDiffCols(src, tgt,
           Compare.ordersNorm, "o_orderkey")
@@ -479,6 +496,29 @@ object TaskModes {
         col("v").as("value"))
   }
 
+  /** The live `all`-mode incremental window with the config's knobs
+    * APPLIED — the production path a real Oracle connection plugs
+    * into: `logminer-query-timeout` bounds the V$LOGMNR_CONTENTS
+    * fetch, the schema/table set comes from the config, the window
+    * parses through the oracle-checked c5 grammar, and the changes
+    * land through the guarded sink with `insert-batch-size` sizing
+    * the REPLACE groups. Blocked only on the server: the
+    * wire-to-target spec drives it end-to-end with the connection
+    * mocked at the wire.
+    */
+  def mineAndApply(s: SparkSession, conn: java.sql.Connection,
+      knobs: EngineKnobs, checkpointScn: Long, url: String,
+      table: String): Unit = {
+    import graft.streaming.{Cdc, LogMinerSession}
+    val window = LogMinerSession.mineWindowToDf(s, conn,
+      knobs.sourceSchema, resolveTables(knobs), checkpointScn,
+      knobs.logminerQueryTimeout)
+    val changes = Cdc.parsedToChanges(Cdc.parseRedo(
+      window.select(col("scn"), lit(0L).as("seq"), col("sql_redo"))))
+    Cdc.applyBatchJdbc(changes, url, table,
+      rowsPerStmt = knobs.insertBatchSize)
+  }
+
   // ------------------------------------------------------------ dispatch
 
   /** `server/server.go:28-82`, Spark-first: one switch over the eight
@@ -509,7 +549,8 @@ object TaskModes {
           chunkRows =
             if (mc.exists(!_.enableSplit)) Long.MaxValue / 4
             else knobs.fullChunkSize,
-          where = mc.map(_.range).filter(_.nonEmpty))
+          where = mc.map(_.range).filter(_.nonEmpty),
+          consistentRead = knobs.fullConsistentRead)
       case "all" => allMode(s, knobs, d, outDir)
       case other => throw new IllegalArgumentException(
         // the reference's own wording, server.go:79
@@ -523,16 +564,16 @@ object TaskModes {
     // the reference's example config as-is, except the include list
     // resolves to a table this dataset has (the example's "kp"
     // matches nothing here — the filter gate is itself under test)
-    "example" -> (ExampleConfig +
+    "example" -> (ExampleConfigPortable +
       "\n[schema-config]\nsource-include-table = [\"ord*\"]\n"),
     // ONE knob changed: csv.rows 100000 -> 2000 => more, smaller
     // chunks (the judge-visible "chunk-size drives chunk count")
-    "chunk2k" -> (ExampleConfig +
+    "chunk2k" -> (ExampleConfigPortable +
       "\n[schema-config]\nsource-include-table = [\"ord*\"]\n" +
       "[csv]\nrows = 2000\n"),
     // dialect knobs changed: separator/terminator/null-token/header
     // => provably different bytes on disk
-    "altdialect" -> (ExampleConfig +
+    "altdialect" -> (ExampleConfigPortable +
       "\n[schema-config]\nsource-include-table = [\"ord*\"]\n" +
       "[csv]\nseparator = '~^~'\nterminator = \"\\n\"\n" +
       "null-value = 'NIL'\nheader = false\n"))
@@ -610,8 +651,10 @@ object TaskModes {
       |p AS (
       |  SELECT variant, hdr, is_ref, cnt, mn,
       |    GREATEST(1, ((mx - mn + 1) +
-      |      GREATEST(1, (cnt + rows_knob - 1) // rows_knob) - 1) //
-      |      GREATEST(1, (cnt + rows_knob - 1) // rows_knob)) AS kw
+      |      GREATEST(1, LEAST((cnt + rows_knob - 1) // rows_knob,
+      |                        1048576)) - 1) //
+      |      GREATEST(1, LEAST((cnt + rows_knob - 1) // rows_knob,
+      |                        1048576))) AS kw
       |  FROM v, b),
       |ch AS (
       |  SELECT p.variant,
@@ -631,7 +674,10 @@ object TaskModes {
   // ---------------------------------------------------------- pipe12
 
   private def compareVariantConfigs: Seq[(String, String)] = {
-    val base = ExampleConfig +
+    // PORTABLE base: the example's absolute fix-sql-dir would point
+    // the per-variant fix artifacts (and a concurrent-writer race)
+    // at the example author's filesystem
+    val base = ExampleConfigPortable +
       "\n[schema-config]\nsource-include-table = [\"ord*\"]\n"
     Seq(
       // plain chunked compare, smaller chunks than the example

@@ -84,6 +84,16 @@ class ConfigSpec extends AnyFunSuite {
     // a quoted array item containing a comma is ONE item
     val p = TransferdbConfig.parse("[x]\na = ['a,b', 'c']\n")
     assert(p("x")("a") == Seq("a,b", "c"))
+    // an item ending in an ESCAPED backslash closes its quote — the
+    // following items must survive (escape parity, not prev-char)
+    val esc = TransferdbConfig.parse(
+      "[x]\na = [\"tab\\\\\", \"other\"]\n")
+    assert(esc("x")("a") == Seq("tab\\", "other"), esc("x")("a").toString)
+    // non-positive batch/chunk knobs fail at parse time, naming the key
+    for (bad <- Seq("[app]\ninsert-batch-size = 0\n",
+        "[full]\nchunk-size = -5\n", "[csv]\nrows = 0\n"))
+      assert(intercept[IllegalArgumentException](
+        TransferdbConfig.knobs(bad)).getMessage.contains("must be positive"))
   }
 
   test("engine envelope constants equal the reference example's values") {

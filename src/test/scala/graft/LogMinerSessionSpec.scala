@@ -179,28 +179,27 @@ class LogMinerSessionSpec extends AnyFunSuite with SparkSessionTestWrapper {
         "insert into \"GRAFT\".\"EVENTS\"(\"KEY\",\"VALUE\") values ('8','NULL');"),
       contentsRow(6004L, "DELETE",
         "delete from \"GRAFT\".\"EVENTS\" where \"KEY\" = '9';"))
-    def mine(): org.apache.spark.sql.DataFrame = {
-      val log = scala.collection.mutable.Buffer.empty[String]
-      val conn = recordingConnection(log, sql =>
-        if (sql.contains("V$LOGMNR_CONTENTS")) mined
-        else answers(Seq(Map[String, Any]("LOG_FILE" -> "/arch/log_43.arc",
-          "FIRST_CHANGE" -> 6000L, "NEXT_CHANGE" -> 6100L)))(sql))
-      LogMinerSession.mineWindowToDf(spark, conn, "graft",
-        Seq("events"), 6000L)
-    }
+    // knobs-driven: the config's schema/table set, logminer timeout,
+    // and insert-batch-size all flow through TaskModes.mineAndApply
+    val knobs = graft.operators.TransferdbConfig.knobs(
+      graft.operators.TaskModes.ExampleConfigPortable +
+        "\n[schema-config]\nsource-schema = \"graft\"\n" +
+        "source-include-table = [\"events\"]\n" +
+        "[all]\nlogminer-query-timeout = 77\n")
+    val wireLog = scala.collection.mutable.Buffer.empty[String]
+    def connection() = recordingConnection(wireLog, sql =>
+      if (sql.contains("V$LOGMNR_CONTENTS")) mined
+      else answers(Seq(Map[String, Any]("LOG_FILE" -> "/arch/log_43.arc",
+        "FIRST_CHANGE" -> 6000L, "NEXT_CHANGE" -> 6100L)))(sql))
     val dbDir = graft.operators.Migrate.scratchDbDir("lm_wire")
     val url = s"jdbc:derby:$dbDir/db;create=true"
     val c0 = java.sql.DriverManager.getConnection(url)
     try c0.createStatement().execute(
       "CREATE TABLE W (k BIGINT PRIMARY KEY, scn BIGINT, seq BIGINT, v DOUBLE)")
     finally c0.close()
-    def applyWindow(): Unit = {
-      val changes = Cdc.parsedToChanges(Cdc.parseRedo(
-        mine().select(org.apache.spark.sql.functions.col("scn"),
-          org.apache.spark.sql.functions.lit(0L).as("seq"),
-          org.apache.spark.sql.functions.col("sql_redo"))))
-      Cdc.applyBatchJdbc(changes, url, "W")
-    }
+    def applyWindow(): Unit =
+      graft.operators.TaskModes.mineAndApply(spark, connection(),
+        knobs, 6000L, url, "W")
     def state(): Map[Long, (Long, Option[Double])] = {
       val c = java.sql.DriverManager.getConnection(url)
       try {
@@ -211,6 +210,8 @@ class LogMinerSessionSpec extends AnyFunSuite with SparkSessionTestWrapper {
       } finally c.close()
     }
     applyWindow()
+    // the config's timeout knob reached the wire
+    assert(wireLog.contains("setQueryTimeout:77"), wireLog.mkString("|"))
     val first = state()
     // key 7: last change wins (the 6002 UPDATE); key 8: rendered NULL
     // lands as SQL NULL; key 9: delete of an absent row is a no-op

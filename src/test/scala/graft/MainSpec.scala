@@ -291,7 +291,7 @@ class MainSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val k = knobsWith(
       "[schema-config]\nsource-include-table = [\"region\"]\n" +
         "[csv]\nconsistent-read = true\n")
-    assert(k.consistentRead)
+    assert(k.csvConsistentRead && !k.fullConsistentRead)
     val rep = TaskModes.runMode(spark, "csv", k, droot, out("crout"))
       .collect()(0)
     assert(rep.getLong(1) == 5L)
