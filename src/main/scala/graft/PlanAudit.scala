@@ -16,19 +16,18 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
 
   /** Queries whose plan may contain a BroadcastNestedLoopJoin, each
-    * bounded on the broadcast side by design:
-    *  - ann1/ann3/ann4/ann6/ann7: broadcast query set — the exact
-    *    recall baseline (ann7's stage-1 coarse scan; its exact re-rank
-    *    is an equi-join); ann6 adds the broadcast centroid ranking and
-    *    single-row recall crossJoins; ann9 inherits ann1's broadcast-
-    *    query scan through the memoized truth relation — its own
-    *    lexical/fusion joins are all equi.
-    *  - ann2/ann5/d5/d11: IVF centroid assignment ([[graft.functions
-    *    .Similarity]]'s assignedCells), O(N·C) with C centroids
-    *    broadcast; ann5 is the Lloyd update over the same assignment.
-    *  - ann8/ann10: single-row recall crossJoins (training/encode/ADC
-    *    paths are equi-joins on a broadcast codebook/distance table);
-    *    ann10 also inherits the IVF centroid assignment.
+    * bounded on the broadcast side by design. Every entry is the
+    * query's OWN operator shape — inherited lineage no longer appears
+    * here: the shared truth/assignment relations are materialized
+    * tables ([[graft.functions.Dedup.memoizedTable]]), so ann1/ann2/
+    * ann3/ann5/ann8/ann9/d5/d11 plan as equi-joins over file scans
+    * and dropped off this list.
+    *  - ann4/ann7: broadcast query set over the full (quantized)
+    *    corpus — the operator IS a bounded brute scan (ann7's stage-1
+    *    coarse pass; its exact re-rank is an equi-join).
+    *  - ann6/ann10: broadcast centroid ranking (queries × C
+    *    centroids — the IVF probe step has no join key) plus
+    *    single-row recall crossJoins.
     *  - a19: crossJoin of two single-row summary aggregates.
     *  - a39: crossJoin of the single-row stream total onto the 10-row
     *    heavy-hitter relation.
@@ -41,11 +40,8 @@ object PlanAudit {
     *    top-1, bounded by construction).
     */
   val BnlWhitelist: Set[String] = Set(
-    "ann1_brute_topk", "ann2_ivf_topk", "ann3_recall",
-    "ann4_quantized_recall", "ann5_kmeans_iter", "ann6_probe_sweep",
-    "ann7_refine_recall", "ann8_pq_recall", "ann9_hybrid_rrf",
-    "ann10_ivfpq_recall",
-    "d5_cosine_pairs_banded", "d11_semantic_dedup",
+    "ann4_quantized_recall", "ann6_probe_sweep",
+    "ann7_refine_recall", "ann10_ivfpq_recall",
     "a19_object_overview", "a39_heavy_hitters_cms",
     "pipe5_token_mixture", "pipe8_leakage_split",
     "pipe9_temperature_mixture", "t16_bpe_merges")

@@ -151,6 +151,33 @@ object Dedup {
     fn
   }
 
+  /** Like [[memoized]], but MATERIALIZES the relation through a
+    * parquet round-trip before persisting: the returned DataFrame's
+    * plan is a plain file scan, so a consumer joining against it sees
+    * an equi-joinable table, not the builder's lineage (ann1's
+    * broadcast brute-force scan, the IVF centroid cross) — and the
+    * plan audit holds the consumer to the no-BNL contract instead of
+    * whitelisting inherited noise. This is also the honest 100 TB
+    * shape for these relations: the exact-truth baseline and the IVF
+    * cell assignment are INDEXES — built once, served from storage —
+    * not sub-plans re-derived inside every consumer. The write runs
+    * eagerly at first access (a bounded build job, like chunk
+    * planning); like the stream feeds, purge drops only the memo —
+    * files stay on disk and a rebuild writes a fresh temp dir.
+    */
+  private[graft] def memoizedTable(name: String)(
+      build: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame =
+    memoized(name) { (s, d) =>
+      val df = build(s, d)
+      val path = graft.operators.Migrate.tempDir(
+        name.replace('.', '_')) + "/data"
+      df.write.mode("overwrite").parquet(path)
+      // explicit schema: an EMPTY build (the empty-input sweep) can
+      // write zero part-files, and schema inference would fail there
+      s.read.schema(df.schema).parquet(path)
+    }
+
   /** Unpersist and drop every memoized relation (all families, all
     * input dirs). Benchmark/test hook: a long-lived JVM that has run
     * many suites carries a storage pool full of unrelated persisted

@@ -67,13 +67,18 @@ object Similarity {
 
   /** ann1: brute-force cosine top-10 per query (queries = vec_id ≡ 0
     * mod 100, broadcast). Exact baseline every ANN variant is judged
-    * against — and memoized for exactly that reason: ann3/ann4/ann7/
-    * ann8 each join against this truth relation, and without the memo
-    * each recall query re-pays the full O(N·Q) exact scan it exists
-    * to avoid.
+    * against — and memoized AS A TABLE for exactly that reason:
+    * ann3/ann4/ann7/ann8/ann9 each join against this truth relation,
+    * and without the memo each recall query re-pays the full O(N·Q)
+    * exact scan it exists to avoid. The parquet round-trip
+    * ([[Dedup.memoizedTable]]) makes the consumers' plans join a
+    * plain file scan instead of inheriting the brute-force
+    * BroadcastNestedLoopJoin lineage — at 100 TB the truth set is an
+    * evaluation artifact computed once and read from storage, and the
+    * plan audit now holds every consumer to the no-BNL contract.
     */
   val ann1BruteTopK: (SparkSession, String) => DataFrame =
-    Dedup.memoized("similarity.ann1Truth")(ann1Uncached)
+    Dedup.memoizedTable("similarity.ann1Truth")(ann1Uncached)
 
   private def ann1Uncached(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
@@ -114,13 +119,17 @@ object Similarity {
     * becomes the partition key every cell-restricted op (ann2 search,
     * d5 pair mining) equi-joins on.
     */
-  /** Memoized per (session, input): four independent consumers (ann2,
-    * ann3 via ann2, ann5, d5 twice via self-join) otherwise each pay
-    * the O(N·C) assignment pass — same sharing pattern as the dedup
-    * family's persisted shingle index.
+  /** Memoized AS A TABLE per (session, input): four independent
+    * consumers (ann2, ann3 via ann2, ann5, d5 twice via self-join)
+    * otherwise each pay the O(N·C) assignment pass — same sharing
+    * pattern as the dedup family's persisted shingle index. The
+    * parquet round-trip ([[Dedup.memoizedTable]]) is the IVF index at
+    * rest: consumers equi-join the cell-keyed table instead of
+    * inheriting the centroid-cross lineage, so their plans stay
+    * BNL-free under the audit.
     */
   private[graft] val assignedCells: (SparkSession, String) => DataFrame =
-    Dedup.memoized("similarity.assignedCells")(assignedCellsUncached)
+    Dedup.memoizedTable("similarity.assignedCells")(assignedCellsUncached)
 
   /** THE broadcast centroid relation (vec_id ≡ 0 mod 50) — one
     * definition shared by the cell assignment and ann6's probe
@@ -227,9 +236,12 @@ object Similarity {
     val truth = ann1BruteTopK(s, d).filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"))
     val got = ann2IvfTopK(s, d).select(col("query_id"), col("neighbor_id"))
-    val hits = truth.join(got, Seq("query_id", "neighbor_id"), "left_semi")
-    truth.agg(count(lit(1)).as("n_expected")).crossJoin(
-      hits.agg(count(lit(1)).as("n_hits")))
+    // one agg over a hit-marked left join (got is distinct per pair by
+    // rank construction, so no fan-out): n_expected and n_hits come
+    // out of the SAME pass — no 1-row crossJoin, no BNL in the plan
+    truth.join(got.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .agg(count(lit(1)).as("n_expected"), count(col("hit")).as("n_hits"))
       .withColumn("recall",
         col("n_hits").cast("double") / col("n_expected"))
   }
@@ -938,11 +950,18 @@ object Similarity {
       .filter(col("rank") <= 10)
       .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
     val truth = ann1BruteTopK(s, d).select(col("query_id"), col("neighbor_id"))
-    val hitsA = truth.join(adc, Seq("query_id", "neighbor_id"), "left_semi")
-    val hitsR = truth.join(refined, Seq("query_id", "neighbor_id"), "left_semi")
-    truth.agg(count(lit(1)).as("n_expected"))
-      .crossJoin(hitsA.agg(count(lit(1)).as("n_hits_adc")))
-      .crossJoin(hitsR.agg(count(lit(1)).as("n_hits_refined")))
+    // ann3's shape with two hit markers: adc/refined are each distinct
+    // per pair (row_number rank filters), so the chained left joins
+    // cannot fan truth out, and all three counts fall out of ONE agg —
+    // no 1-row crossJoins, no BNL in the plan
+    truth
+      .join(adc.withColumn("hit_adc", lit(1)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .join(refined.withColumn("hit_ref", lit(1)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .agg(count(lit(1)).as("n_expected"),
+        count(col("hit_adc")).as("n_hits_adc"),
+        count(col("hit_ref")).as("n_hits_refined"))
       .withColumn("recall_adc",
         col("n_hits_adc").cast("double") / col("n_expected"))
       .withColumn("recall_refined",
