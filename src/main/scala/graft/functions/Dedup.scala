@@ -964,17 +964,27 @@ object Dedup {
   memoWarmers.put("dedup.docsFeed",
     (s: SparkSession, d: String) => s.read.parquet(docsFeed(s, d)))
 
+  /** An isolated session (own SQLConf, shared context) for a
+    * streaming run whose state-store count should not be the batch
+    * engine's shuffle-partition count: state stores = shuffle
+    * partitions at plan time, each paying open/commit per
+    * micro-batch, and a replayed corpus needs nowhere near 32. A
+    * CLONED session scopes the override — the previous set/restore
+    * on the SHARED session could leak 8 partitions into any query
+    * planning concurrently in that window (the bench runs queries
+    * concurrently). Sound here because the stream never composes
+    * with the caller's DataFrames: its input and output are paths.
+    */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   def d15StreamingNearDup(s: SparkSession, d: String): DataFrame = {
     val root = graft.operators.Migrate.tempDir("d15")
     val feed = docsFeed(s, d); val out = s"$root/out"
-    // the streaming query's state-store count = shuffle partitions at
-    // plan time; 5k docs need nowhere near the batch engine's 32
-    // stores (each store pays open/commit per micro-batch)
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try streamingNearDup(s, feed, out, s"$root/ckpt")
-      finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    val q = streamingNearDup(streamSession(s), feed, out, s"$root/ckpt")
     try q.awaitTermination(300000) finally q.stop()
     s.read.schema("doc_a LONG, doc_b LONG, band INT").parquet(out)
       .select("doc_a", "doc_b").distinct()
@@ -994,7 +1004,8 @@ object Dedup {
   def d16StreamingExactDedup(s: SparkSession, d: String): DataFrame = {
     val root = graft.operators.Migrate.tempDir("d16")
     val out = s"$root/out"
-    val q = streamingExactDedup(s, docsFeed(s, d), out, s"$root/ckpt")
+    val q = streamingExactDedup(streamSession(s), docsFeed(s, d), out,
+      s"$root/ckpt")
     try q.awaitTermination(300000) finally q.stop()
     s.read.schema("doc_id LONG, fingerprint STRING, ts TIMESTAMP")
       .parquet(out)
