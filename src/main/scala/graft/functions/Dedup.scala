@@ -1094,6 +1094,132 @@ object Dedup {
        |LEFT JOIN counts cb ON cb.doc_id = e.doc_b""".stripMargin
   }
 
+  /** d17: LSH band-plan report — BEFORE committing a (bands, rows)
+    * split of the K-slot minhash signature at 100 TB, score every
+    * factorization b×r = K on (a) the theoretical S-curve
+    * P(candidate | J) = 1 − (1 − J^r)^b against the engine's 0.5
+    * near-dup threshold (false-negative mass above it, false-positive
+    * mass below it, integrated on a 1/128 grid), and (b) the CORPUS'S
+    * OWN candidate pairs: the d9 signature-agreement histogram gives
+    * each pair's Jaccard estimate e/K, and Σ n_pairs·(1 − (e/K)^r)^b
+    * is the expected number of today's candidates each plan would
+    * MISS. The minimum fn+fp plan is flagged — this is datasketch's
+    * `_optimal_param` made corpus-grounded (public algorithm; see
+    * Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4).
+    *
+    * Every probability is a fixed multiplication CHAIN over exact
+    * grid doubles (j = g/128, je = e/8 — exact power-of-two
+    * divisions), scaled by 2^40 (exact) and floored to BIGINT before
+    * any sum, so the report is integer-exact, partition-invariant,
+    * and cross-engine identical — no pow(), no float accumulation.
+    * Scale shape: the grid is 127 rows × 4 configs; the only
+    * data-sized input is the bounded candidate histogram (≤ K+1
+    * rows after a partial-aggregable groupBy over d9's pairs).
+    */
+  def d17BandPlanner(s: SparkSession, d: String): DataFrame = {
+    val S = "1099511627776.0" // 2^40: exact scaling before floor
+    def chain(v: String, n: Int) = Seq.fill(n)(v).mkString("(", " * ", ")")
+    val hist = d9EstimatorCalibration(s, d)
+      .groupBy(col("n_eq_slots").as("e"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val rows = bandConfigs.map { case (b, r) =>
+      val grid = s.range(1, 128).toDF("g")
+        .selectExpr("g", "CAST(g AS DOUBLE) / 128.0 AS j")
+        .selectExpr("g", s"${chain("j", r)} AS jr")
+        .selectExpr("g", "1.0 - jr AS m1")
+        .selectExpr("g", s"${chain("m1", b)} AS miss")
+        .selectExpr("g", "miss", "1.0 - miss AS p")
+        .agg(
+          expr(s"CAST(coalesce(sum(CASE WHEN g >= 64 THEN " +
+            s"CAST(floor(miss * $S) AS BIGINT) ELSE CAST(0 AS BIGINT) " +
+            s"END), CAST(0 AS BIGINT)) AS BIGINT) AS fn_scaled"),
+          expr(s"CAST(coalesce(sum(CASE WHEN g < 64 THEN " +
+            s"CAST(floor(p * $S) AS BIGINT) ELSE CAST(0 AS BIGINT) " +
+            s"END), CAST(0 AS BIGINT)) AS BIGINT) AS fp_scaled"))
+      val emp = hist
+        .selectExpr("n_pairs", "CAST(e AS DOUBLE) / 8.0 AS je")
+        .selectExpr("n_pairs", s"${chain("je", r)} AS jr")
+        .selectExpr("n_pairs", "1.0 - jr AS m1")
+        .selectExpr("n_pairs", s"${chain("m1", b)} AS miss")
+        .agg(expr(s"CAST(coalesce(sum(n_pairs * CAST(floor(miss * $S) " +
+          s"AS BIGINT)), CAST(0 AS BIGINT)) AS BIGINT) AS exp_missed_scaled"))
+      // combine the two 1-row aggregates WITHOUT a join: a crossJoin
+      // is a CartesianProduct and a constant-key equi-join constant-
+      // folds back into a BNL — both banned by the plan audit. A
+      // union + max-collapse is joinless and exact (each column is
+      // non-null on exactly one side).
+      grid.select(col("fn_scaled"), col("fp_scaled"),
+          lit(null).cast("long").as("exp_missed_scaled"))
+        .unionAll(emp.select(lit(null).cast("long").as("fn_scaled"),
+          lit(null).cast("long").as("fp_scaled"),
+          col("exp_missed_scaled")))
+        .agg(max(col("fn_scaled")).as("fn_scaled"),
+          max(col("fp_scaled")).as("fp_scaled"),
+          max(col("exp_missed_scaled")).as("exp_missed_scaled"))
+        .select(lit(b).as("b"), lit(r).as("r"), col("fn_scaled"),
+          col("fp_scaled"), col("exp_missed_scaled"))
+    }
+    rows.reduce(_ unionAll _)
+      .withColumn("selected",
+        col("fn_scaled") + col("fp_scaled") ===
+          min(col("fn_scaled") + col("fp_scaled"))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(lit(1))))
+  }
+
+  /** The factorizations of the K-slot signature a planner can choose
+    * from (r = rows per band, b = bands; b·r = K).
+    */
+  private val bandConfigs: Seq[(Int, Int)] =
+    Seq((1, 8), (2, 4), (4, 2), (8, 1))
+
+  val d17Sql: String = {
+    val S = "1099511627776.0"
+    def chain(v: String, n: Int) = Seq.fill(n)(v).mkString("(", " * ", ")")
+    val cfgs = bandConfigs.zipWithIndex.map { case ((b, r), i) =>
+      s"""a_$i AS (
+         |  SELECT $b AS b, $r AS r,
+         |    CAST(coalesce(sum(CASE WHEN g >= 64
+         |      THEN CAST(floor(miss * $S) AS BIGINT) ELSE 0 END), 0)
+         |      AS BIGINT) AS fn_scaled,
+         |    CAST(coalesce(sum(CASE WHEN g < 64
+         |      THEN CAST(floor(p * $S) AS BIGINT) ELSE 0 END), 0)
+         |      AS BIGINT) AS fp_scaled
+         |  FROM (
+         |    SELECT g, miss, 1.0 - miss AS p FROM (
+         |      SELECT g, ${chain("m1", b)} AS miss FROM (
+         |        SELECT g, 1.0 - jr AS m1 FROM (
+         |          SELECT g, ${chain("j", r)} AS jr FROM (
+         |            SELECT g, CAST(g AS DOUBLE) / 128.0 AS j FROM (
+         |              SELECT unnest(range(1, 128)) AS g
+         |            ) t0) t1) t2) t3) t4) t5),
+         |e_$i AS (
+         |  SELECT CAST(coalesce(sum(n_pairs *
+         |      CAST(floor(miss * $S) AS BIGINT)), 0) AS BIGINT)
+         |    AS exp_missed_scaled
+         |  FROM (
+         |    SELECT n_pairs, ${chain("m1", b)} AS miss FROM (
+         |      SELECT n_pairs, 1.0 - jr AS m1 FROM (
+         |        SELECT n_pairs, ${chain("je", r)} AS jr FROM (
+         |          SELECT n_pairs, CAST(e AS DOUBLE) / 8.0 AS je
+         |          FROM hist) q1) q2) q3) q4)""".stripMargin
+    }.mkString(",\n")
+    val union = bandConfigs.indices.map(i =>
+      s"SELECT a_$i.b, a_$i.r, a_$i.fn_scaled, a_$i.fp_scaled, " +
+        s"e_$i.exp_missed_scaled FROM a_$i CROSS JOIN e_$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH hist AS (
+       |  SELECT n_eq_slots AS e, count(*) AS n_pairs
+       |  FROM ($d9Sql) d9 GROUP BY 1),
+       |$cfgs,
+       |plans AS (
+       |  $union)
+       |SELECT b, r, fn_scaled, fp_scaled, exp_missed_scaled,
+       |  fn_scaled + fp_scaled =
+       |    min(fn_scaled + fp_scaled) OVER () AS selected
+       |FROM plans""".stripMargin
+  }
+
   /** d8: incremental-ingest dedup — dedupe a NEW shard against a
     * PERSISTED corpus fingerprint index without rescanning the corpus
     * (the continuous-ingest shape: at 100 TB you never re-dedupe the
@@ -1447,6 +1573,7 @@ object Dedup {
     "d6_dup_clusters" -> d6DupClusters,
     "d8_incremental_dedup" -> d8IncrementalDedup,
     "d9_estimator_calibration" -> d9EstimatorCalibration,
+    "d17_band_planner" -> d17BandPlanner,
     "d10_cluster_canonical" -> d10ClusterCanonical,
     "d12_exact_substring" -> d12ExactSubstring,
     "d13_containment_pairs" -> d13ContainmentPairs,
@@ -1466,6 +1593,7 @@ object Dedup {
     "d6_dup_clusters" -> d6Sql,
     "d8_incremental_dedup" -> d8Sql,
     "d9_estimator_calibration" -> d9Sql,
+    "d17_band_planner" -> d17Sql,
     "d10_cluster_canonical" -> d10Sql,
     "d12_exact_substring" -> d12Sql,
     "d13_containment_pairs" -> d13Sql,

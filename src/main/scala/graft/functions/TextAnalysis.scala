@@ -1537,8 +1537,309 @@ object TextAnalysis {
       |  CAST(sum(s) AS DOUBLE) / count(*) AS mean_recip
       |FROM sc GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- t18 Gopher gates
+
+  /** Gopher repetition thresholds (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * table A1): a doc is repetitive if the single most frequent
+    * {2,3,4}-gram covers more than {20%, 18%, 16%} of its characters,
+    * or duplicated 5-grams cover more than 15% of it. Public-paper
+    * constants — one copy so the Spark and DuckDB dialects cannot
+    * drift.
+    */
+  private val TopGramMaxFrac = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  private val Dup5MaxFrac = 0.15
+
+  /** Word k-gram windows WITH positions — the unit for duplicated-
+    * n-gram COVERAGE (interval union needs to know where each
+    * occurrence sits). Mirrors [[gramExprK]]'s short-doc guard.
+    */
+  private def posGramExprK(k: Int): String = {
+    val cells = (0 until k).map(j => s"element_at(w, i + $j)")
+      .mkString(", ")
+    s"""transform(
+       |  if(size(w) >= $k, sequence(1, size(w) - ${k - 1}), array()),
+       |  i -> struct(i AS pos, concat_ws(' ', $cells) AS gram))""".stripMargin
+  }
+
+  /** t18: the Gopher/MassiveText repetition gate family (Rae et al.
+    * 2021, appendix A1) — per document:
+    *
+    *   top{2,3,4}_frac — characters covered by the single MOST
+    *   FREQUENT n-gram (count × n-gram length / doc chars; the
+    *   standard occurrence-sum approximation — overlapping
+    *   occurrences may double-count, as in the published filters);
+    *   tie on count broken to the lexicographically smallest gram so
+    *   the row is deterministic under any partitioning.
+    *
+    *   dup5_frac — fraction of WORDS covered by 5-grams that occur
+    *   more than once in the doc, counted ONCE per word via interval
+    *   union (gaps-and-islands over the occurrence windows — the same
+    *   coverage arithmetic d12 uses across docs, here within one).
+    *
+    * Scale shape: the top-gram side is ONE explode + two partial-
+    * aggregable groupBys + a per-(doc,n) top-1 window; the coverage
+    * side is one positional explode with doc-local windows — every
+    * wide stage keys on doc_id, so at 100 TB the whole gate family is
+    * two keyed exchanges, no pair joins, no driver state. Short docs
+    * (no n-gram of some width) come back 0.0/unflagged via the
+    * left-join + coalesce, t13's TOTAL-over-the-corpus rule.
+    */
+  def t18GopherRepetition(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, d, "documents")
+      .withColumn("w", words(col("text")))
+    // most-frequent-gram char coverage, n = 2..4: single tagged explode
+    val tagged = (2 to 4)
+      .map(n => s"transform(${gramExprK(n, distinct = false)}, " +
+        s"g -> struct($n AS n, g AS gram))")
+      .mkString("concat(", ", ", ")")
+    val byGram = docs
+      .select(col("doc_id"), length(col("text")).as("nc"),
+        explode(expr(tagged)).as("t"))
+      .groupBy(col("doc_id"), col("nc"), col("t.n").as("n"),
+        col("t.gram").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = byGram
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id", "n")
+        .orderBy(col("cnt").desc, col("gram").asc)))
+      .filter(col("rn") === 1)
+      .withColumn("frac",
+        (col("cnt") * length(col("gram"))).cast("double") / col("nc"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("n") === 2, col("frac"))).as("top2_frac"),
+        max(when(col("n") === 3, col("frac"))).as("top3_frac"),
+        max(when(col("n") === 4, col("frac"))).as("top4_frac"))
+    // duplicated-5-gram word coverage: positional windows, dup grams,
+    // island-union of their [pos, pos+4] intervals per doc
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val dup5 = docs
+      .select(col("doc_id"), size(col("w")).as("nw"),
+        explode(expr(posGramExprK(5))).as("o"))
+      .select(col("doc_id"), col("nw"), col("o.pos").as("pos"),
+        col("o.gram").as("gram"))
+      .withColumn("cnt", count(lit(1))
+        .over(Window.partitionBy("doc_id", "gram")))
+      .filter(col("cnt") > 1)
+      .withColumn("fin", col("pos") + 4)
+      .withColumn("prev_max", max(col("fin")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_isl",
+        when(col("prev_max").isNull || col("pos") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("new_isl")).over(wDoc))
+      .groupBy(col("doc_id"), col("nw"), col("isl"))
+      .agg((max(col("fin")) - min(col("pos")) + 1).as("cov"))
+      .groupBy(col("doc_id"), col("nw"))
+      .agg(sum(col("cov")).as("dup_words"))
+      .select(col("doc_id"),
+        (col("dup_words").cast("double") / col("nw")).as("dup5_frac"))
+    docs.select(col("doc_id"))
+      .join(top, Seq("doc_id"), "left_outer")
+      .join(dup5, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),
+        coalesce(col("top4_frac"), lit(0.0)).as("top4_frac"),
+        coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
+      .withColumn("flagged",
+        col("top2_frac") > TopGramMaxFrac(2) ||
+          col("top3_frac") > TopGramMaxFrac(3) ||
+          col("top4_frac") > TopGramMaxFrac(4) ||
+          col("dup5_frac") > Dup5MaxFrac)
+  }
+
+  val t18Sql: String = {
+    def gramsUnion = (2 to 4).map { n =>
+      s"""SELECT doc_id, length(text) AS nc, $n AS n,
+         |    unnest(${gramSqlDuckK(n, distinct = false)}) AS gram
+         |  FROM dw""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val cells5 = (0 until 5).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""WITH dw AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS w
+       |  FROM documents),
+       |grams AS (
+       |  $gramsUnion),
+       |cnts AS (
+       |  SELECT doc_id, nc, n, gram, count(*) AS cnt
+       |  FROM grams GROUP BY 1, 2, 3, 4),
+       |topg AS (
+       |  SELECT doc_id, n,
+       |    CAST(cnt * length(gram) AS DOUBLE) / nc AS frac,
+       |    row_number() OVER (PARTITION BY doc_id, n
+       |                       ORDER BY cnt DESC, gram ASC) AS rn
+       |  FROM cnts),
+       |tf AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN n = 2 THEN frac END) AS top2_frac,
+       |    max(CASE WHEN n = 3 THEN frac END) AS top3_frac,
+       |    max(CASE WHEN n = 4 THEN frac END) AS top4_frac
+       |  FROM topg WHERE rn = 1 GROUP BY 1),
+       |pos5 AS (
+       |  SELECT doc_id, len(w) AS nw,
+       |    unnest(range(1, greatest(len(w) - 3, 1))) AS pos,
+       |    unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+       |                          i -> $cells5)) AS gram
+       |  FROM dw),
+       |dup AS (
+       |  SELECT doc_id, nw, pos, pos + 4 AS fin,
+       |    count(*) OVER (PARTITION BY doc_id, gram) AS cnt
+       |  FROM pos5),
+       |isl AS (
+       |  SELECT doc_id, nw, pos, fin,
+       |    max(fin) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM dup WHERE cnt > 1),
+       |isl2 AS (
+       |  SELECT doc_id, nw, pos, fin,
+       |    sum(CASE WHEN prev_max IS NULL OR pos > prev_max
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |  FROM isl),
+       |cov AS (
+       |  SELECT doc_id, nw, isl, max(fin) - min(pos) + 1 AS cov
+       |  FROM isl2 GROUP BY 1, 2, 3),
+       |d5 AS (
+       |  SELECT doc_id,
+       |    CAST(sum(cov) AS DOUBLE) / nw AS dup5_frac
+       |  FROM cov GROUP BY doc_id, nw)
+       |SELECT d.doc_id,
+       |  coalesce(top2_frac, 0.0) AS top2_frac,
+       |  coalesce(top3_frac, 0.0) AS top3_frac,
+       |  coalesce(top4_frac, 0.0) AS top4_frac,
+       |  coalesce(dup5_frac, 0.0) AS dup5_frac,
+       |  coalesce(top2_frac, 0.0) > 0.20 OR
+       |    coalesce(top3_frac, 0.0) > 0.18 OR
+       |    coalesce(top4_frac, 0.0) > 0.16 OR
+       |    coalesce(dup5_frac, 0.0) > 0.15 AS flagged
+       |FROM documents d
+       |LEFT JOIN tf ON d.doc_id = tf.doc_id
+       |LEFT JOIN d5 ON d.doc_id = d5.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- t19 NB classifier
+
+  /** t19: seed-trained quality classifier — the CCNet/GPT-3 shape
+    * (Wenzek et al. 2020; Brown et al. 2020): label a SEED by rule
+    * (t2's HIGH band = positive, LOW = negative, MEDIUM unlabeled),
+    * learn per-token class counts from the seed, score EVERY doc —
+    * including the unlabeled middle — by summed token polarity, so
+    * the rule generalizes token-wise beyond the docs it labeled.
+    *
+    * The per-token score is an INTEGER-EXACT surrogate of the naive-
+    * Bayes log-ratio (t17's discipline): floor((c_hq − c_lq) × 10^6 /
+    * (c_hq + c_lq + 2)) — the add-one-smoothed conditional-rate
+    * difference, same sign as log(P(w|hq)/P(w|lq)), computed as one
+    * exact BIGINT product and ONE IEEE division, so per-doc sums are
+    * BIGINT and partition-invariant (a float log-sum would drift
+    * between engines and between shuffle orders). Tokens unseen in
+    * the seed score 0.
+    *
+    * Scale shape: the model is a vocabulary-bound aggregate
+    * (broadcastable at any corpus size), scoring is one equi-join of
+    * the token stream against it + one partial-aggregable groupBy —
+    * the same two-exchange plan as t17.
+    */
+  def t19NbQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+      .withColumn("w", words(col("text")))
+      .withColumn("n_words", size(col("w")))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("w"))).cast("double") / col("n_words"))
+      .withColumn("seed_band",
+        when(col("n_words") >= 20 && col("uniq_ratio") >= 0.3, lit("HIGH"))
+          .when(col("n_words") >= 10, lit("MEDIUM"))
+          .otherwise(lit("LOW")))
+    val toks = docs.select(col("doc_id"), col("seed_band"),
+      explode(col("w")).as("t"))
+    val model = toks.filter(col("seed_band") =!= "MEDIUM")
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("seed_band") === "HIGH", 1L).otherwise(0L)).as("c_hq"),
+        sum(when(col("seed_band") === "LOW", 1L).otherwise(0L)).as("c_lq"))
+      .withColumn("s",
+        floor(((col("c_hq") - col("c_lq")) * lit(1000000L)).cast("double") /
+          (col("c_hq") + col("c_lq") + lit(2L))).cast("long"))
+    toks
+      .join(model.select(col("t"), col("s")), Seq("t"), "left_outer")
+      .groupBy(col("doc_id"), col("seed_band"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("s"), lit(0L))).as("score"))
+      .withColumn("pred_high", col("score") > 0)
+  }
+
+  val t19Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |lab AS (
+      |  SELECT doc_id, w,
+      |    CASE WHEN len(w) >= 20 AND
+      |              CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.3
+      |           THEN 'HIGH'
+      |         WHEN len(w) >= 10 THEN 'MEDIUM'
+      |         ELSE 'LOW' END AS seed_band
+      |  FROM base),
+      |toks AS (
+      |  SELECT doc_id, seed_band, unnest(w) AS t FROM lab),
+      |model AS (
+      |  SELECT t,
+      |    CAST(floor(CAST((sum(CASE WHEN seed_band = 'HIGH' THEN 1 ELSE 0 END)
+      |                     - sum(CASE WHEN seed_band = 'LOW' THEN 1 ELSE 0 END))
+      |                    * 1000000 AS DOUBLE) /
+      |               (sum(CASE WHEN seed_band <> 'MEDIUM' THEN 1 ELSE 0 END) + 2))
+      |      AS BIGINT) AS s
+      |  FROM toks WHERE seed_band <> 'MEDIUM' GROUP BY 1)
+      |SELECT toks.doc_id, toks.seed_band,
+      |  count(*) AS n_tokens,
+      |  CAST(sum(coalesce(model.s, 0)) AS BIGINT) AS score,
+      |  CAST(sum(coalesce(model.s, 0)) AS BIGINT) > 0 AS pred_high
+      |FROM toks LEFT JOIN model ON toks.t = model.t
+      |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- t20 weighted sample
+
+  /** t20: weighted k-sample without replacement — sequential Poisson
+    * sampling (Ohlsson 1998, the order-sampling family PPS estimators
+    * build on): each doc draws priority u/w (u uniform from the
+    * 60-bit md5 hash, w = doc length in chars) and the k SMALLEST
+    * priorities are the sample, so inclusion probability scales with
+    * length — the token-budget-weighted corpus draw a mixture build
+    * runs at 100 TB. Both u (an exact power-of-two division of an
+    * exact integer) and u/w (ONE IEEE division) are deterministic and
+    * cross-engine identical; doc_id breaks exact priority ties.
+    *
+    * Scale shape: priorities are a per-row projection; the k-smallest
+    * selection is Spark's TakeOrderedAndProject — per-partition
+    * top-k, then a k-row driver merge. Nothing global is ever sorted.
+    */
+  def t20WeightedSample(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), length(col("text")).as("weight"),
+        (pmod(xhash64(concat_ws("|", lit("t20"),
+          col("doc_id").cast("string"))), lit(1048576L)) + 1L).as("u_int"))
+      .withColumn("priority",
+        (col("u_int").cast("double") / lit(1048576.0)) /
+          col("weight").cast("double"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(100)
+
+  val t20Sql: String = {
+    val u = Norm.xhash64Sql("'t20' || '|' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, length(text) AS weight,
+       |  (($u) % 1048576 + 1048576) % 1048576 + 1 AS u_int,
+       |  (CAST((($u) % 1048576 + 1048576) % 1048576 + 1 AS DOUBLE)
+       |    / 1048576.0) / CAST(length(text) AS DOUBLE) AS priority
+       |FROM documents
+       |ORDER BY priority ASC, doc_id ASC LIMIT 100""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t17_bigram_lm" -> t17BigramLm,
+    "t18_gopher_repetition" -> t18GopherRepetition,
+    "t19_nb_quality" -> t19NbQuality,
+    "t20_weighted_sample" -> t20WeightedSample,
     "t16_bpe_merges" -> t16BpeMerges,
     "pipe10_gate_ablation" -> pipe10GateAblation,
     "t11_lexicon_profile" -> t11LexiconProfile,
@@ -1564,6 +1865,9 @@ object TextAnalysis {
     "pipe7_dataset_card" -> pipe7DatasetCard)
 
   val oracles: Map[String, String] = Map(
+    "t18_gopher_repetition" -> t18Sql,
+    "t19_nb_quality" -> t19Sql,
+    "t20_weighted_sample" -> t20Sql,
     "t11_lexicon_profile" -> t11Sql,
     "pipe4_curation" -> pipe4Sql,
     "t12_context_chunks" -> t12Sql,

@@ -548,4 +548,28 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } yield (a, b, dd)).toSet
     assert(got == want, s"FastSS=${got.size} brute=${want.size}")
   }
+
+  test("d17 band planner: all K=8 factorizations, recall/precision monotone in bands") {
+    val rows = graft.functions.Dedup.d17BandPlanner(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Int]("b"), r.getAs[Int]("r"),
+        r.getAs[Long]("fn_scaled"), r.getAs[Long]("fp_scaled"),
+        r.getAs[Long]("exp_missed_scaled"), r.getAs[Boolean]("selected")))
+    assert(rows.length == 4 && rows.forall { case (b, r, _, _, _, _) =>
+      b * r == 8 }, rows.mkString(","))
+    val byB = rows.map(t => t._1 -> t).toMap
+    // more bands = more permissive: false negatives (theoretical AND
+    // on the corpus's own candidate pairs) fall as b grows, false
+    // positives rise — the planner must reproduce the S-curve's
+    // defining trade-off, or its arithmetic chains are wrong
+    for (Seq(lo, hi) <- Seq(1, 2, 4, 8).sliding(2)) {
+      assert(byB(lo)._3 >= byB(hi)._3, s"fn not falling: $lo vs $hi")
+      assert(byB(lo)._4 <= byB(hi)._4, s"fp not rising: $lo vs $hi")
+      assert(byB(lo)._5 >= byB(hi)._5, s"exp_missed not falling: $lo vs $hi")
+    }
+    // exactly one plan minimizes fn+fp and wears the flag
+    val sums = rows.map(t => t._3 + t._4)
+    assert(rows.count(_._6) >= 1 &&
+      rows.filter(_._6).forall(t => t._3 + t._4 == sums.min))
+  }
 }

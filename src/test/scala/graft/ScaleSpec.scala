@@ -246,7 +246,14 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // streaming arms are row-linear signature work + capped-bucket
       // state over a fixed micro-batch overhead
       "pipe11_config_driven", "pipe12_compare_config",
-      "d15_streaming_near_dup", "d16_streaming_exact_dedup")
+      "d15_streaming_near_dup", "d16_streaming_exact_dedup",
+      // round-10: t18 is corpus-linear (one tagged explode + doc-keyed
+      // windows); t19 is vocab-bound like t17 (10x corpus, SAME
+      // vocabulary); t20 is a per-row projection + per-partition
+      // top-k (near-flat); d17 rides d9's candidate histogram plus a
+      // fixed 127-row grid — its ratio tracks d9's
+      "t18_gopher_repetition", "t19_nb_quality", "t20_weighted_sample",
+      "d17_band_planner")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()

@@ -344,4 +344,99 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // unseen (a,z): c12=0 → S = floor((3+2)/1) = 5
     assert(got(20L) == ((0L, 1L, 1L, 5L)), s"doc20: ${got(20L)}")
   }
+
+  test("t18 Gopher gates: hand-computed fractions on a loop, a clean doc, a short doc") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t18").toString
+    Seq(
+      (1L, "a b a b a b a b"), // pure loop: every 5-gram duplicated
+      // all-distinct and LONG ENOUGH that even the top (once-seen)
+      // n-gram stays under the gates — a short clean doc still trips
+      // top2 because one bigram can cover >20% of it (doc 3 proves it)
+      (2L, ('a' to 'z').map(c => s"$c$c$c").mkString(" ")), // 26 distinct words
+      (3L, "x y")) // too short for 4/5-grams
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = graft.functions.TextAnalysis.t18GopherRepetition(spark, tmp)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("top2_frac"), r.getAs[Double]("top3_frac"),
+          r.getAs[Double]("top4_frac"), r.getAs[Double]("dup5_frac"),
+          r.getAs[Boolean]("flagged"))))
+      .toMap
+    // doc 1 (15 chars, 8 words): top bigram "a b" ×4, len 3 → 12/15;
+    // top trigram "a b a" ×3, len 5 → 15/15 = 1.0; top 4-gram
+    // "a b a b" ×3 (overlapping occurrences COUNT, the published
+    // approximation), len 7 → 21/15 > 1; all four 5-gram windows are
+    // one of two grams each seen twice → dup coverage = all 8 words
+    assert(got(1L) == ((12.0 / 15, 1.0, 21.0 / 15, 1.0, true)),
+      s"doc1: ${got(1L)}")
+    // doc 2: every n-gram unique → top cnt 1; no dup 5-grams
+    val d2 = got(2L)
+    assert(d2._4 == 0.0 && !d2._5, s"doc2: $d2")
+    // doc 3 (3 chars, 2 words): only the bigram exists — "x y" covers
+    // the whole doc (3/3); 3/4/5-gram signals coalesce to 0; flagged
+    // because top2 = 1.0 > 0.20 (Gopher gates short docs elsewhere)
+    assert(got(3L) == ((1.0, 0.0, 0.0, 0.0, true)), s"doc3: ${got(3L)}")
+  }
+
+  test("t19 seed classifier: learned token polarity generalizes to the unlabeled band") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t19").toString
+    // HIGH seed (>= 20 words, uniq) full of "good"-class tokens; LOW
+    // seed (< 10 words) of "bad"-class; one MEDIUM doc (10-19 words,
+    // unlabeled) built from the HIGH side's vocabulary must come back
+    // pred_high even though no rule labeled it
+    val hi = (('a' to 't').map(_.toString) :+ "good").mkString(" ") // 21 uniq words
+    val lo = "bad bad bad noise"
+    val mid = ('a' to 'j').map(_.toString).mkString(" ") // 10 words, all hq vocab
+    Seq((1L, hi), (2L, lo), (3L, mid))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = graft.functions.TextAnalysis.t19NbQuality(spark, tmp)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("seed_band"), r.getAs[Long]("score"),
+          r.getAs[Boolean]("pred_high"))))
+      .toMap
+    assert(got(1L)._1 == "HIGH" && got(1L)._3, s"doc1: ${got(1L)}")
+    assert(got(2L)._1 == "LOW" && !got(2L)._3, s"doc2: ${got(2L)}")
+    // the interesting row: unlabeled, scored purely by learned tokens
+    assert(got(3L)._1 == "MEDIUM" && got(3L)._2 > 0 && got(3L)._3,
+      s"doc3: ${got(3L)}")
+    // per-token arithmetic: each hq-only token scores
+    // floor(1*10^6/3) = 333333; 10 of them
+    assert(got(3L)._2 == 10L * 333333L, s"doc3 score: ${got(3L)}")
+  }
+
+  test("t20 weighted sample: exact priority order, partition-invariant") {
+    val docs = Tables.load(spark, sf, "documents")
+    val got = graft.functions.TextAnalysis.t20WeightedSample(spark, sf)
+      .collect()
+    assert(got.length == math.min(100L, docs.count()).toInt)
+    // recompute every priority independently and check the selection
+    // IS the k smallest (ties impossible: priorities are distinct)
+    val all = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).as("w"))
+      .collect()
+      .map { r =>
+        val id = r.getLong(0); val w = r.getInt(1)
+        val md5hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"t20|$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val u = java.lang.Long.parseLong(md5hex.take(15), 16) %
+          1048576L + 1L
+        (id, u.toDouble / 1048576.0 / w)
+      }
+    val want = all.sortBy { case (id, p) => (p, id) }.take(got.length)
+      .map(_._1).toSet
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == want)
+    // a same-data different-layout write selects the same docs
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t20").toString
+    docs.repartition(13).write.parquet(s"$tmp/documents.parquet")
+    val again = graft.functions.TextAnalysis.t20WeightedSample(spark, tmp)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == want)
+  }
 }
