@@ -23,66 +23,11 @@ import graft.functions.Norm.{xhash64, xhash64Sql}
   */
 object Dedup {
 
-  /** doc_id + exploded distinct 3-gram shingles. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents")
-      .withColumn("w", TextAnalysis.words(col("text")))
-      .withColumn("sh", expr(TextAnalysis.shingleExpr))
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+  // --- memo infrastructure FIRST: Dedup's own class init references
+  // TextAnalysis, whose init re-enters Dedup through memoized()/
+  // memoizedTable() — these vals must be assigned before that
+  // re-entry or a Dedup-first initialization order NPEs.
 
-  private val shinglesSql: String =
-    s"""SELECT doc_id, unnest(${TextAnalysis.shingleSqlDuck}) AS shingle
-       |FROM (SELECT doc_id, string_split(text, ' ') AS w
-       |      FROM documents) base""".stripMargin
-
-  // ------------------------------------------------------------- queries
-
-  /** d1: exact dedup — canonical-content hash, keep lowest doc_id.
-    * One partial-aggregable groupBy on the hash: the 100 TB fast path.
-    */
-  def d1ExactDedup(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents")
-      .withColumn("fingerprint",
-        md5(lower(regexp_replace(col("text"), "\\s+", " "))))
-      .groupBy("fingerprint")
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-
-  val d1Sql: String =
-    """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
-      |  min(doc_id) AS keep_id, count(*) AS n_copies
-      |FROM documents GROUP BY 1""".stripMargin
-
-  /** Document-frequency cap for the shingle inverted index: a shingle
-    * shared by more than DF_CAP documents is stopword-like and is
-    * dropped BEFORE the pair join. Without the cut a hot shingle
-    * shared by 10⁶ docs fans out to 10¹² join rows — the classic
-    * all-pairs blowup; with it, per-shingle fan-out is bounded by
-    * DF_CAP², independent of corpus size.
-    */
-  private val DF_CAP = 50
-
-  /** d2: n-gram Jaccard near-dup — df-capped shingle inverted index,
-    * pair counts via bucket self-join, Jaccard from |∩| and per-doc
-    * set sizes. All of n_inter/n_a/n_b are computed over the capped
-    * shingle sets, so the Jaccard stays internally consistent (and
-    * near-dup pairs, which share mostly *rare* shingles, are
-    * unaffected by dropping ubiquitous ones).
-    */
-  /** THE materialized shingle inverted index, one per (session,
-    * input): (doc_id, h1, h2) with both 60-bit halves of one md5 per
-    * distinct shingle. Persisted and shared by every dedup consumer —
-    * d2 reads h1 as its hashed shingle key, d3/d6 read (h1, h2) as
-    * the double-hashing bases — so the tokenize + explode + digest
-    * pipeline (the single most expensive scan in the family) runs
-    * ONCE for the whole query set, not once per query.
-    * MEMORY_AND_DISK spills past RAM (the 100 TB story: materialize
-    * the inverted index, storage ≪ recompute). Hashing to longs AT
-    * the index means every downstream shuffle/join moves 8-byte keys
-    * instead of ~20-byte strings; the oracle applies identical
-    * hashing so the (vanishingly rare) collisions are shared, not
-    * divergent. The map holds the reference deliberately — lifetime
-    * is the session; size is the index, the family's working set.
-    */
   /** Memoize a persisted DataFrame per (session, input dir). Entries
     * of STOPPED sessions are purged on every access (the strong
     * reference would otherwise pin dead sessions and their plans for
@@ -214,6 +159,67 @@ object Dedup {
     }
   }
 
+
+  /** doc_id + exploded distinct 3-gram shingles. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .withColumn("w", TextAnalysis.words(col("text")))
+      .withColumn("sh", expr(TextAnalysis.shingleExpr))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+
+  private val shinglesSql: String =
+    s"""SELECT doc_id, unnest(${TextAnalysis.shingleSqlDuck}) AS shingle
+       |FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |      FROM documents) base""".stripMargin
+
+  // ------------------------------------------------------------- queries
+
+  /** d1: exact dedup — canonical-content hash, keep lowest doc_id.
+    * One partial-aggregable groupBy on the hash: the 100 TB fast path.
+    */
+  def d1ExactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .withColumn("fingerprint",
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val d1Sql: String =
+    """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Document-frequency cap for the shingle inverted index: a shingle
+    * shared by more than DF_CAP documents is stopword-like and is
+    * dropped BEFORE the pair join. Without the cut a hot shingle
+    * shared by 10⁶ docs fans out to 10¹² join rows — the classic
+    * all-pairs blowup; with it, per-shingle fan-out is bounded by
+    * DF_CAP², independent of corpus size.
+    */
+  private val DF_CAP = 50
+
+  /** d2: n-gram Jaccard near-dup — df-capped shingle inverted index,
+    * pair counts via bucket self-join, Jaccard from |∩| and per-doc
+    * set sizes. All of n_inter/n_a/n_b are computed over the capped
+    * shingle sets, so the Jaccard stays internally consistent (and
+    * near-dup pairs, which share mostly *rare* shingles, are
+    * unaffected by dropping ubiquitous ones).
+    */
+  /** THE materialized shingle inverted index, one per (session,
+    * input): (doc_id, h1, h2) with both 60-bit halves of one md5 per
+    * distinct shingle. Persisted and shared by every dedup consumer —
+    * d2 reads h1 as its hashed shingle key, d3/d6 read (h1, h2) as
+    * the double-hashing bases — so the tokenize + explode + digest
+    * pipeline (the single most expensive scan in the family) runs
+    * ONCE for the whole query set, not once per query.
+    * MEMORY_AND_DISK spills past RAM (the 100 TB story: materialize
+    * the inverted index, storage ≪ recompute). Hashing to longs AT
+    * the index means every downstream shuffle/join moves 8-byte keys
+    * instead of ~20-byte strings; the oracle applies identical
+    * hashing so the (vanishingly rare) collisions are shared, not
+    * divergent. The map holds the reference deliberately — lifetime
+    * is the session; size is the index, the family's working set.
+    */
   private val shingleIndex: (SparkSession, String) => DataFrame =
     memoized("dedup.shingleIndex") { (s, d) =>
       val (h1, h2) = hashPair(col("shingle"))
@@ -867,10 +873,17 @@ object Dedup {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("ts", TimestampType)))
+    // hash each shingle ONCE (md5 digest → both 60-bit halves inside
+    // one lambda, where codegen CSE folds the repeated md5 node),
+    // then derive the 8 minhash slots as integer transforms over the
+    // hashed pairs. Higher-order lambdas are codegen-fallback, so the
+    // naive form — 8 independent transforms each re-digesting every
+    // shingle — paid 16 interpreted md5 evaluations per shingle and
+    // dominated the micro-batch (11.7 s addBatch at sf0.1; ~3x less
+    // after this split). Same double-hash family as the batch index.
     def mh(i: Int): org.apache.spark.sql.Column =
-      array_min(transform(col("sh"), g =>
-      xhash64(g) + lit(i.toLong) *
-        (Norm.xhash64b(g) % lit(144115188075855872L))))
+      array_min(transform(col("hp"), p =>
+        p.getField("h1") + lit(i.toLong) * p.getField("h2")))
     val bandArr = array((0 until K / 2).map { b =>
       struct(lit(b).as("band"),
         concat_ws(":", mh(2 * b).cast("string"),
@@ -880,6 +893,9 @@ object Dedup {
       .withColumn("w", TextAnalysis.words(col("text")))
       .withColumn("sh", expr(TextAnalysis.shingleExpr))
       .filter(size(col("sh")) > 0)
+      .withColumn("hp", transform(col("sh"), g =>
+        struct(xhash64(g).as("h1"),
+          (Norm.xhash64b(g) % lit(144115188075855872L)).as("h2"))))
       .withWatermark("ts", delay)
       .select(explode(bandArr).as("bb"), col("doc_id"), col("ts"))
       .select(col("bb.band").as("band"), col("bb.sig").as("sig"),
@@ -950,7 +966,14 @@ object Dedup {
       feedCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
       feedCache.getOrElseUpdate((s, d), {
         val feed = graft.operators.Migrate.tempDir("stream_feed") + "/feed"
-        Tables.load(s, d, "documents")
+        // spread the feed over files: the documents table is one tiny
+        // parquet file, and a 1-file feed makes the micro-batch run
+        // the ENTIRE per-row signature pipeline (interpreted
+        // higher-order lambdas — the expensive part) in a single
+        // task before the first shuffle (measured: 6.5 of d15's 9 s).
+        // A real ingestion feed arrives as many files; 8 matches the
+        // stream session's shuffle-partition count.
+        Tables.load(s, d, "documents").repartition(8)
           .select(col("doc_id"), col("text"),
             timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
           .write.mode("overwrite").parquet(feed)

@@ -1212,7 +1212,12 @@ object TextAnalysis {
       .unionAll(longRows("rarity", rarity))
   }
 
-  val pipe7Sql: String =
+  // lazy: embeds Dedup.d1Sql/d12Sql — under a Dedup-first class-init
+  // order those vals are not yet assigned while Dedup's own init is
+  // re-entrantly running TextAnalysis's, and an eager interpolation
+  // would silently bake the string "null" into the oracle. Deferring
+  // to first USE (always after both inits complete) breaks the cycle.
+  lazy val pipe7Sql: String =
     s"""WITH card_corpus AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
@@ -1864,7 +1869,8 @@ object TextAnalysis {
     "pipe9_temperature_mixture" -> pipe9TemperatureMixture,
     "pipe7_dataset_card" -> pipe7DatasetCard)
 
-  val oracles: Map[String, String] = Map(
+  // lazy because it forces pipe7Sql (see its init-order note)
+  lazy val oracles: Map[String, String] = Map(
     "t18_gopher_repetition" -> t18Sql,
     "t19_nb_quality" -> t19Sql,
     "t20_weighted_sample" -> t20Sql,
