@@ -1338,7 +1338,139 @@ object Similarity {
        |    PARTITION BY qid ORDER BY rrf_score DESC, doc_id ASC) AS fused_rank
        |  FROM fused) f WHERE fused_rank <= 5""".stripMargin
 
+  /** How many results ann11's diversified page returns per query. */
+  private val MmrK = 5
+
+  /** ann11: MMR diversified re-rank (Carbonell & Goldstein 1998) —
+    * the serving-layer pass after retrieval: from each query's exact
+    * top-10 shortlist (the memoized ann1 truth table), greedily pick
+    * K results maximizing λ·rel(c) − (1−λ)·max_{s∈selected} sim(c,s),
+    * so near-duplicate neighbors don't crowd the page. λ = 0.7.
+    *
+    * Deterministic by the ANN family's float discipline: rel and all
+    * pairwise sims are the SAME ascending-index cosine fold both
+    * engines use, scores are two exactly-rounded mults and one sub on
+    * identical doubles, argmax ties break on vec_id, and the OUTPUT
+    * is integers only (query_id, vec_id, step).
+    *
+    * Scale shape: greedy MMR is inherently sequential in K, so the
+    * iteration is a FIXED K-step driver loop over declarative steps —
+    * each step is one equi-join of the shortlist against the
+    * selected-so-far rows (both bounded: ≤10 candidates, ≤K selected
+    * per query) plus a per-query argmax window. Nothing grows with
+    * corpus size: at 100 TB the shortlist relation is the retrieval
+    * output (queries × 10 rows), every join keys on query_id, and the
+    * pairwise sim matrix is C(10,2) rows per query, computed once.
+    */
+  def ann11MmrRerank(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val truth = ann1BruteTopK(s, d)
+    val rel = truth
+      .join(c.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")), Seq("query_id"))
+      .join(c.select(col("vec_id").as("neighbor_id"), col("v").as("av"),
+        col("nrm").as("anrm")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("av")) / (col("qnrm") * col("anrm")))
+          .as("rel"))
+    val sim = truth.as("a")
+      .join(truth.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.neighbor_id") < col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.neighbor_id").as("id_a"), col("b.neighbor_id").as("id_b"))
+      .join(c.select(col("vec_id").as("id_a"), col("v").as("xv"),
+        col("nrm").as("xnrm")), Seq("id_a"))
+      .join(c.select(col("vec_id").as("id_b"), col("v").as("yv"),
+        col("nrm").as("ynrm")), Seq("id_b"))
+      .select(col("query_id"), col("id_a"), col("id_b"),
+        (dot(col("xv"), col("yv")) / (col("xnrm") * col("ynrm")))
+          .as("sim"))
+    def argmax(df: DataFrame, score: String): DataFrame =
+      df.withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col(score).desc, col("neighbor_id").asc)))
+        .filter(col("rn") === 1).drop("rn")
+    var selected = argmax(rel, "rel")
+      .select(col("query_id"), col("neighbor_id").as("vec_id"),
+        lit(1).as("step"))
+    for (t <- 2 to MmrK) {
+      val remaining = rel.join(
+        selected.select(col("query_id"),
+          col("vec_id").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val scored = remaining
+        .join(selected.select(col("query_id"), col("vec_id")),
+          Seq("query_id"))
+        .withColumn("pa", least(col("neighbor_id"), col("vec_id")))
+        .withColumn("pb", greatest(col("neighbor_id"), col("vec_id")))
+        .join(sim.select(col("query_id"), col("id_a").as("pa"),
+          col("id_b").as("pb"), col("sim")), Seq("query_id", "pa", "pb"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("rel"))
+        .agg(max(col("sim")).as("msim"))
+        .withColumn("score",
+          lit(0.7) * col("rel") - lit(0.3) * col("msim"))
+      selected = selected.unionAll(argmax(scored, "score")
+        .select(col("query_id"), col("neighbor_id").as("vec_id"),
+          lit(t).as("step")))
+    }
+    selected
+  }
+
+  val ann11Sql: String = {
+    val steps = (2 to MmrK).map { t =>
+      val prev = (1 until t).map(i => s"SELECT * FROM sel_$i")
+        .mkString("\n      UNION ALL ")
+      s"""all_${t - 1} AS (
+         |  $prev),
+         |sc_$t AS (
+         |  SELECT r.query_id, r.neighbor_id,
+         |    0.7 * r.rel - 0.3 * max(sm.sim) AS score
+         |  FROM rel r
+         |  JOIN all_${t - 1} s ON s.query_id = r.query_id
+         |  JOIN sim sm ON sm.query_id = r.query_id
+         |    AND sm.id_a = least(r.neighbor_id, s.vec_id)
+         |    AND sm.id_b = greatest(r.neighbor_id, s.vec_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM all_${t - 1} x
+         |    WHERE x.query_id = r.query_id AND x.vec_id = r.neighbor_id)
+         |  GROUP BY r.query_id, r.neighbor_id, r.rel),
+         |sel_$t AS (
+         |  SELECT query_id, neighbor_id AS vec_id, $t AS step FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id ASC) AS rn
+         |    FROM sc_$t) z WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to MmrK).map(i => s"SELECT * FROM sel_$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH c AS ($corpusSql),
+       |truth AS (SELECT query_id, neighbor_id FROM ($ann1Sql) t),
+       |rel AS (
+       |  SELECT t.query_id, t.neighbor_id,
+       |    ${dotSql("q.v", "a.v")} / (q.nrm * a.nrm) AS rel
+       |  FROM truth t
+       |  JOIN c q ON q.vec_id = t.query_id
+       |  JOIN c a ON a.vec_id = t.neighbor_id),
+       |sim AS (
+       |  SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+       |    ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+       |  FROM truth a
+       |  JOIN truth b ON a.query_id = b.query_id
+       |    AND a.neighbor_id < b.neighbor_id
+       |  JOIN c x ON x.vec_id = a.neighbor_id
+       |  JOIN c y ON y.vec_id = b.neighbor_id),
+       |sel_1 AS (
+       |  SELECT query_id, neighbor_id AS vec_id, 1 AS step FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY rel DESC, neighbor_id ASC) AS rn
+       |    FROM rel) z WHERE rn = 1),
+       |$steps
+       |SELECT query_id, vec_id, step FROM (
+       |  $unionAll) u""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann11_mmr_rerank" -> ann11MmrRerank,
     "ann9_hybrid_rrf" -> ann9HybridRrf,
     "ann10_ivfpq_recall" -> ann10IvfPqRecall,
     "ann5_kmeans_iter" -> ann5KmeansIter,
@@ -1354,6 +1486,7 @@ object Similarity {
     "d11_semantic_dedup" -> d11SemanticDedup)
 
   val oracles: Map[String, String] = Map(
+    "ann11_mmr_rerank" -> ann11Sql,
     "ann9_hybrid_rrf" -> ann9Sql,
     "ann10_ivfpq_recall" -> ann10Sql,
     "ann5_kmeans_iter" -> ann5Sql,

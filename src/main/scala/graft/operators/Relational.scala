@@ -1067,7 +1067,111 @@ object Relational {
 
   // ------------------------------------------------------------- registry
 
+  /** a40: snapshot drift gate — the distribution check a 100 TB
+    * training-data pipeline runs BEFORE ingesting a new snapshot: has
+    * a monitored column's distribution moved against the baseline
+    * era? Pearson's chi-square per column over FIXED buckets
+    * (numeric: capped fixed-width bins — a33's histogram discipline,
+    * never data-derived quantiles, so the bucketing is identical on
+    * any engine and any day; categorical: the value itself), with the
+    * expected count add-one smoothed over the observed bucket set so
+    * a current-only bucket contributes mass instead of dividing by
+    * zero.
+    *
+    * The statistic is integer-exact by the t17/t19 discipline: each
+    * bucket's (O−E)²/E term is a short chain of exactly-rounded IEEE
+    * ops on exact integer inputs, floored at 10^6 scale to BIGINT,
+    * and only BIGINTs are summed — partition-invariant, cross-engine
+    * identical, no float accumulation. Baseline/current eras split on
+    * a fixed date. One scan, one partial-aggregable groupBy per
+    * column family, bucket counts bounded by construction — at 100 TB
+    * this is a single pass ending in a ~60-row report.
+    */
+  def a40DriftGate(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d).withColumn("is_base",
+      col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    // monitored columns → bounded bucket expressions
+    val monitored = Seq(
+      "o_totalprice" -> least(floor(col("o_totalprice") / 25000.0),
+        lit(19L)).cast("string"),
+      "o_orderpriority" -> col("o_orderpriority"),
+      "o_orderstatus" -> col("o_orderstatus"))
+    val perCol = monitored.map { case (name, bucket) =>
+      o.select(lit(name).as("col_name"), bucket.as("bucket"),
+        col("is_base"))
+    }.reduce(_ unionAll _)
+    val counts = perCol
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cur"))
+    val w = Window.partitionBy("col_name")
+    counts
+      .withColumn("tot_base", sum(col("n_base")).over(w))
+      .withColumn("tot_cur", sum(col("n_cur")).over(w))
+      .withColumn("n_buckets", count(lit(1)).over(w))
+      // E = tot_cur * (n_base+1) / (tot_base + n_buckets): add-one
+      // smoothing over the observed buckets keeps E > 0 everywhere
+      .withColumn("e_cur",
+        (col("tot_cur") * (col("n_base") + lit(1L))).cast("double") /
+          (col("tot_base") + col("n_buckets")).cast("double"))
+      .withColumn("term_scaled",
+        floor((col("n_cur").cast("double") - col("e_cur")) *
+          (col("n_cur").cast("double") - col("e_cur")) / col("e_cur") *
+          lit(1000000.0)).cast("long"))
+      .groupBy(col("col_name"))
+      .agg(max(col("n_buckets")).as("n_buckets"),
+        max(col("tot_base")).as("n_base_rows"),
+        max(col("tot_cur")).as("n_cur_rows"),
+        sum(col("term_scaled")).as("chi2_scaled"))
+      // chi-square critical value at alpha=0.001 for the LARGEST
+      // monitored df (19): 43.82, at the same 10^6 scale
+      .withColumn("drifted", col("chi2_scaled") > lit(43820000L))
+  }
+
+  val a40Sql: String =
+    s"""WITH melt AS (
+       |  SELECT 'o_totalprice' AS col_name,
+       |    CAST(CAST(least(floor(o_totalprice / 25000.0), 19) AS BIGINT)
+       |      AS VARCHAR) AS bucket,
+       |    o_orderdate < TIMESTAMP '1996-01-01' AS is_base FROM orders
+       |  UNION ALL
+       |  SELECT 'o_orderpriority', o_orderpriority,
+       |    o_orderdate < TIMESTAMP '1996-01-01' FROM orders
+       |  UNION ALL
+       |  SELECT 'o_orderstatus', o_orderstatus,
+       |    o_orderdate < TIMESTAMP '1996-01-01' FROM orders),
+       |counts AS (
+       |  SELECT col_name, bucket,
+       |    CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_base,
+       |    CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n_cur
+       |  FROM melt GROUP BY 1, 2),
+       |terms AS (
+       |  SELECT col_name, n_buckets, tot_base, tot_cur,
+       |    CAST(floor((CAST(n_cur AS DOUBLE) - e_cur) *
+       |      (CAST(n_cur AS DOUBLE) - e_cur) / e_cur * 1000000.0)
+       |      AS BIGINT) AS term_scaled
+       |  FROM (
+       |    SELECT col_name, n_base, n_cur,
+       |      sum(n_base) OVER (PARTITION BY col_name) AS tot_base,
+       |      sum(n_cur) OVER (PARTITION BY col_name) AS tot_cur,
+       |      count(*) OVER (PARTITION BY col_name) AS n_buckets,
+       |      CAST(sum(n_cur) OVER (PARTITION BY col_name) * (n_base + 1)
+       |          AS DOUBLE) /
+       |        CAST(sum(n_base) OVER (PARTITION BY col_name) +
+       |          count(*) OVER (PARTITION BY col_name) AS DOUBLE) AS e_cur
+       |    FROM counts) t)
+       |SELECT col_name,
+       |  CAST(max(n_buckets) AS BIGINT) AS n_buckets,
+       |  CAST(max(tot_base) AS BIGINT) AS n_base_rows,
+       |  CAST(max(tot_cur) AS BIGINT) AS n_cur_rows,
+       |  CAST(sum(term_scaled) AS BIGINT) AS chi2_scaled,
+       |  CAST(sum(term_scaled) AS BIGINT) > 43820000 AS drifted
+       |FROM terms GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a40_drift_gate" -> a40DriftGate,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
@@ -1101,6 +1205,7 @@ object Relational {
     "a34_rollup_report" -> a34RollupReport)
 
   val oracles: Map[String, String] = Map(
+    "a40_drift_gate" -> a40Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier_volume" -> q5Sql,

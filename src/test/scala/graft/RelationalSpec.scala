@@ -254,4 +254,80 @@ class RelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
         (1 to rows.length))
     }
   }
+
+  test("a40 drift gate: hand-computed chi-square on a two-bucket shift") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_a40").toString
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // baseline era: A,A,B,B; current era: A,A,A,A — a clean shift
+    // (categoricals share one code path; prices pinned to bucket 0)
+    Seq(
+      (1L, 1L, "A", 10.0, ts("1995-01-01 00:00:00"), "1-URGENT"),
+      (2L, 1L, "A", 10.0, ts("1995-01-01 00:00:00"), "1-URGENT"),
+      (3L, 1L, "B", 10.0, ts("1995-01-01 00:00:00"), "1-URGENT"),
+      (4L, 1L, "B", 10.0, ts("1995-01-01 00:00:00"), "1-URGENT"),
+      (5L, 1L, "A", 10.0, ts("1997-01-01 00:00:00"), "1-URGENT"),
+      (6L, 1L, "A", 10.0, ts("1997-01-01 00:00:00"), "1-URGENT"),
+      (7L, 1L, "A", 10.0, ts("1997-01-01 00:00:00"), "1-URGENT"),
+      (8L, 1L, "A", 10.0, ts("1997-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$tmp/orders.parquet")
+    val got = Relational.a40DriftGate(spark, tmp).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("n_buckets"), r.getAs[Long]("chi2_scaled"),
+          r.getAs[Boolean]("drifted")))).toMap
+    // o_orderstatus: buckets A (2 base, 4 cur) and B (2 base, 0 cur);
+    // E_A = 4*(2+1)/(4+2) = 2, term = (4-2)^2/2 = 2; E_B = 2,
+    // term = (0-2)^2/2 = 2 -> chi2 = 4.0 at 10^6 scale, under gate
+    assert(got("o_orderstatus") == ((2L, 4000000L, false)),
+      s"status: ${got("o_orderstatus")}")
+    // single-bucket columns: E = 4*(4+1)/(4+1) = 4 = observed -> 0
+    assert(got("o_totalprice") == ((1L, 0L, false)))
+    assert(got("o_orderpriority") == ((1L, 0L, false)))
+  }
+
+  test("ann11 MMR re-rank equals an independent greedy recomputation") {
+    val got = graft.functions.Similarity.ann11MmrRerank(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("step")))
+    // recompute from raw embeddings: same ascending-index cosine fold
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+    }
+    val queries = vecs.keys.filter(_ % 100 == 0)
+    val want = queries.flatMap { q =>
+      // exact top-10 shortlist: cos desc, vec_id asc (ann1's rule)
+      val short = vecs.keys.filter(_ != q).toSeq
+        .map(v => (v, cos(q, v)))
+        .sortBy { case (v, c) => (-c, v) }.take(10)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      for (step <- 1 to 5) {
+        val cand = short.filterNot(c => sel.exists(_._1 == c._1))
+        val best = cand.map { case (v, rel) =>
+          val score = if (sel.isEmpty) rel
+            else 0.7 * rel - 0.3 * sel.map(s => cos(v, s._1)).max
+          (v, score)
+        }.minBy { case (v, sc) => (-sc, v) }
+        sel += ((best._1, step))
+      }
+      sel.map { case (v, step) => (q, v, step) }
+    }.toSet
+    assert(got.toSet == want, s"got=${got.length} want=${want.size}")
+    // the diversified page is 5 DISTINCT ids per query, step 1 = the
+    // relevance argmax (pure top-1 never changes under MMR)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).distinct.length == 5)
+    }
+  }
 }
