@@ -254,7 +254,72 @@ object Multimodal {
       |  (target_w * target_h * 10000) // (w * h) AS scale_bp
       |FROM p""".stripMargin
 
+  /** Shard byte budget for [[m6ShardPlan]] — small against real
+    * webdataset shards (~1 GB) because the synthetic payloads are 32
+    * bytes; the arithmetic is budget-independent.
+    */
+  private val ShardBytes = 4096L
+
+  /** m6: media shard packing — the webdataset/tar sharding pass a
+    * multimodal training pipeline runs before the GPU loaders: assign
+    * media records, in a deterministic total order, to consecutive
+    * byte-budgeted shards, so loaders stream fixed-size archives
+    * instead of billions of small objects. A record lands in shard
+    * ⌊(cumulative bytes before it) / budget⌋ — the classic
+    * next-fit-by-running-sum plan (records larger than a budget get a
+    * shard range to themselves; nothing splits). Emits the per-shard
+    * manifest: item count, payload bytes, record span, and the
+    * format mix.
+    *
+    * Scale shape: shards are packed WITHIN each format stream (the
+    * loaders want modality-homogeneous archives, and it keeps the
+    * running sum t9's partitioned-window shape — one keyed window,
+    * never a global single-partition sort) plus one partial-
+    * aggregable groupBy on (fmt, shard id). The payload bytes
+    * themselves never shuffle — the plan works on lengths; the
+    * actual tar write would be a partitionBy(fmt, shard) file job.
+    */
+  def m6ShardPlan(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("fmt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    mediaTable(s, d)
+      .select(col("doc_id"), col("fmt"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("bytes_before",
+        coalesce(sum(col("n_bytes")).over(w), lit(0L)))
+      .withColumn("shard_id", (col("bytes_before") / ShardBytes)
+        .cast("long"))
+      .groupBy(col("fmt"), col("shard_id"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  val m6Sql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'png'
+       |         WHEN doc_id % 3 = 1 THEN 'jpeg'
+       |         ELSE 'wav' END AS fmt,
+       |    CAST(octet_length(unhex(md5(text) || md5(text || 'x')))
+       |      AS BIGINT) AS n_bytes
+       |  FROM documents),
+       |planned AS (
+       |  SELECT doc_id, fmt, n_bytes,
+       |    CAST(coalesce(sum(n_bytes) OVER (PARTITION BY fmt
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      // $ShardBytes AS BIGINT) AS shard_id
+       |  FROM m)
+       |SELECT fmt, shard_id, count(*) AS n_items,
+       |  CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM planned GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_shard_plan" -> m6ShardPlan,
     "m5_resize_plan" -> m5ResizePlan,
     "m1_media_meta" -> m1MediaMeta,
     "m2_media_features" -> m2MediaFeatures,
@@ -262,6 +327,7 @@ object Multimodal {
     "m4_media_dedup" -> m4MediaDedup)
 
   val oracles: Map[String, String] = Map(
+    "m6_shard_plan" -> m6Sql,
     "m5_resize_plan" -> m5Sql,
     "m1_media_meta" -> m1Sql,
     "m2_media_features" -> m2Sql,

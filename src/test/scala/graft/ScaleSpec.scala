@@ -254,11 +254,12 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // fixed 127-row grid — its ratio tracks d9's
       "t18_gopher_repetition", "t19_nb_quality", "t20_weighted_sample",
       "d17_band_planner",
-      // a40 is one corpus-linear scan ending in a ~60-row report.
+      // a40 is one corpus-linear scan ending in a ~60-row report;
+      // m6 is one fmt-keyed window + groupBy (t9's packing shape).
       // ann11 is NOT a head for ann1/ann10's reason: its shortlist
       // input embeds the deliberately O(N·Q) exact-truth build; the
       // MMR pass itself is bounded (queries × C(10,2) pairs, K steps)
-      "a40_drift_gate")
+      "a40_drift_gate", "m6_shard_plan")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()

@@ -409,6 +409,26 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got(3L)._2 == 10L * 333333L, s"doc3 score: ${got(3L)}")
   }
 
+  test("m6 shard plan: byte-budgeted next-fit within each format stream") {
+    val rows = graft.functions.Multimodal.m6ShardPlan(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("fmt"), r.getAs[Long]("shard_id"),
+        r.getAs[Long]("n_items"), r.getAs[Long]("shard_bytes")))
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._3).sum == total)
+    // payloads are all 32 bytes -> every shard except each format's
+    // last holds exactly 4096/32 = 128 items, and bytes = items * 32
+    rows.foreach { case (_, _, n, b) => assert(b == n * 32) }
+    rows.groupBy(_._1).foreach { case (fmt, rs) =>
+      val last = rs.map(_._2).max
+      rs.filter(_._2 != last).foreach { case (_, sid, n, _) =>
+        assert(n == 128L, s"$fmt shard $sid has $n items")
+      }
+      // shard ids are dense from 0
+      assert(rs.map(_._2).sorted.toSeq == (0L until rs.length).toSeq)
+    }
+  }
+
   test("t20 weighted sample: exact priority order, partition-invariant") {
     val docs = Tables.load(spark, sf, "documents")
     val got = graft.functions.TextAnalysis.t20WeightedSample(spark, sf)
