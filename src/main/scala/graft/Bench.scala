@@ -11,7 +11,7 @@ object Bench {
     */
   val WarmupQueries: Seq[String] = Seq(
     // NON-memo one-time costs only — every memoized shared relation
-    // is warmed by construction via Dedup.memoWarmers below, so this
+    // is warmed by construction via Memo.memoWarmers below, so this
     // list no longer tracks which query happens to build which memo
     // (round-8 finding: ann2/d7 drifted 3-6x under the driver because
     // their one-time builds weren't on the round-7 name list).
@@ -90,12 +90,12 @@ object Bench {
     // every driver-vs-committed comparison (round-6: d3 0.36 vs
     // 0.91 s; round-8: ann2 0.21 vs 1.34 s, both sides same code).
     // Warm the MEMO REGISTRY itself, not a query-name list: every
-    // relation created through Dedup.memoized is touched untimed by
+    // relation created through Memo.memoized is touched untimed by
     // construction, so a newly added memo can never reintroduce the
     // drift. Touching SparkEntry.queries first forces init of every
     // query module, which is what registers the warmers.
     require(SparkEntry.queries.nonEmpty) // force module init
-    for ((_, fn) <- graft.functions.Dedup.memoWarmers.toSeq.sortBy(_._1))
+    for ((_, fn) <- graft.functions.Memo.memoWarmers.toSeq.sortBy(_._1))
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     // residual non-memo one-time costs (codegen, expression registry)
     for (q <- Bench.WarmupQueries)

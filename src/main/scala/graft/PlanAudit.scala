@@ -19,7 +19,7 @@ object PlanAudit {
     * bounded on the broadcast side by design. Every entry is the
     * query's OWN operator shape — inherited lineage no longer appears
     * here: the shared truth/assignment relations are materialized
-    * tables ([[graft.functions.Dedup.memoizedTable]]), so ann1/ann2/
+    * tables ([[graft.functions.Memo.memoizedTable]]), so ann1/ann2/
     * ann3/ann5/ann8/ann9/d5/d11 plan as equi-joins over file scans
     * and dropped off this list.
     *  - ann4/ann7: broadcast query set over the full (quantized)

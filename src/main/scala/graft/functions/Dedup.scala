@@ -23,142 +23,6 @@ import graft.functions.Norm.{xhash64, xhash64Sql}
   */
 object Dedup {
 
-  // --- memo infrastructure FIRST: Dedup's own class init references
-  // TextAnalysis, whose init re-enters Dedup through memoized()/
-  // memoizedTable() — these vals must be assigned before that
-  // re-entry or a Dedup-first initialization order NPEs.
-
-  /** Memoize a persisted DataFrame per (session, input dir). Entries
-    * of STOPPED sessions are purged on every access (the strong
-    * reference would otherwise pin dead sessions and their plans for
-    * the JVM's lifetime), and the compute runs under the map's lock
-    * so concurrent first calls cannot double-persist.
-    */
-  /** Every memo map that has ever flowed through [[cachedPerSession]],
-    * so [[purgeAllCaches]] can find them without each owner object
-    * registering by hand. IDENTITY-keyed: mutable TrieMaps compare
-    * structurally, so a plain Set would consider two empty caches
-    * equal, skip the second registration, and leave its persisted
-    * relations invisible to the purge (and mutating a hash-set member
-    * corrupts the set's invariant besides). Registration happens
-    * OUTSIDE any cache monitor — taking the registry lock while
-    * holding a cache lock, with the purge nesting them the other way
-    * round, was an ABBA deadlock waiting for the first concurrent
-    * purge (Check's report sections run memoized queries on a pool).
-    */
-  private val cacheRegistry: java.util.Set[
-      scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]] =
-    java.util.Collections.synchronizedSet(
-      java.util.Collections.newSetFromMap(new java.util.IdentityHashMap))
-
-  private[functions] def cachedPerSession(
-      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
-      s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
-    cacheRegistry.add(cache)
-    cache.synchronized {
-      cache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-      cache.getOrElseUpdate((s, d),
-        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    }
-  }
-
-  /** Every memoized shared-relation accessor created through
-    * [[memoized]], keyed by a stable name. Bench's untimed warmup
-    * iterates THIS map instead of a hand-maintained query-name list,
-    * so every shared persisted relation is warmed by construction and
-    * a newly added memo can never reintroduce the first-consumer
-    * drift finding (round-8: the driver's first ann2/d7 samples
-    * absorbed one-time builds the name list didn't cover).
-    *
-    * Registration happens at the OWNING OBJECT's init (the accessor
-    * vals below are built through [[memoized]]); Bench forces init of
-    * every module by touching `SparkEntry.queries` before iterating —
-    * any object that registers a memo also registers its queries
-    * there, or it wouldn't be on the benched surface at all.
-    */
-  private[graft] val memoWarmers = scala.collection.concurrent.TrieMap
-    .empty[String, (SparkSession, String) => DataFrame]
-
-  /** Wrap a shared-relation builder in a per-(session, input) memo
-    * (its own cache, registered with [[purgeAllCaches]] via
-    * [[cachedPerSession]]) AND in the warmup registry above. All
-    * memoized relations flow through here — creating a bare TrieMap
-    * cache by hand would opt the relation out of warmup.
-    */
-  private[graft] def memoized(name: String)(
-      build: (SparkSession, String) => DataFrame)
-      : (SparkSession, String) => DataFrame = {
-    val cache = scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), DataFrame]
-    val fn = (s: SparkSession, d: String) =>
-      cachedPerSession(cache, s, d)(build(s, d))
-    memoWarmers.put(name, fn)
-    fn
-  }
-
-  /** Like [[memoized]], but MATERIALIZES the relation through a
-    * parquet round-trip before persisting: the returned DataFrame's
-    * plan is a plain file scan, so a consumer joining against it sees
-    * an equi-joinable table, not the builder's lineage (ann1's
-    * broadcast brute-force scan, the IVF centroid cross) — and the
-    * plan audit holds the consumer to the no-BNL contract instead of
-    * whitelisting inherited noise. This is also the honest 100 TB
-    * shape for these relations: the exact-truth baseline and the IVF
-    * cell assignment are INDEXES — built once, served from storage —
-    * not sub-plans re-derived inside every consumer. The write runs
-    * eagerly at first access (a bounded build job, like chunk
-    * planning); like the stream feeds, purge drops only the memo —
-    * files stay on disk and a rebuild writes a fresh temp dir.
-    */
-  private[graft] def memoizedTable(name: String)(
-      build: (SparkSession, String) => DataFrame)
-      : (SparkSession, String) => DataFrame =
-    memoized(name) { (s, d) =>
-      val df = build(s, d)
-      val path = graft.operators.Migrate.tempDir(
-        name.replace('.', '_')) + "/data"
-      df.write.mode("overwrite").parquet(path)
-      // explicit schema: an EMPTY build (the empty-input sweep) can
-      // write zero part-files, and schema inference would fail there
-      s.read.schema(df.schema).parquet(path)
-    }
-
-  /** Unpersist and drop every memoized relation (all families, all
-    * input dirs). Benchmark/test hook: a long-lived JVM that has run
-    * many suites carries a storage pool full of unrelated persisted
-    * relations; a scale measurement taken in that state times
-    * eviction and GC, not the operator. Purging returns the session
-    * to a cold, clean-storage state; the next access re-builds and
-    * re-persists. Iterates over a SNAPSHOT of the registry and takes
-    * each cache's monitor without holding any other lock (see
-    * cacheRegistry's doc for the lock-order rationale).
-    *
-    * ASSUMES QUIESCENCE: cold-clean-storage is guaranteed only when
-    * no query is concurrently building (the hook's actual use — a
-    * bench/test pausing between phases). A cachedPerSession call
-    * racing the purge can register its cache after the snapshot, or
-    * re-populate a cache the loop already passed, leaving that
-    * relation resident — by design: the alternative (re-running the
-    * snapshot loop until every cache is empty) never terminates
-    * against a steady query stream, and blocking builds for the
-    * purge's duration would trade a measurement hook for a global
-    * pause. Under concurrency the purge is best-effort.
-    */
-  private[graft] def purgeAllCaches(): Unit = {
-    feedCache.synchronized(feedCache.clear()) // paths only; files stay on disk
-    val snapshot = cacheRegistry.synchronized {
-      new java.util.ArrayList(cacheRegistry)
-    }
-    snapshot.forEach { cache =>
-      cache.synchronized {
-        cache.values.foreach(df =>
-          try df.unpersist(blocking = true)
-          catch { case _: Throwable => () })
-        cache.clear()
-      }
-    }
-  }
-
 
   /** doc_id + exploded distinct 3-gram shingles. */
   private def shingles(s: SparkSession, d: String): DataFrame =
@@ -221,7 +85,7 @@ object Dedup {
     * is the session; size is the index, the family's working set.
     */
   private val shingleIndex: (SparkSession, String) => DataFrame =
-    memoized("dedup.shingleIndex") { (s, d) =>
+    Memo.memoized("dedup.shingleIndex") { (s, d) =>
       val (h1, h2) = hashPair(col("shingle"))
       shingles(s, d).select(col("doc_id"), h1.as("h1"), h2.as("h2"))
     }
@@ -270,7 +134,7 @@ object Dedup {
     * per corpus snapshot.
     */
   private val pairStats: (SparkSession, String) => DataFrame =
-    memoized("dedup.pairStats") { (s, d) =>
+    Memo.memoized("dedup.pairStats") { (s, d) =>
       val kept = cappedKept(s, d)
       val withN = kept.join(keptCounts(kept), "doc_id")
       withN.as("a").join(withN.as("b"), Seq("shingle"))
@@ -523,7 +387,7 @@ object Dedup {
     * and the cached thing is bounded output, not corpus-sized input.
     */
   val d3MinhashLsh: (SparkSession, String) => DataFrame =
-    memoized("dedup.d3MinhashPairs") { (s, d) =>
+    Memo.memoized("dedup.d3MinhashPairs") { (s, d) =>
       bandedPairs(minhashSignatureFromIndex(shingleIndex(s, d)))
     }
 
@@ -787,7 +651,7 @@ object Dedup {
     * one level down.
     */
   val d6DupClusters: (SparkSession, String) => DataFrame =
-    memoized("dedup.d6Clusters") { (s, d) =>
+    Memo.memoized("dedup.d6Clusters") { (s, d) =>
       connectedComponents(d3MinhashLsh(s, d))
     }
 
@@ -959,6 +823,11 @@ object Dedup {
   private val feedCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
+  // the feed cache holds PATHS, not DataFrames — register its purge
+  // with the central hook registry (files stay on disk; see Memo)
+  Memo.purgeHooks.put("dedup.feedCache",
+    () => feedCache.synchronized(feedCache.clear()): Unit)
+
   private def docsFeed(s: SparkSession, d: String): String =
     feedCache.synchronized {
       // same stopped-session hygiene as cachedPerSession: a strong
@@ -984,7 +853,7 @@ object Dedup {
   // the feed write is a first-consumer one-time cost exactly like a
   // memoized relation build — register it with the warmup registry
   // so neither d15 nor d16's timed figure absorbs it
-  memoWarmers.put("dedup.docsFeed",
+  Memo.memoWarmers.put("dedup.docsFeed",
     (s: SparkSession, d: String) => s.read.parquet(docsFeed(s, d)))
 
   /** An isolated session (own SQLConf, shared context) for a
@@ -1131,16 +1000,20 @@ object Dedup {
     * Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4).
     *
     * Every probability is a fixed multiplication CHAIN over exact
-    * grid doubles (j = g/128, je = e/8 — exact power-of-two
-    * divisions), scaled by 2^40 (exact) and floored to BIGINT before
-    * any sum, so the report is integer-exact, partition-invariant,
-    * and cross-engine identical — no pow(), no float accumulation.
+    * grid doubles (j = g/128, je = e/K — exact power-of-two
+    * divisions), scaled by an exact power of two (2^40 on the grid;
+    * 2^20 on the pair-count-weighted empirical side, where the
+    * larger scale would overflow int64 past ~8M pairs per bucket)
+    * and floored to BIGINT before any sum, so the report is
+    * integer-exact, partition-invariant, and cross-engine
+    * identical — no pow(), no float accumulation.
     * Scale shape: the grid is 127 rows × 4 configs; the only
     * data-sized input is the bounded candidate histogram (≤ K+1
     * rows after a partial-aggregable groupBy over d9's pairs).
     */
   def d17BandPlanner(s: SparkSession, d: String): DataFrame = {
     val S = "1099511627776.0" // 2^40: exact scaling before floor
+    val SE = "1048576.0" // 2^20: empirical scale (see bound note below)
     def chain(v: String, n: Int) = Seq.fill(n)(v).mkString("(", " * ", ")")
     val hist = d9EstimatorCalibration(s, d)
       .groupBy(col("n_eq_slots").as("e"))
@@ -1159,12 +1032,18 @@ object Dedup {
           expr(s"CAST(coalesce(sum(CASE WHEN g < 64 THEN " +
             s"CAST(floor(p * $S) AS BIGINT) ELSE CAST(0 AS BIGINT) " +
             s"END), CAST(0 AS BIGINT)) AS BIGINT) AS fp_scaled"))
+      // empirical side scales by 2^20, not 2^40: the term multiplies
+      // by a bucket's PAIR COUNT, and 2^20-scaled probabilities keep
+      // the int64 sum exact up to ~2^43 pairs per agreement bucket —
+      // beyond any cap-bounded candidate set — where a 2^40 scale
+      // would wrap (and wrap DIFFERENTLY in the two engines) past
+      // ~8M pairs.
       val emp = hist
-        .selectExpr("n_pairs", "CAST(e AS DOUBLE) / 8.0 AS je")
+        .selectExpr("n_pairs", s"CAST(e AS DOUBLE) / $K.0 AS je")
         .selectExpr("n_pairs", s"${chain("je", r)} AS jr")
         .selectExpr("n_pairs", "1.0 - jr AS m1")
         .selectExpr("n_pairs", s"${chain("m1", b)} AS miss")
-        .agg(expr(s"CAST(coalesce(sum(n_pairs * CAST(floor(miss * $S) " +
+        .agg(expr(s"CAST(coalesce(sum(n_pairs * CAST(floor(miss * $SE) " +
           s"AS BIGINT)), CAST(0 AS BIGINT)) AS BIGINT) AS exp_missed_scaled"))
       // combine the two 1-row aggregates WITHOUT a join: a crossJoin
       // is a CartesianProduct and a constant-key equi-join constant-
@@ -1191,13 +1070,16 @@ object Dedup {
   }
 
   /** The factorizations of the K-slot signature a planner can choose
-    * from (r = rows per band, b = bands; b·r = K).
+    * from (r = rows per band, b = bands; b·r = K) — derived from the
+    * SAME [[K]] the signatures use, so a width change cannot leave
+    * the planner dividing by a stale slot count.
     */
-  private val bandConfigs: Seq[(Int, Int)] =
-    Seq((1, 8), (2, 4), (4, 2), (8, 1))
+  private def bandConfigs: Seq[(Int, Int)] =
+    (1 to K).filter(K % _ == 0).map(b => (b, K / b))
 
   val d17Sql: String = {
     val S = "1099511627776.0"
+    val SE = "1048576.0"
     def chain(v: String, n: Int) = Seq.fill(n)(v).mkString("(", " * ", ")")
     val cfgs = bandConfigs.zipWithIndex.map { case ((b, r), i) =>
       s"""a_$i AS (
@@ -1218,13 +1100,13 @@ object Dedup {
          |            ) t0) t1) t2) t3) t4) t5),
          |e_$i AS (
          |  SELECT CAST(coalesce(sum(n_pairs *
-         |      CAST(floor(miss * $S) AS BIGINT)), 0) AS BIGINT)
+         |      CAST(floor(miss * $SE) AS BIGINT)), 0) AS BIGINT)
          |    AS exp_missed_scaled
          |  FROM (
          |    SELECT n_pairs, ${chain("m1", b)} AS miss FROM (
          |      SELECT n_pairs, 1.0 - jr AS m1 FROM (
          |        SELECT n_pairs, ${chain("je", r)} AS jr FROM (
-         |          SELECT n_pairs, CAST(e AS DOUBLE) / 8.0 AS je
+         |          SELECT n_pairs, CAST(e AS DOUBLE) / $K.0 AS je
          |          FROM hist) q1) q2) q3) q4)""".stripMargin
     }.mkString(",\n")
     val union = bandConfigs.indices.map(i =>
@@ -1420,7 +1302,7 @@ object Dedup {
     * exactly the storage ≪ recompute trade the shingle index makes.
     */
   val d12ExactSubstring: (SparkSession, String) => DataFrame =
-    memoized("dedup.d12ExactSubstring")(d12Uncached)
+    Memo.memoized("dedup.d12ExactSubstring")(d12Uncached)
 
   private def d12Uncached(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

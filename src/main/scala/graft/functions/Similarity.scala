@@ -71,14 +71,14 @@ object Similarity {
     * ann3/ann4/ann7/ann8/ann9 each join against this truth relation,
     * and without the memo each recall query re-pays the full O(N·Q)
     * exact scan it exists to avoid. The parquet round-trip
-    * ([[Dedup.memoizedTable]]) makes the consumers' plans join a
+    * ([[Memo.memoizedTable]]) makes the consumers' plans join a
     * plain file scan instead of inheriting the brute-force
     * BroadcastNestedLoopJoin lineage — at 100 TB the truth set is an
     * evaluation artifact computed once and read from storage, and the
     * plan audit now holds every consumer to the no-BNL contract.
     */
   val ann1BruteTopK: (SparkSession, String) => DataFrame =
-    Dedup.memoizedTable("similarity.ann1Truth")(ann1Uncached)
+    Memo.memoizedTable("similarity.ann1Truth")(ann1Uncached)
 
   private def ann1Uncached(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
@@ -123,13 +123,13 @@ object Similarity {
     * consumers (ann2, ann3 via ann2, ann5, d5 twice via self-join)
     * otherwise each pay the O(N·C) assignment pass — same sharing
     * pattern as the dedup family's persisted shingle index. The
-    * parquet round-trip ([[Dedup.memoizedTable]]) is the IVF index at
+    * parquet round-trip ([[Memo.memoizedTable]]) is the IVF index at
     * rest: consumers equi-join the cell-keyed table instead of
     * inheriting the centroid-cross lineage, so their plans stay
     * BNL-free under the audit.
     */
   private[graft] val assignedCells: (SparkSession, String) => DataFrame =
-    Dedup.memoizedTable("similarity.assignedCells")(assignedCellsUncached)
+    Memo.memoizedTable("similarity.assignedCells")(assignedCellsUncached)
 
   /** THE broadcast centroid relation (vec_id ≡ 0 mod 50) — one
     * definition shared by the cell assignment and ann6's probe
@@ -821,7 +821,7 @@ object Similarity {
     * input, materialized once by construction.
     */
   private val subVectors: (SparkSession, String) => DataFrame =
-    Dedup.memoized("similarity.pqSubVectors") { (s, d) =>
+    Memo.memoized("similarity.pqSubVectors") { (s, d) =>
       val M = 8; val SUB = 8
       val c = corpus(s, d).filter(col("nrm") > 0)
       val cn = c.withColumn("vn", transform(col("v"), x => x / col("nrm")))
@@ -876,7 +876,7 @@ object Similarity {
     * construction. M·K rows — broadcast at every use site.
     */
   private[graft] val trainedCodebook: (SparkSession, String) => DataFrame =
-    Dedup.memoized("similarity.pqCodebook") { (s, d) =>
+    Memo.memoized("similarity.pqCodebook") { (s, d) =>
       val CW = 16
       val sub = subVectors(s, d)
       val cb0 = broadcast(sub.filter(col("vec_id") < CW)
@@ -908,7 +908,7 @@ object Similarity {
     * relation IS the PQ index, materialized once.
     */
   private[graft] val pqCodes: (SparkSession, String) => DataFrame =
-    Dedup.memoized("similarity.pqCodes") { (s, d) =>
+    Memo.memoized("similarity.pqCodes") { (s, d) =>
       pqEncode(s, d, broadcast(trainedCodebook(s, d)))
     }
 
@@ -1362,30 +1362,50 @@ object Similarity {
     * output (queries × 10 rows), every join keys on query_id, and the
     * pairwise sim matrix is C(10,2) rows per query, computed once.
     */
+  /** ann11's relevance and pairwise-sim relations, memoized: the
+    * greedy loop references `selected` THREE times per step (union,
+    * anti-join, equi-join), so the logical plan embeds ~3^(K−1)
+    * copies of the step-1 subtree — Catalyst does not dedupe
+    * identical subplans, and an unmemoized rel/sim would re-run the
+    * corpus joins dozens of times per query execution. Persisted,
+    * every copy is a cheap in-memory scan; both relations are
+    * bounded (queries × 10 and queries × C(10,2) rows).
+    */
+  private val ann11Rel: (SparkSession, String) => DataFrame =
+    Memo.memoized("similarity.ann11Rel") { (s, d) =>
+      val c = corpus(s, d)
+      ann1BruteTopK(s, d)
+        .join(c.select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm")), Seq("query_id"))
+        .join(c.select(col("vec_id").as("neighbor_id"), col("v").as("av"),
+          col("nrm").as("anrm")), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dot(col("qv"), col("av")) / (col("qnrm") * col("anrm")))
+            .as("rel"))
+    }
+
+  private val ann11Sim: (SparkSession, String) => DataFrame =
+    Memo.memoized("similarity.ann11Sim") { (s, d) =>
+      val c = corpus(s, d)
+      val truth = ann1BruteTopK(s, d)
+      truth.as("a")
+        .join(truth.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.neighbor_id") < col("b.neighbor_id"))
+        .select(col("a.query_id").as("query_id"),
+          col("a.neighbor_id").as("id_a"), col("b.neighbor_id").as("id_b"))
+        .join(c.select(col("vec_id").as("id_a"), col("v").as("xv"),
+          col("nrm").as("xnrm")), Seq("id_a"))
+        .join(c.select(col("vec_id").as("id_b"), col("v").as("yv"),
+          col("nrm").as("ynrm")), Seq("id_b"))
+        .select(col("query_id"), col("id_a"), col("id_b"),
+          (dot(col("xv"), col("yv")) / (col("xnrm") * col("ynrm")))
+            .as("sim"))
+    }
+
   def ann11MmrRerank(s: SparkSession, d: String): DataFrame = {
-    val c = corpus(s, d)
-    val truth = ann1BruteTopK(s, d)
-    val rel = truth
-      .join(c.select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm")), Seq("query_id"))
-      .join(c.select(col("vec_id").as("neighbor_id"), col("v").as("av"),
-        col("nrm").as("anrm")), Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("av")) / (col("qnrm") * col("anrm")))
-          .as("rel"))
-    val sim = truth.as("a")
-      .join(truth.as("b"),
-        col("a.query_id") === col("b.query_id") &&
-          col("a.neighbor_id") < col("b.neighbor_id"))
-      .select(col("a.query_id").as("query_id"),
-        col("a.neighbor_id").as("id_a"), col("b.neighbor_id").as("id_b"))
-      .join(c.select(col("vec_id").as("id_a"), col("v").as("xv"),
-        col("nrm").as("xnrm")), Seq("id_a"))
-      .join(c.select(col("vec_id").as("id_b"), col("v").as("yv"),
-        col("nrm").as("ynrm")), Seq("id_b"))
-      .select(col("query_id"), col("id_a"), col("id_b"),
-        (dot(col("xv"), col("yv")) / (col("xnrm") * col("ynrm")))
-          .as("sim"))
+    val rel = ann11Rel(s, d)
+    val sim = ann11Sim(s, d)
     def argmax(df: DataFrame, score: String): DataFrame =
       df.withColumn("rn", row_number().over(Window.partitionBy("query_id")
         .orderBy(col(score).desc, col("neighbor_id").asc)))

@@ -479,7 +479,7 @@ object TextAnalysis {
     * corpus-sized shingle/gram explosions: the Dedup-index trade.
     */
   val t7Decontaminate: (SparkSession, String) => DataFrame =
-    Dedup.memoized("text.t7Decontaminate")(t7Uncached)
+    Memo.memoized("text.t7Decontaminate")(t7Uncached)
 
   private def t7Uncached(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents")
@@ -1000,7 +1000,7 @@ object TextAnalysis {
     * short for a trigram survive via the left join with zero counts.
     */
   val t14RarityProfile: (SparkSession, String) => DataFrame =
-    Dedup.memoized("text.t14RarityProfile")(t14Uncached)
+    Memo.memoized("text.t14RarityProfile")(t14Uncached)
 
   private def t14Uncached(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents")
@@ -1715,10 +1715,10 @@ object TextAnalysis {
        |  coalesce(top3_frac, 0.0) AS top3_frac,
        |  coalesce(top4_frac, 0.0) AS top4_frac,
        |  coalesce(dup5_frac, 0.0) AS dup5_frac,
-       |  coalesce(top2_frac, 0.0) > 0.20 OR
-       |    coalesce(top3_frac, 0.0) > 0.18 OR
-       |    coalesce(top4_frac, 0.0) > 0.16 OR
-       |    coalesce(dup5_frac, 0.0) > 0.15 AS flagged
+       |  coalesce(top2_frac, 0.0) > ${TopGramMaxFrac(2)} OR
+       |    coalesce(top3_frac, 0.0) > ${TopGramMaxFrac(3)} OR
+       |    coalesce(top4_frac, 0.0) > ${TopGramMaxFrac(4)} OR
+       |    coalesce(dup5_frac, 0.0) > $Dup5MaxFrac AS flagged
        |FROM documents d
        |LEFT JOIN tf ON d.doc_id = tf.doc_id
        |LEFT JOIN d5 ON d.doc_id = d5.doc_id""".stripMargin

@@ -1123,10 +1123,31 @@ object Relational {
         max(col("tot_base")).as("n_base_rows"),
         max(col("tot_cur")).as("n_cur_rows"),
         sum(col("term_scaled")).as("chi2_scaled"))
-      // chi-square critical value at alpha=0.001 for the LARGEST
-      // monitored df (19): 43.82, at the same 10^6 scale
-      .withColumn("drifted", col("chi2_scaled") > lit(43820000L))
+      // per-column critical value at the column's OWN df (a fixed
+      // worst-case df would let a low-cardinality column's genuine
+      // shift pass a 2-3x too-lenient gate)
+      .withColumn("drifted",
+        col("chi2_scaled") > expr(chi2CritCaseSql("n_buckets - 1")))
   }
+
+  /** chi-square critical values at alpha = 0.001 for df 1..19
+    * (standard table), at the statistic's 10^6 scale — ONE copy
+    * rendered into both dialects. df above the table (an unbounded
+    * categorical would be a bucketing bug) clamps to df 19.
+    */
+  private val Chi2Crit001: Seq[Long] = Seq(
+    10828000L, 13816000L, 16266000L, 18467000L, 20515000L,
+    22458000L, 24322000L, 26124000L, 27877000L, 29588000L,
+    31264000L, 32909000L, 34528000L, 36123000L, 37697000L,
+    39252000L, 40790000L, 42312000L, 43820000L)
+
+  /** CASE expression mapping a df expression to its critical value —
+    * identical text parses in Spark SQL and DuckDB.
+    */
+  private def chi2CritCaseSql(df: String): String =
+    Chi2Crit001.init.zipWithIndex
+      .map { case (v, i) => s"WHEN ($df) = ${i + 1} THEN $v" }
+      .mkString("CASE ", " ", s" ELSE ${Chi2Crit001.last} END")
 
   val a40Sql: String =
     s"""WITH melt AS (
@@ -1167,7 +1188,8 @@ object Relational {
        |  CAST(max(tot_base) AS BIGINT) AS n_base_rows,
        |  CAST(max(tot_cur) AS BIGINT) AS n_cur_rows,
        |  CAST(sum(term_scaled) AS BIGINT) AS chi2_scaled,
-       |  CAST(sum(term_scaled) AS BIGINT) > 43820000 AS drifted
+       |  CAST(sum(term_scaled) AS BIGINT) >
+       |    ${chi2CritCaseSql("max(n_buckets) - 1")} AS drifted
        |FROM terms GROUP BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

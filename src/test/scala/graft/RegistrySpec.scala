@@ -48,13 +48,13 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("memo warmer registry holds every memoized shared relation") {
-    // Bench warms graft.functions.Dedup.memoWarmers by iterating the
+    // Bench warms graft.functions.Memo.memoWarmers by iterating the
     // registry (drift-proof by construction); this pins that module
     // init actually registers the known shared relations, so a
     // refactor that bypasses Dedup.memoized (hand-rolled TrieMap
     // cache) is caught instead of silently opting out of warmup.
     require(SparkEntry.queries.nonEmpty) // force module init
-    val names = graft.functions.Dedup.memoWarmers.keySet
+    val names = graft.functions.Memo.memoWarmers.keySet
     val expected = Set(
       "dedup.docsFeed",
       "dedup.shingleIndex", "dedup.pairStats", "dedup.d3MinhashPairs",
@@ -62,6 +62,7 @@ class RegistrySpec extends AnyFunSuite {
       "similarity.ann1Truth", "similarity.assignedCells",
       "similarity.pqSubVectors", "similarity.pqCodebook",
       "similarity.pqCodes",
+      "similarity.ann11Rel", "similarity.ann11Sim",
       "text.t7Decontaminate", "text.t14RarityProfile")
     val gone = expected.diff(names)
     assert(gone.isEmpty, s"memoized relations missing from warmup: $gone")

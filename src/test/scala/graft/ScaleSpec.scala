@@ -275,7 +275,7 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // shape: the shingle index is built once per corpus), so the
     // ratio compares family-amortized passes at both scales.
     def cleanPool(): Unit = {
-      graft.functions.Dedup.purgeAllCaches()
+      graft.functions.Memo.purgeAllCaches()
       spark.catalog.clearCache()
     }
     cleanPool()
