@@ -359,14 +359,23 @@ object Dedup {
   /** Candidate pairs from banded minhash signatures; `bucketCap`
     * exposed for the degenerate-corpus property test.
     */
-  def bandedPairs(sig: DataFrame, bucketCap: Int = BUCKET_CAP): DataFrame = {
+  /** A signature relation exploded into its (doc_id, band, sig)
+    * bucket memberships — the shared unit of every banded-LSH
+    * consumer (d3/d6's pair mining, d19's incremental index+probe).
+    */
+  private[functions] def bandRelation(sig: DataFrame): DataFrame = {
     val bandArr = array((0 until K / 2).map { b =>
       struct(lit(b).as("band"),
         concat_ws(":", col(s"mh${2 * b}").cast("string"),
           col(s"mh${2 * b + 1}").cast("string")).as("sig"))
     }: _*)
-    val bands = sig.select(col("doc_id"), explode(bandArr).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
+    sig.select(col("doc_id"), explode(bandArr).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.sig").as("sig"))
+  }
+
+  def bandedPairs(sig: DataFrame, bucketCap: Int = BUCKET_CAP): DataFrame = {
+    val bands = bandRelation(sig)
     val small = bands.groupBy("band", "sig")
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= bucketCap).select("band", "sig")
@@ -1189,6 +1198,118 @@ object Dedup {
        |FROM shard s LEFT JOIN idx i ON s.fp = i.fp""".stripMargin
   }
 
+  /** d18: soft dedup weights — the FineWeb/RefinedWeb alternative to
+    * dropping near-dups: every document stays in the corpus, but a
+    * near-dup CLUSTER shares one document's worth of sampling mass —
+    * weight 1/|cluster| each (singletons keep weight 1), so repeated
+    * boilerplate stops dominating the training mixture without the
+    * recall risk of hard deletion. Weights ride d6's connected
+    * components (exact-duplicate mass is d1's job upstream, run
+    * before this in the composed pipelines) and are floor-scaled
+    * integers (10^6/|cluster| — one exact division per row, BIGINT
+    * everywhere), with `is_canonical` marking d10's keeper so a
+    * consumer can switch between soft weighting and hard dedup from
+    * the same relation.
+    *
+    * Scale shape: the memoized cluster relation + two broadcastable
+    * aggregates of it; the corpus-sized side is one left join keyed
+    * on doc_id. Total added cost over d6 is ~zero.
+    */
+  def d18SoftDedupWeights(s: SparkSession, d: String): DataFrame = {
+    val clusters = d6DupClusters(s, d)
+    val sz = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(col("doc_id")).as("keeper"))
+    Tables.load(s, d, "documents").select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .join(sz, Seq("cluster_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        floor(lit(1000000.0) / coalesce(col("cluster_size"), lit(1L)))
+          .cast("long").as("weight_scaled"),
+        coalesce(col("keeper") === col("doc_id"), lit(true))
+          .as("is_canonical"))
+  }
+
+  val d18Sql: String =
+    s"""WITH clusters AS ($d6Sql),
+       |sz AS (
+       |  SELECT cluster_id, count(*) AS cluster_size,
+       |    min(doc_id) AS keeper
+       |  FROM clusters GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(sz.cluster_size, 1) AS BIGINT) AS cluster_size,
+       |  CAST(floor(1000000.0 / coalesce(sz.cluster_size, 1)) AS BIGINT)
+       |    AS weight_scaled,
+       |  coalesce(sz.keeper = d.doc_id, TRUE) AS is_canonical
+       |FROM documents d
+       |LEFT JOIN clusters c ON d.doc_id = c.doc_id
+       |LEFT JOIN sz ON c.cluster_id = sz.cluster_id""".stripMargin
+
+  /** d19: incremental near-dup — d8's shard-vs-persisted-index shape
+    * for the BANDED family: the corpus's band memberships are
+    * materialized as a parquet index (built once, appended per
+    * shard), and an arriving shard's signatures PROBE that index —
+    * one equi-join on (band, sig) — instead of re-mining the whole
+    * lake's pairs. Hot index buckets (> BUCKET_CAP members) are
+    * dropped before the probe, the same boilerplate-bucket rule d3
+    * applies, so per-probe fan-out is bounded by the cap. The same
+    * deterministic hash slice as d8 defines the shard, so the
+    * incremental family's "new" means one thing. Emits the (new doc,
+    * corpus doc) candidates; within-shard candidates are the regular
+    * d3 run over the shard, and verification above the candidates is
+    * d9/d2's exact-Jaccard job — unchanged.
+    *
+    * Scale shape: index build is the one-off banded explode (shared
+    * signature relation); each increment costs one bounded-fan-out
+    * equi-join of shard bands against an at-rest table — never a
+    * corpus self-join. Index maintenance is an APPEND of the shard's
+    * band rows.
+    */
+  def d19IncrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSignatureFromIndex(shingleIndex(s, d))
+    val flags = Tables.load(s, d, "documents").select(col("doc_id"),
+      (pmod(xhash64(concat_ws("|", lit("incr"),
+        col("doc_id").cast("string"))), lit(5L)) === 0).as("is_new"))
+    val bands = bandRelation(sig).join(flags, Seq("doc_id"))
+    val idxDir = graft.operators.Migrate.tempDir("d19_idx")
+    bands.filter(!col("is_new")).select("doc_id", "band", "sig")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(idxDir)
+    val idx = s.read.parquet(idxDir)
+    val keptBuckets = idx.groupBy("band", "sig")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= BUCKET_CAP).select("band", "sig")
+    val probe = bands.filter(col("is_new")).select(
+      col("doc_id").as("new_doc"), col("band"), col("sig"))
+    probe
+      .join(idx.join(keptBuckets, Seq("band", "sig"))
+        .select(col("doc_id").as("corpus_doc"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select(col("new_doc"), col("corpus_doc")).distinct()
+  }
+
+  val d19Sql: String = {
+    val isNew =
+      s"${xhash64Sql("'incr|' || CAST(doc_id AS VARCHAR)")} % 5 = 0"
+    val bandsUnion = (0 until K / 2).map { b =>
+      s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || ':' || " +
+        s"CAST(mh${2 * b + 1} AS VARCHAR) AS sig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $sigCtesSql,
+       |flags AS (SELECT doc_id, $isNew AS is_new FROM documents),
+       |bands AS (
+       |  $bandsUnion),
+       |fb AS (SELECT b.doc_id, b.band, b.sig, f.is_new
+       |       FROM bands b JOIN flags f ON b.doc_id = f.doc_id),
+       |idx AS (SELECT doc_id, band, sig FROM fb WHERE NOT is_new),
+       |kept AS (SELECT band, sig FROM idx GROUP BY 1, 2
+       |         HAVING count(*) <= $BUCKET_CAP)
+       |SELECT DISTINCT p.doc_id AS new_doc, i.doc_id AS corpus_doc
+       |FROM (SELECT doc_id, band, sig FROM fb WHERE is_new) p
+       |JOIN idx i ON p.band = i.band AND p.sig = i.sig
+       |JOIN kept k ON i.band = k.band AND i.sig = k.sig""".stripMargin
+  }
+
   /** d10: cluster canonicalization — the keep-one decision that turns
     * d6's near-dup clusters into an actual dedup: per cluster, elect
     * the highest-quality member as survivor and account for what gets
@@ -1479,6 +1600,8 @@ object Dedup {
     "d8_incremental_dedup" -> d8IncrementalDedup,
     "d9_estimator_calibration" -> d9EstimatorCalibration,
     "d17_band_planner" -> d17BandPlanner,
+    "d18_soft_dedup_weights" -> d18SoftDedupWeights,
+    "d19_incremental_near_dup" -> d19IncrementalNearDup,
     "d10_cluster_canonical" -> d10ClusterCanonical,
     "d12_exact_substring" -> d12ExactSubstring,
     "d13_containment_pairs" -> d13ContainmentPairs,
@@ -1499,6 +1622,8 @@ object Dedup {
     "d8_incremental_dedup" -> d8Sql,
     "d9_estimator_calibration" -> d9Sql,
     "d17_band_planner" -> d17Sql,
+    "d18_soft_dedup_weights" -> d18Sql,
+    "d19_incremental_near_dup" -> d19Sql,
     "d10_cluster_canonical" -> d10Sql,
     "d12_exact_substring" -> d12Sql,
     "d13_containment_pairs" -> d13Sql,

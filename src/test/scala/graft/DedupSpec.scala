@@ -549,6 +549,65 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == want, s"FastSS=${got.size} brute=${want.size}")
   }
 
+  test("d18 soft weights: cluster mass sums to ~one doc, singletons keep full weight") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.functions.Dedup.d18SoftDedupWeights(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_size"),
+        r.getAs[Long]("weight_scaled"), r.getAs[Boolean]("is_canonical")))
+    val docs = Tables.load(spark, sf, "documents").count()
+    assert(rows.length == docs)
+    // sizes agree with d6's clusters; docs outside any cluster are
+    // size-1 singletons at full weight
+    val cl = graft.functions.Dedup.d6DupClusters(spark, sf)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, size, wt, canon) =>
+      if (size == 1L) assert(wt == 1000000L)
+      else assert(wt == 1000000L / size, s"doc $id")
+    }
+    // exactly one canonical per group, and the weights of one cluster
+    // sum to within floor losses of one document's mass
+    val clustered = graft.functions.Dedup.d6DupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy { case (id, _, _, _) =>
+      clustered.getOrElse(id, id) }.foreach { case (g, members) =>
+      assert(members.count(_._4) == 1, s"group $g canonicals")
+      val mass = members.map(_._3).sum
+      assert(mass <= 1000000L && mass > 1000000L - members.length,
+        s"group $g mass $mass")
+    }
+    assert(cl.values.forall(_ >= 2)) // d6 clusters are real dup groups
+  }
+
+  test("d19 incremental probe: covers every cross-split d3 pair, shard-disjoint") {
+    import org.apache.spark.sql.functions._
+    val got = graft.functions.Dedup.d19IncrementalNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def isNew(id: Long): Boolean = {
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"incr|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5hex.take(15), 16) % 5L == 0L
+    }
+    // every candidate pairs a shard doc with a corpus doc
+    got.foreach { case (n, c) =>
+      assert(isNew(n) && !isNew(c), s"pair ($n, $c)")
+    }
+    // the index-side-only cap is at least as permissive as d3's
+    // whole-bucket cap: every d3 pair that crosses the split must
+    // surface as an incremental candidate
+    val crossD3 = graft.functions.Dedup.d3MinhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        if (isNew(a) && !isNew(b)) Some((a, b))
+        else if (isNew(b) && !isNew(a)) Some((b, a))
+        else None
+      }.toSet
+    assert(crossD3.subsetOf(got),
+      s"missing: ${crossD3.diff(got).take(5)}")
+  }
+
   test("d17 band planner: all K=8 factorizations, recall/precision monotone in bands") {
     val rows = graft.functions.Dedup.d17BandPlanner(spark, sf)
       .collect()

@@ -259,7 +259,10 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // ann11 is NOT a head for ann1/ann10's reason: its shortlist
       // input embeds the deliberately O(N·Q) exact-truth build; the
       // MMR pass itself is bounded (queries × C(10,2) pairs, K steps)
-      "a40_drift_gate", "m6_shard_plan")
+      "a40_drift_gate", "m6_shard_plan",
+      // d18 rides d6's memoized clusters + one doc-keyed left join;
+      // d19 is the banded explode + a bounded-fan-out index probe
+      "d18_soft_dedup_weights", "d19_incremental_near_dup")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
