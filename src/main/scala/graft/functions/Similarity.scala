@@ -1489,7 +1489,166 @@ object Similarity {
        |  $unionAll) u""".stripMargin
   }
 
+  /** The label predicate ann12 serves under — one constant shared by
+    * truth, post-filter, and pre-filter (a drifted copy would make
+    * the recall comparison compare different questions).
+    */
+  private val FilterLabel = 1
+
+  /** Exact top-5 per query among label-matching corpus rows — the
+    * ground truth for filtered search, materialized as a table like
+    * ann1's unfiltered truth (an evaluation artifact, built once).
+    */
+  private val ann12TruthF: (SparkSession, String) => DataFrame =
+    Memo.memoizedTable("similarity.ann12TruthF") { (s, d) =>
+      val c = corpus(s, d)
+      val q = broadcast(c.select(col("vec_id").as("qid"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+        .filter(col("qid") % 100 === 0))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      c.filter(col("label") === FilterLabel)
+        .join(q, col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid").as("query_id"),
+          col("vec_id").as("neighbor_id"), col("rank"))
+    }
+
+  /** ann12: FILTERED vector search — top-k under a metadata predicate
+    * (label = 1), the feature every production vector store fronts.
+    * One decision row compares the two standard strategies against
+    * the filtered exact truth:
+    *
+    *   POST-filter — run the unfiltered search (ann1's memoized
+    *   top-10), drop non-matching results, truncate to 5. Cheap, but
+    *   k shrinks with the filter's selectivity (`k_eff_post`), and
+    *   recall falls with it — the failure mode that pushes stores to
+    *   pre-filtering.
+    *
+    *   PRE-filter — restrict the IVF cell join to label rows BEFORE
+    *   ranking (the cell-keyed assigned table filters at the scan;
+    *   at rest, label is a partition/cluster column and matching
+    *   rows only are read). Recall is bounded by cell containment,
+    *   not filter selectivity.
+    *
+    * All counts are integers from one hit-marked left join per
+    * strategy (ann3's no-crossJoin shape); recalls are single IEEE
+    * divisions. At 100 TB: truth is a bounded evaluation artifact;
+    * the serving-path comparison is two equi-joins on bounded
+    * relations.
+    */
+  def ann12FilteredSearch(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val truthF = ann12TruthF(s, d)
+      .select(col("query_id"), col("neighbor_id"))
+    // post-filter: unfiltered exact top-10, keep label matches, top-5
+    // by ORIGINAL rank
+    val post = ann1BruteTopK(s, d)
+      .join(c.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+      .filter(col("label") === FilterLabel)
+      .withColumn("frank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rank").asc)))
+      .filter(col("frank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    // pre-filter: IVF cell search over label rows only
+    val assigned = assignedCells(s, d)
+    val q = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cell"))
+    val wIvf = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val pre = assigned.filter(col("label") === FilterLabel)
+      .join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(wIvf))
+      .filter(col("rank") <= 5)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+    def hits(got: DataFrame): DataFrame =
+      truthF.join(got.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+    val a = hits(post).agg(count(lit(1)).as("n_expected"),
+      count(col("hit")).as("hits_post"))
+    val b = hits(pre).agg(count(col("hit")).as("hits_pre"))
+    val kEff = post.agg(count(lit(1)).as("k_eff_post"))
+    // three bounded 1-row aggregates, combined joinlessly (d17's rule)
+    a.select(col("n_expected"), col("hits_post"),
+        lit(null).cast("long").as("hits_pre"),
+        lit(null).cast("long").as("k_eff_post"))
+      .unionAll(b.select(lit(null).cast("long").as("n_expected"),
+        lit(null).cast("long").as("hits_post"), col("hits_pre"),
+        lit(null).cast("long").as("k_eff_post")))
+      .unionAll(kEff.select(lit(null).cast("long").as("n_expected"),
+        lit(null).cast("long").as("hits_post"),
+        lit(null).cast("long").as("hits_pre"), col("k_eff_post")))
+      .agg(max(col("n_expected")).as("n_expected"),
+        max(col("hits_post")).as("hits_post"),
+        max(col("hits_pre")).as("hits_pre"),
+        max(col("k_eff_post")).as("k_eff_post"))
+      .withColumn("recall_post",
+        col("hits_post").cast("double") / col("n_expected"))
+      .withColumn("recall_pre",
+        col("hits_pre").cast("double") / col("n_expected"))
+  }
+
+  val ann12Sql: String = {
+    val truthF =
+      s"""SELECT qid AS query_id, vec_id AS neighbor_id FROM (
+         |    SELECT q.qid, f.vec_id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        ${dotSql("q.qv", "f.v")} / (q.qnrm * f.nrm) DESC,
+         |        f.vec_id ASC) AS rank
+         |    FROM (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM c
+         |          WHERE vec_id % 100 = 0) q
+         |    JOIN (SELECT * FROM c WHERE label = $FilterLabel) f
+         |      ON f.vec_id <> q.qid) t WHERE rank <= 5""".stripMargin
+    s"""WITH c AS ($corpusSql),
+       |$assignedSqlCte,
+       |truthf AS (
+       |  $truthF),
+       |post AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a1.query_id, a1.neighbor_id,
+       |      row_number() OVER (PARTITION BY a1.query_id
+       |        ORDER BY a1.rank ASC) AS frank
+       |    FROM ($ann1Sql) a1
+       |    JOIN c ON c.vec_id = a1.neighbor_id
+       |    WHERE c.label = $FilterLabel) p WHERE frank <= 5),
+       |pre AS (
+       |  SELECT qid AS query_id, vec_id AS neighbor_id FROM (
+       |    SELECT q.qid, a.vec_id,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        ${dotSql("q.qv", "a.v")} / (q.qnrm * a.nrm) DESC,
+       |        a.vec_id ASC) AS rank
+       |    FROM (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cell
+       |          FROM assigned WHERE vec_id % 100 = 0) q
+       |    JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.qid
+       |      AND a.label = $FilterLabel) t WHERE rank <= 5)
+       |SELECT
+       |  (SELECT count(*) FROM truthf) AS n_expected,
+       |  (SELECT count(*) FROM truthf t WHERE EXISTS (
+       |     SELECT 1 FROM post p WHERE p.query_id = t.query_id
+       |       AND p.neighbor_id = t.neighbor_id)) AS hits_post,
+       |  (SELECT count(*) FROM truthf t WHERE EXISTS (
+       |     SELECT 1 FROM pre p WHERE p.query_id = t.query_id
+       |       AND p.neighbor_id = t.neighbor_id)) AS hits_pre,
+       |  (SELECT count(*) FROM post) AS k_eff_post,
+       |  CAST((SELECT count(*) FROM truthf t WHERE EXISTS (
+       |     SELECT 1 FROM post p WHERE p.query_id = t.query_id
+       |       AND p.neighbor_id = t.neighbor_id)) AS DOUBLE) /
+       |    (SELECT count(*) FROM truthf) AS recall_post,
+       |  CAST((SELECT count(*) FROM truthf t WHERE EXISTS (
+       |     SELECT 1 FROM pre p WHERE p.query_id = t.query_id
+       |       AND p.neighbor_id = t.neighbor_id)) AS DOUBLE) /
+       |    (SELECT count(*) FROM truthf) AS recall_pre""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann12_filtered_search" -> ann12FilteredSearch,
     "ann11_mmr_rerank" -> ann11MmrRerank,
     "ann9_hybrid_rrf" -> ann9HybridRrf,
     "ann10_ivfpq_recall" -> ann10IvfPqRecall,
@@ -1506,6 +1665,7 @@ object Similarity {
     "d11_semantic_dedup" -> d11SemanticDedup)
 
   val oracles: Map[String, String] = Map(
+    "ann12_filtered_search" -> ann12Sql,
     "ann11_mmr_rerank" -> ann11Sql,
     "ann9_hybrid_rrf" -> ann9Sql,
     "ann10_ivfpq_recall" -> ann10Sql,

@@ -63,6 +63,7 @@ class RegistrySpec extends AnyFunSuite {
       "similarity.pqSubVectors", "similarity.pqCodebook",
       "similarity.pqCodes",
       "similarity.ann11Rel", "similarity.ann11Sim",
+      "similarity.ann12TruthF",
       "text.t7Decontaminate", "text.t14RarityProfile")
     val gone = expected.diff(names)
     assert(gone.isEmpty, s"memoized relations missing from warmup: $gone")

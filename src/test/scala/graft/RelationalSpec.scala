@@ -287,6 +287,25 @@ class RelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got("o_orderpriority") == ((1L, 0L, false)))
   }
 
+  test("ann12 filtered search: counts coherent, post-filter candidates all match") {
+    val r = graft.functions.Similarity.ann12FilteredSearch(spark, sf)
+      .collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (ne, hp, hr, ke) = (row.getAs[Long]("n_expected"),
+      row.getAs[Long]("hits_post"), row.getAs[Long]("hits_pre"),
+      row.getAs[Long]("k_eff_post"))
+    val nQ = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") % 100 === 0).count()
+    // truth holds up to 5 per query; hits can never exceed it; the
+    // post-filter page can never exceed 5 per query either
+    assert(ne > 0 && ne <= 5 * nQ, s"n_expected=$ne")
+    assert(hp >= 0 && hp <= ne && hr >= 0 && hr <= ne, s"hits=$hp/$hr")
+    assert(ke <= 5 * nQ, s"k_eff=$ke")
+    assert(row.getAs[Double]("recall_post") == hp.toDouble / ne)
+    assert(row.getAs[Double]("recall_pre") == hr.toDouble / ne)
+  }
+
   test("ann11 MMR re-rank equals an independent greedy recomputation") {
     val got = graft.functions.Similarity.ann11MmrRerank(spark, sf)
       .collect()
