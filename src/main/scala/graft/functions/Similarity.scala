@@ -1353,23 +1353,19 @@ object Similarity {
     * identical doubles, argmax ties break on vec_id, and the OUTPUT
     * is integers only (query_id, vec_id, step).
     *
-    * Scale shape: greedy MMR is inherently sequential in K, so the
-    * iteration is a FIXED K-step driver loop over declarative steps —
-    * each step is one equi-join of the shortlist against the
-    * selected-so-far rows (both bounded: ≤10 candidates, ≤K selected
-    * per query) plus a per-query argmax window. Nothing grows with
-    * corpus size: at 100 TB the shortlist relation is the retrieval
-    * output (queries × 10 rows), every join keys on query_id, and the
-    * pairwise sim matrix is C(10,2) rows per query, computed once.
+    * Scale shape: greedy MMR is sequential in K but local per query,
+    * so the K-step loop runs inside ONE cogroup on query_id — each
+    * group holds its own ≤10-candidate shortlist plus C(10,2) sim
+    * rows, and the greedy runs where the data sits. Nothing grows
+    * with corpus size: at 100 TB the shortlist relation is the
+    * retrieval output (queries × 10 rows), both cogrouped sides key
+    * on query_id, and the sim matrix is computed once.
     */
-  /** ann11's relevance and pairwise-sim relations, memoized: the
-    * greedy loop references `selected` THREE times per step (union,
-    * anti-join, equi-join), so the logical plan embeds ~3^(K−1)
-    * copies of the step-1 subtree — Catalyst does not dedupe
-    * identical subplans, and an unmemoized rel/sim would re-run the
-    * corpus joins dozens of times per query execution. Persisted,
-    * every copy is a cheap in-memory scan; both relations are
-    * bounded (queries × 10 and queries × C(10,2) rows).
+  /** ann11's relevance and pairwise-sim relations, memoized: both are
+    * reused by the spec's independent recomputation and by repeated
+    * serving calls, and both are bounded (queries × 10 and
+    * queries × C(10,2) rows) — persisting keeps the corpus joins
+    * that build them a one-time cost per session.
     */
   private val ann11Rel: (SparkSession, String) => DataFrame =
     Memo.memoized("similarity.ann11Rel") { (s, d) =>
@@ -1404,36 +1400,62 @@ object Similarity {
     }
 
   def ann11MmrRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // Greedy MMR is sequential in K but LOCAL per query: each query's
+    // state is its own ≤10-candidate shortlist and C(10,2) sim matrix.
+    // The previous form iterated K declarative steps on the driver,
+    // which embedded ~3^(K−1) copies of the step-1 subtree in the
+    // final plan (Catalyst keeps no subplan sharing) — planning time
+    // dominated execution. One cogroup on query_id ships both bounded
+    // relations through a single shuffle and runs the whole greedy
+    // loop where the data sits; nothing here scales with corpus size,
+    // only with the retrieval output. mapGroups (non-codegen) is
+    // justified: the loop is genuinely imperative per group.
     val rel = ann11Rel(s, d)
+      .select(col("query_id"), col("neighbor_id"), col("rel"))
+      .as[(Long, Long, Double)]
     val sim = ann11Sim(s, d)
-    def argmax(df: DataFrame, score: String): DataFrame =
-      df.withColumn("rn", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col(score).desc, col("neighbor_id").asc)))
-        .filter(col("rn") === 1).drop("rn")
-    var selected = argmax(rel, "rel")
-      .select(col("query_id"), col("neighbor_id").as("vec_id"),
-        lit(1).as("step"))
-    for (t <- 2 to MmrK) {
-      val remaining = rel.join(
-        selected.select(col("query_id"),
-          col("vec_id").as("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_anti")
-      val scored = remaining
-        .join(selected.select(col("query_id"), col("vec_id")),
-          Seq("query_id"))
-        .withColumn("pa", least(col("neighbor_id"), col("vec_id")))
-        .withColumn("pb", greatest(col("neighbor_id"), col("vec_id")))
-        .join(sim.select(col("query_id"), col("id_a").as("pa"),
-          col("id_b").as("pb"), col("sim")), Seq("query_id", "pa", "pb"))
-        .groupBy(col("query_id"), col("neighbor_id"), col("rel"))
-        .agg(max(col("sim")).as("msim"))
-        .withColumn("score",
-          lit(0.7) * col("rel") - lit(0.3) * col("msim"))
-      selected = selected.unionAll(argmax(scored, "score")
-        .select(col("query_id"), col("neighbor_id").as("vec_id"),
-          lit(t).as("step")))
-    }
-    selected
+      .select(col("query_id"), col("id_a"), col("id_b"), col("sim"))
+      .as[(Long, Long, Long, Double)]
+    rel.groupByKey(_._1).cogroup(sim.groupByKey(_._1)) { (q, rit, sit) =>
+      // ascending-id candidate order + strict > makes every tie break
+      // toward the smaller neighbor_id, the SQL's (score DESC, id ASC)
+      val cands = rit.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+      val simOf = sit.map(x => ((x._2, x._3), x._4)).toMap
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = Seq.newBuilder[(Long, Long, Int)]
+      var t = 1
+      var more = cands.nonEmpty
+      while (t <= MmrK && more) {
+        var bestId = -1L
+        var bestScore = Double.NegativeInfinity
+        for ((id, r) <- cands if !picked.contains(id)) {
+          // step 1 ranks raw relevance; later steps penalize the max
+          // similarity to anything already picked (0.7·rel − 0.3·max),
+          // the exact doubles the declarative form computed. A
+          // candidate with no sim row against the picked set mirrors
+          // the oracle's inner join: it is not scored (unreachable
+          // when rel and sim derive from the same shortlist).
+          val score =
+            if (t == 1) r
+            else {
+              var msim = Double.NegativeInfinity
+              for (p <- picked) {
+                val k = (math.min(id, p), math.max(id, p))
+                simOf.get(k).foreach(v => if (v > msim) msim = v)
+              }
+              if (msim == Double.NegativeInfinity) Double.NaN
+              else 0.7 * r - 0.3 * msim
+            }
+          if (!score.isNaN && score > bestScore) {
+            bestScore = score; bestId = id
+          }
+        }
+        if (bestId < 0) more = false
+        else { out += ((q, bestId, t)); picked += bestId; t += 1 }
+      }
+      out.result().iterator
+    }.toDF("query_id", "vec_id", "step")
   }
 
   val ann11Sql: String = {
