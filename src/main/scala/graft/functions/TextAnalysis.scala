@@ -869,6 +869,77 @@ object TextAnalysis {
       |    AS BIGINT) AS tok_sel
       |FROM d GROUP BY lang""".stripMargin
 
+  /** pipe13: soft-dedup weighted mixture — pipe5's question ("what
+    * does each language contribute to the training mix?") answered
+    * AFTER d18's soft-dedup weights are applied: every document's
+    * tokens count scaled by its cluster's 1/|cluster| sampling mass,
+    * so a language whose volume is mostly repeated boilerplate sees
+    * its share fall while clean languages rise. Emits per language
+    * the raw and effective (weight-discounted) token totals plus
+    * both shares in basis points and the shift between them — the
+    * one-look answer to "how much does near-dup inflation distort my
+    * mixture?".
+    *
+    * All integer arithmetic: tokens × weight_scaled is exact BIGINT
+    * (bounded: ≤10⁶ weight × per-language token sums — overflows
+    * only past ~9·10¹² effective tokens per language, ~37 TB of
+    * text in ONE language; the basis-point step divides the
+    * DEscaled totals so its 10⁴ multiplier adds no overflow risk).
+    * Shares use integral div on both engines; ties and rounding are
+    * therefore bit-identical.
+    *
+    * Scale shape: d18's memoized cluster relation + one doc_id-keyed
+    * equi-join onto the token projection + one partial-aggregable
+    * groupBy(lang); the share windows run over the per-language
+    * relation (≤ distinct-lang rows). Added cost over d18 is one
+    * scan-join-agg pass.
+    */
+  def pipe13WeightedMixture(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Dedup.d18SoftDedupWeights(s, d)
+      .select(col("doc_id"), col("weight_scaled"))
+    val tok = Tables.load(s, d, "documents").select(
+      col("doc_id"), col("lang"),
+      size(words(col("text"))).cast("long").as("tokens"))
+    val all = Window.partitionBy(lit(1))
+    tok.join(w, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("tok_raw"),
+        expr("sum(tokens * weight_scaled) div 1000000").as("tok_eff"))
+      .withColumn("tot_raw", sum(col("tok_raw")).over(all))
+      .withColumn("tot_eff", sum(col("tok_eff")).over(all))
+      .withColumn("share_raw_bp", expr("tok_raw * 10000 div tot_raw"))
+      .withColumn("share_eff_bp", expr("tok_eff * 10000 div tot_eff"))
+      .withColumn("shift_bp", col("share_eff_bp") - col("share_raw_bp"))
+      .drop("tot_raw", "tot_eff")
+  }
+
+  // lazy: embeds Dedup.d18Sql (see pipe7Sql's init-order note)
+  lazy val pipe13Sql: String =
+    s"""WITH wts AS (${graft.functions.Dedup.d18Sql}),
+       |tok AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+       |  FROM documents),
+       |l AS (
+       |  SELECT t.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(t.tokens) AS BIGINT) AS tok_raw,
+       |    CAST(sum(t.tokens * w.weight_scaled) // 1000000 AS BIGINT)
+       |      AS tok_eff
+       |  FROM tok t JOIN wts w ON t.doc_id = w.doc_id
+       |  GROUP BY 1),
+       |sh AS (
+       |  SELECT lang, n_docs, tok_raw, tok_eff,
+       |    CAST(tok_raw * 10000 // (sum(tok_raw) OVER ()) AS BIGINT)
+       |      AS share_raw_bp,
+       |    CAST(tok_eff * 10000 // (sum(tok_eff) OVER ()) AS BIGINT)
+       |      AS share_eff_bp
+       |  FROM l)
+       |SELECT lang, n_docs, tok_raw, tok_eff, share_raw_bp,
+       |  share_eff_bp, share_eff_bp - share_raw_bp AS shift_bp
+       |FROM sh""".stripMargin
+
   /** pipe6: incremental-curation funnel — the continuous-ingest loop a
     * production corpus actually runs: a NEW shard arrives (d8's
     * deterministic 1-in-5 hash slice, salt "incr"), each arriving doc
@@ -1863,6 +1934,7 @@ object TextAnalysis {
     "t10_pii_scrub" -> t10PiiScrub,
     "pipe1_training_pipeline" -> pipe1TrainingPipeline,
     "pipe5_token_mixture" -> pipe5TokenMixture,
+    "pipe13_weighted_mixture" -> pipe13WeightedMixture,
     "pipe6_incremental_curation" -> pipe6IncrementalCuration,
     "t14_rarity_profile" -> t14RarityProfile,
     "t15_tfidf_keywords" -> t15TfidfKeywords,
@@ -1890,6 +1962,7 @@ object TextAnalysis {
     "t10_pii_scrub" -> t10Sql,
     "pipe1_training_pipeline" -> pipe1Sql,
     "pipe5_token_mixture" -> pipe5Sql,
+    "pipe13_weighted_mixture" -> pipe13Sql,
     "pipe6_incremental_curation" -> pipe6Sql,
     "t14_rarity_profile" -> t14Sql,
     "t15_tfidf_keywords" -> t15Sql,

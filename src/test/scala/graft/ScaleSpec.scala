@@ -262,7 +262,12 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "a40_drift_gate", "m6_shard_plan",
       // d18 rides d6's memoized clusters + one doc-keyed left join;
       // d19 is the banded explode + a bounded-fan-out index probe
-      "d18_soft_dedup_weights", "d19_incremental_near_dup")
+      "d18_soft_dedup_weights", "d19_incremental_near_dup",
+      // pipe13 rides d18 plus one doc-keyed join and a groupBy(lang).
+      // ann12 is NOT a head for ann1/ann11's reason: its filtered
+      // truth relation is the deliberately O(N·Q) exact build; the
+      // serving arms are bounded equi-joins
+      "pipe13_weighted_mixture")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()

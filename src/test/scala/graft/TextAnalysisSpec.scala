@@ -148,6 +148,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("pipe13 weighted mixture: shares coherent, dedup only discounts") {
+    val rows = TextAnalysis.pipe13WeightedMixture(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // soft-dedup weight ≤ 1 doc's mass: effective can never exceed raw
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tok_eff") <= r.getAs[Long]("tok_raw"),
+        r.getAs[String]("lang"))
+    }
+    // floor-div basis points: each share sums to (10000 - floor loss)
+    for (c <- Seq("share_raw_bp", "share_eff_bp")) {
+      val s = rows.map(_.getAs[Long](c)).sum
+      assert(s <= 10000 && s > 10000 - rows.length, s"$c sums to $s")
+    }
+    // the shifts reallocate mass, they don't create it
+    val shift = rows.map(_.getAs[Long]("shift_bp")).sum
+    assert(math.abs(shift) < rows.length, s"net shift $shift")
+  }
+
   test("pipe5 per-doc window is bucketed, never per-language global") {
     // the scale contract from pipe5's scaladoc: the per-doc prefix
     // cumsum must partition by (lang, bucket) — a (lang)-only window
