@@ -38,13 +38,20 @@ object PlanAudit {
     *  - t16: single-row broadcast crossJoin of each merge round's
     *    argmax pair onto the corpus relation (TakeOrderedAndProject
     *    top-1, bounded by construction).
+    *  - ann13: broadcast of the C updated centroids against the
+    *    corpus (the re-assignment pass has no join key — ann6/ann10's
+    *    probe shape) plus single-row summary crossJoins.
+    *  - s18: crossJoin of the single-row max-key aggregate onto the
+    *    key relation (the arithmetic file assignment needs the global
+    *    range; a19's single-row class).
     */
   val BnlWhitelist: Set[String] = Set(
     "ann4_quantized_recall", "ann6_probe_sweep",
     "ann7_refine_recall", "ann10_ivfpq_recall",
     "a19_object_overview", "a39_heavy_hitters_cms",
     "pipe5_token_mixture", "pipe8_leakage_split",
-    "pipe9_temperature_mixture", "t16_bpe_merges")
+    "pipe9_temperature_mixture", "t16_bpe_merges",
+    "ann13_reindex_gate", "s18_overlap_depth")
 
   /** One audited query: which flags its physical plan raised, or the
     * planning error. `violation` is the checked contract — true iff

@@ -1590,6 +1590,70 @@ object Dedup {
        |  (SELECT n_cross_split_pairs FROM audit) AS n_cross_split_pairs
        |FROM assigned GROUP BY 1""".stripMargin
 
+  /** d20: cross-source overlap matrix — pairwise shingle-set Jaccard
+    * between SOURCES (crawls, dumps, curated sets), the accounting a
+    * mixture designer runs before fixing sampling weights: two
+    * sources that are 40% the same content would be double-counted
+    * by naive per-source weights (the RedPajama/CC-dumps problem —
+    * successive dumps overlap heavily and must be discounted or
+    * cross-deduped). Distinct from d1/d2, which find DOCUMENT pairs:
+    * this aggregates identity up to the source level and reports a
+    * bounded S×S matrix.
+    *
+    * Scale shape: reuses THE memoized shingle index (one tokenize +
+    * digest pass per session), reduces it to distinct (source,
+    * shingle) — partial-aggregable, keys are 8-byte hashes — then
+    * one self-equi-join on the shingle whose fan-out is bounded by
+    * S² per shingle with S = #sources (dozens, not documents), and a
+    * partial-aggregable pair count. No DF cap needed: the fan-out
+    * bound is structural. Output is S(S−1)/2 rows regardless of
+    * corpus size; the Jaccard is reported integer-scaled (exact
+    * integer inputs, one IEEE-exact mul/div chain — the t17/a40
+    * cross-engine discipline).
+    */
+  def d20SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val srcOf = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"))
+    val sh = shingleIndex(s, d).select(col("doc_id"), col("h1").as("shingle"))
+      .join(srcOf, "doc_id")
+      .select(col("source"), col("shingle")).distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), "shingle")
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n_sh").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n_sh").as("n_b"))), "src_b")
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("jaccard_x1e6",
+        floor(col("n_inter").cast("double") * 1000000.0 /
+          col("n_union").cast("double")).cast("long"))
+      .select("src_a", "src_b", "n_inter", "n_a", "n_b", "n_union",
+        "jaccard_x1e6")
+  }
+
+  val d20Sql: String =
+    s"""WITH sh0 AS ($shinglesSql),
+       |ss AS (SELECT DISTINCT doc.source,
+       |         ${xhash64Sql("sh0.shingle")} AS shingle
+       |       FROM sh0 JOIN documents doc USING (doc_id)),
+       |sizes AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+       |  FROM ss a JOIN ss b ON a.shingle = b.shingle
+       |  WHERE a.source < b.source GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       |  sa.n_sh + sb.n_sh - n_inter AS n_union,
+       |  CAST(floor(CAST(n_inter AS DOUBLE) * 1000000.0 /
+       |    CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)) AS BIGINT)
+       |    AS jaccard_x1e6
+       |FROM inter
+       |JOIN sizes sa ON sa.source = src_a
+       |JOIN sizes sb ON sb.source = src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_ngram_jaccard" -> d2NgramJaccard,
@@ -1602,6 +1666,7 @@ object Dedup {
     "d17_band_planner" -> d17BandPlanner,
     "d18_soft_dedup_weights" -> d18SoftDedupWeights,
     "d19_incremental_near_dup" -> d19IncrementalNearDup,
+    "d20_source_overlap" -> d20SourceOverlap,
     "d10_cluster_canonical" -> d10ClusterCanonical,
     "d12_exact_substring" -> d12ExactSubstring,
     "d13_containment_pairs" -> d13ContainmentPairs,
@@ -1624,6 +1689,7 @@ object Dedup {
     "d17_band_planner" -> d17Sql,
     "d18_soft_dedup_weights" -> d18Sql,
     "d19_incremental_near_dup" -> d19Sql,
+    "d20_source_overlap" -> d20Sql,
     "d10_cluster_canonical" -> d10Sql,
     "d12_exact_substring" -> d12Sql,
     "d13_containment_pairs" -> d13Sql,

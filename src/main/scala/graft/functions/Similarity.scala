@@ -593,6 +593,102 @@ object Similarity {
        |  CAST(CAST(sum(wsum) AS BIGINT) AS DOUBLE) / count(*) AS mean_fp
        |FROM w GROUP BY cell""".stripMargin
 
+  /** ann13: index-staleness gate — the decision query an IVF serving
+    * deployment runs periodically: after data has shifted under the
+    * index, would retraining MOVE enough vectors to justify a
+    * re-index? One Lloyd update (ann5's training step, here carried
+    * through to full updated centroid VECTORS, not just the
+    * fingerprint) produces the "what retraining would do" centroids;
+    * every vector is re-assigned against them and the gate reports
+    * the moved fraction with a 5% threshold — the same
+    * decision-query style as a33b/a40 (exact counts + boolean
+    * verdict in one bounded row).
+    *
+    * Scale shape: the update step is posexplode → ONE
+    * partial-aggregable (cell, dim) integer-sum groupBy (components
+    * quantized to 1e-6 ints first — ann5's engine-exactness
+    * discipline: integer sums are order-invariant, and the /n mean
+    * plus the cosine chain after it are exactly-rounded IEEE ops on
+    * exact inputs, so no accumulation order can diverge
+    * cross-engine). Re-assignment broadcasts the C updated centroids
+    * (C = cells, tiny) against the corpus — the same O(N·C)
+    * broadcast shape as [[assignedCells]], one pass, no shuffle of
+    * the vectors. Output is one row whatever N is.
+    */
+  def ann13ReindexGate(s: SparkSession, d: String): DataFrame = {
+    val a = assignedCells(s, d)
+    // quantized components, position-exploded: (cell, pos, q)
+    val q = a.select(col("cell"), posexplode(transform(col("v"), x =>
+      (signum(x) * floor(abs(x) * lit(1e6) + lit(0.5))).cast("long"))))
+      .toDF("cell", "pos", "q")
+    val cellN = a.groupBy("cell").agg(count(lit(1)).as("n_members"))
+    val upd = q.groupBy(col("cell"), col("pos"))
+      .agg(sum(col("q")).as("sq"))
+      .join(broadcast(cellN), "cell")
+      .groupBy(col("cell"), col("n_members"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("sq")))).as("ps"))
+      .select(col("cell").as("ucid"),
+        transform(col("ps"), p =>
+          p("sq").cast("double") / col("n_members").cast("double")).as("uv"))
+      .withColumn("unrm", sqrt(dot(col("uv"), col("uv"))))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ucos").desc, col("ucid").asc)
+    val best = a.select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+      .crossJoin(broadcast(upd))
+      .withColumn("ucos",
+        dot(col("uv"), col("v")) / (col("unrm") * col("nrm")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+    best.agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("ucid") =!= col("cell"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .crossJoin(broadcast(upd.agg(count(lit(1)).as("n_cells"))))
+      .withColumn("moved_x1e6",
+        floor(col("n_moved").cast("double") * 1000000.0 /
+          col("n_vectors").cast("double")).cast("long"))
+      .withColumn("reindex", col("moved_x1e6") > 50000L)
+      .select("n_vectors", "n_cells", "n_moved", "moved_x1e6", "reindex")
+  }
+
+  val ann13Sql: String =
+    s"""WITH c AS ($corpusSql),
+       |$assignedSqlCte,
+       |q AS (SELECT cell, v,
+       |        unnest(range(1, len(v) + 1)) AS pos FROM assigned),
+       |sums AS (
+       |  SELECT cell, pos,
+       |    CAST(sum(CAST(CASE WHEN v[pos] > 0 THEN 1
+       |                       WHEN v[pos] < 0 THEN -1 ELSE 0 END
+       |        * floor(abs(v[pos]) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+       |  FROM q GROUP BY 1, 2),
+       |cn AS (SELECT cell, count(*) AS n_members FROM assigned GROUP BY 1),
+       |upd AS (
+       |  SELECT s.cell AS ucid,
+       |    list(CAST(sq AS DOUBLE) / CAST(n_members AS DOUBLE)
+       |         ORDER BY pos) AS uv
+       |  FROM sums s JOIN cn ON cn.cell = s.cell
+       |  GROUP BY s.cell, n_members),
+       |upd2 AS (SELECT ucid, uv,
+       |    sqrt(${dotSql("uv", "uv")}) AS unrm FROM upd),
+       |re AS (
+       |  SELECT a.vec_id, a.cell, u.ucid,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      ${dotSql("u.uv", "a.v")} / (u.unrm * a.nrm) DESC,
+       |      u.ucid ASC) AS r
+       |  FROM assigned a, upd2 u),
+       |best AS (SELECT vec_id, cell, ucid FROM re WHERE r = 1)
+       |SELECT count(*) AS n_vectors,
+       |  (SELECT count(*) FROM upd2) AS n_cells,
+       |  CAST(sum(CASE WHEN ucid <> cell THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_moved,
+       |  CAST(floor(CAST(sum(CASE WHEN ucid <> cell THEN 1 ELSE 0 END)
+       |      AS DOUBLE) * 1000000.0 / CAST(count(*) AS DOUBLE)) AS BIGINT)
+       |    AS moved_x1e6,
+       |  CAST(floor(CAST(sum(CASE WHEN ucid <> cell THEN 1 ELSE 0 END)
+       |      AS DOUBLE) * 1000000.0 / CAST(count(*) AS DOUBLE)) AS BIGINT)
+       |    > 50000 AS reindex
+       |FROM best""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   /** Deterministic ±1 "random" hyperplanes (P=32 planes over d=64)
@@ -1675,6 +1771,7 @@ object Similarity {
     "ann9_hybrid_rrf" -> ann9HybridRrf,
     "ann10_ivfpq_recall" -> ann10IvfPqRecall,
     "ann5_kmeans_iter" -> ann5KmeansIter,
+    "ann13_reindex_gate" -> ann13ReindexGate,
     "ann8_pq_recall" -> ann8PqRecall,
     "ann6_probe_sweep" -> ann6ProbeSweep,
     "d7_rph_pairs" -> d7RphPairs,
@@ -1692,6 +1789,7 @@ object Similarity {
     "ann9_hybrid_rrf" -> ann9Sql,
     "ann10_ivfpq_recall" -> ann10Sql,
     "ann5_kmeans_iter" -> ann5Sql,
+    "ann13_reindex_gate" -> ann13Sql,
     "ann8_pq_recall" -> ann8Sql,
     "ann6_probe_sweep" -> ann6Sql,
     "d7_rph_pairs" -> d7Sql,

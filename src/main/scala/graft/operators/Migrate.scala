@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.file.Files
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1246,6 +1247,117 @@ object Migrate {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Sweep-line overlap-depth metrics over a file manifest — the
+    * clustering-QUALITY measure the layout family (s15/s16/s17) has
+    * no eye for: those queries verify a layout reads back losslessly;
+    * this one measures whether the layout is still worth its name.
+    * Overlap depth at a key point = how many files' [min,max] ranges
+    * cover it — exactly the statistic Delta/Iceberg OPTIMIZE
+    * planners (and LSM compaction pickers) use to decide re-cluster:
+    * a freshly range-clustered table has depth 1 everywhere; after
+    * enough unsorted appends every file spans the whole key range
+    * and depth = #files, meaning a range query opens all of them.
+    *
+    * Input: (layout, file_id, min_key, max_key) manifest rows — the
+    * s17 manifest schema. The sweep is the classic +1-at-min /
+    * −1-past-max event walk with a running sum: O(files) rows, a
+    * bounded window per layout (manifests are O(files) regardless of
+    * data size — the same reason s17's planner is cheap). Reported:
+    * max depth, depth·length area, and the length-weighted mean depth
+    * integer-scaled (exact integer inputs, IEEE-exact mul/div — the
+    * a40 discipline). Tie order within a position puts −1 before +1:
+    * the −1 sits at max+1 (the EXCLUSIVE end), so a file ending at k
+    * and one starting at k+1 — disjoint keys — must not count as
+    * overlapping, while files genuinely sharing key k emit their
+    * events at different positions and overlap regardless of ties.
+    */
+  private[graft] def overlapDepth(man: DataFrame): DataFrame = {
+    val ev = man.select(col("layout"), col("min_key").as("pos"),
+        lit(1L).as("delta"))
+      .unionAll(man.select(col("layout"), (col("max_key") + lit(1L)).as("pos"),
+        lit(-1L).as("delta")))
+    val w = Window.partitionBy("layout")
+      .orderBy(col("pos").asc, col("delta").asc)
+    val stepped = ev
+      .withColumn("depth", sum(col("delta"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("seg_len",
+        coalesce(lead(col("pos"), 1).over(w) - col("pos"), lit(0L)))
+    val files = man.groupBy("layout").agg(
+      count(lit(1)).as("n_files"),
+      (max(col("max_key")) + lit(1L) - min(col("min_key"))).as("span"))
+    stepped.groupBy("layout")
+      .agg(max(col("depth")).as("max_depth"),
+        sum(col("depth") * col("seg_len")).as("depth_area"))
+      .join(broadcast(files), "layout")
+      .withColumn("avg_depth_x1e6",
+        floor(col("depth_area").cast("double") * 1000000.0 /
+          col("span").cast("double")).cast("long"))
+      .select("layout", "n_files", "max_depth", "depth_area", "span",
+        "avg_depth_x1e6")
+  }
+
+  /** s18: layout-health report — [[overlapDepth]] over two arithmetic
+    * manifests of the same table: `clustered` (disjoint key ranges,
+    * the state right after s15's range write) and `scattered` (files
+    * keyed round-robin, the state after many unsorted appends). The
+    * file assignment is explicit arithmetic rather than a physical
+    * write so the manifest — and therefore the metric — is
+    * engine-reproducible; a production caller feeds s17's real
+    * manifest through the same [[overlapDepth]]. Expected shape:
+    * clustered depth 1, scattered depth = #files — the two ends of
+    * the re-cluster decision.
+    */
+  def s18OverlapDepth(s: SparkSession, d: String): DataFrame = {
+    val files = 8
+    val keys = Tables.load(s, d, "lineitem").select(col("l_orderkey").as("key"))
+    val mx = keys.agg(max(col("key")).as("mx"))
+    val keyed = keys.crossJoin(broadcast(mx))
+    val man = keyed.select(lit("clustered").as("layout"),
+        floor(col("key") * lit(files.toLong) / (col("mx") + lit(1L)))
+          .cast("long").as("file_id"), col("key"))
+      .unionAll(keyed.select(lit("scattered").as("layout"),
+        (col("key") % lit(files.toLong)).as("file_id"), col("key")))
+      .groupBy(col("layout"), col("file_id"))
+      .agg(min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+    overlapDepth(man)
+  }
+
+  val s18Sql: String =
+    """WITH k AS (SELECT l_orderkey AS key FROM lineitem),
+      |mx AS (SELECT max(key) AS mx FROM k),
+      |man AS (
+      |  SELECT layout, file_id, min(key) AS min_key, max(key) AS max_key
+      |  FROM (
+      |    SELECT 'clustered' AS layout,
+      |      CAST(floor(key * 8 / (mx + 1)) AS BIGINT) AS file_id, key
+      |    FROM k, mx
+      |    UNION ALL
+      |    SELECT 'scattered', key % 8, key FROM k) t
+      |  GROUP BY 1, 2),
+      |ev AS (
+      |  SELECT layout, min_key AS pos, 1 AS delta FROM man
+      |  UNION ALL
+      |  SELECT layout, max_key + 1, -1 FROM man),
+      |stepped AS (
+      |  SELECT layout, pos, delta,
+      |    sum(delta) OVER (PARTITION BY layout ORDER BY pos, delta ASC
+      |                     ROWS UNBOUNDED PRECEDING) AS depth,
+      |    coalesce(lead(pos) OVER (PARTITION BY layout
+      |                             ORDER BY pos, delta ASC) - pos, 0)
+      |      AS seg_len
+      |  FROM ev),
+      |files AS (SELECT layout, count(*) AS n_files,
+      |            max(max_key) + 1 - min(min_key) AS span
+      |          FROM man GROUP BY 1)
+      |SELECT layout, n_files,
+      |  CAST(max(depth) AS BIGINT) AS max_depth,
+      |  CAST(sum(depth * seg_len) AS BIGINT) AS depth_area, span,
+      |  CAST(floor(CAST(sum(depth * seg_len) AS DOUBLE) * 1000000.0 /
+      |    CAST(span AS DOUBLE)) AS BIGINT) AS avg_depth_x1e6
+      |FROM stepped JOIN files USING (layout)
+      |GROUP BY layout, n_files, span""".stripMargin
+
   val s9cSql: String =
     """SELECT * FROM (VALUES
       |  (1, 'ID', 'DECIMAL', 8, FALSE),
@@ -1274,6 +1386,7 @@ object Migrate {
     "s15_range_layout" -> s15RangeLayout,
     "s16_zorder_layout" -> s16ZorderLayout,
     "s17_manifest_skipping" -> s17ManifestSkipping,
+    "s18_overlap_depth" -> s18OverlapDepth,
     "s2_chunked_scan" -> s2ChunkedScan)
 
   val oracles: Map[String, String] = Map(
@@ -1293,6 +1406,7 @@ object Migrate {
     "s15_range_layout" -> s15Sql,
     "s16_zorder_layout" -> s16Sql,
     "s17_manifest_skipping" -> s17Sql,
+    "s18_overlap_depth" -> s18Sql,
     // orders keys are dense 0..N-1 at every sf: 15000 rows/sf0.01 →
     // ceil(15000/2000)=8 chunks; recomputed generically below.
     "s2_chunked_scan" -> s2SqlGeneric)

@@ -631,4 +631,55 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rows.count(_._6) >= 1 &&
       rows.filter(_._6).forall(t => t._3 + t._4 == sums.min))
   }
+
+  test("d20: source-overlap matrix on a hand-built corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d20").toString
+    // srcA and srcB share 2 of their 3+3 shingles ({a b c, b c d});
+    // srcC is disjoint from both, so only ONE pair row may appear
+    Seq(
+      (1L, "a b c d e", "en", "srcA", 9L),
+      (2L, "a b c d x", "en", "srcB", 9L),
+      (3L, "p q r s t", "en", "srcC", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.d20SourceOverlap(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+      r.getAs[Long]("n_inter"), r.getAs[Long]("n_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("n_union"),
+      r.getAs[Long]("jaccard_x1e6")) ==
+      (("srcA", "srcB", 2L, 3L, 3L, 4L, 500000L)))
+  }
+
+  test("d20: matrix invariants on the corpus table") {
+    val rows = Dedup.d20SourceOverlap(spark, sf).collect()
+    val srcs = Tables.load(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(rows.length <= srcs * (srcs - 1) / 2)
+    for (r <- rows) {
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      val (i, a, b) = (r.getAs[Long]("n_inter"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(i >= 1 && i <= math.min(a, b))
+      assert(r.getAs[Long]("n_union") == a + b - i)
+      val j = r.getAs[Long]("jaccard_x1e6")
+      assert(j >= 0 && j <= 1000000)
+    }
+  }
+
+  test("ann13: reindex gate arithmetic is internally consistent") {
+    import graft.functions.Similarity
+    val got = Similarity.ann13ReindexGate(spark, sf).collect()
+    assert(got.length == 1)
+    val r = got.head
+    val (n, moved, scaled) = (r.getAs[Long]("n_vectors"),
+      r.getAs[Long]("n_moved"), r.getAs[Long]("moved_x1e6"))
+    assert(n == Tables.load(spark, sf, "embeddings").count())
+    assert(moved >= 0 && moved <= n)
+    assert(scaled == math.floor(moved.toDouble * 1000000.0 / n).toLong)
+    assert(r.getAs[Boolean]("reindex") == (scaled > 50000L))
+    assert(r.getAs[Long]("n_cells") >= 1)
+  }
 }

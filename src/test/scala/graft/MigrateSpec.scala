@@ -388,4 +388,51 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // from the bare token
     assert(bytes.contains("\"NULL\""))
   }
+
+  private def depthRow(man: Seq[(String, Long, Long, Long)]) = {
+    import spark.implicits._
+    val got = Migrate.overlapDepth(
+      man.toDF("layout", "file_id", "min_key", "max_key")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    (r.getAs[Long]("n_files"), r.getAs[Long]("max_depth"),
+      r.getAs[Long]("depth_area"), r.getAs[Long]("span"),
+      r.getAs[Long]("avg_depth_x1e6"))
+  }
+
+  test("overlapDepth: hand-computed sweep over a 3-file manifest") {
+    // files [0,9],[5,14],[20,29]: depth profile 1,2,1,0,1 over
+    // segments of 5,5,5,5,10 -> area 30 across span 30, peak 2
+    assert(depthRow(Seq(("x", 0L, 0L, 9L), ("x", 1L, 5L, 14L),
+      ("x", 2L, 20L, 29L))) == ((3L, 2L, 30L, 30L, 1000000L)))
+  }
+
+  test("overlapDepth: files touching at one key count as overlapping") {
+    // [0,9],[9,20] share key 9: depths 1,2,1 over 9,1,11 -> area 22
+    assert(depthRow(Seq(("x", 0L, 0L, 9L), ("x", 1L, 9L, 20L))) ==
+      ((2L, 2L, 22L, 21L, 1047619L)))
+  }
+
+  test("overlapDepth: back-to-back disjoint ranges do not overlap") {
+    // [0,4],[5,9] share no key: the close event at 5 (exclusive end)
+    // applies before the open event at 5, so depth never exceeds 1
+    assert(depthRow(Seq(("x", 0L, 0L, 4L), ("x", 1L, 5L, 9L))) ==
+      ((2L, 1L, 10L, 10L, 1000000L)))
+  }
+
+  test("overlapDepth: disjoint files with a gap stay at depth 1") {
+    // [0,4],[10,14]: the gap [5,9] contributes depth 0 to the area
+    assert(depthRow(Seq(("x", 0L, 0L, 4L), ("x", 1L, 10L, 14L))) ==
+      ((2L, 1L, 10L, 15L, 666666L)))
+  }
+
+  test("s18: clustered layout is depth 1, scattered is depth n_files") {
+    val rows = Migrate.s18OverlapDepth(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("max_depth"))).toMap
+    val (nc, dc) = rows("clustered")
+    val (ns, ds) = rows("scattered")
+    assert(dc == 1L, s"range-disjoint files must never overlap: $dc")
+    assert(ds == ns, s"round-robin files all span the range: $ds != $ns")
+  }
 }

@@ -267,7 +267,15 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // ann12 is NOT a head for ann1/ann11's reason: its filtered
       // truth relation is the deliberately O(N·Q) exact build; the
       // serving arms are bounded equi-joins
-      "pipe13_weighted_mixture")
+      "pipe13_weighted_mixture",
+      // round-10: d20 rides the memoized shingle index — one distinct
+      // (source, shingle) reduction plus a pair join whose fan-out is
+      // bounded by the FIXED source count, so it must track the index
+      // build; s18 is two pruned scans + an O(files) sweep. ann13 is
+      // NOT a head for ann1's reason: the centroid stand-in rule
+      // (vec_id % 50) grows C with N, making its O(N·C) assignment
+      // quadratic at 10x BY CONSTRUCTION — production C is fixed
+      "d20_source_overlap", "s18_overlap_depth")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
