@@ -1192,8 +1192,88 @@ object Relational {
        |    ${chi2CritCaseSql("max(n_buckets) - 1")} AS drifted
        |FROM terms GROUP BY 1""".stripMargin
 
+  /** The schema's FK relationships, one tuple per edge:
+    * (label, child table, fk column, parent table, pk column). ONE
+    * list rendered into both engines — a41's Spark plan and its
+    * oracle SQL walk the same edges by construction.
+    */
+  private val FkEdges: Seq[(String, String, String, String, String)] = Seq(
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+      "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+      "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+      "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+      "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+      "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+      "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+      "region", "r_regionkey"))
+
+  /** a41: data-level referential-integrity audit — the validation
+    * k7's own fix artifact tells an o2t user to run by hand ("tidb
+    * does not enforce foreign keys — validate"): after a migration,
+    * does every child FK value exist in its parent? One row per
+    * schema edge with row/key/orphan counts and NULL-FK accounting
+    * (a NULL FK is not a violation — SQL FK semantics — but is worth
+    * its own column in the report).
+    *
+    * Scale shape, per edge: aggregate the child to (key, cnt) FIRST
+    * — partial-aggregable, and the join input shrinks from rows to
+    * distinct keys — then ONE left equi-join against the
+    * deduplicated parent key set and one bounded agg. No anti-join +
+    * count-back double pass, no single-row crossJoins (the orphan
+    * flags ride the same agg). At 100 TB each edge is one shuffle on
+    * the key domain; small parents (nation, region) broadcast.
+    */
+  def a41FkAudit(s: SparkSession, d: String): DataFrame =
+    FkEdges.map { case (label, child, fk, parent, pk) =>
+      val keyed = Tables.load(s, d, child)
+        .groupBy(col(fk).as("k")).agg(count(lit(1)).as("cnt"))
+      val parentKeys = Tables.load(s, d, parent)
+        .select(col(pk).as("k")).distinct()
+        .withColumn("hit", lit(1L))
+      keyed.join(parentKeys, Seq("k"), "left")
+        .agg(
+          coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("k").isNotNull, 1L).otherwise(0L)),
+            lit(0L)).as("n_keys"),
+          coalesce(sum(when(col("k").isNotNull && col("hit").isNull, 1L)
+            .otherwise(0L)), lit(0L)).as("n_orphan_keys"),
+          coalesce(sum(when(col("k").isNotNull && col("hit").isNull,
+            col("cnt")).otherwise(0L)), lit(0L)).as("n_orphan_rows"),
+          coalesce(sum(when(col("k").isNull, col("cnt")).otherwise(0L)),
+            lit(0L)).as("n_null_fk"))
+        .select(lit(label).as("relationship"), col("n_rows"),
+          col("n_keys"), col("n_orphan_keys"), col("n_orphan_rows"),
+          col("n_null_fk"))
+    }.reduce(_ unionAll _)
+      .withColumn("ok", col("n_orphan_rows") === 0L)
+
+  val a41Sql: String = FkEdges.map { case (label, child, fk, parent, pk) =>
+    s"""SELECT '$label' AS relationship,
+       |  CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_rows,
+       |  CAST(coalesce(sum(CASE WHEN k.k IS NOT NULL THEN 1 ELSE 0 END),
+       |    0) AS BIGINT) AS n_keys,
+       |  CAST(coalesce(sum(CASE WHEN k.k IS NOT NULL AND p.hit IS NULL
+       |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphan_keys,
+       |  CAST(coalesce(sum(CASE WHEN k.k IS NOT NULL AND p.hit IS NULL
+       |    THEN cnt ELSE 0 END), 0) AS BIGINT) AS n_orphan_rows,
+       |  CAST(coalesce(sum(CASE WHEN k.k IS NULL THEN cnt ELSE 0 END),
+       |    0) AS BIGINT) AS n_null_fk,
+       |  CAST(coalesce(sum(CASE WHEN k.k IS NOT NULL AND p.hit IS NULL
+       |    THEN cnt ELSE 0 END), 0) AS BIGINT) = 0 AS ok
+       |FROM (SELECT $fk AS k, count(*) AS cnt FROM $child GROUP BY 1) k
+       |LEFT JOIN (SELECT DISTINCT $pk AS k, 1 AS hit FROM $parent) p
+       |  ON k.k = p.k""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a40_drift_gate" -> a40DriftGate,
+    "a41_fk_audit" -> a41FkAudit,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
@@ -1228,6 +1308,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "a40_drift_gate" -> a40Sql,
+    "a41_fk_audit" -> a41Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier_volume" -> q5Sql,

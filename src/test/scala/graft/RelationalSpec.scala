@@ -349,4 +349,31 @@ class RelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(rows.map(_._2).distinct.length == 5)
     }
   }
+
+  test("a41: clean schema audits ok; deleted parents become orphans") {
+    val clean = Relational.a41FkAudit(spark, sf).collect()
+    assert(clean.length == 7)
+    assert(clean.forall(_.getAs[Boolean]("ok")),
+      "generated TPC-H data must be referentially intact")
+    // corrupt: copy the tables but drop half the orders — their
+    // lineitems must surface as orphan keys AND rows, nothing else
+    val dir = java.nio.file.Files.createTempDirectory("graft_a41").toString
+    for (t <- Tables.all) {
+      val df = Tables.load(spark, sf, t)
+      val out = if (t == "orders") df.filter(col("o_orderkey") % 2 === 0)
+        else df
+      out.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val rows = Relational.a41FkAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("relationship") -> r).toMap
+    val broken = rows("lineitem.l_orderkey->orders")
+    assert(!broken.getAs[Boolean]("ok"))
+    assert(broken.getAs[Long]("n_orphan_keys") > 0)
+    assert(broken.getAs[Long]("n_orphan_rows") >=
+      broken.getAs[Long]("n_orphan_keys"))
+    // the o_custkey edge SHRANK but stays intact; every other edge
+    // is untouched
+    assert(rows.filter(_._1 != "lineitem.l_orderkey->orders")
+      .values.forall(_.getAs[Boolean]("ok")))
+  }
 }

@@ -275,7 +275,10 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // NOT a head for ann1's reason: the centroid stand-in rule
       // (vec_id % 50) grows C with N, making its O(N·C) assignment
       // quadratic at 10x BY CONSTRUCTION — production C is fixed
-      "d20_source_overlap", "s18_overlap_depth")
+      "d20_source_overlap", "s18_overlap_depth",
+      // a41 is seven aggregate-then-join passes, each linear in its
+      // child table with a key-domain shuffle
+      "a41_fk_audit")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
