@@ -28,7 +28,14 @@ object Bench {
     // the FRONT of round-7's driver run, so ~13 s of one-time cost
     // landed on its figure (12.9 s driver vs 1.42 s committed).
     // Warm it so the timed figure is the steady state.
-    "f1_charset")
+    "f1_charset",
+    // the streaming arms: the FIRST streaming query in a JVM pays
+    // state-store init + the streaming plan's own codegen (probed:
+    // d15 11.5 s first run vs 2.6 s steady, d16 10.2 vs 1.7 — and
+    // under best-of-2 a slow first sample still flapped the artifact
+    // 4.6-12.6 s across runs). Each arm warms its own machinery;
+    // the shared feed write is already on the memo-warmer registry.
+    "d16_streaming_exact_dedup", "d15_streaming_near_dup")
 
   /** One timed run: (seconds, result rows); (-1.0, -1) on failure
     * (never time-to-exception — broken queries must be visible in
