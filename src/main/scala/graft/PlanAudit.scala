@@ -44,6 +44,9 @@ object PlanAudit {
     *  - s18: crossJoin of the single-row max-key aggregate onto the
     *    key relation (the arithmetic file assignment needs the global
     *    range; a19's single-row class).
+    *  - pipe14: the audit-gate chain crossJoins single-row count
+    *    aggregates onto each other and onto the O(langs) share
+    *    relation (pipe5/pipe8's class).
     */
   val BnlWhitelist: Set[String] = Set(
     "ann4_quantized_recall", "ann6_probe_sweep",
@@ -51,7 +54,8 @@ object PlanAudit {
     "a19_object_overview", "a39_heavy_hitters_cms",
     "pipe5_token_mixture", "pipe8_leakage_split",
     "pipe9_temperature_mixture", "t16_bpe_merges",
-    "ann13_reindex_gate", "s18_overlap_depth")
+    "ann13_reindex_gate", "s18_overlap_depth",
+    "pipe14_wap_publish")
 
   /** One audited query: which flags its physical plan raised, or the
     * planning error. `violation` is the checked contract — true iff

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -406,11 +406,148 @@ object Pipeline {
        |) f""".stripMargin
   }
 
+  /** The audit half of pipe14: data-quality gates evaluated over the
+    * snapshot AS STAGED ON DISK against the published baseline — the
+    * "A" of write-audit-publish. Four gates, one report row each:
+    * row-count ratio within [0.5, 2.0]× of published (a half-empty or
+    * doubled snapshot is an upstream bug, not growth), zero NULL/empty
+    * text payloads, exact-duplicate rate ≤ 5% (d1's canonical
+    * fingerprint), and per-language share drift (total variation
+    * distance) ≤ 10%. All values integer-exact by the a40 discipline:
+    * exact counts cross-multiplied in BIGINT, ONE IEEE-exact mul/div
+    * chain at the end, reported ×10⁶. Every gate is a bounded
+    * aggregate — at 100 TB this is two scans (published side served
+    * from manifest stats in a real deployment) ending in a 4-row
+    * report.
+    */
+  private[graft] def wapAudit(published: DataFrame,
+      staged: DataFrame): DataFrame = {
+    val totals = staged.agg(count(lit(1)).as("n2"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+          .otherwise(0L)).as("nnull"),
+        countDistinct(md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+          .as("nfp"))
+      .crossJoin(published.agg(count(lit(1)).as("n1")))
+    val langs = published.groupBy("lang").agg(count(lit(1)).as("c1"))
+      .join(staged.groupBy("lang").agg(count(lit(1)).as("c2")),
+        Seq("lang"), "full_outer")
+      .select(coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    // n1/n2 ride into the TVD as columns: one bounded crossJoin of
+    // the single-row totals onto the O(langs) share relation
+    val withTotals = langs
+      .crossJoin(totals.select(col("n1").as("n1t"), col("n2").as("n2t")))
+      .agg(coalesce(sum(abs(col("c1") * col("n2t") -
+        col("c2") * col("n1t"))), lit(0L)).as("term"))
+    def scaled(num: Column, den: Column): Column =
+      floor(num.cast("double") * lit(1000000.0) / den.cast("double"))
+        .cast("long")
+    val all = totals.crossJoin(withTotals)
+    def gate(name: String, value: Column, lo: Long, hi: Long): DataFrame =
+      all.select(lit(name).as("gate"), value.as("value_x1e6"),
+        lit(lo).as("lo_x1e6"), lit(hi).as("hi_x1e6"))
+        .withColumn("pass", col("value_x1e6").between(lo, hi))
+    gate("rows_ratio", scaled(col("n2"), col("n1")), 500000L, 2000000L)
+      .unionAll(gate("null_text", scaled(col("nnull"), col("n2")), 0L, 0L))
+      .unionAll(gate("dup_rate", scaled(col("n2") - col("nfp"), col("n2")),
+        0L, 50000L))
+      .unionAll(gate("lang_tvd",
+        scaled(col("term"), lit(2L) * col("n1") * col("n2")), 0L, 100000L))
+  }
+
+  /** pipe14: write-audit-publish snapshot promotion — the production
+    * discipline between "the curation job finished" and "training
+    * reads the new snapshot": the candidate is STAGED to its own path,
+    * audited from the staged FILES (what was actually written, not
+    * what the job meant to write), and only a full-pass audit appends
+    * the manifest row that makes it the published version — readers
+    * resolve the manifest pointer (s17's mechanism) and never see a
+    * failed candidate. Published baseline = the prior snapshot (80%
+    * of docs, doc_id % 5 ≠ 4); candidate = the full corpus. The
+    * report is the audit plus the resulting published version, so the
+    * hash gate pins gate arithmetic AND the promote/hold decision.
+    * The only driver-side step is collecting the 4-row audit — the
+    * same bounded planning collect every table format performs.
+    */
+  def pipe14WapPublish(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = Migrate.tempDir("pipe14")
+    val docs = Tables.load(s, d, "documents")
+    docs.filter(col("doc_id") % 5 =!= 4)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/data/v1")
+    Seq((1L, s"$root/data/v1")).toDF("version", "path")
+      .write.mode(SaveMode.Append).parquet(s"$root/manifest")
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$root/stage/v2") // stage
+    val audit = wapAudit(
+      s.read.parquet(s"$root/data/v1"),
+      s.read.parquet(s"$root/stage/v2"))
+    val rows = audit.collect()
+    val allPass = rows.nonEmpty && rows.forall(_.getAs[Boolean]("pass"))
+    if (allPass) // publish = ONE manifest append; data files move never
+      Seq((2L, s"$root/stage/v2")).toDF("version", "path")
+        .write.mode(SaveMode.Append).parquet(s"$root/manifest")
+    val version = s.read.parquet(s"$root/manifest")
+      .agg(max(col("version"))).head.getLong(0)
+    audit.unionAll(
+      Seq(("published_version", version, version, version, allPass))
+        .toDF("gate", "value_x1e6", "lo_x1e6", "hi_x1e6", "pass"))
+  }
+
+  val pipe14Sql: String =
+    """WITH v1 AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
+      |v2 AS (SELECT * FROM documents),
+      |t AS (SELECT
+      |  (SELECT count(*) FROM v1) AS n1,
+      |  (SELECT count(*) FROM v2) AS n2,
+      |  (SELECT count(*) FROM v2
+      |   WHERE text IS NULL OR length(text) = 0) AS nnull,
+      |  (SELECT count(DISTINCT md5(lower(
+      |     regexp_replace(text, '\s+', ' ', 'g')))) FROM v2) AS nfp),
+      |l AS (SELECT coalesce(a.c1, 0) AS c1, coalesce(b.c2, 0) AS c2
+      |      FROM (SELECT lang, count(*) AS c1 FROM v1 GROUP BY 1) a
+      |      FULL OUTER JOIN
+      |           (SELECT lang, count(*) AS c2 FROM v2 GROUP BY 1) b
+      |      USING (lang)),
+      |tv AS (SELECT coalesce(sum(abs(
+      |         c1 * (SELECT n2 FROM t) - c2 * (SELECT n1 FROM t))), 0)
+      |         AS term FROM l),
+      |gates AS (
+      |  SELECT 'rows_ratio' AS gate,
+      |    CAST(floor(CAST(n2 AS DOUBLE) * 1000000.0 /
+      |      CAST(n1 AS DOUBLE)) AS BIGINT) AS value_x1e6,
+      |    CAST(500000 AS BIGINT) AS lo_x1e6,
+      |    CAST(2000000 AS BIGINT) AS hi_x1e6 FROM t
+      |  UNION ALL
+      |  SELECT 'null_text',
+      |    CAST(floor(CAST(nnull AS DOUBLE) * 1000000.0 /
+      |      CAST(n2 AS DOUBLE)) AS BIGINT), 0, 0 FROM t
+      |  UNION ALL
+      |  SELECT 'dup_rate',
+      |    CAST(floor(CAST(n2 - nfp AS DOUBLE) * 1000000.0 /
+      |      CAST(n2 AS DOUBLE)) AS BIGINT), 0, 50000 FROM t
+      |  UNION ALL
+      |  SELECT 'lang_tvd',
+      |    CAST(floor(CAST(term AS DOUBLE) * 1000000.0 /
+      |      CAST(2 * n1 * n2 AS DOUBLE)) AS BIGINT), 0, 100000
+      |  FROM t, tv),
+      |g2 AS (SELECT gate, value_x1e6, lo_x1e6, hi_x1e6,
+      |         value_x1e6 BETWEEN lo_x1e6 AND hi_x1e6 AS pass
+      |       FROM gates)
+      |SELECT * FROM g2
+      |UNION ALL
+      |SELECT 'published_version',
+      |  CASE WHEN (SELECT bool_and(pass) FROM g2) THEN 2 ELSE 1 END,
+      |  CASE WHEN (SELECT bool_and(pass) FROM g2) THEN 2 ELSE 1 END,
+      |  CASE WHEN (SELECT bool_and(pass) FROM g2) THEN 2 ELSE 1 END,
+      |  (SELECT bool_and(pass) FROM g2)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe2_migration" -> pipe2Migration,
-    "pipe3_full_plus_incr" -> pipe3FullPlusIncr)
+    "pipe3_full_plus_incr" -> pipe3FullPlusIncr,
+    "pipe14_wap_publish" -> pipe14WapPublish)
 
   val oracles: Map[String, String] = Map(
     "pipe2_migration" -> pipe2Sql,
-    "pipe3_full_plus_incr" -> pipe3Sql)
+    "pipe3_full_plus_incr" -> pipe3Sql,
+    "pipe14_wap_publish" -> pipe14Sql)
 }

@@ -154,4 +154,32 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ddl.contains("CREATE TABLE ORDERS_PIPE"))
     assert(ddl.contains("\"o_orderkey\" BIGINT"))
   }
+
+  test("pipe14: audit gates hold a corrupted candidate back") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    def gateMap(staged: org.apache.spark.sql.DataFrame) =
+      Pipeline.wapAudit(docs, staged).collect()
+        .map(r => r.getAs[String]("gate") -> r.getAs[Boolean]("pass"))
+        .toMap
+    // the corpus against itself: every gate green
+    assert(gateMap(docs).values.forall(identity))
+    // a language silently dropped upstream -> the TVD gate (and only
+    // a share-sensitive gate) must catch it
+    val noEn = gateMap(docs.filter(col("lang") =!= "en"))
+    assert(!noEn("lang_tvd"))
+    assert(noEn("null_text") && noEn("dup_rate"))
+    // text payloads nulled by a broken writer -> the null gate fires
+    val nulled = gateMap(docs.withColumn("text",
+      when(col("doc_id") % 7 === 0, lit(null: String))
+        .otherwise(col("text"))))
+    assert(!nulled("null_text"))
+    // a doubled snapshot (upstream re-append): every row now has an
+    // exact duplicate -> dup_rate fires (the 2.0x row ratio itself
+    // sits ON the inclusive bound, deliberately tolerated)
+    val doubled = gateMap(docs.unionAll(docs))
+    assert(!doubled("dup_rate") && doubled("rows_ratio"))
+    // a snapshot that lost most of its rows -> rows_ratio floor
+    assert(!gateMap(docs.filter(col("doc_id") % 10 === 0))("rows_ratio"))
+  }
 }

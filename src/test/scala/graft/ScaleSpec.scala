@@ -277,8 +277,9 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // quadratic at 10x BY CONSTRUCTION — production C is fixed
       "d20_source_overlap", "s18_overlap_depth",
       // a41 is seven aggregate-then-join passes, each linear in its
-      // child table with a key-domain shuffle
-      "a41_fk_audit")
+      // child table with a key-domain shuffle; pipe14 is two corpus
+      // writes + bounded audit aggregates
+      "a41_fk_audit", "pipe14_wap_publish")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
