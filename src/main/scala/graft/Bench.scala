@@ -35,7 +35,11 @@ object Bench {
     // under best-of-2 a slow first sample still flapped the artifact
     // 4.6-12.6 s across runs). Each arm warms its own machinery;
     // the shared feed write is already on the memo-warmer registry.
-    "d16_streaming_exact_dedup", "d15_streaming_near_dup")
+    "d16_streaming_exact_dedup", "d15_streaming_near_dup",
+    // c11's stream-stream join opens its own state-store shape (four
+    // stores per partition) — same first-run class (probed 10.9 s
+    // first vs 2.8 s steady)
+    "c11_streaming_interval_join")
 
   /** One timed run: (seconds, result rows); (-1.0, -1) on failure
     * (never time-to-exception — broken queries must be visible in

@@ -1347,6 +1347,60 @@ object Cdc {
       .start()
   }
 
+  /** The events table as a parquet feed for the streaming arms,
+    * written once per (session, input dir) — the docsFeed pattern
+    * (Dedup.scala) for the events stream.
+    */
+  private val eventsFeedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  graft.functions.Memo.purgeHooks.put("cdc.eventsFeed",
+    () => eventsFeedCache.synchronized(eventsFeedCache.clear()): Unit)
+
+  private def eventsFeed(s: SparkSession, d: String): String =
+    eventsFeedCache.synchronized {
+      eventsFeedCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      eventsFeedCache.getOrElseUpdate((s, d), {
+        val feed = graft.operators.Migrate.tempDir("events_feed") + "/feed"
+        graft.Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .repartition(8)
+          .write.mode("overwrite").parquet(feed)
+        feed
+      })
+    }
+
+  graft.functions.Memo.memoWarmers.put("cdc.eventsFeed",
+    (s: SparkSession, d: String) => s.read.parquet(eventsFeed(s, d)))
+
+  /** c11: the stream-stream interval join arm under the batch ORACLE
+    * — [[streamIntervalJoin]] (both sides watermarked, bounded join
+    * state) replayed over the events feed, its emitted pairs read
+    * back and aggregated into c10's exact output shape, checked by
+    * c10's own SQL. The d15/d16 treatment applied to the last
+    * spec-only streaming arm: the equivalence "stream-stream interval
+    * join ≡ batch interval join" now answers to the DuckDB hash gate,
+    * not just to a ScalaTest assertion.
+    */
+  def c11StreamingIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val root = graft.operators.Migrate.tempDir("c11")
+    val feed = eventsFeed(s, d)
+    // own SQLConf for the stream's state-store count (Dedup's
+    // streamSession rationale — stream-stream joins open FOUR state
+    // stores per partition)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = streamIntervalJoin(ss, feed, s"$root/out", s"$root/ckpt")
+    try q.awaitTermination(300000) finally q.stop()
+    s.read
+      .schema("user_id LONG, signup_ts TIMESTAMP, action_ts TIMESTAMP")
+      .parquet(s"$root/out")
+      .groupBy(col("user_id"),
+        date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("signup_ts"))
+      .agg(count(lit(1)).as("n_actions"))
+  }
+
   /** w2: lag/lead stream context (W-family) — previous event type and
     * whole-second gap per user. Timestamps truncated to seconds before
     * differencing so ns-vs-µs precision cannot skew the result.
@@ -1385,6 +1439,7 @@ object Cdc {
     "c8_window_agg" -> c8WindowAgg,
     "c9_session_window" -> c9SessionWindow,
     "c10_interval_join" -> c10IntervalJoin,
+    "c11_streaming_interval_join" -> c11StreamingIntervalJoin,
     "w2_lag_lead" -> w2LagLead,
     "w9_funnel" -> w9Funnel)
 
@@ -1399,6 +1454,7 @@ object Cdc {
     "c8_window_agg" -> c8Sql,
     "c9_session_window" -> c9Sql,
     "c10_interval_join" -> c10Sql,
+    "c11_streaming_interval_join" -> c10Sql,
     "w2_lag_lead" -> w2Sql,
     "w9_funnel" -> w9Sql)
 }

@@ -279,7 +279,9 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // a41 is seven aggregate-then-join passes, each linear in its
       // child table with a key-domain shuffle; pipe14 is two corpus
       // writes + bounded audit aggregates
-      "a41_fk_audit", "pipe14_wap_publish")
+      "a41_fk_audit", "pipe14_wap_publish",
+      // c11 is row-linear stream-stream join state over 10x events
+      "c11_streaming_interval_join")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
