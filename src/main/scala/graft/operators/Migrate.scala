@@ -1358,6 +1358,69 @@ object Migrate {
       |FROM stepped JOIN files USING (layout)
       |GROUP BY layout, n_files, span""".stripMargin
 
+  /** s19: dynamic partition overwrite — the idempotent daily-batch
+    * restatement pattern: a date-partitioned table gets ONE day
+    * recomputed (here: the earliest day, dropping its 'view' events —
+    * a correction feed), and the rewrite must replace exactly that
+    * day's files while every other partition's files stay untouched
+    * (`partitionOverwriteMode=dynamic`; static mode would TRUNCATE
+    * the table — the classic production incident). At 100 TB this is
+    * the restatement primitive: the job writes only the restated
+    * day's rows, the committer swaps only that directory. The oracle
+    * recomputes the expected FINAL table state closed-form, so the
+    * hash gate covers the overwrite's scoping (a static-mode wipe or
+    * an unscoped append both mismatch); MigrateSpec asserts the
+    * file-level contract directly. Known edge, documented as part of
+    * the pattern: a restatement that deletes ALL of a partition's
+    * rows writes an empty frame, which dynamic mode treats as "no
+    * partitions touched" — full-partition deletes need an explicit
+    * delete, not an overwrite (the spec pins the non-empty path).
+    */
+  def s19DynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    val root = tempDir("s19")
+    val ev = Tables.load(s, d, "events")
+      .withColumn("dt",
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      .withColumn("cents",
+        floor(col("value") * lit(100.0)).cast("long"))
+      .select(col("event_id"), col("event_type"), col("dt"), col("cents"))
+    def summary(df: DataFrame): DataFrame =
+      df.groupBy(col("dt").as("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("event_id")).as("id_sum"),
+          sum(col("cents")).as("cents_sum"))
+    ev.write.partitionBy("dt").mode(SaveMode.Overwrite).parquet(root)
+    // bounded planning lookup: the restated day (earliest by rule)
+    val td = ev.agg(min(col("dt"))).head.getString(0)
+    if (td == null) return summary(ev) // empty source: nothing to restate
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try ev.filter(col("dt") === td && col("event_type") =!= "view")
+      .write.partitionBy("dt").mode(SaveMode.Overwrite).parquet(root)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    summary(s.read.parquet(root)
+      .select(col("event_id"), col("event_type"),
+        col("dt").cast("string").as("dt"), col("cents")))
+  }
+
+  val s19Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+      |    CAST(floor(value * 100.0) AS BIGINT) AS cents
+      |  FROM events),
+      |tgt AS (SELECT min(dt) AS td FROM e)
+      |SELECT dt AS day, count(*) AS n_rows,
+      |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(cents) AS BIGINT) AS cents_sum
+      |FROM e, tgt
+      |WHERE dt <> td OR event_type <> 'view'
+      |GROUP BY 1""".stripMargin
+
   val s9cSql: String =
     """SELECT * FROM (VALUES
       |  (1, 'ID', 'DECIMAL', 8, FALSE),
@@ -1387,6 +1450,7 @@ object Migrate {
     "s16_zorder_layout" -> s16ZorderLayout,
     "s17_manifest_skipping" -> s17ManifestSkipping,
     "s18_overlap_depth" -> s18OverlapDepth,
+    "s19_dynamic_overwrite" -> s19DynamicOverwrite,
     "s2_chunked_scan" -> s2ChunkedScan)
 
   val oracles: Map[String, String] = Map(
@@ -1407,6 +1471,7 @@ object Migrate {
     "s16_zorder_layout" -> s16Sql,
     "s17_manifest_skipping" -> s17Sql,
     "s18_overlap_depth" -> s18Sql,
+    "s19_dynamic_overwrite" -> s19Sql,
     // orders keys are dense 0..N-1 at every sf: 15000 rows/sf0.01 →
     // ceil(15000/2000)=8 chunks; recomputed generically below.
     "s2_chunked_scan" -> s2SqlGeneric)

@@ -426,6 +426,43 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ((2L, 1L, 10L, 15L, 666666L)))
   }
 
+  test("s19: dynamic overwrite replaces only the restated partition's " +
+    "files") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_s19")
+      .toString + "/t"
+    Seq((1L, "view", "2024-01-01", 10L), (2L, "click", "2024-01-01", 20L),
+      (3L, "view", "2024-01-02", 30L))
+      .toDF("event_id", "event_type", "dt", "cents")
+      .write.partitionBy("dt").mode("overwrite").parquet(root)
+    def files(day: String): Seq[String] =
+      new java.io.File(s"$root/dt=$day").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    val untouchedBefore = files("2024-01-02")
+    val restatedBefore = files("2024-01-01")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try Seq((2L, "click", "2024-01-01", 20L))
+      .toDF("event_id", "event_type", "dt", "cents")
+      .write.partitionBy("dt").mode("overwrite").parquet(root)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // byte-identical file set in the partition the job never wrote;
+    // the restated partition's old files are GONE (replaced, not
+    // appended beside)
+    assert(files("2024-01-02") == untouchedBefore)
+    assert(files("2024-01-01").intersect(restatedBefore).isEmpty)
+    // partition-value inference types dt as DATE on read — cast back
+    // (the operator does the same before grouping)
+    val got = spark.read.parquet(root).orderBy("event_id")
+      .select(col("event_id"), col("dt").cast("string")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "2024-01-01"), (3L, "2024-01-02")))
+  }
+
   test("s18: clustered layout is depth 1, scattered is depth n_files") {
     val rows = Migrate.s18OverlapDepth(spark, sf).collect()
       .map(r => r.getAs[String]("layout") ->

@@ -280,8 +280,9 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // child table with a key-domain shuffle; pipe14 is two corpus
       // writes + bounded audit aggregates
       "a41_fk_audit", "pipe14_wap_publish",
-      // c11 is row-linear stream-stream join state over 10x events
-      "c11_streaming_interval_join")
+      // c11 is row-linear stream-stream join state over 10x events;
+      // s19 is two partitioned writes + a per-day groupBy
+      "c11_streaming_interval_join", "s19_dynamic_overwrite")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
