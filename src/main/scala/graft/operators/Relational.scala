@@ -1271,9 +1271,48 @@ object Relational {
        |  ON k.k = p.k""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  /** a42: k-anonymity profile — the release gate privacy review runs
+    * before a dataset leaves the building: how small do the
+    * quasi-identifier equivalence classes get? Rows whose QI tuple
+    * (nation, market segment, balance band) is shared by fewer than
+    * k=5 customers are re-identifiable by linkage; the report is the
+    * class-size histogram (sizes clamped at 20 — past that nobody
+    * cares about the exact size) with per-bucket row mass and the
+    * violation flag, t10's PII-scrub sibling at the dataset level.
+    *
+    * Scale shape: one partial-aggregable groupBy on the QI tuple
+    * (the class sizes), then a second groupBy on the clamped size —
+    * the second input is one row per CLASS, already a reduction, and
+    * the output is ≤ 20 rows at any scale. The balance band is a
+    * fixed-width bucket (a33's histogram discipline), never a
+    * data-derived quantile, so the classes are engine-identical.
+    */
+  def a42KAnonymity(s: SparkSession, d: String): DataFrame =
+    cust(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(least(col("k"), lit(20L)).as("k_bucket"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("k")).as("n_rows"))
+      .withColumn("violating", col("k_bucket") < 5L)
+
+  val a42Sql: String =
+    """SELECT CAST(least(k, 20) AS BIGINT) AS k_bucket,
+      |  count(*) AS n_classes,
+      |  CAST(sum(k) AS BIGINT) AS n_rows,
+      |  least(k, 20) < 5 AS violating
+      |FROM (
+      |  SELECT count(*) AS k
+      |  FROM customer
+      |  GROUP BY c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT)) t
+      |GROUP BY 1, 4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a40_drift_gate" -> a40DriftGate,
     "a41_fk_audit" -> a41FkAudit,
+    "a42_k_anonymity" -> a42KAnonymity,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
@@ -1309,6 +1348,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "a40_drift_gate" -> a40Sql,
     "a41_fk_audit" -> a41Sql,
+    "a42_k_anonymity" -> a42Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier_volume" -> q5Sql,
