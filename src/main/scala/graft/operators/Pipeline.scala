@@ -439,14 +439,22 @@ object Pipeline {
       .crossJoin(totals.select(col("n1").as("n1t"), col("n2").as("n2t")))
       .agg(coalesce(sum(abs(col("c1") * col("n2t") -
         col("c2") * col("n1t"))), lit(0L)).as("term"))
+    // zero-denominator guard: unlike the per-row divisions everywhere
+    // else (which simply never evaluate on empty input), these run
+    // over AGGREGATE rows that exist even for an empty snapshot, and
+    // Spark 4's ANSI mode throws DIVIDE_BY_ZERO even for doubles. A
+    // NULL value fails the gate below — an empty/absent side is a
+    // hold, never a publish.
     def scaled(num: Column, den: Column): Column =
-      floor(num.cast("double") * lit(1000000.0) / den.cast("double"))
-        .cast("long")
+      when(den =!= 0L,
+        floor(num.cast("double") * lit(1000000.0) / den.cast("double"))
+          .cast("long"))
     val all = totals.crossJoin(withTotals)
     def gate(name: String, value: Column, lo: Long, hi: Long): DataFrame =
       all.select(lit(name).as("gate"), value.as("value_x1e6"),
         lit(lo).as("lo_x1e6"), lit(hi).as("hi_x1e6"))
-        .withColumn("pass", col("value_x1e6").between(lo, hi))
+        .withColumn("pass",
+          coalesce(col("value_x1e6").between(lo, hi), lit(false)))
     gate("rows_ratio", scaled(col("n2"), col("n1")), 500000L, 2000000L)
       .unionAll(gate("null_text", scaled(col("nnull"), col("n2")), 0L, 0L))
       .unionAll(gate("dup_rate", scaled(col("n2") - col("nfp"), col("n2")),
