@@ -865,28 +865,24 @@ object Dedup {
   Memo.memoWarmers.put("dedup.docsFeed",
     (s: SparkSession, d: String) => s.read.parquet(docsFeed(s, d)))
 
-  /** An isolated session (own SQLConf, shared context) for a
-    * streaming run whose state-store count should not be the batch
-    * engine's shuffle-partition count: state stores = shuffle
-    * partitions at plan time, each paying open/commit per
-    * micro-batch, and a replayed corpus needs nowhere near 32. A
-    * CLONED session scopes the override — the previous set/restore
-    * on the SHARED session could leak 8 partitions into any query
-    * planning concurrently in that window (the bench runs queries
-    * concurrently). Sound here because the stream never composes
-    * with the caller's DataFrames: its input and output are paths.
+  /** The shared isolated-stream-session recipe — one definition for
+    * all streaming arms, hosted with the streaming machinery (see
+    * [[graft.streaming.Cdc.streamSession]] for the rationale; a
+    * cloned session scopes the shuffle-partition override so nothing
+    * leaks into queries planning concurrently on the shared session).
+    * Runtime delegation, not an init-time reference — no class-init
+    * cycle (see [[Memo]]'s scaladoc for why that matters here).
     */
-  private def streamSession(s: SparkSession): SparkSession = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    ss
-  }
+  private def streamSession(s: SparkSession): SparkSession =
+    graft.streaming.Cdc.streamSession(s)
 
   def d15StreamingNearDup(s: SparkSession, d: String): DataFrame = {
     val root = graft.operators.Migrate.tempDir("d15")
     val feed = docsFeed(s, d); val out = s"$root/out"
     val q = streamingNearDup(streamSession(s), feed, out, s"$root/ckpt")
-    try q.awaitTermination(300000) finally q.stop()
+    try require(q.awaitTermination(300000),
+      "d15 stream did not terminate within 300 s")
+    finally q.stop()
     s.read.schema("doc_a LONG, doc_b LONG, band INT").parquet(out)
       .select("doc_a", "doc_b").distinct()
   }
@@ -907,7 +903,9 @@ object Dedup {
     val out = s"$root/out"
     val q = streamingExactDedup(streamSession(s), docsFeed(s, d), out,
       s"$root/ckpt")
-    try q.awaitTermination(300000) finally q.stop()
+    try require(q.awaitTermination(300000),
+      "d16 stream did not terminate within 300 s")
+    finally q.stop()
     s.read.schema("doc_id LONG, fingerprint STRING, ts TIMESTAMP")
       .parquet(out)
       .groupBy("fingerprint").agg(count(lit(1)).as("n_out"))
@@ -1606,10 +1604,11 @@ object Dedup {
     * one self-equi-join on the shingle whose fan-out is bounded by
     * S² per shingle with S = #sources (dozens, not documents), and a
     * partial-aggregable pair count. No DF cap needed: the fan-out
-    * bound is structural. Output is S(S−1)/2 rows regardless of
-    * corpus size; the Jaccard is reported integer-scaled (exact
-    * integer inputs, one IEEE-exact mul/div chain — the t17/a40
-    * cross-engine discipline).
+    * bound is structural. Output is the complete S(S−1)/2 matrix —
+    * disjoint pairs appear explicitly with jaccard 0 (only sources
+    * with at least one shingle participate); the Jaccard is reported
+    * integer-scaled (exact integer inputs, one IEEE-exact mul/div
+    * chain — the t17/a40 cross-engine discipline).
     */
   def d20SourceOverlap(s: SparkSession, d: String): DataFrame = {
     val srcOf = Tables.load(s, d, "documents")
@@ -1622,11 +1621,21 @@ object Dedup {
       .filter(col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(broadcast(sizes.select(col("source").as("src_a"),
-        col("n_sh").as("n_a"))), "src_a")
-      .join(broadcast(sizes.select(col("source").as("src_b"),
-        col("n_sh").as("n_b"))), "src_b")
+    // the FULL S(S−1)/2 pair frame, disjoint pairs included — a
+    // mixture designer reading the matrix needs the explicit
+    // jaccard=0 row, not an absence (review finding). The pair frame
+    // crosses the per-source size relation with itself: an aggregate
+    // output bounded by the source count, so the broadcast
+    // nested-loop is over dozens × dozens rows (whitelisted in
+    // PlanAudit), never corpus-sized.
+    val pairs = sizes.select(col("source").as("src_a"),
+        col("n_sh").as("n_a"))
+      .crossJoin(broadcast(sizes.select(col("source").as("src_b"),
+        col("n_sh").as("n_b"))))
+      .filter(col("src_a") < col("src_b"))
+    pairs
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .withColumn("jaccard_x1e6",
         floor(col("n_inter").cast("double") * 1000000.0 /
@@ -1644,15 +1653,19 @@ object Dedup {
        |inter AS (
        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
        |  FROM ss a JOIN ss b ON a.shingle = b.shingle
-       |  WHERE a.source < b.source GROUP BY 1, 2)
-       |SELECT src_a, src_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
-       |  sa.n_sh + sb.n_sh - n_inter AS n_union,
-       |  CAST(floor(CAST(n_inter AS DOUBLE) * 1000000.0 /
-       |    CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)) AS BIGINT)
-       |    AS jaccard_x1e6
-       |FROM inter
-       |JOIN sizes sa ON sa.source = src_a
-       |JOIN sizes sb ON sb.source = src_b""".stripMargin
+       |  WHERE a.source < b.source GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT sa.source AS src_a, sb.source AS src_b,
+       |    sa.n_sh AS n_a, sb.n_sh AS n_b
+       |  FROM sizes sa JOIN sizes sb ON sa.source < sb.source)
+       |SELECT p.src_a, p.src_b,
+       |  coalesce(i.n_inter, 0) AS n_inter, p.n_a, p.n_b,
+       |  p.n_a + p.n_b - coalesce(i.n_inter, 0) AS n_union,
+       |  CAST(floor(CAST(coalesce(i.n_inter, 0) AS DOUBLE) * 1000000.0 /
+       |    CAST(p.n_a + p.n_b - coalesce(i.n_inter, 0) AS DOUBLE))
+       |    AS BIGINT) AS jaccard_x1e6
+       |FROM pairs p
+       |LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,

@@ -1378,12 +1378,15 @@ object Migrate {
     */
   def s19DynamicOverwrite(s: SparkSession, d: String): DataFrame = {
     val root = tempDir("s19")
-    val ev = Tables.load(s, d, "events")
-      .withColumn("dt",
-        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
-      .withColumn("cents",
-        floor(col("value") * lit(100.0)).cast("long"))
-      .select(col("event_id"), col("event_type"), col("dt"), col("cents"))
+    def eventsOf(sess: SparkSession): DataFrame =
+      graft.Tables.load(sess, d, "events")
+        .withColumn("dt",
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+        .withColumn("cents",
+          floor(col("value") * lit(100.0)).cast("long"))
+        .select(col("event_id"), col("event_type"), col("dt"),
+          col("cents"))
+    val ev = eventsOf(s)
     def summary(df: DataFrame): DataFrame =
       df.groupBy(col("dt").as("day"))
         .agg(count(lit(1)).as("n_rows"),
@@ -1393,15 +1396,15 @@ object Migrate {
     // bounded planning lookup: the restated day (earliest by rule)
     val td = ev.agg(min(col("dt"))).head.getString(0)
     if (td == null) return summary(ev) // empty source: nothing to restate
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "dynamic")
-    try ev.filter(col("dt") === td && col("event_type") =!= "view")
+    // the dynamic-overwrite conf lives on a CLONED session so the
+    // override cannot leak into queries planning concurrently on the
+    // shared session (the streamSession discipline; a set/restore
+    // window here was a review finding) — writes take their conf
+    // from the frame's OWN session
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    eventsOf(ss).filter(col("dt") === td && col("event_type") =!= "view")
       .write.partitionBy("dt").mode(SaveMode.Overwrite).parquet(root)
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
     summary(s.read.parquet(root)
       .select(col("event_id"), col("event_type"),
         col("dt").cast("string").as("dt"), col("cents")))

@@ -413,9 +413,10 @@ object Pipeline {
     * doubled snapshot is an upstream bug, not growth), zero NULL/empty
     * text payloads, exact-duplicate rate ≤ 5% (d1's canonical
     * fingerprint), and per-language share drift (total variation
-    * distance) ≤ 10%. All values integer-exact by the a40 discipline:
-    * exact counts cross-multiplied in BIGINT, ONE IEEE-exact mul/div
-    * chain at the end, reported ×10⁶. Every gate is a bounded
+    * distance over 10⁶-scaled shares) ≤ 10%. All values integer-exact
+    * by the a40 discipline: exact counts, short IEEE-exact mul/div
+    * chains on them, floors to BIGINT, reported ×10⁶. Every gate is a
+    * bounded
     * aggregate — at 100 TB this is two scans (published side served
     * from manifest stats in a real deployment) ending in a 4-row
     * report.
@@ -434,11 +435,20 @@ object Pipeline {
       .select(coalesce(col("c1"), lit(0L)).as("c1"),
         coalesce(col("c2"), lit(0L)).as("c2"))
     // n1/n2 ride into the TVD as columns: one bounded crossJoin of
-    // the single-row totals onto the O(langs) share relation
+    // the single-row totals onto the O(langs) share relation. TVD is
+    // computed over per-side SHARES floor-scaled to 10⁶ FIRST (each
+    // c·10⁶ stays within int64 for counts below ~9·10¹², where the
+    // raw cross-product c1·n2 would overflow past ~10⁹ rows — the
+    // d17 int64-wrap class); the per-language floor costs < #langs
+    // ppm against a 10% gate.
     val withTotals = langs
       .crossJoin(totals.select(col("n1").as("n1t"), col("n2").as("n2t")))
-      .agg(coalesce(sum(abs(col("c1") * col("n2t") -
-        col("c2") * col("n1t"))), lit(0L)).as("term"))
+      .agg(coalesce(sum(abs(
+        when(col("n1t") =!= 0L,
+          floor(col("c1") * lit(1000000L) / col("n1t"))).otherwise(0L) -
+        when(col("n2t") =!= 0L,
+          floor(col("c2") * lit(1000000L) / col("n2t"))).otherwise(0L))),
+        lit(0L)).as("term"))
     // zero-denominator guard: unlike the per-row divisions everywhere
     // else (which simply never evaluate on empty input), these run
     // over AGGREGATE rows that exist even for an empty snapshot, and
@@ -449,6 +459,13 @@ object Pipeline {
       when(den =!= 0L,
         floor(num.cast("double") * lit(1000000.0) / den.cast("double"))
           .cast("long"))
+    // zero-tolerance gates use CEIL: a floored rate would round up to
+    // n2/10⁶ bad payloads down to a passing 0 (review finding — 9
+    // NULL texts in 10M rows passed the "zero NULLs" gate)
+    def scaledCeil(num: Column, den: Column): Column =
+      when(den =!= 0L,
+        ceil(num.cast("double") * lit(1000000.0) / den.cast("double"))
+          .cast("long"))
     val all = totals.crossJoin(withTotals)
     def gate(name: String, value: Column, lo: Long, hi: Long): DataFrame =
       all.select(lit(name).as("gate"), value.as("value_x1e6"),
@@ -456,11 +473,12 @@ object Pipeline {
         .withColumn("pass",
           coalesce(col("value_x1e6").between(lo, hi), lit(false)))
     gate("rows_ratio", scaled(col("n2"), col("n1")), 500000L, 2000000L)
-      .unionAll(gate("null_text", scaled(col("nnull"), col("n2")), 0L, 0L))
+      .unionAll(gate("null_text", scaledCeil(col("nnull"), col("n2")),
+        0L, 0L))
       .unionAll(gate("dup_rate", scaled(col("n2") - col("nfp"), col("n2")),
         0L, 50000L))
-      .unionAll(gate("lang_tvd",
-        scaled(col("term"), lit(2L) * col("n1") * col("n2")), 0L, 100000L))
+      .unionAll(gate("lang_tvd", scaled(col("term"), lit(2000000L)),
+        0L, 100000L))
   }
 
   /** pipe14: write-audit-publish snapshot promotion — the production
@@ -517,8 +535,9 @@ object Pipeline {
       |           (SELECT lang, count(*) AS c2 FROM v2 GROUP BY 1) b
       |      USING (lang)),
       |tv AS (SELECT coalesce(sum(abs(
-      |         c1 * (SELECT n2 FROM t) - c2 * (SELECT n1 FROM t))), 0)
-      |         AS term FROM l),
+      |         CAST(floor(c1 * 1000000 / (SELECT n1 FROM t)) AS BIGINT) -
+      |         CAST(floor(c2 * 1000000 / (SELECT n2 FROM t)) AS BIGINT))),
+      |         0) AS term FROM l),
       |gates AS (
       |  SELECT 'rows_ratio' AS gate,
       |    CAST(floor(CAST(n2 AS DOUBLE) * 1000000.0 /
@@ -527,7 +546,7 @@ object Pipeline {
       |    CAST(2000000 AS BIGINT) AS hi_x1e6 FROM t
       |  UNION ALL
       |  SELECT 'null_text',
-      |    CAST(floor(CAST(nnull AS DOUBLE) * 1000000.0 /
+      |    CAST(ceil(CAST(nnull AS DOUBLE) * 1000000.0 /
       |      CAST(n2 AS DOUBLE)) AS BIGINT), 0, 0 FROM t
       |  UNION ALL
       |  SELECT 'dup_rate',
@@ -536,8 +555,8 @@ object Pipeline {
       |  UNION ALL
       |  SELECT 'lang_tvd',
       |    CAST(floor(CAST(term AS DOUBLE) * 1000000.0 /
-      |      CAST(2 * n1 * n2 AS DOUBLE)) AS BIGINT), 0, 100000
-      |  FROM t, tv),
+      |      2000000.0) AS BIGINT), 0, 100000
+      |  FROM tv),
       |g2 AS (SELECT gate, value_x1e6, lo_x1e6, hi_x1e6,
       |         value_x1e6 BETWEEN lo_x1e6 AND hi_x1e6 AS pass
       |       FROM gates)

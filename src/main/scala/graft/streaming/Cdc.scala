@@ -1373,6 +1373,23 @@ object Cdc {
   graft.functions.Memo.memoWarmers.put("cdc.eventsFeed",
     (s: SparkSession, d: String) => s.read.parquet(eventsFeed(s, d)))
 
+  /** An isolated session (own SQLConf, shared context) for a
+    * streaming run whose state-store count should not be the batch
+    * engine's shuffle-partition count: state stores = shuffle
+    * partitions at plan time, each paying open/commit per
+    * micro-batch, and a replayed corpus needs nowhere near 32. The
+    * ONE definition all streaming arms (d15/d16/c11) share — a
+    * per-callsite copy would let a state-store tuning reach some
+    * arms and not others (review finding). Sound because these
+    * streams never compose with the caller's DataFrames: inputs and
+    * outputs are paths.
+    */
+  private[graft] def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   /** c11: the stream-stream interval join arm under the batch ORACLE
     * — [[streamIntervalJoin]] (both sides watermarked, bounded join
     * state) replayed over the events feed, its emitted pairs read
@@ -1385,13 +1402,14 @@ object Cdc {
   def c11StreamingIntervalJoin(s: SparkSession, d: String): DataFrame = {
     val root = graft.operators.Migrate.tempDir("c11")
     val feed = eventsFeed(s, d)
-    // own SQLConf for the stream's state-store count (Dedup's
-    // streamSession rationale — stream-stream joins open FOUR state
-    // stores per partition)
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = streamIntervalJoin(ss, feed, s"$root/out", s"$root/ckpt")
-    try q.awaitTermination(300000) finally q.stop()
+    val q = streamIntervalJoin(streamSession(s), feed, s"$root/out",
+      s"$root/ckpt")
+    // awaitTermination's boolean matters: a timed-out stream means
+    // TRUNCATED output, which must fail loudly, never feed the
+    // oracle a partial pair set (review finding)
+    try require(q.awaitTermination(300000),
+      "c11 stream did not terminate within 300 s")
+    finally q.stop()
     s.read
       .schema("user_id LONG, signup_ts TIMESTAMP, action_ts TIMESTAMP")
       .parquet(s"$root/out")

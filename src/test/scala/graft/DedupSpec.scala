@@ -636,7 +636,8 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_d20").toString
     // srcA and srcB share 2 of their 3+3 shingles ({a b c, b c d});
-    // srcC is disjoint from both, so only ONE pair row may appear
+    // srcC is disjoint from both — its pairs appear EXPLICITLY with
+    // jaccard 0 (the complete-matrix contract)
     Seq(
       (1L, "a b c d e", "en", "srcA", 9L),
       (2L, "a b c d x", "en", "srcB", 9L),
@@ -644,25 +645,26 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = Dedup.d20SourceOverlap(spark, dir).collect()
-    assert(got.length == 1)
-    val r = got.head
-    assert((r.getAs[String]("src_a"), r.getAs[String]("src_b"),
-      r.getAs[Long]("n_inter"), r.getAs[Long]("n_a"),
-      r.getAs[Long]("n_b"), r.getAs[Long]("n_union"),
-      r.getAs[Long]("jaccard_x1e6")) ==
-      (("srcA", "srcB", 2L, 3L, 3L, 4L, 500000L)))
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("n_inter"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("n_union"),
+        r.getAs[Long]("jaccard_x1e6"))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      ("srcA", "srcB", 2L, 3L, 3L, 4L, 500000L),
+      ("srcA", "srcC", 0L, 3L, 3L, 6L, 0L),
+      ("srcB", "srcC", 0L, 3L, 3L, 6L, 0L)))
   }
 
   test("d20: matrix invariants on the corpus table") {
     val rows = Dedup.d20SourceOverlap(spark, sf).collect()
     val srcs = Tables.load(spark, sf, "documents")
       .select("source").distinct().count()
-    assert(rows.length <= srcs * (srcs - 1) / 2)
+    assert(rows.length == srcs * (srcs - 1) / 2)
     for (r <- rows) {
       assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
       val (i, a, b) = (r.getAs[Long]("n_inter"), r.getAs[Long]("n_a"),
         r.getAs[Long]("n_b"))
-      assert(i >= 1 && i <= math.min(a, b))
+      assert(i >= 0 && i <= math.min(a, b))
       assert(r.getAs[Long]("n_union") == a + b - i)
       val j = r.getAs[Long]("jaccard_x1e6")
       assert(j >= 0 && j <= 1000000)
