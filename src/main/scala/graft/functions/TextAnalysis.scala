@@ -1540,7 +1540,15 @@ object TextAnalysis {
     * partial-aggregable sum. V is a bounded planning aggregate (one
     * long), the same class as the chunk-plan collects.
     */
-  def t17BigramLm(s: SparkSession, d: String): DataFrame = {
+  def t17BigramLm(s: SparkSession, d: String): DataFrame =
+    bigramScores(s, d)
+      .select("doc_id", "in_train", "n_bigrams", "n_unseen",
+        "sum_recip", "mean_recip")
+
+  /** The per-doc bigram-LM score relation t17 reports and t21 buckets
+    * — one definition so the two stay one model.
+    */
+  private def bigramScores(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents")
     // the sequence(1,0)-descends guard, see gramExprK's scaladoc
     val pairs = docs
@@ -1575,8 +1583,37 @@ object TextAnalysis {
         when(col("doc_id") % 10 =!= 0, 1L).otherwise(0L))
       .withColumn("mean_recip",
         col("sum_recip").cast("double") / col("n_bigrams"))
-      .select("doc_id", "in_train", "n_bigrams", "n_unseen",
-        "sum_recip", "mean_recip")
+  }
+
+  /** t21: CCNet perplexity bucketing (Wenzek et al., §4.3) — the step
+    * AFTER t17's scoring in the published pipeline: per language,
+    * rank documents by LM score and cut the corpus into head/middle/
+    * tail thirds (CCNet trains on head+middle, inspects tail). Exact
+    * per-language ntile over (mean_recip, doc_id) — the deterministic
+    * total order the w11 family uses; the double mean is one
+    * IEEE-exact division of exact integers, identical cross-engine.
+    * Only scoreable docs (≥ 1 bigram) participate, t17's domain.
+    *
+    * Scale note: exact ntile is one sort per language partition —
+    * the oracle-checkable decision form. At 100 TB the cuts come
+    * from a GK sketch (`percentile_approx`, a33b's documented trade)
+    * and the ntile becomes two broadcast threshold comparisons; the
+    * BUCKETING semantics this query pins are unchanged.
+    */
+  def t21CcnetBuckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("mean_recip").asc, col("doc_id").asc)
+    bigramScores(s, d)
+      .join(Tables.load(s, d, "documents").select("doc_id", "lang"),
+        "doc_id")
+      .withColumn("b", ntile(3).over(w))
+      .withColumn("bucket", when(col("b") === 1, "head")
+        .when(col("b") === 2, "middle").otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams") + lit(1L)).as("total_tokens"),
+        sum(col("sum_recip")).as("recip_sum"))
   }
 
   val t17Sql: String =
@@ -1612,6 +1649,22 @@ object TextAnalysis {
       |  CAST(sum(s) AS BIGINT) AS sum_recip,
       |  CAST(sum(s) AS DOUBLE) / count(*) AS mean_recip
       |FROM sc GROUP BY 1, 2""".stripMargin
+
+  val t21Sql: String =
+    s"""WITH t17 AS ($t17Sql),
+       |j AS (SELECT t17.*, doc.lang
+       |      FROM t17 JOIN documents doc USING (doc_id)),
+       |b AS (SELECT lang, n_bigrams, sum_recip,
+       |        ntile(3) OVER (PARTITION BY lang
+       |                       ORDER BY mean_recip ASC, doc_id ASC) AS b
+       |      FROM j)
+       |SELECT lang,
+       |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |         ELSE 'tail' END AS bucket,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_bigrams + 1) AS BIGINT) AS total_tokens,
+       |  CAST(sum(sum_recip) AS BIGINT) AS recip_sum
+       |FROM b GROUP BY 1, 2""".stripMargin
 
   // ------------------------------------------------- t18 Gopher gates
 
@@ -1913,6 +1966,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t17_bigram_lm" -> t17BigramLm,
+    "t21_ccnet_buckets" -> t21CcnetBuckets,
     "t18_gopher_repetition" -> t18GopherRepetition,
     "t19_nb_quality" -> t19NbQuality,
     "t20_weighted_sample" -> t20WeightedSample,
@@ -1968,6 +2022,7 @@ object TextAnalysis {
     "t15_tfidf_keywords" -> t15Sql,
     "t16_bpe_merges" -> t16Sql,
     "t17_bigram_lm" -> t17Sql,
+    "t21_ccnet_buckets" -> t21Sql,
     "pipe10_gate_ablation" -> pipe10Sql,
     "pipe9_temperature_mixture" -> pipe9Sql,
     "pipe7_dataset_card" -> pipe7Sql)

@@ -281,8 +281,10 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // writes + bounded audit aggregates
       "a41_fk_audit", "pipe14_wap_publish",
       // c11 is row-linear stream-stream join state over 10x events;
-      // s19 is two partitioned writes + a per-day groupBy
-      "c11_streaming_interval_join", "s19_dynamic_overwrite")
+      // s19 is two partitioned writes + a per-day groupBy; t21 rides
+      // t17's vocab-bound model plus one per-language sort
+      "c11_streaming_interval_join", "s19_dynamic_overwrite",
+      "t21_ccnet_buckets")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
