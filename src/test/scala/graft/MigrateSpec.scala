@@ -463,6 +463,41 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Seq((2L, "2024-01-01"), (3L, "2024-01-02")))
   }
 
+  test("overlapDepth matches brute-force point coverage on random " +
+    "manifests") {
+    import spark.implicits._
+    // 30 random layouts in ONE frame (one Spark job, not 30): depth
+    // is piecewise-constant changing only at event positions, so the
+    // brute force evaluates coverage at every +1/-1 position and
+    // integrates the half-open segments between them
+    val rnd = new scala.util.Random(42)
+    val layouts = (0 until 30).map { li =>
+      val files = (0 to rnd.nextInt(11)).map { fi =>
+        val lo = rnd.nextInt(100).toLong
+        (s"L$li", fi.toLong, lo, lo + rnd.nextInt(40))
+      }
+      s"L$li" -> files
+    }
+    val man = layouts.flatMap(_._2)
+      .toDF("layout", "file_id", "min_key", "max_key")
+    val got = Migrate.overlapDepth(man).collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("max_depth"),
+          r.getAs[Long]("depth_area"), r.getAs[Long]("span"))).toMap
+    for ((name, files) <- layouts) {
+      val iv = files.map { case (_, _, lo, hi) => (lo, hi) }
+      val events = (iv.map(_._1) ++ iv.map(_._2 + 1)).distinct.sorted
+      def cover(p: Long) = iv.count { case (lo, hi) => lo <= p && p <= hi }
+      val maxDepth = events.map(cover).max
+      val area = events.sliding(2).collect {
+        case Seq(a, b) => cover(a) * (b - a)
+      }.sum
+      val span = iv.map(_._2).max + 1 - iv.map(_._1).min
+      assert(got(name) == ((iv.length.toLong, maxDepth.toLong, area, span)),
+        s"$name: got ${got(name)}, brute ($maxDepth, $area, $span)")
+    }
+  }
+
   test("s18: clustered layout is depth 1, scattered is depth n_files") {
     val rows = Migrate.s18OverlapDepth(spark, sf).collect()
       .map(r => r.getAs[String]("layout") ->
