@@ -318,7 +318,86 @@ object Multimodal {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM planned GROUP BY 1, 2""".stripMargin
 
+  /** The media corpus materialized as REAL FILES on disk, once per
+    * (session, input): every m-query so far synthesizes the payload
+    * as a column; this is the other half of multimodal reality — the
+    * corpus arrives as a directory of blobs. Written by one
+    * foreachPartition job (each task writes its rows' files — the
+    * fixture-builder side, not the operator under test) into a
+    * doc_id-named layout the source can invert.
+    */
+  private val blobDirCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  Memo.purgeHooks.put("multimodal.blobDir",
+    () => blobDirCache.synchronized(blobDirCache.clear()): Unit)
+
+  private def blobDir(s: SparkSession, d: String): String =
+    blobDirCache.synchronized {
+      blobDirCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      blobDirCache.getOrElseUpdate((s, d), {
+        val dir = graft.operators.Migrate.tempDir("m7_blobs")
+        val dirB = dir
+        mediaTable(s, d).select("doc_id", "fmt", "payload")
+          .foreachPartition {
+            (rows: Iterator[org.apache.spark.sql.Row]) =>
+              rows.foreach { r =>
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(dirB,
+                    f"doc_${r.getLong(0)}%08d.${r.getString(1)}"),
+                  r.getAs[Array[Byte]]("payload"))
+              }
+          }
+        dir
+      })
+    }
+
+  Memo.memoWarmers.put("multimodal.blobDir",
+    (s: SparkSession, d: String) =>
+      s.read.format("binaryFile").load(blobDir(s, d)).select("length"))
+
+  /** m7: binary-file ingest — Spark's `binaryFile` source reading the
+    * media corpus from a DIRECTORY OF BLOBS (how multimodal data
+    * actually arrives before anyone curates it), doc ids parsed back
+    * out of the file names, content VERIFIED against the metadata
+    * table by exact byte comparison. The oracle recomputes the
+    * expected bytes closed-form, so the hash gate covers the whole
+    * ingest: file naming, source fidelity, and the join back to
+    * metadata. Scale note: binaryFile partitions by file, so a
+    * billion small blobs is the classic small-file problem — the
+    * production shape is this ingest ONCE, then m6's byte-budgeted
+    * shard packing so every later epoch streams archives; the
+    * lossless-ingest contract m7 pins is what makes that repack safe.
+    */
+  def m7BinaryIngest(s: SparkSession, d: String): DataFrame = {
+    val files = s.read.format("binaryFile").load(blobDir(s, d))
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.", 1)
+          .cast("long").as("doc_id"),
+        regexp_extract(col("path"), "\\.([a-z]+)$", 1).as("ext"),
+        col("length"), col("content"))
+    files.join(mediaTable(s, d), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("ext"), col("fmt"),
+        col("length").as("n_bytes"),
+        (col("ext") === col("fmt") &&
+          hex(col("content")) === hex(col("payload"))).as("lossless"))
+  }
+
+  val m7Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |       WHEN doc_id % 3 = 1 THEN 'jpeg'
+      |       ELSE 'wav' END AS ext,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |       WHEN doc_id % 3 = 1 THEN 'jpeg'
+      |       ELSE 'wav' END AS fmt,
+      |  CAST(octet_length(unhex(md5(text) || md5(text || 'x')))
+      |    AS BIGINT) AS n_bytes,
+      |  TRUE AS lossless
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_binary_ingest" -> m7BinaryIngest,
     "m6_shard_plan" -> m6ShardPlan,
     "m5_resize_plan" -> m5ResizePlan,
     "m1_media_meta" -> m1MediaMeta,
@@ -327,6 +406,7 @@ object Multimodal {
     "m4_media_dedup" -> m4MediaDedup)
 
   val oracles: Map[String, String] = Map(
+    "m7_binary_ingest" -> m7Sql,
     "m6_shard_plan" -> m6Sql,
     "m5_resize_plan" -> m5Sql,
     "m1_media_meta" -> m1Sql,
