@@ -44,9 +44,6 @@ object PlanAudit {
     *  - s18: crossJoin of the single-row max-key aggregate onto the
     *    key relation (the arithmetic file assignment needs the global
     *    range; a19's single-row class).
-    *  - pipe14: the audit-gate chain crossJoins single-row count
-    *    aggregates onto each other and onto the O(langs) share
-    *    relation (pipe5/pipe8's class).
     *  - d20: the complete-matrix pair frame crosses the per-source
     *    size relation with itself — an aggregate output bounded by
     *    the source count (dozens), never corpus-sized.
@@ -58,7 +55,7 @@ object PlanAudit {
     "pipe5_token_mixture", "pipe8_leakage_split",
     "pipe9_temperature_mixture", "t16_bpe_merges",
     "ann13_reindex_gate", "s18_overlap_depth",
-    "pipe14_wap_publish", "d20_source_overlap")
+    "d20_source_overlap")
 
   /** One audited query: which flags its physical plan raised, or the
     * planning error. `violation` is the checked contract — true iff

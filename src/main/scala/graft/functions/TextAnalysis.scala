@@ -1372,11 +1372,22 @@ object TextAnalysis {
     * single-partition window). Restricted to purely alphabetic words
     * so the elected pair is always a regex-literal.
     */
+  /** The BPE word-frequency vocabulary — the ONE corpus pass both the
+    * trainer (t16, t22's merge loop) and any later round share. BPE
+    * training touches the corpus exactly once; everything after runs
+    * over this (word, freq) relation, which is why it's a memoized
+    * shared relation (vocab-sized: distinct lowercase words).
+    */
+  private val bpeVocab: (SparkSession, String) => DataFrame =
+    Memo.memoized("text.bpeVocab") { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(explode(words(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+    }
+
   def t16BpeMerges(s: SparkSession, d: String): DataFrame = {
-    val wf = Tables.load(s, d, "documents")
-      .select(explode(words(col("text"))).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
-      .groupBy("w").agg(count(lit(1)).as("f"))
+    val wf = bpeVocab(s, d)
     def pairCounts(df: DataFrame): DataFrame = df
       .filter(length(col("w")) >= 2)
       .select(col("f"), explode(expr(
@@ -1423,6 +1434,138 @@ object TextAnalysis {
       |SELECT CAST(2 AS BIGINT) AS round, pair, n FROM
       |  (SELECT pair, n FROM r2 ORDER BY n DESC, pair ASC LIMIT 20) b"""
       .stripMargin
+
+  /** t22 merge-round replacement symbols: one regex-literal,
+    * non-[a-z] char per trained merge (the fused pair becomes one
+    * char = one token, t16's convention). Chosen outside both the
+    * vocabulary alphabet and the regex/replacement metacharacter
+    * sets of BOTH engines (no `$ \ . * + ? ( ) [ ] { } | ^`), so an
+    * elected pair containing an earlier round's symbol is still a
+    * literal pattern.
+    */
+  private val BpeSymbols: Seq[String] = Seq("@", "%", "&", "=", "~", "!")
+
+  /** Pattern that matches nothing (two 0x01 chars never occur in the
+    * corpus): the merge slot for a round whose election came up empty
+    * (degenerate corpus), so the encode chain is total in both
+    * engines instead of null-poisoned via regexp_replace(w, NULL).
+    */
+  private val BpeNoMerge = "\u0001\u0001"
+
+  /** t22: BPE ENCODING at corpus scale — the tokenization pass every
+    * training pipeline actually runs over 100 TB, applying the
+    * trained merge table (t16's trainer continued to
+    * `BpeSymbols.length` rounds) to every document. Two shapes, per
+    * the BPE contract:
+    *
+    *  - TRAIN on the vocabulary: each round elects the most frequent
+    *    adjacent pair over the memoized (word, freq) relation
+    *    ([[bpeVocab]] — the corpus is touched exactly once) with a
+    *    1-row bounded collect (the planning-lookup class), then
+    *    rewrites the VOCAB. The merge table is a driver-side
+    *    artifact, exactly like a real tokenizer's merges.txt.
+    *  - ENCODE the corpus: the collected merges become LITERALS in
+    *    the plan (the broadcast-a-tiny-table degenerate case), so the
+    *    encode pass is one scan-explode-aggregate with a chain of
+    *    literal-pattern regexp_replace — whole-stage codegen, zero
+    *    extra shuffle beyond the doc_id re-aggregation, no per-row
+    *    vocabulary lookup. Merges apply in training order, each as a
+    *    leftmost non-overlapping global replace (identical semantics
+    *    in Spark's Java regex and DuckDB's RE2 on literal patterns —
+    *    the same determinism contract as t16). Non-alphabetic words
+    *    byte-pass through as char tokens.
+    *
+    * Output: per-doc BPE token count (chars after merging: every
+    * fused pair is one symbol) next to the whitespace token count —
+    * the compression the tokenizer bought, doc by doc.
+    */
+  /** The t22 trainer: `BpeSymbols.length` merge rounds over the
+    * memoized vocab, returning the (pair, symbol) merge table in
+    * training order — a real tokenizer's merges.txt, as driver
+    * values. Split out so the spec can pin the elected merges
+    * against t16's per-round argmax.
+    */
+  private[graft] def bpeTrainMerges(s: SparkSession, d: String)
+      : Seq[(String, String)] = {
+    var vocab = bpeVocab(s, d)
+    BpeSymbols.map { sym =>
+      val pair = vocab.filter(length(col("w")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1)
+        .collect().headOption.map(_.getString(0)).getOrElse(BpeNoMerge)
+      vocab = vocab
+        .select(regexp_replace(col("w"), lit(pair), lit(sym)).as("w"),
+          col("f"))
+        .groupBy("w").agg(sum(col("f")).as("f"))
+      (pair, sym)
+    }
+  }
+
+  def t22BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeTrainMerges(s, d)
+    def chain(c: Column): Column = merges.foldLeft(c) {
+      case (acc, (p, sym)) => regexp_replace(acc, lit(p), lit(sym))
+    }
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"),
+        when(col("w").rlike("^[a-z]+$"), length(chain(col("w"))))
+          .otherwise(length(col("w"))).cast("long").as("tok"))
+      .groupBy("doc_id")
+      .agg(sum(col("tok")).as("bpe_tokens"),
+        count(lit(1)).as("ws_tokens"))
+  }
+
+  /** t22's oracle replays the SAME training loop as chained CTEs —
+    * k vocab rewrites, each electing from the previous round's vocab
+    * with the identical (count desc, pair asc) tie-break — then
+    * encodes with the same nested literal replaces. Generated by the
+    * same loop bounds as the Spark side so the round count can never
+    * drift between engines.
+    */
+  val t22Sql: String = {
+    val wf0 =
+      """wf0 AS (
+        |  SELECT w, count(*) AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1)""".stripMargin
+    val rounds = BpeSymbols.zipWithIndex.map { case (sym, i) =>
+      val k = i + 1
+      s"""m$k AS (
+         |  SELECT coalesce((
+         |    SELECT pair FROM (
+         |      SELECT pair, sum(f) AS n FROM (
+         |        SELECT f, unnest([substr(w, i, 2)
+         |                          for i in range(1, length(w))]) AS pair
+         |        FROM wf${k - 1} WHERE length(w) >= 2) p GROUP BY 1)
+         |    ORDER BY n DESC, pair ASC LIMIT 1),
+         |    chr(1) || chr(1)) AS p),
+         |wf$k AS (
+         |  SELECT w, CAST(sum(f) AS BIGINT) AS f FROM (
+         |    SELECT regexp_replace(w, (SELECT p FROM m$k), '$sym', 'g')
+         |      AS w, f
+         |    FROM wf${k - 1}) r GROUP BY 1)""".stripMargin
+    }
+    val enc = BpeSymbols.zipWithIndex.foldLeft("w") { case (acc, (sym, i)) =>
+      s"regexp_replace($acc, (SELECT p FROM m${i + 1}), '$sym', 'g')"
+    }
+    s"""WITH $wf0,
+       |${rounds.mkString(",\n")},
+       |ew AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id,
+       |    CASE WHEN regexp_matches(w, '^[a-z]+$$')
+       |         THEN length($enc) ELSE length(w) END AS tok
+       |  FROM ew)
+       |SELECT doc_id, CAST(sum(tok) AS BIGINT) AS bpe_tokens,
+       |  CAST(count(*) AS BIGINT) AS ws_tokens
+       |FROM tok GROUP BY 1""".stripMargin
+  }
 
   /** pipe10: gate-ablation matrix — for every train candidate, the
     * four curation gates (quality, repetition, exact-dedup,
@@ -1971,6 +2114,7 @@ object TextAnalysis {
     "t19_nb_quality" -> t19NbQuality,
     "t20_weighted_sample" -> t20WeightedSample,
     "t16_bpe_merges" -> t16BpeMerges,
+    "t22_bpe_encode" -> t22BpeEncode,
     "pipe10_gate_ablation" -> pipe10GateAblation,
     "t11_lexicon_profile" -> t11LexiconProfile,
     "pipe4_curation" -> pipe4Curation,
@@ -2021,6 +2165,7 @@ object TextAnalysis {
     "t14_rarity_profile" -> t14Sql,
     "t15_tfidf_keywords" -> t15Sql,
     "t16_bpe_merges" -> t16Sql,
+    "t22_bpe_encode" -> t22Sql,
     "t17_bigram_lm" -> t17Sql,
     "t21_ccnet_buckets" -> t21Sql,
     "pipe10_gate_ablation" -> pipe10Sql,

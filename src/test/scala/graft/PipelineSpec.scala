@@ -174,6 +174,11 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       when(col("doc_id") % 7 === 0, lit(null: String))
         .otherwise(col("text"))))
     assert(!nulled("null_text"))
+    // ...and ONLY the null gate: md5(NULL) is NULL, so a fingerprint
+    // over the full frame would double-charge every null payload to
+    // dup_rate too (review finding) — dup_rate measures duplication
+    // among the real payloads
+    assert(nulled("dup_rate"))
     // a doubled snapshot (upstream re-append): every row now has an
     // exact duplicate -> dup_rate fires (the 2.0x row ratio itself
     // sits ON the inclusive bound, deliberately tolerated)

@@ -64,9 +64,15 @@ class RegistrySpec extends AnyFunSuite {
       "similarity.pqCodes",
       "similarity.ann11Rel", "similarity.ann11Sim",
       "similarity.ann12TruthF",
-      "text.t7Decontaminate", "text.t14RarityProfile")
-    val gone = expected.diff(names)
-    assert(gone.isEmpty, s"memoized relations missing from warmup: $gone")
+      "text.t7Decontaminate", "text.t14RarityProfile", "text.bpeVocab",
+      "multimodal.blobDir", "taskmodes.csvDispatch")
+    // set EQUALITY, not subset: a dropped warmer silently opts its
+    // family out of warmup (the r8 drift class), and an unpinned NEW
+    // warmer is the same bug waiting for the next refactor — both
+    // directions must fail here
+    assert(names == expected,
+      s"warmup registry drift: missing=${expected.diff(names)} " +
+        s"unpinned=${names.diff(expected)}")
   }
 
   test("within each module, queries and oracles pair up") {

@@ -321,6 +321,44 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     rows.foreach(r => assert(r.getAs[Long]("n") > 0))
   }
 
+  test("t22 BPE encode: merges continue t16's per-round argmax and the " +
+    "corpus token counts match a driver-side replay") {
+    val merges = TextAnalysis.bpeTrainMerges(spark, sf)
+    assert(merges.length == 6)
+    // rounds 1-2 must elect exactly what t16 reports (same trainer,
+    // same tie-break) — the merge table is t16 CONTINUED, not a fork
+    val t16 = TextAnalysis.t16BpeMerges(spark, sf).collect()
+    def winner(round: Long): String = t16
+      .filter(_.getAs[Long]("round") == round)
+      .minBy(r => (-r.getAs[Long]("n"), r.getAs[String]("pair")))
+      .getAs[String]("pair")
+    assert(merges(0)._1 == winner(1L))
+    assert(merges(1)._1 == winner(2L))
+    // independent replay: plain JVM string ops (String.replace is the
+    // same leftmost non-overlapping global literal rewrite), word by
+    // word, on a sample of docs — pins the distributed encode against
+    // a second implementation, not just the shared SQL dialect
+    def encodeLen(w: String): Int =
+      if (w.matches("^[a-z]+$"))
+        merges.foldLeft(w) { case (acc, (p, sym)) =>
+          acc.replace(p, sym) }.length
+      else w.length
+    val got = TextAnalysis.t22BpeEncode(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bpe_tokens"), r.getAs[Long]("ws_tokens"))).toMap
+    val sample = graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 17 === 0)
+      .select("doc_id", "text").collect()
+    assert(sample.nonEmpty)
+    for (r <- sample) {
+      val ws = r.getAs[String]("text").split(" ", -1)
+      val expect = (ws.map(encodeLen(_).toLong).sum, ws.length.toLong)
+      assert(got(r.getAs[Long]("doc_id")) == expect,
+        s"doc ${r.getAs[Long]("doc_id")}: " +
+          s"${got(r.getAs[Long]("doc_id"))} != $expect")
+    }
+  }
+
   test("pipe10 ablation cells partition the train candidates") {
     import org.apache.spark.sql.functions._
     val cells = TextAnalysis.pipe10GateAblation(spark, sf).collect()
