@@ -39,7 +39,10 @@ object Bench {
     // c11's stream-stream join opens its own state-store shape (four
     // stores per partition) — same first-run class (probed 10.9 s
     // first vs 2.8 s steady)
-    "c11_streaming_interval_join")
+    "c11_streaming_interval_join",
+    // a43's complete-mode aggregation + memory sink is its own
+    // streaming shape (state stores, no watermark machinery)
+    "a43_streaming_drift")
 
   /** One timed run: (seconds, result rows); (-1.0, -1) on failure
     * (never time-to-exception — broken queries must be visible in
@@ -60,6 +63,35 @@ object Bench {
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) 0.0 else s(s.length / 2)
+  }
+
+  /** Host-speed calibration probe: a PINNED synthetic CPU+shuffle job
+    * (hash 8M longs, shuffle-aggregate to 64Ki keys, with a map-side
+    * partial) that depends on nothing but the host — not the SF dir,
+    * not the query surface, not the code under test. Run
+    * untimed-warm once, then timed thrice, median kept. Committed
+    * bench totals have drifted up to 23% on a byte-identical tree
+    * (r10: 98.9/96.6/80.5 s, ~0 GC — stolen CPU), making
+    * round-over-round comparison guesswork; the probe gives every
+    * artifact a denominator, so two runs compare as
+    * `total / probe_sec` (queries-per-probe-unit) instead of raw
+    * wall seconds. File artifact only — the driver's stdout contract
+    * is unchanged.
+    */
+  private def calibrationProbe(spark: SparkSession): Double = {
+    def job(): Unit = {
+      spark.range(0L, 8000000L, 1L, 16)
+        .selectExpr("pmod(xxhash64(id), 65536) AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .count(): Unit
+    }
+    try {
+      job() // untimed: codegen + JIT for the probe's own shape
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9
+      }
+      samples.sorted.apply(1)
+    } catch { case _: Throwable => -1.0 }
   }
 
   /** Cumulative JVM GC wall time — the per-query delta separates "slow
@@ -112,6 +144,9 @@ object Bench {
     for (q <- Bench.WarmupQueries)
       SparkEntry.queries.get(q).foreach(fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () })
+    // host-speed denominator, measured right where the timed window
+    // starts (see calibrationProbe); -1.0 = probe failed, never 0
+    val probeSec = calibrationProbe(spark)
     // Re-sample policy: host-level contention inflates a different
     // query on every run (round-3 adjudication: driver saw d5=311 s
     // that re-measured at 1.8 s; round-4 back-to-back runs still
@@ -185,7 +220,8 @@ object Bench {
     val rowsJson = rows.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fileLine =
-      line.dropRight(1) + s""","gc_sec":$gcJson,"rows":$rowsJson}"""
+      line.dropRight(1) + s""","gc_sec":$gcJson,"rows":$rowsJson""" +
+        s""","calibration":{"probe_sec":${f(probeSec)}}}"""
     // subset runs (SPARK_GRAFT_ONLY) and non-baseline scale factors
     // must NEVER touch the artifact: bench_local.json is the committed
     // full-surface sf0.1 baseline the perf gate and BASELINE.md read —

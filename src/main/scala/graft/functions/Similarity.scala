@@ -1613,9 +1613,25 @@ object Similarity {
     */
   private val FilterLabel = 1
 
-  /** Exact top-5 per query among label-matching corpus rows — the
-    * ground truth for filtered search, materialized as a table like
-    * ann1's unfiltered truth (an evaluation artifact, built once).
+  /** The two selectivity regimes ann12 compares, as (name, Spark
+    * predicate builder over a frame alias, SQL predicate builder over
+    * a table alias) — ONE definition feeding truth, post, pre, and
+    * the oracle. `label_9pct` is the common metadata filter (~1/10 of
+    * the corpus); `rare_3pct` is the production failure mode (the
+    * near-unique tenant/category filter) where post-filter recall
+    * collapses because the unfiltered top-10 rarely contains matches.
+    */
+  private val Ann12Sels: Seq[(String, DataFrame => Column, String => String)] =
+    Seq(
+      ("label_9pct", df => df("label") === FilterLabel,
+        a => s"$a.label = $FilterLabel"),
+      ("rare_3pct", df => df("vec_id") % 41 === 0,
+        a => s"$a.vec_id % 41 = 0"))
+
+  /** Exact top-5 per query among predicate-matching corpus rows, one
+    * slice per selectivity regime — the ground truth for filtered
+    * search, materialized as a table like ann1's unfiltered truth
+    * (an evaluation artifact, built once).
     */
   private val ann12TruthF: (SparkSession, String) => DataFrame =
     Memo.memoizedTable("similarity.ann12TruthF") { (s, d) =>
@@ -1623,22 +1639,25 @@ object Similarity {
       val q = broadcast(c.select(col("vec_id").as("qid"),
         col("v").as("qv"), col("nrm").as("qnrm"))
         .filter(col("qid") % 100 === 0))
-      val w = Window.partitionBy("qid")
+      val w = Window.partitionBy("sel", "qid")
         .orderBy(col("cos").desc, col("vec_id").asc)
-      c.filter(col("label") === FilterLabel)
+      Ann12Sels.map { case (name, pred, _) =>
+        c.filter(pred(c)).withColumn("sel", lit(name))
+      }.reduce(_ unionAll _)
         .join(q, col("vec_id") =!= col("qid"))
         .withColumn("cos",
           dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
-        .select(col("qid").as("query_id"),
+        .select(col("sel"), col("qid").as("query_id"),
           col("vec_id").as("neighbor_id"), col("rank"))
     }
 
-  /** ann12: FILTERED vector search — top-k under a metadata predicate
-    * (label = 1), the feature every production vector store fronts.
-    * One decision row compares the two standard strategies against
-    * the filtered exact truth:
+  /** ann12: FILTERED vector search — top-k under a metadata
+    * predicate, the feature every production vector store fronts.
+    * One decision row PER SELECTIVITY REGIME ([[Ann12Sels]]: the ~9%
+    * label filter and the ~3% near-unique filter) compares the two
+    * standard strategies against the filtered exact truth:
     *
     *   POST-filter — run the unfiltered search (ann1's memoized
     *   top-10), drop non-matching results, truncate to 5. Cheap, but
@@ -1660,109 +1679,126 @@ object Similarity {
     */
   def ann12FilteredSearch(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
-    val truthF = ann12TruthF(s, d)
-      .select(col("query_id"), col("neighbor_id"))
-    // post-filter: unfiltered exact top-10, keep label matches, top-5
-    // by ORIGINAL rank
-    val post = ann1BruteTopK(s, d)
-      .join(c.select(col("vec_id").as("neighbor_id"), col("label")),
-        Seq("neighbor_id"))
-      .filter(col("label") === FilterLabel)
-      .withColumn("frank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("rank").asc)))
-      .filter(col("frank") <= 5)
-      .select(col("query_id"), col("neighbor_id"))
-    // pre-filter: IVF cell search over label rows only
+    val truthAll = ann12TruthF(s, d)
     val assigned = assignedCells(s, d)
     val q = assigned.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell"))
     val wIvf = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val pre = assigned.filter(col("label") === FilterLabel)
-      .join(q, Seq("cell"))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
-      .withColumn("rank", row_number().over(wIvf))
-      .filter(col("rank") <= 5)
-      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
-    def hits(got: DataFrame): DataFrame =
-      truthF.join(got.withColumn("hit", lit(1)),
-        Seq("query_id", "neighbor_id"), "left_outer")
-    val a = hits(post).agg(count(lit(1)).as("n_expected"),
-      count(col("hit")).as("hits_post"))
-    val b = hits(pre).agg(count(col("hit")).as("hits_pre"))
-    val kEff = post.agg(count(lit(1)).as("k_eff_post"))
-    // three bounded 1-row aggregates, combined joinlessly (d17's rule)
-    a.select(col("n_expected"), col("hits_post"),
-        lit(null).cast("long").as("hits_pre"),
-        lit(null).cast("long").as("k_eff_post"))
-      .unionAll(b.select(lit(null).cast("long").as("n_expected"),
-        lit(null).cast("long").as("hits_post"), col("hits_pre"),
-        lit(null).cast("long").as("k_eff_post")))
-      .unionAll(kEff.select(lit(null).cast("long").as("n_expected"),
-        lit(null).cast("long").as("hits_post"),
-        lit(null).cast("long").as("hits_pre"), col("k_eff_post")))
-      .agg(max(col("n_expected")).as("n_expected"),
-        max(col("hits_post")).as("hits_post"),
-        max(col("hits_pre")).as("hits_pre"),
-        max(col("k_eff_post")).as("k_eff_post"))
-      .withColumn("recall_post",
-        col("hits_post").cast("double") / col("n_expected"))
-      .withColumn("recall_pre",
-        col("hits_pre").cast("double") / col("n_expected"))
+    // one decision row PER SELECTIVITY REGIME: the ~9% filter and the
+    // ~3% near-unique filter where post-filtering collapses (review
+    // finding: a single mid selectivity hides exactly the regime the
+    // strategy choice exists for)
+    Ann12Sels.map { case (name, pred, _) =>
+      val truthF = truthAll.filter(col("sel") === name)
+        .select(col("query_id"), col("neighbor_id"))
+      // post-filter: unfiltered exact top-10, keep matches, top-5 by
+      // ORIGINAL rank (predicate applied to the corpus row upstream
+      // of the join — the same rows, one predicate site)
+      val post = ann1BruteTopK(s, d)
+        .join(c.filter(pred(c)).select(col("vec_id").as("neighbor_id")),
+          Seq("neighbor_id"))
+        .withColumn("frank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("rank").asc)))
+        .filter(col("frank") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+      // pre-filter: IVF cell search over matching rows only
+      val pre = assigned.filter(pred(assigned))
+        .join(q, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+        .withColumn("rank", row_number().over(wIvf))
+        .filter(col("rank") <= 5)
+        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+      def hits(got: DataFrame): DataFrame =
+        truthF.join(got.withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+      val a = hits(post).agg(count(lit(1)).as("n_expected"),
+        count(col("hit")).as("hits_post"))
+      val b = hits(pre).agg(count(col("hit")).as("hits_pre"))
+      val kEff = post.agg(count(lit(1)).as("k_eff_post"))
+      // three bounded 1-row aggregates, combined joinlessly (d17's rule)
+      a.select(col("n_expected"), col("hits_post"),
+          lit(null).cast("long").as("hits_pre"),
+          lit(null).cast("long").as("k_eff_post"))
+        .unionAll(b.select(lit(null).cast("long").as("n_expected"),
+          lit(null).cast("long").as("hits_post"), col("hits_pre"),
+          lit(null).cast("long").as("k_eff_post")))
+        .unionAll(kEff.select(lit(null).cast("long").as("n_expected"),
+          lit(null).cast("long").as("hits_post"),
+          lit(null).cast("long").as("hits_pre"), col("k_eff_post")))
+        .agg(max(col("n_expected")).as("n_expected"),
+          max(col("hits_post")).as("hits_post"),
+          max(col("hits_pre")).as("hits_pre"),
+          max(col("k_eff_post")).as("k_eff_post"))
+        .withColumn("recall_post",
+          col("hits_post").cast("double") / col("n_expected"))
+        .withColumn("recall_pre",
+          col("hits_pre").cast("double") / col("n_expected"))
+        .select(lit(name).as("sel"), col("n_expected"), col("hits_post"),
+          col("hits_pre"), col("k_eff_post"), col("recall_post"),
+          col("recall_pre"))
+    }.reduce(_ unionAll _)
   }
 
   val ann12Sql: String = {
-    val truthF =
-      s"""SELECT qid AS query_id, vec_id AS neighbor_id FROM (
+    // one truthf/post/pre CTE trio per selectivity regime, generated
+    // from the SAME Ann12Sels table the Spark side loops over
+    val blocks = Ann12Sels.zipWithIndex.map { case ((_, _, predSql), i) =>
+      s"""truthf_$i AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id FROM (
          |    SELECT q.qid, f.vec_id,
          |      row_number() OVER (PARTITION BY q.qid ORDER BY
          |        ${dotSql("q.qv", "f.v")} / (q.qnrm * f.nrm) DESC,
          |        f.vec_id ASC) AS rank
          |    FROM (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM c
          |          WHERE vec_id % 100 = 0) q
-         |    JOIN (SELECT * FROM c WHERE label = $FilterLabel) f
-         |      ON f.vec_id <> q.qid) t WHERE rank <= 5""".stripMargin
+         |    JOIN (SELECT * FROM c WHERE ${predSql("c")}) f
+         |      ON f.vec_id <> q.qid) t WHERE rank <= 5),
+         |post_$i AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a1.query_id, a1.neighbor_id,
+         |      row_number() OVER (PARTITION BY a1.query_id
+         |        ORDER BY a1.rank ASC) AS frank
+         |    FROM ($ann1Sql) a1
+         |    JOIN c ON c.vec_id = a1.neighbor_id
+         |    WHERE ${predSql("c")}) p WHERE frank <= 5),
+         |pre_$i AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id FROM (
+         |    SELECT q.qid, a.vec_id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        ${dotSql("q.qv", "a.v")} / (q.qnrm * a.nrm) DESC,
+         |        a.vec_id ASC) AS rank
+         |    FROM (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cell
+         |          FROM assigned WHERE vec_id % 100 = 0) q
+         |    JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.qid
+         |      AND ${predSql("a")}) t WHERE rank <= 5)""".stripMargin
+    }
+    val rows = Ann12Sels.zipWithIndex.map { case ((name, _, _), i) =>
+      s"""SELECT '$name' AS sel,
+         |  (SELECT count(*) FROM truthf_$i) AS n_expected,
+         |  (SELECT count(*) FROM truthf_$i t WHERE EXISTS (
+         |     SELECT 1 FROM post_$i p WHERE p.query_id = t.query_id
+         |       AND p.neighbor_id = t.neighbor_id)) AS hits_post,
+         |  (SELECT count(*) FROM truthf_$i t WHERE EXISTS (
+         |     SELECT 1 FROM pre_$i p WHERE p.query_id = t.query_id
+         |       AND p.neighbor_id = t.neighbor_id)) AS hits_pre,
+         |  (SELECT count(*) FROM post_$i) AS k_eff_post,
+         |  CAST((SELECT count(*) FROM truthf_$i t WHERE EXISTS (
+         |     SELECT 1 FROM post_$i p WHERE p.query_id = t.query_id
+         |       AND p.neighbor_id = t.neighbor_id)) AS DOUBLE) /
+         |    (SELECT count(*) FROM truthf_$i) AS recall_post,
+         |  CAST((SELECT count(*) FROM truthf_$i t WHERE EXISTS (
+         |     SELECT 1 FROM pre_$i p WHERE p.query_id = t.query_id
+         |       AND p.neighbor_id = t.neighbor_id)) AS DOUBLE) /
+         |    (SELECT count(*) FROM truthf_$i) AS recall_pre""".stripMargin
+    }
     s"""WITH c AS ($corpusSql),
        |$assignedSqlCte,
-       |truthf AS (
-       |  $truthF),
-       |post AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT a1.query_id, a1.neighbor_id,
-       |      row_number() OVER (PARTITION BY a1.query_id
-       |        ORDER BY a1.rank ASC) AS frank
-       |    FROM ($ann1Sql) a1
-       |    JOIN c ON c.vec_id = a1.neighbor_id
-       |    WHERE c.label = $FilterLabel) p WHERE frank <= 5),
-       |pre AS (
-       |  SELECT qid AS query_id, vec_id AS neighbor_id FROM (
-       |    SELECT q.qid, a.vec_id,
-       |      row_number() OVER (PARTITION BY q.qid ORDER BY
-       |        ${dotSql("q.qv", "a.v")} / (q.qnrm * a.nrm) DESC,
-       |        a.vec_id ASC) AS rank
-       |    FROM (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cell
-       |          FROM assigned WHERE vec_id % 100 = 0) q
-       |    JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.qid
-       |      AND a.label = $FilterLabel) t WHERE rank <= 5)
-       |SELECT
-       |  (SELECT count(*) FROM truthf) AS n_expected,
-       |  (SELECT count(*) FROM truthf t WHERE EXISTS (
-       |     SELECT 1 FROM post p WHERE p.query_id = t.query_id
-       |       AND p.neighbor_id = t.neighbor_id)) AS hits_post,
-       |  (SELECT count(*) FROM truthf t WHERE EXISTS (
-       |     SELECT 1 FROM pre p WHERE p.query_id = t.query_id
-       |       AND p.neighbor_id = t.neighbor_id)) AS hits_pre,
-       |  (SELECT count(*) FROM post) AS k_eff_post,
-       |  CAST((SELECT count(*) FROM truthf t WHERE EXISTS (
-       |     SELECT 1 FROM post p WHERE p.query_id = t.query_id
-       |       AND p.neighbor_id = t.neighbor_id)) AS DOUBLE) /
-       |    (SELECT count(*) FROM truthf) AS recall_post,
-       |  CAST((SELECT count(*) FROM truthf t WHERE EXISTS (
-       |     SELECT 1 FROM pre p WHERE p.query_id = t.query_id
-       |       AND p.neighbor_id = t.neighbor_id)) AS DOUBLE) /
-       |    (SELECT count(*) FROM truthf) AS recall_pre""".stripMargin
+       |${blocks.mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

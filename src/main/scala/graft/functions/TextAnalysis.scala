@@ -1452,6 +1452,31 @@ object TextAnalysis {
     */
   private val BpeNoMerge = "\u0001\u0001"
 
+  /** The t22 trainer: `BpeSymbols.length` merge rounds over the
+    * memoized vocab, returning the (pair, symbol) merge table in
+    * training order — a real tokenizer's merges.txt, as driver
+    * values. Split out so the spec can pin the elected merges
+    * against t16's per-round argmax.
+    */
+  private[graft] def bpeTrainMerges(s: SparkSession, d: String)
+      : Seq[(String, String)] = {
+    var vocab = bpeVocab(s, d)
+    BpeSymbols.map { sym =>
+      val pair = vocab.filter(length(col("w")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1)
+        .collect().headOption.map(_.getString(0)).getOrElse(BpeNoMerge)
+      vocab = vocab
+        .select(regexp_replace(col("w"), lit(pair), lit(sym)).as("w"),
+          col("f"))
+        .groupBy("w").agg(sum(col("f")).as("f"))
+      (pair, sym)
+    }
+  }
+
   /** t22: BPE ENCODING at corpus scale — the tokenization pass every
     * training pipeline actually runs over 100 TB, applying the
     * trained merge table (t16's trainer continued to
@@ -1479,31 +1504,6 @@ object TextAnalysis {
     * fused pair is one symbol) next to the whitespace token count —
     * the compression the tokenizer bought, doc by doc.
     */
-  /** The t22 trainer: `BpeSymbols.length` merge rounds over the
-    * memoized vocab, returning the (pair, symbol) merge table in
-    * training order — a real tokenizer's merges.txt, as driver
-    * values. Split out so the spec can pin the elected merges
-    * against t16's per-round argmax.
-    */
-  private[graft] def bpeTrainMerges(s: SparkSession, d: String)
-      : Seq[(String, String)] = {
-    var vocab = bpeVocab(s, d)
-    BpeSymbols.map { sym =>
-      val pair = vocab.filter(length(col("w")) >= 2)
-        .select(col("f"), explode(expr(
-          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
-          .as("pair"))
-        .groupBy("pair").agg(sum(col("f")).as("n"))
-        .orderBy(col("n").desc, col("pair").asc).limit(1)
-        .collect().headOption.map(_.getString(0)).getOrElse(BpeNoMerge)
-      vocab = vocab
-        .select(regexp_replace(col("w"), lit(pair), lit(sym)).as("w"),
-          col("f"))
-        .groupBy("w").agg(sum(col("f")).as("f"))
-      (pair, sym)
-    }
-  }
-
   def t22BpeEncode(s: SparkSession, d: String): DataFrame = {
     val merges = bpeTrainMerges(s, d)
     def chain(c: Column): Column = merges.foldLeft(c) {

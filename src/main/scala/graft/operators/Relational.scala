@@ -1104,6 +1104,17 @@ object Relational {
       .groupBy(col("col_name"), col("bucket"))
       .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
         sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cur"))
+    driftGateFrom(counts)
+  }
+
+  /** The a40 gate arithmetic over an already-bucketed
+    * (col_name, bucket, n_base, n_cur) relation — ONE definition the
+    * batch gate above and the streaming arm (a43, Cdc.scala) share,
+    * so the online monitor can never drift from the batch gate it is
+    * hash-checked against. Input is bucket-table sized (bounded by
+    * construction), so the windows here are over dozens of rows.
+    */
+  private[graft] def driftGateFrom(counts: DataFrame): DataFrame = {
     val w = Window.partitionBy("col_name")
     counts
       .withColumn("tot_base", sum(col("n_base")).over(w))
@@ -1149,18 +1160,16 @@ object Relational {
       .map { case (v, i) => s"WHEN ($df) = ${i + 1} THEN $v" }
       .mkString("CASE ", " ", s" ELSE ${Chi2Crit001.last} END")
 
-  val a40Sql: String =
+  /** The drift-gate SQL tail over a melt CTE body producing
+    * (col_name, bucket, is_base) rows — ONE copy of the
+    * counts/chi-square arithmetic shared by a40's orders oracle and
+    * a43's events oracle (Cdc.scala), mirroring [[driftGateFrom]] on
+    * the Spark side. `meltSql` is spliced in pre-stripped (no margin
+    * chars).
+    */
+  private[graft] def driftGateSql(meltSql: String): String =
     s"""WITH melt AS (
-       |  SELECT 'o_totalprice' AS col_name,
-       |    CAST(CAST(least(floor(o_totalprice / 25000.0), 19) AS BIGINT)
-       |      AS VARCHAR) AS bucket,
-       |    o_orderdate < TIMESTAMP '1996-01-01' AS is_base FROM orders
-       |  UNION ALL
-       |  SELECT 'o_orderpriority', o_orderpriority,
-       |    o_orderdate < TIMESTAMP '1996-01-01' FROM orders
-       |  UNION ALL
-       |  SELECT 'o_orderstatus', o_orderstatus,
-       |    o_orderdate < TIMESTAMP '1996-01-01' FROM orders),
+       |$meltSql),
        |counts AS (
        |  SELECT col_name, bucket,
        |    CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
@@ -1191,6 +1200,19 @@ object Relational {
        |  CAST(sum(term_scaled) AS BIGINT) >
        |    ${chi2CritCaseSql("max(n_buckets) - 1")} AS drifted
        |FROM terms GROUP BY 1""".stripMargin
+
+  val a40Sql: String = driftGateSql(
+    """SELECT 'o_totalprice' AS col_name,
+      |    CAST(CAST(least(floor(o_totalprice / 25000.0), 19) AS BIGINT)
+      |      AS VARCHAR) AS bucket,
+      |    o_orderdate < TIMESTAMP '1996-01-01' AS is_base FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', o_orderpriority,
+      |    o_orderdate < TIMESTAMP '1996-01-01' FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', o_orderstatus,
+      |    o_orderdate < TIMESTAMP '1996-01-01' FROM orders"""
+      .stripMargin)
 
   /** The schema's FK relationships, one tuple per edge:
     * (label, child table, fk column, parent table, pk column). ONE

@@ -1363,7 +1363,8 @@ object Cdc {
       eventsFeedCache.getOrElseUpdate((s, d), {
         val feed = graft.operators.Migrate.tempDir("events_feed") + "/feed"
         graft.Tables.load(s, d, "events")
-          .select(col("user_id"), col("event_type"), col("ts"))
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("value"))
           .repartition(8)
           .write.mode("overwrite").parquet(feed)
         feed
@@ -1419,6 +1420,73 @@ object Cdc {
       .agg(count(lit(1)).as("n_actions"))
   }
 
+  /** a43: the a40 drift gate run ONLINE — the shape a production
+    * ingest actually deploys the monitor in. A streaming aggregation
+    * over the events feed maintains the per-(column, bucket) era
+    * counts (complete-mode: the state IS the bounded bucket table,
+    * ~25 rows — no watermark needed because the aggregate itself is
+    * the output), and the chi-square gate arithmetic is applied to
+    * the emitted counts through [[graft.operators.Relational
+    * .driftGateFrom]] — the SAME code path as the batch gate, so the
+    * online monitor cannot drift from the gate it is hash-checked
+    * against (the oracle is a DuckDB batch replay over the same
+    * events). Era split on a fixed mid-window date, timestamps
+    * truncated to seconds before comparison (the c10/c11 parity
+    * discipline). Monitored: event_type (categorical) and the value
+    * distribution in 20 fixed buckets. At 100 TB the state stays
+    * bucket-table sized; every micro-batch does map-side partial
+    * aggregation before touching it.
+    */
+  /** a43's melt + era-count plan over an events frame — the SAME
+    * Column algebra whether the frame is a stream (the arm) or a
+    * batch read (the spec's mirror), so the two cannot diverge.
+    */
+  private[graft] def a43Counts(ev0: DataFrame): DataFrame = {
+    val ev = ev0.withColumn("is_base",
+      date_trunc("second", col("ts")) <
+        lit("2024-01-16").cast("timestamp"))
+    val melt = ev.select(lit("event_type").as("col_name"),
+        col("event_type").as("bucket"), col("is_base"))
+      .unionAll(ev.select(lit("value").as("col_name"),
+        least(floor(col("value") / 25.0), lit(19.0)).cast("long")
+          .cast("string").as("bucket"), col("is_base")))
+    melt.groupBy(col("col_name"), col("bucket"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cur"))
+  }
+
+  def a43StreamingDrift(s: SparkSession, d: String): DataFrame = {
+    val feed = eventsFeed(s, d)
+    val ss = streamSession(s)
+    val counts = a43Counts(ss.readStream
+      .schema("user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE")
+      .parquet(feed))
+    val q = counts.writeStream
+      .format("memory").queryName("a43_counts")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(300000),
+      "a43 stream did not terminate within 300 s")
+    finally q.stop()
+    // re-host the bounded bucket table on the caller's session (the
+    // memory sink registered it on the isolated stream session)
+    val emitted = ss.table("a43_counts")
+    graft.operators.Relational.driftGateFrom(
+      s.createDataFrame(java.util.Arrays.asList(emitted.collect(): _*),
+        emitted.schema))
+  }
+
+  val a43Sql: String = graft.operators.Relational.driftGateSql(
+    """  SELECT 'event_type' AS col_name, event_type AS bucket,
+      |    date_trunc('second', ts) < TIMESTAMP '2024-01-16' AS is_base
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'value',
+      |    CAST(CAST(least(floor(value / 25.0), 19) AS BIGINT) AS VARCHAR),
+      |    date_trunc('second', ts) < TIMESTAMP '2024-01-16'
+      |  FROM events""".stripMargin)
+
   /** w2: lag/lead stream context (W-family) — previous event type and
     * whole-second gap per user. Timestamps truncated to seconds before
     * differencing so ns-vs-µs precision cannot skew the result.
@@ -1458,6 +1526,7 @@ object Cdc {
     "c9_session_window" -> c9SessionWindow,
     "c10_interval_join" -> c10IntervalJoin,
     "c11_streaming_interval_join" -> c11StreamingIntervalJoin,
+    "a43_streaming_drift" -> a43StreamingDrift,
     "w2_lag_lead" -> w2LagLead,
     "w9_funnel" -> w9Funnel)
 
@@ -1473,6 +1542,7 @@ object Cdc {
     "c9_session_window" -> c9Sql,
     "c10_interval_join" -> c10Sql,
     "c11_streaming_interval_join" -> c10Sql,
+    "a43_streaming_drift" -> a43Sql,
     "w2_lag_lead" -> w2Sql,
     "w9_funnel" -> w9Sql)
 }

@@ -795,4 +795,37 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(routed.count(
       _.getAs[String]("ddl_kind") == "TRUNCATE TABLE") == nTrunc)
   }
+
+  test("a43: the online drift monitor equals the batch gate and fires " +
+    "on a genuinely shifted era") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("col_name"), r.getAs[Long]("n_buckets"),
+        r.getAs[Long]("n_base_rows"), r.getAs[Long]("n_cur_rows"),
+        r.getAs[Long]("chi2_scaled"), r.getAs[Boolean]("drifted"))
+    // streaming arm vs the batch mirror THROUGH the same count plan
+    // and gate arithmetic — only the engine differs
+    val streamed = Cdc.a43StreamingDrift(spark, sf).collect().map(key).toSet
+    val batch = graft.operators.Relational.driftGateFrom(
+      Cdc.a43Counts(graft.Tables.load(spark, sf, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("value"))))
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    // a corpus whose eras genuinely differ: baseline all 'view',
+    // current all 'error' — the categorical gate must fire
+    val tmp = Files.createTempDirectory("graft_a43").toString
+    import spark.implicits._
+    ((1 to 200).map(i => (i.toLong, "view",
+      java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), 10.0)) ++
+      (1 to 200).map(i => (200L + i, "error",
+        java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), 10.0)))
+      .toDF("user_id", "event_type", "ts", "value")
+      .withColumn("event_id", col("user_id"))
+      .write.parquet(s"$tmp/events.parquet")
+    val shifted = Cdc.a43StreamingDrift(spark, tmp).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        r.getAs[Boolean]("drifted")).toMap
+    assert(shifted("event_type"), "categorical era shift must drift")
+    assert(!shifted("value"), "identical value dist must not drift")
+  }
 }

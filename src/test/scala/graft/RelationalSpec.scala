@@ -287,23 +287,40 @@ class RelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got("o_orderpriority") == ((1L, 0L, false)))
   }
 
-  test("ann12 filtered search: counts coherent, post-filter candidates all match") {
-    val r = graft.functions.Similarity.ann12FilteredSearch(spark, sf)
+  test("ann12 filtered search: counts coherent at BOTH selectivity " +
+    "regimes, and the rare filter starves the post-filter page") {
+    val rows = graft.functions.Similarity.ann12FilteredSearch(spark, sf)
       .collect()
-    assert(r.length == 1)
-    val row = r(0)
-    val (ne, hp, hr, ke) = (row.getAs[Long]("n_expected"),
-      row.getAs[Long]("hits_post"), row.getAs[Long]("hits_pre"),
-      row.getAs[Long]("k_eff_post"))
+      .map(r => r.getAs[String]("sel") -> r).toMap
+    assert(rows.keySet == Set("label_9pct", "rare_3pct"))
     val nQ = Tables.load(spark, sf, "embeddings")
       .filter(col("vec_id") % 100 === 0).count()
-    // truth holds up to 5 per query; hits can never exceed it; the
-    // post-filter page can never exceed 5 per query either
-    assert(ne > 0 && ne <= 5 * nQ, s"n_expected=$ne")
-    assert(hp >= 0 && hp <= ne && hr >= 0 && hr <= ne, s"hits=$hp/$hr")
-    assert(ke <= 5 * nQ, s"k_eff=$ke")
-    assert(row.getAs[Double]("recall_post") == hp.toDouble / ne)
-    assert(row.getAs[Double]("recall_pre") == hr.toDouble / ne)
+    for ((sel, row) <- rows) {
+      val (ne, hp, hr, ke) = (row.getAs[Long]("n_expected"),
+        row.getAs[Long]("hits_post"), row.getAs[Long]("hits_pre"),
+        row.getAs[Long]("k_eff_post"))
+      // truth holds up to 5 per query; hits can never exceed it; the
+      // post-filter page can never exceed 5 per query either
+      assert(ne > 0 && ne <= 5 * nQ, s"$sel: n_expected=$ne")
+      assert(hp >= 0 && hp <= ne && hr >= 0 && hr <= ne,
+        s"$sel: hits=$hp/$hr")
+      assert(ke <= 5 * nQ, s"$sel: k_eff=$ke")
+      assert(row.getAs[Double]("recall_post") == hp.toDouble / ne)
+      assert(row.getAs[Double]("recall_pre") == hr.toDouble / ne)
+      // post-filtering can never beat pre-filtering here: the post
+      // page is capped by however many matches landed in the
+      // unfiltered top-10, while pre ranks ALL matching rows in the
+      // probed cell — the ordering the operator exists to show
+      assert(hr >= hp, s"$sel: recall_pre < recall_post ($hr < $hp)")
+    }
+    // the production failure mode: at ~3% selectivity the unfiltered
+    // top-10 rarely contains matches, so the post page starves — it
+    // must be strictly smaller than at the ~9% filter, and smaller
+    // than the truth it is supposed to fill
+    val keRare = rows("rare_3pct").getAs[Long]("k_eff_post")
+    assert(keRare < rows("label_9pct").getAs[Long]("k_eff_post"),
+      s"rare k_eff=$keRare not below common")
+    assert(keRare < rows("rare_3pct").getAs[Long]("n_expected"))
   }
 
   test("ann11 MMR re-rank equals an independent greedy recomputation") {

@@ -284,7 +284,12 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // s19 is two partitioned writes + a per-day groupBy; t21 rides
       // t17's vocab-bound model plus one per-language sort
       "c11_streaming_interval_join", "s19_dynamic_overwrite",
-      "t21_ccnet_buckets")
+      "t21_ccnet_buckets",
+      // round-11: t22 trains on the vocab (t16's bound) then encodes
+      // in one corpus-linear pass of literal replaces; a43 is
+      // row-linear streaming with bucket-table-sized state (a40's
+      // report shape under the d15/d16 micro-batch overhead)
+      "t22_bpe_encode", "a43_streaming_drift")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
