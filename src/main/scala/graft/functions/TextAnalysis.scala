@@ -1458,23 +1458,35 @@ object TextAnalysis {
     * values. Split out so the spec can pin the elected merges
     * against t16's per-round argmax.
     */
+  // the trained merge table is a DRIVER value (a tokenizer's
+  // merges.txt) — cache it per (session, input) so t22's encode and
+  // t23's packing don't each re-run the K election jobs
+  private val bpeMergesCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(String, String)]]
+
+  Memo.purgeHooks.put("text.bpeMerges",
+    () => bpeMergesCache.synchronized(bpeMergesCache.clear()): Unit)
+
   private[graft] def bpeTrainMerges(s: SparkSession, d: String)
-      : Seq[(String, String)] = {
-    var vocab = bpeVocab(s, d)
-    BpeSymbols.map { sym =>
-      val pair = vocab.filter(length(col("w")) >= 2)
-        .select(col("f"), explode(expr(
-          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
-          .as("pair"))
-        .groupBy("pair").agg(sum(col("f")).as("n"))
-        .orderBy(col("n").desc, col("pair").asc).limit(1)
-        .collect().headOption.map(_.getString(0)).getOrElse(BpeNoMerge)
-      vocab = vocab
-        .select(regexp_replace(col("w"), lit(pair), lit(sym)).as("w"),
-          col("f"))
-        .groupBy("w").agg(sum(col("f")).as("f"))
-      (pair, sym)
-    }
+      : Seq[(String, String)] = bpeMergesCache.synchronized {
+    bpeMergesCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    bpeMergesCache.getOrElseUpdate((s, d), {
+      var vocab = bpeVocab(s, d)
+      BpeSymbols.map { sym =>
+        val pair = vocab.filter(length(col("w")) >= 2)
+          .select(col("f"), explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum(col("f")).as("n"))
+          .orderBy(col("n").desc, col("pair").asc).limit(1)
+          .collect().headOption.map(_.getString(0)).getOrElse(BpeNoMerge)
+        vocab = vocab
+          .select(regexp_replace(col("w"), lit(pair), lit(sym)).as("w"),
+            col("f"))
+          .groupBy("w").agg(sum(col("f")).as("f"))
+        (pair, sym)
+      }
+    })
   }
 
   /** t22: BPE ENCODING at corpus scale — the tokenization pass every
@@ -1526,7 +1538,10 @@ object TextAnalysis {
     * same loop bounds as the Spark side so the round count can never
     * drift between engines.
     */
-  val t22Sql: String = {
+  /** The shared CTE chain ending in `perdoc(doc_id, bpe_tokens,
+    * ws_tokens)` — t22 selects it directly, t23 packs over it.
+    */
+  private lazy val bpePerDocSqlCtes: String = {
     val wf0 =
       """wf0 AS (
         |  SELECT w, count(*) AS f FROM (
@@ -1552,7 +1567,7 @@ object TextAnalysis {
     val enc = BpeSymbols.zipWithIndex.foldLeft("w") { case (acc, (sym, i)) =>
       s"regexp_replace($acc, (SELECT p FROM m${i + 1}), '$sym', 'g')"
     }
-    s"""WITH $wf0,
+    s"""$wf0,
        |${rounds.mkString(",\n")},
        |ew AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -1561,11 +1576,56 @@ object TextAnalysis {
        |  SELECT doc_id,
        |    CASE WHEN regexp_matches(w, '^[a-z]+$$')
        |         THEN length($enc) ELSE length(w) END AS tok
-       |  FROM ew)
-       |SELECT doc_id, CAST(sum(tok) AS BIGINT) AS bpe_tokens,
-       |  CAST(count(*) AS BIGINT) AS ws_tokens
-       |FROM tok GROUP BY 1""".stripMargin
+       |  FROM ew),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(sum(tok) AS BIGINT) AS bpe_tokens,
+       |    CAST(count(*) AS BIGINT) AS ws_tokens
+       |  FROM tok GROUP BY 1)""".stripMargin
   }
+
+  lazy val t22Sql: String =
+    s"""WITH $bpePerDocSqlCtes
+       |SELECT doc_id, bpe_tokens, ws_tokens FROM perdoc""".stripMargin
+
+  /** t23: sequence packing in the TOKENIZER's own currency — t9's
+    * budget-binned packing re-keyed on t22's BPE token counts (the
+    * number a training run actually packs by; whitespace counts
+    * under-fill bins exactly where the tokenizer compresses least).
+    * Budget 2048 BPE tokens per bin. Plan: the t22 encode pass, one
+    * doc-keyed join for the source column, then t9's partitioned
+    * running-sum window — corpus-linear, one extra keyed exchange
+    * over t9.
+    */
+  def t23BpePacking(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t22BpeEncode(s, d)
+      .join(Tables.load(s, d, "documents").select("doc_id", "source"),
+        "doc_id")
+      .withColumn("cum", sum(col("bpe_tokens")).over(w))
+      .withColumn("bin_id",
+        ((col("cum") - col("bpe_tokens")) / budget).cast("long"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bpe_tokens")).as("bin_tokens"))
+  }
+
+  lazy val t23Sql: String =
+    s"""WITH $bpePerDocSqlCtes,
+       |j AS (
+       |  SELECT p.doc_id, p.bpe_tokens, d.source
+       |  FROM perdoc p JOIN documents d USING (doc_id)),
+       |c AS (
+       |  SELECT source, doc_id, bpe_tokens,
+       |    sum(bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM j)
+       |SELECT source,
+       |  CAST(floor((cum - bpe_tokens) / 2048.0) AS BIGINT) AS bin_id,
+       |  count(*) AS n_docs, CAST(sum(bpe_tokens) AS BIGINT) AS bin_tokens
+       |FROM c GROUP BY 1, 2""".stripMargin
 
   /** pipe10: gate-ablation matrix — for every train candidate, the
     * four curation gates (quality, repetition, exact-dedup,
@@ -2115,6 +2175,7 @@ object TextAnalysis {
     "t20_weighted_sample" -> t20WeightedSample,
     "t16_bpe_merges" -> t16BpeMerges,
     "t22_bpe_encode" -> t22BpeEncode,
+    "t23_bpe_packing" -> t23BpePacking,
     "pipe10_gate_ablation" -> pipe10GateAblation,
     "t11_lexicon_profile" -> t11LexiconProfile,
     "pipe4_curation" -> pipe4Curation,
@@ -2166,6 +2227,7 @@ object TextAnalysis {
     "t15_tfidf_keywords" -> t15Sql,
     "t16_bpe_merges" -> t16Sql,
     "t22_bpe_encode" -> t22Sql,
+    "t23_bpe_packing" -> t23Sql,
     "t17_bigram_lm" -> t17Sql,
     "t21_ccnet_buckets" -> t21Sql,
     "pipe10_gate_ablation" -> pipe10Sql,

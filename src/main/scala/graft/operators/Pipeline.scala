@@ -531,10 +531,14 @@ object Pipeline {
           .toDF("gate", "value_x1e6", "lo_x1e6", "hi_x1e6", "pass"))
   }
 
-  val pipe14Sql: String =
-    """WITH v1 AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
-      |v2 AS (SELECT * FROM documents),
-      |t AS (SELECT
+  /** The audit-gate CTE chain (`t`..`g2`) over CTEs `v1`
+    * (published) and `v2` (staged candidate) — the SQL mirror of
+    * [[wapAudit]], shared by pipe14's full-snapshot oracle and
+    * pipe15's incremental-admission oracle. Raw SQL text (no margin
+    * chars); the caller supplies v1/v2 and the final SELECT.
+    */
+  private val wapGatesChainSql: String =
+    """t AS (SELECT
       |  (SELECT count(*) FROM v1) AS n1,
       |  (SELECT count(*) FROM v2) AS n2,
       |  (SELECT count(*) FROM v2
@@ -574,22 +578,122 @@ object Pipeline {
       |g2 AS (SELECT gate, value_x1e6, lo_x1e6, hi_x1e6,
       |         coalesce(value_x1e6 BETWEEN lo_x1e6 AND hi_x1e6,
       |                  FALSE) AS pass
-      |       FROM gates)
-      |SELECT * FROM g2
-      |UNION ALL
-      |SELECT 'published_version',
-      |  CASE WHEN (SELECT bool_and(pass) FROM g2) THEN 2 ELSE 1 END,
-      |  CASE WHEN (SELECT bool_and(pass) FROM g2) THEN 2 ELSE 1 END,
-      |  CASE WHEN (SELECT bool_and(pass) FROM g2) THEN 2 ELSE 1 END,
-      |  (SELECT bool_and(pass) FROM g2)""".stripMargin
+      |       FROM gates)"""
+      .stripMargin
+
+  val pipe14Sql: String =
+    s"""WITH v1 AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
+       |v2 AS (SELECT * FROM documents),
+       |$wapGatesChainSql
+       |SELECT * FROM g2
+       |UNION ALL
+       |SELECT 'published_version',
+       |  CASE WHEN (SELECT bool_and(pass) FROM g2) THEN 2 ELSE 1 END,
+       |  CASE WHEN (SELECT bool_and(pass) FROM g2) THEN 2 ELSE 1 END,
+       |  CASE WHEN (SELECT bool_and(pass) FROM g2) THEN 2 ELSE 1 END,
+       |  (SELECT bool_and(pass) FROM g2)""".stripMargin
+
+  /** pipe15: INCREMENTAL write-audit-publish — the loop a production
+    * corpus actually lives in once pipe14 has published its first
+    * snapshot: a new shard arrives, is deduplicated AGAINST THE
+    * PUBLISHED SNAPSHOT (d8's shard-vs-index shape: one fingerprint
+    * anti-join, never a corpus re-mine) and within itself (first doc
+    * per fingerprint), the surviving docs are staged as published ∪
+    * admitted, the staged files are audited against the published
+    * baseline with the SAME gates as pipe14 ([[wapAudit]]), and only
+    * a full pass appends the manifest row. The report carries the
+    * audit, the admission accounting (admitted vs rejected-duplicate
+    * counts — the rows a data-curation runbook asks for first), and
+    * the resulting published version, so the hash gate pins dedup,
+    * gates, and the promote decision together. At 100 TB: the
+    * fingerprint index is persisted alongside the snapshot (d8/d19's
+    * at-rest discipline); admission costs one shard-sized anti-join
+    * plus the bounded audit aggregates.
+    */
+  def pipe15IncrementalWap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val root = Migrate.tempDir("pipe15")
+    val docs = Tables.load(s, d, "documents")
+    def fp: Column = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+    docs.filter(col("doc_id") % 5 =!= 4)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/data/v1")
+    Seq((1L, s"$root/data/v1")).toDF("version", "path")
+      .write.mode(SaveMode.Append).parquet(s"$root/manifest")
+    val published = s.read.parquet(s"$root/data/v1")
+    // the published snapshot's fingerprint index — derived here from
+    // the files; a deployment persists it next to the snapshot
+    val pubFps = published.select(fp.as("fp")).distinct()
+    val shard = docs.filter(col("doc_id") % 5 === 4)
+    val kept = shard.withColumn("fp", fp)
+      .join(pubFps, Seq("fp"), "left_anti")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("fp").orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn", "fp")
+    val nShard = shard.count()
+    published.unionByName(kept)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/stage/v2")
+    val staged = s.read.parquet(s"$root/stage/v2")
+    val nKept = staged.count() -
+      s.read.parquet(s"$root/data/v1").count()
+    val audit = wapAudit(published, staged)
+    val rows = audit.collect()
+    val allPass = rows.nonEmpty && rows.forall(_.getAs[Boolean]("pass"))
+    if (allPass)
+      Seq((2L, s"$root/stage/v2")).toDF("version", "path")
+        .write.mode(SaveMode.Append).parquet(s"$root/manifest")
+    val version = s.read.parquet(s"$root/manifest")
+      .agg(max(col("version"))).head.getLong(0)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), audit.schema)
+      .unionAll(Seq(
+        ("admitted_new", nKept, nKept, nKept, true),
+        ("rejected_dup", nShard - nKept, nShard - nKept,
+          nShard - nKept, true),
+        ("published_version", version, version, version, allPass))
+        .toDF("gate", "value_x1e6", "lo_x1e6", "hi_x1e6", "pass"))
+  }
+
+  val pipe15Sql: String =
+    s"""WITH v1 AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
+       |shard AS (SELECT * FROM documents WHERE doc_id % 5 = 4),
+       |pubfp AS (SELECT DISTINCT md5(lower(
+       |    regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM v1),
+       |kept AS (
+       |  SELECT * EXCLUDE (fp, rn) FROM (
+       |    SELECT s.*, row_number() OVER (
+       |      PARTITION BY s.fp ORDER BY s.doc_id) AS rn
+       |    FROM (SELECT *, md5(lower(
+       |        regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+       |      FROM shard) s
+       |    WHERE NOT EXISTS (SELECT 1 FROM pubfp p WHERE p.fp = s.fp))
+       |  WHERE rn = 1),
+       |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM kept),
+       |$wapGatesChainSql
+       |SELECT * FROM g2
+       |UNION ALL
+       |SELECT 'admitted_new', (SELECT count(*) FROM kept),
+       |  (SELECT count(*) FROM kept), (SELECT count(*) FROM kept), TRUE
+       |UNION ALL
+       |SELECT 'rejected_dup',
+       |  (SELECT count(*) FROM shard) - (SELECT count(*) FROM kept),
+       |  (SELECT count(*) FROM shard) - (SELECT count(*) FROM kept),
+       |  (SELECT count(*) FROM shard) - (SELECT count(*) FROM kept), TRUE
+       |UNION ALL
+       |SELECT 'published_version',
+       |  CASE WHEN (SELECT bool_and(pass) FROM g2) THEN 2 ELSE 1 END,
+       |  CASE WHEN (SELECT bool_and(pass) FROM g2) THEN 2 ELSE 1 END,
+       |  CASE WHEN (SELECT bool_and(pass) FROM g2) THEN 2 ELSE 1 END,
+       |  (SELECT bool_and(pass) FROM g2)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe2_migration" -> pipe2Migration,
     "pipe3_full_plus_incr" -> pipe3FullPlusIncr,
-    "pipe14_wap_publish" -> pipe14WapPublish)
+    "pipe14_wap_publish" -> pipe14WapPublish,
+    "pipe15_incremental_wap" -> pipe15IncrementalWap)
 
   val oracles: Map[String, String] = Map(
     "pipe2_migration" -> pipe2Sql,
     "pipe3_full_plus_incr" -> pipe3Sql,
-    "pipe14_wap_publish" -> pipe14Sql)
+    "pipe14_wap_publish" -> pipe14Sql,
+    "pipe15_incremental_wap" -> pipe15Sql)
 }

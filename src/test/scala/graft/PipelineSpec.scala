@@ -187,4 +187,41 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // a snapshot that lost most of its rows -> rows_ratio floor
     assert(!gateMap(docs.filter(col("doc_id") % 10 === 0))("rows_ratio"))
   }
+
+  test("pipe15: admission accounting is exact and a poisoned shard " +
+    "holds the publish") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.pipe15IncrementalWap(spark, sf).collect()
+      .map(r => r.getAs[String]("gate") ->
+        (r.getAs[Long]("value_x1e6"), r.getAs[Boolean]("pass"))).toMap
+    // admitted + rejected partition the shard exactly
+    val docs = Tables.load(spark, sf, "documents")
+    val nShard = docs.filter(col("doc_id") % 5 === 4).count()
+    assert(rows("admitted_new")._1 + rows("rejected_dup")._1 == nShard)
+    // independent recount of the admission rule: shard fingerprints
+    // not in the published set, first doc per fingerprint
+    val fp = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+    val pub = docs.filter(col("doc_id") % 5 =!= 4).select(fp.as("f"))
+      .distinct()
+    val expectAdmit = docs.filter(col("doc_id") % 5 === 4)
+      .withColumn("f", fp).join(pub, Seq("f"), "left_anti")
+      .select("f").distinct().count()
+    assert(rows("admitted_new")._1 == expectAdmit)
+    assert(rows("published_version")._1 == 2L,
+      "clean shard must publish v2")
+    // a poisoned shard (every arriving payload NULL) must hold: the
+    // null_text gate fires and the manifest stays at v1
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p15")
+      .toString
+    docs.withColumn("text",
+        when(col("doc_id") % 5 === 4, lit(null: String))
+          .otherwise(col("text")))
+      .write.parquet(s"$tmp/documents.parquet")
+    val held = Pipeline.pipe15IncrementalWap(spark, tmp).collect()
+      .map(r => r.getAs[String]("gate") ->
+        (r.getAs[Long]("value_x1e6"), r.getAs[Boolean]("pass"))).toMap
+    assert(!held("null_text")._2, "null payloads must fail the gate")
+    assert(held("published_version")._1 == 1L && !held(
+      "published_version")._2, "poisoned shard must not publish")
+  }
 }

@@ -289,7 +289,12 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // in one corpus-linear pass of literal replaces; a43 is
       // row-linear streaming with bucket-table-sized state (a40's
       // report shape under the d15/d16 micro-batch overhead)
-      "t22_bpe_encode", "a43_streaming_drift")
+      "t22_bpe_encode", "a43_streaming_drift",
+      // t23 rides t22's cached merge table + encode pass plus one
+      // doc-keyed join and a per-source window — t9's packing shape;
+      // pipe15 is pipe14's write/audit envelope plus one
+      // shard-vs-published fingerprint anti-join (d8's shape)
+      "t23_bpe_packing", "pipe15_incremental_wap")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()

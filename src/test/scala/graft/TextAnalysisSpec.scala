@@ -359,6 +359,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("t23 BPE packing conserves each source's token mass and doc count") {
+    import org.apache.spark.sql.functions.sum
+    val bins = TextAnalysis.t23BpePacking(spark, sf).collect()
+    assert(bins.nonEmpty)
+    val bySrcTok = bins.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("bin_tokens")).sum).toMap
+    val bySrcDocs = bins.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val expect = TextAnalysis.t22BpeEncode(spark, sf)
+      .join(graft.Tables.load(spark, sf, "documents")
+        .select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(sum(col("bpe_tokens")).as("tok"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("tok"), r.getAs[Long]("n"))).toMap
+    assert(bySrcTok.keySet == expect.keySet)
+    for ((src, (tok, n)) <- expect) {
+      assert(bySrcTok(src) == tok, s"$src token mass")
+      assert(bySrcDocs(src) == n, s"$src doc count")
+    }
+    // bin ids start at 0 per source (first doc's running sum excludes
+    // itself) and every bin holds at least one doc
+    for ((_, rs) <- bins.groupBy(_.getAs[String]("source")))
+      assert(rs.map(_.getAs[Long]("bin_id")).min == 0L)
+    bins.foreach(r => assert(r.getAs[Long]("n_docs") >= 1L))
+  }
+
   test("pipe10 ablation cells partition the train candidates") {
     import org.apache.spark.sql.functions._
     val cells = TextAnalysis.pipe10GateAblation(spark, sf).collect()
