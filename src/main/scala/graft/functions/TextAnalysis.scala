@@ -1540,16 +1540,23 @@ object TextAnalysis {
     */
   /** The shared CTE chain ending in `perdoc(doc_id, bpe_tokens,
     * ws_tokens)` — t22 selects it directly, t23 packs over it.
+    * Every wf/m CTE is MATERIALIZED: each m_k scalar subquery and
+    * wf_k rewrite references wf_{k-1}, so without materialization
+    * DuckDB re-inlines the chain at every reference and the oracle
+    * re-evaluates it exponentially in the round count (measured:
+    * 246 s at sf0.01 inlined vs sub-second materialized — the same
+    * query shape Spark executes linearly because the merge elections
+    * are collected driver values).
     */
   private lazy val bpePerDocSqlCtes: String = {
     val wf0 =
-      """wf0 AS (
+      """wf0 AS MATERIALIZED (
         |  SELECT w, count(*) AS f FROM (
         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
         |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1)""".stripMargin
     val rounds = BpeSymbols.zipWithIndex.map { case (sym, i) =>
       val k = i + 1
-      s"""m$k AS (
+      s"""m$k AS MATERIALIZED (
          |  SELECT coalesce((
          |    SELECT pair FROM (
          |      SELECT pair, sum(f) AS n FROM (
@@ -1558,7 +1565,7 @@ object TextAnalysis {
          |        FROM wf${k - 1} WHERE length(w) >= 2) p GROUP BY 1)
          |    ORDER BY n DESC, pair ASC LIMIT 1),
          |    chr(1) || chr(1)) AS p),
-         |wf$k AS (
+         |wf$k AS MATERIALIZED (
          |  SELECT w, CAST(sum(f) AS BIGINT) AS f FROM (
          |    SELECT regexp_replace(w, (SELECT p FROM m$k), '$sym', 'g')
          |      AS w, f
@@ -1577,7 +1584,7 @@ object TextAnalysis {
        |    CASE WHEN regexp_matches(w, '^[a-z]+$$')
        |         THEN length($enc) ELSE length(w) END AS tok
        |  FROM ew),
-       |perdoc AS (
+       |perdoc AS MATERIALIZED (
        |  SELECT doc_id, CAST(sum(tok) AS BIGINT) AS bpe_tokens,
        |    CAST(count(*) AS BIGINT) AS ws_tokens
        |  FROM tok GROUP BY 1)""".stripMargin

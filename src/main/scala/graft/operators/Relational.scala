@@ -1309,6 +1309,219 @@ object Relational {
     * fixed-width bucket (a33's histogram discipline), never a
     * data-derived quantile, so the classes are engine-identical.
     */
+  /** a44 register-table geometry: p = 12 → m = 4096 buckets from the
+    * low bits of the 60-bit [[Norm.xhash64]]; the remaining 48 bits
+    * feed the leading-zero rank, so rho ∈ [1, 49].
+    */
+  private val HllM = 4096L
+  private val HllW = 48
+
+  /** `alpha_m · m² · 2^49 · 10⁶` PRE-MULTIPLIED into one double
+    * literal (rendered once from here into both dialects): the whole
+    * estimator is then a single IEEE division by the exact integer
+    * register sum + one floor — no per-engine constant arithmetic to
+    * drift by an ulp.
+    */
+  private val HllEstConst: String = {
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM.toDouble)
+    (alpha * HllM.toDouble * HllM.toDouble *
+      math.pow(2.0, HllW + 1.0) * 1e6).toString
+  }
+
+  /** a44: HyperLogLog distinct-count sketch — THE way a 100 TB table
+    * answers COUNT(DISTINCT) without shuffling the key domain: per
+    * partition, each value hashes into one of m=4096 registers
+    * keeping max(leading-zero rank); registers merge by max, so the
+    * whole sketch is ONE partial-aggregable groupBy ending in a
+    * 4096-row table per column. Everything is integer-exact by the
+    * d17 discipline: rho from the BINARY DIGIT COUNT of the 48-bit
+    * remainder (`bin()`, identical in both engines — no float log2),
+    * register mass summed as 2^(49−rho) BIGINTs (≤ 2^61 total, exact,
+    * order-invariant; empty registers contribute 2^49 arithmetically
+    * — the table never densifies), and ONE division by the
+    * pre-multiplied [[HllEstConst]] at the end. Raw HLL only —
+    * `in_range` flags where the published small-range correction
+    * (linear counting, which needs ln()) would apply; the exact
+    * distinct rides along HERE to measure the error, a production
+    * run drops it (it is the shuffle the sketch exists to avoid).
+    */
+  def a44HllDistinct(s: SparkSession, d: String): DataFrame = {
+    val melt = Seq(
+      ("orders.o_custkey", ord(s, d).select(
+        col("o_custkey").cast("string").as("v"))),
+      ("lineitem.l_orderkey", li(s, d).select(
+        col("l_orderkey").cast("string").as("v"))),
+      ("lineitem.l_partkey", li(s, d).select(
+        col("l_partkey").cast("string").as("v"))))
+      .map { case (name, df) =>
+        df.select(lit(name).as("col_name"), col("v"),
+          xhash64(col("v")).as("h"))
+      }.reduce(_ unionAll _)
+      .withColumn("bucket", pmod(col("h"), lit(HllM)))
+      // integer division, NOT Column./ (double division rounds above
+      // 2^53 — h is 60-bit)
+      .withColumn("w", expr(s"h div ${HllM}L"))
+      .withColumn("rho",
+        when(col("w") === 0L, lit(HllW + 1))
+          .otherwise(lit(HllW + 1) - length(bin(col("w")))).cast("int"))
+    val regs = melt.groupBy(col("col_name"), col("bucket"))
+      .agg(max(col("rho")).as("maxrho"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_hit"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllW + 1} - maxrho)"))
+          .as("sum_hit"))
+      .withColumn("sum_scaled",
+        col("sum_hit") +
+          (lit(HllM) - col("n_hit")) * expr(
+            s"shiftleft(CAST(1 AS BIGINT), ${HllW + 1})"))
+    val exact = melt.groupBy(col("col_name"))
+      .agg(countDistinct(col("v")).as("exact_distinct"))
+    regs.join(exact, Seq("col_name"))
+      .withColumn("est_x1e6",
+        floor(lit(HllEstConst).cast("double") /
+          col("sum_scaled").cast("double")).cast("long"))
+      .withColumn("in_range",
+        col("est_x1e6") > lit(5L * HllM * 1000000L / 2L))
+      .withColumn("err_x1e6",
+        floor(abs(col("est_x1e6") - col("exact_distinct") * 1000000L)
+          .cast("double") / col("exact_distinct").cast("double"))
+          .cast("long"))
+      .select(col("col_name"), col("n_hit"), col("sum_scaled"),
+        col("exact_distinct"), col("est_x1e6"), col("in_range"),
+        col("err_x1e6"))
+  }
+
+  val a44Sql: String = {
+    def side(name: String, table: String, c: String): String =
+      s"SELECT '$name' AS col_name, CAST($c AS VARCHAR) AS v FROM $table"
+    s"""WITH melt0 AS (
+       |  ${side("orders.o_custkey", "orders", "o_custkey")}
+       |  UNION ALL
+       |  ${side("lineitem.l_orderkey", "lineitem", "l_orderkey")}
+       |  UNION ALL
+       |  ${side("lineitem.l_partkey", "lineitem", "l_partkey")}),
+       |melt AS (
+       |  SELECT col_name, v, h, h % $HllM AS bucket, h // $HllM AS w
+       |  FROM (SELECT col_name, v, ${Norm.xhash64Sql("v")} AS h
+       |        FROM melt0) t),
+       |rho AS (
+       |  SELECT col_name, bucket,
+       |    CASE WHEN w = 0 THEN ${HllW + 1}
+       |         ELSE ${HllW + 1} - length(bin(w)) END AS rho
+       |  FROM melt),
+       |regs AS (
+       |  SELECT col_name, bucket, max(rho) AS maxrho
+       |  FROM rho GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT col_name, CAST(count(*) AS BIGINT) AS n_hit,
+       |    CAST(sum(CAST(1 AS BIGINT) << (${HllW + 1} - maxrho))
+       |      AS BIGINT) AS sum_hit
+       |  FROM regs GROUP BY 1),
+       |sc AS (
+       |  SELECT col_name, n_hit,
+       |    sum_hit + ($HllM - n_hit) *
+       |      (CAST(1 AS BIGINT) << ${HllW + 1}) AS sum_scaled
+       |  FROM agg),
+       |ex AS (
+       |  SELECT col_name, CAST(count(DISTINCT v) AS BIGINT)
+       |    AS exact_distinct
+       |  FROM melt GROUP BY 1)
+       |SELECT sc.col_name, n_hit, sum_scaled, exact_distinct,
+       |  CAST(floor($HllEstConst / CAST(sum_scaled AS DOUBLE))
+       |    AS BIGINT) AS est_x1e6,
+       |  CAST(floor($HllEstConst / CAST(sum_scaled AS DOUBLE))
+       |    AS BIGINT) > ${5L * HllM * 1000000L / 2L} AS in_range,
+       |  CAST(floor(CAST(abs(CAST(floor($HllEstConst /
+       |      CAST(sum_scaled AS DOUBLE)) AS BIGINT)
+       |      - exact_distinct * 1000000) AS DOUBLE) /
+       |    CAST(exact_distinct AS DOUBLE)) AS BIGINT) AS err_x1e6
+       |FROM sc JOIN ex ON sc.col_name = ex.col_name""".stripMargin
+  }
+
+  /** a45 histogram geometry: fixed width 256, buckets capped at 4095
+    * (covers values to ~1.05M) — data-INDEPENDENT buckets by the a40
+    * rule, so the histogram is one partial-aggregable groupBy and
+    * partitions can disagree about nothing.
+    */
+  private val HQW = 256L
+  private val HQCap = 4095L
+
+  /** a45: histogram quantiles — how a 100 TB table answers
+    * percentile questions without a global sort: one scan into a
+    * FIXED-width bucket histogram (partial-aggregable, ≤4096 rows
+    * per column), a cumulative window over the bounded histogram,
+    * and the p-th quantile read off as the first bucket whose
+    * cumulative count reaches ceil(p·n/100) — the estimate is the
+    * bucket's inclusive upper edge, biased high by at most one bucket
+    * width (the resolution/width trade a production profile tunes).
+    * Integer-exact throughout: counts, ceil via (p·n + 99) div 100,
+    * integer edges. The q values ride an explode (never a crossJoin —
+    * a 3-row spec × histogram cross is a CartesianProduct, banned).
+    * The exact percentile is deliberately NOT computed here (it is
+    * the sort this sketch exists to avoid); the spec measures the
+    * estimate against an exact sort at test scale.
+    */
+  def a45HistQuantiles(s: SparkSession, d: String): DataFrame = {
+    val melt = Seq(
+      ("lineitem.l_extendedprice", li(s, d).select(
+        col("l_extendedprice").cast("double").as("v"))),
+      ("orders.o_totalprice", ord(s, d).select(
+        col("o_totalprice").cast("double").as("v"))))
+      .map { case (name, df) =>
+        df.select(lit(name).as("col_name"),
+          least(floor(col("v") / lit(HQW.toDouble)), lit(HQCap))
+            .cast("long").as("bucket"))
+      }.reduce(_ unionAll _)
+    val hist = melt.groupBy(col("col_name"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("col_name").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = Window.partitionBy("col_name")
+    hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n_rows", sum(col("cnt")).over(n))
+      .withColumn("q", explode(lit(Array(50, 90, 99))))
+      .withColumn("need",
+        expr("(CAST(q AS BIGINT) * n_rows + 99) div 100"))
+      .filter(col("cum") >= col("need"))
+      .groupBy(col("col_name"), col("q"))
+      .agg(min(col("bucket")).as("bucket"), max(col("n_rows")).as("n_rows"))
+      .withColumn("est_upper", (col("bucket") + 1L) * lit(HQW))
+      .select(col("col_name"), col("q").cast("long").as("q"),
+        col("bucket"), col("est_upper"), col("n_rows"))
+  }
+
+  val a45Sql: String =
+    s"""WITH melt AS (
+       |  SELECT 'lineitem.l_extendedprice' AS col_name,
+       |    least(CAST(floor(CAST(l_extendedprice AS DOUBLE) / $HQW.0)
+       |      AS BIGINT), $HQCap) AS bucket
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'orders.o_totalprice',
+       |    least(CAST(floor(CAST(o_totalprice AS DOUBLE) / $HQW.0)
+       |      AS BIGINT), $HQCap)
+       |  FROM orders),
+       |hist AS (
+       |  SELECT col_name, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM melt GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT col_name, bucket, cnt,
+       |    sum(cnt) OVER (PARTITION BY col_name ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(cnt) OVER (PARTITION BY col_name) AS n_rows
+       |  FROM hist),
+       |qq AS (
+       |  SELECT col_name, bucket, cum, n_rows, unnest([50, 90, 99]) AS q
+       |  FROM cum)
+       |SELECT col_name, CAST(q AS BIGINT) AS q,
+       |  CAST(min(bucket) AS BIGINT) AS bucket,
+       |  CAST((min(bucket) + 1) * $HQW AS BIGINT) AS est_upper,
+       |  CAST(max(n_rows) AS BIGINT) AS n_rows
+       |FROM qq
+       |WHERE cum >= (CAST(q AS BIGINT) * n_rows + 99) // 100
+       |GROUP BY 1, 2""".stripMargin
+
   def a42KAnonymity(s: SparkSession, d: String): DataFrame =
     cust(s, d)
       .groupBy(col("c_nationkey"), col("c_mktsegment"),
@@ -1335,6 +1548,8 @@ object Relational {
     "a40_drift_gate" -> a40DriftGate,
     "a41_fk_audit" -> a41FkAudit,
     "a42_k_anonymity" -> a42KAnonymity,
+    "a44_hll_distinct" -> a44HllDistinct,
+    "a45_hist_quantiles" -> a45HistQuantiles,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
@@ -1371,6 +1586,8 @@ object Relational {
     "a40_drift_gate" -> a40Sql,
     "a41_fk_audit" -> a41Sql,
     "a42_k_anonymity" -> a42Sql,
+    "a44_hll_distinct" -> a44Sql,
+    "a45_hist_quantiles" -> a45Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier_volume" -> q5Sql,

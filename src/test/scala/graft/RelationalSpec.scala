@@ -255,6 +255,71 @@ class RelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("a44 HLL registers match an independent JVM replay and the " +
+    "big-domain estimate is accurate") {
+    // independent replay of the sketch: java MessageDigest md5 (not
+    // Spark's), same 60-bit slice, buckets, ranks, register sum
+    def h60(v: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(v.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def replay(values: Seq[String]): (Long, Long) = {
+      val regs = scala.collection.mutable.Map.empty[Long, Int]
+      for (v <- values) {
+        val h = h60(v); val b = h % 4096; val w = h / 4096
+        val rho =
+          if (w == 0) 49 else 49 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        regs(b) = math.max(regs.getOrElse(b, 0), rho)
+      }
+      val hit = regs.size.toLong
+      val sum = regs.values.map(r => 1L << (49 - r)).sum +
+        (4096L - hit) * (1L << 49)
+      (hit, sum)
+    }
+    val got = Relational.a44HllDistinct(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey").cast("string")).collect()
+      .map(_.getString(0)).toSeq
+    val (hit, sum) = replay(orders)
+    val r = got("orders.o_custkey")
+    assert(r.getAs[Long]("n_hit") == hit)
+    assert(r.getAs[Long]("sum_scaled") == sum)
+    // arithmetic coherence on every row; accuracy where HLL is valid
+    for ((_, row) <- got) {
+      val (est, exact, err) = (row.getAs[Long]("est_x1e6"),
+        row.getAs[Long]("exact_distinct"), row.getAs[Long]("err_x1e6"))
+      assert(err == math.floor(
+        math.abs(est - exact * 1000000L).toDouble / exact).toLong)
+      if (row.getAs[Boolean]("in_range"))
+        assert(err < 50000L, // < 5%: sigma for m=4096 is ~1.6%
+          s"${row.getAs[String]("col_name")}: err=$err")
+    }
+  }
+
+  test("a45 histogram quantiles bracket the exact sorted percentile " +
+    "within one bucket width") {
+    val rows = Relational.a45HistQuantiles(spark, sf).collect()
+    assert(rows.length == 6) // 2 columns x 3 quantiles
+    def exactQ(table: String, c: String, q: Long): Double = {
+      val vs = Tables.load(spark, sf, table)
+        .select(col(c).cast("double")).collect()
+        .map(_.getDouble(0)).sorted
+      vs(((q * vs.length + 99) / 100 - 1).toInt) // ceil-rank element
+    }
+    for (r <- rows) {
+      val (cn, q, est) = (r.getAs[String]("col_name"),
+        r.getAs[Long]("q"), r.getAs[Long]("est_upper"))
+      val Array(t, c) = cn.split("\\.")
+      val v = exactQ(t, c, q)
+      // the ceil-rank element lives in the reported bucket, so the
+      // upper-edge estimate over-reports by less than one width
+      assert(v <= est && v > est - 256, s"$cn p$q: exact=$v est=$est")
+    }
+  }
+
   test("a40 drift gate: hand-computed chi-square on a two-bucket shift") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_a40").toString

@@ -294,7 +294,12 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // doc-keyed join and a per-source window — t9's packing shape;
       // pipe15 is pipe14's write/audit envelope plus one
       // shard-vs-published fingerprint anti-join (d8's shape)
-      "t23_bpe_packing", "pipe15_incremental_wap")
+      "t23_bpe_packing", "pipe15_incremental_wap",
+      // a44/a45 are single-scan partial-aggregable sketches ending in
+      // bounded register/histogram tables (a44 also carries the
+      // deliberately-exact countDistinct it exists to replace — the
+      // one linear-shuffle term in its ratio)
+      "a44_hll_distinct", "a45_hist_quantiles")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
