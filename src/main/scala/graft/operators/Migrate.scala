@@ -1446,9 +1446,78 @@ object Migrate {
       |  (5, 'EXTRA_FLAG', 'VARCHAR', 20, TRUE)
       |) t(ordinal, column_name, type_name, width, nullable)""".stripMargin
 
+  /** s20: deterministic epoch shuffle — the global training-order
+    * shuffle every data-loading stack performs before an epoch,
+    * expressed the only way it scales: a seeded 60-bit hash per doc
+    * gives a reproducible random total order; docs hash-bucket into
+    * shards (ONE exchange) and sort WITHIN the shard only — a global
+    * orderBy is exactly the all-to-all sort a 100 TB corpus cannot
+    * afford, and is unnecessary because readers consume shards
+    * independently. The written layout is `shard=<i>/` parquet in
+    * shuffled order; the report is per-shard accounting with an
+    * order-SENSITIVE checksum (sum of rank × hash-residue), so the
+    * oracle pins the assignment AND the within-shard permutation —
+    * re-running with the same seed is byte-stable, a different seed
+    * hash-mismatches. The spec additionally proves the physical file
+    * order equals the claimed rank order.
+    */
+  /** The write half of s20, split out so the spec can read the
+    * physical files back from a known root.
+    */
+  private[graft] def writeEpochShuffle(s: SparkSession, d: String,
+      root: String): Unit = {
+    val docs = Tables.load(s, d, "documents")
+      .withColumn("h", xhash64(concat_ws("|", lit("epoch1"),
+        col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("h"), lit(8L)))
+    // shard LEADS the within-partition sort: the partitioned writer
+    // inserts its own (non-stable) sort on the partition column when
+    // the requested ordering doesn't already start with it — which
+    // would scramble the h order inside each shard file (observed)
+    docs.select(col("doc_id"), col("h"), col("shard"))
+      .repartition(8, col("shard"))
+      .sortWithinPartitions(col("shard"), col("h"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(root)
+  }
+
+  def s20EpochShuffle(s: SparkSession, d: String): DataFrame = {
+    val root = tempDir("s20")
+    writeEpochShuffle(s, d, root)
+    // explicit schema: an EMPTY corpus writes no shard dirs, and
+    // schema inference over zero parquet files throws (the sweep
+    // class) — the declared schema degrades it to an empty frame
+    val back = s.read.schema("doc_id LONG, h LONG, shard LONG")
+      .parquet(root)
+      .select(col("doc_id"), col("h"), col("shard").cast("long").as("shard"))
+    val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    back.withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pos") * pmod(col("h"), lit(1000000L))).as("order_sum"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
+  val s20Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5('epoch1|' || CAST(doc_id AS VARCHAR)),
+      |      1, 15) AS BIGINT) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, h, h % 8 AS shard,
+      |    row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+      |      AS pos
+      |  FROM t)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(pos * (h % 1000000)) AS BIGINT) AS order_sum,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM r GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_epoch_shuffle" -> s20EpochShuffle,
     "s7_parquet_roundtrip" -> s7ParquetRoundtrip,
     "s7b_jdbc_roundtrip" -> s7bJdbcRoundtrip,
     "s8_csv_roundtrip" -> s8CsvRoundtrip,
@@ -1488,6 +1557,7 @@ object Migrate {
     "s17_manifest_skipping" -> s17Sql,
     "s18_overlap_depth" -> s18Sql,
     "s19_dynamic_overwrite" -> s19Sql,
+    "s20_epoch_shuffle" -> s20Sql,
     // orders keys are dense 0..N-1 at every sf: 15000 rows/sf0.01 →
     // ceil(15000/2000)=8 chunks; recomputed generically below.
     "s2_chunked_scan" -> s2SqlGeneric)

@@ -426,6 +426,33 @@ class MigrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ((2L, 1L, 10L, 15L, 666666L)))
   }
 
+  test("s20: shard files physically hold the seeded shuffle order") {
+    val root = java.nio.file.Files.createTempDirectory("graft_s20")
+      .toString
+    Migrate.writeEpochShuffle(spark, sf, root)
+    val shardDirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == 8)
+    for (dir <- shardDirs) {
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"${dir.getName}: one exchange must yield one file per shard")
+      // a single small file reads back as one ordered partition — the
+      // on-disk sequence IS the training order the operator claims
+      val rows = spark.read.parquet(files.head.getPath)
+        .select("h", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.nonEmpty)
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"${dir.getName}: physical order is not the (h, doc_id) order")
+      // and the order is a genuine shuffle, not doc_id order (only
+      // meaningful once a shard holds enough docs that a sorted
+      // permutation can't happen by chance)
+      if (rows.length >= 5)
+        assert(!rows.map(_._2).sameElements(rows.map(_._2).sorted))
+    }
+  }
+
   test("s19: dynamic overwrite replaces only the restated partition's " +
     "files") {
     import spark.implicits._

@@ -299,7 +299,10 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // bounded register/histogram tables (a44 also carries the
       // deliberately-exact countDistinct it exists to replace — the
       // one linear-shuffle term in its ratio)
-      "a44_hll_distinct", "a45_hist_quantiles")
+      "a44_hll_distinct", "a45_hist_quantiles",
+      // s20 is one hash exchange + within-shard sort + write — the
+      // at-scale global shuffle (never a global orderBy)
+      "s20_epoch_shuffle")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
