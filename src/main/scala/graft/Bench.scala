@@ -42,7 +42,9 @@ object Bench {
     "c11_streaming_interval_join",
     // a43's complete-mode aggregation + memory sink is its own
     // streaming shape (state stores, no watermark machinery)
-    "a43_streaming_drift")
+    "a43_streaming_drift",
+    // w12's session-window state store is its own shape again
+    "w12_streaming_sessionize")
 
   /** One timed run: (seconds, result rows); (-1.0, -1) on failure
     * (never time-to-exception — broken queries must be visible in

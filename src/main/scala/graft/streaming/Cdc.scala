@@ -1487,6 +1487,98 @@ object Cdc {
       |    date_trunc('second', ts) < TIMESTAMP '2024-01-16'
       |  FROM events""".stripMargin)
 
+  /** w12's replay feed: the events stream PLUS one far-future
+    * sentinel row (user −1). Sessions only emit in append mode once
+    * the WATERMARK passes their close; without the sentinel the
+    * watermark stops at the last real event and every user's final
+    * session stays open in state forever — the exact tail-loss d15
+    * solved with timeouts, solved here the way a production feed
+    * does it (a heartbeat/punctuation event).
+    */
+  private val w12FeedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  graft.functions.Memo.purgeHooks.put("cdc.w12Feed",
+    () => w12FeedCache.synchronized(w12FeedCache.clear()): Unit)
+
+  private def w12Feed(s: SparkSession, d: String): String =
+    w12FeedCache.synchronized {
+      w12FeedCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      w12FeedCache.getOrElseUpdate((s, d), {
+        import s.implicits._
+        val feed = graft.operators.Migrate.tempDir("w12_feed") + "/feed"
+        val ev = graft.Tables.load(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            date_trunc("second", col("ts")).as("tss"))
+        // bounded planning lookup: the sentinel sits 400 days past
+        // the newest event, far beyond any session's close
+        val mx = ev.agg(max(col("tss"))).head.getTimestamp(0)
+        val sentinel =
+          if (mx == null) ev.limit(0)
+          else Seq((-1L, -1L, new java.sql.Timestamp(
+            mx.getTime + 400L * 86400L * 1000L)))
+            .toDF("user_id", "event_id", "tss")
+        ev.unionByName(sentinel).repartition(8)
+          .write.mode("overwrite").parquet(feed)
+        feed
+      })
+    }
+
+  graft.functions.Memo.memoWarmers.put("cdc.w12Feed",
+    (s: SparkSession, d: String) => s.read.parquet(w12Feed(s, d)))
+
+  /** w12: sessionization ONLINE — w11's 30-minute gap rule as a
+    * streaming `session_window` aggregation (Spark's native session
+    * state: windows merge as events arrive, close when the watermark
+    * passes last-event + gap, and emit exactly once in append mode
+    * to a parquet sink — no driver-side data). The native window
+    * merges sessions whose point-windows TOUCH (measured: a 1801 s
+    * gap setting still merged events exactly 1801 s apart), i.e.
+    * merge iff diff ≤ gap — so gap = 1800 s reproduces w11's
+    * "new session iff diff > 1800" rule exactly. The batch
+    * window index is recovered per user by ranking the emitted
+    * sessions (disjoint by construction, so start times are unique
+    * per user), and the oracle IS w11's SQL — one semantics, two
+    * execution modes, the c11 pattern. At 100 TB: session state is
+    * per-live-user and evicted at close; the emitted relation is
+    * sessions-sized, re-indexed with one keyed window.
+    */
+  def w12StreamingSessionize(s: SparkSession, d: String): DataFrame = {
+    val root = graft.operators.Migrate.tempDir("w12")
+    val feed = w12Feed(s, d)
+    val ss = streamSession(s)
+    val ev = ss.readStream
+      .schema("user_id LONG, event_id LONG, tss TIMESTAMP")
+      .parquet(feed)
+      .withWatermark("tss", "0 seconds")
+    val q = ev.groupBy(col("user_id"),
+        session_window(col("tss"), "1800 seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_timestamp(col("tss"))).as("start_epoch"),
+        max(unix_timestamp(col("tss"))).as("end_epoch"))
+      .select(col("user_id"), col("n_events"), col("start_epoch"),
+        col("end_epoch"))
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", s"$root/out")
+      .start()
+    try require(q.awaitTermination(300000),
+      "w12 stream did not terminate within 300 s")
+    finally q.stop()
+    val w = Window.partitionBy("user_id").orderBy("start_epoch")
+    s.read
+      .schema("user_id LONG, n_events LONG, start_epoch LONG, " +
+        "end_epoch LONG")
+      .parquet(s"$root/out")
+      .filter(col("user_id") >= 0L) // drop the watermark sentinel
+      .withColumn("sess_idx", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("sess_idx"), col("n_events"),
+        col("start_epoch"), col("end_epoch"),
+        (col("end_epoch") - col("start_epoch")).as("duration_s"))
+  }
+
   /** w2: lag/lead stream context (W-family) — previous event type and
     * whole-second gap per user. Timestamps truncated to seconds before
     * differencing so ns-vs-µs precision cannot skew the result.
@@ -1527,6 +1619,7 @@ object Cdc {
     "c10_interval_join" -> c10IntervalJoin,
     "c11_streaming_interval_join" -> c11StreamingIntervalJoin,
     "a43_streaming_drift" -> a43StreamingDrift,
+    "w12_streaming_sessionize" -> w12StreamingSessionize,
     "w2_lag_lead" -> w2LagLead,
     "w9_funnel" -> w9Funnel)
 
@@ -1543,6 +1636,8 @@ object Cdc {
     "c10_interval_join" -> c10Sql,
     "c11_streaming_interval_join" -> c10Sql,
     "a43_streaming_drift" -> a43Sql,
+    // w12's oracle IS the batch sessionization's SQL (c11's pattern)
+    "w12_streaming_sessionize" -> graft.operators.Relational.w11Sql,
     "w2_lag_lead" -> w2Sql,
     "w9_funnel" -> w9Sql)
 }

@@ -796,6 +796,22 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
       _.getAs[String]("ddl_kind") == "TRUNCATE TABLE") == nTrunc)
   }
 
+  test("w12: online sessionization equals the batch operator row for " +
+    "row and the watermark sentinel never leaks") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("sess_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("start_epoch"),
+        r.getAs[Long]("end_epoch"), r.getAs[Long]("duration_s"))
+    val batch = graft.operators.Relational.w11Sessionize(spark, sf)
+      .collect().map(key).toSet
+    val streamed = Cdc.w12StreamingSessionize(spark, sf)
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      s"missing=${(batch diff streamed).take(3)} " +
+        s"extra=${(streamed diff batch).take(3)}")
+    assert(streamed.forall(_._1 >= 0L))
+  }
+
   test("a43: the online drift monitor equals the batch gate and fires " +
     "on a genuinely shifted era") {
     def key(r: org.apache.spark.sql.Row) =

@@ -56,7 +56,7 @@ class RegistrySpec extends AnyFunSuite {
     require(SparkEntry.queries.nonEmpty) // force module init
     val names = graft.functions.Memo.memoWarmers.keySet
     val expected = Set(
-      "dedup.docsFeed", "cdc.eventsFeed",
+      "dedup.docsFeed", "cdc.eventsFeed", "cdc.w12Feed",
       "dedup.shingleIndex", "dedup.pairStats", "dedup.d3MinhashPairs",
       "dedup.d6Clusters", "dedup.d12ExactSubstring",
       "similarity.ann1Truth", "similarity.assignedCells",

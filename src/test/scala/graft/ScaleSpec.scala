@@ -301,8 +301,10 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // one linear-shuffle term in its ratio)
       "a44_hll_distinct", "a45_hist_quantiles",
       // s20 is one hash exchange + within-shard sort + write — the
-      // at-scale global shuffle (never a global orderBy)
-      "s20_epoch_shuffle")
+      // at-scale global shuffle (never a global orderBy); w12 is
+      // row-linear session-window state evicted at close, plus one
+      // keyed window over the sessions-sized output
+      "s20_epoch_shuffle", "w12_streaming_sessionize")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
