@@ -1617,15 +1617,16 @@ object Similarity {
     * predicate builder over a frame alias, SQL predicate builder over
     * a table alias) — ONE definition feeding truth, post, pre, and
     * the oracle. `label_9pct` is the common metadata filter (~1/10 of
-    * the corpus); `rare_3pct` is the production failure mode (the
-    * near-unique tenant/category filter) where post-filter recall
-    * collapses because the unfiltered top-10 rarely contains matches.
+    * the corpus); `rare_2pct` (1/41 ≈ 2.44% — named for its actual
+    * selectivity) is the production failure mode (the near-unique
+    * tenant/category filter) where post-filter recall collapses
+    * because the unfiltered top-10 rarely contains matches.
     */
   private val Ann12Sels: Seq[(String, DataFrame => Column, String => String)] =
     Seq(
       ("label_9pct", df => df("label") === FilterLabel,
         a => s"$a.label = $FilterLabel"),
-      ("rare_3pct", df => df("vec_id") % 41 === 0,
+      ("rare_2pct", df => df("vec_id") % 41 === 0,
         a => s"$a.vec_id % 41 = 0"))
 
   /** Exact top-5 per query among predicate-matching corpus rows, one
@@ -1656,7 +1657,7 @@ object Similarity {
   /** ann12: FILTERED vector search — top-k under a metadata
     * predicate, the feature every production vector store fronts.
     * One decision row PER SELECTIVITY REGIME ([[Ann12Sels]]: the ~9%
-    * label filter and the ~3% near-unique filter) compares the two
+    * label filter and the ~2.4% near-unique filter) compares the two
     * standard strategies against the filtered exact truth:
     *
     *   POST-filter — run the unfiltered search (ann1's memoized
@@ -1687,7 +1688,7 @@ object Similarity {
     val wIvf = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("vec_id").asc)
     // one decision row PER SELECTIVITY REGIME: the ~9% filter and the
-    // ~3% near-unique filter where post-filtering collapses (review
+    // ~2.4% near-unique filter where post-filtering collapses (review
     // finding: a single mid selectivity hides exactly the regime the
     // strategy choice exists for)
     Ann12Sels.map { case (name, pred, _) =>

@@ -1516,11 +1516,25 @@ object TextAnalysis {
     * fused pair is one symbol) next to the whitespace token count —
     * the compression the tokenizer bought, doc by doc.
     */
+  /** The literal-merge encode chain: K nested literal-pattern
+    * `regexp_replace`s in training order. Plan size grows LINEARLY
+    * in K — correct and whole-stage-codegen'd at the trained K here,
+    * and proven by a spec gate to still plan, compile, and stay
+    * under the huge-method fallback limit at K = 64. That gate is
+    * the documented ceiling of this representation: a production
+    * tokenizer's ~32k merges would blow plan/codegen size long
+    * before data size matters, and restructures as a broadcast
+    * merge-table pass (per-word iterative join against the merge
+    * ranks) instead of plan literals.
+    */
+  private[graft] def bpeEncodeChain(merges: Seq[(String, String)])(
+      c: Column): Column = merges.foldLeft(c) {
+    case (acc, (p, sym)) => regexp_replace(acc, lit(p), lit(sym))
+  }
+
   def t22BpeEncode(s: SparkSession, d: String): DataFrame = {
     val merges = bpeTrainMerges(s, d)
-    def chain(c: Column): Column = merges.foldLeft(c) {
-      case (acc, (p, sym)) => regexp_replace(acc, lit(p), lit(sym))
-    }
+    def chain(c: Column): Column = bpeEncodeChain(merges)(c)
     Tables.load(s, d, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .select(col("doc_id"),

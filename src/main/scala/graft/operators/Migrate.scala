@@ -1461,21 +1461,34 @@ object Migrate {
     * hash-mismatches. The spec additionally proves the physical file
     * order equals the claimed rank order.
     */
+  /** s20's shard-count knob. The registered query pins 8 (and the
+    * oracle is generated from THIS constant, so the two can never
+    * disagree); a deployment sizes it as
+    * `ceil(corpus_bytes / target_shard_bytes)` — shards are the unit
+    * readers consume independently, so the count tracks the corpus,
+    * not the cluster (a 100 TB corpus at 1 GiB shards → ~100k shards,
+    * still one exchange). The physical-order contract below is
+    * shard-count-sensitive (the non-stable-writer-sort bug class its
+    * spec caught), so the spec asserts it at TWO counts.
+    */
+  val S20Shards = 8L
+
   /** The write half of s20, split out so the spec can read the
-    * physical files back from a known root.
+    * physical files back from a known root (and vary the shard
+    * count).
     */
   private[graft] def writeEpochShuffle(s: SparkSession, d: String,
-      root: String): Unit = {
+      root: String, shards: Long = S20Shards): Unit = {
     val docs = Tables.load(s, d, "documents")
       .withColumn("h", xhash64(concat_ws("|", lit("epoch1"),
         col("doc_id").cast("string"))))
-      .withColumn("shard", pmod(col("h"), lit(8L)))
+      .withColumn("shard", pmod(col("h"), lit(shards)))
     // shard LEADS the within-partition sort: the partitioned writer
     // inserts its own (non-stable) sort on the partition column when
     // the requested ordering doesn't already start with it — which
     // would scramble the h order inside each shard file (observed)
     docs.select(col("doc_id"), col("h"), col("shard"))
-      .repartition(8, col("shard"))
+      .repartition(shards.toInt, col("shard"))
       .sortWithinPartitions(col("shard"), col("h"), col("doc_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(root)
   }
@@ -1499,20 +1512,20 @@ object Migrate {
   }
 
   val s20Sql: String =
-    """WITH t AS (
-      |  SELECT doc_id,
-      |    CAST('0x' || substr(md5('epoch1|' || CAST(doc_id AS VARCHAR)),
-      |      1, 15) AS BIGINT) AS h
-      |  FROM documents),
-      |r AS (
-      |  SELECT doc_id, h, h % 8 AS shard,
-      |    row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
-      |      AS pos
-      |  FROM t)
-      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-      |  CAST(sum(pos * (h % 1000000)) AS BIGINT) AS order_sum,
-      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-      |FROM r GROUP BY 1""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5('epoch1|' || CAST(doc_id AS VARCHAR)),
+       |      1, 15) AS BIGINT) AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, h, h % $S20Shards AS shard,
+       |    row_number() OVER (PARTITION BY h % $S20Shards
+       |      ORDER BY h, doc_id) AS pos
+       |  FROM t)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(pos * (h % 1000000)) AS BIGINT) AS order_sum,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM r GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------- registry
 

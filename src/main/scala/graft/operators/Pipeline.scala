@@ -598,49 +598,79 @@ object Pipeline {
     * snapshot: a new shard arrives, is deduplicated AGAINST THE
     * PUBLISHED SNAPSHOT (d8's shard-vs-index shape: one fingerprint
     * anti-join, never a corpus re-mine) and within itself (first doc
-    * per fingerprint), the surviving docs are staged as published ∪
-    * admitted, the staged files are audited against the published
-    * baseline with the SAME gates as pipe14 ([[wapAudit]]), and only
-    * a full pass appends the manifest row. The report carries the
-    * audit, the admission accounting (admitted vs rejected-duplicate
-    * counts — the rows a data-curation runbook asks for first), and
-    * the resulting published version, so the hash gate pins dedup,
-    * gates, and the promote decision together. At 100 TB: the
-    * fingerprint index is persisted alongside the snapshot (d8/d19's
-    * at-rest discipline); admission costs one shard-sized anti-join
-    * plus the bounded audit aggregates.
+    * per fingerprint), the surviving docs are staged METADATA-ONLY —
+    * only the admitted shard rows are written; the staged snapshot is
+    * the manifest-level pair (published v1 files, admitted files), so
+    * the published corpus is never rewritten (pipe14's "data files
+    * move never" principle, applied to staging too — at 100 TB the
+    * old design's published ∪ admitted stage write was a corpus
+    * rewrite per arriving shard). The staged candidate is audited
+    * against the published baseline with the SAME gates as pipe14
+    * ([[wapAudit]], composed over the two bounded file sets), and
+    * only a full pass appends the manifest rows that make (v1 files +
+    * admitted files) the published v2. The report carries the audit,
+    * the admission accounting (admitted vs rejected-duplicate counts
+    * — the rows a data-curation runbook asks for first), and the
+    * resulting published version, so the hash gate pins dedup, gates,
+    * and the promote decision together. Null/empty-text shard rows
+    * carry no fingerprint and are NOT duplicates of anything — they
+    * bypass the dedup path and flow to staging whole, so the
+    * null_text gate judges the full poisoned shard instead of
+    * rejected_dup silently absorbing it. At 100 TB: the fingerprint
+    * index is persisted alongside the snapshot (d8/d19's at-rest
+    * discipline); admission costs one shard-sized anti-join, one
+    * shard-sized write, and the bounded audit aggregates.
     */
-  def pipe15IncrementalWap(s: SparkSession, d: String): DataFrame = {
+  /** The publish-v1 half, split on a caller-owned root so the spec
+    * can snapshot the published files between phases and assert
+    * staging never touches them (the s19 file-contract pattern).
+    */
+  private[graft] def pipe15PublishV1(s: SparkSession, d: String,
+      root: String): Unit = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val root = Migrate.tempDir("pipe15")
-    val docs = Tables.load(s, d, "documents")
-    def fp: Column = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
-    docs.filter(col("doc_id") % 5 =!= 4)
+    Tables.load(s, d, "documents").filter(col("doc_id") % 5 =!= 4)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/data/v1")
     Seq((1L, s"$root/data/v1")).toDF("version", "path")
       .write.mode(SaveMode.Append).parquet(s"$root/manifest")
+  }
+
+  /** The admit-audit-publish half over an already-published root. */
+  private[graft] def pipe15Admit(s: SparkSession, d: String,
+      root: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, d, "documents")
+    def fp: Column = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+    def hasText: Column = col("text").isNotNull && length(col("text")) > 0
     val published = s.read.parquet(s"$root/data/v1")
     // the published snapshot's fingerprint index — derived here from
     // the files; a deployment persists it next to the snapshot
-    val pubFps = published.select(fp.as("fp")).distinct()
+    val pubFps = published.filter(hasText).select(fp.as("fp")).distinct()
     val shard = docs.filter(col("doc_id") % 5 === 4)
-    val kept = shard.withColumn("fp", fp)
+    val keptText = shard.filter(hasText).withColumn("fp", fp)
       .join(pubFps, Seq("fp"), "left_anti")
       .withColumn("rn",
         row_number().over(Window.partitionBy("fp").orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("rn", "fp")
+    val kept = keptText.unionByName(shard.filter(!hasText))
     val nShard = shard.count()
-    published.unionByName(kept)
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/stage/v2")
-    val staged = s.read.parquet(s"$root/stage/v2")
-    val nKept = staged.count() -
-      s.read.parquet(s"$root/data/v1").count()
-    val audit = wapAudit(published, staged)
+    // staging = write ONLY the admitted shard rows; published v1
+    // files are referenced, never copied
+    kept.write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/stage/v2_admitted")
+    val admitted = s.read.parquet(s"$root/stage/v2_admitted")
+    val nKept = admitted.count()
+    // the staged candidate AS THE READER WOULD RESOLVE IT: published
+    // files + admitted files, composed logically — the audit's
+    // staged-side aggregates split into published-side + shard-side
+    // scans (in a deployment the published side is served from the
+    // manifest's persisted stats/fingerprint index)
+    val audit = wapAudit(published, published.unionByName(admitted))
     val rows = audit.collect()
     val allPass = rows.nonEmpty && rows.forall(_.getAs[Boolean]("pass"))
-    if (allPass)
-      Seq((2L, s"$root/stage/v2")).toDF("version", "path")
+    if (allPass) // publish = manifest rows only; no data file moves
+      Seq((2L, s"$root/data/v1"), (2L, s"$root/stage/v2_admitted"))
+        .toDF("version", "path")
         .write.mode(SaveMode.Append).parquet(s"$root/manifest")
     val version = s.read.parquet(s"$root/manifest")
       .agg(max(col("version"))).head.getLong(0)
@@ -653,20 +683,31 @@ object Pipeline {
         .toDF("gate", "value_x1e6", "lo_x1e6", "hi_x1e6", "pass"))
   }
 
+  def pipe15IncrementalWap(s: SparkSession, d: String): DataFrame = {
+    val root = Migrate.tempDir("pipe15")
+    pipe15PublishV1(s, d, root)
+    pipe15Admit(s, d, root)
+  }
+
   val pipe15Sql: String =
     s"""WITH v1 AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
        |shard AS (SELECT * FROM documents WHERE doc_id % 5 = 4),
        |pubfp AS (SELECT DISTINCT md5(lower(
-       |    regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM v1),
+       |    regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM v1
+       |  WHERE text IS NOT NULL AND length(text) > 0),
        |kept AS (
        |  SELECT * EXCLUDE (fp, rn) FROM (
        |    SELECT s.*, row_number() OVER (
        |      PARTITION BY s.fp ORDER BY s.doc_id) AS rn
        |    FROM (SELECT *, md5(lower(
        |        regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
-       |      FROM shard) s
+       |      FROM shard
+       |      WHERE text IS NOT NULL AND length(text) > 0) s
        |    WHERE NOT EXISTS (SELECT 1 FROM pubfp p WHERE p.fp = s.fp))
-       |  WHERE rn = 1),
+       |  WHERE rn = 1
+       |  UNION ALL
+       |  SELECT * FROM shard
+       |  WHERE text IS NULL OR length(text) = 0),
        |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM kept),
        |$wapGatesChainSql
        |SELECT * FROM g2

@@ -1345,43 +1345,59 @@ object Relational {
     * distinct rides along HERE to measure the error, a production
     * run drops it (it is the shuffle the sketch exists to avoid).
     */
+  /** Per-value register coordinates: adds (bucket, rho) to a melted
+    * (col_name, v) frame — the map side of the sketch, shared by the
+    * batch query and the streaming arm (a46) so the two register
+    * plans are the same Column algebra and cannot diverge.
+    */
+  private[graft] def hllRhoCols(melt0: DataFrame): DataFrame = melt0
+    .withColumn("h", xhash64(col("v")))
+    .withColumn("bucket", pmod(col("h"), lit(HllM)))
+    // integer division, NOT Column./ (double division rounds above
+    // 2^53 — h is 60-bit)
+    .withColumn("w", expr(s"h div ${HllM}L"))
+    .withColumn("rho",
+      when(col("w") === 0L, lit(HllW + 1))
+        .otherwise(lit(HllW + 1) - length(bin(col("w")))).cast("int"))
+
+  /** The estimator over a REGISTER table (col_name, bucket, maxrho)
+    * — the merge side of the sketch: register mass summed as exact
+    * BIGINTs, one division by the pre-multiplied [[HllEstConst]].
+    * The register table is the mergeable state a streaming arm
+    * maintains; this is everything downstream of it.
+    */
+  private[graft] def hllEstimateFrom(regs: DataFrame): DataFrame = regs
+    .groupBy(col("col_name"))
+    .agg(count(lit(1)).as("n_hit"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllW + 1} - maxrho)"))
+        .as("sum_hit"))
+    .withColumn("sum_scaled",
+      col("sum_hit") +
+        (lit(HllM) - col("n_hit")) * expr(
+          s"shiftleft(CAST(1 AS BIGINT), ${HllW + 1})"))
+    .withColumn("est_x1e6",
+      floor(lit(HllEstConst).cast("double") /
+        col("sum_scaled").cast("double")).cast("long"))
+    .withColumn("in_range",
+      col("est_x1e6") > lit(5L * HllM * 1000000L / 2L))
+    .select(col("col_name"), col("n_hit"), col("sum_scaled"),
+      col("est_x1e6"), col("in_range"))
+
   def a44HllDistinct(s: SparkSession, d: String): DataFrame = {
-    val melt = Seq(
+    val melt = hllRhoCols(Seq(
       ("orders.o_custkey", ord(s, d).select(
         col("o_custkey").cast("string").as("v"))),
       ("lineitem.l_orderkey", li(s, d).select(
         col("l_orderkey").cast("string").as("v"))),
       ("lineitem.l_partkey", li(s, d).select(
         col("l_partkey").cast("string").as("v"))))
-      .map { case (name, df) =>
-        df.select(lit(name).as("col_name"), col("v"),
-          xhash64(col("v")).as("h"))
-      }.reduce(_ unionAll _)
-      .withColumn("bucket", pmod(col("h"), lit(HllM)))
-      // integer division, NOT Column./ (double division rounds above
-      // 2^53 — h is 60-bit)
-      .withColumn("w", expr(s"h div ${HllM}L"))
-      .withColumn("rho",
-        when(col("w") === 0L, lit(HllW + 1))
-          .otherwise(lit(HllW + 1) - length(bin(col("w")))).cast("int"))
+      .map { case (name, df) => df.select(lit(name).as("col_name"), col("v")) }
+      .reduce(_ unionAll _))
     val regs = melt.groupBy(col("col_name"), col("bucket"))
       .agg(max(col("rho")).as("maxrho"))
-      .groupBy(col("col_name"))
-      .agg(count(lit(1)).as("n_hit"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllW + 1} - maxrho)"))
-          .as("sum_hit"))
-      .withColumn("sum_scaled",
-        col("sum_hit") +
-          (lit(HllM) - col("n_hit")) * expr(
-            s"shiftleft(CAST(1 AS BIGINT), ${HllW + 1})"))
     val exact = melt.groupBy(col("col_name"))
       .agg(countDistinct(col("v")).as("exact_distinct"))
-    regs.join(exact, Seq("col_name"))
-      .withColumn("est_x1e6",
-        floor(lit(HllEstConst).cast("double") /
-          col("sum_scaled").cast("double")).cast("long"))
-      .withColumn("in_range",
-        col("est_x1e6") > lit(5L * HllM * 1000000L / 2L))
+    hllEstimateFrom(regs).join(exact, Seq("col_name"))
       .withColumn("err_x1e6",
         floor(abs(col("est_x1e6") - col("exact_distinct") * 1000000L)
           .cast("double") / col("exact_distinct").cast("double"))
@@ -1391,15 +1407,16 @@ object Relational {
         col("err_x1e6"))
   }
 
-  val a44Sql: String = {
-    def side(name: String, table: String, c: String): String =
-      s"SELECT '$name' AS col_name, CAST($c AS VARCHAR) AS v FROM $table"
-    s"""WITH melt0 AS (
-       |  ${side("orders.o_custkey", "orders", "o_custkey")}
-       |  UNION ALL
-       |  ${side("lineitem.l_orderkey", "lineitem", "l_orderkey")}
-       |  UNION ALL
-       |  ${side("lineitem.l_partkey", "lineitem", "l_partkey")}),
+  /** The sketch's CTE chain from a caller-supplied `melt0(col_name,
+    * v)` through the per-column register aggregate `sc(col_name,
+    * n_hit, sum_scaled)` — the SQL mirror of [[hllRhoCols]] +
+    * [[hllEstimateFrom]]'s register math, shared by a44's batch
+    * oracle and a46's streaming-arm oracle so the two replay the
+    * SAME sketch.
+    */
+  private[graft] def hllSketchSqlCtes(melt0: String): String =
+    s"""melt0 AS (
+       |$melt0),
        |melt AS (
        |  SELECT col_name, v, h, h % $HllM AS bucket, h // $HllM AS w
        |  FROM (SELECT col_name, v, ${Norm.xhash64Sql("v")} AS h
@@ -1421,18 +1438,34 @@ object Relational {
        |  SELECT col_name, n_hit,
        |    sum_hit + ($HllM - n_hit) *
        |      (CAST(1 AS BIGINT) << ${HllW + 1}) AS sum_scaled
-       |  FROM agg),
+       |  FROM agg)""".stripMargin
+
+  /** `est_x1e6` over `sc`, as SQL text (one floor of one division by
+    * the shared pre-multiplied constant).
+    */
+  private[graft] val hllEstSql: String =
+    s"CAST(floor($HllEstConst / CAST(sum_scaled AS DOUBLE)) AS BIGINT)"
+
+  /** The `in_range` threshold (5m/2 at 10⁶ scale). */
+  private[graft] val hllRangeGate: Long = 5L * HllM * 1000000L / 2L
+
+  val a44Sql: String = {
+    def side(name: String, table: String, c: String): String =
+      s"  SELECT '$name' AS col_name, CAST($c AS VARCHAR) AS v FROM $table"
+    val melt0 = Seq(
+      side("orders.o_custkey", "orders", "o_custkey"),
+      side("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      side("lineitem.l_partkey", "lineitem", "l_partkey"))
+      .mkString("\n  UNION ALL\n")
+    s"""WITH ${hllSketchSqlCtes(melt0)},
        |ex AS (
        |  SELECT col_name, CAST(count(DISTINCT v) AS BIGINT)
        |    AS exact_distinct
        |  FROM melt GROUP BY 1)
        |SELECT sc.col_name, n_hit, sum_scaled, exact_distinct,
-       |  CAST(floor($HllEstConst / CAST(sum_scaled AS DOUBLE))
-       |    AS BIGINT) AS est_x1e6,
-       |  CAST(floor($HllEstConst / CAST(sum_scaled AS DOUBLE))
-       |    AS BIGINT) > ${5L * HllM * 1000000L / 2L} AS in_range,
-       |  CAST(floor(CAST(abs(CAST(floor($HllEstConst /
-       |      CAST(sum_scaled AS DOUBLE)) AS BIGINT)
+       |  $hllEstSql AS est_x1e6,
+       |  $hllEstSql > $hllRangeGate AS in_range,
+       |  CAST(floor(CAST(abs($hllEstSql
        |      - exact_distinct * 1000000) AS DOUBLE) /
        |    CAST(exact_distinct AS DOUBLE)) AS BIGINT) AS err_x1e6
        |FROM sc JOIN ex ON sc.col_name = ex.col_name""".stripMargin
@@ -1461,19 +1494,21 @@ object Relational {
     * the sort this sketch exists to avoid); the spec measures the
     * estimate against an exact sort at test scale.
     */
-  def a45HistQuantiles(s: SparkSession, d: String): DataFrame = {
-    val melt = Seq(
-      ("lineitem.l_extendedprice", li(s, d).select(
-        col("l_extendedprice").cast("double").as("v"))),
-      ("orders.o_totalprice", ord(s, d).select(
-        col("o_totalprice").cast("double").as("v"))))
-      .map { case (name, df) =>
-        df.select(lit(name).as("col_name"),
-          least(floor(col("v") / lit(HQW.toDouble)), lit(HQCap))
-            .cast("long").as("bucket"))
-      }.reduce(_ unionAll _)
-    val hist = melt.groupBy(col("col_name"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+  /** Fixed-width bucket id for a double value at the given width —
+    * the map side of the histogram, shared by a45 and the streaming
+    * arm (a47) so both build the same buckets.
+    */
+  private[graft] def histBucketCol(v: Column, width: Long): Column =
+    least(floor(v / lit(width.toDouble)), lit(HQCap)).cast("long")
+
+  /** The quantile read-off over a HISTOGRAM (col_name, bucket, cnt)
+    * — the histogram is the mergeable state a streaming arm
+    * maintains; this is everything downstream of it (cumulative
+    * window over ≤4096 rows, ceil-rank read-off, inclusive upper
+    * edge at the given bucket width).
+    */
+  private[graft] def histQuantilesFrom(hist: DataFrame,
+      width: Long): DataFrame = {
     val w = Window.partitionBy("col_name").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val n = Window.partitionBy("col_name")
@@ -1486,22 +1521,40 @@ object Relational {
       .filter(col("cum") >= col("need"))
       .groupBy(col("col_name"), col("q"))
       .agg(min(col("bucket")).as("bucket"), max(col("n_rows")).as("n_rows"))
-      .withColumn("est_upper", (col("bucket") + 1L) * lit(HQW))
+      .withColumn("est_upper", (col("bucket") + 1L) * lit(width))
       .select(col("col_name"), col("q").cast("long").as("q"),
         col("bucket"), col("est_upper"), col("n_rows"))
   }
 
-  val a45Sql: String =
+  def a45HistQuantiles(s: SparkSession, d: String): DataFrame = {
+    val melt = Seq(
+      ("lineitem.l_extendedprice", li(s, d).select(
+        col("l_extendedprice").cast("double").as("v"))),
+      ("orders.o_totalprice", ord(s, d).select(
+        col("o_totalprice").cast("double").as("v"))))
+      .map { case (name, df) =>
+        df.select(lit(name).as("col_name"),
+          histBucketCol(col("v"), HQW).as("bucket"))
+      }.reduce(_ unionAll _)
+    histQuantilesFrom(
+      melt.groupBy(col("col_name"), col("bucket"))
+        .agg(count(lit(1)).as("cnt")),
+      HQW)
+  }
+
+  /** a45's CTE tail + final select over a caller-supplied
+    * `melt(col_name, bucket)` CTE — the SQL mirror of
+    * [[histQuantilesFrom]], shared by a45's oracle and a47's
+    * streaming-arm oracle. `histBucketSql` renders the matching
+    * bucket expression.
+    */
+  private[graft] def histBucketSql(v: String, width: Long): String =
+    s"least(CAST(floor(CAST($v AS DOUBLE) / $width.0) AS BIGINT), $HQCap)"
+
+  private[graft] def histQuantilesSql(meltSql: String,
+      width: Long): String =
     s"""WITH melt AS (
-       |  SELECT 'lineitem.l_extendedprice' AS col_name,
-       |    least(CAST(floor(CAST(l_extendedprice AS DOUBLE) / $HQW.0)
-       |      AS BIGINT), $HQCap) AS bucket
-       |  FROM lineitem
-       |  UNION ALL
-       |  SELECT 'orders.o_totalprice',
-       |    least(CAST(floor(CAST(o_totalprice AS DOUBLE) / $HQW.0)
-       |      AS BIGINT), $HQCap)
-       |  FROM orders),
+       |$meltSql),
        |hist AS (
        |  SELECT col_name, bucket, CAST(count(*) AS BIGINT) AS cnt
        |  FROM melt GROUP BY 1, 2),
@@ -1516,11 +1569,20 @@ object Relational {
        |  FROM cum)
        |SELECT col_name, CAST(q AS BIGINT) AS q,
        |  CAST(min(bucket) AS BIGINT) AS bucket,
-       |  CAST((min(bucket) + 1) * $HQW AS BIGINT) AS est_upper,
+       |  CAST((min(bucket) + 1) * $width AS BIGINT) AS est_upper,
        |  CAST(max(n_rows) AS BIGINT) AS n_rows
        |FROM qq
        |WHERE cum >= (CAST(q AS BIGINT) * n_rows + 99) // 100
        |GROUP BY 1, 2""".stripMargin
+
+  val a45Sql: String = histQuantilesSql(
+    s"""  SELECT 'lineitem.l_extendedprice' AS col_name,
+       |    ${histBucketSql("l_extendedprice", HQW)} AS bucket
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'orders.o_totalprice',
+       |    ${histBucketSql("o_totalprice", HQW)}
+       |  FROM orders""".stripMargin, HQW)
 
   def a42KAnonymity(s: SparkSession, d: String): DataFrame =
     cust(s, d)

@@ -1487,6 +1487,133 @@ object Cdc {
       |    date_trunc('second', ts) < TIMESTAMP '2024-01-16'
       |  FROM events""".stripMargin)
 
+  /** a46's melt + register plan over an events frame — the SAME
+    * Column algebra ([[graft.operators.Relational.hllRhoCols]], the
+    * batch sketch's own map side) whether the frame is a stream (the
+    * arm) or a batch read (the spec's mirror), the a43 discipline.
+    */
+  private[graft] def a46Regs(ev0: DataFrame): DataFrame =
+    graft.operators.Relational.hllRhoCols(
+      ev0.select(lit("events.user_id").as("col_name"),
+          col("user_id").cast("string").as("v"))
+        .unionAll(ev0.select(lit("events.event_type").as("col_name"),
+          col("event_type").as("v"))))
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(max(col("rho")).as("maxrho"))
+
+  /** a46: the a44 HLL distinct sketch run ONLINE — the production
+    * cardinality monitor. The register table IS the streaming state
+    * (complete-mode aggregation, ≤ 4096 rows per monitored column,
+    * max-rank merged — no watermark needed because the mergeable
+    * aggregate is the output, a43's shape), and the estimator
+    * arithmetic is applied to the emitted registers through
+    * [[graft.operators.Relational.hllEstimateFrom]] — the SAME code
+    * path as the batch sketch, so the online monitor cannot drift
+    * from the estimator it is hash-checked against (the oracle is a
+    * DuckDB batch replay of the sketch over the same events). No
+    * exact-distinct ride-along here: online is exactly where the
+    * COUNT(DISTINCT) shuffle the sketch exists to avoid is
+    * unpayable. At 100 TB the state stays register-table sized;
+    * every micro-batch max-merges map-side partials into it.
+    */
+  def a46StreamingHll(s: SparkSession, d: String): DataFrame = {
+    val feed = eventsFeed(s, d)
+    val ss = streamSession(s)
+    val regs = a46Regs(ss.readStream
+      .schema("user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE")
+      .parquet(feed))
+    val q = regs.writeStream
+      .format("memory").queryName("a46_regs")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(300000),
+      "a46 stream did not terminate within 300 s")
+    finally q.stop()
+    // re-host the bounded register table on the caller's session
+    // (the memory sink registered it on the isolated stream session)
+    val emitted = ss.table("a46_regs")
+    graft.operators.Relational.hllEstimateFrom(
+      s.createDataFrame(java.util.Arrays.asList(emitted.collect(): _*),
+        emitted.schema))
+  }
+
+  val a46Sql: String = {
+    import graft.operators.Relational
+    val melt0 =
+      """  SELECT 'events.user_id' AS col_name,
+        |    CAST(user_id AS VARCHAR) AS v FROM events
+        |  UNION ALL
+        |  SELECT 'events.event_type', event_type FROM events"""
+        .stripMargin
+    s"""WITH ${Relational.hllSketchSqlCtes(melt0)}
+       |SELECT col_name, n_hit, sum_scaled,
+       |  ${Relational.hllEstSql} AS est_x1e6,
+       |  ${Relational.hllEstSql} > ${Relational.hllRangeGate} AS in_range
+       |FROM sc""".stripMargin
+  }
+
+  /** a47's bucket width: 8.0 over the events value range (~0..500)
+    * gives ~63 live buckets — the resolution/width trade a production
+    * latency monitor tunes per metric (a45 uses 256 for the price
+    * columns; the cap and read-off are shared).
+    */
+  private val A47Width = 8L
+
+  /** a47's melt + histogram plan over an events frame — the SAME
+    * Column algebra as the batch quantile sketch's map side
+    * ([[graft.operators.Relational.histBucketCol]]), stream or batch.
+    */
+  private[graft] def a47Hist(ev0: DataFrame): DataFrame = ev0
+    .select(lit("events.value").as("col_name"),
+      graft.operators.Relational.histBucketCol(
+        col("value").cast("double"), A47Width).as("bucket"))
+    .groupBy(col("col_name"), col("bucket"))
+    .agg(count(lit(1)).as("cnt"))
+
+  /** a47: histogram quantiles ONLINE — the production latency/value
+    * percentile monitor, completing the streaming-monitor triple
+    * (a43 drift, a46 cardinality, a47 quantiles). The fixed-width
+    * bucket histogram IS the streaming state (complete-mode counting
+    * aggregation, ≤4096 rows — a43's shape), and the quantile
+    * read-off is applied to the emitted histogram through
+    * [[graft.operators.Relational.histQuantilesFrom]] — the SAME
+    * code path as the batch sketch (a45), so the online monitor
+    * cannot drift from the read-off it is hash-checked against (the
+    * oracle is a DuckDB batch replay over the same events). At
+    * 100 TB the state stays histogram-sized; every micro-batch does
+    * map-side partial counts into it.
+    */
+  def a47StreamingQuantiles(s: SparkSession, d: String): DataFrame = {
+    val feed = eventsFeed(s, d)
+    val ss = streamSession(s)
+    val hist = a47Hist(ss.readStream
+      .schema("user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE")
+      .parquet(feed))
+    val q = hist.writeStream
+      .format("memory").queryName("a47_hist")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(300000),
+      "a47 stream did not terminate within 300 s")
+    finally q.stop()
+    // re-host the bounded histogram on the caller's session (the
+    // memory sink registered it on the isolated stream session)
+    val emitted = ss.table("a47_hist")
+    graft.operators.Relational.histQuantilesFrom(
+      s.createDataFrame(java.util.Arrays.asList(emitted.collect(): _*),
+        emitted.schema), A47Width)
+  }
+
+  val a47Sql: String = {
+    import graft.operators.Relational
+    Relational.histQuantilesSql(
+      s"""  SELECT 'events.value' AS col_name,
+         |    ${Relational.histBucketSql("value", A47Width)} AS bucket
+         |  FROM events""".stripMargin, A47Width)
+  }
+
   /** w12's replay feed: the events stream PLUS one far-future
     * sentinel row (user −1). Sessions only emit in append mode once
     * the WATERMARK passes their close; without the sentinel the
@@ -1619,6 +1746,8 @@ object Cdc {
     "c10_interval_join" -> c10IntervalJoin,
     "c11_streaming_interval_join" -> c11StreamingIntervalJoin,
     "a43_streaming_drift" -> a43StreamingDrift,
+    "a46_streaming_hll" -> a46StreamingHll,
+    "a47_streaming_quantiles" -> a47StreamingQuantiles,
     "w12_streaming_sessionize" -> w12StreamingSessionize,
     "w2_lag_lead" -> w2LagLead,
     "w9_funnel" -> w9Funnel)
@@ -1636,6 +1765,8 @@ object Cdc {
     "c10_interval_join" -> c10Sql,
     "c11_streaming_interval_join" -> c10Sql,
     "a43_streaming_drift" -> a43Sql,
+    "a46_streaming_hll" -> a46Sql,
+    "a47_streaming_quantiles" -> a47Sql,
     // w12's oracle IS the batch sessionization's SQL (c11's pattern)
     "w12_streaming_sessionize" -> graft.operators.Relational.w11Sql,
     "w2_lag_lead" -> w2Sql,

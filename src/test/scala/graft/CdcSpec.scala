@@ -844,4 +844,75 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(shifted("event_type"), "categorical era shift must drift")
     assert(!shifted("value"), "identical value dist must not drift")
   }
+
+  test("a46: the online HLL sketch equals the batch sketch register " +
+    "for register and estimate") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("col_name"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("sum_scaled"), r.getAs[Long]("est_x1e6"),
+        r.getAs[Boolean]("in_range"))
+    // streaming arm vs the batch mirror THROUGH the same register
+    // plan and estimator arithmetic — only the engine differs
+    val streamed = Cdc.a46StreamingHll(spark, sf).collect()
+      .map(key).toSet
+    val batch = graft.operators.Relational.hllEstimateFrom(
+      Cdc.a46Regs(graft.Tables.load(spark, sf, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("value"))))
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) ==
+      Set("events.user_id", "events.event_type"))
+    // both cardinalities here sit far below raw HLL's reliable range
+    // (5m/2 = 10240), so the arm must SAY so — in_range false is the
+    // signal a production monitor switches on
+    assert(streamed.forall(!_._5), "small cardinalities must flag")
+    // ...and the emitted register table still carries what the
+    // small-range correction needs: linear counting over n_hit
+    // (m·ln(m/(m−n_hit)), m = 4096 per the a44 geometry) lands
+    // within 5% of the exact distinct — the state is sufficient,
+    // the estimator choice is downstream
+    val ev = graft.Tables.load(spark, sf, "events")
+    val exact = Map(
+      "events.user_id" ->
+        ev.select("user_id").distinct().count(),
+      "events.event_type" ->
+        ev.select("event_type").distinct().count())
+    val m = 4096.0
+    for ((name, nHit, _, _, _) <- streamed) {
+      val e = exact(name).toDouble
+      val lc = m * math.log(m / (m - nHit))
+      assert(math.abs(lc - e) <= math.max(1.0, 0.05 * e),
+        s"$name: linear-count $lc vs exact $e (n_hit=$nHit)")
+    }
+  }
+
+  test("a47: the online quantile sketch equals the batch read-off " +
+    "and brackets the exact percentiles within one bucket width") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("col_name"), r.getAs[Long]("q"),
+        r.getAs[Long]("bucket"), r.getAs[Long]("est_upper"),
+        r.getAs[Long]("n_rows"))
+    val streamed = Cdc.a47StreamingQuantiles(spark, sf).collect()
+      .map(key).sortBy(k => (k._1, k._2))
+    val batch = graft.operators.Relational.histQuantilesFrom(
+      Cdc.a47Hist(graft.Tables.load(spark, sf, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("value"))), 8L)
+      .collect().map(key).sortBy(k => (k._1, k._2))
+    assert(streamed.sameElements(batch))
+    // a45's accuracy discipline applied to the online arm: each
+    // estimate is the bucket's inclusive upper edge, so it must sit
+    // at or above the exact percentile and within one bucket width
+    val vals = graft.Tables.load(spark, sf, "events")
+      .select(col("value").cast("double")).collect()
+      .map(_.getDouble(0)).sorted
+    for ((_, q, _, est, nRows) <- streamed) {
+      assert(nRows == vals.length.toLong)
+      val need = ((q * nRows + 99) / 100).toInt // ceil rank
+      val exactQ = vals(need - 1)
+      assert(est >= exactQ && est - 8L <= exactQ,
+        s"q$q: est_upper=$est vs exact=$exactQ")
+    }
+  }
 }

@@ -209,8 +209,10 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rows("admitted_new")._1 == expectAdmit)
     assert(rows("published_version")._1 == 2L,
       "clean shard must publish v2")
-    // a poisoned shard (every arriving payload NULL) must hold: the
-    // null_text gate fires and the manifest stays at v1
+    // a poisoned shard (every arriving payload NULL) must hold: null
+    // payloads carry no fingerprint, so they are NOT "duplicates" —
+    // the WHOLE shard flows to staging and the null_text gate (not
+    // rejected_dup) judges it; the manifest stays at v1
     val tmp = java.nio.file.Files.createTempDirectory("graft_p15")
       .toString
     docs.withColumn("text",
@@ -221,7 +223,57 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .map(r => r.getAs[String]("gate") ->
         (r.getAs[Long]("value_x1e6"), r.getAs[Boolean]("pass"))).toMap
     assert(!held("null_text")._2, "null payloads must fail the gate")
+    assert(held("admitted_new")._1 == nShard && held(
+      "rejected_dup")._1 == 0L,
+      "null payloads must not be absorbed into rejected_dup")
     assert(held("published_version")._1 == 1L && !held(
       "published_version")._2, "poisoned shard must not publish")
+  }
+
+  test("pipe15: staging is metadata-only — published v1 files are " +
+    "untouched and the stage dir holds only the admitted shard") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_p15m")
+      .toString
+    Pipeline.pipe15PublishV1(spark, sf, root)
+    // file-level snapshot of the published corpus BEFORE staging
+    // (the s19 contract pattern): name, length, and mtime per file
+    def v1Files(): Map[String, (Long, Long)] =
+      new java.io.File(s"$root/data/v1").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    val before = v1Files()
+    assert(before.nonEmpty)
+    val report = Pipeline.pipe15Admit(spark, sf, root).collect()
+      .map(r => r.getAs[String]("gate") -> r.getAs[Long]("value_x1e6"))
+      .toMap
+    // byte-identical published file set: staging referenced v1, it
+    // never rewrote or appended beside it
+    assert(v1Files() == before,
+      "staging must not touch published v1 files")
+    // the stage dir holds EXACTLY the admitted shard rows — not a
+    // copy of the published corpus
+    val staged = spark.read.parquet(s"$root/stage/v2_admitted")
+    assert(staged.count() == report("admitted_new"))
+    val docs = Tables.load(spark, sf, "documents")
+    val shardIds = docs.filter(col("doc_id") % 5 === 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val stagedIds = staged.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(stagedIds.subsetOf(shardIds),
+      "stage dir must contain only shard docs")
+    // published v2 resolves to v1 files + admitted files via the
+    // manifest alone: reading the union reproduces published ∪ kept
+    val manifest = spark.read.parquet(s"$root/manifest")
+    val vMax = manifest.agg(max(col("version"))).head.getLong(0)
+    assert(vMax == 2L)
+    val paths = manifest.filter(col("version") === vMax)
+      .select("path").collect().map(_.getString(0))
+    assert(paths.toSet ==
+      Set(s"$root/data/v1", s"$root/stage/v2_admitted"))
+    val resolved = paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    assert(resolved.count() ==
+      docs.filter(col("doc_id") % 5 =!= 4).count() +
+        report("admitted_new"))
   }
 }

@@ -357,7 +357,7 @@ class RelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val rows = graft.functions.Similarity.ann12FilteredSearch(spark, sf)
       .collect()
       .map(r => r.getAs[String]("sel") -> r).toMap
-    assert(rows.keySet == Set("label_9pct", "rare_3pct"))
+    assert(rows.keySet == Set("label_9pct", "rare_2pct"))
     val nQ = Tables.load(spark, sf, "embeddings")
       .filter(col("vec_id") % 100 === 0).count()
     for ((sel, row) <- rows) {
@@ -372,20 +372,25 @@ class RelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(ke <= 5 * nQ, s"$sel: k_eff=$ke")
       assert(row.getAs[Double]("recall_post") == hp.toDouble / ne)
       assert(row.getAs[Double]("recall_pre") == hr.toDouble / ne)
-      // post-filtering can never beat pre-filtering here: the post
-      // page is capped by however many matches landed in the
-      // unfiltered top-10, while pre ranks ALL matching rows in the
-      // probed cell — the ordering the operator exists to show
-      assert(hr >= hp, s"$sel: recall_pre < recall_post ($hr < $hp)")
+      // pre >= post is asserted ONLY in the rare regime, where it is
+      // structural (the post page starves to a handful of rows while
+      // pre ranks every matching row in the probed cell). At common
+      // selectivity it is merely empirical: post can hit a truth
+      // neighbor that sits in the unfiltered exact top-10 but OUTSIDE
+      // the query's probed IVF cell, which single-cell pre-filter
+      // misses — so a data-generator or cell-geometry change could
+      // legitimately flip it there (r11 advice)
+      if (sel == "rare_2pct")
+        assert(hr >= hp, s"$sel: recall_pre < recall_post ($hr < $hp)")
     }
     // the production failure mode: at ~3% selectivity the unfiltered
     // top-10 rarely contains matches, so the post page starves — it
     // must be strictly smaller than at the ~9% filter, and smaller
     // than the truth it is supposed to fill
-    val keRare = rows("rare_3pct").getAs[Long]("k_eff_post")
+    val keRare = rows("rare_2pct").getAs[Long]("k_eff_post")
     assert(keRare < rows("label_9pct").getAs[Long]("k_eff_post"),
       s"rare k_eff=$keRare not below common")
-    assert(keRare < rows("rare_3pct").getAs[Long]("n_expected"))
+    assert(keRare < rows("rare_2pct").getAs[Long]("n_expected"))
   }
 
   test("ann11 MMR re-rank equals an independent greedy recomputation") {

@@ -542,4 +542,54 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(again == want)
   }
+
+  test("t22: the literal encode chain still plans, codegens, and " +
+    "executes at K=64 merges (the representation's proven ceiling)") {
+    // 64 synthetic merges in a realistic shape: two-char [a-z] pairs,
+    // each fused to a distinct single non-[a-z], non-metacharacter
+    // symbol (U+00C0..) — the same literal-pattern contract as the
+    // trained table
+    val pairs = for { a <- 'a' to 'h'; b <- 'a' to 'h' } yield s"$a$b"
+    val merges = pairs.zipWithIndex.map { case (p, i) =>
+      (p, ('À' + i).toChar.toString)
+    }
+    assert(merges.length == 64)
+    // fallback=false: a whole-stage codegen compile failure now
+    // THROWS instead of silently degrading to interpreted mode — so
+    // executing the chain IS the gate (isolated session: the conf
+    // must not leak into other suites)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.codegen.fallback", "false")
+    // the input must NOT be a local relation: ConvertToLocalRelation
+    // would evaluate the whole chain at optimize time and leave a
+    // LocalTableScan with nothing to codegen — a range scan keeps
+    // the projection in a real generated stage
+    val df = ss.range(0L, 3L)
+      .select(col("id"), element_at(
+        array(lit("aaaaaaaa"), lit("zzzq"), lit("abcdefgh")),
+        (col("id") + 1).cast("int")).as("w"))
+      .select(col("id"), graft.functions.TextAnalysis
+        .bpeEncodeChain(merges)(col("w")).as("enc"))
+    val got = df.collect().sortBy(_.getLong(0)).map(_.getString(1))
+    // merge 0 is "aa" -> U+00C0, leftmost non-overlapping: 8 a's
+    // fuse to 4 symbols; a word outside the alphabet passes through
+    assert(got(0) == "ÀÀÀÀ", got(0))
+    assert(got(1) == "zzzq")
+    val plan = df.queryExecution.executedPlan
+    // typed check, not a toString grep: treeString renders the node
+    // as a "*(1)" marker, not by class name
+    assert(plan.collectFirst {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, "the 64-merge projection fell out of whole-stage codegen")
+    // the compiled stage must also sit under the huge-method limit —
+    // past it, WholeStageCodegenExec silently falls back AT RUNTIME
+    // even with fallback=false (a different escape hatch)
+    import org.apache.spark.sql.execution.debug._
+    val hugeLimit =
+      ss.conf.get("spark.sql.codegen.hugeMethodLimit").toInt
+    for ((_, _, stats) <- codegenStringSeq(plan))
+      assert(stats.maxMethodCodeSize < hugeLimit,
+        s"generated method ${stats.maxMethodCodeSize} bytes exceeds " +
+          s"the $hugeLimit-byte runtime fallback limit")
+  }
 }
