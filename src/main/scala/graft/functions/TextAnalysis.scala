@@ -1502,15 +1502,18 @@ object TextAnalysis {
     *    rewrites the VOCAB. The merge table is a driver-side
     *    artifact, exactly like a real tokenizer's merges.txt.
     *  - ENCODE the corpus: the collected merges become LITERALS in
-    *    the plan (the broadcast-a-tiny-table degenerate case), so the
-    *    encode pass is one scan-explode-aggregate with a chain of
-    *    literal-pattern regexp_replace — whole-stage codegen, zero
-    *    extra shuffle beyond the doc_id re-aggregation, no per-row
-    *    vocabulary lookup. Merges apply in training order, each as a
+    *    the plan (a chain of literal-pattern regexp_replace,
+    *    whole-stage codegen) applied to the VOCABULARY — once per
+    *    distinct word, the bound the trainer already rides — and the
+    *    corpus pass is one scan-explode + broadcast join from word
+    *    occurrence to encoded length (a real tokenizer's word
+    *    cache): regex work ∝ vocab, corpus work one codegen'd join
+    *    probe per occurrence, zero extra shuffle beyond the doc_id
+    *    re-aggregation. Merges apply in training order, each as a
     *    leftmost non-overlapping global replace (identical semantics
     *    in Spark's Java regex and DuckDB's RE2 on literal patterns —
     *    the same determinism contract as t16). Non-alphabetic words
-    *    byte-pass through as char tokens.
+    *    miss the vocab join and byte-pass through as char tokens.
     *
     * Output: per-doc BPE token count (chars after merging: every
     * fused pair is one symbol) next to the whitespace token count —
@@ -1534,12 +1537,24 @@ object TextAnalysis {
 
   def t22BpeEncode(s: SparkSession, d: String): DataFrame = {
     val merges = bpeTrainMerges(s, d)
-    def chain(c: Column): Column = bpeEncodeChain(merges)(c)
+    // encode the VOCABULARY, not the corpus: the merge chain runs
+    // once per distinct word over the memoized (word, freq) relation
+    // (vocab-bound — the same bound the trainer rides), and the
+    // corpus pass becomes a broadcast join from occurrence to
+    // encoded length. At 100 TB the regex work is then ∝ vocab, not
+    // ∝ corpus occurrences — the shape a real tokenizer's word cache
+    // gives it. Correctness is unchanged: the vocab holds exactly
+    // the corpus's ^[a-z]+$ words, so every alpha occurrence hits;
+    // non-alpha words miss the join and byte-pass through by length.
+    val encTable = bpeVocab(s, d).select(col("w"),
+      length(bpeEncodeChain(merges)(col("w"))).cast("long")
+        .as("enc_len"))
     Tables.load(s, d, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .join(broadcast(encTable), Seq("w"), "left_outer")
       .select(col("doc_id"),
-        when(col("w").rlike("^[a-z]+$"), length(chain(col("w"))))
-          .otherwise(length(col("w"))).cast("long").as("tok"))
+        coalesce(col("enc_len"), length(col("w")).cast("long"))
+          .as("tok"))
       .groupBy("doc_id")
       .agg(sum(col("tok")).as("bpe_tokens"),
         count(lit(1)).as("ws_tokens"))

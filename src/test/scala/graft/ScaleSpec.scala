@@ -304,7 +304,11 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // at-scale global shuffle (never a global orderBy); w12 is
       // row-linear session-window state evicted at close, plus one
       // keyed window over the sessions-sized output
-      "s20_epoch_shuffle", "w12_streaming_sessionize")
+      "s20_epoch_shuffle", "w12_streaming_sessionize",
+      // round-12: a46/a47 are row-linear streaming passes whose
+      // state is the bounded register/histogram table (a43's shape
+      // under the same micro-batch overhead)
+      "a46_streaming_hll", "a47_streaming_quantiles")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
