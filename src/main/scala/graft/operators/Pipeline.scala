@@ -441,6 +441,19 @@ object Pipeline {
         Seq("lang"), "full_outer")
       .select(coalesce(col("c1"), lit(0L)).as("c1"),
         coalesce(col("c2"), lit(0L)).as("c2"))
+    wapGates(totals, langs)
+  }
+
+  /** The gate arithmetic over the already-aggregated relations:
+    * `totals` = ONE row (n1, n2, nnull, nfp), `langs` = one row per
+    * language (c1, c2). Split from [[wapAudit]] so a caller that can
+    * COMPOSE those aggregates from persisted publish-time stats plus
+    * shard-side aggregates (pipe15's admission — the published
+    * corpus is never rescanned) runs the SAME arithmetic as the
+    * full-scan audit.
+    */
+  private[graft] def wapGates(totals: DataFrame,
+      langs: DataFrame): DataFrame = {
     // n1/n2 ride into the TVD as columns: one bounded crossJoin of
     // the single-row totals onto the O(langs) share relation. TVD is
     // computed over per-side SHARES floor-scaled to 10⁶ FIRST (each
@@ -605,10 +618,11 @@ object Pipeline {
     * move never" principle, applied to staging too — at 100 TB the
     * old design's published ∪ admitted stage write was a corpus
     * rewrite per arriving shard). The staged candidate is audited
-    * against the published baseline with the SAME gates as pipe14
-    * ([[wapAudit]], composed over the two bounded file sets), and
-    * only a full pass appends the manifest rows that make (v1 files +
-    * admitted files) the published v2. The report carries the audit,
+    * against the published baseline with the SAME gate arithmetic as
+    * pipe14 ([[wapGates]], fed by publish-time stats composed with
+    * shard-side aggregates — the published corpus is never
+    * rescanned), and only a full pass appends the manifest rows that
+    * make (v1 files + admitted files) the published v2. The report carries the audit,
     * the admission accounting (admitted vs rejected-duplicate counts
     * — the rows a data-curation runbook asks for first), and the
     * resulting published version, so the hash gate pins dedup, gates,
@@ -617,24 +631,61 @@ object Pipeline {
     * bypass the dedup path and flow to staging whole, so the
     * null_text gate judges the full poisoned shard instead of
     * rejected_dup silently absorbing it. At 100 TB: the fingerprint
-    * index is persisted alongside the snapshot (d8/d19's at-rest
-    * discipline); admission costs one shard-sized anti-join, one
-    * shard-sized write, and the bounded audit aggregates.
+    * index and audit stats are persisted alongside the snapshot at
+    * publish time (d8/d19's at-rest discipline); admission costs one
+    * index-vs-shard anti-join, one shard-sized write, and bounded
+    * stat composition — the published bytes are neither rewritten
+    * nor read.
     */
   /** The publish-v1 half, split on a caller-owned root so the spec
     * can snapshot the published files between phases and assert
     * staging never touches them (the s19 file-contract pattern).
+    * Publishing persists, NEXT TO the snapshot (d8/d19's at-rest
+    * discipline, one extra pass amortized into the publish that
+    * already wrote the corpus): the fingerprint INDEX (one distinct
+    * fp per non-empty payload — what admission anti-joins against)
+    * and the audit STATS (one totals row + one row per language —
+    * what the incremental audit's published side reads instead of
+    * rescanning the corpus).
     */
   private[graft] def pipe15PublishV1(s: SparkSession, d: String,
       root: String): Unit = {
     import s.implicits._
+    def fp: Column = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+    def hasText: Column = col("text").isNotNull && length(col("text")) > 0
     Tables.load(s, d, "documents").filter(col("doc_id") % 5 =!= 4)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/data/v1")
+    val published = s.read.parquet(s"$root/data/v1")
+    published.filter(hasText).select(fp.as("fp")).distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/index/v1_fp")
+    // coalesce the empty-corpus aggregates: sum over zero rows is
+    // NULL, and a NULL stat would silently poison every composed
+    // gate downstream instead of holding on rows_ratio's 0-denominator
+    published.agg(count(lit(1)).as("n1"),
+        coalesce(sum(when(!hasText, 1L).otherwise(0L)), lit(0L))
+          .as("nnull1"),
+        countDistinct(when(hasText, fp)).as("nfp1"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/v1")
+    published.groupBy("lang").agg(count(lit(1)).as("c1"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/v1_lang")
     Seq((1L, s"$root/data/v1")).toDF("version", "path")
       .write.mode(SaveMode.Append).parquet(s"$root/manifest")
   }
 
-  /** The admit-audit-publish half over an already-published root. */
+  /** The admit-audit-publish half over an already-published root.
+    * Touches ONLY (fingerprint index, publish-time stats, the
+    * arriving shard) — never the published data files: the staged
+    * audit's aggregates COMPOSE exactly. n2 = n1 + |admitted|;
+    * nnull = nnull1 + admitted nulls; nfp = nfp1 + |admitted
+    * non-null| (every admitted non-null row carries a fingerprint
+    * that is NOT in the published index — the anti-join — and is the
+    * first of its fingerprint within the shard — the rn = 1 window —
+    * so admitted fingerprints are new and pairwise distinct by
+    * construction); per-language c2 = c1 + admitted count. The
+    * composed relations feed the SAME [[wapGates]] arithmetic as the
+    * full-scan audit, and the spec proves the equivalence by running
+    * admission with the published data files REMOVED.
+    */
   private[graft] def pipe15Admit(s: SparkSession, d: String,
       root: String): DataFrame = {
     import s.implicits._
@@ -642,10 +693,7 @@ object Pipeline {
     val docs = Tables.load(s, d, "documents")
     def fp: Column = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
     def hasText: Column = col("text").isNotNull && length(col("text")) > 0
-    val published = s.read.parquet(s"$root/data/v1")
-    // the published snapshot's fingerprint index — derived here from
-    // the files; a deployment persists it next to the snapshot
-    val pubFps = published.filter(hasText).select(fp.as("fp")).distinct()
+    val pubFps = s.read.parquet(s"$root/index/v1_fp")
     val shard = docs.filter(col("doc_id") % 5 === 4)
     val keptText = shard.filter(hasText).withColumn("fp", fp)
       .join(pubFps, Seq("fp"), "left_anti")
@@ -660,12 +708,31 @@ object Pipeline {
       .parquet(s"$root/stage/v2_admitted")
     val admitted = s.read.parquet(s"$root/stage/v2_admitted")
     val nKept = admitted.count()
-    // the staged candidate AS THE READER WOULD RESOLVE IT: published
-    // files + admitted files, composed logically — the audit's
-    // staged-side aggregates split into published-side + shard-side
-    // scans (in a deployment the published side is served from the
-    // manifest's persisted stats/fingerprint index)
-    val audit = wapAudit(published, published.unionByName(admitted))
+    // compose the audit aggregates: persisted publish-time stats +
+    // admitted-side aggregates (both bounded; the published corpus
+    // is never rescanned)
+    val totals = s.read.parquet(s"$root/stats/v1")
+      .crossJoin(admitted.agg(count(lit(1)).as("ka"),
+        coalesce(sum(when(!hasText, 1L).otherwise(0L)), lit(0L))
+          .as("knull")))
+      .select(col("n1"), (col("n1") + col("ka")).as("n2"),
+        (col("nnull1") + col("knull")).as("nnull"),
+        (col("nfp1") + (col("ka") - col("knull"))).as("nfp"))
+    // staged-side lang counts = published ∪ admitted re-grouped (a
+    // groupBy, not column addition: groupBy pools NULL langs into one
+    // group exactly like the full-scan audit's staged groupBy, while
+    // the full-outer join below keeps NULL keys unmatched exactly
+    // like the full-scan audit's join — composed and full-scan agree
+    // even on a NULL-lang corpus)
+    val pubLang = s.read.parquet(s"$root/stats/v1_lang")
+    val stagedLang = pubLang.select(col("lang"), col("c1").as("c"))
+      .unionByName(admitted.groupBy("lang")
+        .agg(count(lit(1)).as("c")))
+      .groupBy("lang").agg(sum(col("c")).as("c2"))
+    val langs = pubLang.join(stagedLang, Seq("lang"), "full_outer")
+      .select(coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val audit = wapGates(totals, langs)
     val rows = audit.collect()
     val allPass = rows.nonEmpty && rows.forall(_.getAs[Boolean]("pass"))
     if (allPass) // publish = manifest rows only; no data file moves

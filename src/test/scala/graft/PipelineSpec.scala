@@ -276,4 +276,32 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       docs.filter(col("doc_id") % 5 =!= 4).count() +
         report("admitted_new"))
   }
+
+  test("pipe15: admission composes from the publish-time index and " +
+    "stats — it runs IDENTICALLY with the published data files removed") {
+    import org.apache.spark.sql.functions._
+    def run(wipe: Boolean): Seq[(String, Long, Boolean)] = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_p15s").toString
+      Pipeline.pipe15PublishV1(spark, sf, root)
+      if (wipe) { // the published BYTES vanish; index/stats/manifest stay
+        val dir = new java.io.File(s"$root/data/v1")
+        dir.listFiles().foreach(f => assert(f.delete()))
+        assert(dir.listFiles().isEmpty)
+      }
+      Pipeline.pipe15Admit(spark, sf, root).collect()
+        .map(r => (r.getAs[String]("gate"),
+          r.getAs[Long]("value_x1e6"), r.getAs[Boolean]("pass")))
+        .toSeq.sortBy(_._1)
+    }
+    val normal = run(wipe = false)
+    val wiped = run(wipe = true)
+    // byte-identical report: every gate value, the admission
+    // accounting, and the publish decision come from (index, stats,
+    // shard) alone — the proof that a 100 TB published corpus is
+    // neither rewritten NOR rescanned per arriving shard
+    assert(wiped == normal, s"normal=$normal wiped=$wiped")
+    assert(normal.exists { case (g, v, p) =>
+      g == "published_version" && v == 2L && p })
+  }
 }
