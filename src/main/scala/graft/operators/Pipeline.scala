@@ -635,7 +635,12 @@ object Pipeline {
     * publish time (d8/d19's at-rest discipline); admission costs one
     * index-vs-shard anti-join, one shard-sized write, and bounded
     * stat composition — the published bytes are neither rewritten
-    * nor read.
+    * nor read. A production loop closes the cycle the same way: v2's
+    * stats compose additively from v1's + the admitted aggregates,
+    * and v2's index appends the admitted fingerprints as a DELTA
+    * shard (d19's incremental band-index pattern) — one increment is
+    * implemented here; nothing in the next one would touch the
+    * corpus either.
     */
   /** The publish-v1 half, split on a caller-owned root so the spec
     * can snapshot the published files between phases and assert
