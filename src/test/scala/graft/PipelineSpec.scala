@@ -304,4 +304,59 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(normal.exists { case (g, v, p) =>
       g == "published_version" && v == 2L && p })
   }
+
+  test("pipe15: the loop CLOSES — a second shard admits against the " +
+    "v2 increment, still without reading any published bytes, and " +
+    "its composed audit equals a full-scan recount") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val root = java.nio.file.Files.createTempDirectory("graft_p15l")
+      .toString
+    Pipeline.pipe15PublishV1(spark, sf, root) // v1 = doc_id % 5 != 4
+    val docs = Tables.load(spark, sf, "documents")
+    val shardA = docs.filter(col("doc_id") % 5 === 4 &&
+      col("doc_id") % 2 === 0)
+    val shardB = docs.filter(col("doc_id") % 5 === 4 &&
+      col("doc_id") % 2 === 1)
+    val r1 = Pipeline.admitShard(spark, shardA, root, closeLoop = true)
+      .collect().map(r => r.getAs[String]("gate") ->
+        ((r.getAs[Long]("value_x1e6"), r.getAs[Boolean]("pass")))).toMap
+    assert(r1("published_version") == ((2L, true)), s"r1=$r1")
+    // increment 2 must need NO published bytes: wipe v1's data files
+    // AND v2's admitted files — only index/stats/manifest remain
+    for (dir <- Seq(s"$root/data/v1", s"$root/stage/v2_admitted")) {
+      new java.io.File(dir).listFiles().foreach(f => assert(f.delete()))
+    }
+    val r2 = Pipeline.admitShard(spark, shardB, root, closeLoop = true)
+      .collect().map(r => r.getAs[String]("gate") ->
+        ((r.getAs[Long]("value_x1e6"), r.getAs[Boolean]("pass")))).toMap
+    assert(r2("published_version") == ((3L, true)), s"r2=$r2")
+    // independent full-scan recount of increment 2 (from the raw
+    // corpus, not the at-rest artifacts): published-after-v2 = base ∪
+    // admitted-A; expected audit = wapAudit's own full-scan arithmetic
+    val fpc = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+    def keptOf(shard: org.apache.spark.sql.DataFrame,
+        published: org.apache.spark.sql.DataFrame) = {
+      val pubF = published.select(fpc.as("f")).distinct()
+      shard.withColumn("f", fpc).join(pubF, Seq("f"), "left_anti")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("f").orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn", "f")
+    }
+    val base = docs.filter(col("doc_id") % 5 =!= 4)
+    val pub2 = base.unionByName(keptOf(shardA, base))
+    val keptB = keptOf(shardB, pub2)
+    val expect = Pipeline.wapAudit(pub2, pub2.unionByName(keptB))
+      .collect().map(r => r.getAs[String]("gate") ->
+        ((r.getAs[Long]("value_x1e6"), r.getAs[Boolean]("pass")))).toMap
+    for ((g, ev) <- expect)
+      assert(r2(g) == ev, s"$g: composed=${r2(g)} full-scan=$ev")
+    assert(r2("admitted_new")._1 == keptB.count())
+    // the v3 manifest resolves to all three file sets
+    val m = spark.read.parquet(s"$root/manifest")
+    val paths = m.filter(col("version") === 3L)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(paths == Set(s"$root/data/v1", s"$root/stage/v2_admitted",
+      s"$root/stage/v3_admitted"))
+  }
 }
