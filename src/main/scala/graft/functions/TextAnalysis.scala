@@ -1546,6 +1546,12 @@ object TextAnalysis {
     // gives it. Correctness is unchanged: the vocab holds exactly
     // the corpus's ^[a-z]+$ words, so every alpha occurrence hits;
     // non-alpha words miss the join and byte-pass through by length.
+    // The broadcast hint has its own documented bound (the K=64
+    // discipline applied to the vocab dimension): it assumes the
+    // [a-z]+-filtered deduped vocab stays lexicon-sized. A corpus
+    // whose distinct-word relation outgrows the driver/broadcast
+    // threshold drops the hint — the join degrades to a shuffled
+    // equi-join with identical semantics.
     val encTable = bpeVocab(s, d).select(col("w"),
       length(bpeEncodeChain(merges)(col("w"))).cast("long")
         .as("enc_len"))

@@ -430,11 +430,8 @@ object Pipeline {
     // the empty payloads, dup_rate measures duplication AMONG the
     // real payloads (denominator n2 - nnull below).
     val totals = staged.agg(count(lit(1)).as("n2"),
-        sum(when(col("text").isNull || length(col("text")) === 0, 1L)
-          .otherwise(0L)).as("nnull"),
-        countDistinct(when(col("text").isNotNull && length(col("text")) > 0,
-          md5(lower(regexp_replace(col("text"), "\\s+", " ")))))
-          .as("nfp"))
+        sum(when(!wapHasText, 1L).otherwise(0L)).as("nnull"),
+        countDistinct(when(wapHasText, wapFp)).as("nfp"))
       .crossJoin(published.agg(count(lit(1)).as("n1")))
     val langs = published.groupBy("lang").agg(count(lit(1)).as("c1"))
       .join(staged.groupBy("lang").agg(count(lit(1)).as("c2")),
@@ -731,14 +728,24 @@ object Pipeline {
       .filter(col("rn") === 1).drop("rn", "fp")
     val kept = keptText.unionByName(shard.filter(!wapHasText))
     val nShard = shard.count()
-    val prevV = atVersion.getOrElse(
-      s.read.parquet(s"$root/manifest")
-        .agg(max(col("version"))).head.getLong(0))
+    val publishedMax = s.read.parquet(s"$root/manifest")
+      .agg(max(col("version"))).head.getLong(0)
+    val prevV = atVersion.getOrElse(publishedMax)
     val nextV = prevV + 1
     val stagePath = s"$root/stage/v${nextV}_admitted"
+    // A pinned-version REPLAY whose target version is already
+    // published must not touch it: overwriting stage/v2_admitted
+    // after the manifest published it would delete-and-rewrite
+    // published files (the WAP failure mode this operator exists to
+    // prevent — a reader resolving v2 mid-rewrite sees a torn
+    // snapshot), and re-appending its manifest rows would grow the
+    // manifest per replay. The staged content is deterministic in
+    // (shard, index), so reading the existing files IS the replay.
+    val isReplay = atVersion.isDefined && publishedMax >= nextV
     // staging = write ONLY the admitted shard rows; published files
     // are referenced, never copied
-    kept.write.mode(SaveMode.Overwrite).parquet(stagePath)
+    if (!isReplay)
+      kept.write.mode(SaveMode.Overwrite).parquet(stagePath)
     val admitted = s.read.parquet(stagePath)
     val nKept = admitted.count()
     // compose the audit aggregates: persisted publish-time stats
@@ -772,7 +779,7 @@ object Pipeline {
     val audit = wapGates(totals, langs)
     val rows = audit.collect()
     val allPass = rows.nonEmpty && rows.forall(_.getAs[Boolean]("pass"))
-    if (allPass) { // publish = manifest rows only; no data file moves
+    if (allPass && !isReplay) { // publish = manifest rows only
       val prior = s.read.parquet(s"$root/manifest")
         .filter(col("version") === prevV)
         .select("path").distinct().collect().map(_.getString(0)).sorted

@@ -1313,7 +1313,7 @@ object Relational {
     * low bits of the 60-bit [[Norm.xhash64]]; the remaining 48 bits
     * feed the leading-zero rank, so rho ∈ [1, 49].
     */
-  private val HllM = 4096L
+  private[graft] val HllM = 4096L
   private val HllW = 48
 
   /** `alpha_m · m² · 2^49 · 10⁶` PRE-MULTIPLIED into one double

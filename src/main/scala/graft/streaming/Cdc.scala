@@ -1455,27 +1455,37 @@ object Cdc {
         sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cur"))
   }
 
-  def a43StreamingDrift(s: SparkSession, d: String): DataFrame = {
+  /** Run a bounded-state COMPLETE-mode aggregation over the events
+    * feed and re-host the emitted state table on the caller's
+    * session (the memory sink registers it on the isolated stream
+    * session) — the ONE copy of the machinery all three streaming
+    * monitors share (a43 drift, a46 cardinality, a47 quantiles):
+    * each arm is just an aggregation plan in, an estimator applied
+    * to the emitted bounded state out.
+    */
+  private val EventsSchema =
+    "user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE"
+
+  private def runEventsCompleteArm(s: SparkSession, d: String,
+      name: String)(plan: DataFrame => DataFrame): DataFrame = {
     val feed = eventsFeed(s, d)
     val ss = streamSession(s)
-    val counts = a43Counts(ss.readStream
-      .schema("user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE")
-      .parquet(feed))
-    val q = counts.writeStream
-      .format("memory").queryName("a43_counts")
+    val q = plan(ss.readStream.schema(EventsSchema).parquet(feed))
+      .writeStream.format("memory").queryName(name)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     try require(q.awaitTermination(300000),
-      "a43 stream did not terminate within 300 s")
+      s"$name stream did not terminate within 300 s")
     finally q.stop()
-    // re-host the bounded bucket table on the caller's session (the
-    // memory sink registered it on the isolated stream session)
-    val emitted = ss.table("a43_counts")
-    graft.operators.Relational.driftGateFrom(
-      s.createDataFrame(java.util.Arrays.asList(emitted.collect(): _*),
-        emitted.schema))
+    val emitted = ss.table(name)
+    s.createDataFrame(java.util.Arrays.asList(emitted.collect(): _*),
+      emitted.schema)
   }
+
+  def a43StreamingDrift(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational.driftGateFrom(
+      runEventsCompleteArm(s, d, "a43_counts")(a43Counts))
 
   val a43Sql: String = graft.operators.Relational.driftGateSql(
     """  SELECT 'event_type' AS col_name, event_type AS bucket,
@@ -1516,27 +1526,9 @@ object Cdc {
     * unpayable. At 100 TB the state stays register-table sized;
     * every micro-batch max-merges map-side partials into it.
     */
-  def a46StreamingHll(s: SparkSession, d: String): DataFrame = {
-    val feed = eventsFeed(s, d)
-    val ss = streamSession(s)
-    val regs = a46Regs(ss.readStream
-      .schema("user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE")
-      .parquet(feed))
-    val q = regs.writeStream
-      .format("memory").queryName("a46_regs")
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try require(q.awaitTermination(300000),
-      "a46 stream did not terminate within 300 s")
-    finally q.stop()
-    // re-host the bounded register table on the caller's session
-    // (the memory sink registered it on the isolated stream session)
-    val emitted = ss.table("a46_regs")
+  def a46StreamingHll(s: SparkSession, d: String): DataFrame =
     graft.operators.Relational.hllEstimateFrom(
-      s.createDataFrame(java.util.Arrays.asList(emitted.collect(): _*),
-        emitted.schema))
-  }
+      runEventsCompleteArm(s, d, "a46_regs")(a46Regs))
 
   val a46Sql: String = {
     import graft.operators.Relational
@@ -1558,7 +1550,7 @@ object Cdc {
     * latency monitor tunes per metric (a45 uses 256 for the price
     * columns; the cap and read-off are shared).
     */
-  private val A47Width = 8L
+  private[graft] val A47Width = 8L
 
   /** a47's melt + histogram plan over an events frame — the SAME
     * Column algebra as the batch quantile sketch's map side
@@ -1584,27 +1576,9 @@ object Cdc {
     * 100 TB the state stays histogram-sized; every micro-batch does
     * map-side partial counts into it.
     */
-  def a47StreamingQuantiles(s: SparkSession, d: String): DataFrame = {
-    val feed = eventsFeed(s, d)
-    val ss = streamSession(s)
-    val hist = a47Hist(ss.readStream
-      .schema("user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE")
-      .parquet(feed))
-    val q = hist.writeStream
-      .format("memory").queryName("a47_hist")
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try require(q.awaitTermination(300000),
-      "a47 stream did not terminate within 300 s")
-    finally q.stop()
-    // re-host the bounded histogram on the caller's session (the
-    // memory sink registered it on the isolated stream session)
-    val emitted = ss.table("a47_hist")
+  def a47StreamingQuantiles(s: SparkSession, d: String): DataFrame =
     graft.operators.Relational.histQuantilesFrom(
-      s.createDataFrame(java.util.Arrays.asList(emitted.collect(): _*),
-        emitted.schema), A47Width)
-  }
+      runEventsCompleteArm(s, d, "a47_hist")(a47Hist), A47Width)
 
   val a47Sql: String = {
     import graft.operators.Relational

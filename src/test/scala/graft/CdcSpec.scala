@@ -878,7 +878,7 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
         ev.select("user_id").distinct().count(),
       "events.event_type" ->
         ev.select("event_type").distinct().count())
-    val m = 4096.0
+    val m = graft.operators.Relational.HllM.toDouble
     for ((name, nHit, _, _, _) <- streamed) {
       val e = exact(name).toDouble
       val lc = m * math.log(m / (m - nHit))
@@ -898,7 +898,7 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val batch = graft.operators.Relational.histQuantilesFrom(
       Cdc.a47Hist(graft.Tables.load(spark, sf, "events")
         .select(col("user_id"), col("event_type"), col("ts"),
-          col("value"))), 8L)
+          col("value"))), Cdc.A47Width)
       .collect().map(key).sortBy(k => (k._1, k._2))
     assert(streamed.sameElements(batch))
     // a45's accuracy discipline applied to the online arm: each
@@ -911,7 +911,7 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(nRows == vals.length.toLong)
       val need = ((q * nRows + 99) / 100).toInt // ceil rank
       val exactQ = vals(need - 1)
-      assert(est >= exactQ && est - 8L <= exactQ,
+      assert(est >= exactQ && est - Cdc.A47Width <= exactQ,
         s"q$q: est_upper=$est vs exact=$exactQ")
     }
   }

@@ -335,13 +335,20 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // corpus, not the at-rest artifacts): published-after-v2 = base ∪
     // admitted-A; expected audit = wapAudit's own full-scan arithmetic
     val fpc = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+    val hasTxt = col("text").isNotNull && length(col("text")) > 0
+    // the recount must mirror the production null bypass (null/empty
+    // payloads carry no fingerprint, are never dups, all flow to
+    // staging) — without it, >=2 null-text docs in a shard would
+    // make this REFERENCE disagree with correct product behavior
     def keptOf(shard: org.apache.spark.sql.DataFrame,
         published: org.apache.spark.sql.DataFrame) = {
-      val pubF = published.select(fpc.as("f")).distinct()
-      shard.withColumn("f", fpc).join(pubF, Seq("f"), "left_anti")
+      val pubF = published.filter(hasTxt).select(fpc.as("f")).distinct()
+      shard.filter(hasTxt)
+        .withColumn("f", fpc).join(pubF, Seq("f"), "left_anti")
         .withColumn("rn", row_number().over(
           Window.partitionBy("f").orderBy(col("doc_id"))))
         .filter(col("rn") === 1).drop("rn", "f")
+        .unionByName(shard.filter(!hasTxt))
     }
     val base = docs.filter(col("doc_id") % 5 =!= 4)
     val pub2 = base.unionByName(keptOf(shardA, base))
