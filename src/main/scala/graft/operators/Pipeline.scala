@@ -739,14 +739,17 @@ object Pipeline {
     // published files (the WAP failure mode this operator exists to
     // prevent — a reader resolving v2 mid-rewrite sees a torn
     // snapshot), and re-appending its manifest rows would grow the
-    // manifest per replay. The staged content is deterministic in
-    // (shard, index), so reading the existing files IS the replay.
+    // manifest per replay. The replay still performs the FULL
+    // staging write (it is part of the per-shard cost the bench
+    // measures) — to a scratch path the manifest never references;
+    // only the publish appends are skipped.
     val isReplay = atVersion.isDefined && publishedMax >= nextV
+    val writePath =
+      if (isReplay) s"$root/stage/v${nextV}_replay" else stagePath
     // staging = write ONLY the admitted shard rows; published files
     // are referenced, never copied
-    if (!isReplay)
-      kept.write.mode(SaveMode.Overwrite).parquet(stagePath)
-    val admitted = s.read.parquet(stagePath)
+    kept.write.mode(SaveMode.Overwrite).parquet(writePath)
+    val admitted = s.read.parquet(writePath)
     val nKept = admitted.count()
     // compose the audit aggregates: persisted publish-time stats
     // (summed across all prior increments — additive because every
