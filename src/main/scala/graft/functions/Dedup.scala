@@ -829,34 +829,23 @@ object Dedup {
     * feed, so the second arm pays no feed write. (Plain path memo,
     * not a [[memoized]] DataFrame: the artifact is files on disk.)
     */
-  private val feedCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
-
-  // the feed cache holds PATHS, not DataFrames — register its purge
-  // with the central hook registry (files stay on disk; see Memo)
-  Memo.purgeHooks.put("dedup.feedCache",
-    () => feedCache.synchronized(feedCache.clear()): Unit)
-
-  private def docsFeed(s: SparkSession, d: String): String =
-    feedCache.synchronized {
-      // same stopped-session hygiene as cachedPerSession: a strong
-      // (session, dir) key would pin dead sessions for the JVM's life
-      feedCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-      feedCache.getOrElseUpdate((s, d), {
-        val feed = graft.operators.Migrate.tempDir("stream_feed") + "/feed"
-        // spread the feed over files: the documents table is one tiny
-        // parquet file, and a 1-file feed makes the micro-batch run
-        // the ENTIRE per-row signature pipeline (interpreted
-        // higher-order lambdas — the expensive part) in a single
-        // task before the first shuffle (measured: 6.5 of d15's 9 s).
-        // A real ingestion feed arrives as many files; 8 matches the
-        // stream session's shuffle-partition count.
-        Tables.load(s, d, "documents").repartition(8)
-          .select(col("doc_id"), col("text"),
-            timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
-          .write.mode("overwrite").parquet(feed)
-        feed
-      })
+  // the feed memo holds a PATH, not a DataFrame — Memo.memoizedValue
+  // registers its purge hook centrally (files stay on disk; see Memo)
+  private val docsFeed: (SparkSession, String) => String =
+    Memo.memoizedValue("dedup.feedCache") { (s, d) =>
+      val feed = graft.operators.Migrate.tempDir("stream_feed") + "/feed"
+      // spread the feed over files: the documents table is one tiny
+      // parquet file, and a 1-file feed makes the micro-batch run
+      // the ENTIRE per-row signature pipeline (interpreted
+      // higher-order lambdas — the expensive part) in a single
+      // task before the first shuffle (measured: 6.5 of d15's 9 s).
+      // A real ingestion feed arrives as many files; 8 matches the
+      // stream session's shuffle-partition count.
+      Tables.load(s, d, "documents").repartition(8)
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
+        .write.mode("overwrite").parquet(feed)
+      feed
     }
 
   // the feed write is a first-consumer one-time cost exactly like a

@@ -93,6 +93,47 @@ object Memo {
     fn
   }
 
+  /** Memoize a DRIVER value (a feed/blob/root path, a trained merge
+    * table) per (session, input dir) — the non-DataFrame sibling of
+    * [[memoized]], folding the hand-rolled TrieMap pattern its six
+    * owners used to copy (cache + purge hook + stopped-session
+    * eviction + monitor-guarded build). Registers a purge hook under
+    * `name` that runs `onEvict` on every entry before dropping it
+    * (the default keeps any on-disk artifact, matching
+    * [[memoizedTable]]'s files-stay policy; pipe15 passes a tree
+    * delete because a purged root is never re-entered). Stopped
+    * sessions' entries are evicted — through the same `onEvict` — on
+    * every access, so dead sessions are neither pinned nor leak their
+    * artifacts. Does NOT register a warmer: a value memo has no
+    * canonical DataFrame to warm, so owners whose build cost must be
+    * kept out of first-consumer figures register one explicitly.
+    */
+  private[graft] def memoizedValue[T](name: String)(
+      build: (SparkSession, String) => T): (SparkSession, String) => T =
+    memoizedValue[T](name, onEvict = (_: T) => ())(build)
+
+  private[graft] def memoizedValue[T](name: String,
+      onEvict: T => Unit)(
+      build: (SparkSession, String) => T)
+      : (SparkSession, String) => T = {
+    val cache = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), T]
+    def evict(v: T): Unit =
+      try onEvict(v) catch { case _: Throwable => () }
+    purgeHooks.put(name, () => cache.synchronized {
+      cache.values.foreach(evict)
+      cache.clear()
+    })
+    (s: SparkSession, d: String) => cache.synchronized {
+      cache.filterInPlace { (k, v) =>
+        val live = !k._1.sparkContext.isStopped
+        if (!live) evict(v)
+        live
+      }
+      cache.getOrElseUpdate((s, d), build(s, d))
+    }
+  }
+
   /** Like [[memoized]], but MATERIALIZES the relation through a
     * parquet round-trip before persisting: the returned DataFrame's
     * plan is a plain file scan, so a consumer joining against it sees

@@ -326,30 +326,21 @@ object Multimodal {
     * fixture-builder side, not the operator under test) into a
     * doc_id-named layout the source can invert.
     */
-  private val blobDirCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
-
-  Memo.purgeHooks.put("multimodal.blobDir",
-    () => blobDirCache.synchronized(blobDirCache.clear()): Unit)
-
-  private def blobDir(s: SparkSession, d: String): String =
-    blobDirCache.synchronized {
-      blobDirCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-      blobDirCache.getOrElseUpdate((s, d), {
-        val dir = graft.operators.Migrate.tempDir("m7_blobs")
-        val dirB = dir
-        mediaTable(s, d).select("doc_id", "fmt", "payload")
-          .foreachPartition {
-            (rows: Iterator[org.apache.spark.sql.Row]) =>
-              rows.foreach { r =>
-                java.nio.file.Files.write(
-                  java.nio.file.Paths.get(dirB,
-                    f"doc_${r.getLong(0)}%08d.${r.getString(1)}"),
-                  r.getAs[Array[Byte]]("payload"))
-              }
-          }
-        dir
-      })
+  private val blobDir: (SparkSession, String) => String =
+    Memo.memoizedValue("multimodal.blobDir") { (s, d) =>
+      val dir = graft.operators.Migrate.tempDir("m7_blobs")
+      val dirB = dir
+      mediaTable(s, d).select("doc_id", "fmt", "payload")
+        .foreachPartition {
+          (rows: Iterator[org.apache.spark.sql.Row]) =>
+            rows.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dirB,
+                  f"doc_${r.getLong(0)}%08d.${r.getString(1)}"),
+                r.getAs[Array[Byte]]("payload"))
+            }
+        }
+      dir
     }
 
   Memo.memoWarmers.put("multimodal.blobDir",

@@ -1459,18 +1459,11 @@ object TextAnalysis {
     * against t16's per-round argmax.
     */
   // the trained merge table is a DRIVER value (a tokenizer's
-  // merges.txt) — cache it per (session, input) so t22's encode and
+  // merges.txt) — memoized per (session, input) so t22's encode and
   // t23's packing don't each re-run the K election jobs
-  private val bpeMergesCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[(String, String)]]
-
-  Memo.purgeHooks.put("text.bpeMerges",
-    () => bpeMergesCache.synchronized(bpeMergesCache.clear()): Unit)
-
-  private[graft] def bpeTrainMerges(s: SparkSession, d: String)
-      : Seq[(String, String)] = bpeMergesCache.synchronized {
-    bpeMergesCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    bpeMergesCache.getOrElseUpdate((s, d), {
+  private[graft] val bpeTrainMerges
+      : (SparkSession, String) => Seq[(String, String)] =
+    Memo.memoizedValue("text.bpeMerges") { (s, d) =>
       var vocab = bpeVocab(s, d)
       BpeSymbols.map { sym =>
         val pair = vocab.filter(length(col("w")) >= 2)
@@ -1486,8 +1479,7 @@ object TextAnalysis {
           .groupBy("w").agg(sum(col("f")).as("f"))
         (pair, sym)
       }
-    })
-  }
+    }
 
   /** t22: BPE ENCODING at corpus scale — the tokenization pass every
     * training pipeline actually runs over 100 TB, applying the
@@ -1548,10 +1540,13 @@ object TextAnalysis {
     // non-alpha words miss the join and byte-pass through by length.
     // The broadcast hint has its own documented bound (the K=64
     // discipline applied to the vocab dimension): it assumes the
-    // [a-z]+-filtered deduped vocab stays lexicon-sized. A corpus
-    // whose distinct-word relation outgrows the driver/broadcast
-    // threshold drops the hint — the join degrades to a shuffled
-    // equi-join with identical semantics.
+    // [a-z]+-filtered deduped vocab stays lexicon-sized. An explicit
+    // broadcast() is NOT size-gated — Spark attempts it regardless of
+    // autoBroadcastJoinThreshold and an oversized vocab FAILS the
+    // broadcast (8 GB relation limit / driver memory) rather than
+    // degrading; at a scale where the distinct-word relation outgrows
+    // the driver, drop the hint so the threshold-based planner picks
+    // a shuffled equi-join with identical semantics.
     val encTable = bpeVocab(s, d).select(col("w"),
       length(bpeEncodeChain(merges)(col("w"))).cast("long")
         .as("enc_len"))

@@ -670,10 +670,22 @@ object Pipeline {
   private[graft] def pipe15PublishV1(s: SparkSession, d: String,
       root: String): Unit = {
     import s.implicits._
+    // Fail-fast double-publish guard: every at-rest relation below is
+    // APPEND-mode, so a second v1 publish on the same root would not
+    // error — it would silently DOUBLE every stat and fingerprint
+    // delta and poison all subsequent composed audits. A root is
+    // published at most once; increments go through [[admitShard]].
+    val mPath = new org.apache.hadoop.fs.Path(s"$root/manifest")
+    require(!mPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(mPath),
+      s"pipe15PublishV1: $root already holds a manifest — publishing " +
+        "v1 twice would double-count the append-only index and stats; " +
+        "admit increments via admitShard instead")
     Tables.load(s, d, "documents").filter(col("doc_id") % 5 =!= 4)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/data/v1")
     val published = s.read.parquet(s"$root/data/v1")
-    published.filter(wapHasText).select(wapFp.as("fp")).distinct()
+    published.filter(wapHasText).select(wapFp.as("fp"))
+      .distinct().withColumn("version", lit(1L))
       .write.mode(SaveMode.Append).parquet(s"$root/index/fp")
     // coalesce the empty-corpus aggregates: sum over zero rows is
     // NULL, and a NULL stat would silently poison every composed
@@ -682,8 +694,10 @@ object Pipeline {
         coalesce(sum(when(!wapHasText, 1L).otherwise(0L)), lit(0L))
           .as("nnull"),
         countDistinct(when(wapHasText, wapFp)).as("nfp"))
+      .withColumn("version", lit(1L))
       .write.mode(SaveMode.Append).parquet(s"$root/stats/totals")
     published.groupBy("lang").agg(count(lit(1)).as("c"))
+      .withColumn("version", lit(1L))
       .write.mode(SaveMode.Append).parquet(s"$root/stats/lang")
     Seq((1L, s"$root/data/v1")).toDF("version", "path")
       .write.mode(SaveMode.Append).parquet(s"$root/manifest")
@@ -714,13 +728,29 @@ object Pipeline {
     * append would make the second sample admit against its own
     * output; the report rows are identical either way (the deltas
     * are written after the audit is collected).
+    *
+    * `atVersion` pinning is real, not just replay detection: every
+    * index/stats delta is stamped with the version that published it
+    * and every read here filters `version <= prevV`, so admitting
+    * pinned-to-v on a root whose loop has since closed past v still
+    * composes against exactly v's at-rest state.
     */
   private[graft] def admitShard(s: SparkSession, shard: DataFrame,
       root: String, closeLoop: Boolean,
       atVersion: Option[Long] = None): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val idx = s.read.schema("fp STRING").parquet(s"$root/index/fp")
+    val publishedMax = s.read.parquet(s"$root/manifest")
+      .agg(max(col("version"))).head.getLong(0)
+    val prevV = atVersion.getOrElse(publishedMax)
+    // every at-rest delta is stamped with the version that published
+    // it, and ALL reads below filter `version <= prevV` — so pinning
+    // `atVersion` is REAL: admitting against version v composes
+    // against exactly the index/stats deltas that existed when v was
+    // published, even on a root whose loop has since closed past it
+    val idx = s.read.schema("fp STRING, version BIGINT")
+      .parquet(s"$root/index/fp")
+      .filter(col("version") <= prevV).select("fp")
     val keptText = shard.filter(wapHasText).withColumn("fp", wapFp)
       .join(idx, Seq("fp"), "left_anti")
       .withColumn("rn",
@@ -728,9 +758,6 @@ object Pipeline {
       .filter(col("rn") === 1).drop("rn", "fp")
     val kept = keptText.unionByName(shard.filter(!wapHasText))
     val nShard = shard.count()
-    val publishedMax = s.read.parquet(s"$root/manifest")
-      .agg(max(col("version"))).head.getLong(0)
-    val prevV = atVersion.getOrElse(publishedMax)
     val nextV = prevV + 1
     val stagePath = s"$root/stage/v${nextV}_admitted"
     // A pinned-version REPLAY whose target version is already
@@ -755,6 +782,7 @@ object Pipeline {
     // (summed across all prior increments — additive because every
     // increment's fingerprints were new) + admitted-side aggregates
     val totals = s.read.parquet(s"$root/stats/totals")
+      .filter(col("version") <= prevV)
       .agg(coalesce(sum(col("n")), lit(0L)).as("n1"),
         coalesce(sum(col("nnull")), lit(0L)).as("nnull1"),
         coalesce(sum(col("nfp")), lit(0L)).as("nfp1"))
@@ -771,6 +799,7 @@ object Pipeline {
     // like the full-scan audit's join — composed and full-scan agree
     // even on a NULL-lang corpus)
     val pubLang = s.read.parquet(s"$root/stats/lang")
+      .filter(col("version") <= prevV)
       .groupBy("lang").agg(sum(col("c")).as("c1"))
     val stagedLang = pubLang.select(col("lang"), col("c1").as("c"))
       .unionByName(admitted.groupBy("lang")
@@ -791,17 +820,25 @@ object Pipeline {
         .write.mode(SaveMode.Append).parquet(s"$root/manifest")
       if (closeLoop) {
         admitted.filter(wapHasText).select(wapFp.as("fp"))
+          .withColumn("version", lit(nextV))
           .write.mode(SaveMode.Append).parquet(s"$root/index/fp")
         admitted.agg(count(lit(1)).as("n"),
             coalesce(sum(when(!wapHasText, 1L).otherwise(0L)), lit(0L))
               .as("nnull"))
           .select(col("n"), col("nnull"),
             (col("n") - col("nnull")).as("nfp"))
+          .withColumn("version", lit(nextV))
           .write.mode(SaveMode.Append).parquet(s"$root/stats/totals")
         admitted.groupBy("lang").agg(count(lit(1)).as("c"))
+          .withColumn("version", lit(nextV))
           .write.mode(SaveMode.Append).parquet(s"$root/stats/lang")
       }
     }
+    // the replay scratch is never referenced again (the manifest
+    // never points at it and the report below is a local relation of
+    // already-collected rows) — drop it eagerly instead of letting
+    // per-replay parquet dirs accumulate until the JVM-exit sweep
+    if (isReplay) deleteTree(writePath)
     val version = s.read.parquet(s"$root/manifest")
       .agg(max(col("version"))).head.getLong(0)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), audit.schema)
@@ -833,20 +870,33 @@ object Pipeline {
     * manifest rows keep max(version) = 2), so re-running on the
     * memoized root is hash-stable.
     */
-  private val pipe15RootCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+  /** Local-path recursive delete (deepest-first), the shutdown
+    * sweep's walk applied eagerly to scratch that is provably
+    * unreferenced — replay stage dirs and purged roots.
+    */
+  private def deleteTree(dir: String): Unit =
+    try {
+      import java.nio.file.{Files => F, Paths}
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(dir)
+      if (F.exists(p))
+        F.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(f => F.deleteIfExists(f))
+    } catch { case _: Throwable => () }
 
-  graft.functions.Memo.purgeHooks.put("pipeline.pipe15Publish",
-    () => pipe15RootCache.synchronized(pipe15RootCache.clear()): Unit)
-
-  private def pipe15Root(s: SparkSession, d: String): String =
-    pipe15RootCache.synchronized {
-      pipe15RootCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-      pipe15RootCache.getOrElseUpdate((s, d), {
-        val root = Migrate.tempDir("pipe15")
-        pipe15PublishV1(s, d, root)
-        root
-      })
+  /** Eviction (purge or stopped session) deletes the root's tree:
+    * unlike [[graft.functions.Memo.memoizedTable]]'s relations (whose
+    * files a rebuilt memo re-reads), an evicted root is never
+    * re-entered — the next access republishes to a FRESH tempdir — so
+    * leaving the old tree would only accumulate dead parquet until
+    * JVM exit. Safe under purge's documented quiescence assumption.
+    */
+  private val pipe15Root: (SparkSession, String) => String =
+    graft.functions.Memo.memoizedValue("pipeline.pipe15Publish",
+        onEvict = deleteTree) { (s, d) =>
+      val root = Migrate.tempDir("pipe15")
+      pipe15PublishV1(s, d, root)
+      root
     }
 
   graft.functions.Memo.memoWarmers.put("pipeline.pipe15Publish",

@@ -1351,24 +1351,15 @@ object Cdc {
     * written once per (session, input dir) — the docsFeed pattern
     * (Dedup.scala) for the events stream.
     */
-  private val eventsFeedCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
-
-  graft.functions.Memo.purgeHooks.put("cdc.eventsFeed",
-    () => eventsFeedCache.synchronized(eventsFeedCache.clear()): Unit)
-
-  private def eventsFeed(s: SparkSession, d: String): String =
-    eventsFeedCache.synchronized {
-      eventsFeedCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-      eventsFeedCache.getOrElseUpdate((s, d), {
-        val feed = graft.operators.Migrate.tempDir("events_feed") + "/feed"
-        graft.Tables.load(s, d, "events")
-          .select(col("user_id"), col("event_type"), col("ts"),
-            col("value"))
-          .repartition(8)
-          .write.mode("overwrite").parquet(feed)
-        feed
-      })
+  private val eventsFeed: (SparkSession, String) => String =
+    graft.functions.Memo.memoizedValue("cdc.eventsFeed") { (s, d) =>
+      val feed = graft.operators.Migrate.tempDir("events_feed") + "/feed"
+      graft.Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("value"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(feed)
+      feed
     }
 
   graft.functions.Memo.memoWarmers.put("cdc.eventsFeed",
@@ -1596,33 +1587,24 @@ object Cdc {
     * solved with timeouts, solved here the way a production feed
     * does it (a heartbeat/punctuation event).
     */
-  private val w12FeedCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
-
-  graft.functions.Memo.purgeHooks.put("cdc.w12Feed",
-    () => w12FeedCache.synchronized(w12FeedCache.clear()): Unit)
-
-  private def w12Feed(s: SparkSession, d: String): String =
-    w12FeedCache.synchronized {
-      w12FeedCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-      w12FeedCache.getOrElseUpdate((s, d), {
-        import s.implicits._
-        val feed = graft.operators.Migrate.tempDir("w12_feed") + "/feed"
-        val ev = graft.Tables.load(s, d, "events")
-          .select(col("user_id"), col("event_id"),
-            date_trunc("second", col("ts")).as("tss"))
-        // bounded planning lookup: the sentinel sits 400 days past
-        // the newest event, far beyond any session's close
-        val mx = ev.agg(max(col("tss"))).head.getTimestamp(0)
-        val sentinel =
-          if (mx == null) ev.limit(0)
-          else Seq((-1L, -1L, new java.sql.Timestamp(
-            mx.getTime + 400L * 86400L * 1000L)))
-            .toDF("user_id", "event_id", "tss")
-        ev.unionByName(sentinel).repartition(8)
-          .write.mode("overwrite").parquet(feed)
-        feed
-      })
+  private val w12Feed: (SparkSession, String) => String =
+    graft.functions.Memo.memoizedValue("cdc.w12Feed") { (s, d) =>
+      import s.implicits._
+      val feed = graft.operators.Migrate.tempDir("w12_feed") + "/feed"
+      val ev = graft.Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("tss"))
+      // bounded planning lookup: the sentinel sits 400 days past
+      // the newest event, far beyond any session's close
+      val mx = ev.agg(max(col("tss"))).head.getTimestamp(0)
+      val sentinel =
+        if (mx == null) ev.limit(0)
+        else Seq((-1L, -1L, new java.sql.Timestamp(
+          mx.getTime + 400L * 86400L * 1000L)))
+          .toDF("user_id", "event_id", "tss")
+      ev.unionByName(sentinel).repartition(8)
+        .write.mode("overwrite").parquet(feed)
+      feed
     }
 
   graft.functions.Memo.memoWarmers.put("cdc.w12Feed",

@@ -305,6 +305,48 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       g == "published_version" && v == 2L && p })
   }
 
+  test("pipe15: publishing v1 twice on one root fails fast instead of " +
+    "silently doubling the append-only index and stats") {
+    val root = java.nio.file.Files.createTempDirectory("graft_p15d")
+      .toString
+    Pipeline.pipe15PublishV1(spark, sf, root)
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.pipe15PublishV1(spark, sf, root)
+    }
+    assert(e.getMessage.contains("already holds a manifest"))
+  }
+
+  test("pipe15: atVersion pinning is real — a pinned-to-v1 replay on a " +
+    "root whose loop has closed to v2 composes against v1's at-rest " +
+    "state, not the newer deltas") {
+    import org.apache.spark.sql.functions._
+    def gateMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("gate") ->
+        ((r.getAs[Long]("value_x1e6"), r.getAs[Boolean]("pass")))).toMap
+    val root = java.nio.file.Files.createTempDirectory("graft_p15v")
+      .toString
+    Pipeline.pipe15PublishV1(spark, sf, root)
+    val shard = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 5 === 4)
+    // increment 1, loop-closing: appends v2 deltas to index/stats
+    val r1 = gateMap(Pipeline.admitShard(spark, shard, root,
+      closeLoop = true))
+    assert(r1("published_version") == ((2L, true)))
+    // replay increment 1 pinned to v1 AFTER the close: the version
+    // filter must hide v2's deltas, so every audit row matches the
+    // original admission (an unpinned compose would double-count the
+    // shard — its fingerprints are now IN the index and its rows in
+    // the stats). published_version differs by design (the manifest
+    // is at 2 and the replay publishes nothing).
+    val r2 = gateMap(Pipeline.admitShard(spark, shard, root,
+      closeLoop = false, atVersion = Some(1L)))
+    for ((g, v) <- r1 if g != "published_version")
+      assert(r2(g) == v, s"$g: replay=${r2(g)} original=$v")
+    assert(r2("published_version")._1 == 2L)
+    // and the replay left no scratch behind (eager cleanup)
+    assert(!new java.io.File(s"$root/stage/v2_replay").exists())
+  }
+
   test("pipe15: the loop CLOSES — a second shard admits against the " +
     "v2 increment, still without reading any published bytes, and " +
     "its composed audit equals a full-scan recount") {
