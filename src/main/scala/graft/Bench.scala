@@ -43,9 +43,9 @@ object Bench {
     // a43's complete-mode aggregation + memory sink is its own
     // streaming shape (state stores, no watermark machinery)
     "a43_streaming_drift",
-    // a46/a47 share a43's complete-mode shape but each opens its own
-    // state-store instances and pays its own streaming-plan codegen
-    "a46_streaming_hll", "a47_streaming_quantiles",
+    // a46/a47/a48 share a43's complete-mode shape but each opens its
+    // own state-store instances and pays its own streaming-plan codegen
+    "a46_streaming_hll", "a47_streaming_quantiles", "a48_streaming_cms",
     // w12's session-window state store is its own shape again
     "w12_streaming_sessionize")
 

@@ -22,15 +22,17 @@ object PlanAudit {
     * tables ([[graft.functions.Memo.memoizedTable]]), so ann1/ann2/
     * ann3/ann5/ann8/ann9/d5/d11 plan as equi-joins over file scans
     * and dropped off this list.
-    *  - ann4/ann7: broadcast query set over the full (quantized)
-    *    corpus — the operator IS a bounded brute scan (ann7's stage-1
-    *    coarse pass; its exact re-rank is an equi-join).
+    *  - ann4/ann7/ann14: broadcast query set over the full
+    *    (quantized / prefix-truncated) corpus — the operator IS a
+    *    bounded brute scan (ann7's stage-1 coarse pass; its exact
+    *    re-rank is an equi-join), plus single-row recall crossJoins.
     *  - ann6/ann10: broadcast centroid ranking (queries × C
     *    centroids — the IVF probe step has no join key) plus
     *    single-row recall crossJoins.
     *  - a19: crossJoin of two single-row summary aggregates.
-    *  - a39: crossJoin of the single-row stream total onto the 10-row
-    *    heavy-hitter relation.
+    *  - a39/a48: crossJoin of the single-row stream total onto the
+    *    10-row heavy-hitter relation (a48 reads the streamed cell
+    *    table through a39's own read-off).
     *  - pipe5/pipe9: crossJoin of the single-row corpus/weight totals
     *    onto the per-language bucket summaries (resp. O(sources) rows).
     *  - pipe8: crossJoin of the single-row leakage audit onto the
@@ -49,9 +51,10 @@ object PlanAudit {
     *    the source count (dozens), never corpus-sized.
     */
   val BnlWhitelist: Set[String] = Set(
-    "ann4_quantized_recall", "ann6_probe_sweep",
+    "ann4_quantized_recall", "ann6_probe_sweep", "ann14_mrl_recall",
     "ann7_refine_recall", "ann10_ivfpq_recall",
     "a19_object_overview", "a39_heavy_hitters_cms",
+    "a48_streaming_cms",
     "pipe5_token_mixture", "pipe8_leakage_split",
     "pipe9_temperature_mixture", "t16_bpe_merges",
     "ann13_reindex_gate", "s18_overlap_depth",

@@ -409,6 +409,90 @@ object Similarity {
         col("n_hits").cast("double") / col("n_expected"))
   }
 
+  /** ann14: dimension-truncation recall sweep — retrieval over only
+    * the FIRST k of 64 dimensions (k = 16, 32) against the full-dim
+    * exact top-10, the Matryoshka-representation-learning serving
+    * evaluation: an MRL-trained embedding front-loads information so
+    * a prefix is a usable cheap representation, and a production
+    * deployment searches the k-dim prefix (4× less memory bandwidth
+    * and index footprint at k=16) then re-ranks full-dim (ann7's
+    * stage-2). One row per k: (dims, n_expected, n_hits, recall) —
+    * the recall/dims trade a deployment reads before picking its
+    * prefix (ann6's sweep convention). These synthetic embeddings are
+    * NOT MRL-trained, so the sweep shows the honest untrained
+    * baseline: recall climbs with k toward 1, from a low floor.
+    *
+    * 100 TB shape: ann4's — queries broadcast against a corpus scan
+    * (the whitelisted bounded BNL), truncated norms computed on the
+    * fly; at scale the k-dim prefix lives in its own materialized
+    * index (a quarter the bytes of the full corpus) and the scan is
+    * the IVF-bucketed variant (ann2) over that index.
+    */
+  def ann14MrlRecall(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val truth = ann1BruteTopK(s, d)
+      .select(col("query_id"), col("neighbor_id"))
+    Ann14Dims.map { k =>
+      val tc = c.select(col("vec_id"), slice(col("v"), 1, k).as("tv"))
+        .withColumn("tnrm", sqrt(dot(col("tv"), col("tv"))))
+      val q = broadcast(tc.select(col("vec_id").as("qid"),
+        col("tv").as("qv"), col("tnrm").as("qnrm"))
+        .filter(col("qid") % 100 === 0))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val got = tc.join(q, col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          dot(col("qv"), col("tv")) / (col("qnrm") * col("tnrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+      val hits = truth.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_expected")).crossJoin(
+        hits.agg(count(lit(1)).as("n_hits")))
+        .select(lit(k.toLong).as("dims"), col("n_expected"),
+          col("n_hits"),
+          (col("n_hits").cast("double") / col("n_expected")).as("recall"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The swept prefix lengths (of the 64-dim corpus). */
+  private val Ann14Dims = Seq(16, 32)
+
+  val ann14Sql: String = {
+    // prefix dot/norm by INDEXING the first k elements (no slice
+    // node needed) — the same ascending left fold as dotSql, so the
+    // doubles are bit-identical to Spark's slice+dot_product
+    def tdot(a: String, b: String, k: Int) =
+      s"list_sum(list_transform(range(1, ${k + 1}), i -> $a[i] * $b[i]))"
+    val arms = Ann14Dims.map { k =>
+      s"""got$k AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY
+         |        ${tdot("qv", "v", k)} /
+         |          (sqrt(${tdot("qv", "qv", k)}) *
+         |           sqrt(${tdot("v", "v", k)})) DESC,
+         |        vec_id ASC) AS rank
+         |    FROM q, c WHERE vec_id <> qid) r WHERE rank <= 10),
+         |hits$k AS (SELECT * FROM truth WHERE EXISTS (
+         |  SELECT 1 FROM got$k WHERE got$k.query_id = truth.query_id
+         |    AND got$k.neighbor_id = truth.neighbor_id))""".stripMargin
+    }
+    val rows = Ann14Dims.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS dims,
+         |  (SELECT count(*) FROM truth) AS n_expected,
+         |  (SELECT count(*) FROM hits$k) AS n_hits,
+         |  CAST((SELECT count(*) FROM hits$k) AS DOUBLE) /
+         |    (SELECT count(*) FROM truth) AS recall""".stripMargin
+    }
+    s"""WITH c AS ($corpusSql),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM c
+       |      WHERE vec_id % 100 = 0),
+       |truth AS (SELECT query_id, neighbor_id FROM ($ann1Sql) a),
+       |${arms.mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   val ann4Sql: String =
     s"""WITH c AS ($corpusSql),
        |$quantizedSql,
@@ -1809,6 +1893,7 @@ object Similarity {
     "ann10_ivfpq_recall" -> ann10IvfPqRecall,
     "ann5_kmeans_iter" -> ann5KmeansIter,
     "ann13_reindex_gate" -> ann13ReindexGate,
+    "ann14_mrl_recall" -> ann14MrlRecall,
     "ann8_pq_recall" -> ann8PqRecall,
     "ann6_probe_sweep" -> ann6ProbeSweep,
     "d7_rph_pairs" -> d7RphPairs,
@@ -1827,6 +1912,7 @@ object Similarity {
     "ann10_ivfpq_recall" -> ann10Sql,
     "ann5_kmeans_iter" -> ann5Sql,
     "ann13_reindex_gate" -> ann13Sql,
+    "ann14_mrl_recall" -> ann14Sql,
     "ann8_pq_recall" -> ann8Sql,
     "ann6_probe_sweep" -> ann6Sql,
     "d7_rph_pairs" -> d7Sql,

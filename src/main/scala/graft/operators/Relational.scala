@@ -1004,48 +1004,77 @@ object Relational {
     * VERIFIER, not the operator; at scale the sketch answers point
     * frequencies without it.
     */
-  def a39HeavyHittersCms(s: SparkSession, d: String): DataFrame = {
-    val W = 1024L; val D = 3
-    // the stream is SKEWED by construction (30% of events rewritten
-    // to one hot key — the j7 scenario): a heavy-hitter sketch on a
-    // uniform stream answers nothing (every count ≈ N/W noise); on
-    // the skewed stream the hot key's estimate is tight (error ≤
-    // 2N/W ≪ its count) while tail keys show the noise floor —
-    // CMS's actual behavior, visible in the output
-    val ev = Tables.load(s, d, "events")
-      .select(when(pmod(col("event_id"), lit(10L)) < 3, lit("hot"))
-        .otherwise(col("user_id").cast("string")).as("key"))
-    def buckets(key: Column) = array((0 until D).map { r =>
-      struct(lit(r).as("r"),
-        pmod(Norm.xhash64(concat_ws("|", lit(s"cms$r"), key)), lit(W))
-          .as("b"))
-    }: _*)
-    val cells = ev.select(explode(buckets(col("key"))).as("e"))
+  /** a39/a48 sketch geometry (shared so the streaming arm maintains
+    * the SAME cell table the batch sketch builds).
+    */
+  private[graft] val CmsW = 1024L
+  private[graft] val CmsD = 3
+
+  /** The monitored key stream, SKEWED by construction (30% of events
+    * rewritten to one hot key — the j7 scenario): a heavy-hitter
+    * sketch on a uniform stream answers nothing (every count ≈ N/W
+    * noise); on the skewed stream the hot key's estimate is tight
+    * (error ≤ 2N/W ≪ its count) while tail keys show the noise
+    * floor — CMS's actual behavior, visible in the output. ONE
+    * definition whether the events frame is a batch read or a
+    * stream (the a43/a46/a47 discipline).
+    */
+  private[graft] def cmsKeys(ev: DataFrame): DataFrame =
+    ev.select(when(pmod(col("event_id"), lit(10L)) < 3, lit("hot"))
+      .otherwise(col("user_id").cast("string")).as("key"))
+
+  private def cmsBuckets(key: Column) = array((0 until CmsD).map { r =>
+    struct(lit(r).as("r"),
+      pmod(Norm.xhash64(concat_ws("|", lit(s"cms$r"), key)), lit(CmsW))
+        .as("b"))
+  }: _*)
+
+  /** The D×W cell table from a key frame — the map side of the
+    * sketch and the mergeable state a streaming deployment keeps
+    * (cells merge by ADDITION, the CMS property): one
+    * partial-aggregable groupBy, ≤ D·W rows at any scale.
+    */
+  private[graft] def cmsCellsFrom(keys: DataFrame): DataFrame =
+    keys.select(explode(cmsBuckets(col("key"))).as("e"))
       .groupBy(col("e.r").as("r"), col("e.b").as("b"))
       .agg(count(lit(1)).as("c"))
-    val exact = ev.groupBy("key").agg(count(lit(1)).as("true_c"))
+
+  /** The decision read-off over an already-built cell table: exact
+    * top-10 (the VERIFIER, not the operator — a production run
+    * drops it), each key's min-over-rows estimate, the overcount,
+    * and the ε-bound check. Shared by the batch sketch and the
+    * streaming arm so a48 answers to exactly a39's contract.
+    */
+  private[graft] def cmsTopKFrom(cells: DataFrame, keys: DataFrame)
+      : DataFrame = {
+    val exact = keys.groupBy("key").agg(count(lit(1)).as("true_c"))
       .orderBy(col("true_c").desc, col("key").asc).limit(10)
     val probes = exact
-      .select(col("key"), col("true_c"), explode(buckets(col("key"))).as("e"))
+      .select(col("key"), col("true_c"), explode(cmsBuckets(col("key"))).as("e"))
       .select(col("key"), col("true_c"),
         col("e.r").as("r"), col("e.b").as("b"))
     val est = probes.join(cells, Seq("r", "b"))
       .groupBy("key", "true_c").agg(min(col("c")).as("est_c"))
-    val tot = ev.agg(count(lit(1)).as("n_total"))
+    val tot = keys.agg(count(lit(1)).as("n_total"))
     est.crossJoin(tot)
       .withColumn("overcount", col("est_c") - col("true_c"))
       .withColumn("within_bound",
-        col("overcount") <= expr(s"(2 * n_total) div $W"))
+        col("overcount") <= expr(s"(2 * n_total) div $CmsW"))
       .select("key", "true_c", "est_c", "overcount", "within_bound")
+  }
+
+  def a39HeavyHittersCms(s: SparkSession, d: String): DataFrame = {
+    val keys = cmsKeys(Tables.load(s, d, "events"))
+    cmsTopKFrom(cmsCellsFrom(keys), keys)
   }
 
   val a39Sql: String = {
     def bSql(r: Int, keyExpr: String) =
-      s"${Norm.xhash64Sql(s"'cms$r|' || $keyExpr")} % 1024"
-    val rowsSql = (0 until 3).map { r =>
+      s"${Norm.xhash64Sql(s"'cms$r|' || $keyExpr")} % $CmsW"
+    val rowsSql = (0 until CmsD).map { r =>
       s"SELECT key, $r AS r, ${bSql(r, "key")} AS b FROM ev"
     }.mkString("\nUNION ALL\n")
-    val probeSql = (0 until 3).map { r =>
+    val probeSql = (0 until CmsD).map { r =>
       s"SELECT key, true_c, $r AS r, ${bSql(r, "key")} AS b FROM exact"
     }.mkString("\nUNION ALL\n")
     s"""WITH ev AS (
@@ -1061,7 +1090,7 @@ object Relational {
        |        JOIN cells USING (r, b) GROUP BY 1, 2),
        |tot AS (SELECT count(*) AS n_total FROM ev)
        |SELECT key, true_c, est_c, est_c - true_c AS overcount,
-       |  est_c - true_c <= (2 * n_total) // 1024 AS within_bound
+       |  est_c - true_c <= (2 * n_total) // $CmsW AS within_bound
        |FROM est, tot""".stripMargin
   }
 

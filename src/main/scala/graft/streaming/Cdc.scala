@@ -1355,8 +1355,8 @@ object Cdc {
     graft.functions.Memo.memoizedValue("cdc.eventsFeed") { (s, d) =>
       val feed = graft.operators.Migrate.tempDir("events_feed") + "/feed"
       graft.Tables.load(s, d, "events")
-        .select(col("user_id"), col("event_type"), col("ts"),
-          col("value"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value"))
         .repartition(8)
         .write.mode("overwrite").parquet(feed)
       feed
@@ -1455,7 +1455,8 @@ object Cdc {
     * to the emitted bounded state out.
     */
   private val EventsSchema =
-    "user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE"
+    "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP, " +
+      "value DOUBLE"
 
   private def runEventsCompleteArm(s: SparkSession, d: String,
       name: String)(plan: DataFrame => DataFrame): DataFrame = {
@@ -1578,6 +1579,41 @@ object Cdc {
          |    ${Relational.histBucketSql("value", A47Width)} AS bucket
          |  FROM events""".stripMargin, A47Width)
   }
+
+  /** a48's cell plan over an events frame — the SAME Column algebra
+    * ([[graft.operators.Relational.cmsCellsFrom]] over
+    * [[graft.operators.Relational.cmsKeys]], the batch sketch's own
+    * map side) whether the frame is a stream or a batch read.
+    */
+  private[graft] def a48Cells(ev0: DataFrame): DataFrame =
+    graft.operators.Relational.cmsCellsFrom(
+      graft.operators.Relational.cmsKeys(ev0))
+
+  /** a48: the a39 Count-Min frequency sketch run ONLINE — the last
+    * of the four streaming monitors (a43 drift, a46 cardinality,
+    * a47 quantiles, a48 FREQUENCY). The D×W cell table IS the
+    * streaming state (complete-mode aggregation, ≤ 3·1024 rows,
+    * cells merged by ADDITION — the CMS property a39's scaladoc
+    * promises a streaming deployment, now cashed in), and the
+    * decision read-off is applied to the emitted cells through
+    * [[graft.operators.Relational.cmsTopKFrom]] — the batch
+    * sketch's own code path, so the online monitor answers to
+    * exactly a39's contract and oracle. The exact top-10 probe set
+    * is a batch-side evaluation artifact (a39's "verifier, not the
+    * operator"; a production monitor probes a bounded candidate
+    * registry instead). At 100 TB the state stays cell-table sized;
+    * every micro-batch sum-merges map-side partials into it.
+    */
+  def a48StreamingCms(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational.cmsTopKFrom(
+      runEventsCompleteArm(s, d, "a48_cells")(a48Cells),
+      graft.operators.Relational.cmsKeys(graft.Tables.load(s, d, "events")))
+
+  /** a48's oracle IS a39's SQL: the same sketch replayed in batch
+    * over the same events — hash equality is the stream ≡ batch
+    * equivalence proof (w12/c11's pattern).
+    */
+  val a48Sql: String = graft.operators.Relational.a39Sql
 
   /** w12's replay feed: the events stream PLUS one far-future
     * sentinel row (user −1). Sessions only emit in append mode once
@@ -1704,6 +1740,7 @@ object Cdc {
     "a43_streaming_drift" -> a43StreamingDrift,
     "a46_streaming_hll" -> a46StreamingHll,
     "a47_streaming_quantiles" -> a47StreamingQuantiles,
+    "a48_streaming_cms" -> a48StreamingCms,
     "w12_streaming_sessionize" -> w12StreamingSessionize,
     "w2_lag_lead" -> w2LagLead,
     "w9_funnel" -> w9Funnel)
@@ -1723,6 +1760,7 @@ object Cdc {
     "a43_streaming_drift" -> a43Sql,
     "a46_streaming_hll" -> a46Sql,
     "a47_streaming_quantiles" -> a47Sql,
+    "a48_streaming_cms" -> a48Sql,
     // w12's oracle IS the batch sessionization's SQL (c11's pattern)
     "w12_streaming_sessionize" -> graft.operators.Relational.w11Sql,
     "w2_lag_lead" -> w2Sql,

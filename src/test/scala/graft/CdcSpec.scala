@@ -915,4 +915,28 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
         s"q$q: est_upper=$est vs exact=$exactQ")
     }
   }
+
+  test("a48: the online CMS frequency sketch equals the batch sketch " +
+    "row-for-row and keeps the CMS invariants") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("key"), r.getAs[Long]("true_c"),
+        r.getAs[Long]("est_c"), r.getAs[Long]("overcount"),
+        r.getAs[Boolean]("within_bound"))
+    val streamed = Cdc.a48StreamingCms(spark, sf).collect().map(key)
+    // the stream's cell table read off through the batch contract
+    // must equal the batch sketch exactly: cells merge by addition,
+    // so micro-batched accumulation and one-pass aggregation are the
+    // same table (the CMS mergeability property, proved end-to-end)
+    val batch = graft.operators.Relational
+      .a39HeavyHittersCms(spark, sf).collect().map(key)
+    assert(streamed.toSet == batch.toSet)
+    assert(streamed.length == 10)
+    // CMS never undercounts — unconditionally, not probabilistically
+    assert(streamed.forall(_._4 >= 0L), "CMS must never undercount")
+    // the synthesized hot key (30% of the stream) must be the top
+    // heavy hitter and its estimate tight (error ≤ 2N/W ≪ count)
+    val hot = streamed.find(_._1 == "hot")
+    assert(hot.isDefined, "hot key must surface in the top-10")
+    assert(hot.get._2 == streamed.map(_._2).max)
+  }
 }

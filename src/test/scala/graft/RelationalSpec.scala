@@ -393,6 +393,34 @@ class RelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(keRare < rows("rare_2pct").getAs[Long]("n_expected"))
   }
 
+  test("ann14 MRL sweep: coherent counts per prefix length, and more " +
+    "dims recover more of the exact top-10 on this corpus") {
+    val rows = graft.functions.Similarity.ann14MrlRecall(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("dims") ->
+        ((r.getAs[Long]("n_expected"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("recall")))).toMap
+    assert(rows.keySet == Set(16L, 32L))
+    val nQ = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") % 100 === 0).count()
+    for ((dims, (ne, nh, rec)) <- rows) {
+      assert(ne == 10 * nQ, s"dims=$dims: n_expected=$ne")
+      assert(nh >= 0 && nh <= ne, s"dims=$dims: n_hits=$nh")
+      assert(rec == nh.toDouble / ne)
+      // untrained gaussian embeddings: a prefix is a lossy random
+      // projection, so recall must sit strictly inside (0, 1) — a
+      // 1.0 here would mean the truncation isn't actually truncating
+      assert(rec > 0.0 && rec < 1.0, s"dims=$dims: recall=$rec")
+    }
+    // monotonicity in the prefix length is EMPIRICAL (pinned for
+    // this synthetic corpus, the ann12 pre/post convention): these
+    // embeddings are not MRL-trained, but a longer prefix of the
+    // same vector still carries strictly more of the cosine mass
+    // here, and a generator change that flips this should be seen
+    assert(rows(32L)._3 > rows(16L)._3,
+      s"recall(32)=${rows(32L)._3} <= recall(16)=${rows(16L)._3}")
+  }
+
   test("ann11 MMR re-rank equals an independent greedy recomputation") {
     val got = graft.functions.Similarity.ann11MmrRerank(spark, sf)
       .collect()

@@ -308,7 +308,11 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // round-12: a46/a47 are row-linear streaming passes whose
       // state is the bounded register/histogram table (a43's shape
       // under the same micro-batch overhead)
-      "a46_streaming_hll", "a47_streaming_quantiles")
+      "a46_streaming_hll", "a47_streaming_quantiles",
+      // round-13: a48 is the same complete-mode shape with the
+      // bounded D×W cell table as state, plus a39's bounded probe
+      // read-off batch-side
+      "a48_streaming_cms")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
