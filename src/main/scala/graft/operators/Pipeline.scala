@@ -906,8 +906,13 @@ object Pipeline {
   def pipe15IncrementalWap(s: SparkSession, d: String): DataFrame =
     pipe15Admit(s, d, pipe15Root(s, d))
 
-  val pipe15Sql: String =
-    s"""WITH v1 AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
+  /** The pipe15 construction (published v1, arriving shard, its
+    * admitted survivors, the staged v2) as DuckDB CTEs — shared by
+    * pipe15's oracle and pipe16's (whose logical content at every
+    * version IS this v2).
+    */
+  private val pipe15V2CtesSql: String =
+    s"""v1 AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
        |shard AS (SELECT * FROM documents WHERE doc_id % 5 = 4),
        |pubfp AS (SELECT DISTINCT md5(lower(
        |    regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM v1
@@ -925,7 +930,10 @@ object Pipeline {
        |  UNION ALL
        |  SELECT * FROM shard
        |  WHERE text IS NULL OR length(text) = 0),
-       |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM kept),
+       |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM kept)""".stripMargin
+
+  val pipe15Sql: String =
+    s"""WITH $pipe15V2CtesSql,
        |$wapGatesChainSql
        |SELECT * FROM g2
        |UNION ALL
@@ -943,15 +951,139 @@ object Pipeline {
        |  CASE WHEN (SELECT bool_and(pass) FROM g2) THEN 2 ELSE 1 END,
        |  (SELECT bool_and(pass) FROM g2)""".stripMargin
 
+  /** pipe16: VERSION-PRESERVING COMPACTION — the one data-file
+    * mutation a WAP-governed corpus ever allows (Iceberg's
+    * `rewrite_data_files` semantics): after increments accumulate,
+    * the live snapshot's file set (published base + admitted shard
+    * dirs) is rewritten into size-targeted files and published as the
+    * NEXT manifest version with BYTE-IDENTICAL logical content —
+    * prior versions' files are never touched (time travel stays
+    * intact; readers mid-query on vN never see a torn snapshot), and
+    * the hash gate pins the lossless contract: the report carries
+    * (n_docs, order-insensitive row checksum) for the pre-compaction
+    * version and the compacted one, and the oracle recomputes BOTH
+    * rows from the raw corpus — equal by construction only if the
+    * rewrite lost and invented nothing. Replays (the bench
+    * re-samples) rewrite to a scratch path the manifest never
+    * references and delete it after (pipe15's replay discipline), so
+    * published compacted files are never overwritten in place.
+    *
+    * 100 TB shape: the rewrite reads and writes ONLY the live file
+    * set (one pass, no shuffle beyond the repartition exchange that
+    * IS the bin-packing), file-count targeting comes from the
+    * manifest's bounded listing (never a data scan), and the publish
+    * is one manifest append — s13's size-targeted compaction lifted
+    * to manifest-versioned semantics.
+    */
+  private val Pipe16TargetBytes = 32L << 20
+
+  /** One-time setup (memoized, warmed): a pipe15 root driven through
+    * publish + one loop-closing admission, so the compactor faces the
+    * real post-increment layout — base files plus an admitted-shard
+    * dir. Pins the setup's published max version alongside the root:
+    * the registered query always compacts FROM that version, so
+    * replays are hash-stable no matter what the compactor itself has
+    * published since.
+    */
+  private val pipe16Setup: (SparkSession, String) => (String, Long) =
+    graft.functions.Memo.memoizedValue("pipeline.pipe16Setup",
+        onEvict = (t: (String, Long)) => deleteTree(t._1)) { (s, d) =>
+      val root = Migrate.tempDir("pipe16")
+      pipe15PublishV1(s, d, root)
+      admitShard(s,
+        Tables.load(s, d, "documents").filter(col("doc_id") % 5 === 4),
+        root, closeLoop = true)
+      val maxV = s.read.parquet(s"$root/manifest")
+        .agg(max(col("version"))).head.getLong(0)
+      (root, maxV)
+    }
+
+  graft.functions.Memo.memoWarmers.put("pipeline.pipe16Setup",
+    (s: SparkSession, d: String) =>
+      s.read.parquet(s"${pipe16Setup(s, d)._1}/manifest"))
+
+  /** Rewrite version `fromV`'s file set into size-targeted files and
+    * publish as `fromV + 1`; report (version, n_docs, row_checksum)
+    * for both versions.
+    */
+  private[graft] def compactVersion(s: SparkSession, root: String,
+      fromV: Long): DataFrame = {
+    import s.implicits._
+    val manifest = s.read.parquet(s"$root/manifest")
+    val fromPaths = manifest.filter(col("version") === fromV)
+      .select("path").distinct().collect().map(_.getString(0)).sorted
+    require(fromPaths.nonEmpty, s"version $fromV is not published")
+    val from = fromPaths.map(s.read.parquet(_)).reduce(_ unionByName _)
+    val nextV = fromV + 1
+    val publishedMax = manifest.agg(max(col("version"))).head.getLong(0)
+    val isReplay = publishedMax >= nextV
+    val target = s"$root/data/v${nextV}_compact"
+    val writePath =
+      if (isReplay) s"$root/data/v${nextV}_compact_replay" else target
+    // bin-packing from the manifest's bounded file listing, never a
+    // data scan: total bytes / target size = output file count
+    val conf = s.sparkContext.hadoopConfiguration
+    val bytes = fromPaths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).getContentSummary(hp).getLength
+    }.sum
+    val nFiles = math.max(1L,
+      (bytes + Pipe16TargetBytes - 1) / Pipe16TargetBytes).toInt
+    from.repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(writePath)
+    if (!isReplay)
+      Seq((nextV, target)).toDF("version", "path")
+        .write.mode(SaveMode.Append).parquet(s"$root/manifest")
+    if (isReplay) deleteTree(writePath)
+    val chkCols = Seq(NormCol("doc_id", KLong), NormCol("text", KStr),
+      NormCol("lang", KStr), NormCol("source", KStr),
+      NormCol("n_chars", KLong))
+    def summarize(v: Long, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          Norm.sparkRowChecksum(chkCols).as("row_checksum"))
+        .select(lit(v).as("version"), col("n_docs"), col("row_checksum"))
+    // the compacted row reads the PUBLISHED files (the durable
+    // artifact a reader resolves), never the replay scratch
+    summarize(fromV, from).unionAll(summarize(nextV,
+      s.read.schema(from.schema).parquet(target)))
+  }
+
+  def pipe16CompactionRewrite(s: SparkSession, d: String): DataFrame = {
+    val (root, fromV) = pipe16Setup(s, d)
+    compactVersion(s, root, fromV)
+  }
+
+  /** Both versions' logical content is pipe15's v2 (base ∪ admitted)
+    * — the oracle recomputes the SAME (count, checksum) row for each
+    * version label from the raw corpus, so any row the rewrite lost,
+    * duplicated, or mutated hash-mismatches.
+    */
+  val pipe16Sql: String = {
+    val chkCols = Seq(NormCol("doc_id", KLong), NormCol("text", KStr),
+      NormCol("lang", KStr), NormCol("source", KStr),
+      NormCol("n_chars", KLong))
+    def row(v: Long) =
+      s"""SELECT CAST($v AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  ${Norm.duckRowChecksum(chkCols)} AS row_checksum
+         |FROM v2""".stripMargin
+    s"""WITH $pipe15V2CtesSql
+       |${row(2L)}
+       |UNION ALL
+       |${row(3L)}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe2_migration" -> pipe2Migration,
     "pipe3_full_plus_incr" -> pipe3FullPlusIncr,
     "pipe14_wap_publish" -> pipe14WapPublish,
-    "pipe15_incremental_wap" -> pipe15IncrementalWap)
+    "pipe15_incremental_wap" -> pipe15IncrementalWap,
+    "pipe16_compaction_rewrite" -> pipe16CompactionRewrite)
 
   val oracles: Map[String, String] = Map(
     "pipe2_migration" -> pipe2Sql,
     "pipe3_full_plus_incr" -> pipe3Sql,
     "pipe14_wap_publish" -> pipe14Sql,
-    "pipe15_incremental_wap" -> pipe15Sql)
+    "pipe15_incremental_wap" -> pipe15Sql,
+    "pipe16_compaction_rewrite" -> pipe16Sql)
 }

@@ -347,6 +347,55 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!new java.io.File(s"$root/stage/v2_replay").exists())
   }
 
+  test("pipe16: compaction rewrites the live file set into fewer " +
+    "files with identical logical content, prior versions' files are " +
+    "untouched, and a replay never touches the published rewrite") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_p16")
+      .toString
+    Pipeline.pipe15PublishV1(spark, sf, root)
+    Pipeline.admitShard(spark,
+      Tables.load(spark, sf, "documents").filter(col("doc_id") % 5 === 4),
+      root, closeLoop = true).collect()
+    def files(dir: String): Map[String, (Long, Long)] = {
+      val fs = new java.io.File(dir).listFiles()
+      if (fs == null) Map.empty
+      else fs.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    }
+    val v2Dirs = Seq(s"$root/data/v1", s"$root/stage/v2_admitted")
+    val beforeByDir = v2Dirs.map(p => p -> files(p)).toMap
+    val nFilesV2 = beforeByDir.values.map(_.size).sum
+    assert(nFilesV2 >= 2, s"setup must fragment ($nFilesV2 files)")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[Long]("n_docs"),
+        r.getAs[String]("row_checksum"))).sortBy(_._1).toSeq
+    val r1 = rows(Pipeline.compactVersion(spark, root, 2L))
+    // lossless: both versions report the same count and checksum
+    assert(r1.map(_._1) == Seq(2L, 3L))
+    assert(r1(0)._2 == r1(1)._2 && r1(0)._3 == r1(1)._3, s"r1=$r1")
+    // prior versions' files byte-identical (time travel intact)
+    for (p <- v2Dirs) assert(files(p) == beforeByDir(p),
+      s"compaction touched $p")
+    // v3 resolves to ONLY the compacted dir, and it is fewer files
+    val m = spark.read.parquet(s"$root/manifest")
+    assert(m.filter(col("version") === 3L).select("path").collect()
+      .map(_.getString(0)).toSet == Set(s"$root/data/v3_compact"))
+    val nFilesV3 = files(s"$root/data/v3_compact").size
+    assert(nFilesV3 > 0 && nFilesV3 < nFilesV2,
+      s"v3=$nFilesV3 files vs v2=$nFilesV2")
+    // replay: published compacted files untouched, scratch cleaned,
+    // manifest not re-appended, report identical
+    val v3Before = files(s"$root/data/v3_compact")
+    val mRows = m.count()
+    val r2 = rows(Pipeline.compactVersion(spark, root, 2L))
+    assert(r2 == r1)
+    assert(files(s"$root/data/v3_compact") == v3Before,
+      "replay must not rewrite published compacted files")
+    assert(!new java.io.File(s"$root/data/v3_compact_replay").exists())
+    assert(spark.read.parquet(s"$root/manifest").count() == mRows)
+  }
+
   test("pipe15: the loop CLOSES — a second shard admits against the " +
     "v2 increment, still without reading any published bytes, and " +
     "its composed audit equals a full-scan recount") {

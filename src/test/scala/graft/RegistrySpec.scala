@@ -66,7 +66,7 @@ class RegistrySpec extends AnyFunSuite {
       "similarity.ann12TruthF",
       "text.t7Decontaminate", "text.t14RarityProfile", "text.bpeVocab",
       "multimodal.blobDir", "taskmodes.csvDispatch",
-      "pipeline.pipe15Publish")
+      "pipeline.pipe15Publish", "pipeline.pipe16Setup")
     // set EQUALITY, not subset: a dropped warmer silently opts its
     // family out of warmup (the r8 drift class), and an unpinned NEW
     // warmer is the same bug waiting for the next refactor — both
