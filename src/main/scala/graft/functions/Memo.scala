@@ -120,6 +120,10 @@ object Memo {
       .empty[(SparkSession, String), T]
     def evict(v: T): Unit =
       try onEvict(v) catch { case _: Throwable => () }
+    // a duplicate name would silently REPLACE the prior cache's purge
+    // hook, orphaning that cache from purgeAllCaches — fail at init
+    require(!purgeHooks.contains(name),
+      s"memoizedValue: purge-hook name '$name' is already registered")
     purgeHooks.put(name, () => cache.synchronized {
       cache.values.foreach(evict)
       cache.clear()

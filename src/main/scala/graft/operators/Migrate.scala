@@ -182,17 +182,28 @@ object Migrate {
   private val tempDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
 
+  /** Deepest-first recursive delete (directories empty before their
+    * own delete), swallowing every error — the ONE definition shared
+    * by the JVM-exit sweep below and the eager scratch/root deletes
+    * (pipe15 replay dirs, evicted pipe15/pipe16 roots), so a fix to
+    * the walk (symlinks, permissions) reaches every sweep.
+    */
+  private[graft] def deleteTree(dir: String): Unit =
+    try deleteTreePath(java.nio.file.Paths.get(dir))
+    catch { case _: Throwable => () }
+
+  private def deleteTreePath(p: java.nio.file.Path): Unit =
+    try {
+      import java.nio.file.{Files => F}
+      import scala.jdk.CollectionConverters._
+      if (F.exists(p))
+        F.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(f => F.deleteIfExists(f))
+    } catch { case _: Throwable => () }
+
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      tempDirs.forEach { p =>
-        try {
-          import java.nio.file.{Files => F}
-          import scala.jdk.CollectionConverters._
-          // deepest-first so directories empty before their delete
-          F.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(f => F.deleteIfExists(f))
-        } catch { case _: Throwable => () }
-      }))
+      tempDirs.forEach(deleteTreePath)))
   }
 
   private[graft] def tempDir(tag: String): String = {

@@ -681,12 +681,17 @@ object Pipeline {
       s"pipe15PublishV1: $root already holds a manifest — publishing " +
         "v1 twice would double-count the append-only index and stats; " +
         "admit increments via admitShard instead")
+    // v1 deltas are written OVERWRITE (the rest of the loop appends):
+    // the guard above keys on the manifest, which lands LAST, so a
+    // publish that died between a stats append and the manifest
+    // write would pass the guard on retry — Overwrite makes the
+    // retry idempotent instead of double-appending the v1 deltas
     Tables.load(s, d, "documents").filter(col("doc_id") % 5 =!= 4)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/data/v1")
     val published = s.read.parquet(s"$root/data/v1")
     published.filter(wapHasText).select(wapFp.as("fp"))
       .distinct().withColumn("version", lit(1L))
-      .write.mode(SaveMode.Append).parquet(s"$root/index/fp")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/index/fp")
     // coalesce the empty-corpus aggregates: sum over zero rows is
     // NULL, and a NULL stat would silently poison every composed
     // gate downstream instead of holding on rows_ratio's 0-denominator
@@ -695,10 +700,10 @@ object Pipeline {
           .as("nnull"),
         countDistinct(when(wapHasText, wapFp)).as("nfp"))
       .withColumn("version", lit(1L))
-      .write.mode(SaveMode.Append).parquet(s"$root/stats/totals")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/totals")
     published.groupBy("lang").agg(count(lit(1)).as("c"))
       .withColumn("version", lit(1L))
-      .write.mode(SaveMode.Append).parquet(s"$root/stats/lang")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/lang")
     Seq((1L, s"$root/data/v1")).toDF("version", "path")
       .write.mode(SaveMode.Append).parquet(s"$root/manifest")
   }
@@ -743,6 +748,13 @@ object Pipeline {
     val publishedMax = s.read.parquet(s"$root/manifest")
       .agg(max(col("version"))).head.getLong(0)
     val prevV = atVersion.getOrElse(publishedMax)
+    // pinning PAST the tip would read the full at-rest state (the
+    // filters below pass everything) but re-stamp prior paths from a
+    // manifest version that has zero rows — publishing a snapshot
+    // that silently drops the whole published corpus
+    require(prevV <= publishedMax,
+      s"admitShard: atVersion=$prevV is not published (tip is " +
+        s"$publishedMax) — a base version must exist to admit against")
     // every at-rest delta is stamped with the version that published
     // it, and ALL reads below filter `version <= prevV` — so pinning
     // `atVersion` is REAL: admitting against version v composes
@@ -870,19 +882,11 @@ object Pipeline {
     * manifest rows keep max(version) = 2), so re-running on the
     * memoized root is hash-stable.
     */
-  /** Local-path recursive delete (deepest-first), the shutdown
-    * sweep's walk applied eagerly to scratch that is provably
-    * unreferenced — replay stage dirs and purged roots.
+  /** The shutdown sweep's recursive delete ([[Migrate.deleteTree]]),
+    * applied eagerly to scratch that is provably unreferenced —
+    * replay stage dirs and purged roots.
     */
-  private def deleteTree(dir: String): Unit =
-    try {
-      import java.nio.file.{Files => F, Paths}
-      import scala.jdk.CollectionConverters._
-      val p = Paths.get(dir)
-      if (F.exists(p))
-        F.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(f => F.deleteIfExists(f))
-    } catch { case _: Throwable => () }
+  private def deleteTree(dir: String): Unit = Migrate.deleteTree(dir)
 
   /** Eviction (purge or stopped session) deletes the root's tree:
     * unlike [[graft.functions.Memo.memoizedTable]]'s relations (whose
@@ -1016,8 +1020,19 @@ object Pipeline {
     val from = fromPaths.map(s.read.parquet(_)).reduce(_ unionByName _)
     val nextV = fromV + 1
     val publishedMax = manifest.agg(max(col("version"))).head.getLong(0)
-    val isReplay = publishedMax >= nextV
     val target = s"$root/data/v${nextV}_compact"
+    // a replay is "THIS compaction already published": version
+    // nextV exists AND points at the compacted dir. publishedMax
+    // alone would misread compacting a NON-TIP version as a replay
+    // (nextV published by some other writer, target never written)
+    // and then summarize a path that doesn't exist — that case is a
+    // fork, and it fails fast instead
+    val isReplay = manifest.filter(col("version") === nextV &&
+      col("path") === target).limit(1).count() > 0
+    require(isReplay || fromV == publishedMax,
+      s"compactVersion: version $nextV is already published by " +
+        s"another writer (tip is $publishedMax) — compaction only " +
+        "rewrites the tip or replays its own prior rewrite")
     val writePath =
       if (isReplay) s"$root/data/v${nextV}_compact_replay" else target
     // bin-packing from the manifest's bounded file listing, never a

@@ -345,6 +345,14 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r2("published_version")._1 == 2L)
     // and the replay left no scratch behind (eager cleanup)
     assert(!new java.io.File(s"$root/stage/v2_replay").exists())
+    // pinning PAST the tip must fail fast: the version filters would
+    // pass everything but the prior-path re-stamp would be empty —
+    // a publish that silently drops the whole corpus
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.admitShard(spark, shard, root, closeLoop = false,
+        atVersion = Some(99L)).collect()
+    }
+    assert(e.getMessage.contains("not published"))
   }
 
   test("pipe16: compaction rewrites the live file set into fewer " +
@@ -394,6 +402,14 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "replay must not rewrite published compacted files")
     assert(!new java.io.File(s"$root/data/v3_compact_replay").exists())
     assert(spark.read.parquet(s"$root/manifest").count() == mRows)
+    // compacting a NON-TIP version is a fork, not a replay: v2 is
+    // published (by admitShard, at the stage dir — not by this
+    // compactor), so rewriting v1 into a second "v2" must fail fast
+    // instead of summarizing a compacted dir that was never written
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.compactVersion(spark, root, 1L).collect()
+    }
+    assert(e.getMessage.contains("already published"))
   }
 
   test("pipe15: the loop CLOSES — a second shard admits against the " +
