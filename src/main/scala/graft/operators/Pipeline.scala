@@ -1003,8 +1003,14 @@ object Pipeline {
     }
 
   graft.functions.Memo.memoWarmers.put("pipeline.pipe16Setup",
-    (s: SparkSession, d: String) =>
-      s.read.parquet(s"${pipe16Setup(s, d)._1}/manifest"))
+    (s: SparkSession, d: String) => {
+      val (root, fromV) = pipe16Setup(s, d)
+      // settle the root at its 3-version layout up front: pipe16's
+      // timed figure is then always the replay-rewrite (its actual
+      // recurring cost) and pipe17's never includes a publish
+      ensureCompacted(s, root, fromV)
+      s.read.parquet(s"$root/manifest")
+    })
 
   /** Rewrite version `fromV`'s file set into size-targeted files and
     * publish as `fromV + 1`; report (version, n_docs, row_checksum)
@@ -1068,6 +1074,78 @@ object Pipeline {
     compactVersion(s, root, fromV)
   }
 
+  /** Publish the compacted version if no successor of `fromV` exists
+    * yet — the idempotent "make sure the root is at its settled
+    * 3-version state" step pipe17 and the warmer share, so the
+    * settled layout never depends on whether pipe16's own query ran
+    * first (and nobody but pipe16 pays a rewrite).
+    */
+  private[graft] def ensureCompacted(s: SparkSession, root: String,
+      fromV: Long): Unit =
+    if (s.read.parquet(s"$root/manifest")
+        .filter(col("version") === fromV + 1).limit(1).count() == 0) {
+      compactVersion(s, root, fromV).collect(); ()
+    }
+
+  /** pipe17: SNAPSHOT VERSION DIFF — the time-travel audit question
+    * every versioned corpus gets asked ("what changed between v_a and
+    * v_b?"), answered per consecutive manifest-version pair as
+    * (rows added, rows removed, rows changed-in-place) keyed on
+    * doc_id. On the settled pipe16 root the transitions are exactly
+    * the loop's own story, and the ORACLE states it from the raw
+    * corpus: v1→v2 adds the admitted survivors and nothing else;
+    * v2→v3 (the compaction) adds, removes, and changes NOTHING — the
+    * rewrite-invisibility contract from a reader's point of view,
+    * now a hash-gated row rather than a scaladoc promise.
+    *
+    * 100 TB shape: each transition is two doc_id-keyed anti-joins
+    * and one equi-join over the two resolved file sets (row-hash
+    * compare for in-place changes) — one shuffle each, no
+    * corpus-sized state; versions resolve through the manifest's
+    * bounded listing.
+    */
+  def pipe17VersionDiff(s: SparkSession, d: String): DataFrame = {
+    val (root, fromV) = pipe16Setup(s, d)
+    ensureCompacted(s, root, fromV)
+    val manifest = s.read.parquet(s"$root/manifest")
+    val versions = manifest.select("version").distinct()
+      .collect().map(_.getLong(0)).sorted
+    def resolve(v: Long): DataFrame =
+      manifest.filter(col("version") === v).select("path").distinct()
+        .collect().map(_.getString(0)).sorted
+        .map(s.read.parquet(_)).reduce(_ unionByName _)
+    // engine-side row hash (never crosses to the oracle — only the
+    // COUNTS do): any column edit flips it
+    val rowHash = Norm.xhash64(concat_ws("",
+      col("doc_id").cast("string"),
+      coalesce(col("text"), lit("")), coalesce(col("lang"), lit("")),
+      coalesce(col("source"), lit("")),
+      coalesce(col("n_chars").cast("string"), lit(""))))
+    versions.sliding(2).collect { case Array(a, b) =>
+      val fa = resolve(a).select(col("doc_id"), rowHash.as("h"))
+      val fb = resolve(b).select(col("doc_id"), rowHash.as("h2"))
+      fb.join(fa.select("doc_id"), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_added"))
+        .crossJoin(fa.join(fb.select("doc_id"), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n_removed")))
+        .crossJoin(fa.join(fb, "doc_id")
+          .filter(col("h") =!= col("h2"))
+          .agg(count(lit(1)).as("n_changed")))
+        .select(lit(a).as("from_version"), lit(b).as("to_version"),
+          col("n_added"), col("n_removed"), col("n_changed"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The settled root's transitions, stated from the raw corpus. */
+  val pipe17Sql: String =
+    s"""WITH $pipe15V2CtesSql
+       |SELECT CAST(1 AS BIGINT) AS from_version,
+       |  CAST(2 AS BIGINT) AS to_version,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_added,
+       |  CAST(0 AS BIGINT) AS n_removed, CAST(0 AS BIGINT) AS n_changed
+       |UNION ALL
+       |SELECT 2, 3, 0, 0, 0""".stripMargin
+
   /** Both versions' logical content is pipe15's v2 (base ∪ admitted)
     * — the oracle recomputes the SAME (count, checksum) row for each
     * version label from the raw corpus, so any row the rewrite lost,
@@ -1093,12 +1171,14 @@ object Pipeline {
     "pipe3_full_plus_incr" -> pipe3FullPlusIncr,
     "pipe14_wap_publish" -> pipe14WapPublish,
     "pipe15_incremental_wap" -> pipe15IncrementalWap,
-    "pipe16_compaction_rewrite" -> pipe16CompactionRewrite)
+    "pipe16_compaction_rewrite" -> pipe16CompactionRewrite,
+    "pipe17_version_diff" -> pipe17VersionDiff)
 
   val oracles: Map[String, String] = Map(
     "pipe2_migration" -> pipe2Sql,
     "pipe3_full_plus_incr" -> pipe3Sql,
     "pipe14_wap_publish" -> pipe14Sql,
     "pipe15_incremental_wap" -> pipe15Sql,
-    "pipe16_compaction_rewrite" -> pipe16Sql)
+    "pipe16_compaction_rewrite" -> pipe16Sql,
+    "pipe17_version_diff" -> pipe17Sql)
 }

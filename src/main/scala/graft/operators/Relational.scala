@@ -1613,6 +1613,110 @@ object Relational {
        |    ${histBucketSql("o_totalprice", HQW)}
        |  FROM orders""".stripMargin, HQW)
 
+  /** a49: ROBUST outlier gate — median/MAD fences, the standard
+    * outlier detector that mean/stddev z-scores cannot be at 100 TB
+    * (one extreme value drags the mean toward itself; the median and
+    * the median-absolute-deviation are breakdown-50% robust). Both
+    * medians come from the a45 fixed-width histogram read-off (the
+    * SAME `histQuantilesFrom` arithmetic — bucket upper edge, never a
+    * data-derived quantile), so the fences are integer-exact and
+    * engine-identical; the outlier count is then ONE exact filter
+    * pass against the BIGINT fences. The monitored metric is
+    * events.value with a deterministic 1% injected heavy tail (×50 on
+    * event_id ≡ 0 mod 97 — a39's constructed-regime convention: on
+    * the clean uniform metric the detector has nothing to say; on the
+    * spiked one the fences must catch the tail, visibly).
+    *
+    * 100 TB shape: two partial-aggregable histogram passes (bounded
+    * bucket tables) + one filter-aggregate pass; a production run
+    * fuses the MAD and gate passes once the median is at rest. The
+    * per-column median/MAD pairs are a 1-row driver artifact (chunk
+    * bounds' class), embedded as plan literals in the gate pass.
+    * The base metric carries a natural tail of its own (25 fence
+    * crossers vs 11 injected rows at sf0.01) — the injection
+    * guarantees the regime exists on any testdata vintage; the gate
+    * reports everything that crossed, never just the injection.
+    */
+  private[graft] val A49Width = 8L
+  private val A49Fence = 5L
+
+  private def a49Metric(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events").select(
+      (col("value") * when(pmod(col("event_id"), lit(97L)) === 0, 50.0)
+        .otherwise(1.0)).as("v"))
+
+  def a49OutlierMad(s: SparkSession, d: String): DataFrame = {
+    val metric = a49Metric(s, d)
+    def medianOf(vals: DataFrame): Option[Long] = {
+      val hist = vals
+        .select(lit("m").as("col_name"),
+          histBucketCol(col("v"), A49Width).as("bucket"))
+        .groupBy("col_name", "bucket").agg(count(lit(1)).as("cnt"))
+      histQuantilesFrom(hist, A49Width).filter(col("q") === 50)
+        .select("est_upper").collect().headOption.map(_.getLong(0))
+    }
+    medianOf(metric) match {
+      case None => // empty input: no median exists, report no rows
+        s.createDataFrame(java.util.Collections.emptyList[
+            org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "col_name STRING, med_est BIGINT, mad_est BIGINT, " +
+              "n_rows BIGINT, n_outliers BIGINT, outlier_ppm BIGINT"))
+      case Some(med) =>
+        val mad = medianOf(metric.select(
+          abs(col("v") - lit(med).cast("double")).as("v"))).get
+        metric.agg(count(lit(1)).as("n_rows"),
+            sum(when(col("v") < lit(med - A49Fence * mad).cast("double") ||
+              col("v") > lit(med + A49Fence * mad).cast("double"),
+              1L).otherwise(0L)).as("n_outliers"))
+          .select(lit("events.value_spiked").as("col_name"),
+            lit(med).as("med_est"), lit(mad).as("mad_est"),
+            col("n_rows"), col("n_outliers"),
+            expr("n_outliers * 1000000 div n_rows").as("outlier_ppm"))
+    }
+  }
+
+  val a49Sql: String = {
+    val vExpr = "value * (CASE WHEN event_id % 97 = 0 THEN 50.0 " +
+      "ELSE 1.0 END)"
+    // ONE median read-off shape, applied to the metric and to the
+    // |v - med| deviations — the SQL mirror of histQuantilesFrom
+    // restricted to q = 50
+    def medCte(src: String, tag: String) =
+      s"""${tag}hist AS (
+         |  SELECT ${histBucketSql("v", A49Width)} AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM $src GROUP BY 1),
+         |${tag}cum AS (
+         |  SELECT bucket,
+         |    sum(cnt) OVER (ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(cnt) OVER () AS n_rows
+         |  FROM ${tag}hist),
+         |$tag AS (
+         |  SELECT (min(bucket) + 1) * $A49Width AS est
+         |  FROM ${tag}cum WHERE cum >= (50 * n_rows + 99) // 100)"""
+        .stripMargin
+    s"""WITH src AS (SELECT $vExpr AS v FROM events),
+       |${medCte("src", "med")},
+       |dev AS (SELECT abs(v - (SELECT est FROM med)) AS v FROM src),
+       |${medCte("dev", "mad")}
+       |SELECT 'events.value_spiked' AS col_name,
+       |  (SELECT est FROM med) AS med_est,
+       |  (SELECT est FROM mad) AS mad_est,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN
+       |      v < (SELECT est FROM med) - $A49Fence * (SELECT est FROM mad)
+       |      OR v > (SELECT est FROM med) + $A49Fence * (SELECT est FROM mad)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  CAST(sum(CASE WHEN
+       |      v < (SELECT est FROM med) - $A49Fence * (SELECT est FROM mad)
+       |      OR v > (SELECT est FROM med) + $A49Fence * (SELECT est FROM mad)
+       |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS outlier_ppm
+       |FROM src
+       |HAVING count(*) > 0""".stripMargin
+  }
+
   def a42KAnonymity(s: SparkSession, d: String): DataFrame =
     cust(s, d)
       .groupBy(col("c_nationkey"), col("c_mktsegment"),
@@ -1641,6 +1745,7 @@ object Relational {
     "a42_k_anonymity" -> a42KAnonymity,
     "a44_hll_distinct" -> a44HllDistinct,
     "a45_hist_quantiles" -> a45HistQuantiles,
+    "a49_outlier_mad" -> a49OutlierMad,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
@@ -1679,6 +1784,7 @@ object Relational {
     "a42_k_anonymity" -> a42Sql,
     "a44_hll_distinct" -> a44Sql,
     "a45_hist_quantiles" -> a45Sql,
+    "a49_outlier_mad" -> a49Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier_volume" -> q5Sql,

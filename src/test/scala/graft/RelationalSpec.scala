@@ -393,6 +393,48 @@ class RelationalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(keRare < rows("rare_2pct").getAs[Long]("n_expected"))
   }
 
+  test("a49 MAD outlier gate: fences bracket the exact median, the " +
+    "count matches an independent recount, and the injected tail is " +
+    "caught without flagging the body") {
+    val r = graft.operators.Relational.a49OutlierMad(spark, sf)
+      .collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (med, mad, nRows, nOut) = (row.getAs[Long]("med_est"),
+      row.getAs[Long]("mad_est"), row.getAs[Long]("n_rows"),
+      row.getAs[Long]("n_outliers"))
+    assert(row.getAs[Long]("outlier_ppm") == nOut * 1000000L / nRows)
+    // independent recount from raw values (driver-side, sf0.01 scale)
+    val vs = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("value")).collect()
+      .map(x => if (x.getLong(0) % 97 == 0) x.getDouble(1) * 50.0
+        else x.getDouble(1))
+    assert(nRows == vs.length.toLong)
+    // histogram medians report the bucket's inclusive upper edge —
+    // the exact median sits within one width below (a45's contract)
+    val w = graft.operators.Relational.A49Width
+    def exactMed(xs: Array[Double]) = {
+      val s = xs.sorted; s((s.length + 1) / 2 - 1)
+    }
+    val em = exactMed(vs)
+    assert(em <= med && em > med - w, s"median $em vs est $med")
+    val emad = exactMed(vs.map(v => math.abs(v - med)))
+    assert(emad <= mad && emad > mad - w, s"MAD $emad vs est $mad")
+    val recount = vs.count(v => v < med - 5L * mad || v > med + 5L * mad)
+    assert(nOut == recount.toLong)
+    // the constructed regime: every INJECTED row that crosses the
+    // fences must be in the count (the base metric has a natural
+    // tail of its own — measured: 25 outliers vs 11 spiked rows at
+    // sf0.01 — so the gate reports what crossed, never just the
+    // injection)
+    val spikedCrossers = Tables.load(spark, sf, "events")
+      .filter(col("event_id") % 97 === 0)
+      .select(col("value")).collect().map(_.getDouble(0) * 50.0)
+      .count(v => v < med - 5L * mad || v > med + 5L * mad)
+    assert(spikedCrossers > 0 && nOut >= spikedCrossers.toLong,
+      s"outliers=$nOut spiked-crossers=$spikedCrossers")
+  }
+
   test("ann14 MRL sweep: coherent counts per prefix length, and more " +
     "dims recover more of the exact top-10 on this corpus") {
     val rows = graft.functions.Similarity.ann14MrlRecall(spark, sf)

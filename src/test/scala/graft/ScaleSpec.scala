@@ -311,8 +311,9 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "a46_streaming_hll", "a47_streaming_quantiles",
       // round-13: a48 is the same complete-mode shape with the
       // bounded D×W cell table as state, plus a39's bounded probe
-      // read-off batch-side
-      "a48_streaming_cms")
+      // read-off batch-side; a49 is three row-linear passes ending
+      // in bounded histograms / one aggregate row
+      "a48_streaming_cms", "a49_outlier_mad")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
