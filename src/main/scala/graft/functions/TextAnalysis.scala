@@ -2204,8 +2204,93 @@ object TextAnalysis {
        |ORDER BY priority ASC, doc_id ASC LIMIT 100""".stripMargin
   }
 
+  // ------------------------------------------------- t24 DSIR selection
+
+  /** t24: DSIR-style data selection — importance resampling over
+    * hashed n-gram features (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"). The target
+    * distribution is the English slice of the corpus, the raw
+    * distribution is the whole corpus; both are bag-of-hashed-unigram
+    * models over B=512 buckets. Each bucket scores the add-one-
+    * smoothed rate DIFFERENCE (same sign as the DSIR log-ratio
+    * log p_target(b)/p_raw(b), the t19 discipline): s(b) =
+    * floor(((c_t+1)/(n_t+B) − (c_r+1)/(n_r+B)) × 10^9). The two
+    * divisions, the subtraction and the scale are ONE fixed IEEE
+    * binary64 expression tree — correctly rounded identically in any
+    * IEEE engine, so the per-doc BIGINT sums are partition-invariant
+    * and cross-engine exact. The deterministic top-quota by
+    * (score DESC, doc_id) replaces production DSIR's Gumbel-top-k
+    * draw — t20's order-sampling priority drops in when a sampled
+    * (rather than ranked) quota is wanted.
+    *
+    * Scale shape: the model is B=512 rows no matter the corpus size —
+    * the totals window runs over that bounded frame, never the data;
+    * scoring is one equi-join of the token stream against the
+    * (auto-broadcast) bucket table + one partial-aggregable per-doc
+    * groupBy; the quota is TakeOrderedAndProject (per-partition
+    * top-k, k-row driver merge — no global sort). At 100 TB the only
+    * corpus-sized exchanges are the bucket groupBy and the doc
+    * groupBy, both map-side combinable.
+    */
+  def t24DsirSelect(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 512L
+    val toks = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(words(col("text"))).as("t"))
+      .withColumn("b",
+        pmod(xhash64(concat_ws("|", lit("t24"), col("t"))), lit(B)))
+    val whole = Window.partitionBy(lit(1))
+    val model = toks
+      .groupBy(col("b"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"),
+        count(lit(1)).as("c_r"))
+      .withColumn("n_t", sum(col("c_t")).over(whole))
+      .withColumn("n_r", sum(col("c_r")).over(whole))
+      .select(col("b"), floor(
+        ((col("c_t") + 1L).cast("double") / (col("n_t") + B).cast("double")
+          - (col("c_r") + 1L).cast("double") / (col("n_r") + B).cast("double"))
+          * lit(1000000000.0)).cast("long").as("s"))
+    toks
+      .join(model, Seq("b"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("s")).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id").asc)
+      .limit(150)
+  }
+
+  val t24Sql: String = {
+    val h = Norm.xhash64Sql("'t24' || '|' || t")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, source,
+       |    unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |bucketed AS (
+       |  SELECT doc_id, lang, source,
+       |    (($h) % 512 + 512) % 512 AS b
+       |  FROM toks),
+       |model AS (
+       |  SELECT b,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t,
+       |    count(*) AS c_r
+       |  FROM bucketed GROUP BY 1),
+       |scored AS (
+       |  SELECT b,
+       |    CAST(floor(
+       |      (CAST(c_t + 1 AS DOUBLE) / CAST(sum(c_t) OVER () + 512 AS DOUBLE)
+       |       - CAST(c_r + 1 AS DOUBLE) / CAST(sum(c_r) OVER () + 512 AS DOUBLE))
+       |      * 1000000000.0) AS BIGINT) AS s
+       |  FROM model)
+       |SELECT d.doc_id, d.lang, d.source,
+       |  count(*) AS n_toks, CAST(sum(m.s) AS BIGINT) AS dsir_score
+       |FROM bucketed d JOIN scored m ON d.b = m.b
+       |GROUP BY 1, 2, 3
+       |ORDER BY dsir_score DESC, doc_id ASC LIMIT 150""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t17_bigram_lm" -> t17BigramLm,
+    "t24_dsir_select" -> t24DsirSelect,
     "t21_ccnet_buckets" -> t21CcnetBuckets,
     "t18_gopher_repetition" -> t18GopherRepetition,
     "t19_nb_quality" -> t19NbQuality,
@@ -2240,6 +2325,7 @@ object TextAnalysis {
   // lazy because it forces pipe7Sql (see its init-order note)
   lazy val oracles: Map[String, String] = Map(
     "t18_gopher_repetition" -> t18Sql,
+    "t24_dsir_select" -> t24Sql,
     "t19_nb_quality" -> t19Sql,
     "t20_weighted_sample" -> t20Sql,
     "t11_lexicon_profile" -> t11Sql,

@@ -668,6 +668,28 @@ object Pipeline {
     * version's paths plus the new one.
     */
   private[graft] def pipe15PublishV1(s: SparkSession, d: String,
+      root: String): Unit =
+    publishBaseV1(s,
+      Tables.load(s, d, "documents").filter(col("doc_id") % 5 =!= 4), root)
+
+  /** The v1 publish on a caller-chosen base corpus — pipe15/16/18 use
+    * the 4/5 slice; pipe19's streaming loop publishes the 3/5 slice
+    * and lets the rest arrive as shards.
+    */
+  private[graft] def publishBaseV1(s: SparkSession, base: DataFrame,
+      root: String): Unit = {
+    base.write.mode(SaveMode.Overwrite).parquet(s"$root/data/v1")
+    publishV1Meta(s, s"$root/data/v1", root)
+  }
+
+  /** Publish v1 as a manifest REFERENCE to an already-landed path —
+    * the index/stats/manifest writes without the data copy. The
+    * manifest-pointer model means even the first publish is
+    * metadata-only when the corpus already sits in a read-only
+    * landing dir (pipe19's case); [[publishBaseV1]] is this plus the
+    * landing write.
+    */
+  private[graft] def publishV1Meta(s: SparkSession, basePath: String,
       root: String): Unit = {
     import s.implicits._
     // Fail-fast double-publish guard: every at-rest relation below is
@@ -686,9 +708,7 @@ object Pipeline {
     // publish that died between a stats append and the manifest
     // write would pass the guard on retry — Overwrite makes the
     // retry idempotent instead of double-appending the v1 deltas
-    Tables.load(s, d, "documents").filter(col("doc_id") % 5 =!= 4)
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/data/v1")
-    val published = s.read.parquet(s"$root/data/v1")
+    val published = s.read.parquet(basePath)
     published.filter(wapHasText).select(wapFp.as("fp"))
       .distinct().withColumn("version", lit(1L))
       .write.mode(SaveMode.Overwrite).parquet(s"$root/index/fp")
@@ -704,7 +724,7 @@ object Pipeline {
     published.groupBy("lang").agg(count(lit(1)).as("c"))
       .withColumn("version", lit(1L))
       .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/lang")
-    Seq((1L, s"$root/data/v1")).toDF("version", "path")
+    Seq((1L, basePath)).toDF("version", "path")
       .write.mode(SaveMode.Append).parquet(s"$root/manifest")
   }
 
@@ -745,8 +765,13 @@ object Pipeline {
       atVersion: Option[Long] = None): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val publishedMax = s.read.parquet(s"$root/manifest")
-      .agg(max(col("version"))).head.getLong(0)
+    // ONE bounded manifest read serves both the tip lookup here and
+    // the prior-path re-stamp at publish time (it was two)
+    val manifestRows = s.read.parquet(s"$root/manifest")
+      .select("version", "path").collect()
+    require(manifestRows.nonEmpty,
+      s"admitShard: $root has no published manifest to admit against")
+    val publishedMax = manifestRows.map(_.getLong(0)).max
     val prevV = atVersion.getOrElse(publishedMax)
     // pinning PAST the tip would read the full at-rest state (the
     // filters below pass everything) but re-stamp prior paths from a
@@ -769,7 +794,6 @@ object Pipeline {
         row_number().over(Window.partitionBy("fp").orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("rn", "fp")
     val kept = keptText.unionByName(shard.filter(!wapHasText))
-    val nShard = shard.count()
     val nextV = prevV + 1
     val stagePath = s"$root/stage/v${nextV}_admitted"
     // A pinned-version REPLAY whose target version is already
@@ -789,21 +813,34 @@ object Pipeline {
     // are referenced, never copied
     kept.write.mode(SaveMode.Overwrite).parquet(writePath)
     val admitted = s.read.parquet(writePath)
-    val nKept = admitted.count()
     // compose the audit aggregates: persisted publish-time stats
     // (summed across all prior increments — additive because every
-    // increment's fingerprints were new) + admitted-side aggregates
-    val totals = s.read.parquet(s"$root/stats/totals")
+    // increment's fingerprints were new) + admitted-side aggregates.
+    // Both relations are BOUNDED (one totals row, one row per lang),
+    // so each is COLLECTED once and handed to [[wapGates]] as a local
+    // relation: the gate union references its inputs once per gate
+    // row, and admission's cost is per-ACTION scheduling, not data —
+    // one pass also carries the shard/admitted accounting that used
+    // to be separate count() jobs.
+    val totalsRow = s.read.parquet(s"$root/stats/totals")
       .filter(col("version") <= prevV)
       .agg(coalesce(sum(col("n")), lit(0L)).as("n1"),
         coalesce(sum(col("nnull")), lit(0L)).as("nnull1"),
         coalesce(sum(col("nfp")), lit(0L)).as("nfp1"))
       .crossJoin(admitted.agg(count(lit(1)).as("ka"),
         coalesce(sum(when(!wapHasText, 1L).otherwise(0L)), lit(0L))
-          .as("knull")))
+          .as("knull"))
+        .crossJoin(shard.agg(count(lit(1)).as("nsh"))))
       .select(col("n1"), (col("n1") + col("ka")).as("n2"),
         (col("nnull1") + col("knull")).as("nnull"),
-        (col("nfp1") + (col("ka") - col("knull"))).as("nfp"))
+        (col("nfp1") + (col("ka") - col("knull"))).as("nfp"),
+        col("ka"), col("knull"), col("nsh"))
+      .head // ONE pass carries the audit totals AND the accounting
+    val nKept = totalsRow.getAs[Long]("ka")
+    val nShard = totalsRow.getAs[Long]("nsh")
+    val totals = Seq((totalsRow.getAs[Long]("n1"),
+      totalsRow.getAs[Long]("n2"), totalsRow.getAs[Long]("nnull"),
+      totalsRow.getAs[Long]("nfp"))).toDF("n1", "n2", "nnull", "nfp")
     // staged-side lang counts = published ∪ admitted re-grouped (a
     // groupBy, not column addition: groupBy pools NULL langs into one
     // group exactly like the full-scan audit's staged groupBy, while
@@ -814,19 +851,25 @@ object Pipeline {
       .filter(col("version") <= prevV)
       .groupBy("lang").agg(sum(col("c")).as("c1"))
     val stagedLang = pubLang.select(col("lang"), col("c1").as("c"))
-      .unionByName(admitted.groupBy("lang")
-        .agg(count(lit(1)).as("c")))
+      .unionByName(admitted.groupBy("lang").agg(count(lit(1)).as("c")))
       .groupBy("lang").agg(sum(col("c")).as("c2"))
-    val langs = pubLang.join(stagedLang, Seq("lang"), "full_outer")
-      .select(coalesce(col("c1"), lit(0L)).as("c1"),
+    // keep the lang KEY through the collect: the same bounded rows
+    // feed the gates (c1, c2) AND reconstruct the admitted per-lang
+    // delta for the closeLoop append — Σc2 − Σc1 per lang key (the
+    // two NULL-lang rows a full-outer join keeps unmatched sum to
+    // exactly the admitted NULL-lang count)
+    val langRows = pubLang.join(stagedLang, Seq("lang"), "full_outer")
+      .select(col("lang"), coalesce(col("c1"), lit(0L)).as("c1"),
         coalesce(col("c2"), lit(0L)).as("c2"))
+      .collect()
+    val langs = langRows.toSeq
+      .map(r => (r.getLong(1), r.getLong(2))).toDF("c1", "c2")
     val audit = wapGates(totals, langs)
     val rows = audit.collect()
     val allPass = rows.nonEmpty && rows.forall(_.getAs[Boolean]("pass"))
     if (allPass && !isReplay) { // publish = manifest rows only
-      val prior = s.read.parquet(s"$root/manifest")
-        .filter(col("version") === prevV)
-        .select("path").distinct().collect().map(_.getString(0)).sorted
+      val prior = manifestRows.filter(_.getLong(0) == prevV)
+        .map(_.getString(1)).distinct.sorted
       (prior.toSeq :+ stagePath).map(p => (nextV, p))
         .toDF("version", "path")
         .write.mode(SaveMode.Append).parquet(s"$root/manifest")
@@ -834,14 +877,21 @@ object Pipeline {
         admitted.filter(wapHasText).select(wapFp.as("fp"))
           .withColumn("version", lit(nextV))
           .write.mode(SaveMode.Append).parquet(s"$root/index/fp")
-        admitted.agg(count(lit(1)).as("n"),
-            coalesce(sum(when(!wapHasText, 1L).otherwise(0L)), lit(0L))
-              .as("nnull"))
+        // the totals and per-lang deltas are already in hand from the
+        // audit's own pass — append the local rows, never re-scan
+        Seq((nKept, totalsRow.getAs[Long]("knull")))
+          .toDF("n", "nnull")
           .select(col("n"), col("nnull"),
             (col("n") - col("nnull")).as("nfp"))
           .withColumn("version", lit(nextV))
           .write.mode(SaveMode.Append).parquet(s"$root/stats/totals")
-        admitted.groupBy("lang").agg(count(lit(1)).as("c"))
+        langRows.toSeq
+          .groupBy(r => Option(r.getString(0)))
+          .map { case (lang, rs) =>
+            (lang.orNull, rs.map(_.getLong(2)).sum - rs.map(_.getLong(1)).sum)
+          }
+          .filter(_._2 > 0L).toSeq
+          .toDF("lang", "c")
           .withColumn("version", lit(nextV))
           .write.mode(SaveMode.Append).parquet(s"$root/stats/lang")
       }
@@ -851,8 +901,11 @@ object Pipeline {
     // already-collected rows) — drop it eagerly instead of letting
     // per-replay parquet dirs accumulate until the JVM-exit sweep
     if (isReplay) deleteTree(writePath)
-    val version = s.read.parquet(s"$root/manifest")
-      .agg(max(col("version"))).head.getLong(0)
+    // the published version needs no manifest re-read: a passing
+    // non-replay admission appended exactly nextV (a tip append —
+    // nextV = prevV + 1 > publishedMax held by the require above on
+    // the non-replay path), anything else left the tip alone
+    val version = if (allPass && !isReplay) nextV else publishedMax
     s.createDataFrame(java.util.Arrays.asList(rows: _*), audit.schema)
       .unionAll(Seq(
         ("admitted_new", nKept, nKept, nKept, true),
@@ -1166,13 +1219,256 @@ object Pipeline {
        |${row(3L)}""".stripMargin
   }
 
+  /** pipe18: ROLLBACK PUBLISH — the WAP lifecycle's undo: promote a
+    * PRIOR version's exact file set as the next manifest version
+    * (Iceberg's `rollback_to_snapshot` semantics). A bad publish is
+    * undone by ONE manifest append that re-stamps the target
+    * version's paths — data files move never, the bad version's
+    * files stay published for forensics, and readers that resolved
+    * the bad tip mid-query finish on an intact snapshot. The report
+    * carries (n_docs, order-insensitive row checksum) for the
+    * rollback TARGET (v1) and the rollback PUBLISH (v4) plus a
+    * files_shared flag (resolved path-set equality); the oracle
+    * recomputes both content rows from the raw corpus and pins
+    * files_shared TRUE — so stamping the wrong version's paths
+    * (v2/v3 content differs from v1's in count and checksum) or
+    * copying instead of referencing hash-mismatches.
+    *
+    * 100 TB shape: rollback is manifest-only — one bounded listing
+    * read + one bounded append; the only data pass is the report's
+    * checksum over the two resolved snapshots, and a production
+    * rollback skips even that (the checksum here is the test
+    * contract, not the operator cost).
+    */
+  private val pipe18Setup: (SparkSession, String) => (String, Long) =
+    graft.functions.Memo.memoizedValue("pipeline.pipe18Setup",
+        onEvict = (t: (String, Long)) => deleteTree(t._1)) { (s, d) =>
+      // a settled 3-version root OF ITS OWN: rolling back pipe16's
+      // root would grow a (3,4) transition into pipe17's diff. The
+      // admitted version is DERIVED, not assumed: on a corpus whose
+      // shard fails the gates (the empty sweep's case) the loop
+      // settles one version earlier and rollback still applies.
+      val root = Migrate.tempDir("pipe18")
+      pipe15PublishV1(s, d, root)
+      admitShard(s,
+        Tables.load(s, d, "documents").filter(col("doc_id") % 5 === 4),
+        root, closeLoop = true)
+      val maxV = s.read.parquet(s"$root/manifest")
+        .agg(max(col("version"))).head.getLong(0)
+      ensureCompacted(s, root, maxV)
+      (root, maxV + 1)
+    }
+
+  graft.functions.Memo.memoWarmers.put("pipeline.pipe18Setup",
+    (s: SparkSession, d: String) =>
+      s.read.parquet(s"${pipe18Setup(s, d)._1}/manifest"))
+
+  /** Publish `toV` as a re-stamp of `targetV`'s paths; idempotent on
+    * replay (the bench re-samples), fail-fast on a fork (`toV`
+    * published by another writer with different paths).
+    */
+  private[graft] def rollbackTo(s: SparkSession, root: String,
+      targetV: Long, toV: Long): DataFrame = {
+    import s.implicits._
+    // a parquet read snapshots its file listing at definition — the
+    // manifest must be re-listed after the append, or the shared-path
+    // check below would judge pre-append state
+    def paths(v: Long): Seq[String] =
+      s.read.parquet(s"$root/manifest")
+        .filter(col("version") === v).select("path").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+    val target = paths(targetV)
+    require(target.nonEmpty, s"rollbackTo: version $targetV is not published")
+    val existing = paths(toV)
+    if (existing.isEmpty)
+      target.map(p => (toV, p)).toDF("version", "path")
+        .write.mode(SaveMode.Append).parquet(s"$root/manifest")
+    else require(existing == target,
+      s"rollbackTo: version $toV is already published with a different " +
+        s"file set (fork) — refusing to re-stamp it as a rollback")
+    val chkCols = Seq(NormCol("doc_id", KLong), NormCol("text", KStr),
+      NormCol("lang", KStr), NormCol("source", KStr),
+      NormCol("n_chars", KLong))
+    val shared = paths(toV) == target
+    def row(v: Long) =
+      paths(v).map(s.read.parquet(_)).reduce(_ unionByName _)
+        .agg(count(lit(1)).as("n_docs"),
+          Norm.sparkRowChecksum(chkCols).as("row_checksum"))
+        .select(lit(v).as("version"), col("n_docs"),
+          col("row_checksum"), lit(shared).as("files_shared"))
+    row(targetV).unionAll(row(toV))
+  }
+
+  def pipe18RollbackPublish(s: SparkSession, d: String): DataFrame = {
+    val (root, tip) = pipe18Setup(s, d)
+    rollbackTo(s, root, targetV = 1L, toV = tip + 1)
+  }
+
+  /** Both report rows are v1's logical content (the pre-admission
+    * 4/5 slice) — the rollback published v1's files as v4.
+    */
+  val pipe18Sql: String = {
+    val chkCols = Seq(NormCol("doc_id", KLong), NormCol("text", KStr),
+      NormCol("lang", KStr), NormCol("source", KStr),
+      NormCol("n_chars", KLong))
+    def row(v: Long) =
+      s"""SELECT CAST($v AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  ${Norm.duckRowChecksum(chkCols)} AS row_checksum,
+         |  TRUE AS files_shared
+         |FROM v1""".stripMargin
+    s"""WITH v1 AS (SELECT * FROM documents WHERE doc_id % 5 <> 4)
+       |${row(1L)}
+       |UNION ALL
+       |${row(4L)}""".stripMargin
+  }
+
+  /** pipe19: STREAMING ADMISSION — the pipe15 loop fed by Structured
+    * Streaming, the shape a production corpus ingests in: shards
+    * arrive as files on a watched directory, each micro-batch
+    * (`maxFilesPerTrigger=1` — one shard per batch) is admitted
+    * inside `foreachBatch` via [[admitShard]] with `closeLoop =
+    * true`, so the versioned corpus advances one manifest version per
+    * arriving shard, deduplicated against the fingerprint index AS OF
+    * ITS ARRIVAL. foreachBatch is the right seam because admission is
+    * not a row-wise sink — it is a transactional publish (stage,
+    * audit, manifest append) that must see the whole shard.
+    *
+    * The report states ONLY order-invariant facts — final version,
+    * final corpus size, total admitted, total rejected-duplicate —
+    * because micro-batch ORDER is scheduler-chosen: which shard wins
+    * a cross-shard duplicate fingerprint depends on arrival order,
+    * but the SET of surviving fingerprints (distinct shard fps minus
+    * published fps) and every count above do not. The oracle states
+    * them from the raw corpus.
+    *
+    * 100 TB shape: per arriving shard the loop pays exactly pipe15's
+    * metadata-only admission (index anti-join + shard-sized stage
+    * write + bounded stat composition + manifest append); the stream
+    * holds NO state of its own — the at-rest index/stats/manifest ARE
+    * the state, which is what makes the ingest restartable from the
+    * checkpoint without rebuilding anything.
+    */
+  /** One-time inputs (memoized, warmed): the base slice in a
+    * read-only landing dir and the shard feed as one file per shard —
+    * the parts of the run a production loop would find already
+    * sitting on storage. Each timed run then pays exactly the
+    * recurring cost: a metadata-only v1 publish against the landing
+    * dir, the stream, and one admission per micro-batch.
+    */
+  private val Pipe19Schema = "doc_id LONG, text STRING, lang STRING, " +
+    "source STRING, n_chars LONG"
+
+  private[graft] val pipe19Inputs: (SparkSession, String) => String =
+    graft.functions.Memo.memoizedValue("pipeline.pipe19Inputs",
+        onEvict = deleteTree) { (s, d) =>
+      val dir = Migrate.tempDir("pipe19_in")
+      val docs = Tables.load(s, d, "documents")
+      docs.filter(col("doc_id") % 5 <= 2)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/base")
+      // two shards arrive as one file each (coalesce(1) + append)
+      docs.filter(col("doc_id") % 5 === 3).coalesce(1)
+        .write.mode(SaveMode.Append).parquet(s"$dir/feed")
+      docs.filter(col("doc_id") % 5 === 4).coalesce(1)
+        .write.mode(SaveMode.Append).parquet(s"$dir/feed")
+      dir
+    }
+
+  graft.functions.Memo.memoWarmers.put("pipeline.pipe19Inputs",
+    (s: SparkSession, d: String) => s.read.schema(Pipe19Schema)
+      .parquet(s"${pipe19Inputs(s, d)}/feed"))
+
+  def pipe19StreamingAdmission(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val in = pipe19Inputs(s, d)
+    val (base, feed) = (s"$in/base", s"$in/feed")
+    val root = Migrate.tempDir("pipe19")
+    publishV1Meta(s, base, root)
+    // per-batch audit rows accumulate driver-side (foreachBatch runs
+    // on the driver; AvailableNow batches are sequential) — the final
+    // report composes from THESE plus the at-rest v1 stats, so it
+    // never re-reads the corpus it just published
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)] // (admitted, rejected, version)
+    // an even smaller shuffle width than the shared streamSession's 8:
+    // admission state is gate-row sized, and every one of the ~9
+    // bounded actions per batch pays task-count overhead, not data
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = ss.readStream
+      .schema(Pipe19Schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val report = admitShard(batch.sparkSession, batch, root,
+            closeLoop = true)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        acc += ((report("admitted_new"), report("rejected_dup"),
+          report("published_version")))
+        ()
+      }
+      .start()
+    try require(q.awaitTermination(300000),
+      "pipe19 stream did not terminate within 300 s")
+    finally q.stop()
+    val n1 = s.read.parquet(s"$root/stats/totals")
+      .filter(col("version") <= 1L)
+      .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+    val admitted = acc.map(_._1).sum
+    val rows = Seq(
+      ("final_version", if (acc.isEmpty) 1L else acc.map(_._3).max),
+      ("n_docs_final", n1 + admitted),
+      ("admitted_total", admitted),
+      ("rejected_dup_total", acc.map(_._2).sum))
+    deleteTree(root) // per-run scratch: report rows are local now
+    rows.toDF("metric", "value")
+  }
+
+  /** The loop's order-invariant accounting from the raw corpus: the
+    * surviving shard fingerprints are the distinct shard fps not in
+    * the base — whichever shard arrives first.
+    */
+  val pipe19Sql: String = {
+    val fp = "md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+    s"""WITH base AS (
+       |  SELECT * FROM documents WHERE doc_id % 5 <= 2),
+       |sh AS (SELECT * FROM documents WHERE doc_id % 5 IN (3, 4)),
+       |basefp AS (SELECT DISTINCT $fp AS fp FROM base
+       |  WHERE text IS NOT NULL AND length(text) > 0),
+       |newfp AS (
+       |  SELECT DISTINCT fp FROM (
+       |    SELECT $fp AS fp FROM sh
+       |    WHERE text IS NOT NULL AND length(text) > 0) t
+       |  WHERE fp NOT IN (SELECT fp FROM basefp)),
+       |acc AS (SELECT
+       |  (SELECT count(*) FROM newfp) +
+       |  (SELECT count(*) FROM sh
+       |     WHERE text IS NULL OR length(text) = 0) AS admitted,
+       |  (SELECT count(*) FROM base) AS n1,
+       |  (SELECT count(*) FROM sh) AS nsh)
+       |SELECT 'final_version' AS metric, CAST(3 AS BIGINT) AS value
+       |UNION ALL
+       |SELECT 'n_docs_final', n1 + admitted FROM acc
+       |UNION ALL
+       |SELECT 'admitted_total', admitted FROM acc
+       |UNION ALL
+       |SELECT 'rejected_dup_total', nsh - admitted FROM acc"""
+      .stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe2_migration" -> pipe2Migration,
     "pipe3_full_plus_incr" -> pipe3FullPlusIncr,
     "pipe14_wap_publish" -> pipe14WapPublish,
     "pipe15_incremental_wap" -> pipe15IncrementalWap,
     "pipe16_compaction_rewrite" -> pipe16CompactionRewrite,
-    "pipe17_version_diff" -> pipe17VersionDiff)
+    "pipe17_version_diff" -> pipe17VersionDiff,
+    "pipe18_rollback_publish" -> pipe18RollbackPublish,
+    "pipe19_streaming_admission" -> pipe19StreamingAdmission)
 
   val oracles: Map[String, String] = Map(
     "pipe2_migration" -> pipe2Sql,
@@ -1180,5 +1476,7 @@ object Pipeline {
     "pipe14_wap_publish" -> pipe14Sql,
     "pipe15_incremental_wap" -> pipe15Sql,
     "pipe16_compaction_rewrite" -> pipe16Sql,
-    "pipe17_version_diff" -> pipe17Sql)
+    "pipe17_version_diff" -> pipe17Sql,
+    "pipe18_rollback_publish" -> pipe18Sql,
+    "pipe19_streaming_admission" -> pipe19Sql)
 }

@@ -473,4 +473,89 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(paths == Set(s"$root/data/v1", s"$root/stage/v2_admitted",
       s"$root/stage/v3_admitted"))
   }
+
+  test("pipe18: rollback re-stamps the target's paths manifest-only — " +
+    "time travel intact, replay idempotent, forks fail fast") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_p18")
+      .toString
+    Pipeline.pipe15PublishV1(spark, sf, root)
+    val docs = Tables.load(spark, sf, "documents")
+    Pipeline.admitShard(spark, docs.filter(col("doc_id") % 5 === 4),
+      root, closeLoop = true)
+    Pipeline.ensureCompacted(spark, root, 2L)
+    def files(dir: String): Map[String, (Long, Long)] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    val v1Before = files(s"$root/data/v1")
+    val compactBefore = files(s"$root/data/v3_compact")
+    assert(v1Before.nonEmpty && compactBefore.nonEmpty)
+    val report = Pipeline.rollbackTo(spark, root, targetV = 1L, toV = 4L)
+      .collect().map(r => (r.getAs[Long]("version"),
+        r.getAs[Long]("n_docs"), r.getAs[String]("row_checksum"),
+        r.getAs[Boolean]("files_shared")))
+    // the rollback's content row IS the target's: same count, same
+    // order-insensitive checksum, paths shared
+    assert(report.length == 2)
+    assert(report(0)._1 == 1L && report(1)._1 == 4L)
+    assert(report(0)._2 == report(1)._2)
+    assert(report(0)._3 == report(1)._3)
+    assert(report.forall(_._4), "rollback must reference, not copy")
+    // manifest-only: no published data file was touched or rewritten
+    assert(files(s"$root/data/v1") == v1Before)
+    assert(files(s"$root/data/v3_compact") == compactBefore)
+    val m = spark.read.parquet(s"$root/manifest")
+    assert(m.filter(col("version") === 4L).select("path")
+      .collect().map(_.getString(0)).toSet == Set(s"$root/data/v1"))
+    // time travel intact: every prior version still resolves
+    def countOf(v: Long): Long =
+      spark.read.parquet(s"$root/manifest")
+        .filter(col("version") === v).select("path").distinct()
+        .collect().map(_.getString(0))
+        .map(spark.read.parquet(_)).reduce(_ unionByName _).count()
+    val n1 = countOf(1L)
+    assert(countOf(2L) > n1, "v2 must keep the admitted docs")
+    assert(countOf(3L) == countOf(2L))
+    assert(countOf(4L) == n1)
+    // replay idempotent: same report, manifest does not grow
+    val mRows = spark.read.parquet(s"$root/manifest").count()
+    val replay = Pipeline.rollbackTo(spark, root, targetV = 1L, toV = 4L)
+      .collect().map(r => (r.getAs[Long]("version"),
+        r.getAs[Long]("n_docs"), r.getAs[String]("row_checksum"),
+        r.getAs[Boolean]("files_shared")))
+    assert(replay.toSeq == report.toSeq)
+    assert(spark.read.parquet(s"$root/manifest").count() == mRows)
+    // fork protection: v5 published by another writer with different
+    // paths — re-stamping it as a rollback must refuse
+    Seq((5L, s"$root/data/v3_compact")).toDF("version", "path")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$root/manifest")
+    intercept[IllegalArgumentException] {
+      Pipeline.rollbackTo(spark, root, targetV = 1L, toV = 5L)
+    }
+  }
+
+  test("pipe19: streaming admission lands on the batch-derived " +
+    "accounting — one version per arriving shard") {
+    import org.apache.spark.sql.functions._
+    val report = Pipeline.pipe19StreamingAdmission(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch replay of the loop's order-invariant facts
+    val docs = Tables.load(spark, sf, "documents")
+    val fp = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+    val hasText = col("text").isNotNull && length(col("text")) > 0
+    val base = docs.filter(col("doc_id") % 5 <= 2)
+    val sh = docs.filter(col("doc_id") % 5 >= 3)
+    val newFp = sh.filter(hasText).select(fp.as("fp")).distinct()
+      .join(base.filter(hasText).select(fp.as("fp")).distinct(),
+        Seq("fp"), "left_anti").count()
+    val shNulls = sh.filter(!hasText).count()
+    assert(report("final_version") == 3L,
+      s"two passing shards must publish v2 and v3: $report")
+    assert(report("admitted_total") == newFp + shNulls)
+    assert(report("n_docs_final") == base.count() + newFp + shNulls)
+    assert(report("rejected_dup_total") == sh.count() - newFp - shNulls)
+  }
 }

@@ -66,7 +66,8 @@ class RegistrySpec extends AnyFunSuite {
       "similarity.ann12TruthF",
       "text.t7Decontaminate", "text.t14RarityProfile", "text.bpeVocab",
       "multimodal.blobDir", "taskmodes.csvDispatch",
-      "pipeline.pipe15Publish", "pipeline.pipe16Setup")
+      "pipeline.pipe15Publish", "pipeline.pipe16Setup",
+      "pipeline.pipe18Setup", "pipeline.pipe19Inputs")
     // set EQUALITY, not subset: a dropped warmer silently opts its
     // family out of warmup (the r8 drift class), and an unpinned NEW
     // warmer is the same bug waiting for the next refactor — both

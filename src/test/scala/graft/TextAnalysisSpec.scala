@@ -592,4 +592,64 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
         s"generated method ${stats.maxMethodCodeSize} bytes exceeds " +
           s"the $hugeLimit-byte runtime fallback limit")
   }
+
+  test("t24 DSIR: plain-JVM re-derivation of the model and the quota") {
+    val B = 512
+    def h(str: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    // independent replay: scala collections + MessageDigest, no Spark
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "source", "text").collect()
+    val toks = docs.flatMap { r =>
+      r.getAs[String]("text").split(" ", -1).map(t =>
+        (r.getLong(0), r.getString(1), r.getString(2),
+          (h("t24|" + t) % B).toInt))
+    }
+    val cR = toks.groupBy(_._4).map { case (b, xs) => b -> xs.length.toLong }
+    val cT = toks.groupBy(_._4).map { case (b, xs) =>
+      b -> xs.count(_._2 == "en").toLong }
+    val nT = cT.values.sum
+    val nR = cR.values.sum
+    // the EXACT expression tree of the operator: two IEEE divisions,
+    // one subtract, one scale, floor — order matters for bit equality
+    val s = cR.keys.map { b =>
+      b -> math.floor(
+        ((cT(b) + 1L).toDouble / (nT + B).toDouble
+          - (cR(b) + 1L).toDouble / (nR + B).toDouble) * 1000000000.0).toLong
+    }.toMap
+    val expect = toks.groupBy(x => (x._1, x._2, x._3)).toSeq
+      .map { case ((id, lang, src), xs) =>
+        (id, lang, src, xs.length.toLong, xs.map(x => s(x._4)).sum) }
+      .sortBy(x => (-x._5, x._1)).take(150)
+    val got = graft.functions.TextAnalysis.t24DsirSelect(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect)
+    // DSIR pulls toward the target: selected docs' mean en-bucket
+    // affinity must be non-trivial — every selected score positive
+    // would be too strong for a shared vocab, but the top doc must
+    // strictly beat the bottom of the quota
+    assert(got.head._5 >= got.last._5)
+  }
+
+  test("t24 DSIR: selection is layout-invariant") {
+    import org.apache.spark.sql.functions.col
+    val a = graft.functions.TextAnalysis.t24DsirSelect(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t24").toString
+    Tables.load(spark, sf, "documents").repartition(13)
+      .write.parquet(s"$tmp/documents.parquet")
+    val b = graft.functions.TextAnalysis.t24DsirSelect(spark, tmp)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() > 0)
+    // integer-exact scores: the same doc has the same score bit-for-
+    // bit on both layouts (join on doc_id, compare)
+    val j = a.alias("x").join(b.alias("y"), Seq("doc_id"))
+      .filter(col("x.dsir_score") =!= col("y.dsir_score"))
+    assert(j.isEmpty)
+  }
 }
