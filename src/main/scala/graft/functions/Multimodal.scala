@@ -387,7 +387,120 @@ object Multimodal {
       |  TRUE AS lossless
       |FROM documents""".stripMargin
 
+  /** m8: perceptual near-duplicate detection — the aHash family
+    * (average-hash perceptual fingerprints, the image-dedup staple)
+    * over the media payloads, with Hamming-banded pair mining. The
+    * stub "decode" reads the payload's 64 hex nibbles as the 8×8
+    * grayscale grid a real decoder would produce (m1's discipline:
+    * the hex string is the cross-engine form of the bytes); the hash
+    * sets bit i iff pixel i exceeds the frame mean (as integers:
+    * nibble·64 > Σnibbles — no division, no float). Re-encodes are
+    * simulated by perturbing two nibbles of every 7th payload — the
+    * "same image, different compression" case exact binary dedup (m4)
+    * is blind to. Pairs are mined d4b-style: 4 bands × 16 bits, exact
+    * pigeonhole for Hamming ≤ 3 (any closer pair shares at least one
+    * full band), hot buckets capped at 64 (d3's bound — a degenerate
+    * band value must not quadratically explode the join), then the
+    * survivors are verified by exact 64-bit Hamming distance.
+    *
+    * Scale shape: hashing is one scan-projection; candidates come
+    * from a band-value equi-join whose fan-out the cap bounds; the
+    * payload bytes never shuffle — only 64-int bit arrays ride the
+    * exchange. At 100 TB this is d4b's plan with the SimHash swapped
+    * for a perceptual hash.
+    */
+  def m8PhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val origs = graft.Tables.load(s, d, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat(md5(col("text")), md5(concat(col("text"), lit("x"))))
+          .as("px"))
+    val reenc = origs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("px"), 1, 4), lit("f"),
+          substring(col("px"), 6, 34), lit("0"),
+          substring(col("px"), 41, 24)).as("px"))
+    val hashed = origs.unionByName(reenc)
+      .withColumn("tot", expr(
+        "aggregate(transform(sequence(1, 64), i -> " +
+          "cast(conv(substring(px, i, 1), 16, 10) as int)), 0, " +
+          "(acc, x) -> acc + x)"))
+      .withColumn("bits", expr(
+        "transform(sequence(1, 64), i -> " +
+          "IF(cast(conv(substring(px, i, 1), 16, 10) as int) * 64 > tot, " +
+          "1, 0))"))
+      .select("doc_id", "bits")
+    val banded = hashed
+      .select(col("doc_id"), col("bits"), explode(expr(
+        "transform(sequence(0, 3), j -> struct(j AS band, " +
+          "aggregate(transform(sequence(1, 16), k -> " +
+          "element_at(bits, 16 * j + k) * shiftleft(1, k - 1)), 0, " +
+          "(acc, x) -> acc + x) AS bv))")).as("e"))
+      .select(col("doc_id"), col("bits"),
+        col("e.band").as("band"), col("e.bv").as("bv"))
+    val okBuckets = banded.groupBy("band", "bv")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= 64).select("band", "bv")
+    val capped = banded.join(okBuckets, Seq("band", "bv"))
+    val pairs = capped.alias("a").join(capped.alias("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.bits").as("ba"), col("b.bits").as("bb"))
+      .groupBy("id_a", "id_b")
+      .agg(first(col("ba")).as("ba"), first(col("bb")).as("bb"))
+    pairs
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> abs(x - y)), 0, " +
+          "(acc, x) -> acc + x)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        (col("id_b") - col("id_a") === 1000000L).as("is_reencode"))
+  }
+
+  val m8Sql: String =
+    """WITH origs AS (
+      |  SELECT doc_id, md5(text) || md5(text || 'x') AS px
+      |  FROM documents WHERE text IS NOT NULL),
+      |reenc AS (
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    substr(px,1,4) || 'f' || substr(px,6,34) || '0'
+      |      || substr(px,41,24) AS px
+      |  FROM origs WHERE doc_id % 7 = 0),
+      |v AS (SELECT * FROM origs UNION ALL SELECT * FROM reenc),
+      |h AS (SELECT doc_id,
+      |   list_transform(range(1,65), i ->
+      |     CAST(('0x' || substr(px, CAST(i AS INT), 1)) AS BIGINT)) AS nb
+      |  FROM v),
+      |bt AS (SELECT doc_id, nb, list_sum(nb) AS tot FROM h),
+      |bits AS (SELECT doc_id,
+      |   list_transform(range(1,65), i ->
+      |     CASE WHEN nb[CAST(i AS INT)] * 64 > tot THEN 1 ELSE 0 END)
+      |     AS bits
+      |  FROM bt),
+      |banded AS (
+      |  SELECT doc_id, bits, j AS band,
+      |    list_sum(list_transform(range(1,17), k ->
+      |      bits[CAST(16*j + k AS INT)] * (1 << CAST(k-1 AS INT)))) AS bv
+      |  FROM bits, (SELECT unnest(range(0,4)) AS j)),
+      |sizes AS (SELECT band, bv, count(*) AS n FROM banded GROUP BY 1,2),
+      |capped AS (SELECT banded.* FROM banded JOIN sizes USING (band, bv)
+      |  WHERE n <= 64),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.bits AS ba, b.bits AS bb
+      |  FROM capped a JOIN capped b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |ham AS (SELECT id_a, id_b,
+      |  CAST(list_sum(list_transform(range(1,65), i ->
+      |    abs(ba[CAST(i AS INT)] - bb[CAST(i AS INT)]))) AS BIGINT)
+      |    AS hamming
+      |  FROM pairs)
+      |SELECT id_a, id_b, hamming, id_b - id_a = 1000000 AS is_reencode
+      |FROM ham WHERE hamming <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_phash_neardup" -> m8PhashNearDup,
     "m7_binary_ingest" -> m7BinaryIngest,
     "m6_shard_plan" -> m6ShardPlan,
     "m5_resize_plan" -> m5ResizePlan,
@@ -397,6 +510,7 @@ object Multimodal {
     "m4_media_dedup" -> m4MediaDedup)
 
   val oracles: Map[String, String] = Map(
+    "m8_phash_neardup" -> m8Sql,
     "m7_binary_ingest" -> m7Sql,
     "m6_shard_plan" -> m6Sql,
     "m5_resize_plan" -> m5Sql,

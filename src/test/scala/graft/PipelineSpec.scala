@@ -537,6 +537,82 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("pipe19 fault: a crash between admission and checkpoint commit " +
+    "redelivers the shard, and the at-rest index makes redelivery " +
+    "content-idempotent") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val in = Pipeline.pipe19Inputs(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_p19f")
+      .toString
+    Pipeline.publishV1Meta(spark, s"$in/base", root)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
+    val reports =
+      scala.collection.mutable.ArrayBuffer.empty[Map[String, Long]]
+    @volatile var boom = true
+    def start() = ss.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, " +
+        "n_chars LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/feed")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          reports += Pipeline.admitShard(b.sparkSession, b, root,
+              closeLoop = true)
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          if (boom) {
+            boom = false
+            // the publish landed; the CHECKPOINT for this batch never
+            // commits — the crash window a restart must survive
+            throw new RuntimeException("injected crash after admission")
+          }
+          ()
+      }
+      .start()
+    val q1 = start()
+    val crashed = intercept[Throwable] { q1.awaitTermination(300000) }
+    assert(String.valueOf(crashed.getMessage).contains("injected") ||
+      Option(crashed.getCause).exists(c =>
+        String.valueOf(c.getMessage).contains("injected")))
+    q1.stop()
+    val q2 = start()
+    assert(q2.awaitTermination(300000)); q2.stop()
+    // redelivery: the first file re-admits against an index that
+    // already holds its fingerprints — everything rejected
+    assert(reports.length == 3, s"expected crash+redelivery+second: " +
+      s"${reports.length} admissions")
+    assert(reports(0)("admitted_new") > 0L)
+    assert(reports(1)("admitted_new") == 0L,
+      "redelivered shard must be fully rejected by the index")
+    assert(reports(1)("rejected_dup") == reports(0)("admitted_new") +
+      reports(0)("rejected_dup"))
+    // final content is EXACTLY the clean run's: base + new shard fps
+    val manifest = spark.read.parquet(s"$root/manifest")
+    val tip = manifest.agg(max(col("version"))).head.getLong(0)
+    assert(tip == 4L, "v2 admission, v3 empty redelivery, v4 second shard")
+    def countOf(v: Long): Long =
+      manifest.filter(col("version") === v).select("path").distinct()
+        .collect().map(_.getString(0))
+        .map(spark.read.parquet(_)).reduce(_ unionByName _).count()
+    val docs = Tables.load(spark, sf, "documents")
+    val fp = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+    val hasText = col("text").isNotNull && length(col("text")) > 0
+    val base = docs.filter(col("doc_id") % 5 <= 2)
+    val sh = docs.filter(col("doc_id") % 5 >= 3)
+    val newFp = sh.filter(hasText).select(fp.as("fp")).distinct()
+      .join(base.filter(hasText).select(fp.as("fp")).distinct(),
+        Seq("fp"), "left_anti").count()
+    val shNulls = sh.filter(!hasText).count()
+    assert(countOf(4L) == base.count() + newFp + shNulls,
+      "crash + redelivery must not change the final corpus")
+    assert(countOf(3L) == countOf(2L),
+      "the redelivered publish must be an empty delta")
+  }
+
   test("pipe19: streaming admission lands on the batch-derived " +
     "accounting — one version per arriving shard") {
     import org.apache.spark.sql.functions._

@@ -593,6 +593,60 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
           s"the $hugeLimit-byte runtime fallback limit")
   }
 
+  test("m8 phash near-dup: plain-JVM replay — banding finds exactly " +
+    "the capped Hamming<=3 pairs, and pigeonhole holds") {
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "text").collect()
+    val vars = scala.collection.mutable.Map.empty[Long, String]
+    for (r <- docs) {
+      val p = md5hex(r.getString(1)) + md5hex(r.getString(1) + "x")
+      vars(r.getLong(0)) = p
+      if (r.getLong(0) % 7 == 0)
+        vars(r.getLong(0) + 1000000L) =
+          p.substring(0, 4) + "f" + p.substring(5, 39) + "0" + p.substring(40)
+    }
+    def bitsOf(p: String): Array[Int] = {
+      val nb = p.map(c => Integer.parseInt(c.toString, 16)).toArray
+      val tot = nb.sum
+      nb.map(n => if (n * 64 > tot) 1 else 0)
+    }
+    val bits = vars.map { case (d, p) => d -> bitsOf(p) }
+    def bands(bs: Array[Int]): Seq[(Int, Int)] =
+      (0 until 4).map(j =>
+        j -> (0 until 16).map(k => bs(16 * j + k) << k).sum)
+    val buckets = scala.collection.mutable
+      .Map.empty[(Int, Int), List[Long]].withDefaultValue(Nil)
+    for ((d, bs) <- bits; (j, bv) <- bands(bs))
+      buckets((j, bv)) = d :: buckets((j, bv))
+    def ham(a: Long, b: Long): Int =
+      bits(a).zip(bits(b)).count { case (x, y) => x != y }
+    val expect = (for {
+      (_, ds) <- buckets.toSeq if ds.length <= 64
+      a <- ds; b <- ds if a < b
+    } yield (a, b)).distinct
+      .filter { case (a, b) => ham(a, b) <= 3 }
+      .map { case (a, b) => (a, b, ham(a, b).toLong, b - a == 1000000L) }
+      .sortBy(x => (x._1, x._2))
+    // pigeonhole sanity: with NO cap, every Hamming<=3 pair shares a
+    // band — the banding itself loses nothing
+    val all = bits.keys.toSeq.sorted
+    for (i <- all.indices; j <- (i + 1) until all.length
+         if ham(all(i), all(j)) <= 3)
+      assert(bands(bits(all(i))).toSet
+        .intersect(bands(bits(all(j))).toSet).nonEmpty)
+    val got = graft.functions.Multimodal.m8PhashNearDup(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty, "the injected re-encodes must be found")
+  }
+
   test("t24 DSIR: plain-JVM re-derivation of the model and the quota") {
     val B = 512
     def h(str: String): Long = {
