@@ -1405,10 +1405,14 @@ object Pipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val report = admitShard(batch.sparkSession, batch, root,
-            closeLoop = true)
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        acc += ((report("admitted_new"), report("rejected_dup"),
-          report("published_version")))
+          closeLoop = true).collect()
+        // read ONLY the accounting rows — gate rows carry NULL
+        // value_x1e6 on zero-denominator audits (the empty corpus),
+        // and Row.getLong on NULL throws
+        def v(g: String): Long =
+          report.find(_.getString(0) == g).get.getLong(1)
+        acc += ((v("admitted_new"), v("rejected_dup"),
+          v("published_version")))
         ()
       }
       .start()

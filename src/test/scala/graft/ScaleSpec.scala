@@ -313,7 +313,16 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // bounded D×W cell table as state, plus a39's bounded probe
       // read-off batch-side; a49 is three row-linear passes ending
       // in bounded histograms / one aggregate row
-      "a48_streaming_cms", "a49_outlier_mad")
+      "a48_streaming_cms", "a49_outlier_mad",
+      // t24 is one token-stream groupBy into a FIXED 512-bucket model
+      // + one equi-join back + a per-doc groupBy — two corpus-linear
+      // exchanges, model size constant in N; m8 is d4b's banded-pair
+      // plan over the perceptual hash (cap bounds the join fan-out);
+      // pipe19 is pipe15's admission loop (linear staging writes +
+      // bounded audits) under the micro-batch overhead, publish
+      // metadata-only against the memoized landing dir
+      "t24_dsir_select", "m8_phash_neardup",
+      "pipe19_streaming_admission")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
