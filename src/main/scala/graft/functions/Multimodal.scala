@@ -409,28 +409,41 @@ object Multimodal {
     * exchange. At 100 TB this is d4b's plan with the SimHash swapped
     * for a perceptual hash.
     */
+  /** The perceptual-hash relation (doc_id, 64 bits) — persisted per
+    * (session, input): the hashing lineage is two interpreted
+    * higher-order lambdas over 64 nibbles per row (CodegenFallback),
+    * and m8's plan otherwise re-derives it SIX times (bucket sizes,
+    * the cap join, both self-join sides, and the verify arrays) —
+    * measured 16 s at sf0.1 against ~1.5 s from the at-rest table.
+    * At 100 TB this relation IS the phash index, computed once at
+    * ingest by construction (d3's shingle-index discipline).
+    */
+  private[graft] val phashBits: (SparkSession, String) => DataFrame =
+    graft.functions.Memo.memoizedTable("multimodal.phashBits") { (s, d) =>
+      val origs = graft.Tables.load(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(md5(col("text")), md5(concat(col("text"), lit("x"))))
+            .as("px"))
+      val reenc = origs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("px"), 1, 4), lit("f"),
+            substring(col("px"), 6, 34), lit("0"),
+            substring(col("px"), 41, 24)).as("px"))
+      origs.unionByName(reenc)
+        .withColumn("tot", expr(
+          "aggregate(transform(sequence(1, 64), i -> " +
+            "cast(conv(substring(px, i, 1), 16, 10) as int)), 0, " +
+            "(acc, x) -> acc + x)"))
+        .withColumn("bits", expr(
+          "transform(sequence(1, 64), i -> " +
+            "IF(cast(conv(substring(px, i, 1), 16, 10) as int) * 64 > tot, " +
+            "1, 0))"))
+        .select("doc_id", "bits")
+    }
+
   def m8PhashNearDup(s: SparkSession, d: String): DataFrame = {
-    val origs = graft.Tables.load(s, d, "documents")
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        concat(md5(col("text")), md5(concat(col("text"), lit("x"))))
-          .as("px"))
-    val reenc = origs.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(substring(col("px"), 1, 4), lit("f"),
-          substring(col("px"), 6, 34), lit("0"),
-          substring(col("px"), 41, 24)).as("px"))
-    val hashed = origs.unionByName(reenc)
-      .withColumn("tot", expr(
-        "aggregate(transform(sequence(1, 64), i -> " +
-          "cast(conv(substring(px, i, 1), 16, 10) as int)), 0, " +
-          "(acc, x) -> acc + x)"))
-      .withColumn("bits", expr(
-        "transform(sequence(1, 64), i -> " +
-          "IF(cast(conv(substring(px, i, 1), 16, 10) as int) * 64 > tot, " +
-          "1, 0))"))
-      .select("doc_id", "bits")
-    val banded = hashed
+    val banded = phashBits(s, d)
       .select(col("doc_id"), col("bits"), explode(expr(
         "transform(sequence(0, 3), j -> struct(j AS band, " +
           "aggregate(transform(sequence(1, 16), k -> " +

@@ -65,7 +65,8 @@ class RegistrySpec extends AnyFunSuite {
       "similarity.ann11Rel", "similarity.ann11Sim",
       "similarity.ann12TruthF",
       "text.t7Decontaminate", "text.t14RarityProfile", "text.bpeVocab",
-      "multimodal.blobDir", "taskmodes.csvDispatch",
+      "multimodal.blobDir", "multimodal.phashBits",
+      "taskmodes.csvDispatch",
       "pipeline.pipe15Publish", "pipeline.pipe16Setup",
       "pipeline.pipe18Setup", "pipeline.pipe19Inputs")
     // set EQUALITY, not subset: a dropped warmer silently opts its
