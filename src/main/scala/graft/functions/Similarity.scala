@@ -1886,7 +1886,67 @@ object Similarity {
        |${rows.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  // --------------------------------------------------- ann15 NN join
+
+  /** ann15: nearest-neighbor JOIN — match EVERY vector of the working
+    * corpus (vec_id % 3 ≠ 0) to its best reference vector (vec_id %
+    * 3 = 0), restricted to the shared IVF cell. The all-rows analogue
+    * of ann2's per-query search: label transfer, nearest-reference
+    * lookup, and cross-corpus alignment all run this shape, where the
+    * "query set" is the entire corpus and a per-query broadcast is
+    * impossible. Emits (vec_id, match_id, cos quantized at 1e-6 by
+    * ONE fixed IEEE tree, same_label — the label-transfer agreement
+    * signal). Rows whose cell holds no reference are absent (the
+    * honest coverage semantics of single-probe IVF; ann10's probe
+    * widening is the recall lever).
+    *
+    * Scale shape: one cell-keyed equi-join against the memoized
+    * assignment relation (fan-out bounded by cell occupancy — at
+    * rest the cell is a partition key, so each task reads one cell
+    * of each side) and a partial-aggregable arg-max
+    * (max(struct(cos, -rid))) — never a window over the pair
+    * relation, no per-query state, nothing broadcast.
+    */
+  def ann15NnJoin(s: SparkSession, d: String): DataFrame = {
+    val a = assignedCells(s, d).filter(col("nrm") > 0)
+    val left = a.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("cell"))
+    val ref = a.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("rid"), col("label").as("rlabel"),
+        col("v").as("rv"), col("nrm").as("rnrm"), col("cell"))
+    left.join(ref, Seq("cell"))
+      .withColumn("cos",
+        dot(col("v"), col("rv")) / (col("nrm") * col("rnrm")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("cos"), (-col("rid")).as("nrid"),
+        col("rlabel"))).as("best"))
+      .select(col("vec_id"), (-col("best.nrid")).as("match_id"),
+        floor(col("best.cos") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("cos_x1e6"),
+        (col("best.rlabel") === col("label")).as("same_label"))
+  }
+
+  val ann15Sql: String =
+    s"""WITH c AS ($corpusSql),
+       |$assignedSqlCte,
+       |l AS (SELECT vec_id, label, v, nrm, cell FROM assigned
+       |      WHERE nrm > 0 AND vec_id % 3 <> 0),
+       |r AS (SELECT vec_id AS rid, label AS rlabel, v AS rv,
+       |        nrm AS rnrm, cell FROM assigned
+       |      WHERE nrm > 0 AND vec_id % 3 = 0),
+       |p AS (SELECT l.vec_id, l.label, r.rid, r.rlabel,
+       |        ${dotSql("l.v", "r.rv")} / (l.nrm * r.rnrm) AS cos
+       |      FROM l JOIN r USING (cell))
+       |SELECT vec_id, rid AS match_id,
+       |  CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_x1e6,
+       |  rlabel = label AS same_label
+       |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cos DESC, rid ASC) AS rn FROM p) t
+       |WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann15_nn_join" -> ann15NnJoin,
     "ann12_filtered_search" -> ann12FilteredSearch,
     "ann11_mmr_rerank" -> ann11MmrRerank,
     "ann9_hybrid_rrf" -> ann9HybridRrf,
@@ -1906,6 +1966,7 @@ object Similarity {
     "d11_semantic_dedup" -> d11SemanticDedup)
 
   val oracles: Map[String, String] = Map(
+    "ann15_nn_join" -> ann15Sql,
     "ann12_filtered_search" -> ann12Sql,
     "ann11_mmr_rerank" -> ann11Sql,
     "ann9_hybrid_rrf" -> ann9Sql,

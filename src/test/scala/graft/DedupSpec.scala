@@ -688,4 +688,40 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r.getAs[Boolean]("reindex") == (scaled > 50000L))
     assert(r.getAs[Long]("n_cells") >= 1)
   }
+
+  test("ann15 NN join: plain replay from the assignment relation — " +
+    "per-left arg-max within the shared cell") {
+    import graft.functions.Similarity
+    val assigned = Similarity.assignedCells(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Double]]("v").toArray, r.getAs[Double]("nrm"),
+        r.getAs[Long]("cell")))
+      .filter(_._4 > 0)
+    def cos(a: Array[Double], an: Double, b: Array[Double],
+        bn: Double): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 } // ascending IEEE
+      s / (an * bn)
+    }
+    val refs = assigned.filter(_._1 % 3 == 0).groupBy(_._5)
+    val expect = assigned.filter(_._1 % 3 != 0).flatMap {
+      case (id, label, v, nrm, cell) =>
+        refs.get(cell).map { rs =>
+          val best = rs.map { case (rid, rlabel, rv, rnrm, _) =>
+            (cos(v, nrm, rv, rnrm), rid, rlabel) }
+            .minBy { case (c, rid, _) => (-c, rid) }
+          (id, best._2, math.floor(best._1 * 1000000.0 + 0.5).toLong,
+            best._3 == label)
+        }
+    }.toSet
+    val got = Similarity.ann15NnJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // coverage is honest single-probe IVF: never more matches than
+    // working vectors, and every match comes from the reference slice
+    assert(got.size <= assigned.count(_._1 % 3 != 0))
+    assert(got.forall(_._2 % 3 == 0))
+  }
 }
