@@ -47,7 +47,12 @@ object Bench {
     // own state-store instances and pays its own streaming-plan codegen
     "a46_streaming_hll", "a47_streaming_quantiles", "a48_streaming_cms",
     // w12's session-window state store is its own shape again
-    "w12_streaming_sessionize")
+    "w12_streaming_sessionize",
+    // pipe19's file-source foreachBatch loop is its own streaming
+    // shape (source planning + per-batch commit log + the admission
+    // plan's codegen) — the inputs are memo-warmed, the machinery
+    // is not
+    "pipe19_streaming_admission")
 
   /** One timed run: (seconds, result rows); (-1.0, -1) on failure
     * (never time-to-exception — broken queries must be visible in

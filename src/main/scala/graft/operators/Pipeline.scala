@@ -678,6 +678,11 @@ object Pipeline {
     */
   private[graft] def publishBaseV1(s: SparkSession, base: DataFrame,
       root: String): Unit = {
+    // guard BEFORE the landing write: a double publish must be
+    // rejected before any file is touched — data/v1 is referenced by
+    // the live manifest, and Overwrite would tear it for readers
+    // mid-resolve even though publishV1Meta's own guard fires later
+    requireUnpublished(s, root)
     base.write.mode(SaveMode.Overwrite).parquet(s"$root/data/v1")
     publishV1Meta(s, s"$root/data/v1", root)
   }
@@ -689,20 +694,26 @@ object Pipeline {
     * landing dir (pipe19's case); [[publishBaseV1]] is this plus the
     * landing write.
     */
-  private[graft] def publishV1Meta(s: SparkSession, basePath: String,
-      root: String): Unit = {
-    import s.implicits._
-    // Fail-fast double-publish guard: every at-rest relation below is
-    // APPEND-mode, so a second v1 publish on the same root would not
-    // error — it would silently DOUBLE every stat and fingerprint
-    // delta and poison all subsequent composed audits. A root is
-    // published at most once; increments go through [[admitShard]].
+  /** Fail-fast double-publish guard: every at-rest relation in the
+    * v1 publish is APPEND-mode, so a second publish on the same root
+    * would not error — it would silently DOUBLE every stat and
+    * fingerprint delta and poison all subsequent composed audits. A
+    * root is published at most once; increments go through
+    * [[admitShard]].
+    */
+  private def requireUnpublished(s: SparkSession, root: String): Unit = {
     val mPath = new org.apache.hadoop.fs.Path(s"$root/manifest")
     require(!mPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         .exists(mPath),
       s"pipe15PublishV1: $root already holds a manifest — publishing " +
         "v1 twice would double-count the append-only index and stats; " +
         "admit increments via admitShard instead")
+  }
+
+  private[graft] def publishV1Meta(s: SparkSession, basePath: String,
+      root: String): Unit = {
+    import s.implicits._
+    requireUnpublished(s, root)
     // v1 deltas are written OVERWRITE (the rest of the loop appends):
     // the guard above keys on the manifest, which lands LAST, so a
     // publish that died between a stats append and the manifest
@@ -1069,6 +1080,17 @@ object Pipeline {
     * publish as `fromV + 1`; report (version, n_docs, row_checksum)
     * for both versions.
     */
+  /** The five-column checksum/fingerprint spec of the documents
+    * corpus — ONE definition for compactVersion, rollbackTo, and
+    * both their oracles: a drifted copy would silently desynchronize
+    * an engine row checksum from the SQL it is hash-compared
+    * against.
+    */
+  private val docChkCols: Seq[NormCol] =
+    Seq(NormCol("doc_id", KLong), NormCol("text", KStr),
+      NormCol("lang", KStr), NormCol("source", KStr),
+      NormCol("n_chars", KLong))
+
   private[graft] def compactVersion(s: SparkSession, root: String,
       fromV: Long): DataFrame = {
     import s.implicits._
@@ -1109,9 +1131,7 @@ object Pipeline {
       Seq((nextV, target)).toDF("version", "path")
         .write.mode(SaveMode.Append).parquet(s"$root/manifest")
     if (isReplay) deleteTree(writePath)
-    val chkCols = Seq(NormCol("doc_id", KLong), NormCol("text", KStr),
-      NormCol("lang", KStr), NormCol("source", KStr),
-      NormCol("n_chars", KLong))
+    val chkCols = docChkCols
     def summarize(v: Long, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"),
           Norm.sparkRowChecksum(chkCols).as("row_checksum"))
@@ -1151,10 +1171,11 @@ object Pipeline {
     * rewrite-invisibility contract from a reader's point of view,
     * now a hash-gated row rather than a scaladoc promise.
     *
-    * 100 TB shape: each transition is two doc_id-keyed anti-joins
-    * and one equi-join over the two resolved file sets (row-hash
-    * compare for in-place changes) — one shuffle each, no
-    * corpus-sized state; versions resolve through the manifest's
+    * 100 TB shape: each version's (doc_id, row-hash) relation is
+    * materialized once — middle versions feed two transitions — and
+    * each transition is ONE doc_id-keyed full-outer join whose
+    * single pass yields added, removed, and changed together; no
+    * corpus-sized state, and versions resolve through the manifest's
     * bounded listing.
     */
   def pipe17VersionDiff(s: SparkSession, d: String): DataFrame = {
@@ -1168,25 +1189,43 @@ object Pipeline {
         .collect().map(_.getString(0)).sorted
         .map(s.read.parquet(_)).reduce(_ unionByName _)
     // engine-side row hash (never crosses to the oracle — only the
-    // COUNTS do): any column edit flips it
-    val rowHash = Norm.xhash64(concat_ws("",
+    // COUNTS do): any column edit flips it. The concat separator is
+    // \u0001 (invisible in most renderings — it is NOT an empty
+    // string): boundary-shifted edits cannot collide unless a column
+    // value itself contains \u0001.
+    val rowHash = Norm.xhash64(concat_ws("\u0001",
       col("doc_id").cast("string"),
       coalesce(col("text"), lit("")), coalesce(col("lang"), lit("")),
       coalesce(col("source"), lit("")),
       coalesce(col("n_chars").cast("string"), lit(""))))
-    versions.sliding(2).collect { case Array(a, b) =>
-      val fa = resolve(a).select(col("doc_id"), rowHash.as("h"))
-      val fb = resolve(b).select(col("doc_id"), rowHash.as("h2"))
-      fb.join(fa.select("doc_id"), Seq("doc_id"), "left_anti")
-        .agg(count(lit(1)).as("n_added"))
-        .crossJoin(fa.join(fb.select("doc_id"), Seq("doc_id"), "left_anti")
-          .agg(count(lit(1)).as("n_removed")))
-        .crossJoin(fa.join(fb, "doc_id")
-          .filter(col("h") =!= col("h2"))
-          .agg(count(lit(1)).as("n_changed")))
-        .select(lit(a).as("from_version"), lit(b).as("to_version"),
-          col("n_added"), col("n_removed"), col("n_changed"))
-    }.reduce(_ unionAll _)
+    // each version's hash relation is materialized ONCE (middle
+    // versions feed two transitions); each transition is ONE
+    // doc_id-keyed full-outer join whose single pass yields all
+    // three counts — the old shape re-resolved each version per
+    // transition side and re-scanned both sides once per count
+    val hashed = versions.map(v => v ->
+      resolve(v).select(col("doc_id"), rowHash.as("h"))
+        .localCheckpoint(true)).toMap
+    val rows = versions.sliding(2).collect { case Array(a, b) =>
+      val r = hashed(a).withColumnRenamed("h", "ha")
+        .join(hashed(b).withColumnRenamed("h", "hb"),
+          Seq("doc_id"), "full_outer")
+        .agg(
+          sum(when(col("ha").isNull && col("hb").isNotNull, 1L)
+            .otherwise(0L)).as("n_added"),
+          sum(when(col("hb").isNull && col("ha").isNotNull, 1L)
+            .otherwise(0L)).as("n_removed"),
+          sum(when(col("ha").isNotNull && col("hb").isNotNull &&
+            col("ha") =!= col("hb"), 1L).otherwise(0L)).as("n_changed"))
+        .head
+      (a, b, r.getLong(0), r.getLong(1), r.getLong(2))
+    }.toSeq
+    // bounded local relation (versions - 1 rows): also keeps the
+    // checkpointed lineage out of a union (the Spark 4.1.2
+    // LogicalRDD-constraint rewrite trap this repo pins elsewhere)
+    import s.implicits._
+    rows.toDF("from_version", "to_version",
+      "n_added", "n_removed", "n_changed")
   }
 
   /** The settled root's transitions, stated from the raw corpus. */
@@ -1205,9 +1244,7 @@ object Pipeline {
     * duplicated, or mutated hash-mismatches.
     */
   val pipe16Sql: String = {
-    val chkCols = Seq(NormCol("doc_id", KLong), NormCol("text", KStr),
-      NormCol("lang", KStr), NormCol("source", KStr),
-      NormCol("n_chars", KLong))
+    val chkCols = docChkCols
     def row(v: Long) =
       s"""SELECT CAST($v AS BIGINT) AS version,
          |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -1286,9 +1323,7 @@ object Pipeline {
     else require(existing == target,
       s"rollbackTo: version $toV is already published with a different " +
         s"file set (fork) — refusing to re-stamp it as a rollback")
-    val chkCols = Seq(NormCol("doc_id", KLong), NormCol("text", KStr),
-      NormCol("lang", KStr), NormCol("source", KStr),
-      NormCol("n_chars", KLong))
+    val chkCols = docChkCols
     val shared = paths(toV) == target
     def row(v: Long) =
       paths(v).map(s.read.parquet(_)).reduce(_ unionByName _)
@@ -1308,9 +1343,7 @@ object Pipeline {
     * 4/5 slice) — the rollback published v1's files as v4.
     */
   val pipe18Sql: String = {
-    val chkCols = Seq(NormCol("doc_id", KLong), NormCol("text", KStr),
-      NormCol("lang", KStr), NormCol("source", KStr),
-      NormCol("n_chars", KLong))
+    val chkCols = docChkCols
     def row(v: Long) =
       s"""SELECT CAST($v AS BIGINT) AS version,
          |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -1411,8 +1444,14 @@ object Pipeline {
         // and Row.getLong on NULL throws
         def v(g: String): Long =
           report.find(_.getString(0) == g).get.getLong(1)
-        acc += ((v("admitted_new"), v("rejected_dup"),
-          v("published_version")))
+        // a gate-FAILED batch publishes nothing — its shard is held,
+        // not decided, so neither its admitted nor its rejected rows
+        // enter the published corpus's accounting (n_docs_final must
+        // describe the at-rest tip, which did not grow)
+        val pass = report.find(_.getString(0) == "published_version")
+          .get.getAs[Boolean]("pass")
+        acc += ((if (pass) v("admitted_new") else 0L,
+          if (pass) v("rejected_dup") else 0L, v("published_version")))
         ()
       }
       .start()

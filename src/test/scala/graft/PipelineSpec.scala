@@ -310,10 +310,21 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val root = java.nio.file.Files.createTempDirectory("graft_p15d")
       .toString
     Pipeline.pipe15PublishV1(spark, sf, root)
+    // snapshot the published v1 files: the guard must fire BEFORE the
+    // landing write, or the rejected double publish still tears the
+    // live-referenced data dir (review-caught ordering regression)
+    val before = new java.io.File(s"$root/data/v1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
     val e = intercept[IllegalArgumentException] {
       Pipeline.pipe15PublishV1(spark, sf, root)
     }
     assert(e.getMessage.contains("already holds a manifest"))
+    val after = new java.io.File(s"$root/data/v1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    assert(after == before,
+      "a rejected double publish must not touch the published files")
   }
 
   test("pipe15: atVersion pinning is real — a pinned-to-v1 replay on a " +
