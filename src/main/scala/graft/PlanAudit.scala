@@ -37,8 +37,6 @@ object PlanAudit {
     *    onto the per-language bucket summaries (resp. O(sources) rows).
     *  - pipe8: crossJoin of the single-row leakage audit onto the
     *    3-row split summary.
-    *  - pipe17: crossJoins of the three single-row diff aggregates
-    *    per version transition (a19's single-row class).
     *  - t16: single-row broadcast crossJoin of each merge round's
     *    argmax pair onto the corpus relation (TakeOrderedAndProject
     *    top-1, bounded by construction).
@@ -58,7 +56,7 @@ object PlanAudit {
     "a19_object_overview", "a39_heavy_hitters_cms",
     "a48_streaming_cms",
     "pipe5_token_mixture", "pipe8_leakage_split",
-    "pipe9_temperature_mixture", "pipe17_version_diff",
+    "pipe9_temperature_mixture",
     "t16_bpe_merges",
     "ann13_reindex_gate", "s18_overlap_depth",
     "d20_source_overlap")

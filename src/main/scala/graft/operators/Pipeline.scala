@@ -1210,13 +1210,14 @@ object Pipeline {
       val r = hashed(a).withColumnRenamed("h", "ha")
         .join(hashed(b).withColumnRenamed("h", "hb"),
           Seq("doc_id"), "full_outer")
-        .agg(
-          sum(when(col("ha").isNull && col("hb").isNotNull, 1L)
-            .otherwise(0L)).as("n_added"),
-          sum(when(col("hb").isNull && col("ha").isNotNull, 1L)
-            .otherwise(0L)).as("n_removed"),
-          sum(when(col("ha").isNotNull && col("hb").isNotNull &&
-            col("ha") =!= col("hb"), 1L).otherwise(0L)).as("n_changed"))
+        .agg( // coalesced: sum over the EMPTY join (empty corpus) is NULL
+          coalesce(sum(when(col("ha").isNull && col("hb").isNotNull, 1L)
+            .otherwise(0L)), lit(0L)).as("n_added"),
+          coalesce(sum(when(col("hb").isNull && col("ha").isNotNull, 1L)
+            .otherwise(0L)), lit(0L)).as("n_removed"),
+          coalesce(sum(when(col("ha").isNotNull && col("hb").isNotNull &&
+            col("ha") =!= col("hb"), 1L).otherwise(0L)), lit(0L))
+            .as("n_changed"))
         .head
       (a, b, r.getLong(0), r.getLong(1), r.getLong(2))
     }.toSeq
