@@ -1656,7 +1656,61 @@ object Dedup {
        |FROM pairs p
        |LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b""".stripMargin
 
+  /** d21: per-document NOVELTY profile — what fraction of a doc's
+    * shingles appear NOWHERE else in the corpus (df = 1 over the
+    * shared inverted index). The curation signal between exact dup
+    * (novelty 0 for every copy past the first) and boilerplate
+    * (template-heavy docs score low without being duplicates of any
+    * ONE doc — the case the pair miners structurally miss because no
+    * single pair crosses their thresholds); mixture builds upweight
+    * high-novelty docs the same way soft-dedup (d18) downweights
+    * cluster mass. Emits per doc (n_sh, n_unique, novelty ×1e6,
+    * band); docs under one shingle (< 3 words) are absent, as in
+    * every shingle consumer.
+    *
+    * Scale shape: rides THE memoized shingle index — one
+    * partial-aggregable df groupBy, one hash equi-join back, one
+    * per-doc groupBy. No pair relation is ever formed: novelty is
+    * linear in the index where the dedup miners are quadratic per
+    * bucket.
+    */
+  def d21NoveltyProfile(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleIndex(s, d).select(col("doc_id"), col("h1").as("shingle"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_x1e6",
+        floor(col("n_unique").cast("double") * 1000000.0 /
+          col("n_sh").cast("double")).cast("long"))
+      .withColumn("band",
+        when(col("novelty_x1e6") >= 900000L, lit("HIGH"))
+          .when(col("novelty_x1e6") >= 500000L, lit("MEDIUM"))
+          .otherwise(lit("LOW")))
+  }
+
+  val d21Sql: String =
+    s"""WITH sh0 AS ($shinglesSql),
+       |sh AS (SELECT doc_id, ${xhash64Sql("shingle")} AS shingle FROM sh0),
+       |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_sh,
+       |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_unique
+       |  FROM sh JOIN dfreq USING (shingle) GROUP BY 1)
+       |SELECT doc_id, n_sh, n_unique,
+       |  CAST(floor(CAST(n_unique AS DOUBLE) * 1000000.0 /
+       |    CAST(n_sh AS DOUBLE)) AS BIGINT) AS novelty_x1e6,
+       |  CASE WHEN CAST(floor(CAST(n_unique AS DOUBLE) * 1000000.0 /
+       |      CAST(n_sh AS DOUBLE)) AS BIGINT) >= 900000 THEN 'HIGH'
+       |    WHEN CAST(floor(CAST(n_unique AS DOUBLE) * 1000000.0 /
+       |      CAST(n_sh AS DOUBLE)) AS BIGINT) >= 500000 THEN 'MEDIUM'
+       |    ELSE 'LOW' END AS band
+       |FROM per""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_novelty_profile" -> d21NoveltyProfile,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d3_minhash_lsh" -> d3MinhashLsh,
@@ -1678,6 +1732,7 @@ object Dedup {
     "pipe8_leakage_split" -> pipe8LeakageSplit)
 
   val oracles: Map[String, String] = Map(
+    "d21_novelty_profile" -> d21Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_ngram_jaccard" -> d2Sql,
     "d3_minhash_lsh" -> d3Sql,

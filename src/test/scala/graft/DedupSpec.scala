@@ -689,6 +689,36 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r.getAs[Long]("n_cells") >= 1)
   }
 
+  test("d21 novelty: per-doc uniques sum to the global df=1 count, " +
+    "formula and bands internally consistent") {
+    val out = Dedup.d21NoveltyProfile(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_sh"),
+        r.getAs[Long]("n_unique"), r.getAs[Long]("novelty_x1e6"),
+        r.getAs[String]("band")))
+    assert(out.nonEmpty)
+    for ((_, nsh, nu, nov, band) <- out) {
+      assert(nu >= 0 && nu <= nsh)
+      assert(nov == math.floor(nu.toDouble * 1000000.0 / nsh).toLong)
+      assert(band == (if (nov >= 900000L) "HIGH"
+        else if (nov >= 500000L) "MEDIUM" else "LOW"))
+    }
+    // independent re-derivation of the global identity: every df=1
+    // shingle key belongs to exactly one doc, so Σ n_unique over docs
+    // must equal the count of singleton keys — computed here from the
+    // raw corpus with the same public shingle expr + hash, NOT the
+    // operator's index
+    val sh = Tables.load(spark, sf, "documents")
+      .withColumn("w", TextAnalysis.words(col("text")))
+      .withColumn("sh", expr(TextAnalysis.shingleExpr))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"),
+        graft.functions.Norm.xhash64(col("shingle")).as("k"))
+    val singles = sh.groupBy("k").agg(count(lit(1)).as("df"))
+      .filter(col("df") === 1).count()
+    assert(out.map(_._3).sum == singles)
+    assert(out.length == sh.select("doc_id").distinct().count())
+  }
+
   test("ann15 NN join: plain replay from the assignment relation — " +
     "per-left arg-max within the shared cell") {
     import graft.functions.Similarity
