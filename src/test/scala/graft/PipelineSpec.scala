@@ -624,6 +624,38 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "the redelivered publish must be an empty delta")
   }
 
+  test("pipe17: version-hash materialization is scratch-parquet, not " +
+    "block-manager state — scratch provably deleted, result plan " +
+    "holds no LogicalRDD") {
+    def scratchDirs(): Set[String] = {
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir")).listFiles()
+      if (tmp == null) Set.empty
+      else tmp.filter(_.getName.startsWith("graft_pipe17_hash"))
+        .map(_.getAbsolutePath).toSet
+    }
+    val before = scratchDirs()
+    val df = Pipeline.pipe17VersionDiff(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    // the settled root's story: v1→v2 adds the admitted survivors,
+    // v2→v3 (the compaction) is invisible to a reader
+    assert(rows.map(t => (t._1, t._2)) == Seq((1L, 2L), (2L, 3L)))
+    assert(rows(0)._3 > 0L && rows(0)._4 == 0L && rows(0)._5 == 0L)
+    assert(rows(1)._3 == 0L && rows(1)._4 == 0L && rows(1)._5 == 0L)
+    // the corpus-sized hash relations lived ONLY in scratch parquet
+    // and are gone the moment the bounded rows are collected — the
+    // r13 finding's contract (no localCheckpoint pinning executor
+    // block storage until GC)
+    assert(scratchDirs() == before,
+      "pipe17 left version-hash scratch dirs behind")
+    // the result is a bounded local relation: no LogicalRDD (the
+    // localCheckpoint residue) anywhere in its plan
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LogicalRDD"),
+      s"pipe17 plan still carries checkpointed lineage:\n$plan")
+  }
+
   test("pipe19: streaming admission lands on the batch-derived " +
     "accounting — one version per arriving shard") {
     import org.apache.spark.sql.functions._
