@@ -43,6 +43,10 @@ object PlanAudit {
     *  - ann13: broadcast of the C updated centroids against the
     *    corpus (the re-assignment pass has no join key — ann6/ann10's
     *    probe shape) plus single-row summary crossJoins.
+    *  - ann15b: broadcast centroid ranking over the working corpus
+    *    (the probe step has no join key — ann6/ann10's shape at
+    *    corpus width) plus single-row coverage crossJoins; the
+    *    candidate join itself is a cell-keyed equi-join.
     *  - s18: crossJoin of the single-row max-key aggregate onto the
     *    key relation (the arithmetic file assignment needs the global
     *    range; a19's single-row class).
@@ -58,7 +62,7 @@ object PlanAudit {
     "pipe5_token_mixture", "pipe8_leakage_split",
     "pipe9_temperature_mixture",
     "t16_bpe_merges",
-    "ann13_reindex_gate", "s18_overlap_depth",
+    "ann13_reindex_gate", "ann15b_probe_coverage", "s18_overlap_depth",
     "d20_source_overlap")
 
   /** One audited query: which flags its physical plan raised, or the

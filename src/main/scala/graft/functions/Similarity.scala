@@ -1897,8 +1897,9 @@ object Similarity {
     * impossible. Emits (vec_id, match_id, cos quantized at 1e-6 by
     * ONE fixed IEEE tree, same_label — the label-transfer agreement
     * signal). Rows whose cell holds no reference are absent (the
-    * honest coverage semantics of single-probe IVF; ann10's probe
-    * widening is the recall lever).
+    * honest coverage semantics of single-probe IVF;
+    * [[ann15bProbeCoverage]] applies the probe-widening lever and
+    * states the coverage curve).
     *
     * Scale shape: one cell-keyed equi-join against the memoized
     * assignment relation (fan-out bounded by cell occupancy — at
@@ -1945,8 +1946,116 @@ object Similarity {
        |        ORDER BY cos DESC, rid ASC) AS rn FROM p) t
        |WHERE rn = 1""".stripMargin
 
+  /** ann15b: probe-widened NN join — ann15 with ann10's recall lever
+    * applied to the all-rows shape: each working vector probes its
+    * top-`nprobe` centroid cells (not just its assigned cell), so
+    * vectors whose own cell holds no reference — silently ABSENT
+    * from single-probe ann15 — get matched from the next-nearest
+    * cells. One row per nprobe ∈ {1, 2, 4} states the coverage
+    * curve: n_matched / n_vecs (quantized at 1e-6), how many matches
+    * agree with the single-probe answer, and the monotone-improvement
+    * invariant n_cos_geq_np1 (for every vector both widths answer,
+    * the widened cosine is ≥ the single-probe one — the candidate
+    * set only grows; the hash-checked count pins it, ann7's
+    * recall_refined ≥ recall_nprobe1 discipline).
+    *
+    * Scale shape: the probe ranking is ONE corpus × C broadcast pass
+    * (ann6/ann10's probe step lifted from the query sample to the
+    * working corpus — no join key exists for centroid ranking, the
+    * audited bounded-broadcast shape); candidates stay a cell-keyed
+    * equi-join with fan-out ≤ nprobe × cell occupancy; per-vector
+    * arg-max is partial-aggregable; the report is three single-row
+    * aggregates over bounded joins.
+    */
+  def ann15bProbeCoverage(s: SparkSession, d: String): DataFrame = {
+    val a = assignedCells(s, d).filter(col("nrm") > 0)
+    val cent = centroids(s, d)
+    val left = a.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val crankW = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probed = left.crossJoin(cent)
+      .withColumn("ccos",
+        dot(col("cv"), col("v")) / (col("cnrm") * col("nrm")))
+      .withColumn("crank", row_number().over(crankW))
+      .filter(col("crank") <= 4)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cid").as("cell"), col("crank"))
+    val ref = a.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("rid"), col("v").as("rv"),
+        col("nrm").as("rnrm"), col("cell"))
+    def best(np: Int): DataFrame =
+      probed.filter(col("crank") <= np).join(ref, Seq("cell"))
+        .withColumn("cos",
+          dot(col("v"), col("rv")) / (col("nrm") * col("rnrm")))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("rid")).as("nrid"))).as("b"))
+        .select(col("vec_id"), (-col("b.nrid")).as("match_id"),
+          col("b.cos").as("cos"))
+    val b1 = best(1).select(col("vec_id"), col("match_id").as("m1"),
+      col("cos").as("c1"))
+    val nv = left.agg(count(lit(1)).as("n_vecs"))
+    Seq(1, 2, 4).map { np =>
+      best(np).join(b1, Seq("vec_id"), "left_outer")
+        .agg(count(lit(1)).as("n_matched"),
+          coalesce(sum(when(col("match_id") === col("m1"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_agree_np1"),
+          coalesce(sum(when(col("c1").isNotNull &&
+            col("cos") >= col("c1"), 1L).otherwise(0L)), lit(0L))
+            .as("n_cos_geq_np1"))
+        .crossJoin(nv)
+        .select(lit(np).as("nprobe"), col("n_vecs"), col("n_matched"),
+          floor(col("n_matched").cast("double") /
+            col("n_vecs").cast("double") * lit(1000000.0) + lit(0.5))
+            .cast("long").as("coverage_x1e6"),
+          col("n_agree_np1"), col("n_cos_geq_np1"))
+    }.reduce(_.unionAll(_))
+  }
+
+  val ann15bSql: String = {
+    val perNp = Seq(1, 2, 4).map { np =>
+      s"""b$np AS (
+         |  SELECT vec_id, rid AS match_id, cos FROM (
+         |    SELECT p.vec_id, r.rid,
+         |      ${dotSql("p.v", "r.rv")} / (p.nrm * r.rnrm) AS cos,
+         |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |        ${dotSql("p.v", "r.rv")} / (p.nrm * r.rnrm) DESC,
+         |        r.rid ASC) AS rn
+         |    FROM probed p JOIN r USING (cell) WHERE p.crank <= $np) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val branches = Seq(1, 2, 4).map { np =>
+      s"""SELECT $np AS nprobe,
+         |  (SELECT count(*) FROM l) AS n_vecs,
+         |  (SELECT count(*) FROM b$np) AS n_matched,
+         |  CAST(floor(CAST((SELECT count(*) FROM b$np) AS DOUBLE) /
+         |    CAST((SELECT count(*) FROM l) AS DOUBLE) * 1000000.0 + 0.5)
+         |    AS BIGINT) AS coverage_x1e6,
+         |  (SELECT count(*) FROM b$np b JOIN b1 o USING (vec_id)
+         |     WHERE b.match_id = o.match_id) AS n_agree_np1,
+         |  (SELECT count(*) FROM b$np b JOIN b1 o USING (vec_id)
+         |     WHERE b.cos >= o.cos) AS n_cos_geq_np1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH c AS ($corpusSql),
+       |$assignedSqlCte,
+       |l AS (SELECT vec_id, v, nrm FROM c
+       |      WHERE nrm > 0 AND vec_id % 3 <> 0),
+       |probed AS (
+       |  SELECT vec_id, v, nrm, cid AS cell, crank FROM (
+       |    SELECT l.vec_id, l.v, l.nrm, cent.cid,
+       |      row_number() OVER (PARTITION BY l.vec_id ORDER BY
+       |        ${dotSql("cent.cv", "l.v")} / (cent.cnrm * l.nrm) DESC,
+       |        cent.cid ASC) AS crank
+       |    FROM l, cent) t WHERE crank <= 4),
+       |r AS (SELECT vec_id AS rid, v AS rv, nrm AS rnrm, cell
+       |      FROM assigned WHERE nrm > 0 AND vec_id % 3 = 0),
+       |$perNp
+       |$branches""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann15_nn_join" -> ann15NnJoin,
+    "ann15b_probe_coverage" -> ann15bProbeCoverage,
     "ann12_filtered_search" -> ann12FilteredSearch,
     "ann11_mmr_rerank" -> ann11MmrRerank,
     "ann9_hybrid_rrf" -> ann9HybridRrf,
@@ -1967,6 +2076,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann15_nn_join" -> ann15Sql,
+    "ann15b_probe_coverage" -> ann15bSql,
     "ann12_filtered_search" -> ann12Sql,
     "ann11_mmr_rerank" -> ann11Sql,
     "ann9_hybrid_rrf" -> ann9Sql,

@@ -2210,10 +2210,15 @@ object TextAnalysis {
     * hashed n-gram features (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"). The target
     * distribution is the English slice of the corpus, the raw
-    * distribution is the whole corpus; both are bag-of-hashed-unigram
-    * models over B=512 buckets. Each bucket scores the add-one-
-    * smoothed rate DIFFERENCE (same sign as the DSIR log-ratio
-    * log p_target(b)/p_raw(b), the t19 discipline): s(b) =
+    * distribution is the whole corpus; both are bag-of-hashed-n-gram
+    * models over [[DsirBuckets]] = 8192 buckets, and the feature
+    * stream is the paper's actual recipe — unigrams PLUS adjacent
+    * bigrams (`a b`), both hashed into the shared bucket space (a
+    * unigram can never collide with a bigram of itself: the bigram
+    * string contains a space, the tokenizer's split char). Each
+    * bucket scores the add-one-smoothed rate DIFFERENCE (same sign
+    * as the DSIR log-ratio log p_target(b)/p_raw(b), the t19
+    * discipline): s(b) =
     * floor(((c_t+1)/(n_t+B) − (c_r+1)/(n_r+B)) × 10^9). The two
     * divisions, the subtraction and the scale are ONE fixed IEEE
     * binary64 expression tree — correctly rounded identically in any
@@ -2223,21 +2228,40 @@ object TextAnalysis {
     * draw — t20's order-sampling priority drops in when a sampled
     * (rather than ranked) quota is wanted.
     *
-    * Scale shape: the model is B=512 rows no matter the corpus size —
-    * the totals window runs over that bounded frame, never the data;
-    * scoring is one equi-join of the token stream against the
+    * Scale shape: the model is B=8192 rows no matter the corpus
+    * size — the totals window runs over that bounded frame, never
+    * the data; bigrams are a row-local slice+zip_with (no
+    * self-join, no shuffle — the feature stream just doubles);
+    * scoring is one equi-join of the feature stream against the
     * (auto-broadcast) bucket table + one partial-aggregable per-doc
     * groupBy; the quota is TakeOrderedAndProject (per-partition
     * top-k, k-row driver merge — no global sort). At 100 TB the only
     * corpus-sized exchanges are the bucket groupBy and the doc
     * groupBy, both map-side combinable.
     */
+  /** ONE bucket-count constant for t24's engine, oracle, and spec
+    * replay — B appears in the hash modulus AND the smoothing
+    * denominators, so a drifted copy would silently desynchronize
+    * the model from the SQL it is hash-compared against.
+    */
+  val DsirBuckets: Long = 8192L
+
   def t24DsirSelect(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val B = 512L
+    val B = DsirBuckets
     val toks = Tables.load(s, d, "documents")
+      .withColumn("ws", words(col("text")))
+      // unigrams ++ adjacent bigrams, row-local: slice lengths are
+      // size-1 >= 0 for any non-null text (split yields >= 1 token),
+      // so the zip_with pair stream is empty — not an error — on
+      // one-token docs; null text drops at the explode like before
+      .withColumn("feats", concat(col("ws"),
+        zip_with(
+          expr("slice(ws, 1, size(ws) - 1)"),
+          expr("slice(ws, 2, size(ws) - 1)"),
+          (a, b) => concat(a, lit(" "), b))))
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(words(col("text"))).as("t"))
+        explode(col("feats")).as("t"))
       .withColumn("b",
         pmod(xhash64(concat_ws("|", lit("t24"), col("t"))), lit(B)))
     val whole = Window.partitionBy(lit(1))
@@ -2254,21 +2278,26 @@ object TextAnalysis {
     toks
       .join(model, Seq("b"))
       .groupBy(col("doc_id"), col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_toks"), sum(col("s")).as("dsir_score"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("s")).as("dsir_score"))
       .orderBy(col("dsir_score").desc, col("doc_id").asc)
       .limit(150)
   }
 
   val t24Sql: String = {
     val h = Norm.xhash64Sql("'t24' || '|' || t")
-    s"""WITH toks AS (
-       |  SELECT doc_id, lang, source,
-       |    unnest(string_split(text, ' ')) AS t
+    val B = DsirBuckets
+    s"""WITH ds AS (
+       |  SELECT doc_id, lang, source, string_split(text, ' ') AS ws
        |  FROM documents),
+       |feats AS (
+       |  SELECT doc_id, lang, source,
+       |    unnest(ws || list_transform(range(1, len(ws)), i ->
+       |      ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)])) AS t
+       |  FROM ds),
        |bucketed AS (
        |  SELECT doc_id, lang, source,
-       |    (($h) % 512 + 512) % 512 AS b
-       |  FROM toks),
+       |    (($h) % $B + $B) % $B AS b
+       |  FROM feats),
        |model AS (
        |  SELECT b,
        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t,
@@ -2277,12 +2306,12 @@ object TextAnalysis {
        |scored AS (
        |  SELECT b,
        |    CAST(floor(
-       |      (CAST(c_t + 1 AS DOUBLE) / CAST(sum(c_t) OVER () + 512 AS DOUBLE)
-       |       - CAST(c_r + 1 AS DOUBLE) / CAST(sum(c_r) OVER () + 512 AS DOUBLE))
+       |      (CAST(c_t + 1 AS DOUBLE) / CAST(sum(c_t) OVER () + $B AS DOUBLE)
+       |       - CAST(c_r + 1 AS DOUBLE) / CAST(sum(c_r) OVER () + $B AS DOUBLE))
        |      * 1000000000.0) AS BIGINT) AS s
        |  FROM model)
        |SELECT d.doc_id, d.lang, d.source,
-       |  count(*) AS n_toks, CAST(sum(m.s) AS BIGINT) AS dsir_score
+       |  count(*) AS n_feats, CAST(sum(m.s) AS BIGINT) AS dsir_score
        |FROM bucketed d JOIN scored m ON d.b = m.b
        |GROUP BY 1, 2, 3
        |ORDER BY dsir_score DESC, doc_id ASC LIMIT 150""".stripMargin

@@ -754,4 +754,32 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.size <= assigned.count(_._1 % 3 != 0))
     assert(got.forall(_._2 % 3 == 0))
   }
+
+  test("ann15b probe widening: coverage reaches 1.0 at nprobe=4, the " +
+    "nprobe=1 point is exactly ann15, and widening never worsens a " +
+    "matched vector's cosine") {
+    import graft.functions.Similarity
+    val rows = Similarity.ann15bProbeCoverage(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.keySet == Set(1, 2, 4))
+    val nVecs = rows(1)._1
+    assert(rows.values.forall(_._1 == nVecs), "shared denominator")
+    // the np=1 point IS ann15's match relation (same cell, same
+    // arg-max): counts must agree, and self-agreement is total
+    val nn = Similarity.ann15NnJoin(spark, sf).count()
+    assert(rows(1)._2 == nn, s"np=1 matched ${rows(1)._2} vs ann15 $nn")
+    assert(rows(1)._4 == rows(1)._2 && rows(1)._5 == rows(1)._2)
+    // widening only grows the candidate set: matched counts are
+    // monotone, and EVERY vector the single probe answered is
+    // answered at least as well at every width (the hash-gated
+    // monotone-improvement invariant)
+    assert(rows(1)._2 <= rows(2)._2 && rows(2)._2 <= rows(4)._2)
+    for (np <- Seq(2, 4))
+      assert(rows(np)._5 == rows(1)._2,
+        s"np=$np n_cos_geq_np1=${rows(np)._5} != np1 matched ${rows(1)._2}")
+    // sufficient probes close the coverage gap on this corpus
+    assert(rows(4)._3 == 1000000L,
+      s"nprobe=4 coverage ${rows(4)._3} != 1.0")
+  }
 }

@@ -66,6 +66,7 @@ class RegistrySpec extends AnyFunSuite {
       "similarity.ann12TruthF",
       "text.t7Decontaminate", "text.t14RarityProfile", "text.bpeVocab",
       "multimodal.blobDir", "multimodal.phashBits",
+      "multimodal.m8Pairs", "multimodal.m9Clusters",
       "taskmodes.csvDispatch",
       "pipeline.pipe15Publish", "pipeline.pipe16Setup",
       "pipeline.pipe18Setup", "pipeline.pipe19Inputs")

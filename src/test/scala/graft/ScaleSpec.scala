@@ -314,9 +314,10 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // read-off batch-side; a49 is three row-linear passes ending
       // in bounded histograms / one aggregate row
       "a48_streaming_cms", "a49_outlier_mad",
-      // t24 is one token-stream groupBy into a FIXED 512-bucket model
-      // + one equi-join back + a per-doc groupBy — two corpus-linear
-      // exchanges, model size constant in N; m8 is d4b's banded-pair
+      // t24 is one feature-stream (unigram+bigram, row-local) groupBy
+      // into a FIXED 8192-bucket model + one equi-join back + a
+      // per-doc groupBy — two corpus-linear exchanges, model size
+      // constant in N; m8 is d4b's banded-pair
       // plan over the perceptual hash (cap bounds the join fan-out);
       // pipe19 is pipe15's admission loop (linear staging writes +
       // bounded audits) under the micro-batch overhead, publish

@@ -606,7 +606,7 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
       val p = md5hex(r.getString(1)) + md5hex(r.getString(1) + "x")
       vars(r.getLong(0)) = p
       if (r.getLong(0) % 7 == 0)
-        vars(r.getLong(0) + 1000000L) =
+        vars(-r.getLong(0) - 1L) =
           p.substring(0, 4) + "f" + p.substring(5, 39) + "0" + p.substring(40)
     }
     def bitsOf(p: String): Array[Int] = {
@@ -629,7 +629,7 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
       a <- ds; b <- ds if a < b
     } yield (a, b)).distinct
       .filter { case (a, b) => ham(a, b) <= 3 }
-      .map { case (a, b) => (a, b, ham(a, b).toLong, b - a == 1000000L) }
+      .map { case (a, b) => (a, b, ham(a, b).toLong, a == -b - 1L) }
       .sortBy(x => (x._1, x._2))
     // pigeonhole sanity: with NO cap, every Hamming<=3 pair shares a
     // band — the banding itself loses nothing
@@ -647,8 +647,46 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.nonEmpty, "the injected re-encodes must be found")
   }
 
+  test("m9 phash clusters: every re-encode pair lands in ONE cluster " +
+    "with the real original canonical; clusters partition the pair " +
+    "nodes; drop list keeps exactly one asset per cluster") {
+    val pairs = graft.functions.Multimodal.m8PhashNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    val rows = graft.functions.Multimodal.m9PhashClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    val cluster = rows.map(t => t._1 -> t._2).toMap
+    // node set = exactly the docs touched by >= 1 pair
+    assert(cluster.keySet ==
+      pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // every mined pair (re-encode or not) is intra-cluster
+    for ((a, b, _) <- pairs)
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    // canonical: per cluster exactly one keeper, and it is the min
+    // REAL (non-negative) id when the cluster has one — a synthetic
+    // re-encode must never be elected over its original
+    val byCluster = rows.groupBy(_._2)
+    for ((_, members) <- byCluster) {
+      assert(members.count(_._4) == 1, "exactly one canonical per cluster")
+      val can = members.find(_._4).get._3
+      val reals = members.map(_._1).filter(_ >= 0)
+      if (reals.nonEmpty) assert(can == reals.min)
+      else assert(can == members.map(_._1).min)
+      assert(members.forall(_._3 == can))
+      assert(members.forall(_._5 == members.length.toLong))
+    }
+    // the injected re-encodes exist and collapse: at least one
+    // cluster holds a negative (synthetic) member whose canonical is
+    // its original
+    val reencPairs = pairs.filter(_._3)
+    assert(reencPairs.nonEmpty)
+    for ((syn, orig, _) <- reencPairs)
+      assert(cluster(syn) == cluster(orig) &&
+        byCluster(cluster(syn)).find(_._1 == syn).get._3 >= 0)
+  }
+
   test("t24 DSIR: plain-JVM re-derivation of the model and the quota") {
-    val B = 512
+    val B = graft.functions.TextAnalysis.DsirBuckets.toInt
     def h(str: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(str.getBytes("UTF-8"))
@@ -659,7 +697,10 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val docs = Tables.load(spark, sf, "documents")
       .select("doc_id", "lang", "source", "text").collect()
     val toks = docs.flatMap { r =>
-      r.getAs[String]("text").split(" ", -1).map(t =>
+      val ws = r.getAs[String]("text").split(" ", -1)
+      val feats = ws ++ ws.sliding(2).filter(_.length == 2)
+        .map(p => p(0) + " " + p(1))
+      feats.map(t =>
         (r.getLong(0), r.getString(1), r.getString(2),
           (h("t24|" + t) % B).toInt))
     }
