@@ -743,6 +743,46 @@ object Pipeline {
       .write.mode(SaveMode.Append).parquet(s"$root/manifest")
   }
 
+  /** Serialized, validated manifest append — the WAP loop's COMMIT
+    * point. Writers are optimistic: all staging work (landing
+    * writes, compaction rewrites, audit passes) runs against the tip
+    * each writer observed with no coordination; the commit
+    * re-validates UNDER A LOCK that the tip has not moved since, so
+    * of two writers racing to publish the same next version exactly
+    * one appends and the loser gets a commit-conflict error with its
+    * staged files unreferenced by the manifest (Iceberg's
+    * commit-conflict semantics re-expressed on a file manifest — the
+    * production failure mode a compaction racing a streaming
+    * admission hits). The lock is an atomic O_EXCL file create
+    * (POSIX/HDFS-atomic; an object-store deployment swaps this one
+    * seam for the catalog's compare-and-swap) held only for the
+    * bounded validate + append, never for staging work.
+    */
+  private[graft] def commitManifest(s: SparkSession, root: String,
+      rows: Seq[(Long, String)], expectedTip: Long, who: String): Unit = {
+    import s.implicits._
+    val lock = java.nio.file.Paths.get(root, "manifest.commit.lock")
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var held = false
+    while (!held)
+      try { java.nio.file.Files.createFile(lock); held = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        require(System.nanoTime() < deadline,
+          s"$who: timed out waiting for the manifest commit lock")
+        Thread.sleep(10)
+      }
+    try {
+      val tip = s.read.parquet(s"$root/manifest")
+        .agg(max(col("version"))).head.getLong(0)
+      require(tip == expectedTip,
+        s"$who: commit conflict — the manifest tip moved from " +
+          s"$expectedTip to $tip while this writer staged (another " +
+          "writer published); re-stage against the new tip")
+      rows.toDF("version", "path")
+        .write.mode(SaveMode.Append).parquet(s"$root/manifest")
+    } finally { java.nio.file.Files.deleteIfExists(lock); () }
+  }
+
   /** Admit ONE arriving shard against an already-published root.
     * Touches ONLY (fingerprint index, publish-time stats, the
     * shard) — never the published data files: the staged audit's
@@ -777,7 +817,8 @@ object Pipeline {
     */
   private[graft] def admitShard(s: SparkSession, shard: DataFrame,
       root: String, closeLoop: Boolean,
-      atVersion: Option[Long] = None): DataFrame = {
+      atVersion: Option[Long] = None,
+      beforeCommit: () => Unit = () => ()): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     // ONE bounded manifest read serves both the tip lookup here and
@@ -885,9 +926,14 @@ object Pipeline {
     if (allPass && !isReplay) { // publish = manifest rows only
       val prior = manifestRows.filter(_.getLong(0) == prevV)
         .map(_.getString(1)).distinct.sorted
-      (prior.toSeq :+ stagePath).map(p => (nextV, p))
-        .toDF("version", "path")
-        .write.mode(SaveMode.Append).parquet(s"$root/manifest")
+      beforeCommit() // test seam: widen the stage→commit race window
+      // validated commit: the tip this admission staged against must
+      // still be the tip — a concurrent writer (compaction, another
+      // admission) that published first wins, this one errors with
+      // its staged shard unreferenced
+      commitManifest(s, root,
+        (prior.toSeq :+ stagePath).map(p => (nextV, p)),
+        expectedTip = publishedMax, who = "admitShard")
       if (closeLoop) {
         admitted.filter(wapHasText).select(wapFp.as("fp"))
           .withColumn("version", lit(nextV))
@@ -1096,7 +1142,7 @@ object Pipeline {
       NormCol("n_chars", KLong))
 
   private[graft] def compactVersion(s: SparkSession, root: String,
-      fromV: Long): DataFrame = {
+      fromV: Long, beforeCommit: () => Unit = () => ()): DataFrame = {
     import s.implicits._
     val manifest = s.read.parquet(s"$root/manifest")
     val fromPaths = manifest.filter(col("version") === fromV)
@@ -1131,9 +1177,15 @@ object Pipeline {
       (bytes + Pipe16TargetBytes - 1) / Pipe16TargetBytes).toInt
     from.repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(writePath)
-    if (!isReplay)
-      Seq((nextV, target)).toDF("version", "path")
-        .write.mode(SaveMode.Append).parquet(s"$root/manifest")
+    if (!isReplay) {
+      beforeCommit() // test seam: widen the rewrite→commit race window
+      // validated commit (see commitManifest): losing the race to a
+      // concurrent admission errors here with the rewrite
+      // unreferenced — delete it so the loser leaves no orphan
+      try commitManifest(s, root, Seq((nextV, target)),
+        expectedTip = publishedMax, who = "compactVersion")
+      catch { case e: Throwable => deleteTree(writePath); throw e }
+    }
     if (isReplay) deleteTree(writePath)
     val chkCols = docChkCols
     def summarize(v: Long, df: DataFrame) =
@@ -1345,8 +1397,11 @@ object Pipeline {
     require(target.nonEmpty, s"rollbackTo: version $targetV is not published")
     val existing = paths(toV)
     if (existing.isEmpty)
-      target.map(p => (toV, p)).toDF("version", "path")
-        .write.mode(SaveMode.Append).parquet(s"$root/manifest")
+      // validated commit: a rollback publishes THE NEXT version, so
+      // the tip it observed must still be toV - 1 — losing a race to
+      // a concurrent writer errors instead of forking the manifest
+      commitManifest(s, root, target.map(p => (toV, p)),
+        expectedTip = toV - 1, who = "rollbackTo")
     else require(existing == target,
       s"rollbackTo: version $toV is already published with a different " +
         s"file set (fork) — refusing to re-stamp it as a rollback")
@@ -1472,21 +1527,29 @@ object Pipeline {
         def v(g: String): Long =
           report.find(_.getString(0) == g).get.getLong(1)
         // a gate-FAILED batch publishes nothing — its shard is held,
-        // not decided (admitShard leaves the tip alone). The
-        // REGISTERED query's oracle (pipe19Sql) states final_version
-        // = 3 and full admission accounting — i.e. it assumes EVERY
-        // micro-batch passes the WAP gates on the benchmark corpus
-        // (one null/empty-text doc anywhere trips the zero-tolerance
-        // null gate and holds the shard). Fail loudly AT THE
-        // OPERATOR on a corpus change, not as an opaque oracle hash
-        // mismatch downstream.
+        // not decided (admitShard leaves the tip alone), so neither
+        // its admitted nor its rejected rows enter the published
+        // corpus's accounting. The REGISTERED query's oracle
+        // (pipe19Sql) states final_version = 3 and full admission
+        // accounting — i.e. it assumes every NON-EMPTY micro-batch
+        // passes the WAP gates on the benchmark corpus (one
+        // null/empty-text doc anywhere trips the zero-tolerance null
+        // gate and holds the shard). Fail loudly AT THE OPERATOR on
+        // a corpus change, not as an opaque oracle hash mismatch
+        // downstream. Empty shards are exempt: the all-empty corpus
+        // legitimately holds on the 0-denominator audit gates, and
+        // holding an empty shard cannot desynchronize the accounting
+        // (0 rows either way).
         val pass = report.find(_.getString(0) == "published_version")
           .get.getAs[Boolean]("pass")
-        require(pass, "pipe19: a micro-batch failed the admission " +
-          "gates and its shard was held — pipe19Sql assumes every " +
-          "batch passes on the benchmark corpus (see its scaladoc)")
-        acc += ((v("admitted_new"), v("rejected_dup"),
-          v("published_version")))
+        val nShard = v("admitted_new") + v("rejected_dup")
+        require(pass || nShard == 0L,
+          "pipe19: a non-empty micro-batch failed the admission " +
+            "gates and its shard was held — pipe19Sql assumes every " +
+            "non-empty batch passes on the benchmark corpus (see its " +
+            "scaladoc)")
+        acc += ((if (pass) v("admitted_new") else 0L,
+          if (pass) v("rejected_dup") else 0L, v("published_version")))
         ()
       }
       .start()
@@ -1511,7 +1574,9 @@ object Pipeline {
     * the base — whichever shard arrives first.
     *
     * PRECONDITION (asserted in [[pipe19StreamingAdmission]]): every
-    * micro-batch passes the WAP gates on the benchmark corpus. The
+    * non-empty micro-batch passes the WAP gates on the benchmark
+    * corpus (empty shards may hold on the 0-denominator audit gates
+    * without desynchronizing the accounting). The
     * hardcoded `final_version = 3` and the full admission accounting
     * below are only the loop's outcome when both shards PUBLISH; a
     * corpus with even one null/empty-text document trips the

@@ -624,6 +624,113 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "the redelivered publish must be an empty delta")
   }
 
+  test("WAP commit conflict: compaction RACED against admission on " +
+    "one root — exactly one manifest append wins, the loser errors " +
+    "with its staged files unreferenced, and a retry succeeds " +
+    "against the new tip") {
+    import org.apache.spark.sql.functions._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val docs = Tables.load(spark, sf, "documents")
+    val shardB = docs.filter(col("doc_id") % 5 === 4 &&
+      col("doc_id") % 2 === 1)
+    def freshRoot(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft_race")
+        .toString
+      Pipeline.pipe15PublishV1(spark, sf, root)
+      Pipeline.admitShard(spark,
+        docs.filter(col("doc_id") % 5 === 4 && col("doc_id") % 2 === 0),
+        root, closeLoop = true).collect()
+      root // tip = 2
+    }
+    def manifest(root: String) = spark.read.parquet(s"$root/manifest")
+    def tipOf(root: String): Long =
+      manifest(root).agg(max(col("version"))).head.getLong(0)
+    def resolve(root: String, v: Long): Seq[String] =
+      manifest(root).filter(col("version") === v).select("path")
+        .distinct().collect().map(_.getString(0)).sorted.toSeq
+    def countOf(root: String, v: Long): Long =
+      resolve(root, v).map(spark.read.parquet(_))
+        .reduce(_ unionByName _).count()
+
+    // ORDERING 1: the admission stages first, parks before its
+    // commit; the compaction publishes v3 meanwhile → the admission
+    // must lose with a commit-conflict, corpus = compaction-only
+    locally {
+      val root = freshRoot()
+      val staged = new CountDownLatch(1)
+      val go = new CountDownLatch(1)
+      val loser = Future {
+        Pipeline.admitShard(spark, shardB, root, closeLoop = true,
+          beforeCommit = () => {
+            staged.countDown(); go.await(120, TimeUnit.SECONDS); ()
+          }).collect()
+      }
+      assert(staged.await(120, TimeUnit.SECONDS))
+      Pipeline.compactVersion(spark, root, 2L).collect() // wins v3
+      val v3 = resolve(root, 3L)
+      go.countDown()
+      val e = intercept[IllegalArgumentException] {
+        Await.result(loser, 300.seconds)
+      }
+      assert(e.getMessage.contains("commit conflict"), e.getMessage)
+      // winner-only state: tip is the compaction's v3, untouched by
+      // the loser, and the loser's staged shard is unreferenced
+      assert(tipOf(root) == 3L && resolve(root, 3L) == v3)
+      assert(!manifest(root).select("path").collect()
+        .map(_.getString(0)).exists(_.endsWith("v3_admitted")))
+      assert(countOf(root, 3L) == countOf(root, 2L),
+        "compaction winner must preserve v2's content")
+      // the loser re-stages against the new tip and succeeds: the
+      // shard lands as v4 exactly as in a conflict-free run
+      val retry = Pipeline.admitShard(spark, shardB, root,
+        closeLoop = true).collect()
+        .map(r => r.getString(0) -> r.getAs[Boolean]("pass")).toMap
+      assert(retry("published_version"))
+      assert(tipOf(root) == 4L)
+      assert(resolve(root, 4L).exists(_.endsWith("v4_admitted")))
+    }
+
+    // ORDERING 2: the compaction rewrites first, parks before its
+    // commit; the admission publishes v3 meanwhile → the compaction
+    // must lose, corpus = admission-only, its rewrite dir deleted
+    locally {
+      val root = freshRoot()
+      val staged = new CountDownLatch(1)
+      val go = new CountDownLatch(1)
+      val loser = Future {
+        Pipeline.compactVersion(spark, root, 2L,
+          beforeCommit = () => {
+            staged.countDown(); go.await(120, TimeUnit.SECONDS); ()
+          }).collect()
+      }
+      assert(staged.await(120, TimeUnit.SECONDS))
+      val r = Pipeline.admitShard(spark, shardB, root, closeLoop = true)
+        .collect()
+        .map(x => x.getString(0) -> x.getAs[Boolean]("pass")).toMap
+      assert(r("published_version")) // admission wins v3
+      val v3 = resolve(root, 3L)
+      go.countDown()
+      val e = intercept[IllegalArgumentException] {
+        Await.result(loser, 300.seconds)
+      }
+      assert(e.getMessage.contains("commit conflict"), e.getMessage)
+      assert(tipOf(root) == 3L && resolve(root, 3L) == v3)
+      assert(v3.exists(_.endsWith("v3_admitted")))
+      // the losing rewrite leaves no orphan and no manifest trace
+      assert(!new java.io.File(s"$root/data/v3_compact").exists())
+      assert(!manifest(root).select("path").collect()
+        .map(_.getString(0)).exists(_.endsWith("v3_compact")))
+      // the loser re-stages against the new tip and succeeds (v4 is
+      // the compaction of the admission's v3 — content preserved)
+      Pipeline.compactVersion(spark, root, 3L).collect()
+      assert(tipOf(root) == 4L)
+      assert(countOf(root, 4L) == countOf(root, 3L))
+    }
+  }
+
   test("pipe17: version-hash materialization is scratch-parquet, not " +
     "block-manager state — scratch provably deleted, result plan " +
     "holds no LogicalRDD") {
