@@ -115,6 +115,43 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) => -1.0 }
   }
 
+  /** Fixed-cost calibration probe — the SECOND normalization axis
+    * (r13 judge finding: the CPU+shuffle probe alone mis-models a
+    * suite whose wall is substantially fixed per-action scheduling,
+    * streaming waits, and commit/FS latency; two same-tree windows
+    * proved it twice — raw totals in an 11% band while the CPU probe
+    * moved 30%, splitting normalized totals ~16% apart). This probe
+    * is pinned on exactly that axis: 24 near-empty jobs (per-action
+    * driver scheduling, task launch, result fetch — data is 64 rows
+    * so compute is nil) plus one small parquet write + read-back
+    * (output-commit protocol, footer/FS round-trips). Same
+    * median-of-3, warmed-once, NonFatal-only discipline as
+    * [[calibrationProbe]]; sampled at the same window points. The
+    * artifact reports both probes so a comparison can scale the
+    * suite's fixed floor by THIS probe's ratio and only the
+    * data-scaling remainder by the CPU probe's (see BASELINE.md's
+    * comparison rule).
+    */
+  private var fixedWarmed = false
+  private lazy val fixedProbeDir =
+    java.nio.file.Files.createTempDirectory("graft_fixedprobe")
+  private def fixedCostProbe(spark: SparkSession): Double = {
+    def job(): Unit = {
+      var i = 0
+      while (i < 24) { spark.range(0L, 64L, 1L, 2).count(): Unit; i += 1 }
+      val p = fixedProbeDir.resolve("t").toString
+      spark.range(0L, 1024L, 1L, 2).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p).count(): Unit
+    }
+    try {
+      if (!fixedWarmed) { job(); fixedWarmed = true }
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9
+      }
+      samples.sorted.apply(1)
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+  }
+
   /** Cumulative JVM GC wall time — the per-query delta separates "slow
     * because collecting" from "slow because the host stole the CPU"
     * (round 3's multi-minute stalls re-measured 10-200x faster; a GC
@@ -168,7 +205,9 @@ object Bench {
     // host-speed denominator, first point: the timed window's start
     // (interior and end points fire below); -1.0 = point failed, never 0
     val probePoints = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val fixedPoints = scala.collection.mutable.ArrayBuffer.empty[Double]
     probePoints += calibrationProbe(spark)
+    fixedPoints += fixedCostProbe(spark)
     // Re-sample policy: host-level contention inflates a different
     // query on every run (round-3 adjudication: driver saw d5=311 s
     // that re-measured at 1.8 s; round-4 back-to-back runs still
@@ -211,7 +250,10 @@ object Bench {
     // moved the median by 12% between two same-tree runs)
     var qIdx = 0
     val results = picked.map { case (name, fn) =>
-      if (qIdx > 0 && qIdx % 50 == 0) probePoints += calibrationProbe(spark)
+      if (qIdx > 0 && qIdx % 50 == 0) {
+        probePoints += calibrationProbe(spark)
+        fixedPoints += fixedCostProbe(spark)
+      }
       qIdx += 1
       val (t1, n1, g1) = timed(fn)
       val med = median(clean.toSeq)
@@ -256,24 +298,33 @@ object Bench {
     // so a run whose own points disagree flags itself as not
     // normalizable (spread = (max-min)/median)
     probePoints += calibrationProbe(spark)
-    val valid = probePoints.filter(_ > 0).sorted
-    val probeSec = if (valid.isEmpty) -1.0 else valid(valid.size / 2)
+    fixedPoints += fixedCostProbe(spark)
     // spread over the TRIMMED points (drop the single highest and
     // lowest when there are >= 5): one stolen-CPU probe point must
     // not disqualify an otherwise stable window — the raw samples
     // ride along so anyone can recompute it untrimmed (measured on
     // a same-tree pair: raw spreads 0.32/0.16 where the trimmed
     // 0.08/0.14 matched the runs' actual 2.4% normalized agreement)
-    val trimmed = if (valid.size >= 5) valid.slice(1, valid.size - 1)
-      else valid
-    val spread =
-      if (trimmed.size < 2 || probeSec <= 0) -1.0
-      else (trimmed.last - trimmed.head) / probeSec
+    def medianAndSpread(points: Seq[Double]): (Double, Double) = {
+      val valid = points.filter(_ > 0).sorted
+      val med = if (valid.isEmpty) -1.0 else valid(valid.size / 2)
+      val trimmed = if (valid.size >= 5) valid.slice(1, valid.size - 1)
+        else valid
+      val spread =
+        if (trimmed.size < 2 || med <= 0) -1.0
+        else (trimmed.last - trimmed.head) / med
+      (med, spread)
+    }
+    val (probeSec, spread) = medianAndSpread(probePoints.toSeq)
+    val (fixedSec, fixedSpread) = medianAndSpread(fixedPoints.toSeq)
     val fileLine =
       line.dropRight(1) + s""","gc_sec":$gcJson,"rows":$rowsJson""" +
         s""","calibration":{"probe_sec":${f(probeSec)}""" +
         s""","samples":[${probePoints.map(f).mkString(",")}]""" +
-        s""","spread":${f(spread)}}}"""
+        s""","spread":${f(spread)}""" +
+        s""","fixed_probe_sec":${f(fixedSec)}""" +
+        s""","fixed_samples":[${fixedPoints.map(f).mkString(",")}]""" +
+        s""","fixed_spread":${f(fixedSpread)}}}"""
     // subset runs (SPARK_GRAFT_ONLY) and non-baseline scale factors
     // must NEVER touch the artifact: bench_local.json is the committed
     // full-surface sf0.1 baseline the perf gate and BASELINE.md read —
