@@ -739,8 +739,10 @@ object Pipeline {
     published.groupBy("lang").agg(count(lit(1)).as("c"))
       .withColumn("version", lit(1L))
       .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/lang")
-    Seq((1L, basePath)).toDF("version", "path")
-      .write.mode(SaveMode.Append).parquet(s"$root/manifest")
+    // first-publish commit: validates under the lock that no manifest
+    // appeared since the unlocked guard above (racing v1 publishes)
+    commitManifest(s, root, Seq((1L, basePath)), expectedTip = None,
+      who = "publishV1Meta")
   }
 
   /** Serialized, validated manifest append — the WAP loop's COMMIT
@@ -758,8 +760,15 @@ object Pipeline {
     * seam for the catalog's compare-and-swap) held only for the
     * bounded validate + append, never for staging work.
     */
+  /** `expectedTip = None` is the FIRST publish: the commit validates
+    * that no manifest exists yet (closing the check-then-act window
+    * in [[requireUnpublished]] — two racing v1 publishes would both
+    * pass the unlocked guard, and the append-only relations would
+    * silently double).
+    */
   private[graft] def commitManifest(s: SparkSession, root: String,
-      rows: Seq[(Long, String)], expectedTip: Long, who: String): Unit = {
+      rows: Seq[(Long, String)], expectedTip: Option[Long],
+      who: String): Unit = {
     import s.implicits._
     val lock = java.nio.file.Paths.get(root, "manifest.commit.lock")
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
@@ -772,12 +781,23 @@ object Pipeline {
         Thread.sleep(10)
       }
     try {
-      val tip = s.read.parquet(s"$root/manifest")
-        .agg(max(col("version"))).head.getLong(0)
-      require(tip == expectedTip,
-        s"$who: commit conflict — the manifest tip moved from " +
-          s"$expectedTip to $tip while this writer staged (another " +
-          "writer published); re-stage against the new tip")
+      val mPath = new org.apache.hadoop.fs.Path(s"$root/manifest")
+      val exists = mPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(mPath)
+      expectedTip match {
+        case None =>
+          require(!exists,
+            s"$who: commit conflict — another writer published this " +
+              "root's first manifest version while this one staged")
+        case Some(expected) =>
+          require(exists, s"$who: $root has no published manifest")
+          val tip = s.read.parquet(s"$root/manifest")
+            .agg(max(col("version"))).head.getLong(0)
+          require(tip == expected,
+            s"$who: commit conflict — the manifest tip moved from " +
+              s"$expected to $tip while this writer staged (another " +
+              "writer published); re-stage against the new tip")
+      }
       rows.toDF("version", "path")
         .write.mode(SaveMode.Append).parquet(s"$root/manifest")
     } finally { java.nio.file.Files.deleteIfExists(lock); () }
@@ -933,7 +953,7 @@ object Pipeline {
       // its staged shard unreferenced
       commitManifest(s, root,
         (prior.toSeq :+ stagePath).map(p => (nextV, p)),
-        expectedTip = publishedMax, who = "admitShard")
+        expectedTip = Some(publishedMax), who = "admitShard")
       if (closeLoop) {
         admitted.filter(wapHasText).select(wapFp.as("fp"))
           .withColumn("version", lit(nextV))
@@ -1183,7 +1203,7 @@ object Pipeline {
       // concurrent admission errors here with the rewrite
       // unreferenced — delete it so the loser leaves no orphan
       try commitManifest(s, root, Seq((nextV, target)),
-        expectedTip = publishedMax, who = "compactVersion")
+        expectedTip = Some(publishedMax), who = "compactVersion")
       catch { case e: Throwable => deleteTree(writePath); throw e }
     }
     if (isReplay) deleteTree(writePath)
@@ -1401,7 +1421,7 @@ object Pipeline {
       // the tip it observed must still be toV - 1 — losing a race to
       // a concurrent writer errors instead of forking the manifest
       commitManifest(s, root, target.map(p => (toV, p)),
-        expectedTip = toV - 1, who = "rollbackTo")
+        expectedTip = Some(toV - 1), who = "rollbackTo")
     else require(existing == target,
       s"rollbackTo: version $toV is already published with a different " +
         s"file set (fork) — refusing to re-stamp it as a rollback")

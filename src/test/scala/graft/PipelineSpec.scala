@@ -729,6 +729,54 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(tipOf(root) == 4L)
       assert(countOf(root, 4L) == countOf(root, 3L))
     }
+
+    // ORDERING 3: two ADMISSIONS race (two ingest loops pointed at
+    // one root — a deployment mistake the commit point must still
+    // survive): the parked one loses, its retry lands as v4 with the
+    // same final corpus as a serial run
+    locally {
+      val root = freshRoot()
+      val shardC = docs.filter(col("doc_id") % 5 === 3)
+      val staged = new CountDownLatch(1)
+      val go = new CountDownLatch(1)
+      val loser = Future {
+        Pipeline.admitShard(spark, shardB, root, closeLoop = true,
+          beforeCommit = () => {
+            staged.countDown(); go.await(120, TimeUnit.SECONDS); ()
+          }).collect()
+      }
+      assert(staged.await(120, TimeUnit.SECONDS))
+      val rC = Pipeline.admitShard(spark, shardC, root, closeLoop = true)
+        .collect()
+        .map(x => x.getString(0) -> x.getAs[Boolean]("pass")).toMap
+      assert(rC("published_version")) // shard C wins v3
+      go.countDown()
+      val e = intercept[IllegalArgumentException] {
+        Await.result(loser, 300.seconds)
+      }
+      assert(e.getMessage.contains("commit conflict"), e.getMessage)
+      assert(tipOf(root) == 3L)
+      // retry admits B against the new tip; final corpus equals the
+      // serial A,C,B run (count check via the at-rest totals)
+      val retry = Pipeline.admitShard(spark, shardB, root,
+        closeLoop = true).collect()
+        .map(x => x.getString(0) -> x.getAs[Boolean]("pass")).toMap
+      assert(retry("published_version"))
+      assert(tipOf(root) == 4L)
+      val serial = {
+        val r2 = java.nio.file.Files.createTempDirectory("graft_race_s")
+          .toString
+        Pipeline.pipe15PublishV1(spark, sf, r2)
+        Pipeline.admitShard(spark,
+          docs.filter(col("doc_id") % 5 === 4 && col("doc_id") % 2 === 0),
+          r2, closeLoop = true).collect()
+        Pipeline.admitShard(spark, shardC, r2, closeLoop = true).collect()
+        Pipeline.admitShard(spark, shardB, r2, closeLoop = true).collect()
+        countOf(r2, 4L)
+      }
+      assert(countOf(root, 4L) == serial,
+        "raced + retried corpus must equal the serial run")
+    }
   }
 
   test("pipe17: version-hash materialization is scratch-parquet, not " +
