@@ -811,6 +811,67 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"pipe17 plan still carries checkpointed lineage:\n$plan")
   }
 
+  test("pipe19 + maintenance writer: a compaction interleaved " +
+    "between streaming micro-batches — the loop admits the next " +
+    "shard against the compacted tip and the final corpus is intact") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val in = Pipeline.pipe19Inputs(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_p19c")
+      .toString
+    Pipeline.publishV1Meta(spark, s"$in/base", root)
+    def tipOf(): Long = spark.read.parquet(s"$root/manifest")
+      .agg(max(col("version"))).head.getLong(0)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
+    @volatile var compactedAt = -1L
+    val q = ss.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, " +
+        "n_chars LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/feed")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Pipeline.admitShard(b.sparkSession, b, root, closeLoop = true)
+          .collect()
+        // the maintenance writer fires once, BETWEEN micro-batches:
+        // the next admission must compose against the compacted tip
+        if (compactedAt < 0) {
+          compactedAt = tipOf()
+          Pipeline.compactVersion(spark, root, compactedAt).collect()
+        }
+        ()
+      }
+      .start()
+    try assert(q.awaitTermination(300000)) finally q.stop()
+    // v1 publish, v2 first shard, v3 compaction, v4 second shard
+    assert(compactedAt == 2L && tipOf() == 4L)
+    val v4 = spark.read.parquet(s"$root/manifest")
+      .filter(col("version") === 4L).select("path").distinct()
+      .collect().map(_.getString(0))
+    assert(v4.exists(_.endsWith("v3_compact")), "the admitted tip must " +
+      "reference the compacted files, not the fragmented originals")
+    assert(v4.exists(_.endsWith("v4_admitted")))
+    // content: base ∪ surviving shard fps, exactly as the
+    // compaction-free run — the rewrite is invisible to admission
+    // (its index/stats carry no delta, the anti-join composes over
+    // v1+v2's deltas)
+    val docs = Tables.load(spark, sf, "documents")
+    val fp = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+    val hasText = col("text").isNotNull && length(col("text")) > 0
+    val base = docs.filter(col("doc_id") % 5 <= 2)
+    val sh = docs.filter(col("doc_id") % 5 >= 3)
+    val newFp = sh.filter(hasText).select(fp.as("fp")).distinct()
+      .join(base.filter(hasText).select(fp.as("fp")).distinct(),
+        Seq("fp"), "left_anti").count()
+    val shNulls = sh.filter(!hasText).count()
+    val n4 = v4.map(spark.read.parquet(_)).reduce(_ unionByName _).count()
+    assert(n4 == base.count() + newFp + shNulls,
+      "interleaved compaction must not change the admitted corpus")
+  }
+
   test("pipe19: streaming admission lands on the batch-derived " +
     "accounting — one version per arriving shard") {
     import org.apache.spark.sql.functions._
