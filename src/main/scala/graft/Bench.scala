@@ -48,6 +48,10 @@ object Bench {
     "a46_streaming_hll", "a47_streaming_quantiles", "a48_streaming_cms",
     // w12's session-window state store is its own shape again
     "w12_streaming_sessionize",
+    // t25 shares the complete-mode shape but opens its own
+    // state-store instances and pays its own streaming-plan codegen
+    // (the a46/a47/a48 treatment)
+    "t25_streaming_dsir_model",
     // pipe19's file-source foreachBatch loop is its own streaming
     // shape (source planning + per-batch commit log + the admission
     // plan's codegen) — the inputs are memo-warmed, the machinery

@@ -2246,11 +2246,12 @@ object TextAnalysis {
     */
   val DsirBuckets: Long = 8192L
 
-  /** The hashed-feature stream (doc_id, lang, source, bucket): one
-    * definition for the model build and the application pass.
+  /** The unigram+bigram feature expansion over any documents frame
+    * (batch read OR stream — the a43 one-Column-algebra discipline):
+    * adds `feats`, the array of hashed-feature inputs.
     */
-  private def t24Features(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents")
+  private def withT24Feats(docs0: DataFrame): DataFrame =
+    docs0
       .withColumn("ws", words(col("text")))
       // unigrams ++ adjacent bigrams, row-local: slice lengths are
       // size-1 >= 0 for any non-null text (split yields >= 1 token),
@@ -2261,11 +2262,49 @@ object TextAnalysis {
           expr("slice(ws, 1, size(ws) - 1)"),
           expr("slice(ws, 2, size(ws) - 1)"),
           (a, b) => concat(a, lit(" "), b))))
+
+  private def t24Bucket(t: Column): Column =
+    pmod(xhash64(concat_ws("|", lit("t24"), t)), lit(DsirBuckets))
+
+  /** The hashed-feature stream (doc_id, lang, source, bucket): one
+    * definition for the model build and the application pass.
+    */
+  private def t24Features(s: SparkSession, d: String): DataFrame =
+    withT24Feats(Tables.load(s, d, "documents"))
       .select(col("doc_id"), col("lang"), col("source"),
         explode(col("feats")).as("t"))
-      .withColumn("b",
-        pmod(xhash64(concat_ws("|", lit("t24"), col("t"))),
-          lit(DsirBuckets)))
+      .withColumn("b", t24Bucket(col("t")))
+
+  /** The model's bucket-count aggregation over any documents frame —
+    * the SAME Column algebra whether the frame is a batch read (the
+    * memoized model build) or a stream (t25's complete-mode state),
+    * so the two cannot diverge. Output is BOUNDED: ≤ B rows.
+    */
+  private[graft] def t24BucketCounts(docs0: DataFrame): DataFrame =
+    withT24Feats(docs0)
+      .select(col("lang"), explode(col("feats")).as("t"))
+      .withColumn("b", t24Bucket(col("t")))
+      .groupBy(col("b"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"),
+        count(lit(1)).as("c_r"))
+
+  /** The smoothed-rate-difference scoring read-off over a bucket
+    * count relation (bounded — the totals window runs over ≤ B
+    * rows, never data): one code path for the batch model and the
+    * streamed state, the a46/a47 estimator-sharing discipline.
+    */
+  private[graft] def t24ScoreFrom(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = DsirBuckets
+    val whole = Window.partitionBy(lit(1))
+    counts
+      .withColumn("n_t", sum(col("c_t")).over(whole))
+      .withColumn("n_r", sum(col("c_r")).over(whole))
+      .select(col("b"), floor(
+        ((col("c_t") + 1L).cast("double") / (col("n_t") + B).cast("double")
+          - (col("c_r") + 1L).cast("double") / (col("n_r") + B).cast("double"))
+          * lit(1000000000.0)).cast("long").as("s"))
+  }
 
   /** The trained DSIR bucket model — BOUNDED (B rows) — persisted
     * and memoized per (session, input): production DSIR trains the
@@ -2277,19 +2316,7 @@ object TextAnalysis {
     */
   private[graft] val t24Model: (SparkSession, String) => DataFrame =
     graft.functions.Memo.memoizedTable("text.t24Model") { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val B = DsirBuckets
-      val whole = Window.partitionBy(lit(1))
-      t24Features(s, d)
-        .groupBy(col("b"))
-        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"),
-          count(lit(1)).as("c_r"))
-        .withColumn("n_t", sum(col("c_t")).over(whole))
-        .withColumn("n_r", sum(col("c_r")).over(whole))
-        .select(col("b"), floor(
-          ((col("c_t") + 1L).cast("double") / (col("n_t") + B).cast("double")
-            - (col("c_r") + 1L).cast("double") / (col("n_r") + B).cast("double"))
-            * lit(1000000000.0)).cast("long").as("s"))
+      t24ScoreFrom(t24BucketCounts(Tables.load(s, d, "documents")))
     }
 
   def t24DsirSelect(s: SparkSession, d: String): DataFrame =
@@ -2300,10 +2327,15 @@ object TextAnalysis {
       .orderBy(col("dsir_score").desc, col("doc_id").asc)
       .limit(150)
 
-  val t24Sql: String = {
+  /** The model-side CTE chain (feature expansion → bucket counts →
+    * scored model), shared verbatim by t24's oracle and t25's — the
+    * same one-definition rule as the engine's [[t24BucketCounts]] /
+    * [[t24ScoreFrom]] pair.
+    */
+  private val t24ModelSqlCtes: String = {
     val h = Norm.xhash64Sql("'t24' || '|' || t")
     val B = DsirBuckets
-    s"""WITH ds AS (
+    s"""ds AS (
        |  SELECT doc_id, lang, source, string_split(text, ' ') AS ws
        |  FROM documents),
        |feats AS (
@@ -2326,17 +2358,81 @@ object TextAnalysis {
        |      (CAST(c_t + 1 AS DOUBLE) / CAST(sum(c_t) OVER () + $B AS DOUBLE)
        |       - CAST(c_r + 1 AS DOUBLE) / CAST(sum(c_r) OVER () + $B AS DOUBLE))
        |      * 1000000000.0) AS BIGINT) AS s
-       |  FROM model)
+       |  FROM model)""".stripMargin
+  }
+
+  val t24Sql: String =
+    s"""WITH $t24ModelSqlCtes
        |SELECT d.doc_id, d.lang, d.source,
        |  count(*) AS n_feats, CAST(sum(m.s) AS BIGINT) AS dsir_score
        |FROM bucketed d JOIN scored m ON d.b = m.b
        |GROUP BY 1, 2, 3
        |ORDER BY dsir_score DESC, doc_id ASC LIMIT 150""".stripMargin
+
+  // ---------------------------------------------- t25 streaming DSIR
+
+  /** The documents corpus as a (doc_id, text, lang) parquet feed for
+    * t25's streaming arm — the dedup docsFeed pattern with the lang
+    * column the model needs riding along.
+    */
+  private val t25Feed: (SparkSession, String) => String =
+    graft.functions.Memo.memoizedValue("text.t25Feed") { (s, d) =>
+      val feed = graft.operators.Migrate.tempDir("t25_feed") + "/feed"
+      Tables.load(s, d, "documents").repartition(8)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").parquet(feed)
+      feed
+    }
+
+  graft.functions.Memo.memoWarmers.put("text.t25Feed",
+    (s: SparkSession, d: String) => s.read.parquet(t25Feed(s, d)))
+
+  /** t25: the DSIR importance model maintained ONLINE — the shape a
+    * production corpus actually trains it in, since the target/raw
+    * bucket counts are exactly the kind of additive bounded state a
+    * streaming ingest keeps next to its drift/cardinality monitors
+    * (the a43/a46/a47/a48 family, extended to the SELECTION model).
+    * A complete-mode streaming aggregation over the documents feed
+    * maintains the ≤ B-row (b, c_t, c_r) table — per micro-batch the
+    * feature expansion is row-local and the counts merge by
+    * addition, map-side combined — and the smoothed-rate scoring is
+    * applied to the emitted state through [[t24ScoreFrom]], the SAME
+    * code path as the batch model, so the online model cannot drift
+    * from the selector it feeds. The oracle is the batch model SQL
+    * (t24's own scored CTE): hash equality IS the stream ≡ batch
+    * equivalence proof (a48/w12's pattern). At 100 TB the state
+    * stays model-sized (8192 rows); the corpus never re-scans.
+    */
+  def t25StreamingDsirModel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val feed = t25Feed(s, d)
+    val ss = graft.streaming.Cdc.streamSession(s)
+    val q = t24BucketCounts(
+        ss.readStream.schema("doc_id LONG, text STRING, lang STRING")
+          .parquet(feed))
+      .writeStream.format("memory").queryName("t25_model_counts")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(300000),
+      "t25 stream did not terminate within 300 s")
+    finally q.stop()
+    val emitted = ss.table("t25_model_counts")
+    t24ScoreFrom(s.createDataFrame(
+      java.util.Arrays.asList(emitted.collect(): _*), emitted.schema))
   }
+
+  /** The batch model replayed from the raw corpus — hash equality
+    * with the streamed state is the equivalence proof.
+    */
+  val t25Sql: String =
+    s"""WITH $t24ModelSqlCtes
+       |SELECT b, s FROM scored""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t17_bigram_lm" -> t17BigramLm,
     "t24_dsir_select" -> t24DsirSelect,
+    "t25_streaming_dsir_model" -> t25StreamingDsirModel,
     "t21_ccnet_buckets" -> t21CcnetBuckets,
     "t18_gopher_repetition" -> t18GopherRepetition,
     "t19_nb_quality" -> t19NbQuality,
@@ -2372,6 +2468,7 @@ object TextAnalysis {
   lazy val oracles: Map[String, String] = Map(
     "t18_gopher_repetition" -> t18Sql,
     "t24_dsir_select" -> t24Sql,
+    "t25_streaming_dsir_model" -> t25Sql,
     "t19_nb_quality" -> t19Sql,
     "t20_weighted_sample" -> t20Sql,
     "t11_lexicon_profile" -> t11Sql,

@@ -65,7 +65,7 @@ class RegistrySpec extends AnyFunSuite {
       "similarity.ann11Rel", "similarity.ann11Sim",
       "similarity.ann12TruthF",
       "text.t7Decontaminate", "text.t14RarityProfile", "text.bpeVocab",
-      "text.t24Model",
+      "text.t24Model", "text.t25Feed",
       "multimodal.blobDir", "multimodal.phashBits",
       "multimodal.m8Pairs", "multimodal.m9Clusters",
       "taskmodes.csvDispatch",

@@ -732,6 +732,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.head._5 >= got.last._5)
   }
 
+  test("t25 streaming DSIR: the streamed model equals the batch " +
+    "model row-for-row, and the state is bounded by B") {
+    val streamed = graft.functions.TextAnalysis
+      .t25StreamingDsirModel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val batch = graft.functions.TextAnalysis.t24Model(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(streamed == batch,
+      "online model must equal the batch-trained model exactly")
+    assert(streamed.nonEmpty &&
+      streamed.size <= graft.functions.TextAnalysis.DsirBuckets,
+      s"model state must stay bounded by B (${streamed.size})")
+  }
+
   test("t24 DSIR: selection is layout-invariant") {
     import org.apache.spark.sql.functions.col
     val a = graft.functions.TextAnalysis.t24DsirSelect(spark, sf)
