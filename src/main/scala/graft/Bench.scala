@@ -137,13 +137,16 @@ object Bench {
     * comparison rule).
     */
   private var fixedWarmed = false
+  // registered with the JVM-exit sweep (Migrate.tempDir), not a bare
+  // createTempDirectory — the probe dir was the one temp dir the run
+  // never removed
   private lazy val fixedProbeDir =
-    java.nio.file.Files.createTempDirectory("graft_fixedprobe")
+    graft.operators.Migrate.tempDir("fixedprobe")
   private def fixedCostProbe(spark: SparkSession): Double = {
     def job(): Unit = {
       var i = 0
       while (i < 24) { spark.range(0L, 64L, 1L, 2).count(): Unit; i += 1 }
-      val p = fixedProbeDir.resolve("t").toString
+      val p = s"$fixedProbeDir/t"
       spark.range(0L, 1024L, 1L, 2).write.mode("overwrite").parquet(p)
       spark.read.parquet(p).count(): Unit
     }

@@ -47,6 +47,10 @@ object PlanAudit {
     *    (the probe step has no join key — ann6/ann10's shape at
     *    corpus width) plus single-row coverage crossJoins; the
     *    candidate join itself is a cell-keyed equi-join.
+    *  - ann15: since its promotion to the coverage-1.0 probe width
+    *    (nprobe = 4, the r14 verdict item) the NN join runs the same
+    *    bounded centroid-ranking broadcast as ann15b before its
+    *    cell-keyed candidate equi-join.
     *  - s18: crossJoin of the single-row max-key aggregate onto the
     *    key relation (the arithmetic file assignment needs the global
     *    range; a19's single-row class).
@@ -62,7 +66,8 @@ object PlanAudit {
     "pipe5_token_mixture", "pipe8_leakage_split",
     "pipe9_temperature_mixture",
     "t16_bpe_merges",
-    "ann13_reindex_gate", "ann15b_probe_coverage", "s18_overlap_depth",
+    "ann13_reindex_gate", "ann15b_probe_coverage", "ann15_nn_join",
+    "s18_overlap_depth",
     "d20_source_overlap")
 
   /** One audited query: which flags its physical plan raised, or the

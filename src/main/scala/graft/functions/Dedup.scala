@@ -577,7 +577,53 @@ object Dedup {
     * round); the driver only coordinates rounds and checks the
     * 1-row convergence count — no data is collected.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  /** Edge-count threshold above which callers with an at-rest pair
+    * relation (d6, m9) switch the fixpoint to `reliable = true`:
+    * below it the edge relation is a sensible block-manager working
+    * set (the loop is seconds, re-running it on executor loss is
+    * cheap); above it a lost executor aborting a multi-minute
+    * fixpoint costs more than the reliable mode's one extra durable
+    * scan per round. At 100 TB every LSH pair relation that survives
+    * the band cap crosses this and the loop runs fault-tolerant
+    * automatically.
+    */
+  private[graft] val CcReliableEdges: Long = 4L * 1000 * 1000
+
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+      reliable: Boolean = false): DataFrame = {
+    val sess = pairs.sparkSession
+    // `reliable = true` hosts every materialization in SCRATCH
+    // PARQUET instead of the block manager: a lost executor recomputes
+    // partitions from the durable files instead of aborting the whole
+    // iterative job, and nothing corpus-sized pins executor memory.
+    // Cost: the parquet round-trip forgets the hash partitioning, so
+    // each round re-shuffles BOTH join sides (the fast path
+    // re-shuffles only the label side) plus one write+scan per round
+    // — measured at sf0.1 in SCALE.md. The final label relation stays
+    // on disk until the JVM-exit sweep (callers memoize the result).
+    val scratch =
+      if (reliable)
+        Some(graft.operators.Migrate.tempDir("cc_rel"))
+      else None
+    def hostEdges(df: DataFrame): DataFrame = scratch match {
+      case Some(dir) =>
+        df.write.parquet(s"$dir/edges")
+        sess.read.schema("s BIGINT, t BIGINT").parquet(s"$dir/edges")
+      case None => df.localCheckpoint(true)
+    }
+    def hostLabels(df: DataFrame, round: Int): DataFrame =
+      scratch match {
+        case Some(dir) =>
+          df.write.parquet(s"$dir/l$round")
+          // the previous round's labels are dead once this round's
+          // files exist — sweep them so the loop holds at most two
+          // label generations on disk
+          if (round > 0)
+            graft.operators.Migrate.deleteTree(s"$dir/l${round - 1}")
+          sess.read.schema("doc_id BIGINT, label BIGINT")
+            .parquet(s"$dir/l$round")
+        case None => df.localCheckpoint(false)
+      }
     // symmetrized edge list plus one self-loop per node, so "min over
     // self and neighbors" is a single join+groupBy every round (no
     // union with the label relation — unioning a checkpointed DF
@@ -587,16 +633,14 @@ object Dedup {
     // re-shuffles only the (small) label side, never the edges.
     val sym = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
       .unionAll(pairs.select(col("doc_b").as("s"), col("doc_a").as("t")))
-    val edges = sym
+    val edges = hostEdges(sym
       .unionAll(sym.select(col("s"), col("s").as("t")).distinct())
-      .repartition(col("t"))
-      .localCheckpoint(true)
+      .repartition(col("t")))
     // seed = the first propagation's result, min(self, neighbors),
     // from one groupBy (self-loops put every node's own id in its
     // min) — a full round's progress for a fraction of a round's cost
-    var labels = edges.groupBy(col("s").as("doc_id"))
-      .agg(min(col("t")).as("label"))
-      .localCheckpoint(false)
+    var labels = hostLabels(edges.groupBy(col("s").as("doc_id"))
+      .agg(min(col("t")).as("label")), 0)
     // labels(n) ≤ n from the seed on, and each round can only lower a
     // label, so the label total strictly decreases until the fixpoint:
     // ONE driver-side Long per round is the whole convergence check —
@@ -625,16 +669,15 @@ object Dedup {
       // pointer-chain-limited — and its extra shuffle made rounds 30%
       // slower.) At a fixpoint the jump is the identity, so jumping
       // unconditionally is safe.
-      val jumped = stepped.as("x")
+      i += 1
+      val jumped = hostLabels(stepped.as("x")
         .join(stepped.as("y"), col("x.label") === col("y.doc_id"), "left")
         .select(col("x.doc_id").as("doc_id"),
-          coalesce(col("y.label"), col("x.label")).as("label"))
-        .localCheckpoint(false)
+          coalesce(col("y.label"), col("x.label")).as("label")), i)
       val s = labelSum(jumped)
       converged = s == prevSum
       prevSum = s
       labels = jumped
-      i += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] round $i sum=$s converged=$converged")
     }
@@ -661,7 +704,14 @@ object Dedup {
     */
   val d6DupClusters: (SparkSession, String) => DataFrame =
     Memo.memoized("dedup.d6Clusters") { (s, d) =>
-      connectedComponents(d3MinhashLsh(s, d))
+      // edge count gates the fault-tolerance mode: the cached pair
+      // relation makes the count a bounded action, and past
+      // CcReliableEdges the fixpoint hosts its state in scratch
+      // parquet instead of executor block storage (see
+      // connectedComponents)
+      val pairs = d3MinhashLsh(s, d)
+      connectedComponents(pairs,
+        reliable = pairs.count() > CcReliableEdges)
     }
 
   val d6Sql: String =

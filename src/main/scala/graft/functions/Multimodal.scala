@@ -564,9 +564,14 @@ object Multimodal {
     */
   private val m9Labels: (SparkSession, String) => DataFrame =
     graft.functions.Memo.memoized("multimodal.m9Clusters") { (s, d) =>
-      Dedup.connectedComponents(
-        m8Pairs(s, d).select(col("id_a").as("doc_a"),
-          col("id_b").as("doc_b")))
+      // same size-gated fault-tolerance switch as d6: m8Pairs is an
+      // at-rest table, so the count reads parquet metadata; past the
+      // threshold the fixpoint runs on scratch parquet instead of
+      // executor block storage
+      val pairs = m8Pairs(s, d).select(col("id_a").as("doc_a"),
+        col("id_b").as("doc_b"))
+      Dedup.connectedComponents(pairs,
+        reliable = pairs.count() > Dedup.CcReliableEdges)
     }
 
   def m9PhashClusters(s: SparkSession, d: String): DataFrame = {

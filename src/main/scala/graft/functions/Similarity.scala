@@ -1888,35 +1888,69 @@ object Similarity {
 
   // --------------------------------------------------- ann15 NN join
 
+  /** The NN join's production probe width: [[ann15bProbeCoverage]]
+    * measured (and spec-pins) coverage 1.0 at nprobe = 4 on this
+    * index — every working vector gets matched — for a bounded
+    * centroid-ranking broadcast (the audited ann6/ann10 shape). ONE
+    * constant so the operator, its oracle, and the calibration row
+    * cannot drift apart.
+    */
+  private[graft] val Ann15Nprobe = 4
+
   /** ann15: nearest-neighbor JOIN — match EVERY vector of the working
     * corpus (vec_id % 3 ≠ 0) to its best reference vector (vec_id %
-    * 3 = 0), restricted to the shared IVF cell. The all-rows analogue
-    * of ann2's per-query search: label transfer, nearest-reference
-    * lookup, and cross-corpus alignment all run this shape, where the
-    * "query set" is the entire corpus and a per-query broadcast is
-    * impossible. Emits (vec_id, match_id, cos quantized at 1e-6 by
-    * ONE fixed IEEE tree, same_label — the label-transfer agreement
-    * signal). Rows whose cell holds no reference are absent (the
-    * honest coverage semantics of single-probe IVF;
-    * [[ann15bProbeCoverage]] applies the probe-widening lever and
-    * states the coverage curve).
+    * 3 = 0), searched over each vector's top-[[Ann15Nprobe]] IVF
+    * cells. The all-rows analogue of ann2's per-query search: label
+    * transfer, nearest-reference lookup, and cross-corpus alignment
+    * all run this shape, where the "query set" is the entire corpus
+    * and a per-query broadcast is impossible. Emits (vec_id,
+    * match_id, cos quantized at 1e-6 by ONE fixed IEEE tree,
+    * same_label — the label-transfer agreement signal).
     *
-    * Scale shape: one cell-keyed equi-join against the memoized
-    * assignment relation (fan-out bounded by cell occupancy — at
+    * nprobe is a real knob: 1 is the single-probe assigned-cell join
+    * (cheapest, with the honest silent-drop semantics — vectors whose
+    * own cell holds no reference are absent), and the registered
+    * default is [[Ann15Nprobe]], where [[ann15bProbeCoverage]] proves
+    * coverage 1.0 on this index — the r14 verdict's "promote the
+    * covered width to the production default". ann15b remains the
+    * calibration row stating the whole curve.
+    *
+    * Scale shape: probe ranking is ONE corpus × C bounded broadcast
+    * pass (no join key exists for centroid ranking — the audited
+    * ann6/ann10 shape, whitelisted in PlanAudit); candidates stay a
+    * cell-keyed equi-join (fan-out ≤ nprobe × cell occupancy — at
     * rest the cell is a partition key, so each task reads one cell
     * of each side) and a partial-aggregable arg-max
     * (max(struct(cos, -rid))) — never a window over the pair
-    * relation, no per-query state, nothing broadcast.
+    * relation, no per-query state.
     */
-  def ann15NnJoin(s: SparkSession, d: String): DataFrame = {
+  def ann15NnJoin(s: SparkSession, d: String): DataFrame =
+    ann15NnJoinAt(s, d, Ann15Nprobe)
+
+  private[graft] def ann15NnJoinAt(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = {
     val a = assignedCells(s, d).filter(col("nrm") > 0)
     val left = a.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+    val crankW = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    // rank 1 is the assigned cell by construction (assignment IS the
+    // max-cosine centroid), so nprobe = 1 reproduces the single-probe
+    // join exactly — ann15b's b1 ≡ ann15 invariant, now structural
+    val probed = left.crossJoin(centroids(s, d))
+      .withColumn("ccos",
+        dot(col("cv"), col("v")) / (col("cnrm") * col("nrm")))
+      .withColumn("crank", row_number().over(crankW))
+      .filter(col("crank") <= nprobe)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"),
-        col("cell"))
+        col("cid").as("cell"))
     val ref = a.filter(col("vec_id") % 3 === 0)
       .select(col("vec_id").as("rid"), col("label").as("rlabel"),
         col("v").as("rv"), col("nrm").as("rnrm"), col("cell"))
-    left.join(ref, Seq("cell"))
+    // each reference lives in exactly ONE cell and the probed cells
+    // per vector are distinct, so the join yields each (vec, ref)
+    // pair at most once — no dedup before the arg-max
+    probed.join(ref, Seq("cell"))
       .withColumn("cos",
         dot(col("v"), col("rv")) / (col("nrm") * col("rnrm")))
       .groupBy(col("vec_id"), col("label"))
@@ -1931,14 +1965,21 @@ object Similarity {
   val ann15Sql: String =
     s"""WITH c AS ($corpusSql),
        |$assignedSqlCte,
-       |l AS (SELECT vec_id, label, v, nrm, cell FROM assigned
+       |l AS (SELECT vec_id, label, v, nrm FROM c
        |      WHERE nrm > 0 AND vec_id % 3 <> 0),
+       |probed AS (
+       |  SELECT vec_id, label, v, nrm, cid AS cell FROM (
+       |    SELECT l.vec_id, l.label, l.v, l.nrm, cent.cid,
+       |      row_number() OVER (PARTITION BY l.vec_id ORDER BY
+       |        ${dotSql("cent.cv", "l.v")} / (cent.cnrm * l.nrm) DESC,
+       |        cent.cid ASC) AS crank
+       |    FROM l, cent) t WHERE crank <= $Ann15Nprobe),
        |r AS (SELECT vec_id AS rid, label AS rlabel, v AS rv,
        |        nrm AS rnrm, cell FROM assigned
        |      WHERE nrm > 0 AND vec_id % 3 = 0),
-       |p AS (SELECT l.vec_id, l.label, r.rid, r.rlabel,
-       |        ${dotSql("l.v", "r.rv")} / (l.nrm * r.rnrm) AS cos
-       |      FROM l JOIN r USING (cell))
+       |p AS (SELECT p0.vec_id, p0.label, r.rid, r.rlabel,
+       |        ${dotSql("p0.v", "r.rv")} / (p0.nrm * r.rnrm) AS cos
+       |      FROM probed p0 JOIN r USING (cell))
        |SELECT vec_id, rid AS match_id,
        |  CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_x1e6,
        |  rlabel = label AS same_label

@@ -716,33 +716,42 @@ object Pipeline {
 
   private[graft] def publishV1Meta(s: SparkSession, basePath: String,
       root: String): Unit = {
-    import s.implicits._
-    requireUnpublished(s, root)
-    // v1 deltas are written OVERWRITE (the rest of the loop appends):
-    // the guard above keys on the manifest, which lands LAST, so a
-    // publish that died between a stats append and the manifest
-    // write would pass the guard on retry — Overwrite makes the
-    // retry idempotent instead of double-appending the v1 deltas
+    requireUnpublished(s, root) // cheap fast-fail before any job runs
     val published = s.read.parquet(basePath)
-    published.filter(wapHasText).select(wapFp.as("fp"))
-      .distinct().withColumn("version", lit(1L))
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/index/fp")
-    // coalesce the empty-corpus aggregates: sum over zero rows is
-    // NULL, and a NULL stat would silently poison every composed
-    // gate downstream instead of holding on rows_ratio's 0-denominator
-    published.agg(count(lit(1)).as("n"),
-        coalesce(sum(when(!wapHasText, 1L).otherwise(0L)), lit(0L))
-          .as("nnull"),
-        countDistinct(when(wapHasText, wapFp)).as("nfp"))
-      .withColumn("version", lit(1L))
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/totals")
-    published.groupBy("lang").agg(count(lit(1)).as("c"))
-      .withColumn("version", lit(1L))
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/lang")
-    // first-publish commit: validates under the lock that no manifest
-    // appeared since the unlocked guard above (racing v1 publishes)
+    // The v1 index/stats land INSIDE the locked commit, AFTER the
+    // no-manifest validation: a racing first publish's loser blocks
+    // on the lock, fails the validation, and never touches the
+    // winner's at-rest meta (unlocked, the loser's Overwrite could
+    // clobber the winner's index/stats after the winner committed —
+    // manifest from one writer, meta from the other). This is the
+    // one commit that holds the lock for data-sized work: once per
+    // root, and the alternative (stage + publish-by-reference) would
+    // tax every index/stats reader for a once-per-root event.
+    //
+    // v1 deltas are written OVERWRITE (the rest of the loop appends):
+    // a publish that died between a stats write and the manifest
+    // append released the lock with NO manifest — the retry passes
+    // the validation again and Overwrite makes it idempotent instead
+    // of double-appending the v1 deltas.
     commitManifest(s, root, Seq((1L, basePath)), expectedTip = None,
-      who = "publishV1Meta")
+      who = "publishV1Meta", underLock = () => {
+        published.filter(wapHasText).select(wapFp.as("fp"))
+          .distinct().withColumn("version", lit(1L))
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/index/fp")
+        // coalesce the empty-corpus aggregates: sum over zero rows is
+        // NULL, and a NULL stat would silently poison every composed
+        // gate downstream instead of holding on rows_ratio's
+        // 0-denominator
+        published.agg(count(lit(1)).as("n"),
+            coalesce(sum(when(!wapHasText, 1L).otherwise(0L)), lit(0L))
+              .as("nnull"),
+            countDistinct(when(wapHasText, wapFp)).as("nfp"))
+          .withColumn("version", lit(1L))
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/totals")
+        published.groupBy("lang").agg(count(lit(1)).as("c"))
+          .withColumn("version", lit(1L))
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/lang")
+      })
   }
 
   /** Serialized, validated manifest append — the WAP loop's COMMIT
@@ -755,10 +764,20 @@ object Pipeline {
     * staged files unreferenced by the manifest (Iceberg's
     * commit-conflict semantics re-expressed on a file manifest — the
     * production failure mode a compaction racing a streaming
-    * admission hits). The lock is an atomic O_EXCL file create
-    * (POSIX/HDFS-atomic; an object-store deployment swaps this one
-    * seam for the catalog's compare-and-swap) held only for the
-    * bounded validate + append, never for staging work.
+    * admission hits). The lock is an atomic exclusive file create,
+    * DERIVED FROM THE SAME FILESYSTEM AS THE MANIFEST: a schemeless
+    * or file:// root uses java.nio O_EXCL (truly atomic on POSIX);
+    * any other scheme goes through the Hadoop
+    * `FileSystem.create(path, overwrite = false)` so an hdfs:// root
+    * keeps real mutual exclusion instead of silently creating a
+    * driver-local lock file (an object-store deployment swaps this
+    * one seam for the catalog's compare-and-swap). A holder that
+    * crashed between create and its finally leaves a lock whose
+    * mtime stops advancing — waiters BREAK a lock older than
+    * [[LockStaleMs]] instead of timing out forever on a dead root.
+    * The lock is held only for the bounded validate + append (plus
+    * `underLock`, the first publish's once-per-root meta writes),
+    * never for staging work.
     */
   /** `expectedTip = None` is the FIRST publish: the commit validates
     * that no manifest exists yet (closing the check-then-act window
@@ -766,20 +785,72 @@ object Pipeline {
     * pass the unlocked guard, and the append-only relations would
     * silently double).
     */
+  /** A commit lock whose mtime is older than this is a crashed
+    * holder — waiters break it. A LIVE holder's lock never goes
+    * stale regardless of how long its commit runs (the first
+    * publish's meta writes are data-sized): a daemon heartbeat
+    * refreshes the lock mtime every [[LockHeartbeatMs]] while held,
+    * so mtime silence past this threshold really does mean the
+    * holder's JVM is gone.
+    */
+  private[graft] val LockStaleMs: Long = 10L * 60 * 1000
+  private[graft] val LockHeartbeatMs: Long = 30L * 1000
+
   private[graft] def commitManifest(s: SparkSession, root: String,
       rows: Seq[(Long, String)], expectedTip: Option[Long],
-      who: String): Unit = {
+      who: String, underLock: () => Unit = () => ()): Unit = {
     import s.implicits._
-    val lock = java.nio.file.Paths.get(root, "manifest.commit.lock")
+    val lockHPath =
+      new org.apache.hadoop.fs.Path(s"$root/manifest.commit.lock")
+    val fs = lockHPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val scheme = Option(lockHPath.toUri.getScheme)
+    def tryAcquire(): Boolean =
+      if (scheme.forall(_ == "file"))
+        // local root: java.nio O_EXCL — atomic where Hadoop's local
+        // create(overwrite=false) is only check-then-act
+        try {
+          java.nio.file.Files.createFile(
+            if (scheme.isEmpty)
+              java.nio.file.Paths.get(root, "manifest.commit.lock")
+            else java.nio.file.Paths.get(lockHPath.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      else
+        // remote root: the manifest's own FileSystem — atomic on
+        // HDFS; the documented CAS seam on an object store
+        try { fs.create(lockHPath, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    def breakIfStale(): Unit =
+      try {
+        val st = fs.getFileStatus(lockHPath)
+        if (System.currentTimeMillis() - st.getModificationTime >
+            LockStaleMs) { fs.delete(lockHPath, false); () }
+      } catch { case _: java.io.FileNotFoundException => () }
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     var held = false
     while (!held)
-      try { java.nio.file.Files.createFile(lock); held = true }
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
+      if (tryAcquire()) held = true
+      else {
+        breakIfStale()
         require(System.nanoTime() < deadline,
           s"$who: timed out waiting for the manifest commit lock")
         Thread.sleep(10)
       }
+    // heartbeat: keep the held lock's mtime fresh so a slow-but-live
+    // commit (the first publish's meta writes) is never broken as
+    // stale by a waiter; exits on interrupt or once the lock is gone
+    val heartbeat = new Thread(() =>
+      try while (true) {
+        Thread.sleep(LockHeartbeatMs)
+        fs.setTimes(lockHPath, System.currentTimeMillis(), -1)
+      } catch {
+        case _: InterruptedException => ()
+        case _: java.io.IOException => ()
+      })
+    heartbeat.setDaemon(true)
+    heartbeat.start()
     try {
       val mPath = new org.apache.hadoop.fs.Path(s"$root/manifest")
       val exists = mPath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -798,9 +869,14 @@ object Pipeline {
               s"$expected to $tip while this writer staged (another " +
               "writer published); re-stage against the new tip")
       }
+      underLock() // first publish's meta writes — see publishV1Meta
       rows.toDF("version", "path")
         .write.mode(SaveMode.Append).parquet(s"$root/manifest")
-    } finally { java.nio.file.Files.deleteIfExists(lock); () }
+    } finally {
+      heartbeat.interrupt()
+      try { fs.delete(lockHPath, false); () }
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Admit ONE arriving shard against an already-published root.
@@ -838,7 +914,8 @@ object Pipeline {
   private[graft] def admitShard(s: SparkSession, shard: DataFrame,
       root: String, closeLoop: Boolean,
       atVersion: Option[Long] = None,
-      beforeCommit: () => Unit = () => ()): DataFrame = {
+      beforeCommit: () => Unit = () => (),
+      beforeStage: () => Unit = () => ()): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     // ONE bounded manifest read serves both the tip lookup here and
@@ -871,22 +948,35 @@ object Pipeline {
       .filter(col("rn") === 1).drop("rn", "fp")
     val kept = keptText.unionByName(shard.filter(!wapHasText))
     val nextV = prevV + 1
-    val stagePath = s"$root/stage/v${nextV}_admitted"
+    // WRITER-UNIQUE staging path (Iceberg's file-naming discipline):
+    // two admissions racing to the same nextV must never share a
+    // staging dir — with a deterministic stage/v{N}_admitted the
+    // loser's SaveMode.Overwrite could run AFTER the winner's commit
+    // and delete-and-rewrite the winner's PUBLISHED files with a
+    // different shard's rows before its own commit fails (silent
+    // corruption the manifest never records). The manifest records
+    // the ACTUAL path at commit time, so no reader ever depends on
+    // the name; the loser's staged dir is provably its own and is
+    // deleted on conflict.
+    val nonce =
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val stagePath = s"$root/stage/v${nextV}_admitted_$nonce"
     // A pinned-version REPLAY whose target version is already
-    // published must not touch it: overwriting stage/v2_admitted
-    // after the manifest published it would delete-and-rewrite
-    // published files (the WAP failure mode this operator exists to
-    // prevent — a reader resolving v2 mid-rewrite sees a torn
-    // snapshot), and re-appending its manifest rows would grow the
-    // manifest per replay. The replay still performs the FULL
-    // staging write (it is part of the per-shard cost the bench
-    // measures) — to a scratch path the manifest never references;
-    // only the publish appends are skipped.
+    // published must not touch it: rewriting a published staging dir
+    // after the manifest published it would tear the snapshot for a
+    // reader resolving it mid-rewrite, and re-appending its manifest
+    // rows would grow the manifest per replay. The replay still
+    // performs the FULL staging write (it is part of the per-shard
+    // cost the bench measures) — to a scratch path the manifest
+    // never references; only the publish appends are skipped.
     val isReplay = atVersion.isDefined && publishedMax >= nextV
     val writePath =
-      if (isReplay) s"$root/stage/v${nextV}_replay" else stagePath
+      if (isReplay) s"$root/stage/v${nextV}_replay_$nonce" else stagePath
     // staging = write ONLY the admitted shard rows; published files
     // are referenced, never copied
+    beforeStage() // test seam: park a loser so its STAGING write runs
+                  // after another writer's commit (the interleaving
+                  // the writer-unique path exists for)
     kept.write.mode(SaveMode.Overwrite).parquet(writePath)
     val admitted = s.read.parquet(writePath)
     // compose the audit aggregates: persisted publish-time stats
@@ -950,10 +1040,12 @@ object Pipeline {
       // validated commit: the tip this admission staged against must
       // still be the tip — a concurrent writer (compaction, another
       // admission) that published first wins, this one errors with
-      // its staged shard unreferenced
-      commitManifest(s, root,
+      // its staged shard deleted (safe: the nonce makes the staged
+      // path this writer's own, never a published one)
+      try commitManifest(s, root,
         (prior.toSeq :+ stagePath).map(p => (nextV, p)),
         expectedTip = Some(publishedMax), who = "admitShard")
+      catch { case e: Throwable => deleteTree(stagePath); throw e }
       if (closeLoop) {
         admitted.filter(wapHasText).select(wapFp.as("fp"))
           .withColumn("version", lit(nextV))
@@ -1162,7 +1254,8 @@ object Pipeline {
       NormCol("n_chars", KLong))
 
   private[graft] def compactVersion(s: SparkSession, root: String,
-      fromV: Long, beforeCommit: () => Unit = () => ()): DataFrame = {
+      fromV: Long, beforeCommit: () => Unit = () => (),
+      beforeStage: () => Unit = () => ()): DataFrame = {
     import s.implicits._
     val manifest = s.read.parquet(s"$root/manifest")
     val fromPaths = manifest.filter(col("version") === fromV)
@@ -1171,21 +1264,36 @@ object Pipeline {
     val from = fromPaths.map(s.read.parquet(_)).reduce(_ unionByName _)
     val nextV = fromV + 1
     val publishedMax = manifest.agg(max(col("version"))).head.getLong(0)
-    val target = s"$root/data/v${nextV}_compact"
-    // a replay is "THIS compaction already published": version
-    // nextV exists AND points at the compacted dir. publishedMax
-    // alone would misread compacting a NON-TIP version as a replay
-    // (nextV published by some other writer, target never written)
-    // and then summarize a path that doesn't exist — that case is a
-    // fork, and it fails fast instead
-    val isReplay = manifest.filter(col("version") === nextV &&
-      col("path") === target).limit(1).count() > 0
+    // WRITER-UNIQUE rewrite dir (the admitShard staging discipline):
+    // two compactions racing from the same fromV both pass the tip
+    // guard below — with a shared deterministic data/v{N}_compact the
+    // loser would overwrite the winner's PUBLISHED rewrite and then
+    // deleteTree it in its conflict handler, leaving the manifest's
+    // v{N} pointing at nothing (published data loss). Each writer
+    // rewrites into its own dir, commits ITS path, and on conflict
+    // deletes only what it alone wrote; the manifest records the
+    // actual path so no reader depends on the name.
+    val nonce =
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val targetPrefix = s"$root/data/v${nextV}_compact"
+    val target = s"${targetPrefix}_$nonce"
+    // a replay is "A compaction of fromV already published": version
+    // nextV exists AND points at a compacted dir (prefix match — the
+    // nonce differs per writer, and any committed rewrite of the same
+    // deterministic input is content-identical). publishedMax alone
+    // would misread compacting a NON-TIP version as a replay (nextV
+    // published by some other writer kind, no compacted dir) and then
+    // summarize a path that doesn't exist — that case is a fork, and
+    // it fails fast instead
+    val committedCompact = manifest.filter(col("version") === nextV)
+      .select("path").distinct().collect().map(_.getString(0))
+      .filter(_.startsWith(targetPrefix)).sorted
+    val isReplay = committedCompact.nonEmpty
     require(isReplay || fromV == publishedMax,
       s"compactVersion: version $nextV is already published by " +
         s"another writer (tip is $publishedMax) — compaction only " +
         "rewrites the tip or replays its own prior rewrite")
-    val writePath =
-      if (isReplay) s"$root/data/v${nextV}_compact_replay" else target
+    val writePath = target
     // bin-packing from the manifest's bounded file listing, never a
     // data scan: total bytes / target size = output file count
     val conf = s.sparkContext.hadoopConfiguration
@@ -1195,6 +1303,8 @@ object Pipeline {
     }.sum
     val nFiles = math.max(1L,
       (bytes + Pipe16TargetBytes - 1) / Pipe16TargetBytes).toInt
+    beforeStage() // test seam: park a loser so its rewrite write runs
+                  // after another writer's commit
     from.repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(writePath)
     if (!isReplay) {
@@ -1202,6 +1312,8 @@ object Pipeline {
       // validated commit (see commitManifest): losing the race to a
       // concurrent admission errors here with the rewrite
       // unreferenced — delete it so the loser leaves no orphan
+      // (safe: the nonce makes writePath this writer's own, never
+      // one another writer could have published)
       try commitManifest(s, root, Seq((nextV, target)),
         expectedTip = Some(publishedMax), who = "compactVersion")
       catch { case e: Throwable => deleteTree(writePath); throw e }
@@ -1213,9 +1325,11 @@ object Pipeline {
           Norm.sparkRowChecksum(chkCols).as("row_checksum"))
         .select(lit(v).as("version"), col("n_docs"), col("row_checksum"))
     // the compacted row reads the PUBLISHED files (the durable
-    // artifact a reader resolves), never the replay scratch
+    // artifact a reader resolves — on replay, the prior commit's
+    // dir), never the replay scratch
+    val publishedDir = if (isReplay) committedCompact.head else target
     summarize(fromV, from).unionAll(summarize(nextV,
-      s.read.schema(from.schema).parquet(target)))
+      s.read.schema(from.schema).parquet(publishedDir)))
   }
 
   def pipe16CompactionRewrite(s: SparkSession, d: String): DataFrame = {
@@ -1292,14 +1406,19 @@ object Pipeline {
     // relations to executor block storage via localCheckpoint (the
     // r13 scale finding this rewrite closes)
     val scratch = Migrate.tempDir("pipe17_hash")
-    val hashed = versions.map { v =>
-      resolve(v).select(col("doc_id"), rowHash.as("h"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$scratch/v$v")
-      v -> s.read.schema("doc_id BIGINT, h BIGINT")
-        .parquet(s"$scratch/v$v")
-    }.toMap
     val rows =
-      try versions.sliding(2).collect { case Array(a, b) =>
+      // the materialization loop sits INSIDE the try: a failure
+      // during any version's scratch write (not just during the
+      // joins) still sweeps the corpus-sized scratch dir eagerly
+      // instead of leaking it until the JVM-exit hook
+      try {
+        val hashed = versions.map { v =>
+          resolve(v).select(col("doc_id"), rowHash.as("h"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$scratch/v$v")
+          v -> s.read.schema("doc_id BIGINT, h BIGINT")
+            .parquet(s"$scratch/v$v")
+        }.toMap
+        versions.sliding(2).collect { case Array(a, b) =>
         val r = hashed(a).withColumnRenamed("h", "ha")
           .join(hashed(b).withColumnRenamed("h", "hb"),
             Seq("doc_id"), "full_outer")
@@ -1313,7 +1432,8 @@ object Pipeline {
               .as("n_changed"))
           .head
         (a, b, r.getLong(0), r.getLong(1), r.getLong(2))
-      }.toSeq
+        }.toSeq
+      }
       // the scratch is provably unreferenced once the bounded rows
       // are in hand (the result below is a local relation) — delete
       // eagerly, like admitShard's replay stage dirs
@@ -1404,7 +1524,8 @@ object Pipeline {
     * published by another writer with different paths).
     */
   private[graft] def rollbackTo(s: SparkSession, root: String,
-      targetV: Long, toV: Long): DataFrame = {
+      targetV: Long, toV: Long,
+      beforeCommit: () => Unit = () => ()): DataFrame = {
     import s.implicits._
     // a parquet read snapshots its file listing at definition — the
     // manifest must be re-listed after the append, or the shared-path
@@ -1416,12 +1537,14 @@ object Pipeline {
     val target = paths(targetV)
     require(target.nonEmpty, s"rollbackTo: version $targetV is not published")
     val existing = paths(toV)
-    if (existing.isEmpty)
+    if (existing.isEmpty) {
+      beforeCommit() // test seam: widen the observe→commit race window
       // validated commit: a rollback publishes THE NEXT version, so
       // the tip it observed must still be toV - 1 — losing a race to
       // a concurrent writer errors instead of forking the manifest
       commitManifest(s, root, target.map(p => (toV, p)),
         expectedTip = Some(toV - 1), who = "rollbackTo")
+    }
     else require(existing == target,
       s"rollbackTo: version $toV is already published with a different " +
         s"file set (fork) — refusing to re-stamp it as a rollback")

@@ -131,11 +131,26 @@ object Cdc {
 
   /** Compact the change log into materialized state (the periodic
     * REPLACE the reference does per record, amortized).
+    *
+    * 100 TB shape: the compacted state lands in a SCRATCH parquet dir
+    * first and is then swapped into `stateDir` by a read-back write of
+    * the at-rest files — never a `localCheckpoint` of the table-sized
+    * relation before overwriting (the shape this function had until
+    * r15, and the one pipe17 retired): scratch parquet spills to
+    * storage and a lost executor recomputes its partitions from the
+    * durable scan, where a block-manager checkpoint pins table-sized
+    * state executor-resident and aborts the compaction with any lost
+    * executor. The swap also makes `stateDir` safe to overwrite even
+    * when a consumer derives it from the log being compacted.
     */
   def compact(s: SparkSession, logDir: String, stateDir: String): Unit = {
-    // localCheckpoint materializes before the overwrite of its own input
-    val state = applyChanges(s.read.parquet(logDir)).localCheckpoint(true)
-    state.write.mode("overwrite").parquet(stateDir)
+    val scratch = graft.operators.Migrate.tempDir("cdc_compact")
+    try {
+      val state = applyChanges(s.read.parquet(logDir))
+      state.write.mode("overwrite").parquet(scratch)
+      s.read.schema(state.schema).parquet(scratch)
+        .write.mode("overwrite").parquet(stateDir)
+    } finally graft.operators.Migrate.deleteTree(scratch)
   }
 
   // ------------------------------------- custom keyed state (C3 typed)

@@ -65,7 +65,20 @@ class CdcSpec extends AnyFunSuite with SparkSessionTestWrapper {
     Cdc.eventsAsChanges(spark, sf).repartition(4)
       .write.parquet(feed)
     runStream(Cdc.streamApply(spark, feed, log, ckpt))
+    // compact must not pin table-sized state to executor block
+    // storage: no NEW persistent RDD (a localCheckpoint(true) would
+    // register one and leave it resident) may survive the call —
+    // the scratch-parquet swap keeps the whole rewrite spillable
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     Cdc.compact(spark, log, stateDir)
+    val pinnedAfter = spark.sparkContext.getPersistentRDDs.keySet
+    assert((pinnedAfter -- pinnedBefore).isEmpty,
+      s"compact left block-manager-resident RDDs: ${pinnedAfter -- pinnedBefore}")
+    // and its scratch dir is swept eagerly
+    assert(!Option(new java.io.File(
+        System.getProperty("java.io.tmpdir")).listFiles())
+      .getOrElse(Array.empty).exists(f =>
+        f.getName.startsWith("graft_cdc_compact") && f.exists()))
     val streamed = spark.read.parquet(stateDir)
     val batch = Cdc.applyChanges(Cdc.eventsAsChanges(spark, sf))
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)

@@ -38,6 +38,45 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // corpus legitimately emits zero candidate pairs
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty).isEmpty)
+    assert(Dedup.connectedComponents(empty, reliable = true).isEmpty)
+  }
+
+  test("connected components RELIABLE mode: scratch-parquet-hosted " +
+    "fixpoint equals the block-manager fast path exactly, pins no " +
+    "RDD executor-resident, and keeps at most two label generations") {
+    // fault shape: reliable = true is the 100 TB mode — a lost
+    // executor recomputes partitions from the durable scratch files
+    // instead of aborting the whole iterative job (localCheckpoint's
+    // failure semantics); d6/m9 flip to it automatically past
+    // CcReliableEdges. Equivalence on the REAL pair relation (d3's
+    // LSH candidates) is the contract that makes the flip safe.
+    val pairs = Dedup.d3MinhashLsh(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+    val fast = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(fast.nonEmpty)
+    def ccDirs(): Set[java.io.File] = Option(new java.io.File(
+        System.getProperty("java.io.tmpdir")).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_cc_rel")).toSet
+    val dirsBefore = ccDirs()
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val rel = Dedup.connectedComponents(pairs, reliable = true)
+    val got = rel.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(got == fast, "reliable mode must produce identical clusters")
+    assert((spark.sparkContext.getPersistentRDDs.keySet --
+      pinnedBefore).isEmpty,
+      "reliable mode must not pin block-manager state")
+    // the result frame reads durable parquet (no LogicalRDD lineage),
+    // and the per-round sweep left at most edges + 2 label dirs
+    assert(!rel.queryExecution.optimizedPlan.toString
+      .contains("LogicalRDD"), "reliable labels must be a file scan")
+    val fresh = (ccDirs() -- dirsBefore).toSeq
+    assert(fresh.size == 1, s"expected one new scratch dir, got $fresh")
+    val entries = Option(fresh.head.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).toSeq
+    assert(entries.count(_.startsWith("l")) <= 2,
+      s"label generations must be swept per round: $entries")
   }
 
   test("minhash family is not degenerate: superset docs diverge somewhere") {
@@ -744,7 +783,10 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
             best._3 == label)
         }
     }.toSet
-    val got = Similarity.ann15NnJoin(spark, sf).collect()
+    // the plain replay pins the nprobe = 1 point (the assigned-cell
+    // join — easiest to restate independently); the registered
+    // default is the covered width, asserted below
+    val got = Similarity.ann15NnJoinAt(spark, sf, 1).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getBoolean(3))).toSet
     assert(got == expect)
@@ -753,6 +795,17 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // working vectors, and every match comes from the reference slice
     assert(got.size <= assigned.count(_._1 % 3 != 0))
     assert(got.forall(_._2 % 3 == 0))
+    // the REGISTERED operator (nprobe = Ann15Nprobe) answers EVERY
+    // working vector — coverage 1.0, the promoted production default —
+    // and never answers a single-probe-matched vector worse
+    val dflt = Similarity.ann15NnJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dflt.size == assigned.count(_._1 % 3 != 0),
+      s"default-width NN join must match every working vector " +
+        s"(${dflt.size} vs ${assigned.count(_._1 % 3 != 0)})")
+    for ((id, _, c1, _) <- got)
+      assert(dflt(id)._2 >= c1,
+        s"vec $id: widened cos ${dflt(id)._2} < single-probe $c1")
   }
 
   test("ann15b probe widening: coverage reaches 1.0 at nprobe=4, the " +
@@ -765,10 +818,15 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rows.keySet == Set(1, 2, 4))
     val nVecs = rows(1)._1
     assert(rows.values.forall(_._1 == nVecs), "shared denominator")
-    // the np=1 point IS ann15's match relation (same cell, same
-    // arg-max): counts must agree, and self-agreement is total
-    val nn = Similarity.ann15NnJoin(spark, sf).count()
-    assert(rows(1)._2 == nn, s"np=1 matched ${rows(1)._2} vs ann15 $nn")
+    // the np=1 point IS the single-probe NN join (same cell, same
+    // arg-max): counts must agree, and self-agreement is total; the
+    // REGISTERED ann15 runs at the covered width and must equal the
+    // np=4 calibration point
+    val nn1 = Similarity.ann15NnJoinAt(spark, sf, 1).count()
+    assert(rows(1)._2 == nn1, s"np=1 matched ${rows(1)._2} vs $nn1")
+    val nnDefault = Similarity.ann15NnJoin(spark, sf).count()
+    assert(rows(4)._2 == nnDefault,
+      s"np=4 matched ${rows(4)._2} vs registered ann15 $nnDefault")
     assert(rows(1)._4 == rows(1)._2 && rows(1)._5 == rows(1)._2)
     // widening only grows the candidate set: matched counts are
     // monotone, and EVERY vector the single probe answered is

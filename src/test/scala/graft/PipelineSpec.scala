@@ -16,6 +16,24 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private def freshWork() =
     java.nio.file.Files.createTempDirectory("graft_pipe").toString
 
+  /** Staged/compacted dirs are writer-unique (nonce-suffixed) since
+    * the commit-conflict fixes — specs resolve the actual path from
+    * the manifest by version + marker instead of hard-coding names.
+    */
+  private def pathLike(root: String, v: Long, marker: String): String = {
+    import org.apache.spark.sql.functions.col
+    val ps = spark.read.parquet(s"$root/manifest")
+      .filter(col("version") === v).select("path").distinct()
+      .collect().map(_.getString(0)).filter(_.contains(marker))
+    assert(ps.length == 1,
+      s"expected one v$v path containing '$marker', got ${ps.toSeq}")
+    ps.head
+  }
+
+  private def dirNames(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles())
+      .map(_.map(_.getName).toSeq).getOrElse(Nil)
+
   test("planFixedWidth covers [min,max] exactly, no overlap, SQL-invertible") {
     val (kw, chunks) = Pipeline.planFixedWidth(10, 10009, 5000, 1000)
     assert(chunks.head.lower == 10 && chunks.last.upper == 10009)
@@ -253,7 +271,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "staging must not touch published v1 files")
     // the stage dir holds EXACTLY the admitted shard rows — not a
     // copy of the published corpus
-    val staged = spark.read.parquet(s"$root/stage/v2_admitted")
+    val staged = spark.read.parquet(pathLike(root, 2L, "v2_admitted"))
     assert(staged.count() == report("admitted_new"))
     val docs = Tables.load(spark, sf, "documents")
     val shardIds = docs.filter(col("doc_id") % 5 === 4)
@@ -269,8 +287,8 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(vMax == 2L)
     val paths = manifest.filter(col("version") === vMax)
       .select("path").collect().map(_.getString(0))
-    assert(paths.toSet ==
-      Set(s"$root/data/v1", s"$root/stage/v2_admitted"))
+    assert(paths.length == 2 && paths.contains(s"$root/data/v1") &&
+      paths.exists(_.contains("v2_admitted")), paths.toSeq.toString)
     val resolved = paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
     assert(resolved.count() ==
       docs.filter(col("doc_id") % 5 =!= 4).count() +
@@ -354,8 +372,9 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     for ((g, v) <- r1 if g != "published_version")
       assert(r2(g) == v, s"$g: replay=${r2(g)} original=$v")
     assert(r2("published_version")._1 == 2L)
-    // and the replay left no scratch behind (eager cleanup)
-    assert(!new java.io.File(s"$root/stage/v2_replay").exists())
+    // and the replay left no scratch behind (eager cleanup) — replay
+    // dirs are nonce-suffixed, so sweep the stage dir by marker
+    assert(!dirNames(s"$root/stage").exists(_.contains("replay")))
     // pinning PAST the tip must fail fast: the version filters would
     // pass everything but the prior-path re-stamp would be empty —
     // a publish that silently drops the whole corpus
@@ -382,7 +401,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       else fs.filter(_.getName.endsWith(".parquet"))
         .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
     }
-    val v2Dirs = Seq(s"$root/data/v1", s"$root/stage/v2_admitted")
+    val v2Dirs = Seq(s"$root/data/v1", pathLike(root, 2L, "v2_admitted"))
     val beforeByDir = v2Dirs.map(p => p -> files(p)).toMap
     val nFilesV2 = beforeByDir.values.map(_.size).sum
     assert(nFilesV2 >= 2, s"setup must fragment ($nFilesV2 files)")
@@ -398,20 +417,24 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"compaction touched $p")
     // v3 resolves to ONLY the compacted dir, and it is fewer files
     val m = spark.read.parquet(s"$root/manifest")
+    val compactDir = pathLike(root, 3L, "v3_compact")
     assert(m.filter(col("version") === 3L).select("path").collect()
-      .map(_.getString(0)).toSet == Set(s"$root/data/v3_compact"))
-    val nFilesV3 = files(s"$root/data/v3_compact").size
+      .map(_.getString(0)).toSet == Set(compactDir))
+    val nFilesV3 = files(compactDir).size
     assert(nFilesV3 > 0 && nFilesV3 < nFilesV2,
       s"v3=$nFilesV3 files vs v2=$nFilesV2")
-    // replay: published compacted files untouched, scratch cleaned,
-    // manifest not re-appended, report identical
-    val v3Before = files(s"$root/data/v3_compact")
+    // replay: published compacted files untouched, the replay's own
+    // (nonce-suffixed) rewrite dir cleaned, manifest not re-appended,
+    // report identical
+    val v3Before = files(compactDir)
+    val dataBefore = dirNames(s"$root/data").toSet
     val mRows = m.count()
     val r2 = rows(Pipeline.compactVersion(spark, root, 2L))
     assert(r2 == r1)
-    assert(files(s"$root/data/v3_compact") == v3Before,
+    assert(files(compactDir) == v3Before,
       "replay must not rewrite published compacted files")
-    assert(!new java.io.File(s"$root/data/v3_compact_replay").exists())
+    assert(dirNames(s"$root/data").toSet == dataBefore,
+      "replay must leave no scratch rewrite dir behind")
     assert(spark.read.parquet(s"$root/manifest").count() == mRows)
     // compacting a NON-TIP version is a fork, not a replay: v2 is
     // published (by admitShard, at the stage dir — not by this
@@ -442,7 +465,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r1("published_version") == ((2L, true)), s"r1=$r1")
     // increment 2 must need NO published bytes: wipe v1's data files
     // AND v2's admitted files — only index/stats/manifest remain
-    for (dir <- Seq(s"$root/data/v1", s"$root/stage/v2_admitted")) {
+    for (dir <- Seq(s"$root/data/v1", pathLike(root, 2L, "v2_admitted"))) {
       new java.io.File(dir).listFiles().foreach(f => assert(f.delete()))
     }
     val r2 = Pipeline.admitShard(spark, shardB, root, closeLoop = true)
@@ -481,8 +504,9 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val m = spark.read.parquet(s"$root/manifest")
     val paths = m.filter(col("version") === 3L)
       .select("path").collect().map(_.getString(0)).toSet
-    assert(paths == Set(s"$root/data/v1", s"$root/stage/v2_admitted",
-      s"$root/stage/v3_admitted"))
+    assert(paths.size == 3 && paths.contains(s"$root/data/v1") &&
+      paths.exists(_.contains("v2_admitted")) &&
+      paths.exists(_.contains("v3_admitted")), paths.toString)
   }
 
   test("pipe18: rollback re-stamps the target's paths manifest-only — " +
@@ -501,7 +525,8 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
         .filter(_.getName.endsWith(".parquet"))
         .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
     val v1Before = files(s"$root/data/v1")
-    val compactBefore = files(s"$root/data/v3_compact")
+    val compactDir = pathLike(root, 3L, "v3_compact")
+    val compactBefore = files(compactDir)
     assert(v1Before.nonEmpty && compactBefore.nonEmpty)
     val report = Pipeline.rollbackTo(spark, root, targetV = 1L, toV = 4L)
       .collect().map(r => (r.getAs[Long]("version"),
@@ -516,7 +541,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(report.forall(_._4), "rollback must reference, not copy")
     // manifest-only: no published data file was touched or rewritten
     assert(files(s"$root/data/v1") == v1Before)
-    assert(files(s"$root/data/v3_compact") == compactBefore)
+    assert(files(compactDir) == compactBefore)
     val m = spark.read.parquet(s"$root/manifest")
     assert(m.filter(col("version") === 4L).select("path")
       .collect().map(_.getString(0)).toSet == Set(s"$root/data/v1"))
@@ -540,7 +565,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(spark.read.parquet(s"$root/manifest").count() == mRows)
     // fork protection: v5 published by another writer with different
     // paths — re-stamping it as a rollback must refuse
-    Seq((5L, s"$root/data/v3_compact")).toDF("version", "path")
+    Seq((5L, compactDir)).toDF("version", "path")
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$root/manifest")
     intercept[IllegalArgumentException] {
@@ -680,7 +705,11 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // the loser, and the loser's staged shard is unreferenced
       assert(tipOf(root) == 3L && resolve(root, 3L) == v3)
       assert(!manifest(root).select("path").collect()
-        .map(_.getString(0)).exists(_.endsWith("v3_admitted")))
+        .map(_.getString(0)).exists(_.contains("v3_admitted")))
+      // …and physically DELETED (its nonce-unique dir is provably its
+      // own, so the conflict handler sweeps it — no orphan shards)
+      assert(!dirNames(s"$root/stage").exists(_.contains("v3_admitted")),
+        "loser's staged shard dir must be deleted on conflict")
       assert(countOf(root, 3L) == countOf(root, 2L),
         "compaction winner must preserve v2's content")
       // the loser re-stages against the new tip and succeeds: the
@@ -690,7 +719,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
         .map(r => r.getString(0) -> r.getAs[Boolean]("pass")).toMap
       assert(retry("published_version"))
       assert(tipOf(root) == 4L)
-      assert(resolve(root, 4L).exists(_.endsWith("v4_admitted")))
+      assert(resolve(root, 4L).exists(_.contains("v4_admitted")))
     }
 
     // ORDERING 2: the compaction rewrites first, parks before its
@@ -718,11 +747,11 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       }
       assert(e.getMessage.contains("commit conflict"), e.getMessage)
       assert(tipOf(root) == 3L && resolve(root, 3L) == v3)
-      assert(v3.exists(_.endsWith("v3_admitted")))
+      assert(v3.exists(_.contains("v3_admitted")))
       // the losing rewrite leaves no orphan and no manifest trace
-      assert(!new java.io.File(s"$root/data/v3_compact").exists())
+      assert(!dirNames(s"$root/data").exists(_.startsWith("v3_compact")))
       assert(!manifest(root).select("path").collect()
-        .map(_.getString(0)).exists(_.endsWith("v3_compact")))
+        .map(_.getString(0)).exists(_.contains("v3_compact")))
       // the loser re-stages against the new tip and succeeds (v4 is
       // the compaction of the admission's v3 — content preserved)
       Pipeline.compactVersion(spark, root, 3L).collect()
@@ -776,6 +805,191 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       }
       assert(countOf(root, 4L) == serial,
         "raced + retried corpus must equal the serial run")
+    }
+  }
+
+  test("WAP commit conflict, LATE-STAGE interleavings: a loser whose " +
+    "staging/rewrite WRITE runs after the winner's commit never " +
+    "touches the winner's published files (writer-unique paths), and " +
+    "a raced rollback loses cleanly in both orderings") {
+    import org.apache.spark.sql.functions._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val docs = Tables.load(spark, sf, "documents")
+    val shardB = docs.filter(col("doc_id") % 5 === 4 &&
+      col("doc_id") % 2 === 1)
+    val shardC = docs.filter(col("doc_id") % 5 === 3)
+    def freshRoot(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft_race2")
+        .toString
+      Pipeline.pipe15PublishV1(spark, sf, root)
+      Pipeline.admitShard(spark,
+        docs.filter(col("doc_id") % 5 === 4 && col("doc_id") % 2 === 0),
+        root, closeLoop = true).collect()
+      root // tip = 2
+    }
+    def manifest(root: String) = spark.read.parquet(s"$root/manifest")
+    def tipOf(root: String): Long =
+      manifest(root).agg(max(col("version"))).head.getLong(0)
+    def resolve(root: String, v: Long): Seq[String] =
+      manifest(root).filter(col("version") === v).select("path")
+        .distinct().collect().map(_.getString(0)).sorted.toSeq
+    def countOf(root: String, v: Long): Long =
+      resolve(root, v).map(spark.read.parquet(_))
+        .reduce(_ unionByName _).count()
+    // byte-level snapshot of a published version's every file —
+    // (name, length, mtime) per dir — the "untouched" witness
+    def filesOf(dirs: Seq[String]): Map[String, Map[String, (Long, Long)]] =
+      dirs.map { d =>
+        d -> Option(new java.io.File(d).listFiles())
+          .map(_.filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getName -> ((f.length(), f.lastModified())))
+            .toMap).getOrElse(Map.empty)
+      }.toMap
+
+    // INTERLEAVING A (the r14 finding): the losing ADMISSION parks
+    // BEFORE its staging write; the winner admits + commits v3; the
+    // loser then stages and fails its commit. With a shared
+    // deterministic staging path the loser's Overwrite would have
+    // deleted-and-rewritten the winner's PUBLISHED v3 shard with a
+    // different shard's rows — writer-unique paths make the loser's
+    // write provably its own.
+    locally {
+      val root = freshRoot()
+      val parked = new CountDownLatch(1)
+      val go = new CountDownLatch(1)
+      val loser = Future {
+        Pipeline.admitShard(spark, shardB, root, closeLoop = true,
+          beforeStage = () => {
+            parked.countDown(); go.await(120, TimeUnit.SECONDS); ()
+          }).collect()
+      }
+      assert(parked.await(120, TimeUnit.SECONDS))
+      val w = Pipeline.admitShard(spark, shardC, root, closeLoop = true)
+        .collect()
+        .map(x => x.getString(0) -> x.getAs[Boolean]("pass")).toMap
+      assert(w("published_version")) // winner owns v3
+      val v3 = resolve(root, 3L)
+      val v3Files = filesOf(v3)
+      go.countDown() // loser NOW stages, then must conflict at commit
+      val e = intercept[IllegalArgumentException] {
+        Await.result(loser, 300.seconds)
+      }
+      assert(e.getMessage.contains("commit conflict"), e.getMessage)
+      // the winner's published v3 is byte-identical through the
+      // loser's post-commit staging write — the silent-corruption
+      // interleaving is closed
+      assert(tipOf(root) == 3L && resolve(root, 3L) == v3)
+      assert(filesOf(v3) == v3Files,
+        "loser's staging write must not touch the winner's files")
+      assert(!dirNames(s"$root/stage").exists(n =>
+        n.contains("v3_admitted") && !v3.exists(_.endsWith(n))),
+        "loser's staged dir must be deleted on conflict")
+      // loser retries against the new tip and lands v4
+      val retry = Pipeline.admitShard(spark, shardB, root,
+        closeLoop = true).collect()
+        .map(x => x.getString(0) -> x.getAs[Boolean]("pass")).toMap
+      assert(retry("published_version") && tipOf(root) == 4L)
+    }
+
+    // INTERLEAVING B (the r14 compaction finding): two COMPACTIONS
+    // race from the same fromV — both pass the tip guard. The loser
+    // parks before its rewrite write; the winner rewrites + commits
+    // v3; the loser rewrites into its OWN dir, conflicts, and deletes
+    // only what it wrote. With a shared deterministic dir the loser
+    // would have overwritten the winner's published rewrite and then
+    // deleteTree'd it — the manifest's v3 pointing at nothing.
+    locally {
+      val root = freshRoot()
+      val parked = new CountDownLatch(1)
+      val go = new CountDownLatch(1)
+      val loser = Future {
+        Pipeline.compactVersion(spark, root, 2L,
+          beforeStage = () => {
+            parked.countDown(); go.await(120, TimeUnit.SECONDS); ()
+          }).collect()
+      }
+      assert(parked.await(120, TimeUnit.SECONDS))
+      Pipeline.compactVersion(spark, root, 2L).collect() // wins v3
+      val v3 = resolve(root, 3L)
+      assert(v3.size == 1 && v3.head.contains("v3_compact"))
+      val v3Files = filesOf(v3)
+      go.countDown()
+      val e = intercept[IllegalArgumentException] {
+        Await.result(loser, 300.seconds)
+      }
+      assert(e.getMessage.contains("commit conflict"), e.getMessage)
+      // the manifest's v3 still RESOLVES (the loser never deleted the
+      // winner's dir), content preserved, byte-identical
+      assert(tipOf(root) == 3L && resolve(root, 3L) == v3)
+      assert(filesOf(v3) == v3Files,
+        "loser's rewrite must not touch the winner's published dir")
+      assert(countOf(root, 3L) == countOf(root, 2L))
+      // exactly one compacted dir remains on disk — the loser's own
+      // unique dir was swept in its conflict handler
+      assert(dirNames(s"$root/data").count(_.startsWith("v3_compact")) == 1)
+    }
+
+    // INTERLEAVING C: rollback RACED against admission, both
+    // orderings — the third writer kind goes through the same locked
+    // commit point and must lose cleanly too.
+    locally { // C1: rollback parks, admission wins
+      val root = freshRoot()
+      val parked = new CountDownLatch(1)
+      val go = new CountDownLatch(1)
+      val loser = Future {
+        Pipeline.rollbackTo(spark, root, targetV = 1L, toV = 3L,
+          beforeCommit = () => {
+            parked.countDown(); go.await(120, TimeUnit.SECONDS); ()
+          }).collect()
+      }
+      assert(parked.await(120, TimeUnit.SECONDS))
+      val w = Pipeline.admitShard(spark, shardC, root, closeLoop = true)
+        .collect()
+        .map(x => x.getString(0) -> x.getAs[Boolean]("pass")).toMap
+      assert(w("published_version")) // admission owns v3
+      go.countDown()
+      val e = intercept[IllegalArgumentException] {
+        Await.result(loser, 300.seconds)
+      }
+      assert(e.getMessage.contains("commit conflict"), e.getMessage)
+      assert(tipOf(root) == 3L &&
+        resolve(root, 3L).exists(_.contains("v3_admitted")))
+      // the rollback retries against the new tip: v4 re-stamps v1
+      val retry = Pipeline.rollbackTo(spark, root, targetV = 1L,
+        toV = 4L).collect()
+      assert(retry.forall(_.getAs[Boolean]("files_shared")))
+      assert(tipOf(root) == 4L && countOf(root, 4L) == countOf(root, 1L))
+    }
+    locally { // C2: admission parks, rollback wins
+      val root = freshRoot()
+      val parked = new CountDownLatch(1)
+      val go = new CountDownLatch(1)
+      val loser = Future {
+        Pipeline.admitShard(spark, shardC, root, closeLoop = true,
+          beforeCommit = () => {
+            parked.countDown(); go.await(120, TimeUnit.SECONDS); ()
+          }).collect()
+      }
+      assert(parked.await(120, TimeUnit.SECONDS))
+      Pipeline.rollbackTo(spark, root, targetV = 1L, toV = 3L).collect()
+      assert(tipOf(root) == 3L &&
+        resolve(root, 3L) == resolve(root, 1L)) // rollback owns v3
+      go.countDown()
+      val e = intercept[IllegalArgumentException] {
+        Await.result(loser, 300.seconds)
+      }
+      assert(e.getMessage.contains("commit conflict"), e.getMessage)
+      assert(!dirNames(s"$root/stage").exists(_.contains("v3_admitted")),
+        "losing admission's staged dir must be deleted on conflict")
+      // the admission retries against the rolled-back tip: v4 admits
+      // shardC against v3 (= v1's paths, v1+v2 deltas pinned ≤ 3)
+      val retry = Pipeline.admitShard(spark, shardC, root,
+        closeLoop = true).collect()
+        .map(x => x.getString(0) -> x.getAs[Boolean]("pass")).toMap
+      assert(retry("published_version") && tipOf(root) == 4L)
     }
   }
 
@@ -851,9 +1065,9 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val v4 = spark.read.parquet(s"$root/manifest")
       .filter(col("version") === 4L).select("path").distinct()
       .collect().map(_.getString(0))
-    assert(v4.exists(_.endsWith("v3_compact")), "the admitted tip must " +
+    assert(v4.exists(_.contains("v3_compact")), "the admitted tip must " +
       "reference the compacted files, not the fragmented originals")
-    assert(v4.exists(_.endsWith("v4_admitted")))
+    assert(v4.exists(_.contains("v4_admitted")))
     // content: base ∪ surviving shard fps, exactly as the
     // compaction-free run — the rewrite is invisible to admission
     // (its index/stats carry no delta, the anti-join composes over
@@ -870,6 +1084,100 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val n4 = v4.map(spark.read.parquet(_)).reduce(_ unionByName _).count()
     assert(n4 == base.count() + newFp + shNulls,
       "interleaved compaction must not change the admitted corpus")
+  }
+
+  test("pipe19 widened: a multi-shard feed (4 disjoint shards + one " +
+    "injected DUPLICATE shard) lands on the batch-admitted corpus in " +
+    "either arrival order — the order-invariance argument exercised " +
+    "past n=2") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.load(spark, sf, "documents")
+    val hasText = col("text").isNotNull && length(col("text")) > 0
+    val fp = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+    val base = docs.filter(col("doc_id") % 5 <= 2)
+    // 4 disjoint sub-shards of the 2/5 tail, TEXT-ONLY: every row
+    // carries a fingerprint, so the duplicated shard is fully
+    // rejected on its second arrival and every total below is
+    // order-invariant (null docs are admit-always by design and
+    // would make a duplicated shard's accounting order-dependent)
+    def sub(i: Int) = docs.filter(col("doc_id") % 5 >= 3 &&
+      pmod(col("doc_id"), lit(4)) === i && hasText)
+    val allSh = (0 to 3).map(sub).reduce(_ unionByName _)
+    def runLoop(order: Seq[Int]): (Long, Long, Long, Long, String) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_p19w").toString
+      base.write.parquet(s"$dir/base")
+      for (i <- order) { // one file per arrival, mod-time ordered
+        sub(i).coalesce(1).write
+          .mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"$dir/feed")
+        Thread.sleep(20)
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_p19wr").toString
+      Pipeline.publishV1Meta(spark, s"$dir/base", root)
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "2")
+      val reports =
+        scala.collection.mutable.ArrayBuffer.empty[Map[String, Long]]
+      val q = ss.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, " +
+          "source STRING, n_chars LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/feed")
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          reports += Pipeline.admitShard(b.sparkSession, b, root,
+              closeLoop = true)
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          ()
+        }
+        .start()
+      try assert(q.awaitTermination(300000)) finally q.stop()
+      assert(reports.length == order.length,
+        s"one micro-batch per arriving file: ${reports.length}")
+      val tip = spark.read.parquet(s"$root/manifest")
+        .agg(max(col("version"))).head.getLong(0)
+      (tip, reports.map(_("admitted_new")).sum,
+        reports.map(_("rejected_dup")).sum,
+        spark.read.parquet(s"$root/manifest")
+          .filter(col("version") === tip).select("path").distinct()
+          .collect().map(_.getString(0))
+          .map(spark.read.parquet(_)).reduce(_ unionByName _).count(),
+        root)
+    }
+    // batch oracle (order-free restatement): total admitted = the
+    // distinct shard fingerprints not already published in the base;
+    // the duplicate's second arrival adds only rejections
+    val expAdmit = allSh.select(fp.as("f")).distinct()
+      .join(base.filter(hasText).select(fp.as("f")).distinct(),
+        Seq("f"), "left_anti").count()
+    val arrivedRows = allSh.count() + sub(1).count() // shard 1 twice
+    for (order <- Seq(Seq(0, 1, 1, 2, 3), Seq(3, 2, 1, 0, 1))) {
+      val (tip, admitted, rejected, nFinal, root) = runLoop(order)
+      assert(tip == 1L + order.length,
+        s"every batch (incl. the all-rejected duplicate) publishes " +
+          s"one version: tip=$tip for order $order")
+      assert(admitted == expAdmit, s"order $order admitted $admitted")
+      assert(rejected == arrivedRows - expAdmit)
+      assert(nFinal == base.count() + expAdmit)
+      // the final corpus's fingerprint SET equals base ∪ shards —
+      // content equality, not just counts
+      val finalFps = spark.read.parquet(s"$root/manifest")
+        .filter(col("version") === tip).select("path").distinct()
+        .collect().map(_.getString(0))
+        .map(spark.read.parquet(_)).reduce(_ unionByName _)
+        .filter(hasText).select(fp.as("f")).distinct()
+      val wantFps = base.filter(hasText).unionByName(allSh)
+        .select(fp.as("f")).distinct()
+      assert(finalFps.exceptAll(wantFps).isEmpty &&
+        wantFps.exceptAll(finalFps).isEmpty,
+        s"order $order: final fingerprint set diverged from the " +
+          "batch-admitted corpus")
+    }
   }
 
   test("pipe19: streaming admission lands on the batch-derived " +
