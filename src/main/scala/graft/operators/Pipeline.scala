@@ -1536,6 +1536,21 @@ object Pipeline {
         .collect().map(_.getString(0)).sorted.toSeq
     val target = paths(targetV)
     require(target.nonEmpty, s"rollbackTo: version $targetV is not published")
+    // an EXPIRED version must not come back as the tip: pipe20's
+    // vacuum deleted the dirs only it referenced, so re-stamping its
+    // paths would publish a version that silently fails to resolve
+    // (the manifest itself never records expiry — the tombstone
+    // relation beside it does)
+    val expPath = new org.apache.hadoop.fs.Path(s"$root/expired")
+    val expiredVs =
+      if (expPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .exists(expPath))
+        s.read.schema("version BIGINT").parquet(s"$root/expired")
+          .collect().map(_.getLong(0)).toSet
+      else Set.empty[Long]
+    require(!expiredVs(targetV),
+      s"rollbackTo: version $targetV is expired — its unreferenced " +
+        "files were vacuumed and its snapshot cannot be re-published")
     val existing = paths(toV)
     if (existing.isEmpty) {
       beforeCommit() // test seam: widen the observe→commit race window
@@ -1580,6 +1595,120 @@ object Pipeline {
        |UNION ALL
        |${row(4L)}""".stripMargin
   }
+
+  /** pipe20: SNAPSHOT EXPIRATION / VACUUM — the WAP lifecycle's
+    * garbage collector (Iceberg's `expire_snapshots` semantics), the
+    * piece that keeps a versioned corpus from growing without bound:
+    * versions older than the retention window stop being resolvable
+    * and the data directories referenced ONLY by expired versions are
+    * deleted. The safety invariant is the whole operator: a directory
+    * shared with any LIVE version (the manifest re-stamps prior paths
+    * on every admission and rollback, so sharing is the NORM) must
+    * survive — the report proves it by resolving every live version
+    * AFTER the deletes and counting its docs. The manifest itself is
+    * never rewritten (append-only stays append-only — readers and the
+    * conflict protocol keep their one source of truth); expiry is
+    * recorded as a version-level tombstone relation beside it, and
+    * the at-rest index/stats deltas of expired versions remain (they
+    * are bounded metadata that later pinned admissions still compose
+    * against).
+    *
+    * Report: one row per manifest version — (version, is_live,
+    * n_dirs_dropped, n_docs), with n_docs = −1 for expired versions
+    * (no longer resolvable) and the post-delete recount for live
+    * ones. On the settled 4-version root the oracle states the whole
+    * story from the raw corpus: v1/v2 expire, ONLY v2's staging dir
+    * is dropped (data/v1 is shared with the live rollback v4 and must
+    * survive), v3 recounts to the admitted corpus, v4 to the base.
+    *
+    * Idempotent by construction: a replay recomputes the same live
+    * set from the untouched manifest, re-deletes already-gone dirs
+    * (no-op), overwrites the tombstones with the same rows, and
+    * recounts the same live versions.
+    *
+    * 100 TB shape: pure manifest arithmetic — one bounded listing
+    * read decides the safe-to-delete set (set difference over path
+    * strings, never a data scan); deletes are O(dirs); the only data
+    * pass is the report's recount, which a production vacuum skips
+    * (here it IS the safety proof the oracle hashes).
+    */
+  private[graft] def expireVersions(s: SparkSession, root: String,
+      keepLast: Int): DataFrame = {
+    import s.implicits._
+    require(keepLast >= 1,
+      "expireVersions: must keep at least the tip version")
+    val manifestRows = s.read.parquet(s"$root/manifest")
+      .select("version", "path").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    require(manifestRows.nonEmpty,
+      s"expireVersions: $root has no published manifest")
+    val versions = manifestRows.map(_._1).distinct.sorted
+    val live = versions.takeRight(keepLast).toSet
+    val liveP = manifestRows.filter(t => live(t._1)).map(_._2).toSet
+    // safe-to-delete = referenced by SOME expired version and NO live
+    // one; anything shared with a live version survives
+    val expP =
+      manifestRows.filterNot(t => live(t._1)).map(_._2).toSet -- liveP
+    expP.toSeq.sorted.foreach(deleteTree)
+    // durable version-level tombstones (Overwrite: replay-idempotent)
+    versions.filterNot(live).toSeq.toDF("version")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/expired")
+    val rows = versions.map { v =>
+      val vPaths = manifestRows.filter(_._1 == v).map(_._2)
+        .distinct.sorted
+      val nDocs =
+        if (live(v)) // resolve AFTER the deletes — the safety proof
+          vPaths.map(s.read.parquet(_)).reduce(_ unionByName _).count()
+        else -1L
+      (v, live(v), vPaths.count(expP).toLong, nDocs)
+    }.toSeq
+    rows.toDF("version", "is_live", "n_dirs_dropped", "n_docs")
+  }
+
+  /** A settled 4-version root OF ITS OWN (expiring pipe16/pipe18's
+    * shared roots would delete dirs their replays resolve): publish,
+    * admit, compact, rollback — the full lifecycle pipe20 then
+    * garbage-collects. Version pinning carries pipe18's honest
+    * contract: the oracle assumes the benchmark corpus passes the
+    * admission gates.
+    */
+  private val pipe20Setup: (SparkSession, String) => String =
+    graft.functions.Memo.memoizedValue("pipeline.pipe20Setup",
+        onEvict = deleteTree) { (s, d) =>
+      val root = Migrate.tempDir("pipe20")
+      pipe15PublishV1(s, d, root)
+      admitShard(s,
+        Tables.load(s, d, "documents").filter(col("doc_id") % 5 === 4),
+        root, closeLoop = true)
+      ensureCompacted(s, root, 2L)
+      rollbackTo(s, root, targetV = 1L, toV = 4L)
+      root
+    }
+
+  graft.functions.Memo.memoWarmers.put("pipeline.pipe20Setup",
+    (s: SparkSession, d: String) =>
+      s.read.parquet(s"${pipe20Setup(s, d)}/manifest"))
+
+  def pipe20SnapshotExpire(s: SparkSession, d: String): DataFrame =
+    expireVersions(s, pipe20Setup(s, d), keepLast = 2)
+
+  /** The settled root's whole expiry story from the raw corpus:
+    * v1/v2 expire (−1 docs), exactly one dir is dropped and it is
+    * v2's staging dir (data/v1 is shared with the live v4), v3 is
+    * the admitted corpus, v4 the rollback to the base.
+    */
+  val pipe20Sql: String =
+    s"""WITH $pipe15V2CtesSql
+       |SELECT CAST(1 AS BIGINT) AS version, FALSE AS is_live,
+       |  CAST(0 AS BIGINT) AS n_dirs_dropped,
+       |  CAST(-1 AS BIGINT) AS n_docs
+       |UNION ALL
+       |SELECT 2, FALSE, 1, -1
+       |UNION ALL
+       |SELECT 3, TRUE, 0, (SELECT CAST(count(*) AS BIGINT) FROM v2)
+       |UNION ALL
+       |SELECT 4, TRUE, 0, (SELECT CAST(count(*) AS BIGINT) FROM v1)"""
+      .stripMargin
 
   /** pipe19: STREAMING ADMISSION — the pipe15 loop fed by Structured
     * Streaming, the shape a production corpus ingests in: shards
@@ -1764,7 +1893,8 @@ object Pipeline {
     "pipe16_compaction_rewrite" -> pipe16CompactionRewrite,
     "pipe17_version_diff" -> pipe17VersionDiff,
     "pipe18_rollback_publish" -> pipe18RollbackPublish,
-    "pipe19_streaming_admission" -> pipe19StreamingAdmission)
+    "pipe19_streaming_admission" -> pipe19StreamingAdmission,
+    "pipe20_snapshot_expire" -> pipe20SnapshotExpire)
 
   val oracles: Map[String, String] = Map(
     "pipe2_migration" -> pipe2Sql,
@@ -1774,5 +1904,6 @@ object Pipeline {
     "pipe16_compaction_rewrite" -> pipe16Sql,
     "pipe17_version_diff" -> pipe17Sql,
     "pipe18_rollback_publish" -> pipe18Sql,
-    "pipe19_streaming_admission" -> pipe19Sql)
+    "pipe19_streaming_admission" -> pipe19Sql,
+    "pipe20_snapshot_expire" -> pipe20Sql)
 }

@@ -573,6 +573,76 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("pipe20: snapshot expiration drops ONLY dirs unreferenced by " +
+    "live versions — shared dirs survive, live versions resolve " +
+    "after the vacuum, tombstones land, replays are idempotent, and " +
+    "keepLast is guarded") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_p20")
+      .toString
+    Pipeline.pipe15PublishV1(spark, sf, root)
+    val docs = Tables.load(spark, sf, "documents")
+    Pipeline.admitShard(spark, docs.filter(col("doc_id") % 5 === 4),
+      root, closeLoop = true)
+    Pipeline.ensureCompacted(spark, root, 2L)
+    Pipeline.rollbackTo(spark, root, targetV = 1L, toV = 4L)
+    val stageDir = pathLike(root, 2L, "v2_admitted")
+    val compactDir = pathLike(root, 3L, "v3_compact")
+    // retention wider than history: everything live, nothing dropped
+    val r0 = Pipeline.expireVersions(spark, root, keepLast = 9)
+      .collect()
+    assert(r0.length == 4 && r0.forall(_.getAs[Boolean]("is_live")))
+    assert(r0.forall(_.getAs[Long]("n_dirs_dropped") == 0L))
+    assert(new java.io.File(stageDir).exists())
+    // the real vacuum: keep {3, 4}; v2's staging dir is the only dir
+    // no live version references — data/v1 is shared with v4 (the
+    // rollback re-stamp) and MUST survive
+    def run() = Pipeline.expireVersions(spark, root, keepLast = 2)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        r.getLong(2), r.getLong(3))).toSeq.sortBy(_._1)
+    val r1 = run()
+    val fp = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+    val hasText = col("text").isNotNull && length(col("text")) > 0
+    val base = docs.filter(col("doc_id") % 5 =!= 4)
+    val sh = docs.filter(col("doc_id") % 5 === 4)
+    val newFp = sh.filter(hasText).select(fp.as("fp")).distinct()
+      .join(base.filter(hasText).select(fp.as("fp")).distinct(),
+        Seq("fp"), "left_anti").count()
+    val shNulls = sh.filter(!hasText).count()
+    assert(r1 == Seq(
+      (1L, false, 0L, -1L),
+      (2L, false, 1L, -1L),
+      (3L, true, 0L, base.count() + newFp + shNulls),
+      (4L, true, 0L, base.count())), r1.toString)
+    assert(!new java.io.File(stageDir).exists(),
+      "the expired-only staging dir must be deleted")
+    assert(new java.io.File(s"$root/data/v1").exists(),
+      "a dir shared with a live version must survive the vacuum")
+    assert(new java.io.File(compactDir).exists())
+    assert(spark.read.parquet(s"$root/expired").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    // replay: same report, still nothing else deleted
+    assert(run() == r1, "expiry replay must be idempotent")
+    assert(new java.io.File(s"$root/data/v1").exists())
+    // the tip can never expire
+    intercept[IllegalArgumentException] {
+      Pipeline.expireVersions(spark, root, keepLast = 0)
+    }
+    // an expired version can never come back as the tip: re-stamping
+    // v2's paths would publish a version pointing at the vacuumed
+    // staging dir
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.rollbackTo(spark, root, targetV = 2L, toV = 5L)
+    }
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    // while a LIVE version still rolls back normally (v3's dirs are
+    // intact), proving the guard keys on the tombstones, not on a
+    // blanket freeze
+    val ok = Pipeline.rollbackTo(spark, root, targetV = 3L, toV = 5L)
+      .collect()
+    assert(ok.forall(_.getAs[Boolean]("files_shared")))
+  }
+
   test("pipe19 fault: a crash between admission and checkpoint commit " +
     "redelivers the shard, and the at-rest index makes redelivery " +
     "content-idempotent") {
