@@ -796,10 +796,15 @@ object Pipeline {
   private[graft] val LockStaleMs: Long = 10L * 60 * 1000
   private[graft] val LockHeartbeatMs: Long = 30L * 1000
 
-  private[graft] def commitManifest(s: SparkSession, root: String,
-      rows: Seq[(Long, String)], expectedTip: Option[Long],
-      who: String, underLock: () => Unit = () => ()): Unit = {
-    import s.implicits._
+  /** Run `body` holding the root's commit lock — the mutual
+    * exclusion shared by every manifest COMMIT ([[commitManifest]])
+    * and by [[expireVersions]]'s decide+tombstone+delete critical
+    * section (a vacuum that ran unserialized could expire a version
+    * a parked rollback was about to re-stamp; under the shared lock
+    * the rollback's own locked re-check sees the tombstone).
+    */
+  private[graft] def withCommitLock[T](s: SparkSession, root: String,
+      who: String)(body: => T): T = {
     val lockHPath =
       new org.apache.hadoop.fs.Path(s"$root/manifest.commit.lock")
     val fs = lockHPath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -851,7 +856,19 @@ object Pipeline {
       })
     heartbeat.setDaemon(true)
     heartbeat.start()
-    try {
+    try body
+    finally {
+      heartbeat.interrupt()
+      try { fs.delete(lockHPath, false); () }
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private[graft] def commitManifest(s: SparkSession, root: String,
+      rows: Seq[(Long, String)], expectedTip: Option[Long],
+      who: String, underLock: () => Unit = () => ()): Unit = {
+    import s.implicits._
+    withCommitLock(s, root, who) {
       val mPath = new org.apache.hadoop.fs.Path(s"$root/manifest")
       val exists = mPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         .exists(mPath)
@@ -872,10 +889,6 @@ object Pipeline {
       underLock() // first publish's meta writes — see publishV1Meta
       rows.toDF("version", "path")
         .write.mode(SaveMode.Append).parquet(s"$root/manifest")
-    } finally {
-      heartbeat.interrupt()
-      try { fs.delete(lockHPath, false); () }
-      catch { case _: java.io.IOException => () }
     }
   }
 
@@ -1540,25 +1553,27 @@ object Pipeline {
     // vacuum deleted the dirs only it referenced, so re-stamping its
     // paths would publish a version that silently fails to resolve
     // (the manifest itself never records expiry — the tombstone
-    // relation beside it does)
-    val expPath = new org.apache.hadoop.fs.Path(s"$root/expired")
-    val expiredVs =
-      if (expPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .exists(expPath))
-        s.read.schema("version BIGINT").parquet(s"$root/expired")
-          .collect().map(_.getLong(0)).toSet
-      else Set.empty[Long]
-    require(!expiredVs(targetV),
-      s"rollbackTo: version $targetV is expired — its unreferenced " +
-        "files were vacuumed and its snapshot cannot be re-published")
+    // relation beside it does). Unlocked fast-fail here; the
+    // authoritative re-check runs under the commit lock below,
+    // closing the observe→commit window against a concurrent vacuum
+    // (which tombstones under the same lock).
+    def requireNotExpired(): Unit =
+      require(!expiredVersions(s, root)(targetV),
+        s"rollbackTo: version $targetV is expired — its unreferenced " +
+          "files were vacuumed and its snapshot cannot be re-published")
+    requireNotExpired()
     val existing = paths(toV)
     if (existing.isEmpty) {
       beforeCommit() // test seam: widen the observe→commit race window
       // validated commit: a rollback publishes THE NEXT version, so
       // the tip it observed must still be toV - 1 — losing a race to
-      // a concurrent writer errors instead of forking the manifest
+      // a concurrent writer errors instead of forking the manifest;
+      // the tombstone re-check runs under the same lock a vacuum
+      // tombstones under, so "observed live, expired while parked"
+      // fails HERE instead of publishing a dangling snapshot
       commitManifest(s, root, target.map(p => (toV, p)),
-        expectedTip = Some(toV - 1), who = "rollbackTo")
+        expectedTip = Some(toV - 1), who = "rollbackTo",
+        underLock = () => requireNotExpired())
     }
     else require(existing == target,
       s"rollbackTo: version $toV is already published with a different " +
@@ -1632,27 +1647,60 @@ object Pipeline {
     * pass is the report's recount, which a production vacuum skips
     * (here it IS the safety proof the oracle hashes).
     */
+  /** The root's expired-version tombstones (empty before any vacuum
+    * ran) — ONE reader shared by rollbackTo's guard (both its
+    * unlocked fast-fail and its locked re-check) so the two can
+    * never read the relation differently.
+    */
+  private def expiredVersions(s: SparkSession, root: String): Set[Long] = {
+    val expPath = new org.apache.hadoop.fs.Path(s"$root/expired")
+    if (expPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(expPath))
+      s.read.schema("version BIGINT").parquet(s"$root/expired")
+        .collect().map(_.getLong(0)).toSet
+    else Set.empty[Long]
+  }
+
   private[graft] def expireVersions(s: SparkSession, root: String,
       keepLast: Int): DataFrame = {
     import s.implicits._
     require(keepLast >= 1,
       "expireVersions: must keep at least the tip version")
-    val manifestRows = s.read.parquet(s"$root/manifest")
-      .select("version", "path").distinct().collect()
-      .map(r => (r.getLong(0), r.getString(1)))
-    require(manifestRows.nonEmpty,
-      s"expireVersions: $root has no published manifest")
-    val versions = manifestRows.map(_._1).distinct.sorted
-    val live = versions.takeRight(keepLast).toSet
-    val liveP = manifestRows.filter(t => live(t._1)).map(_._2).toSet
-    // safe-to-delete = referenced by SOME expired version and NO live
-    // one; anything shared with a live version survives
-    val expP =
-      manifestRows.filterNot(t => live(t._1)).map(_._2).toSet -- liveP
-    expP.toSeq.sorted.foreach(deleteTree)
-    // durable version-level tombstones (Overwrite: replay-idempotent)
-    versions.filterNot(live).toSeq.toDF("version")
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/expired")
+    // the decide + tombstone + delete section runs UNDER THE COMMIT
+    // LOCK: unserialized, a vacuum could expire a version between a
+    // rollback's observe and its commit — the tip would not move, so
+    // the rollback's tip validation would pass and publish a version
+    // pointing at just-deleted dirs. Under the shared lock, either
+    // the rollback commits first (its target's dirs become
+    // live-referenced and survive) or the vacuum's tombstone lands
+    // first and the rollback's locked re-check refuses. The
+    // data-sized recount below runs AFTER release — live dirs are
+    // immune to any later vacuum by definition.
+    val (manifestRows, versions, live, expP) =
+      withCommitLock(s, root, "expireVersions") {
+        val manifestRows = s.read.parquet(s"$root/manifest")
+          .select("version", "path").distinct().collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        require(manifestRows.nonEmpty,
+          s"expireVersions: $root has no published manifest")
+        val versions = manifestRows.map(_._1).distinct.sorted
+        val live = versions.takeRight(keepLast).toSet
+        val liveP = manifestRows.filter(t => live(t._1)).map(_._2).toSet
+        // safe-to-delete = referenced by SOME expired version and NO
+        // live one; anything shared with a live version survives
+        val expP =
+          manifestRows.filterNot(t => live(t._1)).map(_._2).toSet --
+            liveP
+        // durable version-level tombstones land BEFORE the deletes
+        // (Overwrite: replay-idempotent): a crash between them leaves
+        // tombstoned-but-present dirs — a later replay re-deletes;
+        // the reverse order could leave deleted-but-untombstoned
+        // versions a rollback would happily re-stamp
+        versions.filterNot(live).toSeq.toDF("version")
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/expired")
+        expP.toSeq.sorted.foreach(deleteTree)
+        (manifestRows, versions, live, expP)
+      }
     val rows = versions.map { v =>
       val vPaths = manifestRows.filter(_._1 == v).map(_._2)
         .distinct.sorted

@@ -1061,6 +1061,37 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
         .map(x => x.getString(0) -> x.getAs[Boolean]("pass")).toMap
       assert(retry("published_version") && tipOf(root) == 4L)
     }
+
+    // INTERLEAVING D: rollback RACED against the vacuum — the
+    // rollback observes its target live, parks before its commit; a
+    // concurrent expire (which tombstones UNDER the commit lock)
+    // expires the target. The manifest tip never moves, so the tip
+    // validation alone would pass and publish a version pointing at
+    // a vacuumable snapshot — the rollback's locked tombstone
+    // re-check must refuse instead.
+    locally {
+      val root = freshRoot() // tip = 2
+      val parked = new CountDownLatch(1)
+      val go = new CountDownLatch(1)
+      val loser = Future {
+        Pipeline.rollbackTo(spark, root, targetV = 1L, toV = 3L,
+          beforeCommit = () => {
+            parked.countDown(); go.await(120, TimeUnit.SECONDS); ()
+          }).collect()
+      }
+      assert(parked.await(120, TimeUnit.SECONDS))
+      val exp = Pipeline.expireVersions(spark, root, keepLast = 1)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(exp == Map(1L -> false, 2L -> true))
+      go.countDown()
+      val e = intercept[IllegalArgumentException] {
+        Await.result(loser, 300.seconds)
+      }
+      assert(e.getMessage.contains("expired"), e.getMessage)
+      // the tip is untouched and no dangling v3 was published
+      assert(tipOf(root) == 2L)
+      assert(resolve(root, 3L).isEmpty)
+    }
   }
 
   test("pipe17: version-hash materialization is scratch-parquet, not " +
