@@ -1758,6 +1758,113 @@ object Pipeline {
        |SELECT 4, TRUE, 0, (SELECT CAST(count(*) AS BIGINT) FROM v1)"""
       .stripMargin
 
+  /** pipe21: ORPHAN-DIRECTORY SWEEP — the other half of the storage
+    * garbage collector (Iceberg's `remove_orphan_files`): a writer
+    * that CRASHED between staging and commit leaves its writer-unique
+    * dir behind with no manifest reference and no conflict handler to
+    * sweep it — on a real deployment those accumulate forever. The
+    * sweep lists only the data-bearing namespaces (`stage/`,
+    * `data/`), subtracts every manifest-referenced path, and deletes
+    * what remains IF it is older than `graceMs`. The grace period is
+    * the safety contract: a LIVE writer's staged dir is also
+    * unreferenced until its commit, so production grace must exceed
+    * the longest stage→commit window (Iceberg defaults to days);
+    * the sweep runs under the commit lock, so commits are quiesced
+    * while the decide+delete executes, and the grace window covers
+    * writers parked mid-stage. Meta relations (manifest, index,
+    * stats, expired, checkpoints) live outside the swept namespaces
+    * by construction.
+    *
+    * The registered query PLANTS one crashed-writer dir and sweeps
+    * with grace 0 each run (the replayable-cost pattern pipe16 uses
+    * for its rewrite), so the report — orphans dropped, referenced
+    * dirs, tip recount after the sweep — is deterministic under the
+    * bench's re-sampling.
+    *
+    * 100 TB shape: one bounded manifest read + one directory listing
+    * per namespace (NOT a recursive file walk — staging dirs are the
+    * unit of both commit and cleanup); deletes are O(orphans); the
+    * tip recount is the safety proof, skippable in production.
+    */
+  private[graft] def removeOrphans(s: SparkSession, root: String,
+      graceMs: Long): DataFrame = {
+    import s.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
+    val (dropped, referencedN) = withCommitLock(s, root, "removeOrphans") {
+      val referenced = s.read.parquet(s"$root/manifest")
+        .select("path").distinct().collect().map(_.getString(0)).toSet
+      require(referenced.nonEmpty,
+        s"removeOrphans: $root has no published manifest")
+      val now = System.currentTimeMillis()
+      val orphans = Seq("stage", "data").flatMap { ns =>
+        val nsPath = new org.apache.hadoop.fs.Path(s"$root/$ns")
+        val fs = nsPath.getFileSystem(conf)
+        if (!fs.exists(nsPath)) Seq.empty
+        else fs.listStatus(nsPath).toSeq.filter(_.isDirectory)
+          .filterNot(st =>
+            referenced(org.apache.hadoop.fs.Path
+              .getPathWithoutSchemeAndAuthority(st.getPath).toString))
+          .filter(st => now - st.getModificationTime >= graceMs)
+          .map(st => org.apache.hadoop.fs.Path
+            .getPathWithoutSchemeAndAuthority(st.getPath).toString)
+      }
+      orphans.sorted.foreach(deleteTree)
+      (orphans.size.toLong, referenced.size.toLong)
+    }
+    // tip recount AFTER the sweep — the referenced-dirs-survive proof
+    val manifest = s.read.parquet(s"$root/manifest")
+    val tip = manifest.agg(max(col("version"))).head.getLong(0)
+    val tipDocs = manifest.filter(col("version") === tip)
+      .select("path").distinct().collect().map(_.getString(0)).sorted
+      .map(s.read.parquet(_)).reduce(_ unionByName _).count()
+    Seq(("orphan_dirs_dropped", dropped),
+      ("referenced_dirs", referencedN),
+      ("tip_docs", tipDocs)).toDF("metric", "value")
+  }
+
+  /** A settled 3-version root of its own (publish, admit, compact). */
+  private val pipe21Setup: (SparkSession, String) => String =
+    graft.functions.Memo.memoizedValue("pipeline.pipe21Setup",
+        onEvict = deleteTree) { (s, d) =>
+      val root = Migrate.tempDir("pipe21")
+      pipe15PublishV1(s, d, root)
+      admitShard(s,
+        Tables.load(s, d, "documents").filter(col("doc_id") % 5 === 4),
+        root, closeLoop = true)
+      ensureCompacted(s, root, 2L)
+      root
+    }
+
+  graft.functions.Memo.memoWarmers.put("pipeline.pipe21Setup",
+    (s: SparkSession, d: String) =>
+      s.read.parquet(s"${pipe21Setup(s, d)}/manifest"))
+
+  def pipe21OrphanSweep(s: SparkSession, d: String): DataFrame = {
+    val root = pipe21Setup(s, d)
+    // plant one crashed-writer staging dir per run: nonce-named,
+    // never committed, exactly what a writer dying mid-stage leaves
+    val nonce =
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    Tables.load(s, d, "documents").limit(7).write
+      .parquet(s"$root/stage/v9_admitted_$nonce")
+    removeOrphans(s, root, graceMs = 0L)
+  }
+
+  /** The settled root holds exactly 3 referenced dirs (v1 landing,
+    * the admitted staging dir, the compacted rewrite); the planted
+    * crashed-writer dir is the one orphan; the tip is the compacted
+    * admitted corpus.
+    */
+  val pipe21Sql: String =
+    s"""WITH $pipe15V2CtesSql
+       |SELECT 'orphan_dirs_dropped' AS metric,
+       |  CAST(1 AS BIGINT) AS value
+       |UNION ALL
+       |SELECT 'referenced_dirs', 3
+       |UNION ALL
+       |SELECT 'tip_docs', (SELECT CAST(count(*) AS BIGINT) FROM v2)"""
+      .stripMargin
+
   /** pipe19: STREAMING ADMISSION — the pipe15 loop fed by Structured
     * Streaming, the shape a production corpus ingests in: shards
     * arrive as files on a watched directory, each micro-batch
@@ -1942,7 +2049,8 @@ object Pipeline {
     "pipe17_version_diff" -> pipe17VersionDiff,
     "pipe18_rollback_publish" -> pipe18RollbackPublish,
     "pipe19_streaming_admission" -> pipe19StreamingAdmission,
-    "pipe20_snapshot_expire" -> pipe20SnapshotExpire)
+    "pipe20_snapshot_expire" -> pipe20SnapshotExpire,
+    "pipe21_orphan_sweep" -> pipe21OrphanSweep)
 
   val oracles: Map[String, String] = Map(
     "pipe2_migration" -> pipe2Sql,
@@ -1953,5 +2061,6 @@ object Pipeline {
     "pipe17_version_diff" -> pipe17Sql,
     "pipe18_rollback_publish" -> pipe18Sql,
     "pipe19_streaming_admission" -> pipe19Sql,
-    "pipe20_snapshot_expire" -> pipe20Sql)
+    "pipe20_snapshot_expire" -> pipe20Sql,
+    "pipe21_orphan_sweep" -> pipe21Sql)
 }

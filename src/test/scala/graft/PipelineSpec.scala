@@ -643,6 +643,60 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ok.forall(_.getAs[Boolean]("files_shared")))
   }
 
+  test("pipe21: the orphan sweep deletes ONLY unreferenced dirs past " +
+    "the grace period — a fresh (possibly mid-stage) dir survives, " +
+    "referenced dirs are byte-identical, meta relations untouched") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_p21")
+      .toString
+    Pipeline.pipe15PublishV1(spark, sf, root)
+    val docs = Tables.load(spark, sf, "documents")
+    Pipeline.admitShard(spark, docs.filter(col("doc_id") % 5 === 4),
+      root, closeLoop = true)
+    Pipeline.ensureCompacted(spark, root, 2L)
+    val orphan = s"$root/stage/v9_admitted_deadbeef0000"
+    docs.limit(7).write.parquet(orphan)
+    def files(dir: String): Map[String, (Long, Long)] =
+      Option(new java.io.File(dir).listFiles())
+        .map(_.filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> ((f.length(), f.lastModified())))
+          .toMap).getOrElse(Map.empty)
+    val refDirs = Seq(s"$root/data/v1",
+      pathLike(root, 2L, "v2_admitted"), pathLike(root, 3L, "v3_compact"))
+    val before = refDirs.map(d => d -> files(d)).toMap
+    def report(graceMs: Long): Map[String, Long] =
+      Pipeline.removeOrphans(spark, root, graceMs).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // grace period not yet elapsed: the just-written dir could be a
+    // live writer parked mid-stage — it must survive
+    val r1 = report(graceMs = 3600L * 1000)
+    assert(r1("orphan_dirs_dropped") == 0L, r1.toString)
+    assert(new java.io.File(orphan).exists())
+    // grace 0: the crashed-writer dir goes, nothing else moves
+    val r2 = report(graceMs = 0L)
+    assert(r2("orphan_dirs_dropped") == 1L, r2.toString)
+    assert(r2("referenced_dirs") == 3L, r2.toString)
+    assert(!new java.io.File(orphan).exists(),
+      "the unreferenced dir past grace must be deleted")
+    for (d <- refDirs) assert(files(d) == before(d),
+      s"sweep touched referenced dir $d")
+    // meta relations live outside the swept namespaces
+    for (m <- Seq("manifest", "index/fp", "stats/totals"))
+      assert(new java.io.File(s"$root/$m").exists(), m)
+    // the tip still resolves to the admitted corpus
+    val fp = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+    val hasText = col("text").isNotNull && length(col("text")) > 0
+    val base = docs.filter(col("doc_id") % 5 =!= 4)
+    val sh = docs.filter(col("doc_id") % 5 === 4)
+    val newFp = sh.filter(hasText).select(fp.as("fp")).distinct()
+      .join(base.filter(hasText).select(fp.as("fp")).distinct(),
+        Seq("fp"), "left_anti").count()
+    val shNulls = sh.filter(!hasText).count()
+    assert(r2("tip_docs") == base.count() + newFp + shNulls)
+    // idempotent: a re-sweep finds nothing
+    assert(report(graceMs = 0L)("orphan_dirs_dropped") == 0L)
+  }
+
   test("pipe19 fault: a crash between admission and checkpoint commit " +
     "redelivers the shard, and the at-rest index makes redelivery " +
     "content-idempotent") {

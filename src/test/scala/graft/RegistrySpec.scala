@@ -71,7 +71,7 @@ class RegistrySpec extends AnyFunSuite {
       "taskmodes.csvDispatch",
       "pipeline.pipe15Publish", "pipeline.pipe16Setup",
       "pipeline.pipe18Setup", "pipeline.pipe19Inputs",
-      "pipeline.pipe20Setup")
+      "pipeline.pipe20Setup", "pipeline.pipe21Setup")
     // set EQUALITY, not subset: a dropped warmer silently opts its
     // family out of warmup (the r8 drift class), and an unpinned NEW
     // warmer is the same bug waiting for the next refactor — both
