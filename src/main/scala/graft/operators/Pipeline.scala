@@ -1674,8 +1674,11 @@ object Pipeline {
     // the rollback commits first (its target's dirs become
     // live-referenced and survive) or the vacuum's tombstone lands
     // first and the rollback's locked re-check refuses. The
-    // data-sized recount below runs AFTER release — live dirs are
-    // immune to any later vacuum by definition.
+    // data-sized recount below runs AFTER release — safe against any
+    // later vacuum at the same or wider retention (the normal case:
+    // one retention policy per root); concurrently running two
+    // vacuums with CONFLICTING keepLast values is an operator error
+    // this serialization does not referee.
     val (manifestRows, versions, live, expP) =
       withCommitLock(s, root, "expireVersions") {
         val manifestRows = s.read.parquet(s"$root/manifest")
@@ -1790,9 +1793,18 @@ object Pipeline {
       graceMs: Long): DataFrame = {
     import s.implicits._
     val conf = s.sparkContext.hadoopConfiguration
+    // BOTH sides of the membership test are scheme-stripped: on an
+    // hdfs:// root the manifest records scheme-qualified paths while
+    // listStatus yields qualified ones too — comparing a stripped
+    // listing against raw manifest strings would make every
+    // referenced dir look orphaned (a sweep that deletes the corpus)
+    def norm(p: String): String = org.apache.hadoop.fs.Path
+      .getPathWithoutSchemeAndAuthority(new org.apache.hadoop.fs.Path(p))
+      .toString
     val (dropped, referencedN) = withCommitLock(s, root, "removeOrphans") {
       val referenced = s.read.parquet(s"$root/manifest")
-        .select("path").distinct().collect().map(_.getString(0)).toSet
+        .select("path").distinct().collect()
+        .map(r => norm(r.getString(0))).toSet
       require(referenced.nonEmpty,
         s"removeOrphans: $root has no published manifest")
       val now = System.currentTimeMillis()
