@@ -1687,7 +1687,16 @@ object Pipeline {
         require(manifestRows.nonEmpty,
           s"expireVersions: $root has no published manifest")
         val versions = manifestRows.map(_._1).distinct.sorted
-        val live = versions.takeRight(keepLast).toSet
+        // expiry is MONOTONE: once tombstoned, a version stays
+        // expired even if a later vacuum runs with a wider retention
+        // — its unreferenced dirs are already gone, and
+        // "un-tombstoning" it would let a rollback re-stamp a
+        // snapshot that no longer resolves. (The tip can never be
+        // tombstoned: keepLast >= 1 at every vacuum and the manifest
+        // only grows.)
+        val priorExpired = expiredVersions(s, root)
+        val live =
+          versions.takeRight(keepLast).toSet -- priorExpired
         val liveP = manifestRows.filter(t => live(t._1)).map(_._2).toSet
         // safe-to-delete = referenced by SOME expired version and NO
         // live one; anything shared with a live version survives
@@ -1695,10 +1704,11 @@ object Pipeline {
           manifestRows.filterNot(t => live(t._1)).map(_._2).toSet --
             liveP
         // durable version-level tombstones land BEFORE the deletes
-        // (Overwrite: replay-idempotent): a crash between them leaves
-        // tombstoned-but-present dirs — a later replay re-deletes;
-        // the reverse order could leave deleted-but-untombstoned
-        // versions a rollback would happily re-stamp
+        // (the full monotone set, Overwrite: replay-idempotent): a
+        // crash between them leaves tombstoned-but-present dirs — a
+        // later replay re-deletes; the reverse order could leave
+        // deleted-but-untombstoned versions a rollback would happily
+        // re-stamp
         versions.filterNot(live).toSeq.toDF("version")
           .write.mode(SaveMode.Overwrite).parquet(s"$root/expired")
         expP.toSeq.sorted.foreach(deleteTree)
@@ -1731,8 +1741,15 @@ object Pipeline {
       admitShard(s,
         Tables.load(s, d, "documents").filter(col("doc_id") % 5 === 4),
         root, closeLoop = true)
-      ensureCompacted(s, root, 2L)
-      rollbackTo(s, root, targetV = 1L, toV = 4L)
+      // versions DERIVED, not pinned (pipe18's discipline): on a
+      // corpus where the admission gates hold (the empty sweep) the
+      // loop settles lower and the setup must still build a valid
+      // root — the REGISTERED oracle pins 1..4 for the benchmark
+      // corpus, the OPERATOR stays total
+      val maxV = s.read.parquet(s"$root/manifest")
+        .agg(max(col("version"))).head.getLong(0)
+      ensureCompacted(s, root, maxV)
+      rollbackTo(s, root, targetV = 1L, toV = maxV + 2)
       root
     }
 
@@ -1843,7 +1860,10 @@ object Pipeline {
       admitShard(s,
         Tables.load(s, d, "documents").filter(col("doc_id") % 5 === 4),
         root, closeLoop = true)
-      ensureCompacted(s, root, 2L)
+      // derived, not pinned — see pipe20Setup
+      val maxV = s.read.parquet(s"$root/manifest")
+        .agg(max(col("version"))).head.getLong(0)
+      ensureCompacted(s, root, maxV)
       root
     }
 

@@ -628,6 +628,16 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     intercept[IllegalArgumentException] {
       Pipeline.expireVersions(spark, root, keepLast = 0)
     }
+    // expiry is MONOTONE: a later vacuum with a WIDER retention must
+    // not resurrect tombstoned versions — their unreferenced dirs are
+    // already deleted, and an un-tombstoned v2 would let the rollback
+    // guard re-stamp a snapshot that no longer resolves
+    val r3 = Pipeline.expireVersions(spark, root, keepLast = 9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(r3 == Map(1L -> false, 2L -> false, 3L -> true, 4L -> true),
+      s"widened retention resurrected an expired version: $r3")
+    assert(spark.read.parquet(s"$root/expired").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
     // an expired version can never come back as the tip: re-stamping
     // v2's paths would publish a version pointing at the vacuumed
     // staging dir
