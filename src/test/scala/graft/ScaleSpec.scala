@@ -323,7 +323,13 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // bounded audits) under the micro-batch overhead, publish
       // metadata-only against the memoized landing dir
       "t24_dsir_select", "m8_phash_neardup",
-      "pipe19_streaming_admission")
+      "pipe19_streaming_admission",
+      // round-15: the lifecycle GC pair — pipe20's expiry is
+      // manifest arithmetic + dir deletes (its setup's publish/
+      // admit/compact and its report's live-tip recount are the
+      // corpus-linear terms); pipe21's sweep is one listing per
+      // namespace + O(orphans) deletes over the same setup shape
+      "pipe20_snapshot_expire", "pipe21_orphan_sweep")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
