@@ -573,6 +573,41 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("commit lock: a crashed holder's STALE lock is broken and the " +
+    "commit proceeds; a FRESH lock makes the commit wait for release") {
+    import org.apache.spark.sql.functions._
+    // stale: a lock whose mtime stopped advancing LockStaleMs ago is
+    // a dead JVM (a live holder's heartbeat refreshes it) — a new
+    // writer must break it instead of timing out forever
+    val root = java.nio.file.Files.createTempDirectory("graft_lock")
+      .toString
+    val lock = new java.io.File(s"$root/manifest.commit.lock")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - Pipeline.LockStaleMs - 60000))
+    Pipeline.pipe15PublishV1(spark, sf, root) // would time out unbroken
+    assert(spark.read.parquet(s"$root/manifest").count() > 0)
+    assert(!lock.exists(), "the commit must release (and have broken) " +
+      "the stale lock")
+    // fresh: a just-created lock is a live holder — the commit blocks
+    // until release, then proceeds (no break, no conflict)
+    val root2 = java.nio.file.Files.createTempDirectory("graft_lock2")
+      .toString
+    val lock2 = new java.io.File(s"$root2/manifest.commit.lock")
+    assert(lock2.createNewFile())
+    val releaser = new Thread(() => {
+      Thread.sleep(1500); lock2.delete(); ()
+    })
+    releaser.start()
+    val t0 = System.nanoTime()
+    Pipeline.pipe15PublishV1(spark, sf, root2)
+    val waited = (System.nanoTime() - t0) / 1e9
+    releaser.join()
+    assert(waited >= 1.0,
+      f"the commit must have WAITED for the live lock ($waited%.2f s)")
+    assert(spark.read.parquet(s"$root2/manifest").count() > 0)
+  }
+
   test("pipe20: snapshot expiration drops ONLY dirs unreferenced by " +
     "live versions — shared dirs survive, live versions resolve " +
     "after the vacuum, tombstones land, replays are idempotent, and " +
