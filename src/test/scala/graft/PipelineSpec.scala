@@ -573,6 +573,80 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("WAP free-running fuzz: three admissions and a compaction race " +
+    "with NO choreography, losers retry — every writer lands, versions " +
+    "are contiguous and all resolve, and the corpus equals the serial " +
+    "run's fingerprint set") {
+    import org.apache.spark.sql.functions._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val docs = Tables.load(spark, sf, "documents")
+    val hasText = col("text").isNotNull && length(col("text")) > 0
+    val fp = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+    val root = java.nio.file.Files.createTempDirectory("graft_fuzz")
+      .toString
+    Pipeline.pipe15PublishV1(spark, sf, root) // v1 = 4/5 slice
+    // three disjoint text-only shards (null docs are admit-always —
+    // a retry after a conflict would re-admit them and the serial
+    // comparison would depend on the schedule)
+    def shard(i: Int) = docs.filter(col("doc_id") % 5 === 4 &&
+      pmod(col("doc_id"), lit(3)) === i && hasText)
+    def retrying[T](label: String)(op: => T): T = {
+      var out: Option[T] = None
+      var attempts = 0
+      while (out.isEmpty) {
+        attempts += 1
+        assert(attempts <= 10, s"$label: exceeded 10 retry attempts")
+        try out = Some(op)
+        catch { case e: IllegalArgumentException
+            if String.valueOf(e.getMessage).contains("commit conflict") ||
+              String.valueOf(e.getMessage).contains("already published") =>
+          () // raced and lost — re-stage against the new tip
+        }
+      }
+      out.get
+    }
+    val writers =
+      (0 to 2).map { i =>
+        Future(retrying(s"admit$i") {
+          val r = Pipeline.admitShard(spark, shard(i), root,
+            closeLoop = true).collect()
+          assert(r.find(_.getString(0) == "published_version")
+            .get.getAs[Boolean]("pass"), s"admit$i held by gates")
+        })
+      } :+ Future(retrying("compact") {
+        val tip = spark.read.parquet(s"$root/manifest")
+          .agg(max(col("version"))).head.getLong(0)
+        Pipeline.compactVersion(spark, root, tip).collect(); ()
+      })
+    writers.foreach(Await.result(_, 600.seconds))
+    val manifest = spark.read.parquet(s"$root/manifest")
+    val versions = manifest.select("version").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // 1 publish + 3 admissions + 1 compaction, no forks, no gaps
+    assert(versions.toSeq == (1L to 5L), versions.toSeq.toString)
+    def resolved(v: Long) = manifest.filter(col("version") === v)
+      .select("path").distinct().collect().map(_.getString(0))
+      .map(spark.read.parquet(_)).reduce(_ unionByName _)
+    for (v <- versions) assert(resolved(v).count() >= 0) // all readable
+    // final fingerprint set == the serial run's (order-free statement:
+    // base fps ∪ all shard fps — dedup keeps one row per fp)
+    val finalFps = resolved(5L).filter(hasText)
+      .select(fp.as("f")).distinct()
+    val wantFps = docs.filter(col("doc_id") % 5 =!= 4).filter(hasText)
+      .unionByName((0 to 2).map(shard).reduce(_ unionByName _))
+      .select(fp.as("f")).distinct()
+    assert(finalFps.exceptAll(wantFps).isEmpty &&
+      wantFps.exceptAll(finalFps).isEmpty,
+      "fuzzed corpus diverged from the serial fingerprint set")
+    // and no rows were duplicated: one row per surviving fingerprint
+    // plus the null-text base docs
+    val nNullBase = docs.filter(col("doc_id") % 5 =!= 4)
+      .filter(!hasText).count()
+    assert(resolved(5L).count() == wantFps.count() + nNullBase)
+  }
+
   test("commit lock: a crashed holder's STALE lock is broken and the " +
     "commit proceeds; a FRESH lock makes the commit wait for release") {
     import org.apache.spark.sql.functions._
