@@ -682,6 +682,46 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(spark.read.parquet(s"$root2/manifest").count() > 0)
   }
 
+  test("commit lock on a NON-file scheme: the Hadoop-create branch " +
+    "locks, heartbeats, conflicts, and breaks stale locks over a " +
+    "mockfs:// root — the hdfs:// wire without a cluster") {
+    import org.apache.spark.sql.functions._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockSchemeFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft_mockfs")
+      .toString
+    val root = s"mockfs:$local"
+    // full publish over the scheme-qualified root: manifest parquet,
+    // index/stats, and the LOCK all dispatch through MockSchemeFs
+    Pipeline.pipe15PublishV1(spark, sf, root)
+    assert(spark.read.parquet(s"$root/manifest").count() == 1)
+    assert(!new java.io.File(s"$local/manifest.commit.lock").exists(),
+      "the remote-branch lock must be released")
+    // double-publish → the locked no-manifest validation conflicts
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.pipe15PublishV1(spark, sf, root)
+    }
+    assert(e.getMessage.contains("already holds a manifest") ||
+      e.getMessage.contains("commit conflict"), e.getMessage)
+    // an admission commits over the same wire (tip validation reads
+    // the manifest through the scheme too)
+    val r = Pipeline.admitShard(spark,
+      Tables.load(spark, sf, "documents").filter(col("doc_id") % 5 === 4),
+      root, closeLoop = true).collect()
+      .map(x => x.getString(0) -> x.getAs[Boolean]("pass")).toMap
+    assert(r("published_version"))
+    // stale-break through the Hadoop branch: plant a dead lock with
+    // an ancient mtime, the next commit must break it and land
+    val lockFile = new java.io.File(s"$local/manifest.commit.lock")
+    assert(lockFile.createNewFile())
+    assert(lockFile.setLastModified(
+      System.currentTimeMillis() - Pipeline.LockStaleMs - 60000))
+    Pipeline.compactVersion(spark, root, 2L).collect()
+    assert(!lockFile.exists())
+    assert(spark.read.parquet(s"$root/manifest")
+      .agg(max(col("version"))).head.getLong(0) == 3L)
+  }
+
   test("pipe20: snapshot expiration drops ONLY dirs unreferenced by " +
     "live versions — shared dirs survive, live versions resolve " +
     "after the vacuum, tombstones land, replays are idempotent, and " +
