@@ -189,8 +189,22 @@ object Migrate {
     * the walk (symlinks, permissions) reaches every sweep.
     */
   private[graft] def deleteTree(dir: String): Unit =
-    try deleteTreePath(java.nio.file.Paths.get(dir))
-    catch { case _: Throwable => () }
+    // a scheme-qualified path (hdfs://, mockfs:/ — anything the WAP
+    // manifest can record) must go through the Hadoop FileSystem:
+    // java.nio.Paths.get throws on it, and the catch-all below would
+    // turn an expiry/orphan delete into a silent no-op — tombstoned
+    // versions reporting dirs dropped that still exist
+    if (dir.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*"))
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val conf = org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sparkContext.hadoopConfiguration)
+          .getOrElse(new org.apache.hadoop.conf.Configuration())
+        p.getFileSystem(conf).delete(p, true); ()
+      } catch { case _: Throwable => () }
+    else
+      try deleteTreePath(java.nio.file.Paths.get(dir))
+      catch { case _: Throwable => () }
 
   private def deleteTreePath(p: java.nio.file.Path): Unit =
     try {

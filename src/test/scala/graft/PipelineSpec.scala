@@ -720,6 +720,40 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!lockFile.exists())
     assert(spark.read.parquet(s"$root/manifest")
       .agg(max(col("version"))).head.getLong(0) == 3L)
+    // the lifecycle GC must DELETE through the scheme too: deleteTree
+    // on a scheme-qualified path dispatches to the Hadoop FS (a nio
+    // walk throws and the old catch-all made it a silent no-op —
+    // expiry reporting dirs dropped that still existed)
+    val stageName = spark.read.parquet(s"$root/manifest")
+      .filter(col("version") === 2L).select("path").distinct()
+      .collect().map(_.getString(0)).filter(_.contains("v2_admitted"))
+      .head.split('/').last
+    val stageLocal = new java.io.File(s"$local/stage/$stageName")
+    assert(stageLocal.exists())
+    // keepLast = 1 keeps only the compacted tip, which references
+    // ONLY its own rewrite dir — so BOTH the v1 landing dir and the
+    // staging dir are legitimately unreferenced and drop (no
+    // rollback pins data/v1 live on this root, unlike pipe20's)
+    val exp = Pipeline.expireVersions(spark, root, keepLast = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(exp(1L)._2 == 1L && exp(2L)._2 == 2L, exp.toString)
+    assert(!stageLocal.exists() &&
+      !new java.io.File(s"$local/data/v1").exists(),
+      "the scheme-qualified expiry deletes must reach the disk")
+    // and the live tip still resolves through the scheme
+    assert(spark.read.parquet(s"$root/manifest")
+      .filter(col("version") === 3L).select("path").distinct()
+      .collect().map(r => spark.read.parquet(r.getString(0)))
+      .reduce(_ unionByName _).count() > 0)
+    // orphan sweep over the same wire
+    spark.range(5).toDF("doc_id")
+      .write.parquet(s"$root/stage/v9_admitted_feedface0000")
+    val sw = Pipeline.removeOrphans(spark, root, graceMs = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sw("orphan_dirs_dropped") == 1L, sw.toString)
+    assert(!new java.io.File(s"$local/stage/v9_admitted_feedface0000")
+      .exists())
   }
 
   test("pipe20: snapshot expiration drops ONLY dirs unreferenced by " +
