@@ -619,17 +619,32 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
         val tip = spark.read.parquet(s"$root/manifest")
           .agg(max(col("version"))).head.getLong(0)
         Pipeline.compactVersion(spark, root, tip).collect(); ()
+      }) :+ Future(retrying("vacuum") {
+        // the GC races too: keepLast = 3 against whatever history
+        // exists when it runs — it must never break a live writer
+        // (deletes only expired-only dirs, serialized under the
+        // commit lock) and never crash
+        Pipeline.expireVersions(spark, root, keepLast = 3).collect()
+        ()
       })
     writers.foreach(Await.result(_, 600.seconds))
     val manifest = spark.read.parquet(s"$root/manifest")
     val versions = manifest.select("version").distinct()
       .collect().map(_.getLong(0)).sorted
     // 1 publish + 3 admissions + 1 compaction, no forks, no gaps
+    // (the vacuum appends no manifest rows)
     assert(versions.toSeq == (1L to 5L), versions.toSeq.toString)
     def resolved(v: Long) = manifest.filter(col("version") === v)
       .select("path").distinct().collect().map(_.getString(0))
       .map(spark.read.parquet(_)).reduce(_ unionByName _)
-    for (v <- versions) assert(resolved(v).count() >= 0) // all readable
+    // every NON-tombstoned version still resolves (the racing vacuum
+    // may legitimately have expired early history)
+    val tombstoned = spark.read.schema("version BIGINT")
+      .parquet(s"$root/expired").collect().map(_.getLong(0)).toSet
+    assert(tombstoned.forall(_ < versions.max),
+      s"the tip can never be tombstoned: $tombstoned")
+    for (v <- versions if !tombstoned(v))
+      assert(resolved(v).count() >= 0) // all readable
     // final fingerprint set == the serial run's (order-free statement:
     // base fps ∪ all shard fps — dedup keeps one row per fp)
     val finalFps = resolved(5L).filter(hasText)
