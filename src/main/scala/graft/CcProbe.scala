@@ -26,6 +26,41 @@ object CcProbe {
     val cc = Dedup.d6DupClusters(spark, d)
     val nc = cc.count()
     println(f"d6 rows=$nc%d  t=${(System.nanoTime() - t0) / 1e9}%.2f s (pairs cached)")
+    // fast-vs-reliable on the same warmed pair relation — the
+    // SCALE.md overhead figure (interleaved so window drift hits
+    // both modes evenly)
+    for (mode <- Seq("fast", "reliable", "fast", "reliable")) {
+      t0 = System.nanoTime()
+      val n = Dedup.connectedComponents(pairs,
+        reliable = mode == "reliable").count()
+      println(f"cc $mode%-8s rows=$n%d  t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    // `synth` arg: probe the SHUFFLE regime — a deterministic
+    // 4M-edge graph over 1M nodes, the CcReliableEdges scale where
+    // reliable mode actually engages and the label side is past the
+    // broadcast threshold (forced with -1 so the probe doesn't
+    // depend on size estimation). This is the regime the bucketed
+    // edge layout exists for: per-round joins re-shuffle only the
+    // label side. GRAFT_CC_PLAIN_EDGES=1 A/Bs the pre-bucketing
+    // hosting.
+    if (args.contains("synth")) {
+      import org.apache.spark.sql.functions._
+      val nNodes = 1000000L
+      val synth = spark.range(4000000L).select(
+        pmod(hash(col("id")), lit(nNodes)).cast("long").as("doc_a"),
+        pmod(hash(col("id") + 7654321L), lit(nNodes)).cast("long")
+          .as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (mode <- Seq("fast", "reliable", "fast", "reliable")) {
+        t0 = System.nanoTime()
+        val n = Dedup.connectedComponents(synth, maxIters = 60,
+          reliable = mode == "reliable").count()
+        println(f"cc-synth $mode%-8s rows=$n%d  " +
+          f"t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
     spark.stop()
   }
 }

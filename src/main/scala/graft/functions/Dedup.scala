@@ -596,25 +596,56 @@ object Dedup {
     // PARQUET instead of the block manager: a lost executor recomputes
     // partitions from the durable files instead of aborting the whole
     // iterative job, and nothing corpus-sized pins executor memory.
-    // Cost: the parquet round-trip forgets the hash partitioning, so
-    // each round re-shuffles BOTH join sides (the fast path
-    // re-shuffles only the label side) plus one write+scan per round
-    // — measured at sf0.1 in SCALE.md. The final label relation stays
-    // on disk until the JVM-exit sweep (callers memoize the result).
+    // The edges land BUCKETED on the join key (below), so like the
+    // fast path each round re-shuffles only the label side; the
+    // residual cost is one label write+scan per round — measured at
+    // sf0.1 in SCALE.md. The final label relation stays on disk until
+    // the JVM-exit sweep (callers memoize the result).
     val scratch =
       if (reliable)
         Some(graft.operators.Migrate.tempDir("cc_rel"))
       else None
+    // reliable mode's edges land as a table BUCKETED BY THE MESSAGE
+    // JOIN KEY (t): a plain parquet round-trip forgets the hash
+    // partitioning, so every round would re-shuffle BOTH join sides —
+    // the bucket layout pays that shuffle once at write time and each
+    // round's join then re-shuffles only the (small) label side, the
+    // same per-round cost as the fast path, while the edge relation
+    // stays a durable file scan for fault tolerance (the s12
+    // zero-Exchange pattern applied to an iterative join). External
+    // table form: the data lives in the swept scratch dir; the
+    // catalog entry is dropped once the fixpoint converges.
+    var edgeTable: Option[String] = None
     def hostEdges(df: DataFrame): DataFrame = scratch match {
       case Some(dir) =>
-        df.write.parquet(s"$dir/edges")
-        sess.read.schema("s BIGINT, t BIGINT").parquet(s"$dir/edges")
+        val t0 = System.nanoTime()
+        val n = sess.conf.get("spark.sql.shuffle.partitions").toInt
+        val tbl = "graft_cc_edges_" + java.util.UUID.randomUUID()
+          .toString.replace("-", "").take(12)
+        edgeTable = Some(tbl)
+        val out = if (sys.env.contains("GRAFT_CC_PLAIN_EDGES")) {
+          // A/B diagnostic only — the pre-bucketing edge hosting
+          df.write.parquet(s"$dir/edges")
+          edgeTable = None
+          sess.read.schema("s BIGINT, t BIGINT").parquet(s"$dir/edges")
+        } else {
+          df.write.format("parquet").bucketBy(n, "t")
+            .option("path", s"$dir/edges").saveAsTable(tbl)
+          sess.table(tbl)
+        }
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(f"[cc] hostEdges ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        out
       case None => df.localCheckpoint(true)
     }
     def hostLabels(df: DataFrame, round: Int): DataFrame =
       scratch match {
         case Some(dir) =>
+          val t0 = System.nanoTime()
           df.write.parquet(s"$dir/l$round")
+          if (sys.env.contains("GRAFT_CC_DEBUG"))
+            println(f"[cc] hostLabels $round%d " +
+              f"${(System.nanoTime() - t0) / 1e9}%.2f s")
           // the previous round's labels are dead once this round's
           // files exist — sweep them so the loop holds at most two
           // label generations on disk
@@ -661,6 +692,11 @@ object Dedup {
       val stepped = edges
         .join(labels.withColumnRenamed("doc_id", "t"), "t")
         .groupBy(col("s").as("doc_id")).agg(min("label").as("label"))
+      if (i == 0 && sys.env.contains("GRAFT_CC_DEBUG"))
+        // diagnostic only: the per-round join's physical plan — in
+        // reliable mode the edge side must be a bucketed scan with
+        // no Exchange of its own (CcProbe prints this)
+        println(stepped.queryExecution.executedPlan.toString)
       // pointer jumping: follow label→label once per round, so label
       // distance to the component minimum contracts geometrically —
       // chains converge in O(log diameter) rounds instead of
@@ -674,17 +710,24 @@ object Dedup {
         .join(stepped.as("y"), col("x.label") === col("y.doc_id"), "left")
         .select(col("x.doc_id").as("doc_id"),
           coalesce(col("y.label"), col("x.label")).as("label")), i)
+      val tr = System.nanoTime()
       val s = labelSum(jumped)
       converged = s == prevSum
       prevSum = s
       labels = jumped
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[cc] round $i sum=$s converged=$converged")
+        println(f"[cc] round $i sum=$s converged=$converged " +
+          f"sum_t=${(System.nanoTime() - tr) / 1e9}%.2f s")
     }
     // loud failure beats silently-wrong cluster ids: a component with
     // diameter > maxIters means the fixpoint wasn't reached
     require(converged,
       s"connected components did not converge in $maxIters rounds")
+    // the returned labels are a plain file scan independent of the
+    // edge relation — the bucketed table's catalog entry is pure
+    // metadata now (external table: DROP leaves the scratch files to
+    // the JVM-exit sweep)
+    edgeTable.foreach(t => sess.sql(s"DROP TABLE IF EXISTS $t"))
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -796,28 +796,50 @@ object Pipeline {
   private[graft] val LockStaleMs: Long = 10L * 60 * 1000
   private[graft] val LockHeartbeatMs: Long = 30L * 1000
 
+  /** How long an acquirer waits before giving up. Sized WELL past
+    * [[LockStaleMs]], never in seconds: a LIVE holder may
+    * legitimately hold for a data-sized `underLock` write (the first
+    * publish's index/stats), and a short deadline would fail every
+    * conflict-FREE commit that merely arrived during one — admitShard
+    * would then delete its fully-staged shard over a non-conflict. A
+    * CRASHED holder is broken at LockStaleMs, so 2× bounds the wait
+    * through one dead holder plus one full live hold.
+    */
+  private[graft] val LockWaitMs: Long = 2 * LockStaleMs
+
+  private lazy val lockLog =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.Pipeline")
+
   /** Run `body` holding the root's commit lock — the mutual
     * exclusion shared by every manifest COMMIT ([[commitManifest]])
-    * and by [[expireVersions]]'s decide+tombstone+delete critical
-    * section (a vacuum that ran unserialized could expire a version
-    * a parked rollback was about to re-stamp; under the shared lock
-    * the rollback's own locked re-check sees the tombstone).
+    * and by [[expireVersions]]'s decide+tombstone critical section
+    * (a vacuum that ran unserialized could expire a version a parked
+    * rollback was about to re-stamp; under the shared lock the
+    * rollback's own locked re-check sees the tombstone).
+    *
+    * The local-vs-remote branch keys on the RESOLVED FileSystem, not
+    * on the raw URI scheme: a SCHEMELESS root follows
+    * `fs.defaultFS` for every Spark/Hadoop read and write, so on a
+    * cluster with `defaultFS=hdfs://` the manifest lives on HDFS —
+    * a driver-local java.nio lock there would be no mutual exclusion
+    * between drivers at all, and its heartbeat/release would no-op
+    * against the real path.
     */
   private[graft] def withCommitLock[T](s: SparkSession, root: String,
       who: String)(body: => T): T = {
     val lockHPath =
       new org.apache.hadoop.fs.Path(s"$root/manifest.commit.lock")
     val fs = lockHPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val scheme = Option(lockHPath.toUri.getScheme)
+    val isLocalFs =
+      fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+        fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
     def tryAcquire(): Boolean =
-      if (scheme.forall(_ == "file"))
+      if (isLocalFs)
         // local root: java.nio O_EXCL — atomic where Hadoop's local
         // create(overwrite=false) is only check-then-act
         try {
-          java.nio.file.Files.createFile(
-            if (scheme.isEmpty)
-              java.nio.file.Paths.get(root, "manifest.commit.lock")
-            else java.nio.file.Paths.get(lockHPath.toUri.getPath))
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(
+            fs.makeQualified(lockHPath).toUri.getPath))
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
@@ -827,13 +849,43 @@ object Pipeline {
         // HDFS; the documented CAS seam on an object store
         try { fs.create(lockHPath, false).close(); true }
         catch { case _: java.io.IOException => false }
+    // Breaking a stale lock is RENAME-then-delete, never a blind
+    // delete: with two waiters on one crashed holder, a blind delete
+    // lets waiter B delete + re-acquire between waiter A's mtime
+    // read and A's delete — A then deletes B's FRESH lock and a
+    // third acquire yields two concurrent holders, exactly the
+    // corruption the lock exists to prevent. The rename atomically
+    // claims ONE incarnation of the lock file; the winner re-checks
+    // the mtime ON THE RENAMED FILE (rename preserves mtime):
+    // confirmed-stale is deleted, while a fresh file (the lock path
+    // was re-created since the observation) is renamed straight
+    // back. The rename-back can only fail if the path was re-created
+    // TWICE inside this break — a microsecond triple race a file
+    // lock cannot close (the object-store CAS seam is the fix at
+    // that rigor); the stolen copy is dropped so it never shadows a
+    // later break.
     def breakIfStale(): Unit =
       try {
         val st = fs.getFileStatus(lockHPath)
         if (System.currentTimeMillis() - st.getModificationTime >
-            LockStaleMs) { fs.delete(lockHPath, false); () }
+            LockStaleMs) {
+          val broken = new org.apache.hadoop.fs.Path(
+            s"$root/manifest.commit.lock.broken." + java.util.UUID
+              .randomUUID().toString.replace("-", "").take(12))
+          if (fs.rename(lockHPath, broken)) {
+            val bst = fs.getFileStatus(broken)
+            if (System.currentTimeMillis() - bst.getModificationTime >
+                LockStaleMs) { fs.delete(broken, false); () }
+            else if (!fs.rename(broken, lockHPath)) {
+              lockLog.warn(s"$who: could not restore a freshly " +
+                "re-created commit lock grabbed by a stale break " +
+                s"(${broken.getName}) — dropping the stolen copy")
+              fs.delete(broken, false); ()
+            }
+          }
+        }
       } catch { case _: java.io.FileNotFoundException => () }
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    val deadline = System.nanoTime() + LockWaitMs * 1000000L
     var held = false
     while (!held)
       if (tryAcquire()) held = true
@@ -845,15 +897,29 @@ object Pipeline {
       }
     // heartbeat: keep the held lock's mtime fresh so a slow-but-live
     // commit (the first publish's meta writes) is never broken as
-    // stale by a waiter; exits on interrupt or once the lock is gone
-    val heartbeat = new Thread(() =>
+    // stale by a waiter; exits on interrupt. A NonFatal refresh
+    // failure must NOT kill the daemon (an fs whose setTimes is
+    // unsupported — common in object-store connectors — would
+    // otherwise silently downgrade the stale-break safety story to
+    // "any hold past LockStaleMs gets broken"): warn once, keep
+    // trying.
+    val heartbeat = new Thread(() => {
+      var warned = false
       try while (true) {
         Thread.sleep(LockHeartbeatMs)
-        fs.setTimes(lockHPath, System.currentTimeMillis(), -1)
-      } catch {
-        case _: InterruptedException => ()
-        case _: java.io.IOException => ()
-      })
+        try fs.setTimes(lockHPath, System.currentTimeMillis(), -1)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            if (!warned) {
+              warned = true
+              lockLog.warn(s"$who: commit-lock heartbeat refresh " +
+                s"failed (${e.getClass.getSimpleName}: " +
+                s"${e.getMessage}) — a waiter may stale-break this " +
+                s"holder after ${LockStaleMs / 60000} min")
+            }
+        }
+      } catch { case _: InterruptedException => () }
+    })
     heartbeat.setDaemon(true)
     heartbeat.start()
     try body
@@ -1661,24 +1727,57 @@ object Pipeline {
     else Set.empty[Long]
   }
 
+  /** The root's recorded retention policy — a tiny text file holding
+    * the pinned `keepLast`, written under the commit lock at the
+    * FIRST vacuum. Later vacuums validate against it instead of
+    * silently racing: two concurrent vacuums with CONFLICTING
+    * keepLast values would otherwise interleave legally under the
+    * lock yet expire with a narrower window during the other's
+    * post-release recount. A deliberate serial policy change goes
+    * through `updatePolicy = true`, which rewrites the file under
+    * the same lock.
+    */
+  private def retentionPath(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/retention.policy")
+
+  private def readRetention(s: SparkSession, root: String): Option[Int] = {
+    val p = retentionPath(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  private def writeRetention(s: SparkSession, root: String,
+      keepLast: Int): Unit = {
+    val p = retentionPath(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(keepLast.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
   private[graft] def expireVersions(s: SparkSession, root: String,
-      keepLast: Int): DataFrame = {
+      keepLast: Int, updatePolicy: Boolean = false): DataFrame = {
     import s.implicits._
     require(keepLast >= 1,
       "expireVersions: must keep at least the tip version")
-    // the decide + tombstone + delete section runs UNDER THE COMMIT
-    // LOCK: unserialized, a vacuum could expire a version between a
+    // the decide + tombstone section runs UNDER THE COMMIT LOCK:
+    // unserialized, a vacuum could expire a version between a
     // rollback's observe and its commit — the tip would not move, so
     // the rollback's tip validation would pass and publish a version
     // pointing at just-deleted dirs. Under the shared lock, either
     // the rollback commits first (its target's dirs become
     // live-referenced and survive) or the vacuum's tombstone lands
-    // first and the rollback's locked re-check refuses. The
-    // data-sized recount below runs AFTER release — safe against any
-    // later vacuum at the same or wider retention (the normal case:
-    // one retention policy per root); concurrently running two
-    // vacuums with CONFLICTING keepLast values is an operator error
-    // this serialization does not referee.
+    // first and the rollback's locked re-check refuses. The PHYSICAL
+    // delete pass and the data-sized recount both run AFTER release
+    // — see below.
     val (manifestRows, versions, live, expP) =
       withCommitLock(s, root, "expireVersions") {
         val manifestRows = s.read.parquet(s"$root/manifest")
@@ -1686,6 +1785,20 @@ object Pipeline {
           .map(r => (r.getLong(0), r.getString(1)))
         require(manifestRows.nonEmpty,
           s"expireVersions: $root has no published manifest")
+        // retention serialization: the first vacuum pins the root's
+        // keepLast; a later vacuum with a different value fails loud
+        // unless it explicitly carries the policy change
+        readRetention(s, root) match {
+          case Some(rec) if rec != keepLast && !updatePolicy =>
+            throw new IllegalArgumentException(
+              s"expireVersions: conflicting retention — $root is " +
+                s"pinned to keepLast=$rec (set at its first vacuum); " +
+                s"got keepLast=$keepLast. Pass updatePolicy=true for " +
+                "a deliberate serial retention change.")
+          case Some(rec) =>
+            if (rec != keepLast) writeRetention(s, root, keepLast)
+          case None => writeRetention(s, root, keepLast)
+        }
         val versions = manifestRows.map(_._1).distinct.sorted
         // expiry is MONOTONE: once tombstoned, a version stays
         // expired even if a later vacuum runs with a wider retention
@@ -1711,9 +1824,20 @@ object Pipeline {
         // re-stamp
         versions.filterNot(live).toSeq.toDF("version")
           .write.mode(SaveMode.Overwrite).parquet(s"$root/expired")
-        expP.toSeq.sorted.foreach(deleteTree)
         (manifestRows, versions, live, expP)
       }
+    // the PHYSICAL delete pass runs AFTER lock release: on an object
+    // store, expiring hundreds of staged/compacted dirs is minutes of
+    // delete RPCs, and holding the lock through them would time out
+    // every concurrent admission/compaction/rollback. The ordering
+    // above already makes this safe — the tombstones are DURABLE
+    // before release, so a rollback's locked re-check refuses an
+    // expired target even while its dirs still exist; a crash
+    // mid-delete replays (re-deleting a tombstoned set is
+    // idempotent); and no later writer can reference an expired-only
+    // dir, because commits only append paths their own writer staged
+    // under a fresh nonce.
+    expP.toSeq.sorted.foreach(deleteTree)
     val rows = versions.map { v =>
       val vPaths = manifestRows.filter(_._1 == v).map(_._2)
         .distinct.sorted
@@ -1789,11 +1913,28 @@ object Pipeline {
     * the safety contract: a LIVE writer's staged dir is also
     * unreferenced until its commit, so production grace must exceed
     * the longest stage→commit window (Iceberg defaults to days);
-    * the sweep runs under the commit lock, so commits are quiesced
-    * while the decide+delete executes, and the grace window covers
-    * writers parked mid-stage. Meta relations (manifest, index,
-    * stats, expired, checkpoints) live outside the swept namespaces
-    * by construction.
+    * the DECIDE runs under the commit lock, so the referenced set is
+    * a consistent manifest snapshot, and the grace window covers
+    * writers parked mid-stage. The physical deletes run after lock
+    * release (a decided orphan can never become referenced — commits
+    * only append paths their own writer staged under a fresh nonce),
+    * so an object-store-sized delete pass never stalls concurrent
+    * commits. Meta relations (manifest, index, stats, expired)
+    * live outside the swept namespaces by construction.
+    *
+    * The sweep also garbage-collects CRASHED STREAMING-ADMISSION
+    * CHECKPOINTS: a pipe19-style ingest keys its Structured Streaming
+    * checkpoint by run id under `ckpt/<runId>`, and a run that
+    * crashed and was abandoned leaks that dir forever (it is never
+    * manifest-referenced, so the data-namespace subtraction cannot
+    * see it). Liveness is ACTIVITY, not reference: every micro-batch
+    * writes a new offsets/commits file, advancing the child dirs'
+    * mtimes — a run dir whose newest mtime (itself or any direct
+    * child) is older than `graceMs` is a dead run; a live or merely
+    * parked stream stays inside grace. A swept run id can always be
+    * re-ingested from the at-rest index (admission is
+    * content-idempotent), so over-sweeping an abandoned-but-restartable
+    * run loses no data, only its stream position.
     *
     * The registered query PLANTS one crashed-writer dir and sweeps
     * with grace 0 each run (the replayable-cost pattern pipe16 uses
@@ -1818,35 +1959,57 @@ object Pipeline {
     def norm(p: String): String = org.apache.hadoop.fs.Path
       .getPathWithoutSchemeAndAuthority(new org.apache.hadoop.fs.Path(p))
       .toString
-    val (dropped, referencedN) = withCommitLock(s, root, "removeOrphans") {
-      val referenced = s.read.parquet(s"$root/manifest")
-        .select("path").distinct().collect()
-        .map(r => norm(r.getString(0))).toSet
-      require(referenced.nonEmpty,
-        s"removeOrphans: $root has no published manifest")
-      val now = System.currentTimeMillis()
-      val orphans = Seq("stage", "data").flatMap { ns =>
-        val nsPath = new org.apache.hadoop.fs.Path(s"$root/$ns")
-        val fs = nsPath.getFileSystem(conf)
-        if (!fs.exists(nsPath)) Seq.empty
-        else fs.listStatus(nsPath).toSeq.filter(_.isDirectory)
-          .filterNot(st =>
-            referenced(org.apache.hadoop.fs.Path
-              .getPathWithoutSchemeAndAuthority(st.getPath).toString))
-          .filter(st => now - st.getModificationTime >= graceMs)
-          .map(st => org.apache.hadoop.fs.Path
-            .getPathWithoutSchemeAndAuthority(st.getPath).toString)
+    val (orphans, deadCkpts, referencedN) =
+      withCommitLock(s, root, "removeOrphans") {
+        val referenced = s.read.parquet(s"$root/manifest")
+          .select("path").distinct().collect()
+          .map(r => norm(r.getString(0))).toSet
+        require(referenced.nonEmpty,
+          s"removeOrphans: $root has no published manifest")
+        val now = System.currentTimeMillis()
+        val orphans = Seq("stage", "data").flatMap { ns =>
+          val nsPath = new org.apache.hadoop.fs.Path(s"$root/$ns")
+          val fs = nsPath.getFileSystem(conf)
+          if (!fs.exists(nsPath)) Seq.empty
+          else fs.listStatus(nsPath).toSeq.filter(_.isDirectory)
+            .filterNot(st =>
+              referenced(org.apache.hadoop.fs.Path
+                .getPathWithoutSchemeAndAuthority(st.getPath).toString))
+            .filter(st => now - st.getModificationTime >= graceMs)
+            .map(st => org.apache.hadoop.fs.Path
+              .getPathWithoutSchemeAndAuthority(st.getPath).toString)
+        }
+        // dead streaming checkpoints: run-id dirs under ckpt/ with no
+        // write activity (self or direct child mtime) inside grace —
+        // one bounded listing per run dir, never a recursive walk
+        val ckptRoot = new org.apache.hadoop.fs.Path(s"$root/ckpt")
+        val ckFs = ckptRoot.getFileSystem(conf)
+        val deadCkpts =
+          if (!ckFs.exists(ckptRoot)) Seq.empty[String]
+          else ckFs.listStatus(ckptRoot).toSeq.filter(_.isDirectory)
+            .filter { st =>
+              val newest = (st.getModificationTime +:
+                ckFs.listStatus(st.getPath).toSeq
+                  .map(_.getModificationTime)).max
+              now - newest >= graceMs
+            }
+            .map(st => org.apache.hadoop.fs.Path
+              .getPathWithoutSchemeAndAuthority(st.getPath).toString)
+        (orphans, deadCkpts, referenced.size.toLong)
       }
-      orphans.sorted.foreach(deleteTree)
-      (orphans.size.toLong, referenced.size.toLong)
-    }
+    // physical deletes AFTER lock release — a decided orphan cannot
+    // become referenced, so the delete pass races nothing and an
+    // object-store-sized sweep never holds commits past the waiter
+    // deadline
+    (orphans ++ deadCkpts).sorted.foreach(deleteTree)
     // tip recount AFTER the sweep — the referenced-dirs-survive proof
     val manifest = s.read.parquet(s"$root/manifest")
     val tip = manifest.agg(max(col("version"))).head.getLong(0)
     val tipDocs = manifest.filter(col("version") === tip)
       .select("path").distinct().collect().map(_.getString(0)).sorted
       .map(s.read.parquet(_)).reduce(_ unionByName _).count()
-    Seq(("orphan_dirs_dropped", dropped),
+    Seq(("orphan_dirs_dropped", orphans.size.toLong),
+      ("ckpt_runs_dropped", deadCkpts.size.toLong),
       ("referenced_dirs", referencedN),
       ("tip_docs", tipDocs)).toDF("metric", "value")
   }
@@ -1884,13 +2047,16 @@ object Pipeline {
 
   /** The settled root holds exactly 3 referenced dirs (v1 landing,
     * the admitted staging dir, the compacted rewrite); the planted
-    * crashed-writer dir is the one orphan; the tip is the compacted
-    * admitted corpus.
+    * crashed-writer dir is the one orphan; no streaming run ever
+    * checkpointed against this root, so zero dead checkpoint runs;
+    * the tip is the compacted admitted corpus.
     */
   val pipe21Sql: String =
     s"""WITH $pipe15V2CtesSql
        |SELECT 'orphan_dirs_dropped' AS metric,
        |  CAST(1 AS BIGINT) AS value
+       |UNION ALL
+       |SELECT 'ckpt_runs_dropped', 0
        |UNION ALL
        |SELECT 'referenced_dirs', 3
        |UNION ALL
@@ -1970,12 +2136,21 @@ object Pipeline {
     // bounded actions per batch pays task-count overhead, not data
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "2")
+    // the checkpoint is KEYED BY RUN ID under the root's ckpt/
+    // namespace — the production layout pipe21's sweep expects: a
+    // crashed-and-abandoned ingest's checkpoint dir is otherwise
+    // unreachable garbage (never manifest-referenced). A RESTART of
+    // the same logical run reuses its run id (that reuse IS the
+    // recovery path — see the pipe19 fault spec); this query's runs
+    // are independent, so each gets a fresh id.
+    val runId =
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val q = ss.readStream
       .schema(Pipe19Schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
       .writeStream
-      .option("checkpointLocation", s"$root/ckpt")
+      .option("checkpointLocation", s"$root/ckpt/run_$runId")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val report = admitShard(batch.sparkSession, batch, root,

@@ -792,10 +792,22 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r0.length == 4 && r0.forall(_.getAs[Boolean]("is_live")))
     assert(r0.forall(_.getAs[Long]("n_dirs_dropped") == 0L))
     assert(new java.io.File(stageDir).exists())
+    // narrowing retention 9 → 2 is a DELIBERATE policy change: the
+    // first vacuum pinned keepLast=9 in the root's retention file,
+    // so without the explicit override the narrower vacuum must fail
+    // loud instead of silently racing a recorded wider policy
+    val conflict = intercept[IllegalArgumentException] {
+      Pipeline.expireVersions(spark, root, keepLast = 2)
+    }
+    assert(conflict.getMessage.contains("conflicting retention"),
+      conflict.getMessage)
+    assert(new java.io.File(stageDir).exists(),
+      "a refused vacuum must not have deleted anything")
     // the real vacuum: keep {3, 4}; v2's staging dir is the only dir
     // no live version references — data/v1 is shared with v4 (the
     // rollback re-stamp) and MUST survive
-    def run() = Pipeline.expireVersions(spark, root, keepLast = 2)
+    def run() = Pipeline.expireVersions(spark, root, keepLast = 2,
+        updatePolicy = true)
       .collect().map(r => (r.getLong(0), r.getBoolean(1),
         r.getLong(2), r.getLong(3))).toSeq.sortBy(_._1)
     val r1 = run()
@@ -830,7 +842,8 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // not resurrect tombstoned versions — their unreferenced dirs are
     // already deleted, and an un-tombstoned v2 would let the rollback
     // guard re-stamp a snapshot that no longer resolves
-    val r3 = Pipeline.expireVersions(spark, root, keepLast = 9)
+    val r3 = Pipeline.expireVersions(spark, root, keepLast = 9,
+        updatePolicy = true)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(r3 == Map(1L -> false, 2L -> false, 3L -> true, 4L -> true),
       s"widened retention resurrected an expired version: $r3")
@@ -903,6 +916,49 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r2("tip_docs") == base.count() + newFp + shNulls)
     // idempotent: a re-sweep finds nothing
     assert(report(graceMs = 0L)("orphan_dirs_dropped") == 0L)
+  }
+
+  test("pipe21 checkpoint GC: a dead streaming run's ckpt/<runId> dir " +
+    "is swept past grace; a run with RECENT child activity survives " +
+    "even when the run dir's own mtime is old") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_p21ck")
+      .toString
+    Pipeline.pipe15PublishV1(spark, sf, root)
+    val docs = Tables.load(spark, sf, "documents")
+    Pipeline.admitShard(spark, docs.filter(col("doc_id") % 5 === 4),
+      root, closeLoop = true)
+    val old = System.currentTimeMillis() - 2L * 3600 * 1000
+    def plant(runId: String, childMtime: Long): java.io.File = {
+      val run = new java.io.File(s"$root/ckpt/$runId")
+      val offsets = new java.io.File(run, "offsets")
+      assert(offsets.mkdirs())
+      val f = new java.io.File(offsets, "0")
+      assert(f.createNewFile())
+      assert(f.setLastModified(childMtime))
+      assert(offsets.setLastModified(childMtime))
+      // the run dir's OWN mtime is always old: a live stream only
+      // touches files INSIDE offsets/commits, so liveness must come
+      // from the newest direct child, not the dir itself
+      assert(run.setLastModified(old))
+      run
+    }
+    val dead = plant("run_dead", childMtime = old)
+    val live = plant("run_live",
+      childMtime = System.currentTimeMillis())
+    def report(graceMs: Long): Map[String, Long] =
+      Pipeline.removeOrphans(spark, root, graceMs).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r1 = report(graceMs = 3600L * 1000)
+    assert(r1("ckpt_runs_dropped") == 1L, r1.toString)
+    assert(r1("orphan_dirs_dropped") == 0L, r1.toString)
+    assert(!dead.exists(), "the dead run's checkpoint must be swept")
+    assert(live.exists(),
+      "a run with recent write activity must survive the sweep")
+    // idempotent, and the surviving run is still shielded
+    val r2 = report(graceMs = 3600L * 1000)
+    assert(r2("ckpt_runs_dropped") == 0L, r2.toString)
+    assert(live.exists())
   }
 
   test("pipe19 fault: a crash between admission and checkpoint commit " +
