@@ -909,6 +909,9 @@ object Pipeline {
         Thread.sleep(LockHeartbeatMs)
         try fs.setTimes(lockHPath, System.currentTimeMillis(), -1)
         catch {
+          // the lock is already gone — release beat this tick; the
+          // interrupt lands next sleep. Not a refresh failure.
+          case _: java.io.FileNotFoundException => ()
           case scala.util.control.NonFatal(e) =>
             if (!warned) {
               warned = true
