@@ -697,6 +697,49 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(spark.read.parquet(s"$root2/manifest").count() > 0)
   }
 
+  test("commit lock: FOUR concurrent waiters on one crashed holder's " +
+    "stale lock — the rename-based break admits exactly one holder " +
+    "at a time, every waiter eventually proceeds, and no lock or " +
+    "broken-lock residue remains") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the r15 ADVICE race: with a blind delete, waiter B can break +
+    // re-acquire inside waiter A's check-to-delete window and A then
+    // deletes B's FRESH lock — two holders. The rename-based break
+    // claims one incarnation atomically; this drives four breakers
+    // at the same stale lock and asserts the critical section never
+    // saw two threads.
+    val root = java.nio.file.Files.createTempDirectory("graft_lockN")
+      .toString
+    val lock = new java.io.File(s"$root/manifest.commit.lock")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - Pipeline.LockStaleMs - 60000))
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fs = (0 until 4).map { i =>
+      Future {
+        Pipeline.withCommitLock(spark, root, s"w$i") {
+          val now = inside.incrementAndGet()
+          maxInside.updateAndGet(m => math.max(m, now))
+          Thread.sleep(100)
+          inside.decrementAndGet()
+          ()
+        }
+      }
+    }
+    fs.foreach(Await.result(_, 120.seconds))
+    assert(maxInside.get() == 1,
+      s"the lock admitted ${maxInside.get()} concurrent holders")
+    assert(!lock.exists(), "the last release must remove the lock")
+    val residue = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(_.startsWith("manifest.commit.lock"))
+    assert(residue.isEmpty,
+      s"broken-lock residue left behind: ${residue.mkString(",")}")
+  }
+
   test("commit lock on a NON-file scheme: the Hadoop-create branch " +
     "locks, heartbeats, conflicts, and breaks stale locks over a " +
     "mockfs:// root — the hdfs:// wire without a cluster") {

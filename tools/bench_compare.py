@@ -50,9 +50,15 @@ def load_queries(path):
     if isinstance(raw, dict) and isinstance(raw.get("queries"), dict):
         return {k: float(v) for k, v in raw["queries"].items()}
     # driver BENCH_r{N}.json: recover pairs from the tail line, which
-    # may be truncated at the FRONT (drop the first, possibly partial
-    # pair conservatively only if its name looks clipped)
+    # may be truncated at the FRONT. Cut at the first trailing object
+    # ("gc_sec" per-query GC seconds, "rows" per-query ROW COUNTS,
+    # "calibration" probes) — their integer pairs would otherwise
+    # pollute the timing table.
     tail = raw.get("tail", "") if isinstance(raw, dict) else ""
+    for stop in ('"gc_sec"', '"rows"', '"calibration"'):
+        cut = tail.find(stop)
+        if cut >= 0:
+            tail = tail[:cut]
     pairs = re.findall(r'"([A-Za-z][A-Za-z0-9_]*)":([0-9]+(?:\.[0-9]+)?)',
                        tail)
     return {k: float(v) for k, v in pairs if k not in NON_QUERY_KEYS}
