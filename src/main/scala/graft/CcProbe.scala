@@ -32,7 +32,7 @@ object CcProbe {
     for (mode <- Seq("fast", "reliable", "fast", "reliable")) {
       t0 = System.nanoTime()
       val n = Dedup.connectedComponents(pairs,
-        reliable = mode == "reliable").count()
+        reliable = mode == "reliable", edgeCountHint = np).count()
       println(f"cc $mode%-8s rows=$n%d  t=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     // `synth` arg: probe the SHUFFLE regime — a deterministic
@@ -52,10 +52,11 @@ object CcProbe {
           .as("doc_b"))
         .filter(col("doc_a") =!= col("doc_b"))
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val nSynth = synth.count()
       for (mode <- Seq("fast", "reliable", "fast", "reliable")) {
         t0 = System.nanoTime()
         val n = Dedup.connectedComponents(synth, maxIters = 60,
-          reliable = mode == "reliable").count()
+          reliable = mode == "reliable", edgeCountHint = nSynth).count()
         println(f"cc-synth $mode%-8s rows=$n%d  " +
           f"t=${(System.nanoTime() - t0) / 1e9}%.2f s")
       }

@@ -589,8 +589,18 @@ object Dedup {
     */
   private[graft] val CcReliableEdges: Long = 4L * 1000 * 1000
 
+  /** `edgeCountHint`: the caller's pair count, when it has one in
+    * hand (d6/m9 count the at-rest pair relation to gate `reliable`
+    * anyway) — sizes the reliable-mode edge BUCKET COUNT so the
+    * layout scales with the data instead of pinning the shuffle
+    * width: ~100k edges per bucket, capped at
+    * `spark.sql.shuffle.partitions`. A tiny relation then lands in
+    * ONE bucket (no 32-single-bucket-task fan-out per round — the
+    * sub-threshold penalty SCALE.md measured), while anything at the
+    * engagement scale saturates the cap. -1 = no hint, use the cap.
+    */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false, edgeCountHint: Long = -1L): DataFrame = {
     val sess = pairs.sparkSession
     // `reliable = true` hosts every materialization in SCRATCH
     // PARQUET instead of the block manager: a lost executor recomputes
@@ -619,7 +629,11 @@ object Dedup {
     def hostEdges(df: DataFrame): DataFrame = scratch match {
       case Some(dir) =>
         val t0 = System.nanoTime()
-        val n = sess.conf.get("spark.sql.shuffle.partitions").toInt
+        val cap = sess.conf.get("spark.sql.shuffle.partitions").toInt
+        val n =
+          if (edgeCountHint < 0) cap
+          else math.max(1L, math.min(cap.toLong,
+            edgeCountHint / 100000L)).toInt
         val tbl = "graft_cc_edges_" + java.util.UUID.randomUUID()
           .toString.replace("-", "").take(12)
         edgeTable = Some(tbl)
@@ -629,12 +643,14 @@ object Dedup {
           edgeTable = None
           sess.read.schema("s BIGINT, t BIGINT").parquet(s"$dir/edges")
         } else {
-          df.write.format("parquet").bucketBy(n, "t")
+          df.repartition(n, col("t")).write.format("parquet")
+            .bucketBy(n, "t")
             .option("path", s"$dir/edges").saveAsTable(tbl)
           sess.table(tbl)
         }
         if (sys.env.contains("GRAFT_CC_DEBUG"))
-          println(f"[cc] hostEdges ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          println(f"[cc] hostEdges ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+            s" buckets=$n")
         out
       case None => df.localCheckpoint(true)
     }
@@ -753,8 +769,9 @@ object Dedup {
       // parquet instead of executor block storage (see
       // connectedComponents)
       val pairs = d3MinhashLsh(s, d)
+      val nPairs = pairs.count()
       connectedComponents(pairs,
-        reliable = pairs.count() > CcReliableEdges)
+        reliable = nPairs > CcReliableEdges, edgeCountHint = nPairs)
     }
 
   val d6Sql: String =

@@ -570,8 +570,9 @@ object Multimodal {
       // executor block storage
       val pairs = m8Pairs(s, d).select(col("id_a").as("doc_a"),
         col("id_b").as("doc_b"))
+      val nPairs = pairs.count()
       Dedup.connectedComponents(pairs,
-        reliable = pairs.count() > Dedup.CcReliableEdges)
+        reliable = nPairs > Dedup.CcReliableEdges, edgeCountHint = nPairs)
     }
 
   def m9PhashClusters(s: SparkSession, d: String): DataFrame = {
