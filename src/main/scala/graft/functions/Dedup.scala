@@ -680,6 +680,11 @@ object Dedup {
     // re-shuffles only the (small) label side, never the edges.
     val sym = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
       .unionAll(pairs.select(col("doc_b").as("s"), col("doc_a").as("t")))
+    // the loop runs under try/finally so the bucketed edge table's
+    // catalog entry is dropped even when the fixpoint THROWS
+    // (non-convergence, a failed round) — a leaked entry would point
+    // at a scratch dir the JVM-exit sweep later deletes from under it
+    try {
     val edges = hostEdges(sym
       .unionAll(sym.select(col("s"), col("s").as("t")).distinct())
       .repartition(col("t")))
@@ -739,12 +744,13 @@ object Dedup {
     // diameter > maxIters means the fixpoint wasn't reached
     require(converged,
       s"connected components did not converge in $maxIters rounds")
-    // the returned labels are a plain file scan independent of the
-    // edge relation — the bucketed table's catalog entry is pure
-    // metadata now (external table: DROP leaves the scratch files to
-    // the JVM-exit sweep)
-    edgeTable.foreach(t => sess.sql(s"DROP TABLE IF EXISTS $t"))
     labels.select(col("doc_id"), col("label").as("cluster_id"))
+    } finally
+      // the returned labels are a plain file scan independent of the
+      // edge relation — the bucketed table's catalog entry is pure
+      // metadata (external table: DROP leaves the scratch files to
+      // the JVM-exit sweep)
+      edgeTable.foreach(t => sess.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   /** d6: near-dup clustering — connected components over the MinHash

@@ -833,13 +833,27 @@ object Pipeline {
     val isLocalFs =
       fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
         fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    // the holder's identity, written INTO the lock file: release
+    // deletes the lock only if it still carries this token, so a
+    // holder that was (correctly or incorrectly) stale-broken can
+    // never blind-delete its SUCCESSOR's fresh lock on the way out —
+    // the residual two-holder re-opening a review found in the
+    // heartbeat-refresh-unsupported scenario. The atomic operation
+    // is still the CREATE; the token lands before the acquirer
+    // proceeds, and a breaker that reads a mid-write empty token
+    // only ever errs toward NOT deleting.
+    val ownerToken = java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
       if (isLocalFs)
         // local root: java.nio O_EXCL — atomic where Hadoop's local
         // create(overwrite=false) is only check-then-act
         try {
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(
-            fs.makeQualified(lockHPath).toUri.getPath))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(
+              fs.makeQualified(lockHPath).toUri.getPath),
+            ownerToken.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
@@ -847,8 +861,22 @@ object Pipeline {
       else
         // remote root: the manifest's own FileSystem — atomic on
         // HDFS; the documented CAS seam on an object store
-        try { fs.create(lockHPath, false).close(); true }
+        try {
+          val out = fs.create(lockHPath, false)
+          try out.write(ownerToken.getBytes("UTF-8"))
+          finally out.close()
+          true
+        }
         catch { case _: java.io.IOException => false }
+    def lockOwner(p: org.apache.hadoop.fs.Path): String =
+      try {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          new String(buf, 0, math.max(n, 0), "UTF-8")
+        } finally in.close()
+      } catch { case _: java.io.IOException => "" }
     // Breaking a stale lock is RENAME-then-delete, never a blind
     // delete: with two waiters on one crashed holder, a blind delete
     // lets waiter B delete + re-acquire between waiter A's mtime
@@ -860,10 +888,12 @@ object Pipeline {
     // confirmed-stale is deleted, while a fresh file (the lock path
     // was re-created since the observation) is renamed straight
     // back. The rename-back can only fail if the path was re-created
-    // TWICE inside this break — a microsecond triple race a file
-    // lock cannot close (the object-store CAS seam is the fix at
-    // that rigor); the stolen copy is dropped so it never shadows a
-    // later break.
+    // TWICE inside this break — an RPC-scale triple race a file
+    // lock cannot fully close (the object-store CAS seam is the fix
+    // at that rigor); the stolen copy is dropped so it never shadows
+    // a later break, and release-by-owner (below) bounds the damage:
+    // a holder whose lock was wrongly taken can no longer compound
+    // the race by blind-deleting its successor's lock on release.
     def breakIfStale(): Unit =
       try {
         val st = fs.getFileStatus(lockHPath)
@@ -928,7 +958,15 @@ object Pipeline {
     try body
     finally {
       heartbeat.interrupt()
-      try { fs.delete(lockHPath, false); () }
+      // release-by-owner: delete only OUR lock incarnation. If this
+      // holder was stale-broken mid-commit (heartbeat refresh
+      // unsupported and the hold outran LockStaleMs), the file at
+      // the path is a successor's — leave it alone.
+      try {
+        if (lockOwner(lockHPath) == ownerToken) { fs.delete(lockHPath, false); () }
+        else lockLog.warn(s"$who: lock no longer held at release " +
+          "(stale-broken mid-commit?) — leaving the successor's lock")
+      }
       catch { case _: java.io.IOException => () }
     }
   }
@@ -1749,11 +1787,23 @@ object Pipeline {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt)
-      } finally in.close()
+      val text =
+        try {
+          // loop to EOF — a single read() may legally return short,
+          // and a clipped "12" parsing as 1 would fabricate a
+          // retention conflict
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](32)
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+          new String(out.toByteArray, "UTF-8").trim
+        } finally in.close()
+      // an empty or garbled file is a vacuum that crashed between
+      // create and write — treat it as NO recorded policy so the
+      // current vacuum re-pins (exactly what the crashed first
+      // vacuum would have done), instead of wedging every future
+      // vacuum on a NumberFormatException it can never clear
+      text.toIntOption
     }
   }
 
@@ -1950,6 +2000,29 @@ object Pipeline {
     * unit of both commit and cleanup); deletes are O(orphans); the
     * tip recount is the safety proof, skippable in production.
     */
+  /** Newest write activity under a checkpoint RUN dir: the max mtime
+    * over the dir itself, its direct children, and the FILES inside
+    * its direct child dirs (offsets/, commits/, sources/ — a live
+    * stream lands a new offset/commit FILE every micro-batch).
+    * Depth-2 and file-based deliberately: object stores report
+    * synthetic directory entries whose mtimes never advance when
+    * files land inside them, so a dir-mtime liveness test would
+    * classify every long-running stream as dead on exactly the
+    * deployments this GC exists for. The offsets listing grows with
+    * stream age — that is the GC's price, one paginated listing per
+    * run dir per sweep, not a recursive walk of the state store.
+    */
+  private def ckptNewestMtime(fs: org.apache.hadoop.fs.FileSystem,
+      run: org.apache.hadoop.fs.FileStatus): Long = {
+    val kids = fs.listStatus(run.getPath).toSeq
+    val grandkids = kids.filter(_.isDirectory)
+      .flatMap(k =>
+        try fs.listStatus(k.getPath).toSeq
+        catch { case _: java.io.FileNotFoundException => Seq.empty })
+    (run.getModificationTime +: (kids ++ grandkids)
+      .map(_.getModificationTime)).max
+  }
+
   private[graft] def removeOrphans(s: SparkSession, root: String,
       graceMs: Long): DataFrame = {
     import s.implicits._
@@ -1983,28 +2056,41 @@ object Pipeline {
               .getPathWithoutSchemeAndAuthority(st.getPath).toString)
         }
         // dead streaming checkpoints: run-id dirs under ckpt/ with no
-        // write activity (self or direct child mtime) inside grace —
-        // one bounded listing per run dir, never a recursive walk
+        // write activity inside grace — see ckptNewestMtime for why
+        // activity is read off FILE mtimes two levels deep
         val ckptRoot = new org.apache.hadoop.fs.Path(s"$root/ckpt")
         val ckFs = ckptRoot.getFileSystem(conf)
         val deadCkpts =
           if (!ckFs.exists(ckptRoot)) Seq.empty[String]
           else ckFs.listStatus(ckptRoot).toSeq.filter(_.isDirectory)
-            .filter { st =>
-              val newest = (st.getModificationTime +:
-                ckFs.listStatus(st.getPath).toSeq
-                  .map(_.getModificationTime)).max
-              now - newest >= graceMs
-            }
+            .filter(st => now - ckptNewestMtime(ckFs, st) >= graceMs)
             .map(st => org.apache.hadoop.fs.Path
               .getPathWithoutSchemeAndAuthority(st.getPath).toString)
         (orphans, deadCkpts, referenced.size.toLong)
       }
-    // physical deletes AFTER lock release — a decided orphan cannot
-    // become referenced, so the delete pass races nothing and an
-    // object-store-sized sweep never holds commits past the waiter
+    // physical deletes AFTER lock release — a decided data orphan
+    // cannot become referenced, so that delete pass races nothing and
+    // an object-store-sized sweep never holds commits past the waiter
     // deadline
-    (orphans ++ deadCkpts).sorted.foreach(deleteTree)
+    orphans.sorted.foreach(deleteTree)
+    // a decided-dead CHECKPOINT, unlike a data orphan, CAN come back
+    // to life between the locked decide and this pass: a restart of
+    // the same logical run legitimately reuses its run id (the
+    // recovery path). Re-check activity immediately before each
+    // delete — a revived run has written fresh offset files by now
+    // and is skipped; the remaining window (recheck → delete) is
+    // RPC-sized against a graceMs-sized contract.
+    val ckptDropped = deadCkpts.sorted.count { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val dfs = p.getFileSystem(conf)
+      val stillDead =
+        try {
+          val st = dfs.getFileStatus(p)
+          System.currentTimeMillis() - ckptNewestMtime(dfs, st) >= graceMs
+        } catch { case _: java.io.FileNotFoundException => false }
+      if (stillDead) deleteTree(dir)
+      stillDead
+    }
     // tip recount AFTER the sweep — the referenced-dirs-survive proof
     val manifest = s.read.parquet(s"$root/manifest")
     val tip = manifest.agg(max(col("version"))).head.getLong(0)
@@ -2012,7 +2098,7 @@ object Pipeline {
       .select("path").distinct().collect().map(_.getString(0)).sorted
       .map(s.read.parquet(_)).reduce(_ unionByName _).count()
     Seq(("orphan_dirs_dropped", orphans.size.toLong),
-      ("ckpt_runs_dropped", deadCkpts.size.toLong),
+      ("ckpt_runs_dropped", ckptDropped.toLong),
       ("referenced_dirs", referencedN),
       ("tip_docs", tipDocs)).toDF("metric", "value")
   }

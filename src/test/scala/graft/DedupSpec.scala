@@ -79,6 +79,22 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"label generations must be swept per round: $entries")
   }
 
+  test("reliable CC drops its bucketed edge-table catalog entry even " +
+    "when the fixpoint FAILS — no table left pointing at scratch the " +
+    "JVM-exit sweep will delete") {
+    import spark.implicits._
+    def ccTables(): Set[String] = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_cc_edges")).toSet
+    val before = ccTables()
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    // maxIters = 0 forces the loud non-convergence failure path
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, maxIters = 0, reliable = true)
+    }
+    assert(ccTables() == before,
+      s"leaked edge tables: ${(ccTables() -- before).mkString(",")}")
+  }
+
   test("minhash family is not degenerate: superset docs diverge somewhere") {
     import spark.implicits._
     // regression for the collapsed affine family: with a monotone

@@ -979,10 +979,12 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       val f = new java.io.File(offsets, "0")
       assert(f.createNewFile())
       assert(f.setLastModified(childMtime))
-      assert(offsets.setLastModified(childMtime))
-      // the run dir's OWN mtime is always old: a live stream only
-      // touches files INSIDE offsets/commits, so liveness must come
-      // from the newest direct child, not the dir itself
+      // BOTH directory mtimes are always old: object stores report
+      // synthetic dir entries whose mtimes never advance when files
+      // land inside them, so liveness must come from the newest FILE
+      // two levels down (the offset/commit files a live stream lands
+      // every micro-batch), never from a directory mtime
+      assert(offsets.setLastModified(old))
       assert(run.setLastModified(old))
       run
     }

@@ -61,6 +61,12 @@ def load_queries(path):
             tail = tail[:cut]
     pairs = re.findall(r'"([A-Za-z][A-Za-z0-9_]*)":([0-9]+(?:\.[0-9]+)?)',
                        tail)
+    # a FRONT-truncated tail can clip the first key mid-name — the
+    # regex would then capture its suffix as a bogus (or worse,
+    # colliding) query name; drop the first pair unless the tail
+    # provably starts at the artifact's beginning
+    if pairs and not tail.lstrip().startswith('{"metric"'):
+        pairs = pairs[1:]
     return {k: float(v) for k, v in pairs if k not in NON_QUERY_KEYS}
 
 
@@ -90,6 +96,10 @@ def main():
         a = anchor
         if regime == "fast" and (q in FAST_STALE or q not in fast):
             a = slow
+        elif regime == "slow" and q not in slow and q in fast:
+            # present only in the OTHER anchor: adjudicate against it
+            # rather than silently dropping the query from the gate
+            a = fast
         if q not in a:
             if q not in fast and q not in slow:
                 new.append(q)
