@@ -19,9 +19,16 @@ object QueryProbe {
     val name = args(0)
     val runs = if (args.length > 1) args(1).toInt else 5
     val d = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[32]")
+    val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // A/B experiment aid: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" lets a
+    // probe run flip one optimizer/conf knob without a code edit
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
     import scala.jdk.CollectionConverters._

@@ -1127,53 +1127,81 @@ object Dedup {
     val S = "1099511627776.0" // 2^40: exact scaling before floor
     val SE = "1048576.0" // 2^20: empirical scale (see bound note below)
     def chain(v: String, n: Int) = Seq.fill(n)(v).mkString("(", " * ", ")")
+    // every config's miss chain, inlined from the grid/empirical
+    // probability columns: structurally the same left-folded
+    // multiplication chains as the per-config column pipeline this
+    // replaces, so the doubles (and their floors) are bit-identical —
+    // only the PLAN changed, from one aggregation pass PER CONFIG to
+    // one pass carrying all configs' aggregates as columns
+    def missOf(v: String, b: Int, r: Int) =
+      chain(s"(1.0 - ${chain(v, r)})", b)
+    val cfgs = bandConfigs.zipWithIndex
     val hist = d9EstimatorCalibration(s, d)
       .groupBy(col("n_eq_slots").as("e"))
       .agg(count(lit(1)).as("n_pairs"))
-    val rows = bandConfigs.map { case (b, r) =>
-      val grid = s.range(1, 128).toDF("g")
-        .selectExpr("g", "CAST(g AS DOUBLE) / 128.0 AS j")
-        .selectExpr("g", s"${chain("j", r)} AS jr")
-        .selectExpr("g", "1.0 - jr AS m1")
-        .selectExpr("g", s"${chain("m1", b)} AS miss")
-        .selectExpr("g", "miss", "1.0 - miss AS p")
-        .agg(
-          expr(s"CAST(coalesce(sum(CASE WHEN g >= 64 THEN " +
-            s"CAST(floor(miss * $S) AS BIGINT) ELSE CAST(0 AS BIGINT) " +
-            s"END), CAST(0 AS BIGINT)) AS BIGINT) AS fn_scaled"),
-          expr(s"CAST(coalesce(sum(CASE WHEN g < 64 THEN " +
-            s"CAST(floor(p * $S) AS BIGINT) ELSE CAST(0 AS BIGINT) " +
-            s"END), CAST(0 AS BIGINT)) AS BIGINT) AS fp_scaled"))
-      // empirical side scales by 2^20, not 2^40: the term multiplies
-      // by a bucket's PAIR COUNT, and 2^20-scaled probabilities keep
-      // the int64 sum exact up to ~2^43 pairs per agreement bucket —
-      // beyond any cap-bounded candidate set — where a 2^40 scale
-      // would wrap (and wrap DIFFERENTLY in the two engines) past
-      // ~8M pairs.
-      val emp = hist
-        .selectExpr("n_pairs", s"CAST(e AS DOUBLE) / $K.0 AS je")
-        .selectExpr("n_pairs", s"${chain("je", r)} AS jr")
-        .selectExpr("n_pairs", "1.0 - jr AS m1")
-        .selectExpr("n_pairs", s"${chain("m1", b)} AS miss")
-        .agg(expr(s"CAST(coalesce(sum(n_pairs * CAST(floor(miss * $SE) " +
-          s"AS BIGINT)), CAST(0 AS BIGINT)) AS BIGINT) AS exp_missed_scaled"))
-      // combine the two 1-row aggregates WITHOUT a join: a crossJoin
-      // is a CartesianProduct and a constant-key equi-join constant-
-      // folds back into a BNL — both banned by the plan audit. A
-      // union + max-collapse is joinless and exact (each column is
-      // non-null on exactly one side).
-      grid.select(col("fn_scaled"), col("fp_scaled"),
-          lit(null).cast("long").as("exp_missed_scaled"))
-        .unionAll(emp.select(lit(null).cast("long").as("fn_scaled"),
-          lit(null).cast("long").as("fp_scaled"),
-          col("exp_missed_scaled")))
-        .agg(max(col("fn_scaled")).as("fn_scaled"),
-          max(col("fp_scaled")).as("fp_scaled"),
-          max(col("exp_missed_scaled")).as("exp_missed_scaled"))
-        .select(lit(b).as("b"), lit(r).as("r"), col("fn_scaled"),
-          col("fp_scaled"), col("exp_missed_scaled"))
+    // ONE grid pass: fn/fp for ALL configs as aggregate columns (the
+    // old per-config loop re-planned the 127-row grid per config —
+    // cheap) …
+    val gridCols = cfgs.flatMap { case ((b, r), i) =>
+      val miss = missOf("j", b, r)
+      Seq(
+        expr(s"CAST(coalesce(sum(CASE WHEN g >= 64 THEN " +
+          s"CAST(floor($miss * $S) AS BIGINT) ELSE CAST(0 AS BIGINT) " +
+          s"END), CAST(0 AS BIGINT)) AS BIGINT) AS fn_$i"),
+        expr(s"CAST(coalesce(sum(CASE WHEN g < 64 THEN " +
+          s"CAST(floor((1.0 - $miss) * $S) AS BIGINT) ELSE " +
+          s"CAST(0 AS BIGINT) END), CAST(0 AS BIGINT)) AS BIGINT) " +
+          s"AS fp_$i"))
     }
-    rows.reduce(_ unionAll _)
+    val gridAgg = s.range(1, 128).toDF("g")
+      .selectExpr("g", "CAST(g AS DOUBLE) / 128.0 AS j")
+      .agg(gridCols.head, gridCols.tail: _*)
+    // … and ONE empirical pass: the old loop re-planned the ENTIRE d9
+    // estimator subtree (pairs ⋈ sig ⋈ sig, two SortMergeJoins) once
+    // per band config — four computations of the only data-sized
+    // input for a 4-row report (round-16 plan dump: 41 scans).
+    //
+    // empirical side scales by 2^20, not 2^40: the term multiplies
+    // by a bucket's PAIR COUNT, and 2^20-scaled probabilities keep
+    // the int64 sum exact up to ~2^43 pairs per agreement bucket —
+    // beyond any cap-bounded candidate set — where a 2^40 scale
+    // would wrap (and wrap DIFFERENTLY in the two engines) past
+    // ~8M pairs.
+    val empCols = cfgs.map { case ((b, r), i) =>
+      expr(s"CAST(coalesce(sum(n_pairs * " +
+        s"CAST(floor(${missOf("je", b, r)} * $SE) AS BIGINT)), " +
+        s"CAST(0 AS BIGINT)) AS BIGINT) AS em_$i")
+    }
+    val empAgg = hist
+      .selectExpr("n_pairs", s"CAST(e AS DOUBLE) / $K.0 AS je")
+      .agg(empCols.head, empCols.tail: _*)
+    // combine the two 1-row aggregates WITHOUT a join: a crossJoin
+    // is a CartesianProduct and a constant-key equi-join constant-
+    // folds back into a BNL — both banned by the plan audit. A
+    // union + max-collapse is joinless and exact (each column is
+    // non-null on exactly one side). The 4 report rows then unfold
+    // from the single combined row via explode(array(struct…)) — one
+    // subtree, not a unionAll of four re-planned copies.
+    val nullL = lit(null).cast("long")
+    val collapseCols = cfgs.flatMap { case (_, i) =>
+      Seq(max(col(s"fn_$i")).as(s"fn_$i"),
+        max(col(s"fp_$i")).as(s"fp_$i"),
+        max(col(s"em_$i")).as(s"em_$i"))
+    }
+    val one = gridAgg
+      .select(cfgs.flatMap { case (_, i) =>
+        Seq(col(s"fn_$i"), col(s"fp_$i"), nullL.as(s"em_$i"))
+      }: _*)
+      .unionAll(empAgg.select(cfgs.flatMap { case (_, i) =>
+        Seq(nullL.as(s"fn_$i"), nullL.as(s"fp_$i"), col(s"em_$i"))
+      }: _*))
+      .agg(collapseCols.head, collapseCols.tail: _*)
+    one.select(explode(array(cfgs.map { case ((b, r), i) =>
+        struct(lit(b).as("b"), lit(r).as("r"),
+          col(s"fn_$i").as("fn_scaled"), col(s"fp_$i").as("fp_scaled"),
+          col(s"em_$i").as("exp_missed_scaled"))
+      }: _*)).as("cfg"))
+      .select("cfg.*")
       .withColumn("selected",
         col("fn_scaled") + col("fp_scaled") ===
           min(col("fn_scaled") + col("fp_scaled"))

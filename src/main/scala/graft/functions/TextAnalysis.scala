@@ -2271,8 +2271,18 @@ object TextAnalysis {
     */
   private def t24Features(s: SparkSession, d: String): DataFrame =
     withT24Feats(Tables.load(s, d, "documents"))
+      // explode_OUTER + a post-generate null filter ≡ explode here
+      // (split yields ≥1 non-null token, so feats is null only when
+      // text is; an outer generate turns that row into one null t,
+      // dropped by the filter exactly like the inner explode dropped
+      // the null array) — chosen because the optimizer infers a
+      // `size(feats)>0 AND isnotnull(feats)` pre-Generate filter for
+      // an INNER explode that re-evaluates the whole split+zip_with
+      // feature expression per row (round-16 plan dump: the scan
+      // filter carried two copies of it; ~10% of t24 measured)
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(col("feats")).as("t"))
+        explode_outer(col("feats")).as("t"))
+      .filter(col("t").isNotNull)
       .withColumn("b", t24Bucket(col("t")))
 
   /** The model's bucket-count aggregation over any documents frame —
@@ -2282,7 +2292,10 @@ object TextAnalysis {
     */
   private[graft] def t24BucketCounts(docs0: DataFrame): DataFrame =
     withT24Feats(docs0)
-      .select(col("lang"), explode(col("feats")).as("t"))
+      // same explode_outer-equivalence as t24Features (stream-safe:
+      // stateless generate + filter)
+      .select(col("lang"), explode_outer(col("feats")).as("t"))
+      .filter(col("t").isNotNull)
       .withColumn("b", t24Bucket(col("t")))
       .groupBy(col("b"))
       .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"),

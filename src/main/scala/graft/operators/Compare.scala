@@ -47,8 +47,35 @@ object Compare {
     * `chunkExpr` buckets the split key (reference: range chunks from
     * CREATE_CHUNKS_BY_NUMBER_COL; here a computed bucket, which at
     * 100 TB distributes without a planning pass over the data).
+    *
+    * Hash choice: every consumer of THIS summary compares src-vs-tgt
+    * checksums that are both computed here, in Spark — the value
+    * never meets a DuckDB-computed checksum — so the hash is Spark's
+    * native codegen `xxhash64` (round 16: the md5-hex-conv
+    * cross-engine hash measured ~2× the whole aggregation pass,
+    * HashProbe, and cross-engine bit-parity buys nothing for an
+    * engine-internal equality check; the oracle side keeps filtering
+    * on ITS OWN md5 sums, so the two engines' mismatch sets still
+    * check each other). The roundtrip/export checksums that ARE
+    * oracle-compared by value ([[Norm.sparkRowChecksum]] callers in
+    * Migrate/Relational) keep the md5 hash. Same DECIMAL(38,0) sum
+    * and string rendering as before — the artifact contract
+    * (`getAs[String]`) and null/`<=>` semantics are unchanged.
     */
   def chunkSummary(df: DataFrame, chunkExpr: Column,
+      normCols: Seq[NormCol]): DataFrame =
+    df.groupBy(chunkExpr.as("chunk_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(xxhash64(Norm.sparkRow(normCols)).cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)).cast("string").as("row_checksum"))
+
+  /** The cross-engine variant: same summary with the md5-based hash
+    * the DuckDB oracle can reproduce bit-identically. For consumers
+    * whose OUTPUT exposes the checksum value to the oracle compare
+    * (pipe2's per-chunk report) — everything that only compares
+    * src-vs-tgt internally uses [[chunkSummary]].
+    */
+  def chunkSummaryXEngine(df: DataFrame, chunkExpr: Column,
       normCols: Seq[NormCol]): DataFrame =
     df.groupBy(chunkExpr.as("chunk_id"))
       .agg(count(lit(1)).as("n_rows"),
@@ -520,19 +547,52 @@ object Compare {
     * narrowed result equals the unnarrowed one.
     */
   def c3NarrowedDiff(s: SparkSession, d: String): DataFrame = {
-    val src = Tables.load(s, d, "orders").withColumn("chunk_id", ordersChunkId)
-    val tgt = driftedOrders(s, d).withColumn("chunk_id", ordersChunkId)
+    // Phase 1 runs ONCE: the mismatched-chunk list lands on the driver
+    // (bounded by drift — the chunk-plan artifact class) instead of
+    // riding as a broadcast-semi-join SUBTREE, which the planner
+    // copied into every branch of the old exceptAll pair: the full
+    // a2b compare (both-side scans + summary shuffles) planned six
+    // times, 24 parquet scans in one query (round-16 plan dump).
     val bad = a2bChunkCompare(s, d).select("chunk_id")
-    def proj(df: DataFrame) = df
-      .join(broadcast(bad), Seq("chunk_id"), "left_semi")
-      .select(col("chunk_id"),
+      .collect().map(_.getLong(0)).sorted
+    // Phase 2 narrows twice over: a SPLIT-KEY RANGE ENVELOPE
+    // [min·1000, (max+1)·1000) — a pure base-column comparison that
+    // reaches the parquet scan as PushedFilters, so localized drift
+    // prunes row groups at the scan — plus the exact chunk set as an
+    // `isin` on the derived chunk_id (Catalyst converts the >10-value
+    // list to an O(1) InSet probe; a per-chunk OR-of-ranges was
+    // measured to blow codegen past the JVM method limit once the
+    // fixture's drift touched every chunk). Lossless: the envelope
+    // and the set are exactly ordersChunkId's preimages.
+    def narrowed(df: DataFrame, side: String) = {
+      val pruned =
+        if (bad.isEmpty) df.filter(lit(false))
+        else df.filter(
+          col("o_orderkey") >= bad.head * 1000L &&
+            col("o_orderkey") < (bad.last + 1L) * 1000L &&
+            ordersChunkId.isin(bad: _*))
+      pruned.select(ordersChunkId.as("chunk_id"),
         col("o_orderkey").cast("long").as("row_key"),
-        Norm.sparkRow(ordersNorm).as("row_str"))
-    val ns = proj(src)
-    val nt = proj(tgt)
-    ns.exceptAll(nt).withColumn("diff_side", lit("SRC_ONLY"))
-      .unionAll(nt.exceptAll(ns).withColumn("diff_side", lit("TGT_ONLY")))
-      .select("chunk_id", "diff_side", "row_key", "row_str")
+        Norm.sparkRow(ordersNorm).as("row_str"),
+        lit(side).as("side"))
+    }
+    // Multiset diff in ONE shuffle via the side-tagged count-compare
+    // ([[symmetricDiffCols]]' formulation) instead of two exceptAlls
+    // that each reshuffle both narrowed sides; the oracle keeps
+    // EXCEPT ALL, so the two formulations check each other.
+    narrowed(Tables.load(s, d, "orders"), "S")
+      .unionAll(narrowed(driftedOrders(s, d), "T"))
+      .groupBy(col("chunk_id"), col("row_key"), col("row_str"))
+      .agg(sum(when(col("side") === "S", 1L).otherwise(0L)).as("n_src"),
+        sum(when(col("side") === "T", 1L).otherwise(0L)).as("n_tgt"))
+      .filter(col("n_src") =!= col("n_tgt"))
+      .select(col("chunk_id"),
+        when(col("n_src") > col("n_tgt"), lit("SRC_ONLY"))
+          .otherwise(lit("TGT_ONLY")).as("diff_side"),
+        col("row_key"), col("row_str"),
+        abs(col("n_src") - col("n_tgt")).as("surplus"))
+      .withColumn("mult", explode(sequence(lit(1L), col("surplus"))))
+      .drop("surplus", "mult")
   }
 
   val c3Sql: String = {

@@ -258,8 +258,13 @@ object Pipeline {
     // column itself (same path s7b exercises)
     val back = Migrate.readJdbcChunked(s, url, tgtTable, keyCol,
       minK, maxK + 1, 8)
-    val srcSum = Compare.chunkSummary(exportDf, chunkOf(keyCol), normCols)
-    val tgtSum = Compare.chunkSummary(back, chunkOf(keyCol), normCols)
+    // XEngine variant: this stage's row_checksum lands in pipe2's
+    // oracle-compared OUTPUT, so it must stay the md5 hash DuckDB
+    // reproduces (the internal-compare call sites use the native-hash
+    // chunkSummary)
+    val srcSum = Compare.chunkSummaryXEngine(exportDf, chunkOf(keyCol),
+      normCols)
+    val tgtSum = Compare.chunkSummaryXEngine(back, chunkOf(keyCol), normCols)
       .withColumnRenamed("n_rows", "t_rows")
       .withColumnRenamed("row_checksum", "t_checksum")
     val diff = Compare.symmetricDiffCols(exportDf, back, normCols, keyCol)

@@ -1393,7 +1393,12 @@ object Cdc {
     */
   private[graft] def streamSession(s: SparkSession): SparkSession = {
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // 8 = the long-standing measured local default; the env knob is
+    // the production scale lever (state volume grows with input, so a
+    // cluster sizes this up — round-16 4-vs-8 A/Bs were swamped by
+    // window noise and left the default alone)
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
     ss
   }
 
