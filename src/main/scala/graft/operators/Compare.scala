@@ -82,19 +82,33 @@ object Compare {
         Norm.sparkRowChecksum(normCols).as("row_checksum"))
 
   /** Slow path: symmetric difference of canonical row strings, tagged
-    * with the side that owns the surplus row. Multiset semantics
-    * (`exceptAll`) so duplicate rows diff correctly.
+    * with the side that owns the surplus row. Multiset semantics so
+    * duplicate rows diff correctly — via the side-tagged
+    * count-compare ([[symmetricDiffCols]]' formulation): ONE
+    * partial-aggregable groupBy shuffle and one scan per input,
+    * where the previous exceptAll-both-directions planned each input
+    * twice and shuffled both sides twice (round-16 plan dump: j4
+    * scanned orders 6×); surplus rows re-expand via
+    * sequence/explode, so the rows stay exceptAll-identical. The
+    * oracle keeps EXCEPT ALL — the formulations check each other.
     */
   def symmetricDiff(src: DataFrame, tgt: DataFrame,
       normCols: Seq[NormCol], keyCol: String): DataFrame = {
-    def proj(df: DataFrame) =
+    def proj(df: DataFrame, side: String) =
       df.select(col(keyCol).cast("long").as("row_key"),
-        Norm.sparkRow(normCols).as("row_str"))
-    val srcOnly = proj(src).exceptAll(proj(tgt))
-      .withColumn("diff_side", lit("SRC_ONLY"))
-    val tgtOnly = proj(tgt).exceptAll(proj(src))
-      .withColumn("diff_side", lit("TGT_ONLY"))
-    srcOnly.unionAll(tgtOnly).select("diff_side", "row_key", "row_str")
+        Norm.sparkRow(normCols).as("row_str"), lit(side).as("side"))
+    proj(src, "S").unionAll(proj(tgt, "T"))
+      .groupBy(col("row_key"), col("row_str"))
+      .agg(sum(when(col("side") === "S", 1L).otherwise(0L)).as("n_src"),
+        sum(when(col("side") === "T", 1L).otherwise(0L)).as("n_tgt"))
+      .filter(col("n_src") =!= col("n_tgt"))
+      .select(
+        when(col("n_src") > col("n_tgt"), lit("SRC_ONLY"))
+          .otherwise(lit("TGT_ONLY")).as("diff_side"),
+        col("row_key"), col("row_str"),
+        abs(col("n_src") - col("n_tgt")).as("surplus"))
+      .withColumn("mult", explode(sequence(lit(1L), col("surplus"))))
+      .drop("surplus", "mult")
   }
 
   /** Keyed symmetric diff carrying each normalized column separately

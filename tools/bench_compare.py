@@ -42,6 +42,16 @@ RULE_ADD = 0.25
 # fast-anchor entries that predate a deliberate, documented cost
 # change — adjudicate these against the slow anchor only
 FAST_STALE = {"ann15_nn_join"}
+# queries round 16's optimization pass deliberately made FASTER
+# (OPTIMIZATION_r16.md): both anchors predate the change, so their
+# ratios (<1) would bias the regime-matching median downward —
+# exclude them from the median; they still get flag-adjudicated
+# (a faster query cannot flag, and a FUTURE regression past the old
+# anchor's 1.4x+0.25s still fires)
+OPTIMIZED_R16 = {
+    "c3_narrowed_diff", "d17_band_planner", "a2b_chunk_compare",
+    "j4_symmetric_diff", "pipe12_compare_config", "c7_sampled_compare",
+    "c2_fix_actions", "t24_dsir_select"}
 NON_QUERY_KEYS = {"metric", "value", "sf", "unit", "n", "rc", "cpus"}
 
 
@@ -72,7 +82,7 @@ def load_queries(path):
 
 def median_ratio(run, anchor):
     shared = [run[q] / anchor[q] for q in run
-              if q in anchor and anchor[q] > 0]
+              if q in anchor and anchor[q] > 0 and q not in OPTIMIZED_R16]
     return statistics.median(shared) if shared else float("inf")
 
 
