@@ -332,15 +332,19 @@ object Bench {
         s""","fixed_probe_sec":${f(fixedSec)}""" +
         s""","fixed_samples":[${fixedPoints.map(f).mkString(",")}]""" +
         s""","fixed_spread":${f(fixedSpread)}}}"""
-    // subset runs (SPARK_GRAFT_ONLY) and non-baseline scale factors
-    // must NEVER touch the artifact: bench_local.json is the committed
-    // full-surface sf0.1 baseline the perf gate and BASELINE.md read —
-    // a 1-query dev run or an sf0.001 smoke overwriting it silently
-    // falsifies both (it did, once: see the round-7 restore commit).
+    // subset runs (SPARK_GRAFT_ONLY), non-baseline scale factors, AND
+    // non-default core counts must NEVER touch the artifact:
+    // bench_local.json is the committed full-surface sf0.1/32-core
+    // baseline the perf gate and BASELINE.md read — a 1-query dev run
+    // or an sf0.001 smoke overwriting it silently falsifies both (it
+    // did, once: see the round-7 restore commit), and the driver's
+    // 8-core SCALING run overwrote the round-16 committed artifact
+    // with a 251 s table (r16 verdict) because the guard checked the
+    // SF dir but not the CPU count.
     // Compare the normalized basename, not endsWith: a trailing slash
     // (shell completion) must not silently skip the write, and a
     // foreign dir that merely ENDS in "sf0.1" must not pass
-    if (only.isEmpty &&
+    if (only.isEmpty && cpus == "32" &&
         java.nio.file.Paths.get(sfDir).normalize()
           .getFileName.toString == "sf0.1")
       try java.nio.file.Files.write(
@@ -348,6 +352,16 @@ object Bench {
         (fileLine + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     println(line)
+    // A second, TAIL-SAFE summary line (≤ ~200 B), printed LAST: the
+    // driver's stdout capture keeps only the final ~2.8 KB, and the
+    // full per-query line above is ~7-8 KB for 226 queries, so two
+    // rounds of BENCH_r{15,16}.json ended `parsed: null` despite the
+    // contract line being printed (r16 verdict item 1). A truncated
+    // capture now still ends with one complete, parseable JSON object
+    // carrying the headline total; the full line above is unchanged
+    // for any consumer that reads untruncated stdout, and the
+    // per-query map is in bench_local.json either way.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"per_query_file":"bench_local.json"}""")
     spark.stop()
   }
 }

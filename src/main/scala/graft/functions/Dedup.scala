@@ -987,7 +987,7 @@ object Dedup {
     val q = streamingNearDup(streamSession(s), feed, out, s"$root/ckpt")
     try require(q.awaitTermination(300000),
       "d15 stream did not terminate within 300 s")
-    finally q.stop()
+    finally { graft.streaming.Cdc.dumpProgress("d15", q); q.stop() }
     s.read.schema("doc_a LONG, doc_b LONG, band INT").parquet(out)
       .select("doc_a", "doc_b").distinct()
   }
@@ -1010,7 +1010,7 @@ object Dedup {
       s"$root/ckpt")
     try require(q.awaitTermination(300000),
       "d16 stream did not terminate within 300 s")
-    finally q.stop()
+    finally { graft.streaming.Cdc.dumpProgress("d16", q); q.stop() }
     s.read.schema("doc_id LONG, fingerprint STRING, ts TIMESTAMP")
       .parquet(out)
       .groupBy("fingerprint").agg(count(lit(1)).as("n_out"))

@@ -2429,7 +2429,7 @@ object TextAnalysis {
       .start()
     try require(q.awaitTermination(300000),
       "t25 stream did not terminate within 300 s")
-    finally q.stop()
+    finally { graft.streaming.Cdc.dumpProgress("t25", q); q.stop() }
     val emitted = ss.table("t25_model_counts")
     t24ScoreFrom(s.createDataFrame(
       java.util.Arrays.asList(emitted.collect(): _*), emitted.schema))

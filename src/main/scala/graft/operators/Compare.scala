@@ -560,15 +560,47 @@ object Compare {
     * so the ORACLE IS THE PLAIN FULL DIFF: the hash check proves the
     * narrowed result equals the unnarrowed one.
     */
-  def c3NarrowedDiff(s: SparkSession, d: String): DataFrame = {
+  def c3NarrowedDiff(s: SparkSession, d: String): DataFrame =
+    c3NarrowedDiffImpl(s, d, C3MaxDriverChunks)
+
+  /** Cap on the phase-1 mismatched-chunk list the driver will
+    * materialize (r16 verdict/advice: with pathological FULL-surface
+    * drift the list is ~rows/1000 — a multi-GB collect and a
+    * plan-sized InSet at 100 TB). Past the cap, narrowing falls back
+    * to a distributed left-semi join on chunk_id (the pre-r16
+    * formulation, minus its six-copy re-planning: phase 1 is still
+    * computed once and reused by AQE exchange reuse — and when
+    * everything mismatches, narrowing prunes ~nothing anyway, so the
+    * semi-join's extra shuffle is noise against the full rescan it
+    * gates). Env-overridable for scale tuning; the default keeps the
+    * driver list ≤ ~8 MB of longs.
+    */
+  private[graft] val C3MaxDriverChunks: Int =
+    sys.env.get("SPARK_GRAFT_C3_CHUNK_CAP").map(_.trim.toInt)
+      .getOrElse(1000000)
+
+  private[graft] def c3NarrowedDiffImpl(s: SparkSession, d: String,
+      maxDriverChunks: Int): DataFrame = {
     // Phase 1 runs ONCE: the mismatched-chunk list lands on the driver
     // (bounded by drift — the chunk-plan artifact class) instead of
     // riding as a broadcast-semi-join SUBTREE, which the planner
     // copied into every branch of the old exceptAll pair: the full
     // a2b compare (both-side scans + summary shuffles) planned six
     // times, 24 parquet scans in one query (round-16 plan dump).
-    val bad = a2bChunkCompare(s, d).select("chunk_id")
-      .collect().map(_.getLong(0)).sorted
+    // limit(cap+1): the collect is bounded BEFORE it happens — one
+    // row past the cap proves overflow without materializing the
+    // pathological list.
+    val badRows = a2bChunkCompare(s, d).select("chunk_id")
+      .limit(maxDriverChunks + 1).collect()
+    val overflow = badRows.length > maxDriverChunks
+    // getAs[java.lang.Long], not getLong: a null chunk_id (impossible
+    // today — o_orderkey is non-null — but silent coercion to 0 would
+    // mask a future norm bug) must fail loudly (r16 advice)
+    val bad = badRows.map { r =>
+      val v = r.getAs[java.lang.Long](0)
+      require(v != null, "c3: null chunk_id in phase-1 mismatch list")
+      v.longValue()
+    }.sorted
     // Phase 2 narrows twice over: a SPLIT-KEY RANGE ENVELOPE
     // [min·1000, (max+1)·1000) — a pure base-column comparison that
     // reaches the parquet scan as PushedFilters, so localized drift
@@ -580,7 +612,14 @@ object Compare {
     // and the set are exactly ordersChunkId's preimages.
     def narrowed(df: DataFrame, side: String) = {
       val pruned =
-        if (bad.isEmpty) df.filter(lit(false))
+        if (overflow)
+          // distributed fallback: exact same narrowing semantics, no
+          // driver materialization; chunk_id is the equi-join key so
+          // the planner is free to pick broadcast/SMJ by size
+          df.withColumn("chunk_id", ordersChunkId)
+            .join(a2bChunkCompare(s, d).select("chunk_id"),
+              Seq("chunk_id"), "left_semi")
+        else if (bad.isEmpty) df.filter(lit(false))
         else df.filter(
           col("o_orderkey") >= bad.head * 1000L &&
             col("o_orderkey") < (bad.last + 1L) * 1000L &&

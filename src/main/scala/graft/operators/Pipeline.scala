@@ -2283,7 +2283,7 @@ object Pipeline {
       .start()
     try require(q.awaitTermination(300000),
       "pipe19 stream did not terminate within 300 s")
-    finally q.stop()
+    finally { graft.streaming.Cdc.dumpProgress("pipe19", q); q.stop() }
     val n1 = s.read.parquet(s"$root/stats/totals")
       .filter(col("version") <= 1L)
       .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)

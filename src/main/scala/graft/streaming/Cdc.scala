@@ -1391,14 +1391,45 @@ object Cdc {
     * streams never compose with the caller's DataFrames: inputs and
     * outputs are paths.
     */
+  /** Env-gated per-batch progress dump (diagnostic only — zero cost
+    * when SPARK_GRAFT_STREAM_PROGRESS is unset): call at an arm's
+    * stop to print each micro-batch's durationMs components
+    * (addBatch / walCommit / commitOffsets / getBatch / latestOffset)
+    * so the streaming fixed floor attributes to state-store vs
+    * commit-log vs scheduling instead of being guessed at
+    * (StreamProbe's data source; r16 verdict item 3).
+    */
+  private[graft] def dumpProgress(name: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    if (sys.env.contains("SPARK_GRAFT_STREAM_PROGRESS"))
+      try q.recentProgress.foreach { p =>
+        println(s"[stream] $name batch=${p.batchId} rows=${p.numInputRows}" +
+          s" durationMs=${p.durationMs} state=${
+            p.stateOperators.map(so =>
+              s"rows=${so.numRowsTotal},commitMs=${so.commitTimeMs}")
+              .mkString("[", ";", "]")}")
+      } catch { case scala.util.control.NonFatal(_) => () }
+
   private[graft] def streamSession(s: SparkSession): SparkSession = {
     val ss = s.newSession()
     // 8 = the long-standing measured local default; the env knob is
     // the production scale lever (state volume grows with input, so a
     // cluster sizes this up — round-16 4-vs-8 A/Bs were swamped by
-    // window noise and left the default alone)
-    ss.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    // window noise and left the default alone).
+    // Validated here, not deep inside Spark at stream start (r16
+    // advice); NOTE the width only takes effect on a FRESH checkpoint
+    // — stateful queries restarted on an existing checkpoint keep the
+    // state-store partitioning pinned at first run (all arms here use
+    // per-run scratch checkpoints, so each run re-reads the knob).
+    val width = sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE") match {
+      case Some(v) =>
+        require(v.trim.nonEmpty && v.trim.forall(_.isDigit) &&
+          v.trim.toInt > 0,
+          s"SPARK_GRAFT_STREAM_SHUFFLE must be a positive integer, got '$v'")
+        v.trim
+      case None => "8"
+    }
+    ss.conf.set("spark.sql.shuffle.partitions", width)
     ss
   }
 
@@ -1421,7 +1452,7 @@ object Cdc {
     // oracle a partial pair set (review finding)
     try require(q.awaitTermination(300000),
       "c11 stream did not terminate within 300 s")
-    finally q.stop()
+    finally { dumpProgress("c11", q); q.stop() }
     s.read
       .schema("user_id LONG, signup_ts TIMESTAMP, action_ts TIMESTAMP")
       .parquet(s"$root/out")
@@ -1489,7 +1520,7 @@ object Cdc {
       .start()
     try require(q.awaitTermination(300000),
       s"$name stream did not terminate within 300 s")
-    finally q.stop()
+    finally { dumpProgress(name, q); q.stop() }
     val emitted = ss.table(name)
     s.createDataFrame(java.util.Arrays.asList(emitted.collect(): _*),
       emitted.schema)
@@ -1705,7 +1736,7 @@ object Cdc {
       .start()
     try require(q.awaitTermination(300000),
       "w12 stream did not terminate within 300 s")
-    finally q.stop()
+    finally { dumpProgress("w12", q); q.stop() }
     val w = Window.partitionBy("user_id").orderBy("start_epoch")
     s.read
       .schema("user_id LONG, n_events LONG, start_epoch LONG, " +

@@ -107,6 +107,75 @@ class CompareSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(bad == Seq(5L), s"expected only chunk 5 flagged, got $bad")
   }
 
+  test("c3 chunk-list cap: past the cap the semi-join fallback produces " +
+    "identical rows and no driver-sized InSet") {
+    // cap=1 forces the overflow path on the standard fixture (whose
+    // drift flags hundreds of chunks); the fallback must be
+    // row-identical to the driver-list path (multiset compare)
+    val capped = Compare.c3NarrowedDiffImpl(spark, sf, 1)
+    val normal = Compare.c3NarrowedDiff(spark, sf)
+    assert(capped.exceptAll(normal).isEmpty &&
+      normal.exceptAll(capped).isEmpty)
+    // plan shape: the fallback narrows via a JOIN on chunk_id, not an
+    // isin/InSet literal list (the unbounded-driver-collect hazard)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "fallback must plan a semi join")
+    val normalPlan = normal.queryExecution.executedPlan.toString
+    assert(!normalPlan.contains("LeftSemi"),
+      "default path must keep the pushdown-envelope form")
+  }
+
+  test("md5 boundary: output-exposed checksum columns derive from md5, " +
+    "never from the engine-internal xxhash64 summary") {
+    // r16 moved the engine-INTERNAL compare checksum to native
+    // xxhash64; every checksum the ORACLE compares by value must stay
+    // on the md5-based cross-engine hash (DuckDB has no xxhash64).
+    // Representative output-exposed set (the full surface is enforced
+    // by the oracle hash gate itself — an xxhash64 value there can
+    // never match DuckDB): chunk-checksum reports, the parquet/JDBC
+    // roundtrips, and pipe2's compare report.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId, Md5, XxHash64}
+    val names = Seq("a2_chunk_checksum", "a2c_summary_onepass",
+      "s7_parquet_roundtrip", "s7b_jdbc_roundtrip", "pipe2_migration")
+    for (n <- names) {
+      val df = SparkEntry.queries(n)(spark, sf)
+      val plan = df.queryExecution.analyzed
+      val checksumAttrs = plan.output.filter(
+        _.name.toLowerCase.contains("checksum"))
+      assert(checksumAttrs.nonEmpty,
+        s"$n no longer exposes a checksum column — update this spec")
+      // resolve each output checksum attr to the full TRANSITIVE
+      // expression lineage that computes it: start from its alias,
+      // then follow every attribute reference inside that subtree to
+      // ITS producing alias (pass-through renames, struct extraction
+      // over an aggregate buffer — a2c's shape), accumulating every
+      // reached subtree
+      val allAliases: Map[ExprId, Alias] = plan.collect {
+        case p => p.expressions.flatMap(_.collect {
+          case a: Alias => a.exprId -> a })
+      }.flatten.toMap
+      def lineage(id: ExprId, seen: Set[ExprId]): Seq[Alias] =
+        if (seen(id)) Seq.empty
+        else allAliases.get(id) match {
+          case None => Seq.empty // a base relation column
+          case Some(a) =>
+            val refs = a.collect { case r: AttributeReference => r.exprId }
+            a +: refs.distinct.flatMap(lineage(_, seen + id))
+        }
+      for (attr <- checksumAttrs) {
+        val trees = lineage(attr.exprId, Set.empty)
+        assert(trees.nonEmpty, s"$n: no producing alias for ${attr.name}")
+        assert(trees.forall(
+          _.collectFirst { case _: XxHash64 => () }.isEmpty),
+          s"$n: output column ${attr.name} is xxhash64-derived — " +
+            "must use chunkSummaryXEngine/sparkRowChecksum (md5)")
+        assert(trees.exists(
+          _.collectFirst { case _: Md5 => () }.nonEmpty),
+          s"$n: output column ${attr.name} is not md5-derived")
+      }
+    }
+  }
+
   test("fix.sql artifact: boxed summary per mismatched chunk, every " +
     "fix statement present, matched chunks absent") {
     val path = java.nio.file.Files.createTempDirectory("graft_fixsql")

@@ -42,17 +42,24 @@ RULE_ADD = 0.25
 # fast-anchor entries that predate a deliberate, documented cost
 # change — adjudicate these against the slow anchor only
 FAST_STALE = {"ann15_nn_join"}
-# queries round 16's optimization pass deliberately made FASTER
-# (OPTIMIZATION_r16.md): both anchors predate the change, so their
-# ratios (<1) would bias the regime-matching median downward —
-# exclude them from the median; they still get flag-adjudicated
-# (a faster query cannot flag, and a FUTURE regression past the old
-# anchor's 1.4x+0.25s still fires)
+# queries round 16+17's optimization passes deliberately made FASTER
+# (OPTIMIZATION_r16.md / OPTIMIZATION_r17.md): both anchors predate
+# the changes, so their ratios (<1) would bias the regime-matching
+# median downward — exclude them from the median; they still get
+# flag-adjudicated (a faster query cannot flag, and a FUTURE
+# regression past the old anchor's 1.4x+0.25s still fires).
+# PROVENANCE: this exclusion is tied to the CURRENT anchors
+# (BENCH_ANCHOR_FAST = round-15 tree, BENCH_ANCHOR_SLOW = r15
+# committed artifact). When either anchor is regenerated from a
+# post-r16 tree, EMPTY this set — the new anchor already carries the
+# optimized timings, and a stale exclusion would permanently shrink
+# the median sample (r16 advice).
 OPTIMIZED_R16 = {
     "c3_narrowed_diff", "d17_band_planner", "a2b_chunk_compare",
     "j4_symmetric_diff", "pipe12_compare_config", "c7_sampled_compare",
     "c2_fix_actions", "t24_dsir_select"}
-NON_QUERY_KEYS = {"metric", "value", "sf", "unit", "n", "rc", "cpus"}
+NON_QUERY_KEYS = {"metric", "value", "sf", "unit", "n", "rc", "cpus",
+                  "n_queries"}
 
 
 def load_queries(path):

@@ -18,6 +18,12 @@ def triage(path):
     ops = collections.Counter()
     for m in re.finditer(r"^\s*[+:]?-?\s*\*?\(?\d*\)?\s*([A-Za-z][A-Za-z0-9]+)", text, re.M):
         ops[m.group(1)] += 1
+    # \bExchange\b never matches inside "BroadcastExchange" (no word
+    # boundary between 't' and 'E'), so broadcast-heavy plans were
+    # under-ranked in the triage sort (r16 advice). Count the two
+    # kinds separately: shuffles are the expensive axis the sort
+    # ranks on; broadcasts ride along as their own column.
+    bcast = len(re.findall(r"\bBroadcastExchange\b", text))
     exchanges = len(re.findall(r"\bExchange\b|\bShuffleExchange", text))
     reused = len(re.findall(r"ReusedExchange", text))
     joins = collections.Counter()
@@ -35,7 +41,8 @@ def triage(path):
     rowudf = text.count("BatchEvalPython") + text.count("ArrowEvalPython")
     sorts = text.count("Sort ")
     aqe = "AdaptiveSparkPlan" in text
-    return dict(failed=False, exchanges=exchanges, reused=reused,
+    return dict(failed=False, exchanges=exchanges, bcast=bcast,
+                reused=reused,
                 joins=dict(joins), scans=scans, nopush=nopush,
                 pushed=pushed, wide=wide, sorts=sorts, aqe=aqe)
 
@@ -49,7 +56,7 @@ def main():
         if filt and filt not in name: continue
         rows.append((name, triage(os.path.join(d, f))))
     rows.sort(key=lambda r: (-r[1].get("exchanges", 0), r[0]))
-    print(f"{'query':34s} {'exch':>4} {'reuse':>5} {'scan':>4} {'nopush':>6} {'sort':>4}  joins / notes")
+    print(f"{'query':34s} {'exch':>4} {'bcast':>5} {'reuse':>5} {'scan':>4} {'nopush':>6} {'sort':>4}  joins / notes")
     for name, t in rows:
         if t.get("failed"):
             print(f"{name:34s} FAILED"); continue
@@ -57,7 +64,7 @@ def main():
         notes = []
         if t["wide"]: notes.append(f"wideRead{t['wide']}")
         if not t["aqe"]: notes.append("noAQE")
-        print(f"{name:34s} {t['exchanges']:4d} {t['reused']:5d} {t['scans']:4d} "
+        print(f"{name:34s} {t['exchanges']:4d} {t.get('bcast', 0):5d} {t['reused']:5d} {t['scans']:4d} "
               f"{t['nopush']:6d} {t['sorts']:4d}  {js} {' '.join(notes)}")
 
 if __name__ == "__main__":
