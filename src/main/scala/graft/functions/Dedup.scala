@@ -982,7 +982,7 @@ object Dedup {
     graft.streaming.Cdc.streamSession(s)
 
   def d15StreamingNearDup(s: SparkSession, d: String): DataFrame = {
-    val root = graft.operators.Migrate.tempDir("d15")
+    val root = graft.operators.Migrate.fastTempDir("d15")
     val feed = docsFeed(s, d); val out = s"$root/out"
     val q = streamingNearDup(streamSession(s), feed, out, s"$root/ckpt")
     try require(q.awaitTermination(300000),
@@ -1004,7 +1004,7 @@ object Dedup {
     * cross-window canonical election is batch d1's job.)
     */
   def d16StreamingExactDedup(s: SparkSession, d: String): DataFrame = {
-    val root = graft.operators.Migrate.tempDir("d16")
+    val root = graft.operators.Migrate.fastTempDir("d16")
     val out = s"$root/out"
     val q = streamingExactDedup(streamSession(s), docsFeed(s, d), out,
       s"$root/ckpt")

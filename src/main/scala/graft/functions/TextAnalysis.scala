@@ -2424,6 +2424,11 @@ object TextAnalysis {
         ss.readStream.schema("doc_id LONG, text STRING, lang STRING")
           .parquet(feed))
       .writeStream.format("memory").queryName("t25_model_counts")
+      // explicit RAM-backed scratch checkpoint (fastTempDir's
+      // scaladoc has the measurements; the implicit temp checkpoint
+      // would land on java.io.tmpdir's slow FS)
+      .option("checkpointLocation",
+        graft.operators.Migrate.fastTempDir("t25_ckpt"))
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()

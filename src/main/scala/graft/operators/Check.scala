@@ -385,8 +385,15 @@ object Check {
         Future {
           s.sparkContext.setJobGroup(jobGroup,
             "assess report sections", interruptOnCancel = true)
+          val t0 = System.nanoTime()
           val df = sec.fn(s, d)
-          (sec, df.schema, df.collect().toSeq)
+          val out = (sec, df.schema, df.collect().toSeq)
+          // env-gated per-section wall (zero cost unset): the r16
+          // verdict asked which section sets a36's wall — this is the
+          // data source for that table (SCALE.md)
+          if (sys.env.contains("SPARK_GRAFT_ASSESS_TIMING"))
+            println(f"[assess] ${sec.key}%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          out
         }
       }
       try Await.result(Future.sequence(futs), 10.minutes)

@@ -240,6 +240,33 @@ object Migrate {
     * (default is 4 MiB — thrashes on the MERGE working set) and
     * derby.log kept out of the repo working dir.
     */
+  /** Per-run scratch for STREAMING checkpoints and stream outputs:
+    * RAM-backed when the host has a writable tmpfs (the
+    * [[scratchDbDir]] rationale applied to the streaming arms —
+    * r17). Profiled with the per-batch progress dump: each
+    * HDFSBackedStateStore commit paid ~40-100 ms of ext4
+    * create+rename per store per micro-batch (32 stores on c11's
+    * 8-wide session = 3-6 s of summed commit time for KB-sized
+    * state), plus offset/commit-log writes on the same axis — pure
+    * checkpoint-FS latency, not data. Durability of a per-run
+    * scratch checkpoint is moot (created fresh, swept on exit;
+    * restartability-from-checkpoint is pinned by specs that build
+    * their OWN checkpoint dirs). A production deployment sizes
+    * checkpoint storage for its durability needs instead —
+    * SPARK_GRAFT_STREAM_SCRATCH overrides the parent dir.
+    */
+  private[graft] def fastTempDir(tag: String): String = {
+    val parent = sys.env.get("SPARK_GRAFT_STREAM_SCRATCH")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get("/dev/shm"))
+    val p =
+      if (Files.isDirectory(parent) && Files.isWritable(parent))
+        Files.createTempDirectory(parent, s"graft_$tag")
+      else Files.createTempDirectory(s"graft_$tag")
+    tempDirs.add(p)
+    p.toString
+  }
+
   private[graft] def scratchDbDir(tag: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val p =

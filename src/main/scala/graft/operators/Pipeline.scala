@@ -256,8 +256,19 @@ object Pipeline {
     // JDBC metadata reports the quoted-lowercase column names, so the
     // read schema matches the source names; Spark quotes the partition
     // column itself (same path s7b exercises)
-    val back = Migrate.readJdbcChunked(s, url, tgtTable, keyCol,
+    // Spool the chunked JDBC read-back ONCE to scratch parquet: both
+    // the checksum pass (tgtSum) and the row diff consume the target,
+    // and without the spool each consumer re-issues the 8 ranged
+    // queries against the database — 2x the most expensive I/O of the
+    // compare stage (guide §3.3, materialize the intermediate; r17).
+    // A parquet spool, NOT localCheckpoint: the diff unions this
+    // frame, and a checkpointed child under unionAll trips the Spark
+    // 4.1.2 LogicalRDD constraint-rewrite bug (see FIXTURES.md).
+    val backJdbc = Migrate.readJdbcChunked(s, url, tgtTable, keyCol,
       minK, maxK + 1, 8)
+    val backSpool = s"${Migrate.tempDir("migrate_back")}/back"
+    backJdbc.write.mode(SaveMode.Overwrite).parquet(backSpool)
+    val back = s.read.parquet(backSpool)
     // XEngine variant: this stage's row_checksum lands in pipe2's
     // oracle-compared OUTPUT, so it must stay the md5 hash DuckDB
     // reproduces (the internal-compare call sites use the native-hash
@@ -848,14 +859,14 @@ object Pipeline {
     // proceeds, and a breaker that reads a mid-write empty token
     // only ever errs toward NOT deleting.
     val ownerToken = java.util.UUID.randomUUID().toString
-    def tryAcquire(): Boolean =
+    def tryCreate(p: org.apache.hadoop.fs.Path): Boolean =
       if (isLocalFs)
         // local root: java.nio O_EXCL — atomic where Hadoop's local
         // create(overwrite=false) is only check-then-act
         try {
           java.nio.file.Files.write(
             java.nio.file.Paths.get(
-              fs.makeQualified(lockHPath).toUri.getPath),
+              fs.makeQualified(p).toUri.getPath),
             ownerToken.getBytes("UTF-8"),
             java.nio.file.StandardOpenOption.CREATE_NEW,
             java.nio.file.StandardOpenOption.WRITE)
@@ -867,12 +878,13 @@ object Pipeline {
         // remote root: the manifest's own FileSystem — atomic on
         // HDFS; the documented CAS seam on an object store
         try {
-          val out = fs.create(lockHPath, false)
+          val out = fs.create(p, false)
           try out.write(ownerToken.getBytes("UTF-8"))
           finally out.close()
           true
         }
         catch { case _: java.io.IOException => false }
+    def tryAcquire(): Boolean = tryCreate(lockHPath)
     def lockOwner(p: org.apache.hadoop.fs.Path): String =
       try {
         val in = fs.open(p)
@@ -882,42 +894,56 @@ object Pipeline {
           new String(buf, 0, math.max(n, 0), "UTF-8")
         } finally in.close()
       } catch { case _: java.io.IOException => "" }
-    // Breaking a stale lock is RENAME-then-delete, never a blind
-    // delete: with two waiters on one crashed holder, a blind delete
-    // lets waiter B delete + re-acquire between waiter A's mtime
-    // read and A's delete — A then deletes B's FRESH lock and a
-    // third acquire yields two concurrent holders, exactly the
-    // corruption the lock exists to prevent. The rename atomically
-    // claims ONE incarnation of the lock file; the winner re-checks
-    // the mtime ON THE RENAMED FILE (rename preserves mtime):
-    // confirmed-stale is deleted, while a fresh file (the lock path
-    // was re-created since the observation) is renamed straight
-    // back. The rename-back can only fail if the path was re-created
-    // TWICE inside this break — an RPC-scale triple race a file
-    // lock cannot fully close (the object-store CAS seam is the fix
-    // at that rigor); the stolen copy is dropped so it never shadows
-    // a later break, and release-by-owner (below) bounds the damage:
-    // a holder whose lock was wrongly taken can no longer compound
-    // the race by blind-deleting its successor's lock on release.
+    // Breaking a stale lock is serialized through a BREAKER MUTEX
+    // (manifest.commit.lock.breaking, same atomic CREATE_NEW as the
+    // lock itself), then RENAME-then-delete — never a blind delete.
+    // History: the blind delete let waiter B break + re-acquire
+    // inside waiter A's check-to-delete window (A then deleted B's
+    // FRESH lock — two holders); the r16 rename-then-mtime-recheck
+    // closed THAT, but the 4-waiter race spec caught its residue
+    // under load: breaker C, acting on a stale status observation,
+    // renames away the FRESH lock a successor B just created, and
+    // while C is renaming it back waiter D acquires the briefly-free
+    // path — B and D hold together. Serialized breaking closes the
+    // window structurally: the stale re-check happens INSIDE the
+    // mutex, where no other breaker can delete/rename the lock file,
+    // and an acquirer can only CREATE when the path is absent — so a
+    // lock that re-reads stale under the mutex is necessarily the
+    // dead incarnation, and the rename claims exactly it. No
+    // rename-back branch remains to open the window. A CRASHED
+    // breaker's mutex file is itself reaped past LockStaleMs (a
+    // break is a millisecond metadata op, so 10 minutes of silence
+    // means a dead JVM); a liveness error there only DELAYS breaking
+    // — it can never admit a second holder. Release-by-owner (below)
+    // still bounds the one theft this cannot close: a live holder
+    // whose heartbeat thread died reads stale and is legitimately
+    // broken.
+    val breakerPath = new org.apache.hadoop.fs.Path(
+      s"$root/manifest.commit.lock.breaking")
     def breakIfStale(): Unit =
       try {
         val st = fs.getFileStatus(lockHPath)
         if (System.currentTimeMillis() - st.getModificationTime >
             LockStaleMs) {
-          val broken = new org.apache.hadoop.fs.Path(
-            s"$root/manifest.commit.lock.broken." + java.util.UUID
-              .randomUUID().toString.replace("-", "").take(12))
-          if (fs.rename(lockHPath, broken)) {
-            val bst = fs.getFileStatus(broken)
-            if (System.currentTimeMillis() - bst.getModificationTime >
-                LockStaleMs) { fs.delete(broken, false); () }
-            else if (!fs.rename(broken, lockHPath)) {
-              lockLog.warn(s"$who: could not restore a freshly " +
-                "re-created commit lock grabbed by a stale break " +
-                s"(${broken.getName}) — dropping the stolen copy")
-              fs.delete(broken, false); ()
-            }
-          }
+          if (tryCreate(breakerPath))
+            try {
+              val st2 = fs.getFileStatus(lockHPath)
+              if (System.currentTimeMillis() - st2.getModificationTime >
+                  LockStaleMs) {
+                val broken = new org.apache.hadoop.fs.Path(
+                  s"$root/manifest.commit.lock.broken." + java.util.UUID
+                    .randomUUID().toString.replace("-", "").take(12))
+                if (fs.rename(lockHPath, broken)) {
+                  fs.delete(broken, false); ()
+                }
+              }
+            } finally { fs.delete(breakerPath, false); () }
+          else
+            try {
+              val bst = fs.getFileStatus(breakerPath)
+              if (System.currentTimeMillis() - bst.getModificationTime >
+                  LockStaleMs) { fs.delete(breakerPath, false); () }
+            } catch { case _: java.io.FileNotFoundException => () }
         }
       } catch { case _: java.io.FileNotFoundException => () }
     val deadline = System.nanoTime() + LockWaitMs * 1000000L

@@ -1412,10 +1412,18 @@ object Cdc {
 
   private[graft] def streamSession(s: SparkSession): SparkSession = {
     val ss = s.newSession()
-    // 8 = the long-standing measured local default; the env knob is
-    // the production scale lever (state volume grows with input, so a
-    // cluster sizes this up — round-16 4-vs-8 A/Bs were swamped by
-    // window noise and left the default alone).
+    // 4 = the measured local default (r17): every state-store commit
+    // pays ~40-100 ms of per-store checkpoint I/O per micro-batch
+    // regardless of state size (progress-dump profile: c11's 32
+    // stores at width 8 summed 3-6 s of commitTimeMs for KB-sized
+    // state), so width sets the arms' fixed floor. Three interleaved
+    // width-8-vs-4 bench-subset pairs (the 10 streaming queries, same
+    // JVM binary, alternating): 28.4→26.3, 27.3→24.1, 23.4→21.8 s —
+    // w4 won every pair, concentrated in the many-store arms (c11
+    // 4.2→2.8, w12 2.5→2.1 medians). The env knob is the production
+    // scale lever (state volume grows with input, so a cluster sizes
+    // this UP — local state here is ≤100k rows, so 4 keeps plenty of
+    // per-store headroom).
     // Validated here, not deep inside Spark at stream start (r16
     // advice); NOTE the width only takes effect on a FRESH checkpoint
     // — stateful queries restarted on an existing checkpoint keep the
@@ -1427,7 +1435,7 @@ object Cdc {
           v.trim.toInt > 0,
           s"SPARK_GRAFT_STREAM_SHUFFLE must be a positive integer, got '$v'")
         v.trim
-      case None => "8"
+      case None => "4"
     }
     ss.conf.set("spark.sql.shuffle.partitions", width)
     ss
@@ -1443,7 +1451,7 @@ object Cdc {
     * not just to a ScalaTest assertion.
     */
   def c11StreamingIntervalJoin(s: SparkSession, d: String): DataFrame = {
-    val root = graft.operators.Migrate.tempDir("c11")
+    val root = graft.operators.Migrate.fastTempDir("c11")
     val feed = eventsFeed(s, d)
     val q = streamIntervalJoin(streamSession(s), feed, s"$root/out",
       s"$root/ckpt")
@@ -1515,6 +1523,12 @@ object Cdc {
     val ss = streamSession(s)
     val q = plan(ss.readStream.schema(EventsSchema).parquet(feed))
       .writeStream.format("memory").queryName(name)
+      // explicit RAM-backed scratch checkpoint: without the option the
+      // memory sink gets an implicit temp checkpoint under
+      // java.io.tmpdir — the slow-FS commit path fastTempDir exists
+      // to avoid (its scaladoc has the measurements)
+      .option("checkpointLocation",
+        graft.operators.Migrate.fastTempDir(s"${name}_ckpt"))
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
@@ -1714,7 +1728,7 @@ object Cdc {
     * sessions-sized, re-indexed with one keyed window.
     */
   def w12StreamingSessionize(s: SparkSession, d: String): DataFrame = {
-    val root = graft.operators.Migrate.tempDir("w12")
+    val root = graft.operators.Migrate.fastTempDir("w12")
     val feed = w12Feed(s, d)
     val ss = streamSession(s)
     val ev = ss.readStream

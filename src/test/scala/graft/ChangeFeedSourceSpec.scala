@@ -73,7 +73,8 @@ class ChangeFeedSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rows == 50, s"rows=$rows")
   }
 
-  test("DSv2 rows carry the full change schema with correct types") {
+  test("DSv2 rows carry the full change schema with correct types",
+    SlowTests) {
     val tmp = Files.createTempDirectory("graft_dsv2b").toString
     val feed = s"$tmp/feed"
     writeFeedFile(feed, "w1.csv",

@@ -15,7 +15,8 @@ import org.apache.spark.sql.Row
   */
 class EmptySweepSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
-  test("all registered queries degrade to empty results on empty tables") {
+  test("all registered queries degrade to empty results on empty tables",
+    SlowTests) {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
     for (t <- Tables.all) {
       val schema = Tables.load(spark, sf, t).schema

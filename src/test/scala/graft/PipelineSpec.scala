@@ -1008,7 +1008,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("pipe19 fault: a crash between admission and checkpoint commit " +
     "redelivers the shard, and the at-rest index makes redelivery " +
-    "content-idempotent") {
+    "content-idempotent", SlowTests) {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
     val in = Pipeline.pipe19Inputs(spark, sf)
@@ -1491,7 +1491,8 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("pipe19 + maintenance writer: a compaction interleaved " +
     "between streaming micro-batches — the loop admits the next " +
-    "shard against the compacted tip and the final corpus is intact") {
+    "shard against the compacted tip and the final corpus is intact",
+    SlowTests) {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
     val in = Pipeline.pipe19Inputs(spark, sf)

@@ -188,7 +188,7 @@ class ScaleSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("sf1 smoke: engine-replicated 10x corpus, no headline query " +
-    "goes superlinear") {
+    "goes superlinear", SlowTests) {
     // the scale-cliff detector (see ScaleUp's scaladoc): replicate
     // sf0.1 10x BY THE ENGINE, run the most expensive queries plus the
     // dedup family at both scales in this JVM, and assert each sf1

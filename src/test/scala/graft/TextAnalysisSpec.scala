@@ -747,7 +747,7 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"model state must stay bounded by B (${streamed.size})")
   }
 
-  test("t24 DSIR: selection is layout-invariant") {
+  test("t24 DSIR: selection is layout-invariant", SlowTests) {
     import org.apache.spark.sql.functions.col
     val a = graft.functions.TextAnalysis.t24DsirSelect(spark, sf)
     val tmp = java.nio.file.Files.createTempDirectory("graft_t24").toString
