@@ -36,7 +36,7 @@ class EmptySweepSpec extends AnyFunSuite with SparkSessionTestWrapper {
         failures.mkString("\n"))
   }
 
-  test("all registered queries survive single-row tables") {
+  test("all registered queries survive single-row tables", SlowTests) {
     // minimum CARDINALITY, not absence: one-row inputs reach branches
     // the zero-row sweep never does — window frames with a real first
     // row but no second, min==max chunk guards, singleton clusters,

@@ -576,7 +576,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("WAP free-running fuzz: three admissions and a compaction race " +
     "with NO choreography, losers retry — every writer lands, versions " +
     "are contiguous and all resolve, and the corpus equals the serial " +
-    "run's fingerprint set") {
+    "run's fingerprint set", SlowTests) {
     import org.apache.spark.sql.functions._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
@@ -1085,7 +1085,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("WAP commit conflict: compaction RACED against admission on " +
     "one root — exactly one manifest append wins, the loser errors " +
     "with its staged files unreferenced, and a retry succeeds " +
-    "against the new tip") {
+    "against the new tip", SlowTests) {
     import org.apache.spark.sql.functions._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
@@ -1244,7 +1244,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("WAP commit conflict, LATE-STAGE interleavings: a loser whose " +
     "staging/rewrite WRITE runs after the winner's commit never " +
     "touches the winner's published files (writer-unique paths), and " +
-    "a raced rollback loses cleanly in both orderings") {
+    "a raced rollback loses cleanly in both orderings", SlowTests) {
     import org.apache.spark.sql.functions._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
@@ -1554,7 +1554,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("pipe19 widened: a multi-shard feed (4 disjoint shards + one " +
     "injected DUPLICATE shard) lands on the batch-admitted corpus in " +
     "either arrival order — the order-invariance argument exercised " +
-    "past n=2") {
+    "past n=2", SlowTests) {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
     val docs = Tables.load(spark, sf, "documents")

@@ -16,7 +16,8 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
-  test("physical plans: only whitelisted BNLs, no cartesians, no errors") {
+  test("physical plans: only whitelisted BNLs, no cartesians, no errors",
+    SlowTests) {
     val results = PlanAudit.audit(spark, sf)
     val bad = results.filter(_.violation)
     assert(bad.isEmpty,
